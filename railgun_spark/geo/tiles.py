@@ -1,0 +1,216 @@
+"""Web-Mercator (slippy-map) tile operators as native Column expressions.
+
+Reference parity (spatialcurrent/railgun):
+- tileX:  int((180+lon) * 2^z / 360)           geo/LongitudeToTile.go:15-17
+- tileY:  slippy ln/tan formula                 geo/LatitudeToTile.go:15-18
+- inverse transforms                            geo/TileToLongitude.go:15-17,
+                                                geo/TileToLatitude.go:16-19
+- tile -> bbox [w,s,e,n]                        geo/TileToBoundingBox.go:9-15
+- TMS y-flip                                    geo/FlipY.go:40-42
+- bbox point filter                             pipeline/Pipeline.go:7,
+                                                named/named.go:14
+- group-by-tile at finer zoom                   named/named.go:22
+- tile tagging for partitioned writes           examples/athena.dfl:11-17
+
+All forward transforms are pure Column arithmetic (no UDF), so they run in
+WholeStageCodegen and — crucially for 100 TB — tile columns written with
+``write.partitionBy("_tile_z","_tile_x","_tile_y")`` give partition-pruned
+reads for tile-bbox queries: Catalyst turns the bbox predicate on the tile
+columns into partition pruning before any file is opened (the scalable twin
+of the reference's extent short-circuit, handlers/LayerTileHandler.go:117-140).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from railgun_spark.sources.tables import load_events
+from railgun_spark.suite import query
+
+PI = math.pi
+
+
+def tile_x(lon: Column, z: Column | int) -> Column:
+    """Web-Mercator tile x. Twin of geo/LongitudeToTile.go:15-17."""
+    n = F.pow(F.lit(2.0), z)
+    return F.floor((lon + F.lit(180.0)) * n / F.lit(360.0)).cast("bigint")
+
+
+def tile_y(lat: Column, z: Column | int) -> Column:
+    """Web-Mercator tile y. Twin of geo/LatitudeToTile.go:15-18:
+    floor((1 - ln(tan(lat_rad) + 1/cos(lat_rad)) / pi) / 2 * 2^z)."""
+    n = F.pow(F.lit(2.0), z)
+    rad = lat * F.lit(PI) / F.lit(180.0)
+    return F.floor(
+        (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(PI)) / F.lit(2.0) * n
+    ).cast("bigint")
+
+
+# Driver-side inverse transforms (per-request math, never on the data path).
+def tile_to_lon(x: float, z: int) -> float:
+    """Twin of geo/TileToLongitude.go:15-17."""
+    return x / (2.0**z) * 360.0 - 180.0
+
+
+def tile_to_lat(y: float, z: int) -> float:
+    """Twin of geo/TileToLatitude.go:16-19."""
+    n = PI - 2.0 * PI * y / (2.0**z)
+    return 180.0 / PI * math.atan(0.5 * (math.exp(n) - math.exp(-n)))
+
+
+def tile_bbox(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """[w, s, e, n] of a tile. Twin of geo/TileToBoundingBox.go:9-15."""
+    return (
+        tile_to_lon(x, z),
+        tile_to_lat(y + 1, z),
+        tile_to_lon(x + 1, z),
+        tile_to_lat(y, z),
+    )
+
+
+def flip_y(y: int, z: int) -> int:
+    """TMS <-> XYZ y flip. Twin of geo/FlipY.go:40-42."""
+    return (2**z) - 1 - y
+
+
+def bbox_filter(lon: Column, lat: Column, bbox: tuple[float, float, float, float]) -> Column:
+    """Null-safe point-in-bbox predicate.
+    Twin of pipeline/Pipeline.go:7 / named/named.go:14."""
+    w, s, e, n = bbox
+    return (
+        lon.isNotNull()
+        & lat.isNotNull()
+        & lon.between(F.lit(w), F.lit(e))
+        & lat.between(F.lit(s), F.lit(n))
+    )
+
+
+def tag_tiles(df: DataFrame, lon: Column, lat: Column, z: int) -> DataFrame:
+    """Add _tile_z/_tile_x/_tile_y columns (examples/athena.dfl:11-17);
+    callers then write.partitionBy the three columns (geonames.sh:49)."""
+    return (
+        df.withColumn("_tile_z", F.lit(z).cast("bigint"))
+        .withColumn("_tile_x", tile_x(lon, z))
+        .withColumn("_tile_y", tile_y(lat, z))
+    )
+
+
+# --------------------------------------------------------------------------
+# Suite queries. The TPC-H tables carry no coordinates, so lon/lat are
+# derived deterministically from integer keys (exact in both engines); the
+# tile math itself is the unit under test.
+# --------------------------------------------------------------------------
+def _lon() -> Column:
+    return (F.col("event_id") % 3600) / F.lit(10.0) - F.lit(180.0)
+
+
+def _lat() -> Column:
+    return (F.col("user_id") * 11 % 1700) / F.lit(10.0) - F.lit(85.0)
+_LON_SQL = "(event_id % 3600) / 10.0 - 180.0"
+_LAT_SQL = "(user_id * 11 % 1700) / 10.0 - 85.0"
+
+
+@query(
+    "geo_tile_hist",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    )
+    SELECT CAST(floor((lon + 180.0) * 16.0 / 360.0) AS BIGINT) AS tile_x,
+           CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi())
+                      / 2.0 * 16.0) AS BIGINT) AS tile_y,
+           count(*) AS n
+    FROM pts
+    GROUP BY tile_x, tile_y
+    ORDER BY tile_x, tile_y
+    """,
+    doc="group-by-tile (named/named.go:22) at z=4: hist over (tileX, tileY).",
+    tags=("geo", "hist"),
+)
+def geo_tile_hist(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    pts = ev.select(_lon().alias("lon"), _lat().alias("lat"))
+    return (
+        pts.select(tile_x(F.col("lon"), 4).alias("tile_x"), tile_y(F.col("lat"), 4).alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+@query(
+    "geo_bbox_filter",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, event_type, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    )
+    SELECT event_id, event_type, lon, lat
+    FROM pts
+    WHERE lon BETWEEN -90.0 AND 0.0 AND lat BETWEEN 0.0 AND 60.0
+    ORDER BY event_id
+    """,
+    doc="bbox point filter (pipeline/Pipeline.go:7) — between-predicates, "
+    "partition-prunable when tile-partitioned.",
+    tags=("geo", "filter"),
+)
+def geo_bbox_filter(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    pts = ev.select("event_id", "event_type", _lon().alias("lon"), _lat().alias("lat"))
+    return pts.filter(bbox_filter(F.col("lon"), F.col("lat"), (-90.0, 0.0, 0.0, 60.0))).orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "geo_bbox_agg",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    )
+    SELECT event_type,
+           round(min(lon), 4) AS min_lon, round(min(lat), 4) AS min_lat,
+           round(max(lon), 4) AS max_lon, round(max(lat), 4) AS max_lat,
+           round(avg(lon), 4) AS centroid_lon, round(avg(lat), 4) AS centroid_lat
+    FROM pts GROUP BY event_type ORDER BY event_type
+    """,
+    doc="bbox(@) + centroid aggregate (osm.sh:106,112) as min/max/avg agg.",
+    tags=("geo", "agg"),
+)
+def geo_bbox_agg(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    pts = ev.select("event_type", _lon().alias("lon"), _lat().alias("lat"))
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.round(F.min("lon"), 4).alias("min_lon"),
+            F.round(F.min("lat"), 4).alias("min_lat"),
+            F.round(F.max("lon"), 4).alias("max_lon"),
+            F.round(F.max("lat"), 4).alias("max_lat"),
+            F.round(F.avg("lon"), 4).alias("centroid_lon"),
+            F.round(F.avg("lat"), 4).alias("centroid_lat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mask_grid(df: DataFrame, bbox: tuple[float, float, float, float], z_delta: int, threshold: int):
+    """Tile-mask rasterization (handlers/LayerMaskHandler.go:176-214):
+    group points by finer-zoom tile within a bbox, return a dict
+    {(x, y): 1} for cells with >= threshold points. The groupBy runs
+    distributed; only the <= 4^z_delta counts reach the driver."""
+    side = 2**z_delta
+    w, s, e, n = bbox
+    lon, lat = F.col("lon"), F.col("lat")
+    cx = F.floor((lon - F.lit(w)) / F.lit((e - w)) * side).cast("int")
+    cy = F.floor((F.lit(n) - lat) / F.lit((n - s)) * side).cast("int")
+    counts = (
+        df.filter(bbox_filter(lon, lat, bbox))
+        .select(F.least(cx, F.lit(side - 1)).alias("cx"), F.least(cy, F.lit(side - 1)).alias("cy"))
+        .groupBy("cx", "cy")
+        .count()
+        .collect()
+    )
+    return {(r["cx"], r["cy"]): 1 for r in counts if r["count"] >= threshold}

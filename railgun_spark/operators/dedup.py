@@ -1,0 +1,397 @@
+"""Deduplication operators for training-data pipelines: exact (hash),
+MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+Beyond-reference components (the reference has only `set()` distinct over
+small collections, examples/bars.dfl:10); these are designed as first-class
+100 TB operators:
+
+- Exact dedup: hash-groupBy — one shuffle on a 60-bit content hash; at
+  scale the hash column is low-cardinality-skew-free by construction.
+- MinHash+LSH: shingle -> K minhashes -> B bands -> bucket self-join on
+  band key -> verify candidates with true Jaccard. The bucket join is the
+  only O(candidate) stage; everything before it is embarrassingly parallel
+  map work, and the join key (band hash) distributes uniformly unless the
+  corpus contains giant duplicate clusters — those are exactly what AQE
+  skew-join splitting (enabled in session.py) handles.
+- SimHash: 32-bit sign-aggregated token-hash fingerprint; near-dup =
+  hamming distance <= t on the fingerprint (bit_count(xor)) — pairwise
+  within blocking keys only.
+- All hashes use the md5-prefix hash60 (text.py) so every query here is
+  bit-for-bit reproducible in the DuckDB oracle. Swap in xxhash64 for
+  production speed (same plan shape).
+
+No Python UDFs anywhere: shingling, hashing, banding are higher-order
+Catalyst expressions (transform/aggregate/array_*), fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from railgun_spark.suite import query
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def words(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty if < n words).
+
+    Built by zip_with over shifted copies of the word array rather than
+    transform+get: index-lambda element access is interpreted per element
+    and benchmarked ~14x slower at sf0.1. The final zip is against the
+    (n-1)-shifted array, whose null padding marks (and drops) the partial
+    grams at the tail."""
+    ws = words(text)
+    acc = ws
+    for j in range(1, n):
+        shifted = F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.concat_ws(" ", p, c)),
+        )
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+
+
+def _hash60_str(e: Column) -> Column:
+    """60-bit hash of a string expression (DuckDB-reproducible, see text.hash60)."""
+    return F.conv(F.substring(F.md5(F.encode(e, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def _affine_params(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic pseudo-random (A_j, B_j) for the permutation family
+    perm_j(h) = (A_j * h + B_j) % MERSENNE31 — derived from md5 so they are
+    stable across runs/engines and embeddable as SQL literals. A_j is odd
+    and nonzero; products stay < 2^62 (no bigint overflow)."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"A{j}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"B{j}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
+def minhash_signature(sh: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """Array of `num_hashes` minhash values over a shingle-set column.
+
+    One md5 per shingle (base hash), then cheap affine permutations —
+    16x fewer cryptographic hashes than a per-seed-md5 family."""
+    base = F.transform(sh, lambda s: _hash60_str(s) % MERSENNE31)
+
+    def perm(a: int, b: int):
+        # factory, not default-arg lambda: pyspark infers HOF arity from the
+        # lambda signature, so extra bound params break analysis
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+
+    return F.array(
+        *[F.array_min(F.transform(base, perm(a, b))) for a, b in _affine_params(num_hashes)]
+    )
+
+
+def band_keys(sig: Column, num_bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """LSH band keys: one string key per band (band index ++ its signature slice)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)],
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "lang", shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup via content hash.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT)
+             AS n_unique,
+           count(*) - count(DISTINCT CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT)
+             AS n_duplicates
+    FROM documents
+    """,
+    doc="Exact dedup summary: one scan + one distinct-on-hash shuffle.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.text import hash60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = hash60(F.col("text"))
+    return docs.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_duplicates"),
+    )
+
+
+def dedup_exact_keep_first(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Production exact-dedup: keep the lowest-id row per content hash.
+
+    groupBy(hash).min is preferred over window row_number at scale: partial
+    aggregation collapses duplicates map-side before the shuffle.
+    """
+    h = F.xxhash64(*cols).alias("__h")
+    keys = df.select(h, F.col(df.columns[0]).alias("__id"))
+    winners = keys.groupBy("__h").agg(F.min("__id").alias("__id"))
+    return df.join(winners, df[df.columns[0]] == winners["__id"], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (blocked pairwise verify).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Pairwise Jaccard within a blocking key (lang). At 100 TB the "
+    "blocked pairwise is only for verify; candidate generation is LSH.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir)
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter * F.lit(1.0) / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH: the scale path for near-dup detection.
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    # DuckDB twin of the Spark pipeline below; generated so the hash family
+    # and band layout stay in lock-step with NUM_HASHES/NUM_BANDS.
+    p = MERSENNE31
+    mh = ", ".join(
+        f"min(({a} * h31 + {b}) % {p}) AS h{j}" for j, (a, b) in enumerate(_affine_params())
+    )
+    bands = ", ".join(
+        "concat_ws(':', '%d', %s) AS band%d"
+        % (b, ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)), b)
+        for b in range(NUM_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS band_key FROM sigb" for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS UBIGINT)::BIGINT % {p} AS h31
+      FROM s
+    ), sig AS (
+      SELECT doc_id, {mh} FROM tok GROUP BY doc_id
+    ), sigb AS (
+      SELECT doc_id, {bands} FROM sig
+    ), bands AS (
+      {band_union}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand JOIN s sa ON sa.doc_id = doc_a
+              JOIN s sb ON sb.doc_id = doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc=f"shingle -> {NUM_HASHES} minhashes -> {NUM_BANDS} bands -> bucket join "
+    "-> Jaccard verify. Map-only until the band-key self-join; candidates "
+    "(not pairs) bound the join output.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select("doc_id", "sh")
+    # explode so the base md5 is computed ONCE per shingle in codegen'd row
+    # form; the 16 permutations are cheap integer min-aggregates.
+    tok = s.select("doc_id", F.explode("sh").alias("sg")).select(
+        "doc_id", (_hash60_str(F.col("sg")) % MERSENNE31).alias("h31")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MERSENNE31).alias(f"h{j}")
+            for j, (a, b) in enumerate(_affine_params())
+        ]
+    )
+    sig = sig.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + hamming near-dup pairs. 32-bit fingerprint built
+# from sign-aggregated token-hash bits — pure integer arithmetic, exact
+# cross-engine parity.
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 32
+HAMMING_MAX = 4
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS toks
+      FROM w WHERE len(ws) >= 3
+    ), tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS UBIGINT)::BIGINT AS h
+      FROM t
+    ), bits AS (
+      SELECT doc_id, lang, i.range AS i,
+             CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+      FROM tok, range({SIMHASH_BITS}) i
+    ), bitagg AS (
+      SELECT doc_id, lang, i, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, lang, i
+    ), fp AS (
+      SELECT doc_id, lang, sum(bit * (1::BIGINT << i)) AS simhash
+      FROM bitagg GROUP BY doc_id, lang
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def simhash_fingerprints(docs_with_shingles: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, lang, sh) -> (doc_id, lang, simhash).
+
+    SimHash over the shingle set (shingles, not unigrams, so documents that
+    merely share vocabulary land far apart in hamming space). Shape chosen
+    for scale AND codegen: explode shingle hashes to rows (hash computed
+    ONCE per shingle), then a single groupBy(doc) computes all `bits`
+    sign-sums as conditional-sum aggregate columns — one shuffle keyed by
+    doc_id, no `bits`-fold data expansion, no reuse-defeating per-row
+    higher-order expressions.
+    """
+    tok = docs_with_shingles.select(
+        "doc_id", "lang", F.explode(F.transform("sh", lambda s: _hash60_str(s))).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id", "lang").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", "lang", fp.alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=f"{SIMHASH_BITS}-bit SimHash; near-dup = hamming <= {HAMMING_MAX} within "
+    "lang block. Fingerprint build is one explode + one doc-keyed shuffle; "
+    "pairing is blocked.",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = simhash_fingerprints(_docs_with_shingles(spark, sf_dir))
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(ham <= HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

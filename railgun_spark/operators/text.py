@@ -1,0 +1,192 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+These go beyond the reference (which only has split/lower/len over strings,
+examples/osm.sh:74, geonames.dfl:4-5) and are first-class engine components
+for the 100 TB design point: all of them are pure Catalyst expressions
+(regexp/hash built-ins, no Python UDFs), so they scan-parallelize trivially
+and stay inside WholeStageCodegen.
+
+Cross-engine notes: token counts use `regexp_extract_all(text, '\\S+')`
+(identical semantics in Spark and DuckDB — counts non-space runs, immune to
+split()'s trailing-empty differences). Fingerprints use the shared 60-bit
+md5-prefix hash (see suite.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from railgun_spark.suite import query
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: number of non-space runs."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB:
+    conv(substr(md5(x),1,15),16,10) == ('0x'||substr(md5(x),1,15))::UBIGINT.
+
+    Used instead of xxhash64 wherever cross-engine parity matters; for
+    internal-only hashing prefer F.xxhash64 (faster, 64-bit).
+    """
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]-ish: rewards moderate token
+    length and penalizes very short docs. Pure arithmetic => exact parity.
+    score = least(1, tokens/100) * least(1, n_chars/500)
+    """
+    toks = token_count(text)
+    return F.round(
+        F.least(F.lit(1.0), toks / F.lit(100.0)) * F.least(F.lit(1.0), n_chars / F.lit(500.0)), 6
+    )
+
+
+_STOPWORDS_EN = ("the", "and", "of", "a")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Token counting at scale: one scan, regexp in codegen, tiny group key.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_topk",
+    oracle="""
+    SELECT doc_id, lang,
+           round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
+                 * least(1.0, n_chars / 500.0), 6) AS quality,
+           n_chars
+    FROM documents
+    ORDER BY quality DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Quality scoring + top-k; deterministic tie-break on doc_id.",
+    tags=("text", "topk"),
+)
+def text_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+            "n_chars",
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of|a)\\b')) >= 2
+                THEN 'en' ELSE 'other' END AS lang_pred,
+           count(*) AS n
+    FROM documents
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    doc="n-gram/stopword language-ID heuristic; confusion matrix vs stored lang.",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|and|of|a)\b"), 0)
+    )
+    pred = F.when(stop_hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS fingerprint,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    doc="Content fingerprint via the shared 60-bit hash; basis for exact dedup.",
+    tags=("text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            hash60(F.col("text")).alias("fingerprint"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "word_hist_topk",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="hostosm words pipeline (hostosm.sh:40-46): split|set|hist at scale "
+    "=> explode + groupBy; partial agg makes the shuffle proportional to "
+    "vocabulary, not corpus.",
+    tags=("text", "hist"),
+)
+def word_hist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the configs are
+chosen to also be the right defaults on a multi-executor cluster at the 100 TB
+design point:
+
+- AQE on (runtime coalesce, skew-join splitting) so shuffle partition counts
+  self-tune as data volume scales 1000x.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE's coalesce makes the initial number a ceiling, not a commitment.
+- Arrow enabled: every Python-side operator in this repo is a Pandas UDF /
+  mapInPandas (Arrow batches), never a row-at-a-time Python UDF.
+- 128 MiB file split size — big enough to amortize task overhead on parquet
+  scans, small enough that a 100 TB table still yields ~800k tasks that AQE
+  coalesces after pushdown pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "railgun_spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
+    """Read the driver's parquet tables and register them as temp views.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst for
+    free; registering views lets callers mix DataFrame and SQL freely.
+    """
+    out = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,69 @@
+"""Tile math: cross-check the Column implementations against the reference
+formulas (geo/LongitudeToTile.go:15-17, geo/LatitudeToTile.go:15-18) and the
+driver-side inverse transforms."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from railgun_spark.geo.tiles import (
+    bbox_filter,
+    flip_y,
+    tile_bbox,
+    tile_to_lat,
+    tile_to_lon,
+    tile_x,
+    tile_y,
+)
+
+
+def _py_tile_x(lon: float, z: int) -> int:
+    return int((180.0 + lon) * (2.0**z) / 360.0)
+
+
+def _py_tile_y(lat: float, z: int) -> int:
+    rad = math.radians(lat)
+    return int((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi) / 2.0 * (2.0**z))
+
+
+CASES = [(-77.032, 38.899), (0.0, 0.0), (-179.9, 84.9), (179.9, -84.9), (13.4, 52.5)]
+
+
+def test_tile_xy_matches_reference_formula(spark):
+    df = spark.createDataFrame([(lon, lat) for lon, lat in CASES], ["lon", "lat"])
+    for z in (0, 4, 10, 18):
+        rows = df.select(
+            tile_x(F.col("lon"), z).alias("x"), tile_y(F.col("lat"), z).alias("y"), "lon", "lat"
+        ).collect()
+        for r in rows:
+            assert r["x"] == _py_tile_x(r["lon"], z), (r, z)
+            assert r["y"] == _py_tile_y(r["lat"], z), (r, z)
+
+
+def test_tile_roundtrip():
+    for z in (2, 8, 14):
+        for x, y in [(0, 0), (2**z - 1, 2**z - 1), (2 ** (z - 1), 2 ** (z - 2))]:
+            lon, lat = tile_to_lon(x + 0.0, z), tile_to_lat(y + 0.0, z)
+            # the tile whose NW corner this is
+            assert _py_tile_x(lon + 1e-9, z) == x
+            assert _py_tile_y(lat - 1e-9, z) == y
+
+
+def test_tile_bbox_ordering():
+    w, s, e, n = tile_bbox(10, 292, 391)
+    assert w < e and s < n
+
+
+def test_flip_y():
+    assert flip_y(0, 3) == 7
+    assert flip_y(flip_y(5, 10), 10) == 5
+
+
+def test_bbox_filter_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (None, 2.0), (1.0, None), (200.0, 2.0)], ["lon", "lat"]
+    )
+    got = df.filter(bbox_filter(F.col("lon"), F.col("lat"), (-10.0, -10.0, 10.0, 10.0))).count()
+    assert got == 1
