@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
     # Imports are here (not module top) to avoid circular imports.
     from railgun_spark.operators import (  # noqa: F401
         dedup,
+        dfl_queries,
         relational,
         similarity,
         text,

@@ -1,0 +1,223 @@
+"""DFL parser + compiler golden tests, derived from the reference's
+executable examples (SURVEY §5): bars.dfl, mexican.dfl, the README tsunami
+pipeline, geonames.dfl stream-mode semantics, osm.sh histograms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from railgun_spark.dfl import parse, process, run_pipeline
+from railgun_spark.dfl.ast import (
+    Attribute,
+    Between,
+    Binary,
+    Call,
+    DictNode,
+    Literal,
+    Pipeline,
+    SetNode,
+    Ternary,
+)
+
+
+# ---------------- parser ----------------
+
+def test_parse_bare_words_are_strings():
+    node = parse("@properties.amenity == bar")
+    assert isinstance(node, Binary) and node.op == "=="
+    assert node.right == Literal("bar")
+
+
+def test_parse_null_safe_attribute_path():
+    node = parse("@properties?.name")
+    assert node == Attribute(("properties", "name"))
+
+
+def test_parse_set_vs_dict():
+    assert isinstance(parse("{sushi, japanese}"), SetNode)
+    d = parse("{cuisines: {sushi, japanese}, limit: 10}")
+    assert isinstance(d, DictNode)
+    assert isinstance(d.pairs[0][1], SetNode)
+
+
+def test_parse_between_and_ternary_and_elvis():
+    b = parse("@x between 0 and 10")
+    assert isinstance(b, Between)
+    t = parse("(@x > 0) ? @x : 0")
+    assert isinstance(t, Ternary)
+    e = parse('@properties?.place ?: ""')
+    assert isinstance(e, Binary) and e.op == "?:"
+
+
+def test_parse_pipeline_and_index():
+    p = parse("filter(@, '@a == 1') | limit(@, 5)")
+    assert isinstance(p, Pipeline) and len(p.stages) == 2
+    ix = parse("@geometry.coordinates[0]")
+    assert ix.base == Attribute(("geometry", "coordinates"))
+
+
+def test_parse_in_membership():
+    node = parse("@properties.amenity in [clinic, doctors, hospital]")
+    assert node.op == "in"
+
+
+# ---------------- fixtures ----------------
+
+@pytest.fixture(scope="module")
+def osm(spark):
+    rows = [
+        Row(
+            type="Feature",
+            id=i,
+            properties=Row(
+                name=name, amenity=amenity, cuisine=cuisine, _tile_z=10, _tile_x=292, _tile_y=391
+            ),
+            geometry=Row(type="Point", coordinates=[lon, lat]),
+        )
+        for i, (name, amenity, cuisine, lon, lat) in enumerate(
+            [
+                ("Bar None", "bar", None, -77.03, 38.89),
+                ("Taco Fiesta", "restaurant", "mexican", -77.01, 38.90),
+                ("TACO town", "restaurant", "mexican", -77.02, 38.91),
+                ("Sushi Go", "restaurant", "japanese", -77.04, 38.92),
+                ("Quiet Bar", "bar", None, -77.05, 38.93),
+                ("Clinic A", "clinic", None, -77.06, 38.94),
+                (None, "bar", None, -77.07, 38.95),
+            ]
+        )
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------- pipelines (batch mode) ----------------
+
+def test_bars_pipeline(osm):
+    # examples/bars.dfl:8-12
+    out = run_pipeline(
+        osm,
+        "filter(@, '(@properties?.amenity != null) and (@properties?.amenity == bar)') "
+        "| map(@, '@properties?.name') | array(set(@)) | sort(@) | limit(@, 10)",
+    )
+    names = [r["value"] for r in out.collect()]
+    assert names == [None, "Bar None", "Quiet Bar"]
+
+
+def test_mexican_ilike_pipeline(osm):
+    # examples/mexican.dfl:8-12
+    out = run_pipeline(
+        osm,
+        "filter(@, '(@properties?.name != null) and (@properties?.name ilike %taco%)') "
+        "| map(@, '@properties?.name') | array(set(@)) | sort(@)",
+    )
+    assert [r["value"] for r in out.collect()] == ["TACO town", "Taco Fiesta"]
+
+
+def test_membership_and_hist(osm):
+    out = run_pipeline(
+        osm,
+        "filter(@, '@properties.amenity in [bar, clinic]') | hist(@, '@properties.amenity')",
+    )
+    got = {r["key"]: r["count"] for r in out.collect()}
+    assert got == {"bar": 3, "clinic": 1}
+
+
+def test_len_scalar(osm):
+    assert run_pipeline(osm, "filter(@, '@properties.amenity == bar') | len(@)") == 3
+
+
+def test_sort_desc_limit(spark):
+    # README.md:82 tsunami pipeline shape
+    df = spark.createDataFrame(
+        [Row(id=i, properties=Row(mag=m, tsunami=t, place=p)) for i, (m, t, p) in enumerate(
+            [(5.5, 1, "A"), (7.2, 1, None), (6.1, 0, "C"), (8.0, 1, "D")]
+        )]
+    )
+    out = run_pipeline(
+        df,
+        "filter(@, '@properties?.tsunami == 1') "
+        "| map(@, '{id: @id, mag: @properties?.mag, place: @properties?.place ?: \"\"}') "
+        "| sort(@, '@mag', true) | limit(@, 2)",
+    )
+    rows = out.collect()
+    assert [r["mag"] for r in rows] == [8.0, 7.2]
+    assert rows[1]["place"] == ""
+
+
+def test_variables_and_intersects(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, cuisines=["sushi", "ramen"]), Row(id=2, cuisines=["pizza"])]
+    )
+    out = run_pipeline(
+        df,
+        "filter(@, 'intersects(@cuisines, $wanted)')",
+        variables={"wanted": ["sushi", "japanese"]},
+    )
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_bbox_scalar(osm):
+    box = run_pipeline(
+        osm, "map(@, '@geometry.coordinates') | bbox(@)"
+    )
+    assert box[0] == -77.07 and box[2] == -77.01
+    assert box[1] == 38.89 and box[3] == 38.95
+
+
+# ---------------- stream mode (process) ----------------
+
+def test_process_null_drop_and_dict(spark):
+    # geonames.dfl shape: guard ? null : {dict with casts + concat}
+    df = spark.createDataFrame(
+        [
+            Row(geonameid="1", name="Alpha", latitude="38.9", longitude="-77.0", population=""),
+            Row(geonameid="2", name="Beta", latitude="", longitude="-77.1", population="42"),
+            Row(geonameid="3", name="Gamma", latitude="39.1", longitude="-76.9", population="7"),
+        ]
+    )
+    out = process(
+        df,
+        "((@latitude == \"\") or (@longitude == \"\")) ? null : "
+        "{id: int64(@geonameid), name: @name, lat: float64(@latitude), lon: float64(@longitude), "
+        "pop: int64(@population) ?: 0, "
+        "slug: slugify(@name)}",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["lat"] == 38.9 and rows[1]["slug"] == "alpha"
+    assert rows[1]["pop"] == 0 and rows[3]["pop"] == 7
+
+
+def test_process_tile_tagging(spark):
+    # athena.dfl:11-17 tile tagging via tileX/tileY
+    df = spark.createDataFrame([Row(id=1, lon=-77.032, lat=38.899)])
+    out = process(
+        df,
+        "{id: @id, tx: tileX(@lon, 10), ty: tileY(@lat, 10)}",
+    )
+    r = out.collect()[0]
+    assert (r["tx"], r["ty"]) == (292, 391)
+
+
+def test_dict_merge_and_remove(spark):
+    # geonames.dfl:14-20: @properties + {...} then - {keys}
+    df = spark.createDataFrame(
+        [Row(id=7, properties=Row(name="X", longitude=-77.0, latitude=38.9))]
+    )
+    out = process(
+        df,
+        "{id: @id, properties: (@properties + {upper: upper(@properties.name)}) - {longitude, latitude}}",
+    )
+    r = out.collect()[0]
+    assert r["properties"].asDict() == {"name": "X", "upper": "X"}
+
+
+def test_split_set_hist_words(spark):
+    # hostosm.sh:40-46 words pipeline over a single description
+    df = spark.createDataFrame([Row(description="This project maps buildings and maps roads")])
+    out = run_pipeline(
+        df,
+        "map(@, 'split(lower(@description), \" \")') ",
+    )
+    words = out.collect()[0]["value"]
+    assert words.count("maps") == 2
