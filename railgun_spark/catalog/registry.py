@@ -1,0 +1,254 @@
+"""Catalog registry: CRUD with conflict/dependency checks, JSON/YAML
+persistence, and execution semantics.
+
+Reference parity:
+- add/get/update/delete with ErrAlreadyExists on name conflicts
+  (railgun/catalog/Catalog.go:62-84) and dependency-checked deletes
+  (railgun/catalog/RailgunCatalog.go:405-501)
+- LoadFromUri/SaveToUri for the whole catalog in any document format
+  (railgun/catalog/RailgunCatalog.go:531-729, :967)
+- service exec variable merge: session cache -> service defaults ->
+  request variables (railgun/handlers/ServiceExecHandler.go:96-130);
+  returned assignments are cached per service for session continuity
+  (ServiceExecHandler.go:282-290)
+- datastore uri is itself a DFL expression evaluated against variables
+  (ServiceExecHandler.go:132)
+- workflow exec runs jobs sequentially, sharing variables
+  (railgun/handlers/WorkflowExecHandler.go:79-186)
+- TTL'd dataframe cache keyed by source mtime
+  (railgun/cache/Cache.go:25-79, ServiceExecHandler.go:159-278)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from railgun_spark.catalog.models import (
+    MODEL_TYPES,
+    DataStore,
+    Job,
+    Layer,
+    Process,
+    Service,
+    Workflow,
+    Workspace,
+    to_dict,
+)
+from railgun_spark.dfl import run_pipeline
+from railgun_spark.dfl import parser as _dfl_parser
+from railgun_spark.dfl.ast import Literal
+from railgun_spark.dfl.compiler import Context, compile_expr
+from railgun_spark.sources import formats
+
+
+class AlreadyExists(ValueError):
+    pass
+
+
+class NotFound(KeyError):
+    pass
+
+
+class DependencyError(ValueError):
+    pass
+
+
+_PLURAL = {
+    Workspace: "workspaces",
+    DataStore: "datastores",
+    Layer: "layers",
+    Process: "processes",
+    Service: "services",
+    Job: "jobs",
+    Workflow: "workflows",
+}
+
+
+@dataclass
+class _CacheEntry:
+    df: DataFrame
+    mtime: float
+    loaded_at: float
+
+
+@dataclass
+class Catalog:
+    spark: SparkSession
+    ttl_seconds: float = 300.0  # layer/service cache TTL (cache/Cache.go:79)
+    objects: dict[str, dict[str, object]] = field(
+        default_factory=lambda: {p: {} for p in _PLURAL.values()}
+    )
+    _df_cache: dict[str, _CacheEntry] = field(default_factory=dict)
+    _service_vars: dict[str, dict] = field(default_factory=dict)
+
+    # ---- CRUD (GroupHandler/ItemHandler semantics) ----
+    def add(self, obj) -> None:
+        bucket = self.objects[_PLURAL[type(obj)]]
+        if obj.name in bucket:
+            raise AlreadyExists(f"{type(obj).__name__} {obj.name!r} already exists")
+        bucket[obj.name] = obj
+
+    def get(self, kind: type, name: str):
+        bucket = self.objects[_PLURAL[kind]]
+        if name not in bucket:
+            raise NotFound(f"{kind.__name__} {name!r}")
+        return bucket[name]
+
+    def update(self, obj) -> None:
+        bucket = self.objects[_PLURAL[type(obj)]]
+        if obj.name not in bucket:
+            raise NotFound(f"{type(obj).__name__} {obj.name!r}")
+        bucket[obj.name] = obj
+
+    def list(self, kind: type) -> list:
+        return sorted(self.objects[_PLURAL[kind]].values(), key=lambda o: o.name)
+
+    def delete(self, kind: type, name: str) -> None:
+        """Dependency-checked delete (RailgunCatalog.go:405-501)."""
+        self.get(kind, name)
+        deps = self._dependents(kind, name)
+        if deps:
+            raise DependencyError(f"{kind.__name__} {name!r} is used by {deps}")
+        del self.objects[_PLURAL[kind]][name]
+
+    def _dependents(self, kind: type, name: str) -> list[str]:
+        deps: list[str] = []
+        if kind is DataStore:
+            deps += [l.name for l in self.list(Layer) if l.datastore == name]
+            deps += [s.name for s in self.list(Service) if s.datastore == name]
+        if kind is Process:
+            deps += [s.name for s in self.list(Service) if s.process == name]
+        if kind is Service:
+            deps += [j.name for j in self.list(Job) if j.service == name]
+        if kind is Job:
+            deps += [w.name for w in self.list(Workflow) if name in w.jobs]
+        if kind is Workspace:
+            deps += [d.name for d in self.list(DataStore) if d.workspace == name]
+        return deps
+
+    # ---- persistence (LoadFromUri/SaveToUri parity) ----
+    def save(self, path: str) -> None:
+        doc = {
+            key.capitalize(): [to_dict(o) for o in self.list(kind)]
+            for kind, key in (
+                (Workspace, "workspace"),
+                (DataStore, "datastore"),
+                (Layer, "layer"),
+                (Process, "process"),
+                (Service, "service"),
+                (Job, "job"),
+                (Workflow, "workflow"),
+            )
+        }
+        with open(path, "w") as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+
+                yaml.safe_dump(doc, f)
+            else:
+                json.dump(doc, f, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Catalog":
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+
+                doc = yaml.safe_load(f)
+            else:
+                doc = json.load(f)
+        cat = cls(spark)
+        for key, kind in MODEL_TYPES.items():
+            for item in doc.get(key, []) or []:
+                cat.add(kind(**item))
+        return cat
+
+    # ---- execution ----
+    def _resolve_uri(self, uri: str, variables: dict) -> str:
+        """DataStore uris are DFL expressions over $variables
+        (core/DataStore.go:19, hostosm.sh:20)."""
+        try:
+            node = _dfl_parser.parse(uri)
+        except Exception:
+            return uri
+        if isinstance(node, Literal):
+            return str(node.value)
+        ctx = Context(df=None, variables=dict(variables))
+        # static evaluation: string concat of literals/variables
+        from railgun_spark.dfl.ast import Binary, Variable
+
+        def ev(n) -> str:
+            if isinstance(n, Literal):
+                return str(n.value)
+            if isinstance(n, Variable):
+                return str(variables[n.name])
+            if isinstance(n, Binary) and n.op == "+":
+                return ev(n.left) + ev(n.right)
+            raise ValueError(f"unsupported uri expression node {n}")
+
+        return ev(node)
+
+    def load_datastore(self, name: str, variables: dict | None = None) -> DataFrame:
+        """mtime-keyed TTL cache around the datastore read
+        (ServiceExecHandler.go:159-278)."""
+        ds: DataStore = self.get(DataStore, name)
+        uri = self._resolve_uri(ds.uri, variables or {})
+        mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
+        now = time.time()
+        ent = self._df_cache.get(uri)
+        if ent and ent.mtime == mtime and now - ent.loaded_at < self.ttl_seconds:
+            return ent.df
+        df = formats.read(self.spark, uri, fmt=ds.format)
+        df = df.cache()
+        self._df_cache[uri] = _CacheEntry(df=df, mtime=mtime, loaded_at=now)
+        return df
+
+    def layer_frame(self, name: str, variables: dict | None = None) -> DataFrame:
+        layer: Layer = self.get(Layer, name)
+        merged = {**layer.defaults, **(variables or {})}
+        df = self.load_datastore(layer.datastore, merged)
+        if layer.expression:
+            df = run_pipeline(df, layer.expression, merged)
+        return df
+
+    def exec_service(self, name: str, variables: dict | None = None):
+        """cache -> defaults -> request variable merge
+        (ServiceExecHandler.go:96-130)."""
+        svc: Service = self.get(Service, name)
+        proc: Process = self.get(Process, svc.process)
+        merged = {
+            **self._service_vars.get(name, {}),
+            **svc.defaults,
+            **(variables or {}),
+        }
+        df = self.load_datastore(svc.datastore, merged)
+        result = run_pipeline(df, proc.expression, merged)
+        # session continuity: persist scalar assignments for later requests
+        self._service_vars.setdefault(name, {}).update(
+            {k: v for k, v in merged.items() if not isinstance(v, DataFrame)}
+        )
+        return result
+
+    def exec_job(self, name: str, extra_variables: dict | None = None):
+        job: Job = self.get(Job, name)
+        variables = {**job.variables, **(extra_variables or {})}
+        result = self.exec_service(job.service, variables)
+        if job.output is not None and isinstance(result, DataFrame):
+            out: DataStore = self.get(DataStore, job.output)
+            uri = self._resolve_uri(out.uri, variables)
+            formats.write(result, uri, fmt=out.format)
+        return result
+
+    def exec_workflow(self, name: str) -> list:
+        """Sequential job execution with shared variables
+        (WorkflowExecHandler.go:79-186)."""
+        wf: Workflow = self.get(Workflow, name)
+        results = []
+        for job_name in wf.jobs:
+            results.append(self.exec_job(job_name, wf.variables))
+        return results

@@ -1,0 +1,122 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched mapInPandas.
+
+Beyond-reference component for training-data pipelines. The Spark-side
+plumbing (schemas, batch iteration, partition behavior) is real and tested;
+the actual media decoding is STUBBED — image/audio libraries are not in
+this container — behind `decoder=` hooks that default to a deterministic
+fake (so tests exercise the full pipeline shape) or raise
+NotImplementedError when `require_real=True`.
+
+Scale design: binary payloads ride in parquet binary columns (or are
+referenced by uri and loaded inside the batch fn), metadata stays columnar
+for pushdown. mapInPandas streams Arrow record batches — bounded memory per
+task regardless of file count; `spark.sql.files.maxPartitionBytes` controls
+scan granularity. The decode stage is the only Python hop, amortized per
+batch, never per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decode(content: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a real media decoder: derives shape and an
+    8-dim feature vector from the bytes themselves. Replaces PIL/ffmpeg in
+    this container; swap via the `decoder` hook."""
+    n = len(content or b"")
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    feature = [float((content[i % n] if n else 0) + i) for i in range(8)]
+    return {"width": width, "height": height, "feature": feature}
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+    require_real: bool = False,
+) -> DataFrame:
+    """Binary media -> feature rows via mapInPandas (Arrow batches).
+
+    df must have MEDIA_SCHEMA columns. At 100 TB this is the canonical
+    Python hop: one Arrow batch in, one out, no per-row serialization."""
+    if require_real and decoder is None:
+        raise NotImplementedError(
+            "real media decoding requires PIL/torchaudio/ffmpeg, not present "
+            "in this container; pass decoder= or use fake_decode"
+        )
+    fn = decoder or fake_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [fn(c, k) for c, k in zip(pdf["content"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "feature": [f["feature"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling stub: emits one row per sampled frame index
+    based on declared frame count metadata (`meta['frames']`). The
+    explode is Spark-side; real frame extraction would decode inside a
+    mapInPandas over the sampled (media_id, frame_idx) pairs."""
+    frames = F.coalesce(F.element_at("meta", "frames").cast("int"), F.lit(0))
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.greatest(frames - 1, F.lit(0)), F.lit(every_n))).alias(
+                "frame_idx"
+            ),
+        )
+    )
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize stub: passes content through and records the target
+    size in metadata (real implementation = PIL inside mapInPandas with
+    the same signature/schema)."""
+    return df.withColumn(
+        "meta",
+        F.map_concat(
+            F.col("meta"),
+            F.create_map(
+                F.lit("resize_w"), F.lit(str(width)), F.lit("resize_h"), F.lit(str(height))
+            ),
+        ),
+    )

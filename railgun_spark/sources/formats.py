@@ -1,0 +1,226 @@
+"""Multi-format IO registry — the gss (go-simple-serializer) twin.
+
+Reference surface (SURVEY §1.3):
+- formats: bson csv tsv hcl hcl2 json jsonl properties toml yaml
+  (reference README.md:16, flag railgun/cli/process.go:965)
+- extension/compression inference incl. .geojson->json, .geojsonl->jsonl
+  (railgun/util/SplitNameFormatCompression.go:75-102)
+- compression: none bzip2 gzip snappy (+ zip on read)
+  (railgun/cli/process.go:53)
+
+Spark-first mapping: json/jsonl/csv/tsv/parquet go through native readers
+(predicate pushdown, schema inference, codec handling all built in —
+gzip/bzip2 transparent). yaml/toml/properties/bson are *document* formats:
+single-document payloads are decoded driver-side to rows;
+multi-document line formats go through mapPartitions-free spark.read.text +
+a vectorized decode only when needed. hcl/hcl2 are stubbed (no public
+parser in this container) behind NotImplementedError.
+
+parquet is the engine's native storage format (not in the reference's
+list — its closest is the whole-file cache); at 100 TB everything lands in
+parquet with partition columns.
+"""
+
+from __future__ import annotations
+
+import configparser
+import io
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = (
+    "bson",
+    "csv",
+    "tsv",
+    "hcl",
+    "hcl2",
+    "json",
+    "jsonl",
+    "properties",
+    "toml",
+    "yaml",
+    "parquet",
+)
+
+_EXT_FORMAT = {
+    "json": "json",
+    "geojson": "json",
+    "jsonl": "jsonl",
+    "geojsonl": "jsonl",
+    "ndjson": "jsonl",
+    "csv": "csv",
+    "tsv": "tsv",
+    "yaml": "yaml",
+    "yml": "yaml",
+    "toml": "toml",
+    "properties": "properties",
+    "bson": "bson",
+    "hcl": "hcl",
+    "parquet": "parquet",
+}
+
+_EXT_COMPRESSION = {"gz": "gzip", "gzip": "gzip", "bz2": "bzip2", "sz": "snappy", "zip": "zip", "enc": "enc"}
+
+
+@dataclass(frozen=True)
+class UriSpec:
+    name: str
+    format: str | None
+    compression: str | None
+
+
+def split_name_format_compression(path: str) -> UriSpec:
+    """Infer (basename, format, compression) from a path.
+    Twin of railgun/util/SplitNameFormatCompression.go:14-106."""
+    base = os.path.basename(path)
+    compression = None
+    stem = base
+    for ext, comp in _EXT_COMPRESSION.items():
+        if stem.lower().endswith("." + ext):
+            compression = comp
+            stem = stem[: -(len(ext) + 1)]
+            break
+    fmt = None
+    root, dot, ext = stem.rpartition(".")
+    if dot:
+        fmt = _EXT_FORMAT.get(ext.lower())
+        name = root if fmt else stem
+    else:
+        name = stem
+    return UriSpec(name=name, format=fmt, compression=compression)
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    header: list[str] | None = None,
+    skip_lines: int = 0,
+    limit: int | None = None,
+    **options,
+) -> DataFrame:
+    """Read `path` into a DataFrame. Options mirror the reference's input
+    flags (header/comment/lazy-quotes/skip/limit, railgun/config/Input.go:17-29)."""
+    spec = split_name_format_compression(path)
+    fmt = fmt or spec.format
+    if fmt is None:
+        raise ValueError(f"cannot infer format for {path}")
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt in ("json", "jsonl"):
+        # Spark's json reader handles both single-doc-per-line (jsonl) and
+        # multiLine documents; a top-level FeatureCollection opens to rows
+        # via multiLine + explode at the caller.
+        df = spark.read.json(path, multiLine=(fmt == "json"), **options)
+    elif fmt in ("csv", "tsv"):
+        opts = {
+            "header": "false" if header else options.pop("header", "true"),
+            "sep": "\t" if fmt == "tsv" else ",",
+            "inferSchema": options.pop("inferSchema", "false"),
+            **options,
+        }
+        df = spark.read.options(**opts).csv(path)
+        if header:
+            df = df.toDF(*header)
+    elif fmt in ("yaml", "toml", "properties", "bson"):
+        df = _read_document_format(spark, path, fmt)
+    elif fmt in ("hcl", "hcl2"):
+        raise NotImplementedError(
+            "hcl/hcl2 need an HCL parser, not available in this container; "
+            "the registry slot exists for parity (reference README.md:16)"
+        )
+    else:
+        raise ValueError(f"unknown format {fmt}")
+    if skip_lines:
+        # driver-enumerated skip; only meaningful for small headered files
+        df = df.offset(skip_lines)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def _decode_document(data: bytes, fmt: str) -> list[dict]:
+    """bytes -> list of row dicts for the document formats."""
+    if fmt == "yaml":
+        try:
+            import yaml  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("pyyaml not available in this container") from e
+        doc = yaml.safe_load(data.decode())
+    elif fmt == "toml":
+        import tomllib
+
+        doc = tomllib.loads(data.decode())
+    elif fmt == "properties":
+        cp = configparser.ConfigParser()
+        cp.read_string("[d]\n" + data.decode())
+        doc = dict(cp["d"])
+    elif fmt == "bson":
+        try:
+            import bson  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError("bson codec not available in this container") from e
+        doc = bson.loads(data)
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    if isinstance(doc, list):
+        return [d if isinstance(d, dict) else {"value": d} for d in doc]
+    if isinstance(doc, dict):
+        return [doc]
+    return [{"value": doc}]
+
+
+def _read_document_format(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Document formats (one logical document per file): decode driver-side
+    via the JSON bridge so Spark infers a proper schema. These formats are
+    catalog/config payloads in the reference (catalog load
+    railgun/catalog/RailgunCatalog.go:531-729), never the 100 TB data path."""
+    import glob as _glob
+
+    rows: list[dict] = []
+    paths = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    for p in paths:
+        with open(p, "rb") as f:
+            rows.extend(_decode_document(f.read(), fmt))
+    jsonl = [json.dumps(r) for r in rows]
+    return spark.read.json(spark.sparkContext.parallelize(jsonl))
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: list[str] | None = None,
+    limit: int | None = None,
+) -> None:
+    """Write a DataFrame. Static sink twin (railgun/cli/process.go:59-112);
+    output limit (cli/process.go:984); append flag -> mode."""
+    spec = split_name_format_compression(path)
+    fmt = fmt or spec.format or "parquet"
+    compression = compression or spec.compression
+    if limit is not None:
+        df = df.limit(limit)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path, compression=compression or "snappy")
+    elif fmt in ("json", "jsonl"):
+        w.json(path, compression=compression)
+    elif fmt in ("csv", "tsv"):
+        w.option("header", "true").csv(
+            path, sep="\t" if fmt == "tsv" else ",", compression=compression
+        )
+    else:
+        raise NotImplementedError(f"write format {fmt} (document formats are read-side)")
+
+
+def convert(spark: SparkSession, in_path: str, out_path: str, **read_opts) -> None:
+    """Format conversion with no expression — `railgun convert`
+    (railgun/cli/convert.go:23-50)."""
+    write(read(spark, in_path, **read_opts), out_path)
