@@ -1,0 +1,156 @@
+"""Tile serving: the data/mask endpoint logic behind
+GET /layers/{name}/tiles/{data|mask}/{z}/{x}/{y}.{ext}
+(railgun/handlers/LayerTileHandler.go, LayerMaskHandler.go; SURVEY §3.3).
+
+Pipeline parity:
+  tile -> buffered bbox (LayerTileHandler.go:239-244)
+  extent short-circuit (LayerTileHandler.go:117-140): empty result with NO
+    data read when the tile misses the layer extent — the driver-side twin
+    of partition pruning
+  bbox filter ∧ layer expression ∧ user dfl -> limit -> GeoJSON envelope
+    (pipeline/Pipeline.go:7-11, named/named.go:14-20)
+  mask: group-by-finer-zoom-tile counts -> threshold -> 256x256 png grid
+    (LayerMaskHandler.go:176-215, img/RespondWithGrid.go:20-46)
+
+The png encoder is pure python (zlib) since PIL is absent here; the raster
+is at most 256x256 greyscale — driver-side cost is negligible, and only
+the groupBy counts (<= 4^dz cells) ever reach the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from railgun_spark.dfl import run_pipeline
+from railgun_spark.geo.tiles import bbox_filter, tile_bbox, tile_x, tile_y
+
+
+def buffered_tile_bbox(z: int, x: int, y: int, buffer_tiles: int = 1) -> tuple[float, float, float, float]:
+    """Expand the request tile's bbox by ±buffer tiles
+    (LayerTileHandler.go:239-244)."""
+    w1, s1, _, _ = tile_bbox(z, x - buffer_tiles, y + buffer_tiles)
+    _, _, e2, n2 = tile_bbox(z, x + buffer_tiles, y - buffer_tiles)
+    return (w1, s1, e2, n2)
+
+
+def extent_intersects(a: tuple | list | None, b: tuple | list | None) -> bool:
+    """[w,s,e,n] intersection test; None extent = unbounded
+    (LayerTileHandler.go:117-140)."""
+    if a is None or b is None:
+        return True
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def tile_data(
+    df: DataFrame,
+    z: int,
+    x: int,
+    y: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    layer_extent: tuple | None = None,
+    user_dfl: str | None = None,
+    limit: int | None = None,
+    buffer_tiles: int = 1,
+) -> list[dict]:
+    """Tile data query -> GeoJSON FeatureCollection feature list.
+
+    Returns [] without touching data when the tile misses the extent."""
+    bbox = buffered_tile_bbox(z, x, y, buffer_tiles)
+    if not extent_intersects(bbox, layer_extent):
+        return []
+    out = df.filter(bbox_filter(F.col(lon_col), F.col(lat_col), bbox))
+    if user_dfl:
+        out = run_pipeline(out, user_dfl)
+    if limit is not None and limit >= 0:
+        out = out.limit(limit)
+    feats = []
+    for r in out.collect():
+        d = r.asDict(recursive=True)
+        lon, lat = d.pop(lon_col), d.pop(lat_col)
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {k: v for k, v in d.items() if not k.startswith("_tile_")},
+                "geometry": {"type": "Point", "coordinates": [lon, lat]},
+            }
+        )
+    return feats
+
+
+def feature_collection(features: list[dict]) -> dict:
+    """GeoJSON envelope (named/named.go:20)."""
+    return {
+        "type": "FeatureCollection",
+        "features": features,
+        "numberOfFeatures": len(features),
+    }
+
+
+def tile_mask_grid(
+    df: DataFrame,
+    z: int,
+    x: int,
+    y: int,
+    mask_zoom: int,
+    threshold: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    layer_extent: tuple | None = None,
+) -> list[list[int]]:
+    """Mask raster for a tile: counts at `mask_zoom` (finer than z), cells
+    with >= threshold features set to 1 (LayerMaskHandler.go:176-214).
+    Returns a (2^dz x 2^dz) nested list; only counts reach the driver."""
+    dz = mask_zoom - z
+    side = 2**dz
+    bbox = tile_bbox(z, x, y)
+    grid = [[0] * side for _ in range(side)]
+    if not extent_intersects(bbox, layer_extent):
+        return grid
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    sub = df.filter(bbox_filter(lon, lat, bbox)).select(
+        (tile_x(lon, mask_zoom) - x * side).alias("cx"),
+        (tile_y(lat, mask_zoom) - y * side).alias("cy"),
+    )
+    counts = sub.groupBy("cx", "cy").count().collect()
+    for r in counts:
+        cx, cy = int(r["cx"]), int(r["cy"])
+        if 0 <= cx < side and 0 <= cy < side and r["count"] >= threshold:
+            grid[cy][cx] = 1
+    return grid
+
+
+def grid_to_png(grid: list[list[int]], size: int = 256) -> bytes:
+    """Greyscale PNG of the mask grid scaled to size x size
+    (img/RespondWithGrid.go:20-46 equivalent), pure python."""
+    side = len(grid)
+    scale = max(1, size // side)
+    px_rows = []
+    for gy in range(side):
+        row = bytearray()
+        for gx in range(side):
+            row += bytes([255 if grid[gy][gx] else 0]) * scale
+        for _ in range(scale):
+            px_rows.append(b"\x00" + bytes(row))  # filter byte 0 per scanline
+    w = h = side * scale
+    raw = b"".join(px_rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit greyscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -1,0 +1,272 @@
+"""Second wave of relational coverage: subqueries (semi-join, correlated
+scalar), conditional aggregation, string-prefix measures, sessionization.
+
+These complete the relational surface a reference user migrating real
+workloads needs (SURVEY §2.4/§2.5 note the reference has no joins/windows;
+the engine provides the full family). All plans: filter pushdown, partial
+aggregation, broadcast-able dimensions, single-shuffle sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from railgun_spark.sources.tables import load_events
+from railgun_spark.suite import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# EXISTS semi-join (TPC-H Q4 shape).
+# --------------------------------------------------------------------------
+@query(
+    "semi_join_priority_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXISTS => left_semi join; lineitem side pre-filtered before the "
+    "shuffle so the semi-join input is minimal.",
+    tags=("join", "subquery"),
+)
+def semi_join_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery over an aggregate (TPC-H Q17 shape).
+# --------------------------------------------------------------------------
+@query(
+    "below_avg_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    doc="Correlated avg subquery == per-key avg join (groupBy + broadcast "
+    "join back); avoids Catalyst's rewrite ambiguity and is the plan "
+    "you'd hand-write at scale.",
+    tags=("join", "subquery", "agg"),
+)
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    avg_by_part = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("thresh"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_by_part.withColumnRenamed("l_partkey", "ap_key"), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation (TPC-H Q12 shape): CASE WHEN inside sum.
+# --------------------------------------------------------------------------
+@query(
+    "conditional_agg_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Conditional sums fold into one pass — no per-branch scans.",
+    tags=("agg",),
+)
+def conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio measure with string predicate (TPC-H Q14 shape).
+# --------------------------------------------------------------------------
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+    """,
+    doc="part is broadcast; single scan of the filtered lineitem range.",
+    tags=("join", "agg"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap-based session ids via lag + cumulative sum — the
+# batch twin of stateful streaming sessions (SURVEY §2.10; the reference
+# has no event-time semantics, this is the engine superset).
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc=f"Gap-based sessionization ({SESSION_GAP_MIN}min): one shuffle on "
+    "user_id serves both windows and the final per-session agg.",
+    tags=("window", "streaming"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(SESSION_GAP_MIN * 60)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: each order matched to the latest preceding event of its
+# customer-as-user (an operator family the reference lacks entirely;
+# standard in time-series engines). Implemented as union + window
+# last_value — ONE shuffle, no range-join explosion.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_orders_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS uid, ts AS ev_ts, event_id FROM events
+    ), ord AS (
+      SELECT o_orderkey, o_custkey % 150 AS uid, o_orderdate + INTERVAL 30 YEAR AS o_ts
+      FROM orders
+    ), u AS (
+      SELECT uid, ev_ts AS ts, event_id, NULL::BIGINT AS o_orderkey, 0 AS is_order FROM ev
+      UNION ALL
+      SELECT uid, o_ts AS ts, NULL, o_orderkey, 1 FROM ord
+    ), filled AS (
+      SELECT uid, ts, o_orderkey, is_order,
+             max(CASE WHEN is_order = 0 THEN event_id END)
+               OVER (PARTITION BY uid ORDER BY ts, is_order, coalesce(event_id, o_orderkey)
+                     ROWS UNBOUNDED PRECEDING) AS last_event_id
+      FROM u
+    )
+    SELECT o_orderkey, uid, last_event_id
+    FROM filled WHERE is_order = 1
+    ORDER BY o_orderkey
+    """,
+    doc="As-of join via union + running max over event ids: one shuffle on "
+    "the key, no O(n*m) range join. (Events are keyed to orders through a "
+    "derived uid; orderdates shifted +30y into the events' epoch.)",
+    tags=("join", "asof"),
+)
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("uid"), F.col("ts"), F.col("event_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"), F.lit(0).alias("is_order"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("uid"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+        F.lit(1).alias("is_order"),
+    )
+    u = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "is_order", F.coalesce("event_id", "o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn(
+        "last_event_id",
+        F.max(F.when(F.col("is_order") == 0, F.col("event_id"))).over(w),
+    )
+    return (
+        filled.filter(F.col("is_order") == 1)
+        .select("o_orderkey", "uid", "last_event_id")
+        .orderBy("o_orderkey")
+    )

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         dedup,
         dfl_queries,
         relational,
+        relational2,
         similarity,
         text,
     )

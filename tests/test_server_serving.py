@@ -1,0 +1,138 @@
+"""HTTP server routes, tile serving, mask PNG, AES decrypt loader."""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import pytest
+
+from railgun_spark.catalog import Catalog, DataStore, Layer, Process, Service
+from railgun_spark.geo.serving import (
+    buffered_tile_bbox,
+    extent_intersects,
+    feature_collection,
+    grid_to_png,
+    tile_data,
+    tile_mask_grid,
+)
+from railgun_spark.geo.tiles import tile_bbox
+from railgun_spark.sources.crypto import decrypt_bytes, encrypt_bytes, read_encrypted
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # points inside tile z=10 x=292 y=391 (around lon -77.03, lat 38.89)
+    w, s, e, n = tile_bbox(10, 292, 391)
+    rows = []
+    for i in range(20):
+        lon = w + (e - w) * (i % 5 + 0.5) / 5
+        lat = s + (n - s) * (i // 5 + 0.5) / 4
+        rows.append({"id": i, "amenity": "bar" if i % 2 else "cafe", "lon": lon, "lat": lat})
+    rows.append({"id": 99, "amenity": "bar", "lon": 10.0, "lat": 50.0})  # far away
+    return spark.createDataFrame(rows)
+
+
+def test_extent_short_circuit(points):
+    # a tile that misses the layer extent returns [] without reading data
+    feats = tile_data(points, 10, 0, 0, layer_extent=(-78.0, 38.0, -76.0, 39.5))
+    assert feats == []
+
+
+def test_tile_data_and_envelope(points):
+    feats = tile_data(points, 10, 292, 391, user_dfl="filter(@, '@amenity == bar')")
+    assert 0 < len(feats) <= 10
+    assert all(f["properties"]["amenity"] == "bar" for f in feats)
+    fc = feature_collection(feats)
+    assert fc["numberOfFeatures"] == len(feats)
+
+
+def test_buffered_bbox_grows():
+    w0, s0, e0, n0 = tile_bbox(10, 292, 391)
+    w, s, e, n = buffered_tile_bbox(10, 292, 391, 1)
+    assert w < w0 and s < s0 and e > e0 and n > n0
+    assert extent_intersects((w, s, e, n), (w0, s0, e0, n0))
+
+
+def test_mask_grid_and_png(points):
+    grid = tile_mask_grid(points, 10, 292, 391, mask_zoom=12, threshold=1)
+    assert len(grid) == 4 and any(any(r) for r in grid)
+    png = grid_to_png(grid, size=256)
+    assert png.startswith(b"\x89PNG") and b"IHDR" in png and b"IEND" in png
+    # decodable IDAT
+    idat_off = png.index(b"IDAT") + 4
+    # rough: decompress everything between IDAT tag and IEND chunk header
+    body = png[idat_off : png.index(b"IEND") - 8]
+    assert zlib.decompress(body)
+
+
+def test_aes_cfb_roundtrip(spark, tmp_path):
+    payload = b'{"a": 1}\n{"a": 2}\n'
+    salt = "00112233445566778899aabbccddeeff"
+    blob = encrypt_bytes(payload, "test", salt)
+    assert decrypt_bytes(blob, "test", salt) == payload
+    p = tmp_path / "data.jsonl.enc"
+    p.write_bytes(blob)
+    df = read_encrypted(spark, str(p), "test", salt, fmt="jsonl")
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
+
+
+@pytest.fixture()
+def app_client(spark, tmp_path):
+    flask = pytest.importorskip("flask")  # noqa: F841
+    data = tmp_path / "pts.jsonl"
+    w, s, e, n = tile_bbox(10, 292, 391)
+    rows = [
+        {"id": i, "amenity": "bar" if i % 2 else "cafe",
+         "lon": w + (e - w) * 0.5, "lat": s + (n - s) * 0.5}
+        for i in range(6)
+    ]
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="pts", uri=str(data), format="jsonl"))
+    cat.add(Layer(name="bars", datastore="pts", expression="filter(@, '@amenity == bar')"))
+    cat.add(Process(name="hist_amenity", expression="hist(@, '@amenity')"))
+    cat.add(Service(name="svc", datastore="pts", process="hist_amenity"))
+    from railgun_spark.server import create_app
+
+    return create_app(cat).test_client()
+
+
+def test_server_crud_and_exec(app_client):
+    r = app_client.get("/datastores.json")
+    assert r.status_code == 200 and r.get_json()[0]["name"] == "pts"
+
+    r = app_client.post("/workspaces.json", json={"name": "ws1", "title": "T"})
+    assert r.status_code == 200
+    assert app_client.get("/workspaces/ws1.json").get_json()["title"] == "T"
+    # conflict
+    assert app_client.post("/workspaces.json", json={"name": "ws1"}).status_code == 409
+    # dependency-checked delete
+    assert app_client.delete("/datastores/pts.json").status_code == 400
+
+    r = app_client.post("/services/svc/exec.json", json={"variables": {}})
+    got = {row["key"]: row["count"] for row in r.get_json()}
+    assert got == {"bar": 3, "cafe": 3}
+
+    r = app_client.get("/layers/bars/items.json?limit=10")
+    assert len(r.get_json()) == 3
+
+    r = app_client.get("/dfl/functions.json")
+    names = {f["name"] for f in r.get_json()}
+    assert {"tileX", "hist", "slugify"} <= names
+
+    r = app_client.get("/gss/formats.json")
+    assert "jsonl" in r.get_json()
+
+
+def test_server_tiles(app_client):
+    r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
+    fc = r.get_json()
+    assert fc["type"] == "FeatureCollection" and fc["numberOfFeatures"] == 3
+
+    r = app_client.get("/layers/bars/tiles/mask/10/292/391.png?zoom=12")
+    assert r.status_code == 200 and r.data.startswith(b"\x89PNG")
+
+    # tile far away -> empty collection
+    r = app_client.get("/layers/bars/tiles/data/10/0/0.json")
+    assert r.get_json()["numberOfFeatures"] == 0
