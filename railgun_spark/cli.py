@@ -1,0 +1,182 @@
+"""Command-line interface — `railgun` CLI twin (python -m railgun_spark).
+
+Command parity with the reference (railgun/cli/root.go and siblings):
+  process   read -> DFL -> write ETL        (railgun/cli/process.go:519-945)
+  convert   format A -> format B, no expr   (railgun/cli/convert.go:23-50)
+  eval      evaluate a DFL expr against a context object; bool result sets
+            the exit code                   (railgun/cli/eval.go:75-186)
+  serve     catalog + query HTTP server     (railgun/cli/serve.go:191-366)
+  functions discoverable function catalog   (railgun/router/RailgunRouter.go:60-65)
+  formats   supported serialization formats (railgun/router/RailgunRouter.go:58)
+  version   engine version                  (railgun/cli/version.go)
+
+Differences by design: variables are passed as JSON (not a DFL map
+expression), and execution is a Spark logical plan rather than per-object
+interpretation — `--stream` selects per-object null-drop semantics
+(cli/process.go:184-189), not a different executor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from railgun_spark import __version__
+
+
+def _add_common_io(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input-uri", required=True)
+    p.add_argument("--input-format", default=None, help="override extension inference")
+    p.add_argument("--input-header", default=None, help="csv/tsv explicit header, comma-separated")
+    p.add_argument("--input-limit", type=int, default=None)
+    p.add_argument("--output-uri", default=None, help="may be a DFL expression over @attrs")
+    p.add_argument("--output-format", default=None)
+    p.add_argument("--output-limit", type=int, default=None)
+    p.add_argument("--output-mode", default="overwrite", choices=["overwrite", "append"])
+
+
+def _parse_vars(raw: str | None) -> dict:
+    return json.loads(raw) if raw else {}
+
+
+def cmd_process(args) -> int:
+    from railgun_spark.plans.process import process_uri
+    from railgun_spark.session import get_spark
+
+    input_options: dict = {}
+    if args.input_format:
+        input_options["fmt"] = args.input_format
+    if args.input_header:
+        input_options["header"] = args.input_header.split(",")
+    if args.input_limit is not None:
+        input_options["limit"] = args.input_limit
+
+    result = process_uri(
+        get_spark("railgun_process"),
+        args.input_uri,
+        expr=args.dfl,
+        output_uri=args.output_uri,
+        variables=_parse_vars(args.dfl_vars),
+        stream=args.stream,
+        input_options=input_options or None,
+        output_format=args.output_format,
+        output_mode=args.output_mode,
+        output_limit=args.output_limit,
+    )
+    if result is not None:  # no output uri -> rows to stdout as jsonl
+        for r in result.toJSON().toLocalIterator():
+            print(r)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from railgun_spark.sources.formats import convert
+    from railgun_spark.session import get_spark
+
+    convert(get_spark("railgun_convert"), args.input_uri, args.output_uri)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """Evaluate a DFL expression against a JSON context object. A boolean
+    result maps to the exit code (0=true, 1=false), matching
+    railgun/cli/eval.go:173-186."""
+    from railgun_spark.dfl import run_pipeline
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_eval")
+    ctx = json.loads(args.context) if args.context else {}
+    df = spark.createDataFrame([ctx] if isinstance(ctx, dict) else ctx)
+    result = run_pipeline(df, args.dfl, _parse_vars(args.dfl_vars))
+    if hasattr(result, "collect"):
+        rows = [r.asDict(recursive=True) for r in result.collect()]
+        out = rows[0] if isinstance(ctx, dict) and len(rows) == 1 else rows
+        # a scalar expression compiles to a single `value` column — unwrap it
+        if isinstance(out, dict) and list(out) == ["value"]:
+            out = out["value"]
+    else:
+        out = result
+    print(json.dumps(out, default=str))
+    if isinstance(out, bool):
+        return 0 if out else 1
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from railgun_spark.catalog.registry import Catalog
+    from railgun_spark.server import create_app
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_serve")
+    catalog = Catalog.load(spark, args.catalog_uri) if args.catalog_uri else Catalog(spark)
+    create_app(catalog).run(host=args.address, port=args.port)
+    return 0
+
+
+def cmd_functions(args) -> int:
+    from railgun_spark.functions import functions
+
+    print(json.dumps(functions(), indent=2 if args.pretty else None))
+    return 0
+
+
+def cmd_formats(args) -> int:
+    from railgun_spark.sources.formats import FORMATS
+
+    print(json.dumps(sorted(FORMATS)))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="railgun_spark", description="a Spark-native data processing engine"
+    )
+    ap.add_argument("--version", action="version", version=__version__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("process", help="read objects, evaluate DFL, write output")
+    _add_common_io(p)
+    p.add_argument("--dfl", default=None, help="DFL expression (batch pipeline)")
+    p.add_argument("--dfl-vars", default=None, help="variables as a JSON object")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="per-object semantics: null expression results drop rows",
+    )
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("convert", help="convert between serialization formats")
+    p.add_argument("--input-uri", required=True)
+    p.add_argument("--output-uri", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("eval", help="evaluate a DFL expression against a context object")
+    p.add_argument("--dfl", required=True)
+    p.add_argument("--dfl-vars", default=None)
+    p.add_argument("--context", default=None, help="JSON object or array")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="run the catalog + query HTTP server")
+    p.add_argument("--catalog-uri", default=None, help="catalog json/yaml to load")
+    p.add_argument("--address", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("functions", help="list DFL functions")
+    p.add_argument("--pretty", action="store_true")
+    p.set_defaults(fn=cmd_functions)
+
+    p = sub.add_parser("formats", help="list serialization formats")
+    p.set_defaults(fn=cmd_formats)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

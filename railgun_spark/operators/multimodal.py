@@ -120,3 +120,120 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             ),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Suite queries. The testdata has no binary media table, so a deterministic
+# media frame is derived from `documents` (content = UTF-8 bytes of text,
+# kind cycled by doc_id). Because the corpus is ASCII and fake_decode is
+# pure arithmetic over byte lengths/values, the whole mapInPandas path is
+# oracle-expressible in SQL — the strongest possible check on the Arrow
+# batch plumbing.
+# --------------------------------------------------------------------------
+from railgun_spark.suite import query  # noqa: E402
+
+
+def media_frame(spark, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA frame (deterministic synthetic media)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(
+            F.lit("frames"), F.floor(F.col("n_chars") / 5).cast("int").cast("string")
+        ).alias("meta"),
+    )
+
+
+_FEAT_SUM_SQL = " + ".join(f"ascii(substr(text, {i + 1}, 1)) + {i}" for i in range(8))
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(16 + (octet_length(encode(text)) % 64) AS INT) AS width,
+           CAST(16 + ((octet_length(encode(text)) // 64) % 64) AS INT) AS height,
+           CAST({_FEAT_SUM_SQL} AS DOUBLE) AS feat_sum
+    FROM documents
+    ORDER BY media_id
+    """,
+    doc="Arrow-batched mapInPandas feature extraction over binary media "
+    "columns; decode is the deterministic fake (real decoder is a drop-in "
+    "hook). Oracle recomputes the byte arithmetic in SQL.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    feats = extract_features(media_frame(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.expr(
+            "CAST(aggregate(feature, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS DOUBLE)"
+        ).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx
+    FROM (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, greatest(CAST(n_chars // 5 AS INT) - 1, 0), 10))
+               AS frame_idx
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    )
+    ORDER BY media_id, frame_idx
+    """,
+    doc="Video frame sampling: per-media frame indices exploded Spark-side "
+    "from declared frame-count metadata (every 10th frame); real frame "
+    "decode would run inside a mapInPandas over these (media_id, frame_idx) "
+    "pairs.",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    sampled = frame_sample(media_frame(spark, sf_dir), every_n=10)
+    return sampled.select("media_id", F.col("frame_idx").cast("int").alias("frame_idx")).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@query(
+    "multimodal_kind_stats",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(max(16 + (octet_length(encode(text)) % 64)) AS INT) AS max_width
+    FROM documents
+    GROUP BY 1 ORDER BY kind
+    """,
+    doc="Typed-metadata aggregation over extracted media features: the "
+    "columnar summary stays JVM-side after the single Python decode hop.",
+    tags=("multimodal", "agg"),
+)
+def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
+    feats = extract_features(media_frame(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy("kind")
+    )

@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
     from railgun_spark.operators import (  # noqa: F401
         dedup,
         dfl_queries,
+        multimodal,
         relational,
         relational2,
         similarity,

@@ -1,0 +1,94 @@
+"""CLI command surface: process / convert / eval / functions / formats.
+
+Runs in-process through railgun_spark.cli.main (the spark fixture's session
+is reused by session.get_spark), asserting both outputs and exit codes —
+including the reference's bool-expression exit-code convention
+(railgun/cli/eval.go:173-186).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from railgun_spark.cli import main
+
+
+@pytest.fixture()
+def geodata(tmp_path):
+    rows = [
+        {"id": 1, "amenity": "bar", "name": "Alpha"},
+        {"id": 2, "amenity": "cafe", "name": "Beta"},
+        {"id": 3, "amenity": "bar", "name": "Gamma"},
+    ]
+    p = tmp_path / "pois.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return p
+
+
+def test_process_stdout(spark, geodata, capsys):
+    rc = main(
+        [
+            "process",
+            "--input-uri",
+            str(geodata),
+            "--dfl",
+            "filter(@, '@amenity == bar') | map(@, '@name')",
+        ]
+    )
+    assert rc == 0
+    out = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    # scalar map projects to the single `value` column
+    assert sorted(r["value"] for r in out) == ["Alpha", "Gamma"]
+
+
+def test_process_write_and_convert(spark, geodata, tmp_path, capsys):
+    out_dir = tmp_path / "out.csv"
+    rc = main(
+        [
+            "process",
+            "--input-uri",
+            str(geodata),
+            "--dfl",
+            "filter(@, '@amenity == bar')",
+            "--output-uri",
+            str(out_dir),
+        ]
+    )
+    assert rc == 0
+    conv = tmp_path / "conv.jsonl"
+    assert main(["convert", "--input-uri", str(out_dir), "--output-uri", str(conv)]) == 0
+    rows = [
+        json.loads(line)
+        for f in conv.glob("part-*.json*")
+        if not f.name.endswith(".crc")
+        for line in f.read_text().splitlines()
+        if line.strip()
+    ]
+    assert sorted(int(r["id"]) for r in rows) == [1, 3]
+
+
+def test_eval_bool_exit_codes(spark, capsys):
+    rc = main(["eval", "--dfl", "@a > 1", "--context", '{"a": 5}'])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) in (True, {"result": True})
+    rc = main(["eval", "--dfl", "@a > 10", "--context", '{"a": 5}'])
+    assert rc == 1
+
+
+def test_eval_projection(spark, capsys):
+    rc = main(
+        ["eval", "--dfl", "{name: lower(@name), n: len(@name)}", "--context", '{"name": "Bar"}']
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == {"name": "bar", "n": 3}
+
+
+def test_functions_and_formats(capsys):
+    assert main(["functions"]) == 0
+    names = {f["name"] for f in json.loads(capsys.readouterr().out)}
+    assert {"tileX", "hist", "len"} <= names
+    assert main(["formats"]) == 0
+    assert "jsonl" in json.loads(capsys.readouterr().out)
