@@ -67,9 +67,9 @@ def semi_join_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                         WHERE l2.l_partkey = lineitem.l_partkey)
     """,
-    doc="Correlated avg subquery == per-key avg join (groupBy + broadcast "
-    "join back); avoids Catalyst's rewrite ambiguity and is the plan "
-    "you'd hand-write at scale.",
+    doc="Correlated avg subquery == per-key avg join (groupBy + join back); "
+    "avoids Catalyst's rewrite ambiguity and is the plan you'd hand-write "
+    "at scale. part scales with SF — AQE picks its join strategy.",
     tags=("join", "subquery", "agg"),
 )
 def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +77,7 @@ def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     avg_by_part = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("thresh"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_by_part.withColumnRenamed("l_partkey", "ap_key"), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("thresh"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -133,7 +133,8 @@ def conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
     """,
-    doc="part is broadcast; single scan of the filtered lineitem range.",
+    doc="Single scan of the filtered lineitem range; part scales with SF, "
+    "so AQE chooses broadcast vs shuffle join at runtime.",
     tags=("join", "agg"),
 )
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +146,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
     )
 
