@@ -23,8 +23,13 @@ BENCH_QUERIES = [
     "word_hist_topk",
     "dedup_minhash_lsh",
     "knn_brute_force",
+    "ann_ivf_topk",
     "geo_tile_hist",
     "tumbling_window_counts",
+    "sessionize_events",
+    "range_join_event_bursts",
+    "cube_lineitem_flags",
+    "multimodal_features",
 ]
 
 

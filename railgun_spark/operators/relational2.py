@@ -271,3 +271,139 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "uid", "last_event_id")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking / navigation window functions (SURVEY §2.5: absent in the
+# reference; full family exposed here).
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank()       OVER wp AS price_rank,
+           dense_rank() OVER wp AS price_dense_rank,
+           round(percent_rank() OVER wp, 6) AS price_pct_rank,
+           ntile(4)     OVER wp AS price_quartile,
+           lag(o_totalprice)  OVER wt AS prev_price,
+           lead(o_totalprice) OVER wt AS next_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="rank/dense_rank/percent_rank/ntile/lag/lead share one shuffle on "
+    "o_custkey; both window specs have the same partitioning key.",
+    tags=("window",),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wp).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.lag("o_totalprice").over(wt).alias("prev_price"),
+        F.lead("o_totalprice").over(wt).alias("next_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregation (rollup's sibling; SURVEY §2.3 notes the reference has
+# no grouping sets at all — Spark provides them natively).
+# --------------------------------------------------------------------------
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="CUBE = one shuffle with grouping-set expansion map-side; partial "
+    "aggregation still applies per grouping set.",
+    tags=("agg", "grouping-sets"),
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval/range join via time bucketing — the scale-correct plan for
+# "events of the same user within the next N minutes". A naive theta-join
+# on (user, ts BETWEEN ...) degenerates to a per-user cross product; the
+# bucketed form is an equi-join on (user, bucket): the left side fans out
+# to the <=2 buckets its window can overlap, the right side stays 1 row.
+# --------------------------------------------------------------------------
+RANGE_JOIN_WINDOW_S = 600  # 10 minutes
+
+
+@query(
+    "range_join_event_bursts",
+    oracle=f"""
+    SELECT a.event_id,
+           count(b.event_id) AS n_following
+    FROM (SELECT * FROM events WHERE user_id < 20) a
+    LEFT JOIN (SELECT * FROM events WHERE user_id < 20) b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECONDS
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+    doc=f"Range join ({RANGE_JOIN_WINDOW_S}s window) as a bucketed "
+    "equi-join: left rows replicate to the two bucket cells their window "
+    "overlaps, exact range predicate filters after the hash join — "
+    "no per-key cross product at any scale.",
+    tags=("join", "range"),
+)
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win_us = RANGE_JOIN_WINDOW_S * 1_000_000  # microsecond precision throughout
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # left side: one row per overlapped bucket (exactly 2 since win == bucket)
+    a = ev.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("user_id").alias("a_user_id"),
+        F.col("ts_us").alias("a_ts_us"),
+        F.explode(
+            F.array(F.floor(F.col("ts_us") / win_us), F.floor((F.col("ts_us") + win_us) / win_us))
+        ).alias("bucket"),
+    ).distinct()  # window edge exactly on a boundary -> same bucket twice
+    b = ev.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts_us").alias("b_ts_us"),
+        F.floor(F.col("ts_us") / win_us).alias("bucket"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (a.bucket == b.bucket)
+        & (F.col("b_ts_us") > F.col("a_ts_us"))
+        & (F.col("b_ts_us") <= F.col("a_ts_us") + win_us),
+    ).groupBy("a_event_id").agg(F.count(F.lit(1)).alias("n_following"))
+    return (
+        ev.join(pairs, ev.event_id == pairs.a_event_id, "left")
+        .select(
+            "event_id",
+            F.coalesce("n_following", F.lit(0)).alias("n_following"),
+        )
+        .orderBy("event_id")
+    )

@@ -159,3 +159,101 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse centroids partition the corpus; a query
+# probes only its nearest `NPROBE` centroid buckets. Centroids here are
+# deterministic (the vectors with vec_id 1..K) so the whole pipeline —
+# assignment argmax included — is SQL-expressible and oracle-checked; a
+# production build would k-means them, changing only the centroid source.
+# At 100 TB: assignment is a map-only pass against K broadcast literals,
+# data gets written partitioned by cid, and a query scans NPROBE/K of it.
+# --------------------------------------------------------------------------
+IVF_K = 8
+IVF_NPROBE = 2
+
+
+def _lit_vec(values) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _ivf_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_K}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id <> 0
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {cos.format(a="qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT a.vec_id, a.label, a.cid, {cos.format(a="a.v", b="qv")} AS cos_sim
+    FROM assign a JOIN probes USING (cid), q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc=f"IVF ANN: {IVF_K} coarse centroids, map-only nearest-centroid "
+    f"assignment (rounded-cosine argmax, lowest-cid tiebreak), query probes "
+    f"{IVF_NPROBE} buckets, exact re-rank inside them.",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    cents = sorted(
+        (
+            (int(r["vec_id"]), [float(x) for x in r["v"]])
+            for r in emb.filter(F.col("vec_id").between(1, IVF_K)).collect()
+        ),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["v"]]
+
+    # assignment: rounded cosine to each centroid; array order = ascending
+    # cid, and array_position returns the FIRST max — lowest-cid tiebreak.
+    sims = F.array(*[F.round(cosine(F.col("v"), _lit_vec(cv)), 6) for _, cv in cents])
+    cid_of = F.array(*[F.lit(cid) for cid, _ in cents])
+    assigned = F.element_at(cid_of, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+    # probe selection is client-side over K tiny centroids, as in real IVF
+    def _pycos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 6)
+
+    probes = [cid for cid, _ in sorted(cents, key=lambda c: (-_pycos(c[1], qv), c[0]))[:IVF_NPROBE]]
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("cid", assigned)
+        .filter(F.col("cid").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(cosine(F.col("v"), _lit_vec(qv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
