@@ -217,7 +217,7 @@ def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_bytes,
+           sum(octet_length(encode(text)))::BIGINT AS total_bytes,
            CAST(max(16 + (octet_length(encode(text)) % 64)) AS INT) AS max_width
     FROM documents
     GROUP BY 1 ORDER BY kind

@@ -533,13 +533,15 @@ def set_ops_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_set_algebra",
     oracle="""
     SELECT n_regionkey AS region_id,
-           list_sort(list_distinct(list(n_name))) AS nations,
+           list_aggr(list_sort(list_distinct(list(n_name))), 'string_agg', ',') AS nations,
            len(list_distinct(list(n_name))) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY region_id
     """,
-    doc="collect_set + array_sort == set(@) with deterministic layout.",
+    doc="collect_set + array_sort == set(@) with deterministic layout. "
+    "The set is serialized to a comma-joined string so cross-engine "
+    "comparison (and pandas canonicalization) stays on hashable scalars.",
     tags=("set", "agg"),
 )
 def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,7 +549,7 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation")
         .groupBy(F.col("n_regionkey").alias("region_id"))
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
             F.size(F.collect_set("n_name")).alias("n_nations"),
         )
         .orderBy("region_id")

@@ -91,9 +91,9 @@ def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_priority",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -172,7 +172,7 @@ SESSION_GAP_MIN = 30
     ), sessions AS (
       SELECT user_id, event_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -188,11 +188,13 @@ SESSION_GAP_MIN = 30
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(SESSION_GAP_MIN * 60)
     prev_ts = F.lag("ts").over(w)
+    # unix_micros (not unix_timestamp) — the oracle compares exact intervals
+    # and second-truncation can flip a session boundary on sub-second data.
+    gap_us = F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us),
         1,
     ).otherwise(0)
     sessions = (

@@ -55,7 +55,7 @@ _STOPWORDS_EN = ("the", "and", "of", "a")
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+           sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens,
            round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens,
            max(n_chars) AS max_chars
     FROM documents

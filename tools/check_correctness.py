@@ -23,16 +23,26 @@ TABLES = (
 
 
 def norm_cell(v):
-    if v is None:
+    # NULL/NaN/NaT unify (the driver's canonicalizer treats them alike —
+    # round-1 entries with lag()-NULLs hashed green), but int-vs-float stays
+    # distinct: that IS the DuckDB HUGEINT→float64 class we must catch.
+    import datetime
+
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"
         if v == int(v) and abs(v) < 1e15:
             return repr(float(v))
         return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        s = str(v)
+        return s[:-9] if s.endswith(" 00:00:00") else s
     return str(v)
 
 
@@ -71,9 +81,12 @@ def main():
             n_pass += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # .df() (pandas fetch) replicates the driver's typing: DuckDB
+            # HUGEINT comes back float64 here, which is exactly the class of
+            # hash mismatch we need to catch locally.
+            pdf = con.execute(oracles[name]).df()
+            dcols = list(pdf.columns)
+            drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
