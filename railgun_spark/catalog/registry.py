@@ -133,18 +133,9 @@ class Catalog:
 
     # ---- persistence (LoadFromUri/SaveToUri parity) ----
     def save(self, path: str) -> None:
-        doc = {
-            key.capitalize(): [to_dict(o) for o in self.list(kind)]
-            for kind, key in (
-                (Workspace, "workspace"),
-                (DataStore, "datastore"),
-                (Layer, "layer"),
-                (Process, "process"),
-                (Service, "service"),
-                (Job, "job"),
-                (Workflow, "workflow"),
-            )
-        }
+        # MODEL_TYPES keys verbatim ('DataStore', not 'Datastore') — load()
+        # reads the same keys, so every type round-trips.
+        doc = {key: [to_dict(o) for o in self.list(kind)] for key, kind in MODEL_TYPES.items()}
         with open(path, "w") as f:
             if path.endswith((".yaml", ".yml")):
                 import yaml
@@ -193,16 +184,37 @@ class Catalog:
 
         return ev(node)
 
+    # stored SQL queries addressable as `stored_query://<name>` datastore
+    # uris — the Spark-native twin of the reference's `athena://` stored-
+    # query source (railgun/cli/process.go:423-517,
+    # railgun/athenaiterator/AthenaIterator.go:22-78): where railgun pages
+    # Athena results of a saved query, we run the saved SQL on the session
+    # catalog and get a distributed DataFrame directly.
+    stored_queries: dict[str, str] = field(default_factory=dict)
+
+    def add_stored_query(self, name: str, sql: str) -> None:
+        if name in self.stored_queries:
+            raise AlreadyExists(f"stored query {name!r} already exists")
+        self.stored_queries[name] = sql
+
     def load_datastore(self, name: str, variables: dict | None = None) -> DataFrame:
         """mtime-keyed TTL cache around the datastore read
         (ServiceExecHandler.go:159-278)."""
         ds: DataStore = self.get(DataStore, name)
         uri = self._resolve_uri(ds.uri, variables or {})
+        if uri.startswith("stored_query://"):
+            qname = uri[len("stored_query://") :]
+            if qname not in self.stored_queries:
+                raise NotFound(f"stored query {qname!r}")
+            return self.spark.sql(self.stored_queries[qname])
         mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
         now = time.time()
         ent = self._df_cache.get(uri)
         if ent and ent.mtime == mtime and now - ent.loaded_at < self.ttl_seconds:
             return ent.df
+        if ent is not None:
+            # expired or stale: release executor memory before re-caching
+            ent.df.unpersist()
         df = formats.read(self.spark, uri, fmt=ds.format)
         df = df.cache()
         self._df_cache[uri] = _CacheEntry(df=df, mtime=mtime, loaded_at=now)
@@ -227,10 +239,18 @@ class Catalog:
             **(variables or {}),
         }
         df = self.load_datastore(svc.datastore, merged)
-        result = run_pipeline(df, proc.expression, merged)
-        # session continuity: persist scalar assignments for later requests
+        result, final_vars = run_pipeline(df, proc.expression, merged, return_vars=True)
+        # session continuity (ServiceExecHandler.go:282-290): cache only NEW
+        # scalar bindings the DFL evaluation produced — never the caller's
+        # request variables, which must not leak into later requests.
+        from pyspark.sql import Column
+
         self._service_vars.setdefault(name, {}).update(
-            {k: v for k, v in merged.items() if not isinstance(v, DataFrame)}
+            {
+                k: v
+                for k, v in final_vars.items()
+                if k not in merged and not isinstance(v, (DataFrame, Column))
+            }
         )
         return result
 

@@ -436,17 +436,23 @@ def _is_whole(node: Node) -> bool:
     return isinstance(node, Attribute) and node.path == ()
 
 
-def run_pipeline(df: DataFrame, text: str, variables: dict | None = None):
+def run_pipeline(
+    df: DataFrame, text: str, variables: dict | None = None, return_vars: bool = False
+):
     """Run a batch-mode DFL pipeline against a DataFrame.
 
     Returns a DataFrame for collection-valued results or a python value for
-    scalar results (len/bbox/mean stages)."""
+    scalar results (len/bbox/mean stages). With return_vars=True, returns
+    (result, final_variables) so callers (ServiceExecHandler parity) can see
+    the Assign bindings the pipeline produced."""
     node = _parser.parse(text)
     stages = node.stages if isinstance(node, Pipeline) else (node,)
     ctx = Context(df=df, variables=dict(variables or {}))
     current: Any = df
     for stage in stages:
         current = _run_stage(current, stage, ctx)
+    if return_vars:
+        return current, ctx.variables
     return current
 
 
@@ -455,7 +461,11 @@ _VALUE_COL = "value"
 
 def _run_stage(current: Any, stage: Node, ctx: Context):
     if isinstance(stage, Assign):
-        if isinstance(current, DataFrame):
+        if isinstance(stage.value, Literal):
+            # literal bindings stay plain Python values — cacheable across
+            # requests (ServiceExecHandler assignment continuity)
+            ctx.variables[stage.name] = stage.value.value
+        elif isinstance(current, DataFrame):
             ctx.df = current
             ctx.variables[stage.name] = compile_expr(stage.value, ctx)
         else:

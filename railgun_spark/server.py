@@ -14,7 +14,12 @@ Route parity with railgun/router/RailgunRouter.go:
 
 Content negotiation by URL extension (json|yaml), as in
 util/SplitNameFormatCompression.go:14-106 / BaseHandler.go:206-228.
-JWT auth (BaseHandler.go:61-93) is intentionally not wired in this build.
+JWT auth: POST /authenticate.{ext} with {username, password} issues an
+RS512 bearer token (AuthenticateHandler.go, root password check); mutating
+catalog routes (POST/DELETE) then require a valid token, as GroupHandler
+Post / ItemHandler Post+Delete do (GroupHandler.go:100-109,
+ItemHandler.go:127-136,202-211). Auth activates when create_app is given a
+root_password; without one the server stays open (dev mode).
 
 The server is a driver-side veneer: every request compiles to a DataFrame
 plan executed by the shared SparkSession; the catalog's TTL/mtime caches
@@ -51,18 +56,42 @@ def _render(payload, ext: str):
     return Response(json.dumps(payload, default=str), mimetype="application/json")
 
 
-def _df_payload(result, limit: int = 1000):
+def _df_payload(result, limit: int | None = 1000):
     from pyspark.sql import DataFrame
 
     if isinstance(result, DataFrame):
-        return [r.asDict(recursive=True) for r in result.limit(limit).collect()]
+        if limit is not None:
+            result = result.limit(limit)
+        return [r.asDict(recursive=True) for r in result.collect()]
     return result
 
 
-def create_app(catalog: Catalog):
+def create_app(
+    catalog: Catalog,
+    root_password: str | None = None,
+    session_duration: float = 3600.0,
+    private_key=None,
+):
     from flask import Flask, request
 
+    from railgun_spark import auth as _auth
+
     app = Flask("railgun_spark")
+    if root_password is not None and private_key is None:
+        private_key = _auth.generate_keypair()
+    public_key = private_key.public_key() if private_key is not None else None
+
+    def _require_auth():
+        """Bearer check for mutating routes (GroupHandler.go:100-109).
+        Returns None when authorized, else a (response, status) pair."""
+        if root_password is None:
+            return None
+        try:
+            token = _auth.bearer_from_header(request.headers.get("Authorization"))
+            _auth.parse_token(public_key, token)
+        except _auth.InvalidToken as e:
+            return _render({"error": str(e)}, "json"), 401
+        return None
 
     @app.errorhandler(NotFound)
     def _nf(e):
@@ -76,6 +105,23 @@ def create_app(catalog: Catalog):
     def _de(e):
         return _render({"error": str(e)}, "json"), 400
 
+    @app.route("/authenticate.<ext>", methods=["POST"])
+    def authenticate(ext):
+        body = request.get_json(silent=True) or {}
+        username, password = body.get("username"), body.get("password")
+        if not username or not password:
+            return _render({"error": "username and password required"}, ext), 400
+        if root_password is None:
+            return _render({"error": "authentication not enabled"}, ext), 404
+        if username != "root" or password != root_password:
+            return _render(
+                {"success": False, "username": username,
+                 "message": f"error authenticating as {username}"},
+                ext,
+            ), 401
+        token = _auth.sign_token(private_key, username, session_duration)
+        return _render({"success": True, "token": token}, ext)
+
     @app.route("/<plural>.<ext>", methods=["GET", "POST"])
     def group(plural, ext):
         kind_name = _PLURAL_TO_KIND.get(plural)
@@ -83,6 +129,9 @@ def create_app(catalog: Catalog):
             return _render({"error": f"unknown collection {plural}"}, ext), 404
         kind = MODEL_TYPES[kind_name]
         if request.method == "POST":
+            denied = _require_auth()
+            if denied:
+                return denied
             catalog.add(kind(**request.get_json(force=True)))
             return _render({"success": True}, ext)
         return _render([to_dict(o) for o in catalog.list(kind)], ext)
@@ -93,6 +142,10 @@ def create_app(catalog: Catalog):
         if kind_name is None:
             return _render({"error": f"unknown collection {plural}"}, ext), 404
         kind = MODEL_TYPES[kind_name]
+        if request.method in ("POST", "DELETE"):
+            denied = _require_auth()
+            if denied:
+                return denied
         if request.method == "DELETE":
             catalog.delete(kind, name)
             return _render({"success": True}, ext)
@@ -127,8 +180,12 @@ def create_app(catalog: Catalog):
         user_dfl = request.args.get("dfl")
         if user_dfl:
             df = run_pipeline(df, user_dfl)
-        limit = int(request.args.get("limit", 1000))
-        return _render(_df_payload(df, limit if limit >= 0 else 1000), ext)
+        try:
+            limit = int(request.args.get("limit", 1000))
+        except ValueError:
+            return _render({"error": "limit must be an integer"}, ext), 400
+        # limit < 0 = unlimited, as in ItemsHandler / the tile endpoints
+        return _render(_df_payload(df, None if limit < 0 else limit), ext)
 
     @app.route("/layers/<name>/tiles/data/<int:z>/<int:x>/<int:y>.<ext>")
     def layer_tile_data(name, z, x, y, ext):

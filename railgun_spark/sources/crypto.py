@@ -14,18 +14,31 @@ from __future__ import annotations
 
 
 def derive_key(passphrase: str, salt_hex: str) -> bytes:
-    """argon2id key derivation (CreateCipher.go:19-27 uses argon2 IDKey
-    with time=1, memory=64MB, threads=4, keyLen=32)."""
-    from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+    """Key derivation. The reference (CreateCipher.go:26) calls argon2.Key —
+    that is Argon2i with time=3, memory=32 MiB, lanes=4, keyLen=32. When
+    argon2-cffi is installed we derive with exactly that (Argon2i), so
+    reference-encrypted payloads decrypt byte-for-byte. This container only
+    ships `cryptography`, whose KDF module is Argon2id-only; the fallback
+    uses Argon2id with the same cost parameters — self-consistent
+    encrypt/decrypt, but NOT interoperable with Go-railgun ciphertexts."""
+    salt = bytes.fromhex(salt_hex)
+    try:
+        from argon2.low_level import Type, hash_secret_raw  # type: ignore
 
-    kdf = Argon2id(
-        salt=bytes.fromhex(salt_hex),
-        length=32,
-        iterations=1,
-        lanes=4,
-        memory_cost=64 * 1024,
-    )
-    return kdf.derive(passphrase.encode())
+        return hash_secret_raw(
+            secret=passphrase.encode(),
+            salt=salt,
+            time_cost=3,
+            memory_cost=32 * 1024,
+            parallelism=4,
+            hash_len=32,
+            type=Type.I,
+        )
+    except ImportError:
+        from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+
+        kdf = Argon2id(salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024)
+        return kdf.derive(passphrase.encode())
 
 
 def decrypt_bytes(data: bytes, passphrase: str, salt_hex: str) -> bytes:

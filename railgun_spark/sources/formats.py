@@ -93,6 +93,50 @@ def split_name_format_compression(path: str) -> UriSpec:
     return UriSpec(name=name, format=fmt, compression=compression)
 
 
+def _localize_uri(path: str) -> str:
+    """Resolve non-Spark-native input schemes to a local temp file.
+
+    - http/https: driver-side fetch (grw.ReadFromResource parity,
+      railgun/cli/process.go:616-626). Config-sized payloads only — bulk
+      data belongs on s3a://hdfs:// which Spark's Hadoop layer reads
+      natively with distributed splits, and those pass through untouched.
+    - `-` / `stdin://`: read stdin once to a temp file (the reference's
+      default input, railgun/cli/process.go stdin device).
+    """
+    import sys
+    import tempfile
+    import urllib.request
+
+    if path in ("-", "stdin", "stdin://"):
+        data = sys.stdin.buffer.read()
+        f = tempfile.NamedTemporaryFile(delete=False, prefix="railgun_stdin_")
+        f.write(data)
+        f.close()
+        return f.name
+    if path.startswith(("http://", "https://")):
+        suffix = "_" + os.path.basename(path).split("?")[0]
+        with urllib.request.urlopen(path) as resp:  # noqa: S310 — user-supplied source uri
+            data = resp.read()
+        f = tempfile.NamedTemporaryFile(delete=False, prefix="railgun_http_", suffix=suffix)
+        f.write(data)
+        f.close()
+        return f.name
+    return path
+
+
+def _extract_zip(path: str) -> list[str]:
+    """Unpack a .zip archive to a temp dir, return member paths
+    (zip read path, railgun/util/SplitNameFormatCompression.go:52-67)."""
+    import tempfile
+    import zipfile
+
+    out = tempfile.mkdtemp(prefix="railgun_zip_")
+    with zipfile.ZipFile(path) as zf:
+        names = [n for n in zf.namelist() if not n.endswith("/")]
+        zf.extractall(out, members=names)
+    return [os.path.join(out, n) for n in sorted(names)]
+
+
 def read(
     spark: SparkSession,
     path: str,
@@ -100,12 +144,41 @@ def read(
     header: list[str] | None = None,
     skip_lines: int = 0,
     limit: int | None = None,
+    passphrase: str | None = None,
+    salt: str | None = None,
     **options,
 ) -> DataFrame:
     """Read `path` into a DataFrame. Options mirror the reference's input
-    flags (header/comment/lazy-quotes/skip/limit, railgun/config/Input.go:17-29)."""
+    flags (header/comment/lazy-quotes/skip/limit/passphrase/salt,
+    railgun/config/Input.go:17-29)."""
+    path = _localize_uri(path)
     spec = split_name_format_compression(path)
     fmt = fmt or spec.format
+    if spec.compression == "enc":
+        # ciphertext must never reach a plain reader (silent garbage rows)
+        if not passphrase:
+            raise ValueError(
+                f"{path} is encrypted (.enc); pass passphrase= (and salt=) "
+                "to decrypt — refusing to parse ciphertext"
+            )
+        from railgun_spark.sources import crypto
+
+        df = crypto.read_encrypted(spark, path, passphrase, salt or "", fmt=fmt or "jsonl")
+        if skip_lines:
+            df = df.offset(skip_lines)
+        return df.limit(limit) if limit is not None else df
+    if spec.compression == "zip":
+        members = _extract_zip(path)
+        frames = [
+            read(spark, m, fmt=fmt, header=header, **options)
+            for m in members
+        ]
+        df = frames[0]
+        for other in frames[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        if skip_lines:
+            df = df.offset(skip_lines)
+        return df.limit(limit) if limit is not None else df
     if fmt is None:
         raise ValueError(f"cannot infer format for {path}")
     if fmt == "parquet":

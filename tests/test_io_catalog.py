@@ -158,6 +158,33 @@ def test_catalog_roundtrip(catalog, tmp_path, spark):
     loaded = Catalog.load(spark, path)
     assert loaded.get(Service, "svc").process == "count_by_amenity"
     assert loaded.get(Layer, "bars").expression.startswith("filter")
+    # every MODEL_TYPES key round-trips — DataStore was silently dropped
+    # when save used key.capitalize() ('Datastore' != 'DataStore')
+    ds = loaded.get(DataStore, "osm")
+    assert ds.format == "jsonl"
+    assert loaded.layer_frame("bars").count() == 3
+
+
+def test_stored_query_datastore(catalog, spark):
+    spark.range(7).createOrReplaceTempView("t_stored")
+    catalog.add_stored_query("seven", "SELECT id FROM t_stored WHERE id >= 2")
+    catalog.add(DataStore(name="sq", uri="stored_query://seven", format="parquet"))
+    assert catalog.load_datastore("sq").count() == 5
+    with pytest.raises(AlreadyExists):
+        catalog.add_stored_query("seven", "SELECT 1")
+
+
+def test_exec_service_assignment_continuity(spark, tmp_path):
+    data = tmp_path / "d.jsonl"
+    data.write_text("\n".join(json.dumps({"v": i}) for i in range(4)))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d", uri=str(data), format="jsonl"))
+    cat.add(Process(name="p", expression="($n := 42) | filter(@, '@v >= 0')"))
+    cat.add(Service(name="s", datastore="d", process="p"))
+    cat.exec_service("s", {"reqvar": "ephemeral"})
+    # DFL assignments persist for the session; request variables do not leak
+    assert cat._service_vars["s"].get("n") == 42
+    assert "reqvar" not in cat._service_vars["s"]
 
 
 def test_datastore_uri_dfl_expression(spark, tmp_path):
@@ -167,6 +194,63 @@ def test_datastore_uri_dfl_expression(spark, tmp_path):
     cat.add(DataStore(name="hot", uri=f'"{tmp_path}/proj" + $project + ".jsonl"', format="jsonl"))
     df = cat.load_datastore("hot", {"project": "5400"})
     assert df.collect()[0]["projectId"] == 5400
+
+
+# ---------------- schemes, zip, enc routing ----------------
+
+def test_read_http_scheme(spark, tmp_path):
+    import functools
+    import http.server
+    import threading
+
+    (tmp_path / "remote.jsonl").write_text(
+        "\n".join(json.dumps({"i": i}) for i in range(4))
+    )
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/remote.jsonl"
+        assert formats.read(spark, url).count() == 4
+    finally:
+        srv.shutdown()
+
+
+def test_read_stdin_scheme(spark, monkeypatch):
+    import io
+
+    payload = b'{"x": 1}\n{"x": 2}\n'
+
+    class FakeStdin:
+        buffer = io.BytesIO(payload)
+
+    monkeypatch.setattr("sys.stdin", FakeStdin)
+    df = formats.read(spark, "-", fmt="jsonl")
+    assert sorted(r["x"] for r in df.collect()) == [1, 2]
+
+
+def test_read_zip(spark, tmp_path):
+    import zipfile
+
+    with zipfile.ZipFile(tmp_path / "bundle.csv.zip", "w") as zf:
+        zf.writestr("part1.csv", "a,b\n1,x\n2,y\n")
+        zf.writestr("part2.csv", "a,b\n3,z\n")
+    df = formats.read(spark, str(tmp_path / "bundle.csv.zip"))
+    assert df.count() == 3
+
+
+def test_read_enc_requires_passphrase(spark, tmp_path):
+    from railgun_spark.sources import crypto
+
+    salt = "a1b2c3d4e5f60718"
+    plain = b'{"v": 7}\n'
+    (tmp_path / "data.jsonl.enc").write_bytes(crypto.encrypt_bytes(plain, "pw", salt))
+    with pytest.raises(ValueError, match="encrypted"):
+        formats.read(spark, str(tmp_path / "data.jsonl.enc"))
+    df = formats.read(spark, str(tmp_path / "data.jsonl.enc"), passphrase="pw", salt=salt)
+    assert df.collect()[0]["v"] == 7
 
 
 # ---------------- multimodal ----------------

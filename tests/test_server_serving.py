@@ -125,6 +125,54 @@ def test_server_crud_and_exec(app_client):
     assert "jsonl" in r.get_json()
 
 
+def test_server_limit_parsing(app_client):
+    assert app_client.get("/layers/bars/items.json?limit=zzz").status_code == 400
+    # negative limit = unlimited (ItemsHandler parity)
+    r = app_client.get("/layers/bars/items.json?limit=-1")
+    assert r.status_code == 200 and len(r.get_json()) == 3
+
+
+def test_server_jwt_auth(spark, tmp_path):
+    pytest.importorskip("flask")
+    from railgun_spark import auth
+    from railgun_spark.server import create_app
+
+    data = tmp_path / "d.jsonl"
+    data.write_text(json.dumps({"a": 1}))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d", uri=str(data), format="jsonl"))
+    client = create_app(cat, root_password="hunter2").test_client()
+
+    # reads stay open; mutations 401 without a bearer token
+    assert client.get("/datastores.json").status_code == 200
+    assert client.post("/workspaces.json", json={"name": "w"}).status_code == 401
+
+    # bad credentials rejected
+    assert (
+        client.post("/authenticate.json", json={"username": "root", "password": "nope"}).status_code
+        == 401
+    )
+    r = client.post("/authenticate.json", json={"username": "root", "password": "hunter2"})
+    assert r.status_code == 200
+    token = r.get_json()["token"]
+    hdr = {"Authorization": f"bearer {token}"}
+    assert client.post("/workspaces.json", json={"name": "w"}, headers=hdr).status_code == 200
+    assert client.delete("/workspaces/w.json", headers=hdr).status_code == 200
+
+    # tampered and expired tokens rejected
+    assert (
+        client.post("/workspaces.json", json={"name": "x"},
+                    headers={"Authorization": "bearer " + token[:-4] + "AAAA"}).status_code
+        == 401
+    )
+    import time as _time
+
+    kp = auth.generate_keypair()
+    expired = auth.sign_token(kp, "root", duration_seconds=-10, now=_time.time())
+    with pytest.raises(auth.InvalidToken):
+        auth.parse_token(kp.public_key(), expired)
+
+
 def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
     fc = r.get_json()
