@@ -81,13 +81,19 @@ def cmd_convert(args) -> int:
 def cmd_eval(args) -> int:
     """Evaluate a DFL expression against a JSON context object. A boolean
     result maps to the exit code (0=true, 1=false), matching
-    railgun/cli/eval.go:173-186."""
+    railgun/cli/eval.go:173-186. With --sql, print the compiled Spark SQL
+    instead of evaluating (eval.go:121,159 node.Sql output)."""
     from railgun_spark.dfl import run_pipeline
     from railgun_spark.session import get_spark
 
     spark = get_spark("railgun_eval")
     ctx = json.loads(args.context) if args.context else {}
     df = spark.createDataFrame([ctx] if isinstance(ctx, dict) else ctx)
+    if args.sql:
+        from railgun_spark.dfl.sqlgen import pipeline_sql_for_df
+
+        print(pipeline_sql_for_df(df, args.dfl, "input", _parse_vars(args.dfl_vars)))
+        return 0
     result = run_pipeline(df, args.dfl, _parse_vars(args.dfl_vars))
     if hasattr(result, "collect"):
         rows = [r.asDict(recursive=True) for r in result.collect()]
@@ -155,6 +161,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dfl", required=True)
     p.add_argument("--dfl-vars", default=None)
     p.add_argument("--context", default=None, help="JSON object or array")
+    p.add_argument("--sql", action="store_true", help="print compiled Spark SQL, don't evaluate")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve", help="run the catalog + query HTTP server")

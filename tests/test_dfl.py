@@ -221,3 +221,67 @@ def test_split_set_hist_words(spark):
     )
     words = out.collect()[0]["value"]
     assert words.count("maps") == 2
+
+
+# ---------------- DFL -> SQL rendering (eval --sql) ----------------
+
+def _sql_roundtrip(spark, df, dfl, variables=None):
+    """spark.sql(rendered) must equal run_pipeline(compiled Columns)."""
+    from railgun_spark.dfl.sqlgen import pipeline_sql_for_df
+
+    df.createOrReplaceTempView("t_sqlgen")
+    sql = pipeline_sql_for_df(df, dfl, "t_sqlgen", variables)
+    via_sql = [tuple(r) for r in spark.sql(sql).collect()]
+    via_cols = run_pipeline(df, dfl, variables)
+    if hasattr(via_cols, "collect"):
+        assert [tuple(r) for r in via_cols.collect()] == via_sql
+    else:
+        # scalar pipelines (len/mean) return a python value; SQL yields 1 row
+        assert via_sql == [(via_cols,)]
+    return sql
+
+
+def test_sqlgen_filter_map_sort_limit(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, kind="a" if i % 2 else "b", v=float(i)) for i in range(10)]
+    )
+    sql = _sql_roundtrip(
+        spark,
+        df,
+        "filter(@, '@v > 2 and @kind == a') | "
+        "map(@, '{id: @id, dbl: @v * 2, slug: slugify(@kind + \"_x\")}') | "
+        "sort(@, '@id', true) | limit(@, 4)",
+    )
+    assert "WHERE" in sql and "LIMIT 4" in sql
+
+
+def test_sqlgen_hist_and_null_safety(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, kind=["bar", "cafe", "clinic"][i % 3]) for i in range(9)]
+    )
+    _sql_roundtrip(spark, df, "hist(@, '@kind')")
+    # missing attribute renders as NULL (schema-on-read), not an error
+    _sql_roundtrip(spark, df, "filter(@, '@nope == null')")
+
+
+def test_sqlgen_predicates_and_vars(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", v=i) for i in range(10)]
+    )
+    _sql_roundtrip(
+        spark,
+        df,
+        "filter(@, '@name ilike \"%1%\" or (@v between $lo and $hi and @v in [2, 3, 5])')",
+        variables={"lo": 2, "hi": 6},
+    )
+    _sql_roundtrip(spark, df, "len(@)")
+
+
+def test_sqlgen_cli_prints_sql(capsys):
+    from railgun_spark.cli import main
+
+    rc = main(
+        ["eval", "--sql", "--dfl", "filter(@, '@a > 1')", "--context", '{"a": 2}']
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and out.strip().startswith("SELECT") and "WHERE" in out
