@@ -66,6 +66,83 @@ def _df_payload(result, limit: int | None = 1000):
     return result
 
 
+def _swagger_doc() -> dict:
+    """Swagger 2.0 document generated from the route table + MODEL_TYPES
+    dataclass fields — SwaggerHandler parity (SwaggerHandler.go:59-187
+    BuildPaths over the catalog types)."""
+    import dataclasses
+
+    ext_param = {
+        "name": "ext", "type": "string", "in": "path", "required": True,
+        "default": "json", "enum": ["json", "yaml"],
+        "description": "File extension",
+    }
+    name_param = {"name": "name", "type": "string", "in": "path", "required": True}
+    ok = {"200": {"description": "Success"}}
+    paths: dict = {}
+    for plural, kind_name in _PLURAL_TO_KIND.items():
+        singular = kind_name.lower()
+        tags = [kind_name]
+        paths[f"/{plural}.{{ext}}"] = {
+            "get": {"description": f"list {plural}", "tags": tags,
+                    "parameters": [ext_param], "responses": ok},
+            "post": {"description": f"add a {singular}", "tags": tags,
+                     "parameters": [
+                         {"name": singular, "in": "body", "required": True,
+                          "schema": {"$ref": f"#/definitions/{kind_name}"}},
+                         ext_param,
+                     ],
+                     "responses": ok},
+        }
+        paths[f"/{plural}/{{name}}.{{ext}}"] = {
+            "get": {"description": f"get a {singular}", "tags": tags,
+                    "parameters": [name_param, ext_param], "responses": ok},
+            "post": {"description": f"update a {singular}", "tags": tags,
+                     "parameters": [name_param, ext_param], "responses": ok},
+            "delete": {"description": f"delete a {singular} (dependency-checked)",
+                       "tags": tags, "parameters": [name_param, ext_param],
+                       "responses": ok},
+        }
+    for path, desc in (
+        ("/authenticate.{ext}", "authenticate and receive an RS512 bearer token"),
+        ("/services/{name}/exec.{ext}", "execute a service's stored query"),
+        ("/jobs/{name}/exec.{ext}", "execute a job"),
+        ("/workflows/{name}/exec.{ext}", "execute a workflow's jobs sequentially"),
+    ):
+        params = [ext_param] if "{name}" not in path else [name_param, ext_param]
+        paths[path] = {"post": {"description": desc, "parameters": params, "responses": ok}}
+    for path, desc in (
+        ("/layers/{name}/items.{ext}", "layer items with optional dfl + limit"),
+        ("/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}", "GeoJSON tile data"),
+        ("/layers/{name}/tiles/mask/{z}/{x}/{y}.png", "rasterized density mask"),
+        ("/dfl/functions.{ext}", "DFL function catalog"),
+        ("/gss/formats.{ext}", "serialization format list"),
+        ("/swagger.{ext}", "this document"),
+    ):
+        params = [name_param, ext_param] if "{name}" in path else [ext_param]
+        paths[path] = {"get": {"description": desc, "parameters": params, "responses": ok}}
+
+    definitions = {}
+    for kind_name, kind in MODEL_TYPES.items():
+        props = {}
+        for f in dataclasses.fields(kind):
+            t = "string"
+            if f.type in ("int", "float"):
+                t = "number"
+            elif str(f.type).startswith(("list", "tuple", "dict")):
+                t = "object" if str(f.type).startswith("dict") else "array"
+            props[f.name] = {"type": t}
+        definitions[kind_name] = {"type": "object", "properties": props}
+
+    return {
+        "swagger": "2.0",
+        "info": {"title": "railgun_spark", "version": "1.0"},
+        "basePath": "/",
+        "paths": paths,
+        "definitions": definitions,
+    }
+
+
 def create_app(
     catalog: Catalog,
     root_password: str | None = None,
@@ -219,6 +296,10 @@ def create_app(
             layer_extent=tuple(layer.extent) if layer.extent else None,
         )
         return Response(grid_to_png(grid), mimetype="image/png")
+
+    @app.route("/swagger.<ext>")
+    def swagger_route(ext):
+        return _render(_swagger_doc(), ext)
 
     @app.route("/dfl/functions.<ext>")
     def functions_route(ext):

@@ -173,6 +173,14 @@ def test_server_jwt_auth(spark, tmp_path):
         auth.parse_token(kp.public_key(), expired)
 
 
+def test_server_swagger(app_client):
+    doc = app_client.get("/swagger.json").get_json()
+    assert doc["swagger"] == "2.0"
+    assert "/datastores.{ext}" in doc["paths"]
+    assert "post" in doc["paths"]["/authenticate.{ext}"]
+    assert set(doc["definitions"]) >= {"DataStore", "Layer", "Service", "Workflow"}
+
+
 def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
     fc = r.get_json()
