@@ -13,8 +13,8 @@ Spark-first mapping: json/jsonl/csv/tsv/parquet go through native readers
 gzip/bzip2 transparent). yaml/toml/properties/bson are *document* formats:
 single-document payloads are decoded driver-side to rows;
 multi-document line formats go through mapPartitions-free spark.read.text +
-a vectorized decode only when needed. hcl/hcl2 are stubbed (no public
-parser in this container) behind NotImplementedError.
+a vectorized decode only when needed. hcl/hcl2 decode through the
+from-scratch subset parser in sources/hcl.py.
 
 parquet is the engine's native storage format (not in the reference's
 list — its closest is the whole-file cache); at 100 TB everything lands in
@@ -198,13 +198,8 @@ def read(
         df = spark.read.options(**opts).csv(path)
         if header:
             df = df.toDF(*header)
-    elif fmt in ("yaml", "toml", "properties", "bson"):
+    elif fmt in ("yaml", "toml", "properties", "bson", "hcl", "hcl2"):
         df = _read_document_format(spark, path, fmt)
-    elif fmt in ("hcl", "hcl2"):
-        raise NotImplementedError(
-            "hcl/hcl2 need an HCL parser, not available in this container; "
-            "the registry slot exists for parity (reference README.md:16)"
-        )
     else:
         raise ValueError(f"unknown format {fmt}")
     if skip_lines:
@@ -237,6 +232,10 @@ def _decode_document(data: bytes, fmt: str) -> list[dict]:
         except ImportError as e:
             raise NotImplementedError("bson codec not available in this container") from e
         doc = bson.loads(data)
+    elif fmt in ("hcl", "hcl2"):
+        from railgun_spark.sources.hcl import loads as _hcl_loads
+
+        doc = _hcl_loads(data.decode())
     else:  # pragma: no cover
         raise ValueError(fmt)
     if isinstance(doc, list):

@@ -58,11 +58,41 @@ def test_read_toml_and_properties(spark, tmp_path):
     assert df2.collect()[0]["key"] == "value"
 
 
-def test_hcl_stub_raises(spark, tmp_path):
-    f = tmp_path / "x.hcl"
-    f.write_text("a = 1")
-    with pytest.raises(NotImplementedError):
-        formats.read(spark, str(f))
+def test_read_hcl(spark, tmp_path):
+    f = tmp_path / "app.hcl"
+    f.write_text(
+        """
+        # service config
+        name    = "edge"
+        port    = 8080
+        debug   = true
+        tags    = ["a", "b"]
+        limits  = { cpu = 2, mem = "1g" }
+        backend "s3" {
+          bucket = "data"
+          region = "us-east-1"
+        }
+        listener { port = 1 }
+        listener { port = 2 }
+        """
+    )
+    r = formats.read(spark, str(f)).collect()[0]
+    assert r["name"] == "edge" and r["port"] == 8080 and r["debug"] is True
+    assert list(r["tags"]) == ["a", "b"]
+    assert r["limits"]["mem"] == "1g"
+    assert r["backend"]["s3"]["bucket"] == "data"
+    assert [x["port"] for x in r["listener"]] == [1, 2]
+
+
+def test_hcl_parser_units():
+    from railgun_spark.sources.hcl import HclError, loads
+
+    assert loads('x = -3.5\ny = 2e3') == {"x": -3.5, "y": 2000.0}
+    assert loads('s = "a\\"b"') == {"s": 'a"b'}
+    assert loads("b \"x\" {v=1}\nb \"y\" {v=2}") == {"b": {"x": {"v": 1}, "y": {"v": 2}}}
+    assert loads("// c\n/* c2 */\nk = null") == {"k": None}
+    with pytest.raises(HclError):
+        loads("k = ")
 
 
 # ---------------- process() + dynamic sink ----------------
