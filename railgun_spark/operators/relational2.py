@@ -409,3 +409,79 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact grouped percentiles (engine superset; the scale path swaps the
+# exact `percentile` for `approx_percentile`, same plan shape).
+# --------------------------------------------------------------------------
+@query(
+    "revenue_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (one shuffle on the tiny "
+    "group key). Exact percentile buffers each group's values — at 100 TB "
+    "switch to approx_percentile (t-digest, mergeable partials) with the "
+    "same query shape.",
+    tags=("agg",),
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile(price, F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile(price, F.lit(0.75)), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-stage (salted) aggregation. A low-cardinality or skewed
+# group key (5 event types across everything) funnels whole partitions to
+# few reducers; salting fans stage 1 across SALT buckets (balanced), then
+# stage 2 reduces SALT rows per key (trivial). Same result as a direct
+# groupBy — the oracle is the plain count.
+# --------------------------------------------------------------------------
+AGG_SALT = 16
+
+
+@query(
+    "agg_salted_two_stage",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=f"Two-stage salted aggregation over a skewed 5-value key: stage 1 "
+    f"groups on (key, salt mod {AGG_SALT}) — {AGG_SALT}x the reducers, "
+    "balanced; stage 2 merges the partials. count(distinct) stays exact by "
+    "salting on the distinct column itself (user_id), so each (key, salt) "
+    "bucket owns disjoint users.",
+    tags=("agg", "skew"),
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    # salt by the distinct-counted column: per-user rows land in exactly one
+    # bucket, so stage-2 sums of per-bucket distincts stay exact
+    salted = ev.withColumn("_salt", F.pmod(F.hash("user_id"), F.lit(AGG_SALT)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.count_distinct(F.col("user_id")).alias("pu"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("pu").alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -372,3 +372,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids: the aggregation leg of embedding clustering (IVF
+# training / cluster QA). explode(pos, x) -> groupBy(label, pos) is ONE
+# shuffle whose key cardinality is labels x dims — balanced regardless of
+# corpus size; the per-label summary is a second tiny shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_centroid_stats",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, i.range AS pos, embedding[i.range + 1]::DOUBLE AS x
+      FROM embeddings, range({EMB_DIM}) i
+    ), m AS (
+      SELECT label, pos, avg(x) AS m FROM x GROUP BY label, pos
+    ), n AS (
+      SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT m.label AS label, any_value(n.n_vecs) AS n_vecs,
+           round(sqrt(sum(m.m * m.m)), 6) AS centroid_norm
+    FROM m JOIN n ON m.label = n.label
+    GROUP BY m.label
+    ORDER BY m.label
+    """,
+    doc="Element-wise mean vector per label via posexplode -> groupBy"
+    "(label, pos): one balanced shuffle keyed by labels x dims, then a "
+    "tiny per-label reduce. Emits scalar summaries (count, centroid L2 "
+    "norm) for cross-engine comparison.",
+    tags=("similarity", "agg"),
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = emb.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.first("cnt").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
