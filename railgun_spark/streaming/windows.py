@@ -97,3 +97,52 @@ def stream_windowed_counts(
     late data (and state). Same aggregation as `windowed_counts`."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return windowed_counts(stream.withWatermark("ts", watermark), window)
+
+
+# --------------------------------------------------------------------------
+# Native session windows (F.session_window): gap-merged sessions as ONE
+# groupBy — the streaming-ready twin of operators/relational2.sessionize_
+# events (lag + cumulative sum). Semantics note: session_window closes at
+# start + gap, so a gap of exactly 30min starts a NEW session (>=), while
+# the lag formulation uses strict >; the oracle mirrors >= here.
+# --------------------------------------------------------------------------
+SESSION_WINDOW_GAP_MIN = 30
+
+
+@query(
+    "session_window_counts",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_WINDOW_GAP_MIN} minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc=f"Native session_window('{SESSION_WINDOW_GAP_MIN} minutes'): "
+    "gap-merged sessions in one shuffle on user_id; the identical plan "
+    "runs on readStream with a watermark (state = open sessions only).",
+    tags=("streaming", "window"),
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_WINDOW_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -99,3 +99,42 @@ def test_streaming_dedup_first_seen(spark, events_dir):
     assert len(got) == expected
     # every (user, hash) appears exactly once
     assert len({(r["user_id"], r["content_hash"]) for r in got}) == len(got)
+
+
+def test_stream_session_window_matches_batch(spark, events_dir):
+    from railgun_spark.streaming.windows import SESSION_WINDOW_GAP_MIN
+
+    batch_df = spark.read.parquet(events_dir)
+    gap = f"{SESSION_WINDOW_GAP_MIN} minutes"
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        )
+
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessions(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(events_dir)
+        .withWatermark("ts", "10 days")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    assert got == expected and len(got) > 100
