@@ -1,0 +1,76 @@
+"""Physical-plan audit: every suite query's formatted explain output is
+scanned for 100-TB red flags:
+
+- CartesianProduct / BroadcastNestedLoopJoin: all-pairs joins. Allowed only
+  where a documented broadcast of a single-row/tiny frame makes it the
+  right plan (ALLOW_NESTED_LOOP).
+- BatchEvalPython: row-at-a-time Python UDF in the plan — never acceptable
+  (ArrowEvalPython / MapInPandas, the Arrow-batched forms, are fine).
+- InMemoryTableScan on the data path (cache leaks into suite queries).
+
+Usage: python tools/audit_plans.py [query ...]; exits 1 on violations.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# queries whose nested-loop join is a broadcast of a provably tiny side
+ALLOW_NESTED_LOOP = {
+    "knn_brute_force",  # crossJoin vs broadcast single query vector
+    "ann_lsh_topk",  # broadcast single (query vector, bucket) row
+    "below_avg_quantity_revenue",  # scalar aggregate broadcast to the filter
+    "revenue_range_filter",  # scalar bound broadcast
+    "promo_revenue_ratio",  # scalar ratio over one aggregated row
+    "agg_global_stats",  # single-row aggregate
+}
+
+RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from railgun_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("audit_plans")
+    bad = 0
+    for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            plan = plan_of(fn(spark, SF_DIR))
+        except Exception as ex:
+            print(f"ERROR {name}: {ex}")
+            bad += 1
+            continue
+        flags = [f for f in RED_FLAGS if f in plan]
+        if "BroadcastNestedLoopJoin" in flags and name in ALLOW_NESTED_LOOP:
+            flags.remove("BroadcastNestedLoopJoin")
+        if "CartesianProduct" in flags and name in ALLOW_NESTED_LOOP:
+            flags.remove("CartesianProduct")
+        n_exchanges = plan.count("Exchange")
+        if flags:
+            print(f"FLAG {name}: {flags} (exchanges={n_exchanges})")
+            bad += 1
+        else:
+            print(f"ok   {name} (exchanges={n_exchanges})")
+    print(f"\n{'CLEAN' if not bad else f'{bad} flagged'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
