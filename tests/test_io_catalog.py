@@ -300,3 +300,46 @@ def test_multimodal_feature_extraction(spark):
     assert by_id[3]["n_bytes"] == 0
     sampled = frame_sample(df, every_n=10).collect()
     assert [r["frame_idx"] for r in sampled] == [0, 10, 20]
+
+
+# ---------------- bucketed co-located join ----------------
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key lets SortMergeJoin read
+    co-located buckets with NO Exchange — the 100 TB co-location story
+    (SURVEY §4): pay one write-time shuffle, join shuffle-free forever."""
+    import io
+    from contextlib import redirect_stdout
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "li_b")
+    ).saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "ord_b")
+    ).saveAsTable("ord_b")
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: zero shuffles
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
