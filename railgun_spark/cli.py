@@ -30,10 +30,14 @@ def _add_common_io(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input-format", default=None, help="override extension inference")
     p.add_argument("--input-header", default=None, help="csv/tsv explicit header, comma-separated")
     p.add_argument("--input-limit", type=int, default=None)
+    p.add_argument("--input-passphrase", default=None, help=".enc input decryption")
+    p.add_argument("--input-salt", default="", help="hex salt for .enc input")
     p.add_argument("--output-uri", default=None, help="may be a DFL expression over @attrs")
     p.add_argument("--output-format", default=None)
     p.add_argument("--output-limit", type=int, default=None)
     p.add_argument("--output-mode", default="overwrite", choices=["overwrite", "append"])
+    p.add_argument("--output-passphrase", default=None, help=".enc output encryption")
+    p.add_argument("--output-salt", default="", help="hex salt for .enc output")
 
 
 def _parse_vars(raw: str | None) -> dict:
@@ -51,6 +55,9 @@ def cmd_process(args) -> int:
         input_options["header"] = args.input_header.split(",")
     if args.input_limit is not None:
         input_options["limit"] = args.input_limit
+    if args.input_passphrase:
+        input_options["passphrase"] = args.input_passphrase
+        input_options["salt"] = args.input_salt
 
     result = process_uri(
         get_spark("railgun_process"),
@@ -63,6 +70,8 @@ def cmd_process(args) -> int:
         output_format=args.output_format,
         output_mode=args.output_mode,
         output_limit=args.output_limit,
+        output_passphrase=args.output_passphrase,
+        output_salt=args.output_salt,
     )
     if result is not None:  # no output uri -> rows to stdout as jsonl
         for r in result.toJSON().toLocalIterator():

@@ -96,6 +96,8 @@ def process_uri(
     output_format: str | None = None,
     output_mode: str = "overwrite",
     output_limit: int | None = None,
+    output_passphrase: str | None = None,
+    output_salt: str | None = None,
 ) -> DataFrame | None:
     """End-to-end process: read -> evaluate -> write (or return the frame).
 
@@ -114,7 +116,10 @@ def process_uri(
 
     sink = analyze_output_uri(output_uri, variables, result)
     if sink is None:
-        formats.write(result, output_uri, fmt=output_format, mode=output_mode, limit=output_limit)
+        formats.write(
+            result, output_uri, fmt=output_format, mode=output_mode,
+            limit=output_limit, passphrase=output_passphrase, salt=output_salt,
+        )
         return None
     out = result
     for name, col in sink.generated.items():

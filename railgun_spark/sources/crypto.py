@@ -65,6 +65,25 @@ def encrypt_bytes(data: bytes, passphrase: str, salt_hex: str, iv: bytes | None 
     return iv + enc.update(data) + enc.finalize()
 
 
+def write_encrypted(df, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl") -> None:
+    """Serialize a DataFrame to one encrypted payload file — output-side
+    twin of the reference's '.enc' sink (cli/process.go:59-112; note
+    process.go:663: the block cipher forces whole-payload output, so this
+    is inherently a driver-side single-file write for config-sized data,
+    not the 100 TB path)."""
+    import json as _json
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    if fmt == "jsonl":
+        plain = "\n".join(_json.dumps(r, default=str) for r in rows).encode()
+    elif fmt == "json":
+        plain = _json.dumps(rows, default=str).encode()
+    else:
+        raise NotImplementedError(f"encrypted output format {fmt}")
+    with open(path, "wb") as f:
+        f.write(encrypt_bytes(plain, passphrase, salt_hex))
+
+
 def read_encrypted(spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl"):
     """Read an encrypted payload into a DataFrame: binaryFile scan ->
     decrypt -> decode. Single-payload files decode driver-side; at scale,

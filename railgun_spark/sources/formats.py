@@ -269,14 +269,24 @@ def write(
     compression: str | None = None,
     partition_by: list[str] | None = None,
     limit: int | None = None,
+    passphrase: str | None = None,
+    salt: str | None = None,
 ) -> None:
     """Write a DataFrame. Static sink twin (railgun/cli/process.go:59-112);
-    output limit (cli/process.go:984); append flag -> mode."""
+    output limit (cli/process.go:984); append flag -> mode; '.enc' output
+    encrypts the whole payload (block cipher => single file, process.go:663)."""
     spec = split_name_format_compression(path)
     fmt = fmt or spec.format or "parquet"
     compression = compression or spec.compression
     if limit is not None:
         df = df.limit(limit)
+    if compression == "enc":
+        if not passphrase:
+            raise ValueError(f"{path} is an encrypted (.enc) sink; pass passphrase= (and salt=)")
+        from railgun_spark.sources import crypto
+
+        crypto.write_encrypted(df, path, passphrase, salt or "", fmt=fmt or "jsonl")
+        return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -343,3 +343,28 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_write_encrypted_roundtrip(spark, tmp_path):
+    from railgun_spark.plans.process import process_uri
+
+    salt = "00112233445566778899aabbccddeeff"
+    src = tmp_path / "plain.jsonl"
+    src.write_text("\n".join(json.dumps({"k": i, "s": f"v{i}"}) for i in range(6)))
+    enc_path = str(tmp_path / "out.jsonl.enc")
+    # write through the full process path (read -> DFL -> encrypted sink)
+    process_uri(
+        spark,
+        str(src),
+        "filter(@, '@k >= 2')",
+        output_uri=enc_path,
+        output_passphrase="pw",
+        output_salt=salt,
+    )
+    # ciphertext on disk, refuses plain read, decrypts back to the rows
+    raw = open(enc_path, "rb").read()
+    assert b'"k"' not in raw
+    with pytest.raises(ValueError, match="encrypted"):
+        formats.read(spark, enc_path)
+    back = formats.read(spark, enc_path, passphrase="pw", salt=salt)
+    assert sorted(r["k"] for r in back.collect()) == [2, 3, 4, 5]
