@@ -210,9 +210,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash + LSH: the scale path for near-dup detection.
 # --------------------------------------------------------------------------
-def _minhash_oracle() -> str:
-    # DuckDB twin of the Spark pipeline below; generated so the hash family
-    # and band layout stay in lock-step with NUM_HASHES/NUM_BANDS.
+def minhash_pairs_ctes(threshold: float = 0.5) -> str:
+    """DuckDB CTE chain (twin of the Spark pipeline below) ending in a
+    ``pairs(doc_a, doc_b, jaccard)`` CTE of verified near-dup pairs.
+    Generated so the hash family and band layout stay in lock-step with
+    NUM_HASHES/NUM_BANDS; reused by the CC-dedup oracle (corpus.py)."""
     p = MERSENNE31
     mh = ", ".join(
         f"min(({a} * h31 + {b}) % {p}) AS h{j}" for j, (a, b) in enumerate(_affine_params())
@@ -226,7 +228,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, band{b} AS band_key FROM sigb" for b in range(NUM_BANDS)
     )
     return f"""
-    WITH t AS (
+    t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
     ), s AS (
       SELECT doc_id,
@@ -246,27 +248,31 @@ def _minhash_oracle() -> str:
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           round(len(list_intersect(sa.sh, sb.sh)) * 1.0
-                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-    FROM cand JOIN s sa ON sa.doc_id = doc_a
-              JOIN s sb ON sb.doc_id = doc_b
-    WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
-          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand JOIN s sa ON sa.doc_id = doc_a
+                JOIN s sb ON sb.doc_id = doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_pairs_ctes(0.5)}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     ORDER BY doc_a, doc_b
     """
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    doc=f"shingle -> {NUM_HASHES} minhashes -> {NUM_BANDS} bands -> bucket join "
-    "-> Jaccard verify. Map-only until the band-key self-join; candidates "
-    "(not pairs) bound the join output.",
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard), unordered.
+
+    shingle -> NUM_HASHES minhashes -> NUM_BANDS bands -> bucket self-join on
+    band key -> true-Jaccard verify on candidates only. Map-only until the
+    band-key equi-join; candidate count (not all pairs) bounds the join."""
     s = _docs_with_shingles(spark, sf_dir).select("doc_id", "sh")
     # explode so the base md5 is computed ONCE per shingle in codegen'd row
     # form; the 16 permutations are cheap integer min-aggregates.
@@ -299,10 +305,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc=f"shingle -> {NUM_HASHES} minhashes -> {NUM_BANDS} bands -> bucket join "
+    "-> Jaccard verify. Map-only until the band-key self-join; candidates "
+    "(not pairs) bound the join output.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(spark, sf_dir, 0.5).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
