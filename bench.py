@@ -40,7 +40,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("railgun_spark_bench")
-    qs = suite.queries()
+    qs = suite.all_queries()  # includes locally-gated extras (revenue_range_filter)
 
     # warm the JVM + file listing with the cheapest query, untimed
     qs["pricing_summary"](spark, sf_dir).collect()

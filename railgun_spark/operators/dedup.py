@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 NUM_HASHES = 16
 NUM_BANDS = 4
@@ -164,7 +164,7 @@ def dedup_exact_keep_first(df: DataFrame, cols: list[str]) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (blocked pairwise verify).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH t AS (

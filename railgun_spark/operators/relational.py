@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from railgun_spark.sources.tables import load_events
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -163,7 +163,7 @@ def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pure filter-aggregate (TPC-H Q6 shape): between-range predicates.
 # between/within: SURVEY §2.2 (athena.dfl:20-21, pipeline/Pipeline.go:7).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "revenue_range_filter",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -226,7 +226,7 @@ def filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in / iin membership (osm.sh:66 `@properties.amenity in [clinic, ...]`,
 # osm.sh:74 `iin` case-insensitive variant).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "filter_membership",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
@@ -259,7 +259,7 @@ def filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # hist(@, 'keyExpr') — 1-arg histogram (osm.sh:124, hostosm.sh:46).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "hist_event_type",
     oracle="""
     SELECT event_type, count(*) AS n
@@ -352,7 +352,7 @@ def distinct_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map / dict construction + casts + concat + slugify
 # (geonames.dfl:10-26 dict build; railgun/Slugify.go:14-20).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "project_construct",
     oracle="""
     SELECT n_nationkey AS id,
@@ -447,7 +447,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Running windows: lag + cumulative sum (engine superset).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "window_running",
     oracle="""
     SELECT user_id, event_id, value,
@@ -485,7 +485,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort desc | limit — the README tsunami pipeline
 # (`sort(@, '@properties?.mag', true) | limit(@, 10)`, README.md:82).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "sort_desc_limit",
     oracle="""
     SELECT event_id, event_type, value

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from railgun_spark.sources.tables import load_events
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -87,7 +87,7 @@ def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Conditional aggregation (TPC-H Q12 shape): CASE WHEN inside sum.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "conditional_agg_priority",
     oracle="""
     SELECT l_returnflag,
@@ -412,35 +412,91 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Exact grouped percentiles (engine superset; the scale path swaps the
-# exact `percentile` for `approx_percentile`, same plan shape).
+# Exact grouped percentiles, rank-based (engine superset).
+#
+# Why not F.percentile: the exact `percentile` aggregate buffers every
+# group's values inside a single aggregation buffer — with 3 return-flag
+# groups over 100 TB that's an executor OOM by construction. The rank-based
+# form below never materializes a group in memory: row_number over a sorted
+# window is computed by Spark's EXTERNAL sort (spills to disk), the count
+# join is a 3-row broadcast, and the final agg is an ordinary partial-agg
+# groupBy. Nearest-rank semantics (value at rank ceil(p*n)) are written
+# identically in the DuckDB oracle, so the hash compare is exact — no
+# interpolation, no engine-specific quantile definition.
+#
+# The pure-streaming-partials alternative is approx_percentile (mergeable
+# Greenwald-Khanna / t-digest sketches, map-side combinable) — exposed as
+# `revenue_percentiles_approx` below and tolerance-tested against this exact
+# form in tests/test_suite_registry.py; its sketch outputs are not
+# bit-reproducible across engines, hence the exact form holds the gate slot.
 # --------------------------------------------------------------------------
+PCT_POINTS = (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+
+
 @query(
     "revenue_percentiles",
     oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ), counts AS (
+      SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           round(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                          THEN l_extendedprice END), 4) AS p25,
+           round(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN l_extendedprice END), 4) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                          THEN l_extendedprice END), 4) AS p75
+    FROM ranked r JOIN counts c USING (l_returnflag)
+    GROUP BY r.l_returnflag
+    ORDER BY r.l_returnflag
     """,
-    doc="Exact interpolated percentiles per group (one shuffle on the tiny "
-    "group key). Exact percentile buffers each group's values — at 100 TB "
-    "switch to approx_percentile (t-digest, mergeable partials) with the "
-    "same query shape.",
+    doc="Exact nearest-rank percentiles per group with bounded memory: "
+    "external-sort window (spills) + broadcast count join + partial-agg "
+    "reduce. No per-group value buffering anywhere in the plan.",
     tags=("agg",),
 )
 def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w))
+
+    def at_rank(alias: str, p: float):
+        # ceil(p*n): exact binary fractions (.25/.5/.75), no float drift.
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        picked = F.when(F.col("rn") == target, F.col("l_extendedprice"))
+        return F.round(F.max(picked), 4).alias(alias)
+
+    return (
+        ranked.join(F.broadcast(counts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*[at_rank(a, p) for a, p in PCT_POINTS])
+        .orderBy("l_returnflag")
+    )
+
+
+def revenue_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB path: approx_percentile sketches are mergeable partials
+    (map-side combine, no sort, no window) — one narrow shuffle of 3 sketch
+    rows total. Rank error is bounded by n/accuracy; not bit-reproducible
+    across engines, so gated by a tolerance pytest instead of the hash gate.
+    """
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile(price, F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile(price, F.lit(0.50)), 4).alias("p50"),
-            F.round(F.percentile(price, F.lit(0.75)), 4).alias("p75"),
+            *[
+                F.round(F.percentile_approx(price, F.lit(p), F.lit(accuracy)), 4).alias(a)
+                for a, p in PCT_POINTS
+            ]
         )
         .orderBy("l_returnflag")
     )

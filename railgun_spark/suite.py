@@ -35,14 +35,38 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# The driver's correctness gate checks the FIRST 50 registered queries only
+# (registration order == dict insertion order). REGISTRY therefore holds the
+# <=50 gate-facing queries; EXTRA holds verify-only helpers and redundant
+# variants whose capability is already certified by a REGISTRY entry. EXTRA
+# entries run through the identical local oracle gate in pytest
+# (tests/test_suite_registry.py) and tools/check_correctness.py --extra.
+DRIVER_GATE_LIMIT = 50
+
 REGISTRY: dict[str, QuerySpec] = {}
+EXTRA: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
-    """Decorator: register a suite query."""
+    """Decorator: register a driver-gated suite query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def extra_query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: register a locally-gated extra query (not driver-facing).
+
+    Use for (a) verify-only helpers that are not scale-grade standalone
+    operators (e.g. all-pairs Jaccard, the MinHash verify leg) and (b)
+    redundant variants of capabilities already gate-certified elsewhere.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        EXTRA[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
     return deco
@@ -56,6 +80,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """REGISTRY + EXTRA — for bench.py and local tooling."""
+    _ensure_loaded()
+    merged = {name: spec.fn for name, spec in REGISTRY.items()}
+    merged.update({name: spec.fn for name, spec in EXTRA.items()})
+    return merged
+
+
+def extra_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(EXTRA)
 
 
 _LOADED = False

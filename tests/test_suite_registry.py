@@ -1,0 +1,95 @@
+"""Registry-size regression guard + local oracle gate for EXTRA queries.
+
+The driver's correctness gate checks only the first ``DRIVER_GATE_LIMIT``
+(=50) registered queries, in registration order. If REGISTRY ever grows past
+that, the tail silently loses driver correctness coverage — the guard here
+fails loudly instead. Demoted/verify-only queries live in ``suite.EXTRA``
+and are held to the identical oracle gate locally (sf0.001 in pytest;
+sf0.01 via ``tools/check_correctness.py --extra``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+from railgun_spark import suite
+
+EXPECTED_EXTRA = {
+    "dedup_ngram_jaccard",  # all-pairs verify leg of dedup_minhash_lsh
+    "revenue_range_filter",  # between+agg: covered by dfl_between_filter + pricing_summary
+    "filter_membership",  # in/iin: same §2.2 row as filter_ilike/dfl_between_filter
+    "hist_event_type",  # 1-arg hist: hist_nested supersets
+    "project_construct",  # native twin of dfl_project_construct
+    "window_running",  # running totals: window_topk/rank keep §2.5 certified
+    "sort_desc_limit",  # native twin of dfl_sort_desc_limit
+    "conditional_agg_priority",  # conditional agg: promo_revenue_ratio certifies
+}
+
+
+def test_registry_fits_driver_gate_window():
+    """A 51st registration must fail this test, not silently lose coverage."""
+    qs = suite.queries()
+    assert len(qs) <= suite.DRIVER_GATE_LIMIT, (
+        f"{len(qs)} registered queries exceed the driver's "
+        f"{suite.DRIVER_GATE_LIMIT}-entry CORRECTNESS window; demote "
+        "redundant/verify-only entries to suite.EXTRA (extra_query) instead"
+    )
+
+
+def test_registry_and_extra_disjoint():
+    suite._ensure_loaded()
+    overlap = set(suite.REGISTRY) & set(suite.EXTRA)
+    assert not overlap, f"queries registered in both REGISTRY and EXTRA: {overlap}"
+    assert set(suite.EXTRA) == EXPECTED_EXTRA
+
+
+def _oracle_rows(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    tables = "region nation customer supplier part orders lineitem events documents embeddings"
+    for t in tables.split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    pdf = con.execute(sql).df()
+    return list(pdf.columns), [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_EXTRA))
+def test_extra_queries_pass_local_oracle_gate(spark, sf_dir, name):
+    """EXTRA entries are demoted from the driver gate, not from correctness:
+    run the same rows/schema/value-hash compare the driver applies."""
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import value_hash
+
+    spec = suite.extra_specs()[name]
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert spec.oracle is not None, name
+    dcols, drows = _oracle_rows(sf_dir, spec.oracle)
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} != {len(drows)}"
+    assert sorted(scols) == sorted(dcols), f"{name}: cols {sorted(scols)} != {sorted(dcols)}"
+    assert value_hash(srows, scols) == value_hash(drows, dcols), f"{name}: value-hash mismatch"
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """The 100 TB percentile path (mergeable approx sketches) must track the
+    exact rank-based gate query within the sketch's rank-error bound."""
+    from railgun_spark.operators.relational2 import (
+        revenue_percentiles,
+        revenue_percentiles_approx,
+    )
+
+    exact = {r["l_returnflag"]: r for r in revenue_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["l_returnflag"]: r
+        for r in revenue_percentiles_approx(spark, sf_dir, accuracy=10000).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, er in exact.items():
+        ar = approx[flag]
+        for col in ("p25", "p50", "p75"):
+            # rank error <= n/accuracy; prices span ~[900, 105k], so a loose
+            # 2% relative tolerance catches a broken sketch without flaking
+            assert abs(ar[col] - er[col]) <= 0.02 * er[col], (flag, col, ar[col], er[col])

@@ -2,7 +2,9 @@
 Spark and its oracle on DuckDB at sf0.01, compare row count, column names,
 and an order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--extra] [query ...]
+  --extra: also gate the locally-checked EXTRA registry (verify-only helpers
+  and redundant variants kept out of the driver's 50-entry window).
 """
 
 from __future__ import annotations
@@ -56,13 +58,22 @@ def main():
     import __spark_entry__ as e
     from railgun_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    with_extra = "--extra" in argv
+    only = {a for a in argv if a != "--extra"}
     spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if with_extra:
+        from railgun_spark import suite
+
+        for name, spec in suite.extra_specs().items():
+            qs[name] = spec.fn
+            if spec.oracle is not None:
+                oracles[name] = spec.oracle
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
