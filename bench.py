@@ -2,6 +2,13 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3; JVM warmed
+untimed first). "queries" reports the per-query MIN (the standard
+noise-floor estimator — three rounds of single-shot timing showed
++-10-30%/query run-to-run drift on identical code); "queries_median"
+carries the median so regressions that only widen variance stay visible.
+"value" is the sum of mins.
 """
 
 from __future__ import annotations
@@ -42,23 +49,30 @@ def main():
     spark = get_spark("railgun_spark_bench")
     qs = suite.all_queries()  # includes locally-gated extras (revenue_range_filter)
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+
     # warm the JVM + file listing with the cheapest query, untimed
     qs["pricing_summary"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(iters):  # interleave iterations so drift hits all queries alike
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            samples[name].append(time.time() - t0)
 
-    total = round(sum(timings.values()), 3)
+    mins = {n: round(min(ts), 3) for n, ts in samples.items()}
+    medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
+    total = round(sum(mins.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "suite_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": mins,
+                "queries_median": medians,
+                "iters": iters,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -240,17 +240,24 @@ class Catalog:
         }
         df = self.load_datastore(svc.datastore, merged)
         result, final_vars = run_pipeline(df, proc.expression, merged, return_vars=True)
-        # session continuity (ServiceExecHandler.go:282-290): cache only NEW
-        # scalar bindings the DFL evaluation produced — never the caller's
-        # request variables, which must not leak into later requests.
+        # session continuity (ServiceExecHandler.go:282-290): cache scalar
+        # bindings the DFL evaluation produced or REBOUND — but never the
+        # caller's request variables passing through unchanged, which must
+        # not leak into later requests.
         from pyspark.sql import Column
 
+        def _evaluation_bound(k, v) -> bool:
+            if isinstance(v, (DataFrame, Column)):
+                return False
+            if k not in merged:
+                return True
+            try:
+                return bool(v != merged[k])
+            except (TypeError, ValueError):  # incomparable (e.g. ndarray): rebound object
+                return v is not merged[k]
+
         self._service_vars.setdefault(name, {}).update(
-            {
-                k: v
-                for k, v in final_vars.items()
-                if k not in merged and not isinstance(v, (DataFrame, Column))
-            }
+            {k: v for k, v in final_vars.items() if _evaluation_bound(k, v)}
         )
         return result
 

@@ -322,17 +322,24 @@ def _stage_sql(sql: str, stage: Node, scope: _Scope) -> str:
         if name == "map":
             body = _sub_expr(args[1])
             if isinstance(body, DictNode):
-                cols = []
+                cols, new_cols, new_strings = [], [], set()
                 for k, v in body.pairs:
                     cname = str(k.value if isinstance(k, Literal) else k)
                     cols.append(f"{expr_sql(v, scope)} AS {_ident(cname)}")
+                    new_cols.append(cname)
+                    # string typing survives the projection: later stages
+                    # (len -> length, + -> concat) depend on it
+                    if _is_string_node(v, scope):
+                        new_strings.add(cname)
                 out = f"SELECT {', '.join(cols)} FROM ({sql})"
                 # projection changes the visible schema
-                scope.columns = [
-                    str(k.value if isinstance(k, Literal) else k) for k, _ in body.pairs
-                ]
+                scope.columns = new_cols
+                scope.string_cols = new_strings
                 return out
-            return f"SELECT {expr_sql(body, scope)} AS value FROM ({sql})"
+            out = f"SELECT {expr_sql(body, scope)} AS value FROM ({sql})"
+            scope.columns = ["value"]
+            scope.string_cols = {"value"} if _is_string_node(body, scope) else set()
+            return out
         if name == "sort":
             if len(args) == 1:
                 raise SqlRenderError("sort(@) without key needs the full column list")

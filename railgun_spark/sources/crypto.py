@@ -2,8 +2,13 @@
 encrypted-input support (`.enc` suffix, railgun/util/DecryptBytes.go:17-41,
 key derivation railgun/util/CreateCipher.go:19-34):
 
-  key = argon2id(passphrase, salt=hex-decoded salt, 32 bytes)
+  key = argon2(passphrase, salt=hex-decoded salt, 32 bytes)
   ciphertext = IV (16 bytes) || CFB stream
+
+The reference's KDF (CreateCipher.go:26, Go `argon2.Key`) is **Argon2i**
+with time=3, memory=32 MiB, lanes=4, keyLen=32. KDF selection here is
+explicit — see `derive_key` — because a silently-substituted KDF decrypts
+Go-railgun payloads into garbage bytes.
 
 Decryption happens at the loader (driver or a mapInPandas over
 binaryFile), never as a column type — matching the reference, where
@@ -12,60 +17,104 @@ decryption wraps the byte stream before deserialization
 
 from __future__ import annotations
 
+_KDFS = ("auto", "argon2i", "argon2id")
 
-def derive_key(passphrase: str, salt_hex: str) -> bytes:
-    """Key derivation. The reference (CreateCipher.go:26) calls argon2.Key —
-    that is Argon2i with time=3, memory=32 MiB, lanes=4, keyLen=32. When
-    argon2-cffi is installed we derive with exactly that (Argon2i), so
-    reference-encrypted payloads decrypt byte-for-byte. This container only
-    ships `cryptography`, whose KDF module is Argon2id-only; the fallback
-    uses Argon2id with the same cost parameters — self-consistent
-    encrypt/decrypt, but NOT interoperable with Go-railgun ciphertexts."""
+
+def derive_key(passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
+    """Key derivation with an explicit KDF choice.
+
+    - ``argon2i``: byte-for-byte reference interop (CreateCipher.go:26).
+      Requires argon2-cffi; raises RuntimeError if it is absent rather
+      than silently deriving a different key.
+    - ``argon2id``: `cryptography`'s KDF, same cost parameters —
+      self-consistent encrypt/decrypt, NOT interoperable with Go-railgun
+      ciphertexts.
+    - ``auto``: argon2i when available; otherwise a loud RuntimeWarning
+      downgrade to argon2id (never a silent switch).
+    """
+    if kdf not in _KDFS:
+        raise ValueError(f"kdf must be one of {_KDFS}, got {kdf!r}")
     salt = bytes.fromhex(salt_hex)
-    try:
-        from argon2.low_level import Type, hash_secret_raw  # type: ignore
+    if kdf in ("auto", "argon2i"):
+        try:
+            from argon2.low_level import Type, hash_secret_raw  # type: ignore
 
-        return hash_secret_raw(
-            secret=passphrase.encode(),
-            salt=salt,
-            time_cost=3,
-            memory_cost=32 * 1024,
-            parallelism=4,
-            hash_len=32,
-            type=Type.I,
-        )
-    except ImportError:
-        from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+            return hash_secret_raw(
+                secret=passphrase.encode(),
+                salt=salt,
+                time_cost=3,
+                memory_cost=32 * 1024,
+                parallelism=4,
+                hash_len=32,
+                type=Type.I,
+            )
+        except ImportError:
+            if kdf == "argon2i":
+                raise RuntimeError(
+                    "argon2-cffi is required for Argon2i key derivation "
+                    "(Go-railgun .enc interop, CreateCipher.go:26); install "
+                    "argon2-cffi, or pass kdf='argon2id' for self-consistent "
+                    "but non-interoperable encryption"
+                ) from None
+            import warnings
 
-        kdf = Argon2id(salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024)
-        return kdf.derive(passphrase.encode())
+            warnings.warn(
+                "argon2-cffi unavailable: deriving with Argon2id instead of "
+                "the reference's Argon2i — ciphertexts are NOT interoperable "
+                "with Go-railgun .enc payloads; pass kdf='argon2id' to "
+                "acknowledge and silence this warning",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
+
+    kdf_impl = Argon2id(salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024)
+    return kdf_impl.derive(passphrase.encode())
 
 
-def decrypt_bytes(data: bytes, passphrase: str, salt_hex: str) -> bytes:
+def decrypt_bytes(data: bytes, passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
     """IV-prefixed AES-256-CFB decrypt (DecryptBytes.go:27-41)."""
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
-    key = derive_key(passphrase, salt_hex)
+    key = derive_key(passphrase, salt_hex, kdf=kdf)
     iv, body = data[:16], data[16:]
     cipher = Cipher(algorithms.AES(key), modes.CFB(iv))
     dec = cipher.decryptor()
     return dec.update(body) + dec.finalize()
 
 
-def encrypt_bytes(data: bytes, passphrase: str, salt_hex: str, iv: bytes | None = None) -> bytes:
+def encrypt_bytes(
+    data: bytes, passphrase: str, salt_hex: str, iv: bytes | None = None, kdf: str = "auto"
+) -> bytes:
     """Encrypt twin (round-trip testing + output-side parity,
     cli/process.go:59-112 '.enc' output)."""
     import os
 
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
 
-    key = derive_key(passphrase, salt_hex)
+    key = derive_key(passphrase, salt_hex, kdf=kdf)
     iv = iv or os.urandom(16)
     enc = Cipher(algorithms.AES(key), modes.CFB(iv)).encryptor()
     return iv + enc.update(data) + enc.finalize()
 
 
-def write_encrypted(df, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl") -> None:
+def _decode_plain(plain: bytes, source: str, kdf: str) -> str:
+    """Decode decrypted bytes to text, failing LOUDLY on garbage: CFB with a
+    wrong key/KDF yields undecodable bytes, and the worst failure mode is a
+    confusing downstream parse error instead of this diagnosis."""
+    try:
+        return plain.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"decryption of {source} produced undecodable bytes — wrong "
+            f"passphrase/salt, or a KDF mismatch (Go-railgun .enc payloads "
+            f"use Argon2i; this decrypt used kdf={kdf!r})"
+        ) from e
+
+
+def write_encrypted(
+    df, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl", kdf: str = "auto"
+) -> None:
     """Serialize a DataFrame to one encrypted payload file — output-side
     twin of the reference's '.enc' sink (cli/process.go:59-112; note
     process.go:663: the block cipher forces whole-payload output, so this
@@ -81,15 +130,18 @@ def write_encrypted(df, path: str, passphrase: str, salt_hex: str, fmt: str = "j
     else:
         raise NotImplementedError(f"encrypted output format {fmt}")
     with open(path, "wb") as f:
-        f.write(encrypt_bytes(plain, passphrase, salt_hex))
+        f.write(encrypt_bytes(plain, passphrase, salt_hex, kdf=kdf))
 
 
-def read_encrypted_many(spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl"):
+def read_encrypted_many(
+    spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl", kdf: str = "auto"
+):
     """Distributed decrypt for MANY .enc shards: a binaryFile scan with the
     AES decrypt + decode inside mapInPandas — one Arrow-batched Python hop,
     shards decrypt in parallel across executors (the scale path when .enc
-    holds data, not config). Schema comes from one driver-side decrypt of
-    the first shard; every executor then emits from_json rows against it.
+    holds data, not config). Schema comes from one shard fetched THROUGH
+    Spark (works on s3a://, hdfs://, any Hadoop scheme — no local open());
+    every executor then emits from_json rows against it.
     """
     import json as _json
 
@@ -99,11 +151,16 @@ def read_encrypted_many(spark, path: str, passphrase: str, salt_hex: str, fmt: s
         raise NotImplementedError(f"distributed encrypted read for format {fmt}")
 
     files = spark.read.format("binaryFile").load(path)
+    # column-pruned listing scan: content bytes are not read to pick the probe
     first = files.select("path").orderBy("path").first()
     if first is None:
         raise ValueError(f"no files matched {path}")
-    with open(first["path"].replace("file:", ""), "rb") as f:
-        probe = decrypt_bytes(f.read(), passphrase, salt_hex).decode()
+    probe_row = files.filter(F.col("path") == first["path"]).select("content").first()
+    probe = _decode_plain(
+        decrypt_bytes(bytes(probe_row["content"]), passphrase, salt_hex, kdf=kdf),
+        first["path"],
+        kdf,
+    )
     probe_lines = (
         probe.splitlines()
         if fmt == "jsonl"
@@ -117,7 +174,7 @@ def read_encrypted_many(spark, path: str, passphrase: str, salt_hex: str, fmt: s
         for pdf in batches:
             out = []
             for blob in pdf["content"]:
-                plain = decrypt_bytes(bytes(blob), passphrase, salt_hex).decode()
+                plain = decrypt_bytes(bytes(blob), passphrase, salt_hex, kdf=kdf).decode()
                 if fmt == "jsonl":
                     out.extend(line for line in plain.splitlines() if line.strip())
                 else:
@@ -129,7 +186,9 @@ def read_encrypted_many(spark, path: str, passphrase: str, salt_hex: str, fmt: s
     return lines.select(F.from_json("value", schema).alias("r")).select("r.*")
 
 
-def read_encrypted(spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl"):
+def read_encrypted(
+    spark, path: str, passphrase: str, salt_hex: str, fmt: str = "jsonl", kdf: str = "auto"
+):
     """Read an encrypted payload into a DataFrame: binaryFile scan ->
     decrypt -> decode. Single-payload files decode driver-side; at scale,
     many .enc shards decrypt in parallel via the binaryFile source."""
@@ -137,14 +196,15 @@ def read_encrypted(spark, path: str, passphrase: str, salt_hex: str, fmt: str = 
 
     from railgun_spark.sources.formats import _decode_document
 
-    files = spark.read.format("binaryFile").load(path).select("content").collect()
+    files = spark.read.format("binaryFile").load(path).select("path", "content").collect()
     rows: list[dict] = []
     for r in files:
-        plain = decrypt_bytes(bytes(r["content"]), passphrase, salt_hex)
+        plain = decrypt_bytes(bytes(r["content"]), passphrase, salt_hex, kdf=kdf)
         if fmt == "jsonl":
-            rows.extend(_json.loads(line) for line in plain.decode().splitlines() if line.strip())
+            text = _decode_plain(plain, r["path"], kdf)
+            rows.extend(_json.loads(line) for line in text.splitlines() if line.strip())
         elif fmt == "json":
-            doc = _json.loads(plain.decode())
+            doc = _json.loads(_decode_plain(plain, r["path"], kdf))
             rows.extend(doc if isinstance(doc, list) else [doc])
         else:
             rows.extend(_decode_document(plain, fmt))

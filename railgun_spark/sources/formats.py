@@ -169,8 +169,10 @@ def read(
         return df.limit(limit) if limit is not None else df
     if spec.compression == "zip":
         members = _extract_zip(path)
+        if not members:
+            raise ValueError(f"zip archive {path} contains no file members")
         frames = [
-            read(spark, m, fmt=fmt, header=header, **options)
+            read(spark, m, fmt=fmt, header=header, passphrase=passphrase, salt=salt, **options)
             for m in members
         ]
         df = frames[0]
@@ -261,6 +263,81 @@ def _read_document_format(spark: SparkSession, path: str, fmt: str) -> DataFrame
     return spark.read.json(spark.sparkContext.parallelize(jsonl))
 
 
+def _toml_scalar(v) -> str:
+    """TOML value text for scalars/lists (strings via JSON quoting — TOML
+    basic strings accept the same escape set)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    return json.dumps(str(v))
+
+
+def _encode_toml(doc: dict, section: str = "") -> str:
+    """Minimal TOML emitter (tomllib is read-only): scalars/lists first,
+    then nested dicts as [dotted.section] tables. None keys are dropped
+    (TOML has no null)."""
+    scalars = {k: v for k, v in doc.items() if not isinstance(v, dict) and v is not None}
+    tables = {k: v for k, v in doc.items() if isinstance(v, dict)}
+    out = []
+    if section and scalars:
+        out.append(f"[{section}]")
+    out.extend(f"{k} = {_toml_scalar(v)}" for k, v in scalars.items())
+    for k, sub in tables.items():
+        path = f"{section}.{k}" if section else k
+        out.append(_encode_toml(sub, path))
+    return "\n".join(out) + ("\n" if not section else "")
+
+
+def _encode_document(rows: list[dict], fmt: str) -> bytes:
+    """rows -> document bytes; write-side twin of `_decode_document`
+    (reference serializes every format out, railgun/cli/process.go:927-941).
+    yaml holds multi-row payloads natively; toml/properties/hcl/bson are
+    single-document formats — multi-row input is a hard error, not a guess."""
+    if fmt == "yaml":
+        try:
+            import yaml  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("pyyaml not available in this container") from e
+        doc = rows if len(rows) != 1 else rows[0]
+        return yaml.safe_dump(doc, sort_keys=False).encode()
+    if len(rows) != 1 and fmt != "bson":
+        raise ValueError(
+            f"{fmt} is a single-document format: got {len(rows)} rows "
+            "(write one row, or use yaml/jsonl for multi-row payloads)"
+        )
+    if fmt == "toml":
+        return _encode_toml(rows[0]).encode()
+    if fmt == "properties":
+        bad = [k for k, v in rows[0].items() if isinstance(v, (dict, list))]
+        if bad:
+            raise ValueError(f"properties values must be flat scalars; nested keys: {bad}")
+        return "".join(f"{k}={'' if v is None else v}\n" for k, v in rows[0].items()).encode()
+    if fmt in ("hcl", "hcl2"):
+        from railgun_spark.sources.hcl import dumps as _hcl_dumps
+
+        return _hcl_dumps(rows[0]).encode()
+    if fmt == "bson":
+        try:
+            import bson  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError("bson codec not available in this container") from e
+        return b"".join(bson.dumps(r) for r in rows)
+    raise ValueError(fmt)  # pragma: no cover
+
+
+def _write_document_format(df: DataFrame, path: str, fmt: str) -> None:
+    """Driver-side single-file write, mirroring the driver-side read: these
+    formats carry catalog/config payloads in the reference, never bulk data."""
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    with open(path, "wb") as f:
+        f.write(_encode_document(rows, fmt))
+
+
 def write(
     df: DataFrame,
     path: str,
@@ -298,8 +375,10 @@ def write(
         w.option("header", "true").csv(
             path, sep="\t" if fmt == "tsv" else ",", compression=compression
         )
+    elif fmt in ("yaml", "toml", "properties", "bson", "hcl", "hcl2"):
+        _write_document_format(df, path, fmt)
     else:
-        raise NotImplementedError(f"write format {fmt} (document formats are read-side)")
+        raise NotImplementedError(f"write format {fmt}")
 
 
 def convert(spark: SparkSession, in_path: str, out_path: str, **read_opts) -> None:

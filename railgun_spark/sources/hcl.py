@@ -176,3 +176,38 @@ def loads(text: str) -> dict:
     doc = p.body()
     p.expect("eof")
     return doc
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
+
+
+def _emit_key(k: str) -> str:
+    import json
+
+    return k if _IDENT.match(k) else json.dumps(k)
+
+
+def _emit_value(v) -> str:
+    import json
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_emit_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        inner = ", ".join(f"{_emit_key(k)} = {_emit_value(x)}" for k, x in v.items())
+        return "{ " + inner + " }"
+    return json.dumps(str(v))
+
+
+def dumps(doc: dict) -> str:
+    """Serialize a dict to HCL attribute syntax — the write-side twin of
+    ``loads`` (round-trips through it; nested dicts emit as object values,
+    which decode back to the same shape)."""
+    return "\n".join(f"{_emit_key(k)} = {_emit_value(v)}" for k, v in doc.items()) + "\n"

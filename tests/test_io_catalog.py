@@ -368,3 +368,161 @@ def test_write_encrypted_roundtrip(spark, tmp_path):
         formats.read(spark, enc_path)
     back = formats.read(spark, enc_path, passphrase="pw", salt=salt)
     assert sorted(r["k"] for r in back.collect()) == [2, 3, 4, 5]
+
+
+# ---------------- write-side document formats ----------------
+def test_write_document_formats_roundtrip(spark, tmp_path):
+    """yaml/toml/properties/hcl serialize out and read back through the same
+    formats.read path (reference writes every format, cli/process.go:927-941)."""
+    one = spark.createDataFrame([Row(name="web", port=8080, active=True, ratio=0.5)])
+    for fmt in ("yaml", "toml", "hcl"):
+        p = str(tmp_path / f"doc.{fmt}")
+        formats.write(one, p, fmt=fmt)
+        back = formats.read(spark, p, fmt=fmt).collect()
+        assert len(back) == 1
+        r = back[0].asDict()
+        assert (r["name"], r["port"], r["active"]) == ("web", 8080, True), fmt
+        assert abs(r["ratio"] - 0.5) < 1e-12, fmt
+
+    # properties is string-typed on read (java-style k=v lines)
+    props = spark.createDataFrame([Row(host="localhost", port="5432")])
+    p = str(tmp_path / "conn.properties")
+    formats.write(props, p)
+    r = formats.read(spark, p).collect()[0].asDict()
+    assert r == {"host": "localhost", "port": "5432"}
+
+
+def test_write_yaml_multirow_and_nested_toml(spark, tmp_path):
+    multi = spark.createDataFrame([Row(k=1, s="a"), Row(k=2, s="b")])
+    p = str(tmp_path / "rows.yaml")
+    formats.write(multi, p)
+    back = formats.read(spark, p)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2]
+
+    # nested struct -> [table] section
+    nested = spark.createDataFrame([Row(name="svc", limits=Row(cpu=2, mem="4g"))])
+    p2 = str(tmp_path / "svc.toml")
+    formats.write(nested, p2)
+    r = formats.read(spark, p2).collect()[0].asDict(recursive=True)
+    assert r["name"] == "svc" and r["limits"] == {"cpu": 2, "mem": "4g"}
+
+
+def test_write_single_document_format_rejects_multirow(spark, tmp_path):
+    multi = spark.createDataFrame([Row(k=1), Row(k=2)])
+    for fmt in ("toml", "properties", "hcl"):
+        with pytest.raises(ValueError, match="single-document"):
+            formats.write(multi, str(tmp_path / f"x.{fmt}"))
+
+
+# ---------------- zip: passphrase forwarding + empty archive ----------------
+def test_read_zip_forwards_passphrase(spark, tmp_path):
+    import zipfile
+
+    from railgun_spark.sources import crypto
+
+    salt = "a1b2c3d4e5f60718"
+    plain = b'{"k": 1}\n{"k": 2}'
+    with zipfile.ZipFile(tmp_path / "bundle.zip", "w") as zf:
+        zf.writestr("part.jsonl.enc", crypto.encrypt_bytes(plain, "pw", salt))
+    df = formats.read(spark, str(tmp_path / "bundle.zip"), passphrase="pw", salt=salt)
+    assert sorted(r["k"] for r in df.collect()) == [1, 2]
+
+
+def test_read_empty_zip_is_clear_error(spark, tmp_path):
+    import zipfile
+
+    with zipfile.ZipFile(tmp_path / "empty.zip", "w"):
+        pass
+    with pytest.raises(ValueError, match="no file members"):
+        formats.read(spark, str(tmp_path / "empty.zip"), fmt="jsonl")
+
+
+# ---------------- KDF explicitness ----------------
+def test_kdf_argon2i_requires_library():
+    from railgun_spark.sources import crypto
+
+    try:
+        import argon2  # noqa: F401
+
+        pytest.skip("argon2-cffi installed; the interop path is live")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="argon2-cffi is required"):
+        crypto.derive_key("pw", "a1b2c3d4e5f60718", kdf="argon2i")
+
+
+def test_kdf_auto_downgrade_warns_once_per_derive():
+    from railgun_spark.sources import crypto
+
+    try:
+        import argon2  # noqa: F401
+
+        pytest.skip("argon2-cffi installed; no downgrade happens")
+    except ImportError:
+        pass
+    with pytest.warns(RuntimeWarning, match="NOT interoperable"):
+        crypto.derive_key("pw", "a1b2c3d4e5f60718")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # explicit argon2id: no warning
+        crypto.derive_key("pw", "a1b2c3d4e5f60718", kdf="argon2id")
+
+
+def test_kdf_invalid_name_rejected():
+    from railgun_spark.sources import crypto
+
+    with pytest.raises(ValueError, match="kdf must be one of"):
+        crypto.derive_key("pw", "a1b2c3d4e5f60718", kdf="scrypt")
+
+
+def test_wrong_passphrase_fails_loudly(spark, tmp_path):
+    from railgun_spark.sources import crypto
+
+    salt = "a1b2c3d4e5f60718"
+    p = tmp_path / "d.jsonl.enc"
+    p.write_bytes(crypto.encrypt_bytes(b'{"k": 1}', "right-pw", salt))
+    with pytest.raises(ValueError, match="KDF mismatch|undecodable"):
+        crypto.read_encrypted(spark, str(p), "wrong-pw", salt)
+
+
+# ---------------- encrypted-many: scheme-agnostic schema probe ----------------
+def test_read_encrypted_many_probe_has_no_local_open(spark, tmp_path, monkeypatch):
+    """The schema probe must fetch bytes THROUGH Spark (s3a/hdfs safe), never
+    via a driver-local open() on a stripped URI."""
+    from railgun_spark.sources import crypto
+
+    salt = "00112233445566778899aabbccddeeff"
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(3):
+        payload = "\n".join(json.dumps({"id": i * 10 + j, "s": f"r{i}"}) for j in range(4))
+        (shard_dir / f"part-{i}.jsonl.enc").write_bytes(
+            crypto.encrypt_bytes(payload.encode(), "pw", salt)
+        )
+
+    def _banned_open(*a, **k):
+        raise AssertionError("read_encrypted_many called local open() — breaks s3a/hdfs")
+
+    monkeypatch.setattr(crypto, "open", _banned_open, raising=False)
+    df = crypto.read_encrypted_many(spark, str(shard_dir), "pw", salt)
+    assert df.count() == 12
+    assert sorted(df.columns) == ["id", "s"]
+
+
+def test_exec_service_rebound_variable_updates_cache(spark, tmp_path):
+    """A DFL assignment that REBINDS an existing session var must update the
+    cache (ServiceExecHandler.go:282-290), not be dropped as already-merged."""
+    data = tmp_path / "d2.jsonl"
+    data.write_text(json.dumps({"v": 1}))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d2", uri=str(data), format="jsonl"))
+    # n exists in defaults (so it is already in the merged scope) and the
+    # evaluation rebinds it — the old `k not in merged` guard dropped this
+    cat.add(Process(name="p2", expression="($n := 42) | filter(@, '@v >= 0')"))
+    cat.add(Service(name="s2", datastore="d2", process="p2", defaults={"n": 0}))
+    cat.exec_service("s2")
+    assert cat._service_vars["s2"].get("n") == 42
+    # request variables passing through unchanged still never leak
+    cat.exec_service("s2", {"ephemeral": "x"})
+    assert "ephemeral" not in cat._service_vars["s2"]

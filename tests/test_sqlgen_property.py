@@ -72,3 +72,24 @@ def test_filter_roundtrip(spark, pred_df, pred):
     sql = pipeline_sql_for_df(pred_df, dfl, "t_prop")
     via_sql = sorted(tuple(r) for r in spark.sql(sql).collect())
     assert via_cols == via_sql
+
+
+def test_map_projection_preserves_string_typing(spark, pred_df):
+    """After map(), projected string columns must stay string-typed so later
+    stages render string semantics (len -> length, + -> concat)."""
+    dfl = (
+        "map(@, {\"label\": @name + \"_x\", \"id\": @id})"
+        " | filter(@, 'len(@label) == 4')"
+    )
+    via_cols = sorted(tuple(r) for r in run_pipeline(pred_df, dfl).collect())
+    sql = pipeline_sql_for_df(pred_df, dfl, "t_prop")
+    assert "length(" in sql  # string len, not array size
+    via_sql = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert via_cols == via_sql and len(via_cols) == 24
+
+
+def test_map_scalar_projection_string_typing(spark, pred_df):
+    dfl = "map(@, 'lower(@name)') | filter(@, 'len(@value) == 2')"
+    sql = pipeline_sql_for_df(pred_df, dfl, "t_prop")
+    assert "length(" in sql
+    assert len(spark.sql(sql).collect()) == 24
