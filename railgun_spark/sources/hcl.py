@@ -5,9 +5,12 @@ via the upstream hashicorp parser). This is a from-scratch recursive-
 descent parser for the configuration subset railgun actually ferries —
 attribute assignments, nested blocks (with labels), strings/numbers/bools/
 null, lists, objects, and comments (#, //, /* */). It is not a full HCL2
-expression evaluator: interpolation `${...}` and function calls are kept
-as raw strings, which is the honest schema-on-read behavior for a config
-payload headed into a DataFrame row.
+expression evaluator: by default interpolation `${...}` and function calls
+are kept as raw strings, which is the honest schema-on-read behavior for a
+config payload headed into a DataFrame row. `loads(text, variables=...)`
+opts into evaluating the variable-reference subset of interpolations
+(`${name}`, `${var.name}`, dotted paths); function calls and arithmetic
+still stay raw.
 
 Grammar (HCL1 and the HCL2 attribute/block subset share this shape):
   body     := (attribute | block)*
@@ -169,13 +172,64 @@ def _merge(out: dict, name: str, value, block: bool = False) -> None:
         out[name] = [prev, value]
 
 
-def loads(text: str) -> dict:
+def loads(text: str, variables: dict | None = None) -> dict:
     """Parse HCL text into a plain dict (the json-compatible shape the
-    upstream hashicorp decoder produces for the same input)."""
+    upstream hashicorp decoder produces for the same input).
+
+    When ``variables`` is given, HCL2 ``${...}`` interpolations are
+    evaluated against it (see `interpolate`); otherwise they stay raw
+    strings — the honest schema-on-read behavior for config payloads."""
     p = _Parser(_tokens(text))
     doc = p.body()
     p.expect("eof")
+    if variables is not None:
+        doc = interpolate(doc, variables)
     return doc
+
+
+_INTERP = re.compile(r"\$\{([^}]*)\}")
+_REF = re.compile(r"^(?:var\.)?([A-Za-z_][A-Za-z0-9_]*)((?:\.[A-Za-z0-9_]+)*)$")
+
+
+def _resolve_ref(expr: str, variables: dict):
+    """Resolve a `${...}` body: a (possibly dotted, optionally var.-prefixed)
+    variable reference. Returns (value, True) or (None, False) for anything
+    beyond the reference subset (function calls, arithmetic) — those stay
+    raw, matching the parser's no-expression-evaluator contract."""
+    m = _REF.match(expr.strip())
+    if not m:
+        return None, False
+    cur = variables
+    for part in [m.group(1)] + [p for p in m.group(2).split(".") if p]:
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return None, False
+    return cur, True
+
+
+def interpolate(value, variables: dict):
+    """Evaluate HCL2 ${...} variable interpolations recursively.
+
+    A string that IS a single interpolation keeps the variable's native type
+    (`${count}` -> 3); embedded interpolations stringify into the host
+    string. Unresolvable or non-reference expressions are left verbatim."""
+    if isinstance(value, dict):
+        return {k: interpolate(v, variables) for k, v in value.items()}
+    if isinstance(value, list):
+        return [interpolate(v, variables) for v in value]
+    if not isinstance(value, str):
+        return value
+    full = _INTERP.fullmatch(value)
+    if full:
+        resolved, ok = _resolve_ref(full.group(1), variables)
+        return resolved if ok else value
+
+    def _sub(m: re.Match) -> str:
+        resolved, ok = _resolve_ref(m.group(1), variables)
+        return str(resolved) if ok else m.group(0)
+
+    return _INTERP.sub(_sub, value)
 
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")

@@ -526,3 +526,25 @@ def test_exec_service_rebound_variable_updates_cache(spark, tmp_path):
     # request variables passing through unchanged still never leak
     cat.exec_service("s2", {"ephemeral": "x"})
     assert "ephemeral" not in cat._service_vars["s2"]
+
+
+def test_hcl2_interpolation_with_variables():
+    from railgun_spark.sources.hcl import loads
+
+    text = '''
+    name    = "svc-${env}"
+    workers = "${count}"
+    image   = "${var.registry.host}/app"
+    raw     = "${upper(env)}"
+    nested { endpoint = "${env}.example.com" }
+    '''
+    vars = {"env": "prod", "count": 3, "registry": {"host": "r.io"}}
+    doc = loads(text, variables=vars)
+    assert doc["name"] == "svc-prod"
+    assert doc["workers"] == 3  # full-string interpolation keeps native type
+    assert doc["image"] == "r.io/app"
+    assert doc["raw"] == "${upper(env)}"  # function calls stay raw
+    assert doc["nested"]["endpoint"] == "prod.example.com"
+    # without variables: everything stays raw (schema-on-read default)
+    raw_doc = loads(text)
+    assert raw_doc["name"] == "svc-${env}"
