@@ -440,3 +440,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against an eval set.
+#
+# The canonical training-data hygiene op (GPT-3 appendix C / PaLM-style):
+# flag training documents sharing too many word n-grams with a benchmark
+# corpus. Scale shape: the benchmark side is always tiny relative to the
+# corpus (GBs vs 100 TB), so its distinct shingle set BROADCASTS — the scan
+# over the training corpus is then map-side join + one groupBy(doc_id)
+# shuffle. No all-pairs anything.
+# --------------------------------------------------------------------------
+EVAL_MOD = 17  # deterministic stand-in eval set: doc_id % 17 == 0
+CONTAM_THRESHOLD = 0.1
+
+
+@extra_query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), ev AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} = 0
+    ), tr AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+      FROM s WHERE doc_id % {EVAL_MOD} <> 0
+    ), hits AS (
+      SELECT doc_id, n_shingles, count(*) AS n_overlap
+      FROM tr JOIN ev USING (g)
+      GROUP BY doc_id, n_shingles
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           round(n_overlap * 1.0 / n_shingles, 4) AS contam_frac
+    FROM hits
+    WHERE n_overlap * 1.0 / n_shingles >= {CONTAM_THRESHOLD}
+    ORDER BY doc_id
+    """,
+    doc="Flag training docs whose trigram-shingle overlap with the eval set "
+    f"(doc_id % {EVAL_MOD} == 0 stands in for a benchmark corpus) is >= "
+    f"{CONTAM_THRESHOLD}. Eval shingles broadcast; corpus side is one scan "
+    "+ one groupBy(doc_id) shuffle.",
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir)
+    ev = (
+        s.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    tr = s.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        hits.filter(frac >= CONTAM_THRESHOLD)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(frac, 4).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 def token_count(col: Column) -> Column:
@@ -189,4 +189,57 @@ def word_hist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "word")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition scoring (Gopher/MassiveText-style quality filter): a document
+# whose words are mostly repeats of a few types is boilerplate or spam.
+# Pure Catalyst (regexp + array_distinct), no shuffle until the per-lang
+# rollup — the per-doc score is a map-side expression usable directly as a
+# filter in a cleaning pipeline at any scale.
+# --------------------------------------------------------------------------
+def repetition_ratio(text: Column) -> Column:
+    """1 - distinct_words/total_words in [0,1); 0 = no repetition."""
+    ws = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    return F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws)
+
+
+@extra_query(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT lang,
+             1.0 - len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                   * 1.0 / len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS rep
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(rep), 4) AS avg_repetition,
+           round(max(rep), 4) AS max_repetition,
+           sum(CASE WHEN rep >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_high_repetition
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Per-language repetition profile: word type-token redundancy per doc "
+    "(map-side expression), rolled up per lang (5-key shuffle).",
+    tags=("text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    rep = (F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws)).alias("rep")
+    return (
+        docs.select("lang", rep, F.size(ws).alias("nw"))
+        .filter(F.col("nw") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.round(F.max("rep"), 4).alias("max_repetition"),
+            F.sum(F.when(F.col("rep") >= 0.5, 1).otherwise(0)).alias("n_high_repetition"),
+        )
+        .orderBy("lang")
     )

@@ -26,6 +26,9 @@ EXPECTED_EXTRA = {
     "window_running",  # running totals: window_topk/rank keep §2.5 certified
     "sort_desc_limit",  # native twin of dfl_sort_desc_limit
     "conditional_agg_priority",  # conditional agg: promo_revenue_ratio certifies
+    # round-4 additions past the gate cap (locally gated, scale-first designs)
+    "decontaminate_ngram_overlap",  # benchmark n-gram overlap, broadcast eval side
+    "text_repetition_stats",  # Gopher-style repetition quality profile
 }
 
 

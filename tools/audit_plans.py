@@ -45,10 +45,18 @@ def main() -> int:
     import __spark_entry__ as e
     from railgun_spark.session import get_spark
 
+    from railgun_spark import suite
+
     only = set(sys.argv[1:])
     spark = get_spark("audit_plans")
     bad = 0
-    for name, fn in e.queries().items():
+    audited = dict(e.queries())
+    # EXTRA entries are held to the same plan bar, except the documented
+    # verify-only all-pairs helper (demoted from the registry for that reason)
+    audited.update(
+        (n, s.fn) for n, s in suite.extra_specs().items() if n != "dedup_ngram_jaccard"
+    )
+    for name, fn in audited.items():
         if only and name not in only:
             continue
         try:
