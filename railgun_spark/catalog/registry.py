@@ -207,6 +207,12 @@ class Catalog:
             if qname not in self.stored_queries:
                 raise NotFound(f"stored query {qname!r}")
             return self.spark.sql(self.stored_queries[qname])
+        if uri.startswith("jdbc:"):
+            # external-warehouse passthrough (athena/postgres/...): pushdown
+            # + partitioned range reads via the vendor driver (sources/jdbc.py)
+            from railgun_spark.sources.jdbc import read_jdbc
+
+            return read_jdbc(self.spark, uri)
         mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
         now = time.time()
         ent = self._df_cache.get(uri)

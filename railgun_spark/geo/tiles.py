@@ -214,3 +214,59 @@ def mask_grid(df: DataFrame, bbox: tuple[float, float, float, float], z_delta: i
         .collect()
     )
     return {(r["cx"], r["cy"]): 1 for r in counts if r["count"] >= threshold}
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) spatial clustering for the 100 TB write path. Writing a
+# geo table sorted by the interleaved tile-bit key places spatially-near
+# rows in the same parquet files, so a bbox query's min/max column stats
+# prune most files BEFORE the scan — the standard lakehouse practice that
+# partitionBy(z,x,y) alone can't give once tile cardinality explodes
+# (4^z directories at z=14 is 268M partitions; Morton-sorted files need no
+# directory fanout at all).
+# --------------------------------------------------------------------------
+def morton_key(tx: Column, ty: Column, zoom: int) -> Column:
+    """Interleave the low `zoom` bits of tile x/y into a Morton code.
+    Pure integer Column arithmetic — stays in WholeStageCodegen."""
+    key = F.lit(0).cast("bigint")
+    x = tx.cast("bigint")
+    y = ty.cast("bigint")
+    for i in range(zoom):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return key
+
+
+def morton_key_py(tx: int, ty: int, zoom: int) -> int:
+    """Driver-side reference implementation (request-time math + test oracle)."""
+    key = 0
+    for i in range(zoom):
+        key |= ((tx >> i) & 1) << (2 * i)
+        key |= ((ty >> i) & 1) << (2 * i + 1)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    lon: Column,
+    lat: Column,
+    zoom: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by Morton order: repartitionByRange on the
+    Morton key (range-balanced files, one shuffle) + sortWithinPartitions
+    (tight per-file min/max stats on _morton/_tile_x/_tile_y for pruning).
+    Readers prune with a bbox -> tile-range predicate on the stats columns;
+    no directory explosion at high zoom."""
+    keyed = df.withColumn("_tile_x", tile_x(lon, zoom)).withColumn("_tile_y", tile_y(lat, zoom))
+    keyed = keyed.withColumn("_morton", morton_key(F.col("_tile_x"), F.col("_tile_y"), zoom))
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(parts, "_morton")
+        .sortWithinPartitions("_morton")
+        .write.mode(mode)
+        .parquet(path)
+    )

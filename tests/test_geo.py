@@ -67,3 +67,51 @@ def test_bbox_filter_null_safe(spark):
     )
     got = df.filter(bbox_filter(F.col("lon"), F.col("lat"), (-10.0, -10.0, 10.0, 10.0))).count()
     assert got == 1
+
+
+def test_morton_key_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import morton_key, morton_key_py
+
+    rows = [(x, y) for x in (0, 1, 5, 1023, 4095) for y in (0, 2, 7, 511, 4095)]
+    df = spark.createDataFrame(rows, "tx: long, ty: long")
+    got = {
+        (r["tx"], r["ty"]): r["m"]
+        for r in df.withColumn("m", morton_key(F.col("tx"), F.col("ty"), 12)).collect()
+    }
+    for (tx, ty), m in got.items():
+        assert m == morton_key_py(tx, ty, 12), (tx, ty)
+    # locality sanity: adjacent tiles differ less than far tiles
+    assert abs(morton_key_py(100, 100, 12) - morton_key_py(101, 100, 12)) < abs(
+        morton_key_py(100, 100, 12) - morton_key_py(2000, 3000, 12)
+    )
+
+
+def test_write_zordered_clusters_files(spark, tmp_path):
+    """Morton-sorted output: per-file _morton ranges must be (near-)disjoint,
+    which is exactly what gives parquet min/max stats their pruning power."""
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import write_zordered
+
+    df = spark.range(2000).select(
+        (F.col("id") % 360 - 180.0 + 0.5).alias("lon"),
+        ((F.col("id") * 7 % 170) - 85.0 + 0.5).alias("lat"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, F.col("lon"), F.col("lat"), zoom=10, num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("_morton").alias("lo"), F.max("_morton").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file Morton ranges overlap — clustering broken"

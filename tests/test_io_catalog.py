@@ -548,3 +548,37 @@ def test_hcl2_interpolation_with_variables():
     # without variables: everything stays raw (schema-on-read default)
     raw_doc = loads(text)
     assert raw_doc["name"] == "svc-${env}"
+
+
+# ---------------- jdbc passthrough ----------------
+def test_split_jdbc_uri():
+    from railgun_spark.sources.jdbc import split_jdbc_uri
+
+    url, opts = split_jdbc_uri(
+        "jdbc:postgresql://h:5432/db?ssl=true&railgun_table=events"
+        "&railgun_fetchsize=10000&railgun_partitionColumn=id"
+    )
+    assert url == "jdbc:postgresql://h:5432/db?ssl=true"
+    assert opts == {"dbtable": "events", "fetchsize": "10000", "partitionColumn": "id"}
+    url2, opts2 = split_jdbc_uri("jdbc:awsathena://a.us-east-1.amazonaws.com:443;S3OutputLocation=s3://r/")
+    assert url2.startswith("jdbc:awsathena://") and opts2 == {}
+    with pytest.raises(ValueError, match="not a jdbc uri"):
+        split_jdbc_uri("s3a://bucket/x")
+
+
+def test_jdbc_reader_wiring(spark):
+    from railgun_spark.sources.jdbc import jdbc_reader
+
+    # table xor query is enforced before any connection is attempted
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:postgresql://h/db")
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:postgresql://h/db?railgun_table=t&railgun_query=SELECT 1")
+    reader = jdbc_reader(spark, "jdbc:postgresql://h/db?railgun_query=SELECT 1")
+    assert reader is not None  # configured; .load() needs the vendor jar
+    # catalog route: a jdbc datastore reaches the JDBC source (and fails
+    # there, since no driver jar ships in this container)
+    cat = Catalog(spark)
+    cat.add(DataStore(name="wh", uri="jdbc:postgresql://h/db?railgun_table=t", format="jdbc"))
+    with pytest.raises(Exception, match="driver|Driver|ClassNotFound"):
+        cat.load_datastore("wh")
