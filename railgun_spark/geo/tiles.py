@@ -270,3 +270,33 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_zordered(
+    spark: SparkSession, path: str, bbox: tuple[float, float, float, float], zoom: int = 12
+) -> DataFrame:
+    """Read a `write_zordered` table pruned to a bbox: the bbox maps to tile
+    ranges, and because files are Morton-clustered, each file's _tile_x /
+    _tile_y min/max stats are tight — the range predicate skips whole files
+    (row-group stats pruning) before any row is decoded. Rows are then
+    exact-filtered on the stored coordinates by the caller if needed; this
+    returns the tile-level superset (the same contract as the reference's
+    tile serving, which operates on tile-tagged rows)."""
+    w, s, e, n = bbox
+    x_lo = int(math.floor((w + 180.0) * (2.0**zoom) / 360.0))
+    x_hi = int(math.floor((e + 180.0) * (2.0**zoom) / 360.0))
+    # tile y grows southward: north edge gives the low y
+    y_lo = _lat_to_tile_int(n, zoom)
+    y_hi = _lat_to_tile_int(s, zoom)
+    df = spark.read.parquet(path)
+    return df.filter(
+        F.col("_tile_x").between(F.lit(x_lo), F.lit(x_hi))
+        & F.col("_tile_y").between(F.lit(y_lo), F.lit(y_hi))
+    )
+
+
+def _lat_to_tile_int(lat: float, zoom: int) -> int:
+    rad = lat * PI / 180.0
+    return int(
+        math.floor((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / PI) / 2.0 * (2.0**zoom))
+    )

@@ -115,3 +115,35 @@ def test_write_zordered_clusters_files(spark, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file Morton ranges overlap — clustering broken"
+
+
+def test_read_zordered_bbox_prunes_and_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import read_zordered, write_zordered
+
+    df = spark.range(3000).select(
+        (F.col("id") % 360 - 180.0 + 0.5).alias("lon"),
+        ((F.col("id") * 7 % 170) - 85.0 + 0.5).alias("lat"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "zr")
+    write_zordered(df, out, F.col("lon"), F.col("lat"), zoom=10, num_files=8)
+    bbox = (-10.0, -10.0, 10.0, 10.0)
+    got = read_zordered(spark, out, bbox, zoom=10)
+    # tile-level superset: every exact in-bbox row is present
+    exact = df.filter(
+        F.col("lon").between(-10.0, 10.0) & F.col("lat").between(-10.0, 10.0)
+    ).count()
+    inside = got.filter(
+        F.col("lon").between(-10.0, 10.0) & F.col("lat").between(-10.0, 10.0)
+    ).count()
+    assert exact > 0 and inside == exact
+    # pruning: the tile-range predicate reaches the parquet scan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    assert "_tile_x" in buf.getvalue() and "PushedFilters" in buf.getvalue()
