@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "range_join_event_bursts",
     "cube_lineitem_flags",
     "multimodal_features",
+    # round-4 additions (EXTRA registry, locally gated)
+    "decontaminate_ngram_overlap",
+    "text_repetition_stats",
 ]
 
 

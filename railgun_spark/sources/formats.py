@@ -372,9 +372,11 @@ def write(
     elif fmt in ("json", "jsonl"):
         w.json(path, compression=compression)
     elif fmt in ("csv", "tsv"):
-        w.option("header", "true").csv(
-            path, sep="\t" if fmt == "tsv" else ",", compression=compression
-        )
+        # Spark's csv writer trims cell whitespace by default — disable for
+        # byte-fidelity round-trips (gss quotes and preserves whitespace)
+        w.option("header", "true").option("ignoreLeadingWhiteSpace", "false").option(
+            "ignoreTrailingWhiteSpace", "false"
+        ).csv(path, sep="\t" if fmt == "tsv" else ",", compression=compression)
     elif fmt in ("yaml", "toml", "properties", "bson", "hcl", "hcl2"):
         _write_document_format(df, path, fmt)
     else:

@@ -582,3 +582,59 @@ def test_jdbc_reader_wiring(spark):
     cat.add(DataStore(name="wh", uri="jdbc:postgresql://h/db?railgun_table=t", format="jdbc"))
     with pytest.raises(Exception, match="driver|Driver|ClassNotFound"):
         cat.load_datastore("wh")
+
+
+# ---------------- property-based format round-trips (SURVEY §5.4) ----------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_txt = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters='"\\,\n'),
+    min_size=0,
+    max_size=12,
+)
+# quarters are exact in binary: float round-trips stay byte-identical
+_row = st.fixed_dictionaries(
+    {
+        "a": st.integers(-(2**31), 2**31),
+        "b": _txt,
+        "c": st.integers(-4000, 4000).map(lambda n: n / 4.0),
+        "d": st.booleans(),
+    }
+)
+
+
+@given(rows=st.lists(_row, min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_jsonl_roundtrip_property(spark, tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("rt") / "rows.jsonl")
+    df = spark.createDataFrame([Row(**r) for r in rows])
+    formats.write(df, p, fmt="jsonl")
+    back = formats.read(spark, p, fmt="jsonl")
+    want = sorted((r["a"], r["b"], r["c"], r["d"]) for r in rows)
+    got = sorted((r["a"], r["b"], r["c"], r["d"]) for r in back.collect())
+    assert got == want
+
+
+@given(rows=st.lists(_row, min_size=1, max_size=10))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_csv_roundtrip_property(spark, tmp_path_factory, rows):
+    p = str(tmp_path_factory.mktemp("rt") / "rows.csv")
+    df = spark.createDataFrame([Row(**r) for r in rows])
+    formats.write(df, p, fmt="csv")
+    back = formats.read(spark, p, fmt="csv", inferSchema="true")
+    assert back.count() == len(rows)
+    # csv is string-typed on the wire; compare canonicalized strings
+    want = sorted(
+        (str(r["a"]), r["b"], f'{r["c"]:g}', str(r["d"]).lower()) for r in rows
+    )
+    got = sorted(
+        (
+            str(r["a"]),
+            "" if r["b"] is None else str(r["b"]),
+            f'{float(r["c"]):g}',
+            str(r["d"]).lower(),
+        )
+        for r in back.collect()
+    )
+    assert got == want
