@@ -515,3 +515,85 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: connected components over near-dup pairs.
+#
+# Pairwise near-dup detection is only half of dedup — the endgame is
+# resolving pairs into clusters and keeping one survivor per cluster.
+# Transitivity matters: (a~b, b~c) must collapse to ONE cluster even when
+# (a,c) was never a candidate pair. Distributed min-label propagation
+# (the GraphX/Pregel connected-components algorithm without GraphX):
+# every node starts labeled with itself; each round takes the min of its
+# own and its neighbors' labels; converges in O(component diameter)
+# rounds — near-dup clusters are shallow, so a handful. Each round is one
+# equi-join + one groupBy; labels are localCheckpoint'ed so lineage stays
+# flat (the standard Spark iterative-algorithm pattern — without it the
+# plan re-derives the MinHash pipeline every round).
+# --------------------------------------------------------------------------
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(a, b) undirected -> (node, label) with label = component min.
+    Driver-side loop with a scalar convergence probe per round (the label
+    sum decreases monotonically; fixpoint == unchanged sum)."""
+    sym = edges.select(F.col("a"), F.col("b")).union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    sym = sym.distinct().localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.a == labels.node).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@extra_query(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE {minhash_pairs_ctes(0.5)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS survivor_doc
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="MinHash near-dup pairs resolved into transitive clusters via "
+    "distributed min-label propagation (one join + one groupBy per round, "
+    "O(diameter) rounds, flat lineage via localCheckpoint); survivor = min "
+    "doc_id per cluster. Oracle: DuckDB recursive CTE over the same pairs.",
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_dup_pairs(spark, sf_dir, 0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("node").alias("survivor_doc"))
+        .select(
+            F.col("label").alias("cluster_id"), "cluster_size", "survivor_doc"
+        )
+        .orderBy("cluster_id")
+    )

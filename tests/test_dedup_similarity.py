@@ -79,3 +79,15 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     exact = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
     # every >=0.8-jaccard pair must be found by LSH at >=0.5 verify threshold
     assert exact <= lsh
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b-c-d plus an isolated pair must yield 2 components with
+    min-label survivors, regardless of candidate-pair ordering."""
+    from railgun_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200)], "a: long, b: long"
+    )
+    comp = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}

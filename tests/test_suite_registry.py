@@ -29,6 +29,7 @@ EXPECTED_EXTRA = {
     # round-4 additions past the gate cap (locally gated, scale-first designs)
     "decontaminate_ngram_overlap",  # benchmark n-gram overlap, broadcast eval side
     "text_repetition_stats",  # Gopher-style repetition quality profile
+    "dedup_cluster_survivors",  # transitive near-dup clusters via min-label CC
 }
 
 
