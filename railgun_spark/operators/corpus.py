@@ -1,0 +1,147 @@
+"""End-to-end training-corpus cleaning: the composition the individual
+operators exist for. One call classifies every document with its first
+failing filter (precedence: low_quality > exact_duplicate > near_duplicate
+> contaminated > clean), composing:
+
+- quality gate: token count >= MIN_TOKENS (map-side expression, text.py)
+- exact dedup: keep the min doc_id per content hash (hash groupBy + semi
+  join — partial aggregation collapses duplicates map-side, dedup.py)
+- near-dup: MinHash/LSH pairs -> transitive clusters via min-label
+  propagation; non-survivors drop (dedup.py connected_components)
+- decontamination: trigram overlap vs the eval set (broadcast eval
+  shingles, dedup.py decontaminate_ngram_overlap)
+
+Every stage set is a doc_id frame that broadcast-joins back onto the
+corpus scan, so the whole classification is one pass over the documents
+plus the (already shuffle-bounded) set builders. The DuckDB oracle chains
+the same CTE generators the individual operators use, so the composition
+stays hash-verified end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from railgun_spark.operators.dedup import (
+    CONTAM_THRESHOLD,
+    EVAL_MOD,
+    connected_components,
+    decontaminate_ngram_overlap,
+    minhash_dup_pairs,
+    minhash_pairs_ctes,
+)
+from railgun_spark.operators.text import token_count
+from railgun_spark.suite import extra_query
+
+MIN_TOKENS = 25
+
+
+def _corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {minhash_pairs_ctes(0.5)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), cnodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, label) AS (
+      SELECT node, node FROM cnodes
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), near_losers AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(label)
+    ), exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+      ) WHERE doc_id <> keeper
+    ), evx AS (
+      SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % {EVAL_MOD} = 0
+    ), trx AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+      FROM s WHERE doc_id % {EVAL_MOD} <> 0
+    ), contam AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, n_sh, count(*) AS o FROM trx JOIN evx USING (g)
+        GROUP BY doc_id, n_sh
+      ) WHERE o * 1.0 / n_sh >= {CONTAM_THRESHOLD}
+    ), verdicts AS (
+      SELECT d.doc_id,
+        CASE WHEN len(regexp_extract_all(text, '\\S+')) < {MIN_TOKENS}
+                  THEN 'low_quality'
+             WHEN d.doc_id IN (SELECT doc_id FROM exact_losers)
+                  THEN 'exact_duplicate'
+             WHEN d.doc_id IN (SELECT doc_id FROM near_losers)
+                  THEN 'near_duplicate'
+             WHEN d.doc_id IN (SELECT doc_id FROM contam)
+                  THEN 'contaminated'
+             ELSE 'clean' END AS reason
+      FROM documents d
+    )
+    SELECT reason, count(*) AS n_docs
+    FROM verdicts GROUP BY reason ORDER BY reason
+    """
+
+
+def corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, reason) classification frame."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    keepers = (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    exact_losers = (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+
+    pairs = minhash_dup_pairs(spark, sf_dir, 0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    near_losers = comp.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    contam = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+
+    def flag(name: str, ids: DataFrame) -> DataFrame:
+        return F.broadcast(ids.withColumn(name, F.lit(True)))
+
+    flagged = (
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .join(flag("is_exact", exact_losers), "doc_id", "left")
+        .join(flag("is_near", near_losers), "doc_id", "left")
+        .join(flag("is_contam", contam), "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("low_quality"))
+        .when(F.col("is_exact"), F.lit("exact_duplicate"))
+        .when(F.col("is_near"), F.lit("near_duplicate"))
+        .when(F.col("is_contam"), F.lit("contaminated"))
+        .otherwise(F.lit("clean"))
+    )
+    return flagged.select("doc_id", reason.alias("reason"))
+
+
+@extra_query(
+    "corpus_clean_summary",
+    oracle=_corpus_oracle(),
+    doc="Full cleaning pipeline verdict histogram: quality gate, exact "
+    "dedup, transitive near-dup survivors, decontamination — classification "
+    "is one corpus pass joined against broadcast doc_id sets.",
+    tags=("dedup", "text", "pipeline"),
+)
+def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus_verdicts(spark, sf_dir)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )

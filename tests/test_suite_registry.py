@@ -30,6 +30,7 @@ EXPECTED_EXTRA = {
     "decontaminate_ngram_overlap",  # benchmark n-gram overlap, broadcast eval side
     "text_repetition_stats",  # Gopher-style repetition quality profile
     "dedup_cluster_survivors",  # transitive near-dup clusters via min-label CC
+    "corpus_clean_summary",  # composed cleaning pipeline verdict histogram
 }
 
 
