@@ -138,3 +138,25 @@ def test_stream_session_window_matches_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM sess_win").collect()
     }
     assert got == expected and len(got) > 100
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """foreachBatch stream-static decontamination flags exactly the docs the
+    batch operator flags (each doc is self-contained, so per-batch join
+    semantics are complete — no streaming state needed)."""
+    from railgun_spark.operators.dedup import decontaminate_ngram_overlap
+    from railgun_spark.streaming.decontam import stream_decontaminate_availablenow
+
+    import shutil
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_ids = sorted(
+        r["doc_id"] for r in decontaminate_ngram_overlap(spark, sf_dir).collect()
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "shard-0.parquet")
+    stream_ids = stream_decontaminate_availablenow(
+        spark, sf_dir, str(src), str(tmp_path / "ckpt")
+    )
+    assert stream_ids == batch_ids and len(batch_ids) > 0
