@@ -145,3 +145,75 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("reason")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic content-hash splitting & sampling. df.sample() is seeded
+# per-partition and NOT reproducible across engines, partition layouts, or
+# reruns; curation pipelines instead assign each document a bucket from a
+# content hash — stable under repartitioning, appends, and engine swaps
+# (the same doc always lands in the same split). One map-side expression.
+# --------------------------------------------------------------------------
+N_BUCKETS = 100
+VAL_BUCKETS = 5  # buckets [0,5) -> val
+TEST_BUCKETS = 5  # buckets [5,10) -> test; rest -> train
+
+
+@extra_query(
+    "corpus_split_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT
+               % {N_BUCKETS} AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {VAL_BUCKETS} THEN 'val'
+                WHEN bucket < {VAL_BUCKETS + TEST_BUCKETS} THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY lang, split ORDER BY lang, split
+    """,
+    doc="Content-hash train/val/test assignment (shared 60-bit hash mod "
+    f"{N_BUCKETS}): reproducible in any engine, stable under repartition/"
+    "append. Histogram per (lang, split); the assignment itself is the "
+    "map-side `split_assignment` expression.",
+    tags=("text", "sampling"),
+)
+def corpus_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.text import hash60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = hash60(F.col("text")) % N_BUCKETS
+    split = (
+        F.when(bucket < VAL_BUCKETS, F.lit("val"))
+        .when(bucket < VAL_BUCKETS + TEST_BUCKETS, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def split_assignment(text: F.Column) -> F.Column:
+    """The reusable map-side split expression (val/test/train)."""
+    from railgun_spark.operators.text import hash60
+
+    bucket = hash60(text) % N_BUCKETS
+    return (
+        F.when(bucket < VAL_BUCKETS, F.lit("val"))
+        .when(bucket < VAL_BUCKETS + TEST_BUCKETS, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def stable_sample(df: DataFrame, text_col: str, pct: int) -> DataFrame:
+    """Deterministic pct% sample by content hash — same rows every run,
+    every engine, any partitioning."""
+    from railgun_spark.operators.text import hash60
+
+    return df.filter(hash60(F.col(text_col)) % N_BUCKETS < pct)

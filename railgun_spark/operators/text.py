@@ -243,3 +243,49 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token estimation: subword tokenizers split letter-runs, digits,
+# and punctuation separately (the GPT-2 pre-tokenizer shape), so a regex
+# over those classes estimates real token counts far better than \S+ —
+# the number every training-data budget is denominated in. Same regex
+# class semantics in Java regex (Spark) and RE2 (DuckDB) => exact parity.
+# --------------------------------------------------------------------------
+BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH), 0))
+
+
+@extra_query(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT lang,
+           sum(len(regexp_extract_all(text, '{BPE_ISH}')))::BIGINT AS bpe_tokens,
+           sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS ws_tokens,
+           round(sum(len(regexp_extract_all(text, '{BPE_ISH}'))) * 1.0
+                 / sum(len(regexp_extract_all(text, '\\S+'))), 4) AS expansion
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Pre-tokenizer-shaped token budget per language: letter-runs, "
+    "digits, punctuation counted separately; expansion = bpe/ws ratio. "
+    "Pure codegen regexp, one tiny-key shuffle.",
+    tags=("text", "tokens"),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpe = bpe_token_estimate(F.col("text"))
+    ws = token_count(F.col("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(bpe).alias("bpe_tokens"),
+            F.sum(ws).alias("ws_tokens"),
+            F.round(F.sum(bpe) * F.lit(1.0) / F.sum(ws), 4).alias("expansion"),
+        )
+        .orderBy("lang")
+    )

@@ -91,3 +91,18 @@ def test_connected_components_transitive_chain(spark):
     )
     comp = {r["node"]: r["label"] for r in connected_components(edges).collect()}
     assert comp == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
+def test_stable_sample_is_deterministic_and_partition_invariant(spark):
+    from railgun_spark.operators.corpus import stable_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r["doc_id"] for r in stable_sample(docs, "text", 10).collect())
+    b = sorted(
+        r["doc_id"] for r in stable_sample(docs.repartition(17), "text", 10).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # nested: a 5% sample is a subset of the 10% sample (bucket prefix property)
+    c = sorted(r["doc_id"] for r in stable_sample(docs, "text", 5).collect())
+    assert set(c) <= set(a)

@@ -31,6 +31,8 @@ EXPECTED_EXTRA = {
     "text_repetition_stats",  # Gopher-style repetition quality profile
     "dedup_cluster_survivors",  # transitive near-dup clusters via min-label CC
     "corpus_clean_summary",  # composed cleaning pipeline verdict histogram
+    "corpus_split_histogram",  # content-hash train/val/test assignment
+    "text_bpe_token_estimate",  # pre-tokenizer-shaped token budget
 }
 
 
