@@ -459,12 +459,76 @@ def run_pipeline(
 _VALUE_COL = "value"
 
 
+_NO_CONST = object()
+
+
+def _const_eval(node: Node, variables: dict):
+    """Driver-side evaluation of pure scalar expressions: literals, scalar
+    variables, unary minus/not, arithmetic/concat/comparison/bool binaries.
+    Go-DFL evaluates these eagerly, and eager values (unlike lazy Columns)
+    are cacheable across service requests (ServiceExecHandler continuity).
+    Returns _NO_CONST when the expression touches rows/columns or calls."""
+    if isinstance(node, Literal):
+        return node.value
+    if isinstance(node, Variable):
+        v = variables.get(node.name, _NO_CONST)
+        if v is _NO_CONST or isinstance(v, (Column, DataFrame)):
+            return _NO_CONST
+        return v
+    if isinstance(node, Unary):
+        v = _const_eval(node.operand, variables)
+        if v is _NO_CONST:
+            return _NO_CONST
+        if node.op == "-":
+            return -v
+        if node.op in ("not", "!"):
+            return not v
+        return _NO_CONST
+    if isinstance(node, Binary):
+        lv = _const_eval(node.left, variables)
+        rv = _const_eval(node.right, variables)
+        if lv is _NO_CONST or rv is _NO_CONST:
+            return _NO_CONST
+        try:
+            match node.op:
+                case "+":
+                    return lv + rv
+                case "-":
+                    return lv - rv
+                case "*":
+                    return lv * rv
+                case "/":
+                    return lv / rv
+                case "%":
+                    return lv % rv
+                case "==":
+                    return lv == rv
+                case "!=":
+                    return lv != rv
+                case "<":
+                    return lv < rv
+                case "<=":
+                    return lv <= rv
+                case ">":
+                    return lv > rv
+                case ">=":
+                    return lv >= rv
+                case "and":
+                    return bool(lv) and bool(rv)
+                case "or":
+                    return bool(lv) or bool(rv)
+        except TypeError:
+            return _NO_CONST
+    return _NO_CONST
+
+
 def _run_stage(current: Any, stage: Node, ctx: Context):
     if isinstance(stage, Assign):
-        if isinstance(stage.value, Literal):
-            # literal bindings stay plain Python values — cacheable across
+        folded = _const_eval(stage.value, ctx.variables)
+        if folded is not _NO_CONST:
+            # scalar bindings stay plain Python values — cacheable across
             # requests (ServiceExecHandler assignment continuity)
-            ctx.variables[stage.name] = stage.value.value
+            ctx.variables[stage.name] = folded
         elif isinstance(current, DataFrame):
             ctx.df = current
             ctx.variables[stage.name] = compile_expr(stage.value, ctx)

@@ -285,3 +285,32 @@ def test_sqlgen_cli_prints_sql(capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and out.strip().startswith("SELECT") and "WHERE" in out
+
+
+def test_assign_constant_folding_scalar_arithmetic(spark):
+    """Pure scalar assigns evaluate eagerly (Go-DFL semantics) so the value
+    is a cacheable Python scalar, not a lazy Column — including rebinding
+    an existing variable through arithmetic."""
+    from railgun_spark.dfl import run_pipeline
+
+    df = spark.range(3)
+    _, fv = run_pipeline(
+        df,
+        "($n := $n + 1) | ($label := \"run-\" + \"x\") | ($big := $n * 10 >= 10)"
+        " | filter(@, '@id >= 0')",
+        {"n": 0},
+        return_vars=True,
+    )
+    assert fv["n"] == 1 and fv["label"] == "run-x" and fv["big"] is True
+
+
+def test_assign_column_expressions_still_lazy(spark):
+    from pyspark.sql import Column
+
+    from railgun_spark.dfl import run_pipeline
+
+    df = spark.range(3)
+    _, fv = run_pipeline(
+        df, "($m := @id) | filter(@, '@id >= 0')", {}, return_vars=True
+    )
+    assert isinstance(fv["m"], Column)
