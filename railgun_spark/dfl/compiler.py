@@ -484,6 +484,21 @@ def _const_eval(node: Node, variables: dict):
         if node.op in ("not", "!"):
             return not v
         return _NO_CONST
+    if isinstance(node, Ternary):
+        cv = _const_eval(node.cond, variables)
+        if cv is _NO_CONST:
+            return _NO_CONST
+        return _const_eval(node.then if cv else node.other, variables)
+    if isinstance(node, Between):
+        vv = _const_eval(node.value, variables)
+        lo = _const_eval(node.lo, variables)
+        hi = _const_eval(node.hi, variables)
+        if _NO_CONST in (vv, lo, hi):
+            return _NO_CONST
+        try:
+            return lo <= vv <= hi
+        except TypeError:
+            return _NO_CONST
     if isinstance(node, Binary):
         lv = _const_eval(node.left, variables)
         rv = _const_eval(node.right, variables)
@@ -517,6 +532,8 @@ def _const_eval(node: Node, variables: dict):
                     return bool(lv) and bool(rv)
                 case "or":
                     return bool(lv) or bool(rv)
+                case "?:":  # elvis: left unless null
+                    return lv if lv is not None else rv
         except TypeError:
             return _NO_CONST
     return _NO_CONST

@@ -308,10 +308,13 @@ def pipeline_sql_for_df(df, text: str, table: str, variables: dict | None = None
 
 def _stage_sql(sql: str, stage: Node, scope: _Scope) -> str:
     if isinstance(stage, Assign):
-        if isinstance(stage.value, Literal):
-            scope.variables[stage.name] = stage.value.value
+        from railgun_spark.dfl.compiler import _NO_CONST, _const_eval
+
+        folded = _const_eval(stage.value, scope.variables)
+        if folded is not _NO_CONST:
+            scope.variables[stage.name] = folded
             return sql
-        raise SqlRenderError("only literal ($x := v) assigns render to SQL")
+        raise SqlRenderError("only constant-foldable ($x := v) assigns render to SQL")
     if _is_whole(stage):
         return sql
     if isinstance(stage, Call) and stage.args and _is_whole(stage.args[0]):

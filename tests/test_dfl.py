@@ -314,3 +314,28 @@ def test_assign_column_expressions_still_lazy(spark):
         df, "($m := @id) | filter(@, '@id >= 0')", {}, return_vars=True
     )
     assert isinstance(fv["m"], Column)
+
+
+def test_assign_folding_ternary_elvis_between(spark):
+    from railgun_spark.dfl import run_pipeline
+
+    df = spark.range(2)
+    _, fv = run_pipeline(
+        df,
+        "($a := $x ?: 7) | ($b := $a > 5 ? \"hi\" : \"lo\")"
+        " | ($c := $a between 1 and 10) | filter(@, '@id >= 0')",
+        {"x": None},
+        return_vars=True,
+    )
+    assert fv["a"] == 7 and fv["b"] == "hi" and fv["c"] is True
+
+
+def test_sqlgen_folds_scalar_assigns(spark):
+    from railgun_spark.dfl.sqlgen import pipeline_sql_for_df
+
+    df = spark.range(4).withColumnRenamed("id", "v")
+    df.createOrReplaceTempView("t_fold")
+    sql = pipeline_sql_for_df(
+        df, "($n := 1 + 1) | filter(@, '@v >= $n')", "t_fold"
+    )
+    assert len(spark.sql(sql).collect()) == 2
