@@ -541,3 +541,57 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").alias("n"), F.sum("pu").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-proof top-k per group: the two-stage salted form of
+# window_topk_per_group. A window over PARTITION BY group sends every row
+# of a group through ONE reducer's sort — with 5 priority groups over
+# 100 TB that's 5 reducers sorting 20 TB each. Salting fans stage 1 over
+# (group, salt) buckets: each bucket's local top-k is cheap, and a group's
+# TRUE top-k rows are each in their own bucket's top-k (a row beaten by
+# fewer than k rows globally is beaten by fewer than k in its bucket), so
+# stage 2 only re-ranks k x SALT survivors per group. Result provably
+# identical to the direct window — the oracle IS the direct form.
+# --------------------------------------------------------------------------
+TOPK_SALT = 16
+
+
+@extra_query(
+    "window_topk_salted",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t
+    WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+    doc=f"Two-stage salted top-k: stage 1 keeps top-k per (group, "
+    f"salt mod {TOPK_SALT}) — balanced reducers; stage 2 re-ranks the "
+    f"<= k x {TOPK_SALT} survivors per group. Identical output to the "
+    "direct window (the oracle is the direct form).",
+    tags=("window", "topk", "skew"),
+)
+def window_topk_salted(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    salted = orders.withColumn("_salt", F.pmod(F.hash("o_orderkey"), F.lit(TOPK_SALT)))
+    w1 = Window.partitionBy("o_orderpriority", "_salt").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .orderBy("o_orderpriority", "rn")
+    )

@@ -33,6 +33,7 @@ EXPECTED_EXTRA = {
     "corpus_clean_summary",  # composed cleaning pipeline verdict histogram
     "corpus_split_histogram",  # content-hash train/val/test assignment
     "text_bpe_token_estimate",  # pre-tokenizer-shaped token budget
+    "window_topk_salted",  # skew-proof two-stage top-k per group
 }
 
 
