@@ -595,3 +595,93 @@ def window_topk_salted(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFram
         .filter(F.col("rn") <= k)
         .orderBy("o_orderpriority", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling distinct actives (DAU / 7-day WAU). Rolling COUNT(DISTINCT) does
+# not decompose into window partials, so the scale shape is: dedup to
+# (day, user) once — the big shuffle, corpus-proportional — then a bounded
+# map-side 7x explode of each (day, user) into the target days it serves,
+# a broadcast EQUI semi-join against the tiny day dimension (drops target
+# days with no data, e.g. past the corpus edge), and one distinct-count
+# shuffle over the already-day-deduped fan-out. No range join, no
+# nested-loop: every join in the plan is a broadcast hash join.
+# --------------------------------------------------------------------------
+@extra_query(
+    "rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM daily
+    )
+    SELECT d.day,
+           count(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END) AS dau,
+           count(DISTINCT a.user_id) AS wau
+    FROM days d JOIN daily a
+      ON a.day <= d.day AND a.day >= d.day - INTERVAL '6 days'
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    doc="DAU + trailing-7-day WAU: one (day,user) dedup shuffle, then a "
+    "bounded 7x range join against the day dimension.",
+    tags=("agg", "window", "distinct"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_events(spark, sf_dir)
+        .select(F.to_date("ts").alias("a_day"), "user_id")
+        .distinct()
+    )
+    days = daily.select(F.col("a_day").alias("day")).distinct()
+    fanout = daily.select(
+        F.explode(F.sequence(F.col("a_day"), F.date_add(F.col("a_day"), 6))).alias("day"),
+        "a_day",
+        "user_id",
+    )
+    return (
+        fanout.join(F.broadcast(days), "day", "semi")
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("a_day") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (long -> wide). Spark's pivot with an EXPLICIT value list is a
+# single-pass conditional aggregation (one shuffle, no second job to
+# discover values — always pass the list at 100 TB); the oracle writes the
+# same CASE WHEN form directly.
+# --------------------------------------------------------------------------
+ORDER_STATUSES = ("F", "O", "P")
+
+
+@extra_query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Long->wide pivot with an explicit value list: one-pass conditional "
+    "agg, no value-discovery job.",
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(ORDER_STATUSES))
+        .orderBy("o_orderpriority")
+    )

@@ -34,6 +34,8 @@ EXPECTED_EXTRA = {
     "corpus_split_histogram",  # content-hash train/val/test assignment
     "text_bpe_token_estimate",  # pre-tokenizer-shaped token budget
     "window_topk_salted",  # skew-proof two-stage top-k per group
+    "rolling_active_users",  # DAU/7-day-WAU rolling distinct
+    "pivot_status_by_priority",  # explicit-value-list pivot
 }
 
 
