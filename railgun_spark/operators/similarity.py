@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 def to_double(vec: Column) -> Column:
@@ -418,4 +418,118 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
         )
         .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's, fixed 2 iterations, deterministic init = first K
+# vectors). The iterative-algorithm template at scale: each iteration is
+# (a) a MAP-ONLY assignment against K broadcast-literal centroids — K*dim
+# doubles on the driver, same legitimate driver-edge as the IVF coarse
+# quantizer — and (b) one (cluster, pos) partial-agg shuffle for the new
+# centroids (shuffle key cardinality = K * dim, independent of corpus
+# size). Nothing corpus-sized ever sits on the driver.
+#
+# Cross-engine determinism: distances fold sequentially in double and are
+# round()ed to 6 before the argmin (ties break to the lowest cluster id);
+# recomputed centroids are round()ed to 4 on BOTH engines, re-synchronizing
+# any last-ulp drift from aggregation order before the next iteration.
+# --------------------------------------------------------------------------
+KMEANS_K = 4
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    diff2 = F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y))
+    return F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def assign_clusters(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Map-only argmin over broadcast-literal centroids (lowest-id ties)."""
+    cids = sorted(centroids)
+    dists = {cid: _sq_dist(F.col("e"), centroids[cid]) for cid in cids}
+    mind = F.least(*dists.values())
+    cluster = F.when(dists[cids[0]] == mind, cids[0])
+    for cid in cids[1:]:
+        cluster = cluster.when(dists[cid] == mind, cid)
+    return emb.select("vec_id", "e", cluster.alias("cluster"), mind.alias("dist"))
+
+
+def recompute_centroids(assigned: DataFrame) -> dict[int, list[float]]:
+    """One (cluster, pos) shuffle; K*dim rows to the driver, rounded to 4."""
+    rows = (
+        assigned.select("cluster", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 4).alias("m"))
+        .collect()
+    )
+    out: dict[int, dict[int, float]] = {}
+    for r in rows:
+        out.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+    return {cid: [by_pos[p] for p in sorted(by_pos)] for cid, by_pos in out.items()}
+
+
+@extra_query(
+    "kmeans_embeddings",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < {KMEANS_K}
+    ), d1 AS (
+      SELECT vec_id, e, cid,
+             round(list_aggregate(
+               list_transform(e, (x, i) -> (x - c[i]) * (x - c[i])), 'sum'), 6)
+               AS dist
+      FROM emb CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT vec_id, e, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), c1pos AS (
+      SELECT cluster, pos, round(avg(val), 4) AS m FROM (
+        SELECT cluster, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM a1) GROUP BY cluster, pos
+    ), c1 AS (
+      SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM c1pos GROUP BY cluster
+    ), d2 AS (
+      SELECT vec_id, cid,
+             round(list_aggregate(
+               list_transform(e, (x, i) -> (x - c[i]) * (x - c[i])), 'sum'), 6)
+               AS dist
+      FROM emb CROSS JOIN c1
+    ), a2 AS (
+      SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cluster, count(*) AS n_points, round(avg(dist), 4) AS avg_dist
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+    doc="Lloyd's k-means, 2 fixed iterations, first-K init: map-only "
+    "assignment vs broadcast-literal centroids + one K*dim-key shuffle per "
+    "iteration; centroids rounded each iteration to re-sync engines.",
+    tags=("similarity", "clustering"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    init_rows = (
+        emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    )
+    c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
+    a1 = assign_clusters(emb, c0)
+    c1 = recompute_centroids(a1)
+    a2 = assign_clusters(emb, c1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
     )

@@ -289,3 +289,131 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: the classic relevance weight, and the scale template for any
+# corpus-statistic x per-doc-statistic join. Shape: one explode + (doc,word)
+# partial-agg shuffle for TF; the DF side aggregates the SAME pre-deduped
+# frame so its distinct count is a count(*); vocabulary-sized DF is then
+# joined back (vocab << corpus; AQE broadcasts it). ln() is IEEE-identical
+# across engines on identical integer inputs; the rank key is the ROUNDED
+# score so top-k membership is deterministic.
+# --------------------------------------------------------------------------
+@extra_query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY word
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    ORDER BY tfidf DESC, tf.word, tf.doc_id
+    LIMIT 20
+    """,
+    doc="Top TF-IDF (doc, word) pairs: explode -> (doc,word) partial agg; "
+    "DF derived from the deduped TF frame (count(*), no second distinct); "
+    "vocab-sized DF joined back broadcast-style.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # driver scalar, parquet-footer cheap
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df, "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "word", "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverted index (bigram -> sorted posting list of doc ids) for the
+# rare-term band. Rare-n-gram posting lists are the building block of
+# exact-match decontamination and keyword routing; single words in a small
+# vocabulary are all stop-word-common, so the index key is the word BIGRAM.
+# Bigrams are formed map-side with zip_with over two array slices (no
+# self-join, no window); the DF band filter keeps list sizes bounded by
+# construction (at 100 TB you'd also slice(sort_array(...), 1, K) to cap
+# pathological terms). collect_set order is nondeterministic — sort_array
+# canonicalizes before the cross-engine hash.
+# --------------------------------------------------------------------------
+@extra_query(
+    "inverted_index_rare",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+                                   p -> p[1] || ' ' || p[2])) AS bigram
+      FROM ws
+    )
+    SELECT bigram,
+           count(*) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM bg
+    GROUP BY bigram
+    HAVING count(*) BETWEEN 1 AND 8
+    ORDER BY bigram
+    """,
+    doc="Rare-bigram inverted index: map-side zip_with bigrams, dedup "
+    "(doc,bigram) once, group to sorted posting lists; DF band bound keeps "
+    "lists small by construction.",
+    tags=("text", "index"),
+)
+def inverted_index_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("w"),
+    )
+    n = F.size("w")
+    bigrams = ws.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n - 1),
+                F.slice("w", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    ).distinct()
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df").between(1, 8))
+        .orderBy("bigram")
+    )

@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         return
     # Imports are here (not module top) to avoid circular imports.
     from railgun_spark.operators import (  # noqa: F401
+        analytics,
         corpus,
         dedup,
         dfl_queries,

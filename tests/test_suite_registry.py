@@ -36,6 +36,11 @@ EXPECTED_EXTRA = {
     "window_topk_salted",  # skew-proof two-stage top-k per group
     "rolling_active_users",  # DAU/7-day-WAU rolling distinct
     "pivot_status_by_priority",  # explicit-value-list pivot
+    "cohort_retention",  # first-day cohorts x day offset
+    "funnel_conversion",  # strictly-ordered 3-stage funnel
+    "text_tfidf_topk",  # tf-idf relevance weights
+    "inverted_index_rare",  # rare-term posting lists
+    "kmeans_embeddings",  # 2-iteration Lloyd's clustering
 }
 
 
