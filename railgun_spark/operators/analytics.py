@@ -151,3 +151,230 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling: per-column null count + exact distinct count in ONE pass
+# (a single agg row, unpivoted with stack). Counts are exact integers — no
+# float parity surface. At 100 TB the same shape runs with
+# approx_count_distinct (HLL partials, mergeable, no expand blow-up); the
+# exact form is the oracle-checkable twin.
+# --------------------------------------------------------------------------
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@extra_query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT col_name, n_nulls, n_distinct FROM (
+      SELECT 'o_orderkey' AS col_name,
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(CASE WHEN o_custkey IS NULL THEN 1 END),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+             count(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+             count(DISTINCT o_totalprice) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+             count(DISTINCT o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+             count(DISTINCT o_orderpriority) FROM orders
+    )
+    ORDER BY col_name
+    """,
+    doc="Single-pass per-column profile (nulls + exact distinct) unpivoted "
+    "to long form; swap count_distinct for approx_count_distinct at PB "
+    "scale (mergeable HLL partials).",
+    tags=("profile", "quality"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        )
+    ).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Fixed-width value histogram. Bucket index is pure arithmetic on each row
+# (map-side, codegen); the only shuffle carries NUM_BUCKETS keys. Explicit
+# floor((x - lo) / width) on BOTH engines (portable; identical IEEE ops)
+# instead of engine-specific width_bucket.
+# --------------------------------------------------------------------------
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500.0, 10
+
+
+@extra_query(
+    "value_histogram_events",
+    oracle=f"""
+    SELECT least({HIST_BUCKETS - 1},
+                 floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BUCKETS}))
+             ::BIGINT AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Fixed-width numeric histogram: map-side bucket arithmetic, "
+    f"{HIST_BUCKETS}-key shuffle. Same floor((x-lo)/w) expression on both "
+    "engines.",
+    tags=("agg", "histogram"),
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.floor((F.col("value") - HIST_LO) / width),
+    ).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + trailing moving average. The date spine is
+# GENERATED from the 1-row min/max aggregate (explode(sequence(...))) — no
+# driver round-trip, no cross join — then left-joined with the daily rollup
+# and zero-filled. Daily sums are round()ed BEFORE the moving average on
+# both engines, so the MA consumes bit-identical inputs and its own
+# round() is safe.
+# --------------------------------------------------------------------------
+@extra_query(
+    "daily_revenue_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), filled AS (
+      SELECT s.day,
+             coalesce(d.n_orders, 0) AS n_orders,
+             coalesce(d.revenue, 0.0) AS revenue
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    )
+    SELECT day, n_orders, revenue,
+           round(avg(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_ma7
+    FROM filled
+    ORDER BY day
+    """,
+    doc="Dense date spine from explode(sequence(min,max)) over the 1-row "
+    "bounds agg (no driver round-trip), left join + zero fill, 7-day "
+    "trailing MA over pre-rounded daily sums.",
+    tags=("agg", "timeseries", "window"),
+)
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    filled = (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+    ma = Window.orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "day",
+        "n_orders",
+        "revenue",
+        F.round(F.avg("revenue").over(ma), 2).alias("revenue_ma7"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly flagging over daily event volumes. Per-type mean/std are
+# round()ed before z-scores are derived, re-syncing any aggregation-order
+# or variance-algorithm (Welford vs sum-of-squares) drift between engines;
+# the stats frame is type-cardinality-sized, so its join back onto the
+# daily counts broadcasts.
+# --------------------------------------------------------------------------
+@extra_query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             round(avg(n), 4) AS mean_n,
+             round(stddev_samp(n), 4) AS std_n
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - s.mean_n) / s.std_n, 3) AS z
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE abs((d.n - s.mean_n) / s.std_n) >= 1.5
+    ORDER BY d.event_type, d.day
+    """,
+    doc="Daily-volume outliers per event type: tiny (type,day) rollup, "
+    "per-type mean/std rounded before z (re-syncs variance-algorithm "
+    "drift), broadcast stats join, |z|>=1.5 flag.",
+    tags=("agg", "anomaly", "events"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.round(F.avg("n"), 4).alias("mean_n"),
+        F.round(F.stddev_samp("n"), 4).alias("std_n"),
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("std_n")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 1.5)
+        .select("event_type", "day", "n", F.round(z, 3).alias("z"))
+        .orderBy("event_type", "day")
+    )

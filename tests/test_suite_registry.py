@@ -41,6 +41,10 @@ EXPECTED_EXTRA = {
     "text_tfidf_topk",  # tf-idf relevance weights
     "inverted_index_rare",  # rare-term posting lists
     "kmeans_embeddings",  # 2-iteration Lloyd's clustering
+    "profile_orders_columns",  # per-column nulls + exact distinct
+    "value_histogram_events",  # fixed-width numeric histogram
+    "daily_revenue_gapfill",  # date-spine gap fill + 7-day MA
+    "events_anomaly_zscore",  # daily-volume z-score outliers
 }
 
 
