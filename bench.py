@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     # round-4 additions (EXTRA registry, locally gated)
     "decontaminate_ngram_overlap",
     "text_repetition_stats",
+    "cohort_retention",
+    "text_tfidf_topk",
+    "kmeans_embeddings",
 ]
 
 

@@ -417,3 +417,49 @@ def inverted_index_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df").between(1, 8))
         .orderBy("bigram")
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified per-group sampling: a capped, DETERMINISTIC sample per stratum
+# (the training-data balancing primitive — n docs per language/source, not
+# a global fraction). Rank key is the content hash, so the sample is
+# engine-, partitioning-, and run-invariant, unlike seeded df.sample. At
+# 100 TB this is the salted-top-k shape: cap per (stratum, salt) first if
+# a stratum is hot (see window_topk_salted); the plain window is the
+# oracle-checkable form.
+# --------------------------------------------------------------------------
+SAMPLE_PER_LANG = 5
+
+
+@extra_query(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT lang, doc_id, h FROM (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT AS h,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SAMPLE_PER_LANG}
+    ORDER BY lang, h, doc_id
+    """,
+    doc=f"Deterministic {SAMPLE_PER_LANG}-per-language sample ranked by "
+    "content hash (engine/partitioning/run-invariant); window top-k per "
+    "stratum, salted variant for hot strata.",
+    tags=("text", "sampling"),
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = hash60(F.col("text"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_LANG)
+        .select("lang", "doc_id", "h")
+        .orderBy("lang", "h", "doc_id")
+    )

@@ -45,6 +45,7 @@ EXPECTED_EXTRA = {
     "value_histogram_events",  # fixed-width numeric histogram
     "daily_revenue_gapfill",  # date-spine gap fill + 7-day MA
     "events_anomaly_zscore",  # daily-volume z-score outliers
+    "stratified_sample_langs",  # deterministic per-stratum sample
 }
 
 
