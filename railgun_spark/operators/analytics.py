@@ -378,3 +378,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", F.round(z, 3).alias("z"))
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence analytics: both operators below ride ONE shuffle — the
+# window partition on user_id — then reduce to tiny keys (type pairs /
+# buckets), so the expensive part is shared with sessionization and any
+# other per-user sequence op in the same pipeline stage.
+# --------------------------------------------------------------------------
+@extra_query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+    doc="First-order Markov transition counts over per-user event "
+    "sequences: one user_id window shuffle, (type,type)-key rollup; "
+    "(ts, event_id) ordering makes simultaneous events deterministic.",
+    tags=("events", "sequence", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@extra_query(
+    "inter_event_time_hist",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    SELECT CASE
+             WHEN gap_s < 4 THEN 0       WHEN gap_s < 16 THEN 1
+             WHEN gap_s < 64 THEN 2      WHEN gap_s < 256 THEN 3
+             WHEN gap_s < 1024 THEN 4    WHEN gap_s < 4096 THEN 5
+             WHEN gap_s < 16384 THEN 6   WHEN gap_s < 65536 THEN 7
+             WHEN gap_s < 262144 THEN 8  ELSE 9
+           END AS bucket,
+           count(*) AS n,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Log-bucketed (base-4) inter-event-gap histogram per user "
+    "sequence: same user_id window shuffle, integer-threshold buckets "
+    "(exact parity — no floor(ln) ulp risk), 10-key rollup.",
+    tags=("events", "sequence", "histogram"),
+)
+def inter_event_time_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ev = load_events(spark, sf_dir).select(gap.alias("gap_s"))
+    bucket = F.lit(9)
+    for b in range(8, -1, -1):  # 4^(b+1) thresholds, innermost wins
+        bucket = F.when(F.col("gap_s") < 4 ** (b + 1), b).otherwise(bucket)
+    bucket = bucket.cast("bigint")
+    return (
+        ev.filter(F.col("gap_s").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("bucket")
+    )

@@ -46,6 +46,8 @@ EXPECTED_EXTRA = {
     "daily_revenue_gapfill",  # date-spine gap fill + 7-day MA
     "events_anomaly_zscore",  # daily-volume z-score outliers
     "stratified_sample_langs",  # deterministic per-stratum sample
+    "event_transition_matrix",  # Markov transition counts
+    "inter_event_time_hist",  # log-bucketed gap histogram
 }
 
 
