@@ -161,11 +161,18 @@ def read_encrypted_many(
         first["path"],
         kdf,
     )
-    probe_lines = (
-        probe.splitlines()
-        if fmt == "jsonl"
-        else [_json.dumps(r) for r in _json.loads(probe)]
-    )
+    try:
+        probe_lines = (
+            probe.splitlines()
+            if fmt == "jsonl"
+            else [_json.dumps(r) for r in _json.loads(probe)]
+        )
+    except ValueError as e:  # garbage that happened to be valid UTF-8
+        raise ValueError(
+            f"decryption of {first['path']} produced undecodable content — "
+            f"wrong passphrase/salt, or a KDF mismatch (Go-railgun .enc "
+            f"payloads use Argon2i; this decrypt used kdf={kdf!r})"
+        ) from e
     schema = spark.read.json(spark.sparkContext.parallelize(probe_lines[:100])).schema
 
     def _decrypt(batches):
@@ -200,12 +207,24 @@ def read_encrypted(
     rows: list[dict] = []
     for r in files:
         plain = decrypt_bytes(bytes(r["content"]), passphrase, salt_hex, kdf=kdf)
-        if fmt == "jsonl":
-            text = _decode_plain(plain, r["path"], kdf)
-            rows.extend(_json.loads(line) for line in text.splitlines() if line.strip())
-        elif fmt == "json":
-            doc = _json.loads(_decode_plain(plain, r["path"], kdf))
-            rows.extend(doc if isinstance(doc, list) else [doc])
-        else:
-            rows.extend(_decode_document(plain, fmt))
+        # A wrong key yields garbage that USUALLY fails UTF-8 decode but can
+        # occasionally pass it — the parse step must produce the same loud
+        # wrong-passphrase/KDF diagnosis, not a bare JSONDecodeError.
+        try:
+            if fmt == "jsonl":
+                text = _decode_plain(plain, r["path"], kdf)
+                rows.extend(_json.loads(line) for line in text.splitlines() if line.strip())
+            elif fmt == "json":
+                doc = _json.loads(_decode_plain(plain, r["path"], kdf))
+                rows.extend(doc if isinstance(doc, list) else [doc])
+            else:
+                rows.extend(_decode_document(plain, fmt))
+        except ValueError as e:  # JSONDecodeError is a ValueError
+            if "undecodable" in str(e):
+                raise
+            raise ValueError(
+                f"decryption of {r['path']} produced undecodable content — "
+                f"wrong passphrase/salt, or a KDF mismatch (Go-railgun .enc "
+                f"payloads use Argon2i; this decrypt used kdf={kdf!r})"
+            ) from e
     return spark.read.json(spark.sparkContext.parallelize([_json.dumps(r) for r in rows]))

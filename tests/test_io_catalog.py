@@ -486,6 +486,21 @@ def test_wrong_passphrase_fails_loudly(spark, tmp_path):
         crypto.read_encrypted(spark, str(p), "wrong-pw", salt)
 
 
+def test_wrong_passphrase_utf8_garbage_still_diagnosed(spark, tmp_path, monkeypatch):
+    """Wrong-key CFB garbage occasionally IS valid UTF-8; the parse step must
+    still raise the loud wrong-passphrase diagnosis, not a bare
+    JSONDecodeError (this was a real order-dependent flake: random IVs made
+    the garbage decodable ~1 run in N)."""
+    from railgun_spark.sources import crypto
+
+    salt = "a1b2c3d4e5f60718"
+    p = tmp_path / "d.jsonl.enc"
+    p.write_bytes(crypto.encrypt_bytes(b'{"k": 1}', "right-pw", salt))
+    monkeypatch.setattr(crypto, "decrypt_bytes", lambda *a, **k: b"\x01 not json")
+    with pytest.raises(ValueError, match="undecodable"):
+        crypto.read_encrypted(spark, str(p), "wrong-pw", salt)
+
+
 # ---------------- encrypted-many: scheme-agnostic schema probe ----------------
 def test_read_encrypted_many_probe_has_no_local_open(spark, tmp_path, monkeypatch):
     """The schema probe must fetch bytes THROUGH Spark (s3a/hdfs safe), never
