@@ -463,3 +463,81 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "h")
         .orderBy("lang", "h", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Word co-occurrence + PMI (pointwise mutual information): the association
+# primitive behind collocation mining, embedding co-occurrence matrices,
+# and market-basket affinity. Shape: dedup (doc, word) once, self-join on
+# doc_id — bounded per doc by the distinct-word count, NOT corpus-squared;
+# at 100 TB you additionally cap per-doc distinct words (top-N by tf) so
+# the per-doc pair fan-out is a constant. Marginals join back
+# vocab-sized (broadcast). ln() runs on identical integer-derived doubles
+# in both engines; the 1-ulp libm risk is ~1e-12 per value at round(4) —
+# unlike floor(ln) bucketing there is no exact-boundary input class.
+# --------------------------------------------------------------------------
+@extra_query(
+    "word_cooccurrence_pmi",
+    oracle="""
+    WITH dw AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM dw
+    ), marg AS (
+      SELECT word, count(*) AS df FROM dw GROUP BY word
+    ), pairs AS (
+      SELECT a.word AS word_a, b.word AS word_b, count(*) AS n_ab
+      FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY a.word, b.word
+    )
+    SELECT word_a, word_b, n_ab,
+           round(ln(n_ab * 1.0 * n.n_docs / (ma.df * 1.0 * mb.df)), 4) AS pmi
+    FROM pairs
+    JOIN marg ma ON pairs.word_a = ma.word
+    JOIN marg mb ON pairs.word_b = mb.word
+    CROSS JOIN n
+    ORDER BY n_ab DESC, word_a, word_b
+    LIMIT 25
+    """,
+    doc="Top word-pair co-occurrence with PMI: (doc,word) dedup, per-doc "
+    "bounded self-join (cap distinct words per doc at PB scale), "
+    "vocab-sized marginals broadcast back.",
+    tags=("text", "association"),
+)
+def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    ).distinct()
+    n_docs = dw.select("doc_id").distinct().count()  # driver scalar
+    a = dw.alias("a")
+    b = dw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ma = marg.select(F.col("word").alias("word_a"), F.col("df").alias("df_a"))
+    mb = marg.select(F.col("word").alias("word_b"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        F.col("n_ab") * F.lit(float(n_docs)) / (F.col("df_a") * F.lit(1.0) * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(ma), "word_a")
+        .join(F.broadcast(mb), "word_b")
+        .select("word_a", "word_b", "n_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("n_ab"), "word_a", "word_b")
+        .limit(25)
+    )

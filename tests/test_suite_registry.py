@@ -48,6 +48,7 @@ EXPECTED_EXTRA = {
     "stratified_sample_langs",  # deterministic per-stratum sample
     "event_transition_matrix",  # Markov transition counts
     "inter_event_time_hist",  # log-bucketed gap histogram
+    "word_cooccurrence_pmi",  # collocation mining with PMI
 }
 
 
