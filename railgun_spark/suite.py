@@ -109,6 +109,7 @@ def _ensure_loaded() -> None:
         corpus,
         dedup,
         dfl_queries,
+        graph,
         multimodal,
         relational,
         relational2,

@@ -49,6 +49,7 @@ EXPECTED_EXTRA = {
     "event_transition_matrix",  # Markov transition counts
     "inter_event_time_hist",  # log-bucketed gap histogram
     "word_cooccurrence_pmi",  # collocation mining with PMI
+    "pagerank_word_graph",  # 3-superstep PageRank
 }
 
 
