@@ -25,6 +25,10 @@ from railgun_spark.sources.tables import load_events
 from railgun_spark.suite import extra_query
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 # --------------------------------------------------------------------------
 # Cohort retention: users grouped by first-active day; for each (cohort,
 # day-offset) the number of cohort members active that day. Because the
@@ -471,4 +475,112 @@ def inter_event_time_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_s").alias("max_gap_s"),
         )
         .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence ("bought X, also bought Y"): order-level
+# basket self-join. The join is bounded per basket (≤ items-per-order
+# pairs, a domain constant), never corpus² — the same per-group-bounded
+# self-join discipline as word_cooccurrence_pmi; at PB scale cap basket
+# size first. Counts are exact integers.
+# --------------------------------------------------------------------------
+@extra_query(
+    "item_cooccurrence_topk",
+    oracle="""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM bp a JOIN bp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+    doc="Top co-purchased part pairs: order-level basket dedup, per-basket "
+    "bounded self-join (cap basket size at PB scale), pair-key rollup.",
+    tags=("join", "basket", "recommendation"),
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = bp.alias("a"), bp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Customer revenue deciles: per-customer revenue (rounded BEFORE ranking so
+# both engines rank identical doubles; ties broken by custkey), ntile(10),
+# then per-decile rollup. Two shuffles total: the revenue agg and the
+# decile rollup; the ntile window is a single global sort over the
+# already-aggregated customer frame (at PB scale: customer-cardinality,
+# not corpus-cardinality).
+# --------------------------------------------------------------------------
+@extra_query(
+    "customer_revenue_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, revenue,
+             ntile(10) OVER (ORDER BY revenue, o_custkey) AS decile
+      FROM rev
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(sum(revenue), 2) AS total_revenue,
+           round(min(revenue), 2) AS min_revenue,
+           round(max(revenue), 2) AS max_revenue
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    doc="Customer spend deciles: rounded per-customer revenue, "
+    "deterministic ntile(10) (tie-break custkey), per-decile stats.",
+    tags=("agg", "window", "deciles"),
+)
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    ranked = rev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("revenue", "o_custkey"))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+        .orderBy("decile")
     )

@@ -50,6 +50,8 @@ EXPECTED_EXTRA = {
     "inter_event_time_hist",  # log-bucketed gap histogram
     "word_cooccurrence_pmi",  # collocation mining with PMI
     "pagerank_word_graph",  # 3-superstep PageRank
+    "item_cooccurrence_topk",  # market-basket co-purchase pairs
+    "customer_revenue_deciles",  # ntile(10) spend deciles
 }
 
 
