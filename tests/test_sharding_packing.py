@@ -1,0 +1,90 @@
+"""Training-shard writer + sequence packing: invariants and determinism."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from railgun_spark.operators.packing import pack_sequences
+from railgun_spark.sources.sharding import (
+    build_manifest,
+    write_manifest,
+    write_training_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ------------------------------- sharding ---------------------------------
+def test_shards_bounded_and_manifest_complete(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    cap = 20
+    write_training_shards(docs, out, sort_key="doc_id", records_per_shard=cap,
+                          target_partitions=2)
+    manifest = build_manifest(spark, out, sort_key="doc_id")
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    assert all(r["n_rows"] <= cap for r in rows)
+    # unique sort key + range partitioning + within-shard sort => the
+    # manifest key ranges are disjoint and ordered (seekable by a sampler)
+    ordered = sorted(rows, key=lambda r: r["min_key"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert prev["max_key"] < cur["min_key"]
+
+
+def test_manifest_jsonl_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, sort_key="doc_id", records_per_shard=50)
+    mpath = str(tmp_path / "manifest.jsonl")
+    write_manifest(build_manifest(spark, out, sort_key="doc_id"), mpath)
+    lines = [json.loads(line) for line in open(mpath)]
+    assert sum(r["n_rows"] for r in lines) == docs.count()
+    assert all(set(r) == {"shard", "n_rows", "min_key", "max_key"} for r in lines)
+
+
+# ------------------------------- packing ----------------------------------
+MAX_TOK = 512
+
+
+def test_packing_invariants(spark, docs):
+    packed = pack_sequences(docs, MAX_TOK, n_buckets=8).collect()
+    # every eligible doc exactly once
+    ids = [r["doc_id"] for r in packed]
+    assert len(ids) == len(set(ids))
+    eligible = docs.count()  # sf0.001 docs are all far below 512 bpe tokens
+    assert len(ids) == eligible
+    # bin budgets respected
+    sums: dict[str, int] = {}
+    for r in packed:
+        sums[r["bin_id"]] = sums.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(s <= MAX_TOK for s in sums.values())
+    # bins are non-trivially packed (median bin holds > 1 doc)
+    from collections import Counter
+
+    per_bin = Counter(r["bin_id"] for r in packed)
+    assert sorted(per_bin.values())[len(per_bin) // 2] > 1
+
+
+def test_packing_partitioning_invariant(spark, docs):
+    """Same corpus => identical bins no matter how the input is partitioned
+    (explicit hash buckets, not sampled range partitions)."""
+    a = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(docs.repartition(7), MAX_TOK, n_buckets=8).collect()
+    }
+    b = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(docs.coalesce(1), MAX_TOK, n_buckets=8).collect()
+    }
+    assert a == b
+
+
+def test_packing_drops_oversized(spark, docs):
+    tiny = pack_sequences(docs, 10, n_buckets=4)
+    assert tiny.filter(tiny.n_tokens > 10).count() == 0
