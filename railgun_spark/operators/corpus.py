@@ -217,3 +217,58 @@ def stable_sample(df: DataFrame, text_col: str, pct: int) -> DataFrame:
     from railgun_spark.operators.text import hash60
 
     return df.filter(hash60(F.col(text_col)) % N_BUCKETS < pct)
+
+
+def prepare_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    max_tokens: int = 512,
+    records_per_shard: int = 1_000_000,
+    n_buckets: int = 32,
+) -> dict:
+    """End-to-end training-data preparation: the composition a 100 TB
+    pipeline actually runs, each stage the scale-shaped operator certified
+    elsewhere in the suite.
+
+      clean (quality gate + exact dedup + near-dup survivors +
+      decontamination, corpus_verdicts) -> train split (content-hash,
+      split_assignment) -> sequence packing (pack_sequences, deterministic
+      hash buckets) -> bounded shards + seekable manifest
+      (write_training_shards / build_manifest).
+
+    Returns summary counts (all driver-sized aggregates). Everything
+    between the parquet scan and the shard write stays distributed.
+    """
+    from railgun_spark.operators.packing import pack_sequences
+    from railgun_spark.sources.sharding import (
+        build_manifest,
+        write_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    verdicts = corpus_verdicts(spark, sf_dir)
+    clean_ids = verdicts.filter(F.col("reason") == "clean").select("doc_id")
+    clean = docs.join(clean_ids, "doc_id")
+    train = clean.filter(split_assignment(F.col("text")) == "train")
+
+    packed = pack_sequences(train, max_tokens, n_buckets=n_buckets)
+    rows = train.join(packed.select("doc_id", "n_tokens", "bin_id"), "doc_id")
+
+    shards_path = f"{out_dir}/shards"
+    write_training_shards(
+        rows, shards_path, sort_key="bin_id", records_per_shard=records_per_shard
+    )
+    manifest = build_manifest(spark, shards_path, sort_key="bin_id")
+    write_manifest(manifest, f"{out_dir}/manifest.jsonl")
+
+    n_bins = packed.select("bin_id").distinct().count()
+    return {
+        "n_input_docs": docs.count(),
+        "n_clean_docs": clean.count(),
+        "n_train_docs": train.count(),
+        "n_packed_docs": packed.count(),
+        "n_bins": n_bins,
+        "n_shards": manifest.count(),
+    }

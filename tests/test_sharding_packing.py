@@ -88,3 +88,24 @@ def test_packing_partitioning_invariant(spark, docs):
 def test_packing_drops_oversized(spark, docs):
     tiny = pack_sequences(docs, 10, n_buckets=4)
     assert tiny.filter(tiny.n_tokens > 10).count() == 0
+
+
+# --------------------------- end-to-end pipeline ---------------------------
+def test_prepare_training_shards_end_to_end(spark, tmp_path):
+    from railgun_spark.operators.corpus import prepare_training_shards
+
+    out = str(tmp_path / "prep")
+    summary = prepare_training_shards(
+        spark, SF_DIR, out, max_tokens=512, records_per_shard=40, n_buckets=8
+    )
+    assert summary["n_clean_docs"] <= summary["n_input_docs"]
+    assert summary["n_train_docs"] <= summary["n_clean_docs"]
+    assert summary["n_packed_docs"] == summary["n_train_docs"]
+    assert 0 < summary["n_bins"] <= summary["n_packed_docs"]
+    # written shards agree with the manifest and carry the packing columns
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.count() == summary["n_packed_docs"]
+    assert {"doc_id", "text", "n_tokens", "bin_id"} <= set(shards.columns)
+    lines = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
+    assert len(lines) == summary["n_shards"]
+    assert sum(r["n_rows"] for r in lines) == summary["n_packed_docs"]
