@@ -129,6 +129,23 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    from railgun_spark.operators.corpus import prepare_training_shards
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_prepare")
+    summary = prepare_training_shards(
+        spark,
+        args.input_dir,
+        args.output_dir,
+        max_tokens=args.max_tokens,
+        records_per_shard=args.records_per_shard,
+        n_buckets=args.buckets,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_functions(args) -> int:
     from railgun_spark.functions import functions
 
@@ -178,6 +195,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--address", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "prepare",
+        help="training-data preparation: clean -> split -> pack -> shard+manifest",
+    )
+    p.add_argument("--input-dir", required=True, help="dir with documents.parquet")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--max-tokens", type=int, default=2048)
+    p.add_argument("--records-per-shard", type=int, default=1_000_000)
+    p.add_argument("--buckets", type=int, default=32)
+    p.set_defaults(fn=cmd_prepare)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

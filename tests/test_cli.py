@@ -92,3 +92,20 @@ def test_functions_and_formats(capsys):
     assert {"tileX", "hist", "len"} <= names
     assert main(["formats"]) == 0
     assert "jsonl" in json.loads(capsys.readouterr().out)
+
+
+def test_prepare_subcommand(spark, capsys, tmp_path):
+    rc = main(
+        [
+            "prepare",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--output-dir", str(tmp_path / "prep"),
+            "--max-tokens", "512",
+            "--records-per-shard", "100",
+            "--buckets", "8",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["n_packed_docs"] == summary["n_train_docs"] > 0
+    assert (tmp_path / "prep" / "manifest.jsonl").exists()
