@@ -109,3 +109,41 @@ def test_prepare_training_shards_end_to_end(spark, tmp_path):
     lines = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
     assert len(lines) == summary["n_shards"]
     assert sum(r["n_rows"] for r in lines) == summary["n_packed_docs"]
+
+
+# ------------------------- property-based packing --------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", "::", "q"])
+_doc = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=60))
+def test_packing_properties_generated(spark, texts):
+    """For ANY document set: every doc <= budget appears exactly once, every
+    bin respects the budget, and the assignment is a pure function of the
+    data (two runs agree)."""
+    from pyspark.sql import Row
+
+    budget = 30
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = pack_sequences(df, budget, n_buckets=4).collect()
+    again = pack_sequences(df, budget, n_buckets=4).collect()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in out) == sorted(
+        (r["doc_id"], r["bin_id"]) for r in again
+    )
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    sums: dict[str, int] = {}
+    for r in out:
+        assert r["n_tokens"] <= budget
+        sums[r["bin_id"]] = sums.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(s <= budget for s in sums.values())
