@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from railgun_spark.operators.text import bpe_token_estimate, hash60
+from railgun_spark.suite import extra_query
 
 PACK_SCHEMA = "doc_id long, n_tokens long, bucket long, bin_id string"
 
@@ -70,3 +71,93 @@ def pack_sequences(
         )
 
     return base.groupBy("bucket").applyInPandas(_pack, PACK_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Document chunking — the upstream mate of pack_sequences (which DROPS
+# docs over budget; chunking is the canonical fix). Entirely map-side:
+# token split, index-sequence transform, slice+join, posexplode — no
+# shuffle at all, so it composes into any pipeline for free. Whitespace is
+# normalized to single spaces inside chunks (documented contract).
+# --------------------------------------------------------------------------
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text); empty docs yield
+    no chunks. Integer arithmetic only (ceil via (n+c-1) div c)."""
+    c = chunk_tokens
+    ws = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n = F.size(ws)
+    n_chunks = ((n + c - 1) / c).cast("long")  # exact: ints divide then cast
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(ws, i * c + 1, c), " "),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_idx"),
+            F.size(F.regexp_extract_all(F.col("col"), F.lit(r"\S+"), 0)).alias(
+                "n_chunk_tokens"
+            ),
+            F.col("col").alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_TOKENS = 10
+
+
+@extra_query(
+    "document_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+      FROM documents WHERE doc_id < 30
+    ), c AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, (len(ws) + {CHUNK_TOKENS - 1}) // {CHUNK_TOKENS}),
+               i -> array_to_string(
+                 ws[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' '))
+               AS chunks
+      FROM t WHERE len(ws) > 0
+    ), u AS (
+      SELECT doc_id,
+             generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+             unnest(chunks) AS chunk
+      FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           len(regexp_extract_all(chunk, '\\S+')) AS n_chunk_tokens,
+           CAST(('0x' || substr(md5(chunk), 1, 15)) AS UBIGINT)::BIGINT
+             AS chunk_hash
+    FROM u
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Map-side doc chunking into <={CHUNK_TOKENS}-token pieces: token "
+    "split + index transform + slice/join + posexplode, zero shuffle; "
+    "chunk content certified cross-engine by the shared 60-bit hash.",
+    tags=("text", "chunking"),
+)
+def document_chunking(spark, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.text import hash60
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 30)
+    )
+    return (
+        chunk_documents(docs, CHUNK_TOKENS)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunk_tokens",
+            hash60(F.col("chunk_text")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -111,6 +111,7 @@ def _ensure_loaded() -> None:
         dfl_queries,
         graph,
         multimodal,
+        packing,
         relational,
         relational2,
         similarity,

@@ -147,3 +147,35 @@ def test_packing_properties_generated(spark, texts):
         assert r["n_tokens"] <= budget
         sums[r["bin_id"]] = sums.get(r["bin_id"], 0) + r["n_tokens"]
     assert all(s <= budget for s in sums.values())
+
+
+# ------------------------------- chunking ----------------------------------
+def test_chunking_partitions_tokens_exactly(spark, docs):
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.packing import chunk_documents
+
+    C = 10
+    chunks = chunk_documents(docs, C)
+    # per-doc chunk token counts sum to the doc's token count
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("tok"),
+            F.max("n_chunk_tokens").alias("mx"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .collect()
+    )
+    orig = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("n"),
+        ).collect()
+    }
+    for r in per_doc:
+        assert r["tok"] == orig[r["doc_id"]]
+        assert r["mx"] <= C
+        # every chunk except possibly the last is full
+        assert r["k"] == (orig[r["doc_id"]] + C - 1) // C

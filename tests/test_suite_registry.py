@@ -52,6 +52,7 @@ EXPECTED_EXTRA = {
     "pagerank_word_graph",  # 3-superstep PageRank
     "item_cooccurrence_topk",  # market-basket co-purchase pairs
     "customer_revenue_deciles",  # ntile(10) spend deciles
+    "document_chunking",  # map-side token-window chunking
 }
 
 
