@@ -240,7 +240,8 @@ def prepare_training_shards(
     Returns summary counts (all driver-sized aggregates). Everything
     between the parquet scan and the shard write stays distributed.
     """
-    from railgun_spark.operators.packing import pack_sequences
+    from railgun_spark.operators.packing import chunk_documents, pack_sequences
+    from railgun_spark.operators.text import bpe_token_estimate
     from railgun_spark.sources.sharding import (
         build_manifest,
         write_manifest,
@@ -253,8 +254,31 @@ def prepare_training_shards(
     clean = docs.join(clean_ids, "doc_id")
     train = clean.filter(split_assignment(F.col("text")) == "train")
 
-    packed = pack_sequences(train, max_tokens, n_buckets=n_buckets)
-    rows = train.join(packed.select("doc_id", "n_tokens", "bin_id"), "doc_id")
+    # Lossless budget handling: docs over the token budget are CHUNKED (not
+    # dropped) before packing. Chunk size is in whitespace tokens, halved to
+    # leave headroom for BPE expansion; any chunk still over the BPE budget
+    # is dropped by pack_sequences and surfaced in n_dropped_units.
+    # Unit ids: uid = doc_id * 1_000_000 (+ chunk_idx + 1 for chunks) —
+    # collision-free while docs stay under a million chunks.
+    toks = bpe_token_estimate(F.col("text"))
+    small = train.filter(toks <= max_tokens).select(
+        (F.col("doc_id") * 1_000_000).alias("uid"),
+        F.col("doc_id").alias("orig_doc_id"),
+        "text",
+    )
+    big = train.filter(toks > max_tokens)
+    chunked = chunk_documents(big, max(1, max_tokens // 2)).select(
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx") + 1).alias("uid"),
+        F.col("doc_id").alias("orig_doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    units = small.unionByName(chunked)
+
+    packed = pack_sequences(units, max_tokens, n_buckets=n_buckets, id_col="uid")
+    packed_units = packed.select(
+        F.col("doc_id").alias("uid"), "n_tokens", "bin_id"
+    )
+    rows = units.join(packed_units, "uid")
 
     shards_path = f"{out_dir}/shards"
     write_training_shards(
@@ -263,12 +287,17 @@ def prepare_training_shards(
     manifest = build_manifest(spark, shards_path, sort_key="bin_id")
     write_manifest(manifest, f"{out_dir}/manifest.jsonl")
 
-    n_bins = packed.select("bin_id").distinct().count()
+    n_units = units.count()
+    n_packed_units = packed.count()
     return {
         "n_input_docs": docs.count(),
         "n_clean_docs": clean.count(),
         "n_train_docs": train.count(),
-        "n_packed_docs": packed.count(),
-        "n_bins": n_bins,
+        "n_chunked_docs": big.count(),
+        "n_units": n_units,
+        "n_packed_units": n_packed_units,
+        "n_dropped_units": n_units - n_packed_units,
+        "n_covered_docs": rows.select("orig_doc_id").distinct().count(),
+        "n_bins": packed.select("bin_id").distinct().count(),
         "n_shards": manifest.count(),
     }

@@ -107,5 +107,5 @@ def test_prepare_subcommand(spark, capsys, tmp_path):
     )
     assert rc == 0
     summary = json.loads(capsys.readouterr().out)
-    assert summary["n_packed_docs"] == summary["n_train_docs"] > 0
+    assert summary["n_covered_docs"] == summary["n_train_docs"] > 0
     assert (tmp_path / "prep" / "manifest.jsonl").exists()

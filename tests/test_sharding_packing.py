@@ -95,20 +95,25 @@ def test_prepare_training_shards_end_to_end(spark, tmp_path):
     from railgun_spark.operators.corpus import prepare_training_shards
 
     out = str(tmp_path / "prep")
+    # max_tokens=40 forces the chunking path: most sf0.001 docs are larger
     summary = prepare_training_shards(
-        spark, SF_DIR, out, max_tokens=512, records_per_shard=40, n_buckets=8
+        spark, SF_DIR, out, max_tokens=40, records_per_shard=40, n_buckets=8
     )
     assert summary["n_clean_docs"] <= summary["n_input_docs"]
     assert summary["n_train_docs"] <= summary["n_clean_docs"]
-    assert summary["n_packed_docs"] == summary["n_train_docs"]
-    assert 0 < summary["n_bins"] <= summary["n_packed_docs"]
+    assert summary["n_chunked_docs"] > 0
+    assert summary["n_units"] >= summary["n_train_docs"]
+    # lossless: every train doc reaches the shards (whole or chunked)
+    assert summary["n_covered_docs"] == summary["n_train_docs"]
+    assert summary["n_dropped_units"] == 0
+    assert 0 < summary["n_bins"] <= summary["n_packed_units"]
     # written shards agree with the manifest and carry the packing columns
     shards = spark.read.parquet(f"{out}/shards")
-    assert shards.count() == summary["n_packed_docs"]
-    assert {"doc_id", "text", "n_tokens", "bin_id"} <= set(shards.columns)
+    assert shards.count() == summary["n_packed_units"]
+    assert {"uid", "orig_doc_id", "text", "n_tokens", "bin_id"} <= set(shards.columns)
     lines = [json.loads(line) for line in open(f"{out}/manifest.jsonl")]
     assert len(lines) == summary["n_shards"]
-    assert sum(r["n_rows"] for r in lines) == summary["n_packed_docs"]
+    assert sum(r["n_rows"] for r in lines) == summary["n_packed_units"]
 
 
 # ------------------------- property-based packing --------------------------
