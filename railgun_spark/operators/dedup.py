@@ -602,3 +602,46 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental exact dedup: continual-ingestion mode. A pretraining corpus
+# is built in batches; each new batch must dedup against EVERYTHING seen
+# before without rescanning it. The seen-set is a parquet fingerprint
+# index (one bigint column) that grows append-only:
+#   - intra-batch dedup first (map-side-combining groupBy, as always),
+#   - then a left_anti equi-join against the index scan — column-pruned to
+#     8 bytes/row, and at PB scale bucketed/z-ordered by hash so the join
+#     co-locates without a full shuffle of the index,
+#   - survivors' hashes append to the index (the only write amplification
+#     is the batch's own size).
+# --------------------------------------------------------------------------
+def dedup_against_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of `df` whose content hash is new (not in batch-earlier rows,
+    not in the index). Call `append_to_index` with the result to commit."""
+    from railgun_spark.operators.text import hash60
+
+    spark = df.sparkSession
+    h = hash60(F.col(text_col))
+    hashed = df.withColumn("__h", h)
+    # intra-batch: keep lowest id per hash
+    winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
+    batch_unique = hashed.join(
+        winners,
+        (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__keep"]),
+    ).select(hashed["*"])
+    try:
+        seen = spark.read.parquet(index_path).select(F.col("h").alias("__h"))
+    except Exception:  # first batch: no index yet
+        return batch_unique
+    return batch_unique.join(seen, "__h", "left_anti")
+
+
+def append_to_index(survivors: DataFrame, index_path: str) -> None:
+    """Append the survivors' fingerprints; idempotent per batch content."""
+    survivors.select(F.col("__h").alias("h")).write.mode("append").parquet(index_path)

@@ -106,3 +106,34 @@ def test_stable_sample_is_deterministic_and_partition_invariant(spark):
     # nested: a 5% sample is a subset of the 10% sample (bucket prefix property)
     c = sorted(r["doc_id"] for r in stable_sample(docs, "text", 5).collect())
     assert set(c) <= set(a)
+
+
+# ----------------------- incremental (index) dedup -------------------------
+def test_dedup_against_index_batches(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import append_to_index, dedup_against_index
+
+    idx = str(tmp_path / "fingerprints")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta"),
+         Row(doc_id=3, text="alpha beta")]  # intra-batch dup of 1
+    )
+    s1 = dedup_against_index(b1, idx)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    append_to_index(s1, idx)
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=10, text="alpha beta"),   # cross-batch dup
+         Row(doc_id=11, text="epsilon zeta"),  # new
+         Row(doc_id=12, text="epsilon zeta")]  # intra-batch dup of 11
+    )
+    s2 = dedup_against_index(b2, idx)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    append_to_index(s2, idx)
+
+    # index now holds exactly the three unique fingerprints
+    assert spark.read.parquet(idx).distinct().count() == 3
+    # a third batch of all-seen content survives nothing
+    b3 = spark.createDataFrame([Row(doc_id=20, text="alpha beta")])
+    assert dedup_against_index(b3, idx).count() == 0
