@@ -645,3 +645,72 @@ def dedup_against_index(
 def append_to_index(survivors: DataFrame, index_path: str) -> None:
     """Append the survivors' fingerprints; idempotent per batch content."""
     survivors.select(F.col("__h").alias("h")).write.mode("append").parquet(index_path)
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup (MinHash-LSH) against a persisted band index — the
+# continual-ingestion twin of `minhash_dup_pairs`. The index stores one row
+# per (band_key) of every admitted document: ~NUM_BANDS short strings per
+# doc, orders of magnitude smaller than the corpus. A new document is
+# rejected if ANY of its band keys collides with the index (same criterion
+# a band collision feeds the verify step in the batch path; here collision
+# alone rejects — the standard recall/cost trade for ingestion gates).
+# Intra-batch, a doc is rejected if it collides with a LOWER-id doc in the
+# same batch (greedy by id: deterministic, one self-join, no connected
+# components). All signature work is per-row higher-order expressions —
+# zero shuffle until the index join, which at PB scale is a bucketed
+# equi-join on uniformly-distributed band hashes.
+# --------------------------------------------------------------------------
+def _band_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, band_key) — one row per (doc, band). Docs with < 3 words have
+    no shingles, hence no bands: they can never near-dup match and always
+    survive (exact dedup handles them)."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(band_keys(minhash_signature(shingles(F.col(text_col))))).alias(
+            "band_key"
+        ),
+    )
+
+
+def near_dup_against_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of `df` with no LSH band collision against the index nor
+    against a smaller-id row of this batch. Commit survivors with
+    `append_bands_to_index`."""
+    spark = df.sparkSession
+    bands = _band_rows(df, text_col, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("b.__id") < F.col("a.__id")))
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    drops = intra_hits
+    try:
+        seen = spark.read.parquet(index_path)
+    except Exception:  # first batch: no index yet
+        seen = None
+    if seen is not None:
+        index_hits = bands.join(seen.select("band_key"), "band_key", "left_semi").select(
+            "__id"
+        )
+        drops = drops.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_bands_to_index(
+    survivors: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the survivors' band keys (recomputed map-only; the index
+    stays ~NUM_BANDS rows/doc regardless of document size)."""
+    _band_rows(survivors, text_col, id_col).select("band_key").write.mode(
+        "append"
+    ).parquet(index_path)

@@ -137,3 +137,35 @@ def test_dedup_against_index_batches(spark, tmp_path):
     # a third batch of all-seen content survives nothing
     b3 = spark.createDataFrame([Row(doc_id=20, text="alpha beta")])
     assert dedup_against_index(b3, idx).count() == 0
+
+
+# ----------------- incremental (index) NEAR-dup: MinHash bands -----------------
+def test_near_dup_against_index_batches(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        append_bands_to_index,
+        near_dup_against_index,
+    )
+
+    idx = str(tmp_path / "bands")
+    # "alpha beta gamma" repeated vs its rotation: different exact content,
+    # IDENTICAL shingle set -> identical signature -> guaranteed band hit.
+    base = "alpha beta gamma " * 4
+    rotated = "beta gamma alpha " * 4
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text=base),
+         Row(doc_id=2, text="totally different words here entirely"),
+         Row(doc_id=3, text=rotated)]  # intra-batch near-dup of 1
+    )
+    s1 = near_dup_against_index(b1, idx)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    append_bands_to_index(s1, idx)
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=10, text=rotated),          # cross-batch near-dup of 1
+         Row(doc_id=11, text="fresh unseen content never indexed before"),
+         Row(doc_id=12, text="hi")]             # < 3 words: no bands, survives
+    )
+    s2 = near_dup_against_index(b2, idx)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11, 12]
