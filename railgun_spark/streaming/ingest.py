@@ -1,0 +1,84 @@
+"""Streaming corpus ingestion with incremental dedup: foreachBatch over a
+file stream, gated by the persisted fingerprint index (operators/dedup.py
+`dedup_against_index`).
+
+This is the continual-pretraining ingest loop: crawl shards land in a
+directory, each micro-batch dedups (a) within itself and (b) against every
+previously admitted document — WITHOUT rescanning the corpus, because the
+seen-set is the append-only 8-bytes/row fingerprint index. Survivors flow
+to the corpus sink and their fingerprints append to the index, so the gate
+is exactly-once per content hash across the whole stream's lifetime.
+
+foreachBatch (not a stateful operator) is the right Spark shape here: the
+state (the index) must outlive the query, be shared with batch backfills,
+and hold billions of entries — a parquet/Delta table beats stream state
+store for all three. The per-batch work is the same two joins as the batch
+operator, so stream and batch paths provably admit the same content set
+(order decides only WHICH copy of a duplicate survives; the test asserts
+content-set equality).
+
+At 100 TB: the index join is an equi-join on a uniform 60-bit hash —
+bucket the index by hash to make it a zero-shuffle co-located join; the
+sink append is partitioned by ingest date. localCheckpoint pins each
+batch's survivor set so sink-write and index-append see the same rows
+(the index append must not invalidate the survivor computation mid-batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from railgun_spark.operators.dedup import append_to_index, dedup_against_index
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Gate one batch through the index: write survivors to the sink,
+    commit their fingerprints. Returns the number admitted. Usable
+    directly for batch backfills — the streaming path calls exactly this."""
+    survivors = dedup_against_index(
+        batch_df, index_path, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+    survivors.drop("__h").write.mode("append").parquet(sink_path)
+    append_to_index(survivors, index_path)
+    return survivors.count()
+
+
+def stream_ingest_dedup_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Drain `source_dir` through the dedup gate (availableNow) and return
+    the total number of admitted documents."""
+    admitted = [0]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        admitted[0] += ingest_batch(
+            batch_df, index_path, sink_path, text_col=text_col, id_col=id_col
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admitted[0]

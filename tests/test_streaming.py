@@ -160,3 +160,54 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         spark, sf_dir, str(src), str(tmp_path / "ckpt")
     )
     assert stream_ids == batch_ids and len(batch_ids) > 0
+
+
+# ------------------- streaming ingest through the dedup gate -------------------
+def test_stream_ingest_dedup_matches_batch_content_set(spark, tmp_path):
+    """Shards streamed one-per-micro-batch admit exactly one copy of each
+    distinct text — the same CONTENT set a single batch pass admits (which
+    copy survives depends on arrival order; content equality is the
+    invariant)."""
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import stream_ingest_dedup_availablenow
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+    shard1 = [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta"),
+              Row(doc_id=3, text="alpha beta")]
+    shard2 = [Row(doc_id=10, text="alpha beta"), Row(doc_id=11, text="epsilon zeta"),
+              Row(doc_id=12, text="gamma delta")]
+    df1 = spark.createDataFrame(shard1)
+    # land each shard as a flat part-file (the file source lists, not recurses)
+    import shutil
+
+    for i, rows in enumerate([shard1, shard2]):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"shard{i}.parquet"))
+
+    admitted = stream_ingest_dedup_availablenow(
+        spark,
+        str(src),
+        df1.schema,
+        index_path=str(tmp_path / "idx"),
+        sink_path=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    sink = spark.read.parquet(str(tmp_path / "corpus"))
+    texts = sorted(r["text"] for r in sink.collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    assert admitted == 3
+    assert sink.columns == ["doc_id", "text"]
+    # restart with the same index: everything is now a duplicate
+    admitted2 = stream_ingest_dedup_availablenow(
+        spark,
+        str(src),
+        df1.schema,
+        index_path=str(tmp_path / "idx"),
+        sink_path=str(tmp_path / "corpus2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert admitted2 == 0
