@@ -301,3 +301,135 @@ def prepare_training_shards(
         "n_bins": packed.select("bin_id").distinct().count(),
         "n_shards": manifest.count(),
     }
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture sampling: downsample to a token budget at prescribed
+# domain shares — how pretraining mixes are actually built (e.g. "40% en,
+# 15% each of de/es/fr/zh, half the corpus's token mass"). Per-group keep
+# rates are derived from one tiny aggregate; the sample itself is the
+# deterministic content-hash filter (stable_sample's bucket trick), so the
+# result is identical on any engine, any partitioning, any run.
+#
+# ALL arithmetic is integer (permille shares, integer division): a float
+# rate would flip membership at bucket boundaries between engines (the
+# 1-ulp libm lesson). Over-subscribed groups (want > avail) cap at keeping
+# everything; shares of absent groups are simply unfilled — no
+# re-normalization pass, because at 100 TB you re-run the mix with new
+# shares rather than silently shifting mass between domains.
+#
+# Scale shape: one map-side-combined groupBy over the corpus for the
+# per-group token counts (output rows = #groups), a broadcast join of
+# those rates back onto the scan, and a stateless filter. No global sort,
+# no second pass.
+# --------------------------------------------------------------------------
+MIX_PERMILLE = 1000
+
+
+def mixture_rates(
+    docs: DataFrame,
+    shares_permille: dict[str, int],
+    budget_div: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, avail, rate) — integer permille keep-rate per group for a
+    budget of total_tokens // budget_div tokens split by `shares_permille`."""
+    from pyspark.sql import Window
+
+    tok = token_count(F.col(text_col))
+    counts = docs.groupBy(group_col).agg(F.sum(tok).alias("avail"))
+    share = (
+        F.coalesce(
+            *[
+                F.when(F.col(group_col) == g, F.lit(p))
+                for g, p in sorted(shares_permille.items())
+            ],
+            F.lit(0),
+        )
+        if shares_permille
+        else F.lit(0)
+    )
+    # bigint DIV bigint stays bigint — `/` would detour through double and
+    # lose exactness past 2^53 (real corpora pass that in tokens)
+    return (
+        counts.withColumn("total", F.sum("avail").over(Window.partitionBy()))
+        .withColumn("share", share)
+        .selectExpr(
+            group_col,
+            "avail",
+            f"least(CAST({MIX_PERMILLE} AS BIGINT), "
+            f"((total DIV {budget_div}) * share DIV {MIX_PERMILLE}) "
+            f"* {MIX_PERMILLE} DIV avail) AS rate",
+        )
+    )
+
+
+MIX_SHARES = {"en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150}
+
+
+def mixture_sample(
+    docs: DataFrame,
+    shares_permille: dict[str, int],
+    budget_div: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of `docs` kept by the mixture: content-hash permille bucket
+    below the group's rate. Broadcast join (rates frame has #groups rows)
+    + stateless filter — adds no shuffle to the corpus scan."""
+    from railgun_spark.operators.text import hash60
+
+    rates = mixture_rates(docs, shares_permille, budget_div, group_col, text_col)
+    return docs.join(
+        F.broadcast(rates.select(group_col, "rate")), group_col
+    ).filter(hash60(F.col(text_col)) % MIX_PERMILLE < F.col("rate"))
+
+
+def _mixture_oracle() -> str:
+    share_case = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {p}" for g, p in sorted(MIX_SHARES.items())
+    ) + " ELSE 0 END"
+    return f"""
+    WITH t AS (
+      SELECT lang, text, len(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT lang, sum(tok)::BIGINT AS avail FROM t GROUP BY lang
+    ), r AS (
+      SELECT lang, avail,
+             least(1000::BIGINT,
+                   (((sum(avail) OVER ())::BIGINT // 2) * {share_case} // 1000)
+                   * 1000 // avail) AS rate
+      FROM c
+    ), k AS (
+      SELECT t.lang, tok FROM t JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT % 1000 < rate
+    )
+    SELECT k.lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS tokens_kept,
+           max(r.rate)::BIGINT AS rate
+    FROM k JOIN r USING (lang) GROUP BY k.lang ORDER BY k.lang
+    """
+
+
+@extra_query(
+    "mixture_sample_tokens",
+    oracle=_mixture_oracle(),
+    doc="Token-budget mixture sampling: half the corpus token mass at "
+    "40/15/15/15/15 permille lang shares; integer-only rate derivation, "
+    "content-hash bucket membership. One tiny agg + broadcast rates + "
+    "stateless filter.",
+    tags=("corpus", "sampling"),
+)
+def mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(docs, MIX_SHARES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("tokens_kept"),
+            F.max("rate").alias("rate"),
+        )
+        .orderBy("lang")
+    )

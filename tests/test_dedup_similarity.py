@@ -169,3 +169,32 @@ def test_near_dup_against_index_batches(spark, tmp_path):
     )
     s2 = near_dup_against_index(b2, idx)
     assert sorted(r["doc_id"] for r in s2.collect()) == [11, 12]
+
+
+# --------------------------- mixture sampling ------------------------------
+def test_mixture_sample_caps_and_zero_share(spark):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.corpus import mixture_rates, mixture_sample
+
+    rows = [Row(doc_id=i, lang="en", text=f"english document number {i} padding words")
+            for i in range(40)]
+    rows += [Row(doc_id=100 + i, lang="de", text=f"deutsches dokument nummer {i}")
+             for i in range(4)]
+    rows += [Row(doc_id=200 + i, lang="zh", text=f"doc {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows)
+
+    # de is massively over-subscribed (share 500 of a half-token budget vs
+    # tiny avail) -> rate caps at 1000 = keep everything; zh share 0 -> none
+    shares = {"en": 500, "de": 500}
+    rates = {r["lang"]: r["rate"] for r in mixture_rates(docs, shares).collect()}
+    assert rates["de"] == 1000 and rates["zh"] == 0 and 0 < rates["en"] < 1000
+
+    kept = mixture_sample(docs, shares)
+    langs = {r["lang"] for r in kept.collect()}
+    assert "zh" not in langs and "de" in langs
+    assert kept.filter("lang = 'de'").count() == 4
+    # determinism + subset under repartition
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(docs.repartition(13), shares).collect())
+    assert a == b
