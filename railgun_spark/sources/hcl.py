@@ -4,13 +4,15 @@ Closes the hcl/hcl2 format slots (reference README.md:16; gss decodes HCL
 via the upstream hashicorp parser). This is a from-scratch recursive-
 descent parser for the configuration subset railgun actually ferries —
 attribute assignments, nested blocks (with labels), strings/numbers/bools/
-null, lists, objects, and comments (#, //, /* */). It is not a full HCL2
-expression evaluator: by default interpolation `${...}` and function calls
-are kept as raw strings, which is the honest schema-on-read behavior for a
-config payload headed into a DataFrame row. `loads(text, variables=...)`
-opts into evaluating the variable-reference subset of interpolations
-(`${name}`, `${var.name}`, dotted paths); function calls and arithmetic
-still stay raw.
+null, lists, objects, and comments (#, //, /* */). By default
+interpolation `${...}` is kept as raw strings, which is the honest
+schema-on-read behavior for a config payload headed into a DataFrame row.
+`loads(text, variables=...)` opts into evaluation: variable references
+(`${name}`, `${var.name}`, dotted paths, indexing) plus the HCL2
+expression subset — arithmetic, comparisons, `&&`/`||`/`!`, ternary, and
+a Terraform-stdlib-compatible function set (upper/lower/length/join/
+split/format/coalesce/...). Anything unresolvable (unknown function,
+missing variable) stays raw rather than corrupting the payload.
 
 Grammar (HCL1 and the HCL2 attribute/block subset share this shape):
   body     := (attribute | block)*
@@ -36,7 +38,7 @@ _TOKEN = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*|//[^\n]*|/\*.*?\*/)
   | (?P<heredoc><<-?(?P<tag>[A-Za-z_][A-Za-z0-9_]*)\n(?P<body>.*?)\n\s*(?P=tag))
-  | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<string>"(?:\\.|\$\{[^}]*\}|[^"\\])*")
   | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<punct>[={}\[\],:])
@@ -192,20 +194,248 @@ _REF = re.compile(r"^(?:var\.)?([A-Za-z_][A-Za-z0-9_]*)((?:\.[A-Za-z0-9_]+)*)$")
 
 
 def _resolve_ref(expr: str, variables: dict):
-    """Resolve a `${...}` body: a (possibly dotted, optionally var.-prefixed)
-    variable reference. Returns (value, True) or (None, False) for anything
-    beyond the reference subset (function calls, arithmetic) — those stay
-    raw, matching the parser's no-expression-evaluator contract."""
+    """Resolve a `${...}` body. First the fast path: a (possibly dotted,
+    optionally var.-prefixed) variable reference. Then the HCL2 expression
+    subset (`_eval_expr`): arithmetic, comparisons, &&/||/!, ternary, and
+    a function stdlib. Returns (value, True) or (None, False); anything
+    unresolvable stays raw — config payloads must never be corrupted by a
+    best-effort evaluator."""
     m = _REF.match(expr.strip())
-    if not m:
+    if m:
+        cur = variables
+        for part in [m.group(1)] + [p for p in m.group(2).split(".") if p]:
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return None, False
+        return cur, True
+    try:
+        return _eval_expr(expr, variables), True
+    except (HclError, ZeroDivisionError, TypeError, ValueError, KeyError, IndexError):
         return None, False
-    cur = variables
-    for part in [m.group(1)] + [p for p in m.group(2).split(".") if p]:
-        if isinstance(cur, dict) and part in cur:
-            cur = cur[part]
+
+
+# ---------------------------------------------------------------------------
+# HCL2 expression subset evaluator (public-spec semantics: hcl2 expression
+# grammar; functions follow the Terraform stdlib signatures for the names
+# implemented). Precedence: ternary < || < && < ==/!= < relational < +/- <
+# */ /% < unary < postfix index/attr < primary.
+# ---------------------------------------------------------------------------
+_EXPR_TOKEN = re.compile(
+    r"""\s*(?:
+    (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<string>"(?:\\.|\$\{[^}]*\}|[^"\\])*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|<=|>=|&&|\|\||[-+*/%!<>?:(),\[\].])
+    )""",
+    re.VERBOSE,
+)
+
+_FUNCS = {
+    "upper": lambda s: str(s).upper(),
+    "lower": lambda s: str(s).lower(),
+    "trimspace": lambda s: str(s).strip(),
+    "length": lambda x: len(x),
+    "abs": abs,
+    "min": min,
+    "max": max,
+    "ceil": lambda x: int(-(-x // 1)),
+    "floor": lambda x: int(x // 1),
+    "join": lambda sep, xs: str(sep).join(str(x) for x in xs),
+    "split": lambda sep, s: str(s).split(str(sep)),
+    "replace": lambda s, a, b: str(s).replace(str(a), str(b)),
+    "contains": lambda xs, x: x in xs,
+    "coalesce": lambda *xs: next((x for x in xs if x is not None), None),
+    "concat": lambda *xs: [e for x in xs for e in x],
+    "format": lambda fmt, *xs: _hcl_format(fmt, xs),
+    "tostring": lambda x: ("true" if x else "false") if isinstance(x, bool) else str(x),
+    "tonumber": lambda x: float(x) if "." in str(x) else int(x),
+}
+
+
+def _hcl_format(fmt, args):
+    out, it = [], iter(args)
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                out.append("%")
+            elif spec in "sdvfg":
+                v = next(it)
+                out.append(str(int(v)) if spec == "d" else str(v))
+            else:
+                raise HclError(f"unsupported format verb %{spec}")
+            i += 2
         else:
-            return None, False
-    return cur, True
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+class _ExprParser:
+    def __init__(self, text: str, variables: dict):
+        self.toks: list[tuple[str, str]] = []
+        i = 0
+        while i < len(text):
+            m = _EXPR_TOKEN.match(text, i)
+            if not m or m.end() == i:
+                if text[i:].strip():
+                    raise HclError(f"bad expression token at {text[i:]!r}")
+                break
+            i = m.end()
+            kind = m.lastgroup
+            if kind:
+                self.toks.append((kind, m.group(kind)))
+        self.toks.append(("eof", ""))
+        self.i = 0
+        self.vars = variables
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def eat(self, op: str | None = None):
+        k, v = self.toks[self.i]
+        if op is not None and (k != "op" or v != op):
+            raise HclError(f"expected {op!r}, got {v!r}")
+        self.i += 1
+        return v
+
+    def parse(self):
+        v = self.ternary()
+        if self.peek()[0] != "eof":
+            raise HclError(f"trailing tokens at {self.peek()[1]!r}")
+        return v
+
+    def ternary(self):
+        cond = self.binary(0)
+        if self.peek() == ("op", "?"):
+            self.eat("?")
+            a = self.ternary()
+            self.eat(":")
+            b = self.ternary()
+            return a if cond else b
+        return cond
+
+    _LEVELS = [("||",), ("&&",), ("==", "!="), ("<", "<=", ">", ">="),
+               ("+", "-"), ("*", "/", "%")]
+
+    def binary(self, lvl: int):
+        if lvl == len(self._LEVELS):
+            return self.unary()
+        left = self.binary(lvl + 1)
+        while self.peek()[0] == "op" and self.peek()[1] in self._LEVELS[lvl]:
+            op = self.eat()
+            right = self.binary(lvl + 1)
+            left = _apply_op(op, left, right)
+        return left
+
+    def unary(self):
+        if self.peek() == ("op", "!"):
+            self.eat("!")
+            return not self.unary()
+        if self.peek() == ("op", "-"):
+            self.eat("-")
+            return -self.unary()
+        return self.postfix()
+
+    def postfix(self):
+        v = self.primary()
+        while True:
+            if self.peek() == ("op", "["):
+                self.eat("[")
+                idx = self.ternary()
+                self.eat("]")
+                v = v[idx]
+            elif self.peek() == ("op", "."):
+                self.eat(".")
+                k, name = self.toks[self.i]
+                self.i += 1
+                if k == "ident":
+                    v = v[name]
+                elif k == "number" and "." not in name:
+                    v = v[int(name)]
+                else:
+                    raise HclError(f"bad attribute {name!r}")
+            else:
+                return v
+
+    def primary(self):
+        k, v = self.toks[self.i]
+        self.i += 1
+        if k == "number":
+            return float(v) if any(c in v for c in ".eE") else int(v)
+        if k == "string":
+            return _unquote(v)
+        if k == "op" and v == "(":
+            inner = self.ternary()
+            self.eat(")")
+            return inner
+        if k == "op" and v == "[":
+            items = []
+            while self.peek() != ("op", "]"):
+                items.append(self.ternary())
+                if self.peek() == ("op", ","):
+                    self.eat(",")
+            self.eat("]")
+            return items
+        if k == "ident":
+            if v in ("true", "false"):
+                return v == "true"
+            if v == "null":
+                return None
+            if self.peek() == ("op", "("):  # function call
+                self.eat("(")
+                args = []
+                while self.peek() != ("op", ")"):
+                    args.append(self.ternary())
+                    if self.peek() == ("op", ","):
+                        self.eat(",")
+                self.eat(")")
+                if v not in _FUNCS:
+                    raise HclError(f"unknown function {v!r}")
+                return _FUNCS[v](*args)
+            if v == "var" and self.peek() == ("op", "."):
+                self.eat(".")
+                kk, name = self.toks[self.i]
+                self.i += 1
+                if kk != "ident":
+                    raise HclError(f"bad var reference {name!r}")
+                return self.vars[name]
+            return self.vars[v]
+        raise HclError(f"unexpected token {v!r}")
+
+
+def _apply_op(op: str, a, b):
+    if op == "||":
+        return bool(a) or bool(b)
+    if op == "&&":
+        return bool(a) and bool(b)
+    if op == "==":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op in ("<", "<=", ">", ">="):
+        r = {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}
+        return r[op]
+    if op == "+":
+        if isinstance(a, str) or isinstance(b, str):
+            raise HclError("HCL has no string +; use format()/join()")
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b
+    if op == "%":
+        return a % b
+    raise HclError(f"unknown operator {op!r}")
+
+
+def _eval_expr(expr: str, variables: dict):
+    return _ExprParser(expr, variables).parse()
 
 
 def interpolate(value, variables: dict):

@@ -558,11 +558,47 @@ def test_hcl2_interpolation_with_variables():
     assert doc["name"] == "svc-prod"
     assert doc["workers"] == 3  # full-string interpolation keeps native type
     assert doc["image"] == "r.io/app"
-    assert doc["raw"] == "${upper(env)}"  # function calls stay raw
+    assert doc["raw"] == "PROD"  # function calls evaluate
     assert doc["nested"]["endpoint"] == "prod.example.com"
     # without variables: everything stays raw (schema-on-read default)
     raw_doc = loads(text)
     assert raw_doc["name"] == "svc-${env}"
+
+
+def test_hcl2_expression_subset():
+    from railgun_spark.sources.hcl import loads
+
+    text = """
+    n        = "${count * 2 + 1}"
+    big      = "${count > 2 ? "many" : "few"}"
+    name     = "${join("-", ["a", env, tostring(count)])}"
+    fmt      = "${format("%s:%d", env, count)}"
+    guard    = "${length(env) >= 4 && !flag}"
+    pick     = "${coalesce(null, var.registry.host)}"
+    idx      = "${ports[1]}"
+    neg      = "${-count % 2}"
+    bad_fn   = "${mystery(env)}"
+    bad_ref  = "${missing + 1}"
+    """
+    vars = {
+        "env": "prod",
+        "count": 3,
+        "flag": False,
+        "registry": {"host": "r.io"},
+        "ports": [80, 443],
+    }
+    doc = loads(text, variables=vars)
+    assert doc["n"] == 7
+    assert doc["big"] == "many"
+    assert doc["name"] == "a-prod-3"
+    assert doc["fmt"] == "prod:3"
+    assert doc["guard"] is True
+    assert doc["pick"] == "r.io"
+    assert doc["idx"] == 443
+    assert doc["neg"] == -3 % 2
+    # unknown function / unresolvable reference: raw, not corrupted
+    assert doc["bad_fn"] == "${mystery(env)}"
+    assert doc["bad_ref"] == "${missing + 1}"
 
 
 # ---------------- jdbc passthrough ----------------
