@@ -433,3 +433,77 @@ def mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-order shuffle. Sequence order matters for training:
+# adjacent source documents (same crawl host, same book) must not land
+# adjacent in the token stream. A salted content-hash sort is a reproducible
+# global permutation — same salt, same order, any engine, any partitioning —
+# and changing the salt re-shuffles for the next epoch without touching the
+# data. At scale this is NOT a global sort: `shuffle_for_training` uses
+# repartitionByRange(salted_hash) + sortWithinPartitions, which samples
+# range bounds and writes ordered shards in one shuffle — the standard way
+# an ordered 100 TB write actually executes (a true orderBy would funnel
+# into one task only if you collected; range partitioning is the plan Spark
+# already picks for orderBy, made explicit so the shard boundary count is
+# under caller control).
+# --------------------------------------------------------------------------
+def shuffle_for_training(
+    df: DataFrame,
+    salt: str,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`df` in salted-hash order, range-partitioned into `n_shards` ordered
+    shards (shard i's every row sorts before shard i+1's — write them with
+    partitionBy or per-partition files and the global order is the
+    concatenation)."""
+    from railgun_spark.operators.text import hash60
+
+    key = hash60(F.concat(F.lit(salt), F.col(text_col)))
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartitionByRange(n_shards, F.col("_shuffle_key"), F.col(id_col))
+        .sortWithinPartitions("_shuffle_key", id_col)
+    )
+
+
+SHUFFLE_SALT = "epoch-0"
+
+
+@extra_query(
+    "training_shuffle_mixing",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id,
+             ('0x' || substr(md5('{SHUFFLE_SALT}' || text), 1, 15))::UBIGINT::BIGINT AS hk
+      FROM documents
+    ), pos AS (
+      SELECT lang, ntile(10) OVER (ORDER BY hk, doc_id) AS decile FROM h
+    )
+    SELECT lang, decile, count(*) AS n_docs
+    FROM pos GROUP BY lang, decile ORDER BY lang, decile
+    """,
+    doc="Salted-hash epoch shuffle, summarized as lang x order-decile "
+    "counts: every language spreads across the whole training order "
+    "(the anti-curriculum guarantee). The scale path is "
+    "shuffle_for_training (range partition + local sort, no global funnel).",
+    tags=("corpus", "sampling"),
+)
+def training_shuffle_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from railgun_spark.operators.text import hash60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hk = hash60(F.concat(F.lit(SHUFFLE_SALT), F.col("text")))
+    w = Window.orderBy("hk", "doc_id")
+    return (
+        docs.select("lang", "doc_id", hk.alias("hk"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "decile")
+    )

@@ -198,3 +198,30 @@ def test_mixture_sample_caps_and_zero_share(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in mixture_sample(docs.repartition(13), shares).collect())
     assert a == b
+
+
+def test_shuffle_for_training_is_ordered_permutation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.corpus import shuffle_for_training
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_for_training(docs, "epoch-0", n_shards=8)
+    # permutation: same rows, nothing lost or duplicated
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.select("doc_id").distinct().count()
+    # range property: shard i's max key < shard i+1's min key
+    bounds = (
+        out.select(F.spark_partition_id().alias("p"), "_shuffle_key")
+        .groupBy("p")
+        .agg(F.min("_shuffle_key").alias("lo"), F.max("_shuffle_key").alias("hi"))
+        .orderBy("p")
+        .collect()
+    )
+    for a, b in zip(bounds, bounds[1:]):
+        assert a["hi"] <= b["lo"]
+    # same salt -> same order; different salt -> different order
+    first = [r["doc_id"] for r in out.limit(20).collect()]
+    again = [r["doc_id"] for r in shuffle_for_training(docs, "epoch-0", 8).limit(20).collect()]
+    other = [r["doc_id"] for r in shuffle_for_training(docs, "epoch-1", 8).limit(20).collect()]
+    assert first == again and first != other
