@@ -118,6 +118,6 @@ def _ensure_loaded() -> None:
         text,
     )
     from railgun_spark.geo import tiles  # noqa: F401
-    from railgun_spark.streaming import windows  # noqa: F401
+    from railgun_spark.streaming import joins, windows  # noqa: F401
 
     _LOADED = True

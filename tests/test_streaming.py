@@ -211,3 +211,21 @@ def test_stream_ingest_dedup_matches_batch_content_set(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
     assert admitted2 == 0
+
+
+# ------------------- stream-stream interval join -------------------
+def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    from railgun_spark.sources.tables import load_events
+    from railgun_spark.streaming.joins import (
+        _split_events,
+        correlate_actions,
+        stream_correlated_actions,
+    )
+
+    ev = load_events(spark, sf_dir)
+    batch = correlate_actions(*_split_events(ev))
+    streamed = stream_correlated_actions(spark, events_dir, ev.schema)
+    key = ["user_id", "click_id", "purchase_id", "lag_sec"]
+    b = sorted(tuple(r[k] for k in key) for r in batch.collect())
+    s = sorted(tuple(r[k] for k in key) for r in streamed.collect())
+    assert b == s and len(b) > 0
