@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from railgun_spark.sources.tables import load_events
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 PI = math.pi
 
@@ -299,4 +299,55 @@ def _lat_to_tile_int(lat: float, zoom: int) -> int:
     rad = lat * PI / 180.0
     return int(
         math.floor((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / PI) / 2.0 * (2.0**zoom))
+    )
+
+
+def _morton_sql(tx: str, ty: str, zoom: int) -> str:
+    """DuckDB twin of morton_key — same bit interleave as SQL text."""
+    terms = []
+    for i in range(zoom):
+        # fully parenthesized: DuckDB's | binds tighter than <<, so a bare
+        # `a << k | b << j` chain folds the OR into the next shift
+        terms.append(f"(((({tx}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ty}) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@extra_query(
+    "geo_zorder_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    ), t AS (
+      SELECT CAST(floor((lon + 180.0) * 256.0 / 360.0) AS BIGINT) AS tx,
+             CAST(floor((1.0 - ln(tan(lat * pi() / 180.0)
+                          + 1.0 / cos(lat * pi() / 180.0)) / pi())
+                        / 2.0 * 256.0) AS BIGINT) AS ty
+      FROM pts
+    ), m AS (
+      SELECT tx, ty, {_morton_sql('tx', 'ty', 8)} AS morton FROM t
+    )
+    SELECT morton, tx AS tile_x, ty AS tile_y, count(*) AS n
+    FROM m GROUP BY morton, tx, ty
+    ORDER BY n DESC, morton LIMIT 10
+    """,
+    doc="Densest z=8 Morton cells: the bit-interleave clustering key "
+    "(write_zordered) certified cross-engine — pure integer shift/mask "
+    "Column arithmetic, fully codegen'd; the write path sorts 100 TB by "
+    "this key for file-stats bbox pruning without directory fanout.",
+    tags=("geo", "zorder"),
+)
+def geo_zorder_density(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    pts = ev.select(_lon().alias("lon"), _lat().alias("lat"))
+    t = pts.select(
+        tile_x(F.col("lon"), 8).alias("tile_x"), tile_y(F.col("lat"), 8).alias("tile_y")
+    )
+    m = t.withColumn("morton", morton_key(F.col("tile_x"), F.col("tile_y"), 8))
+    return (
+        m.groupBy("morton", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "morton")
+        .limit(10)
+        .select("morton", "tile_x", "tile_y", "n")
     )
