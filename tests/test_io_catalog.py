@@ -689,3 +689,32 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, rows):
         for r in back.collect()
     )
     assert got == want
+
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_hcl_scalar = st.one_of(
+    st.integers(-(2**40), 2**40),
+    st.integers(-4000, 4000).map(lambda n: n / 4.0),
+    st.booleans(),
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="$"),
+        max_size=15,
+    ),
+)
+_hcl_value = st.recursive(
+    _hcl_scalar,
+    lambda v: st.one_of(
+        st.lists(v, max_size=4),
+        st.dictionaries(_ident, v, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(doc=st.dictionaries(_ident, _hcl_value, min_size=1, max_size=6))
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hcl_dumps_loads_roundtrip_property(doc):
+    from railgun_spark.sources.hcl import dumps, loads
+
+    assert loads(dumps(doc)) == doc
