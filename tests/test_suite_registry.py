@@ -53,6 +53,10 @@ EXPECTED_EXTRA = {
     "item_cooccurrence_topk",  # market-basket co-purchase pairs
     "customer_revenue_deciles",  # ntile(10) spend deciles
     "document_chunking",  # map-side token-window chunking
+    "mixture_sample_tokens",  # token-budget domain mixture sampling
+    "training_shuffle_mixing",  # salted-hash epoch shuffle mixing proof
+    "stream_interval_join_attribution",  # stream-stream join batch twin
+    "geo_zorder_density",  # Morton bit-interleave cross-engine gate
 }
 
 
