@@ -541,3 +541,36 @@ def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "word_a", "word_b")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Compressibility quality signal. Machine-generated boilerplate, templated
+# spam, and scraped navigation chrome compress far better than natural
+# prose — the zlib ratio is a standard corpus-quality feature alongside
+# repetition_ratio/quality_score. No SQL engine exposes deflate, so this is
+# an honest Arrow-batched Python hop (mapInPandas, one zlib call per doc
+# per batch — never per-row Python round trips) with pytest verification
+# instead of a DuckDB oracle; it composes with the Catalyst-side filters
+# downstream because it only APPENDS a column.
+# --------------------------------------------------------------------------
+def with_compression_ratio(df, text_col: str = "text", out_col: str = "compress_ratio"):
+    """`df` plus compressed_bytes/raw_bytes in (0, ~1.1] (tiny docs can
+    exceed 1 from the zlib header; empty text yields null)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def add_ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            pdf[out_col] = [
+                round(len(zlib.compress(b, 6)) / len(b), 4) if len(b) else None
+                for b in raw
+            ]
+            yield pdf
+
+    return df.mapInPandas(add_ratio, schema)

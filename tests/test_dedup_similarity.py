@@ -225,3 +225,27 @@ def test_shuffle_for_training_is_ordered_permutation(spark, sf_dir):
     again = [r["doc_id"] for r in shuffle_for_training(docs, "epoch-0", 8).limit(20).collect()]
     other = [r["doc_id"] for r in shuffle_for_training(docs, "epoch-1", 8).limit(20).collect()]
     assert first == again and first != other
+
+
+def test_compression_ratio_separates_boilerplate_from_prose(spark):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.text import with_compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="click here subscribe now " * 200),  # template spam
+            Row(doc_id=2, text=" ".join(f"w{i * 7919 % 104729}x{i}" for i in range(800))),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r["compress_ratio"] for r in with_compression_ratio(docs).collect()}
+    assert out[1] < 0.1          # boilerplate collapses
+    assert out[2] > 0.3          # high-entropy prose doesn't
+    assert out[3] is None        # empty text -> null, not a crash
+    # partition-invariant (pure per-row function)
+    again = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in with_compression_ratio(docs.repartition(7)).collect()
+    }
+    assert again == out
