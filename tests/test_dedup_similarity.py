@@ -249,3 +249,39 @@ def test_compression_ratio_separates_boilerplate_from_prose(spark):
         for r in with_compression_ratio(docs.repartition(7)).collect()
     }
     assert again == out
+
+
+# ------------------------ sketch error contracts ---------------------------
+def test_sketch_tolerances_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.sketches import (
+        approx_distinct,
+        approx_quantiles,
+        frequent_items,
+    )
+    from railgun_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    approx = approx_distinct(ev, "user_id").first()["approx_distinct"]
+    assert abs(approx - exact) / exact < 0.05  # rsd 2.3% -> 5% is generous
+
+    got = approx_quantiles(ev, "value", [0.5, 0.9]).first()
+    ex = ev.select(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).first()
+    spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+    assert abs(got["q_0_5"] - ex["p50"]) / spread < 0.02
+    assert abs(got["q_0_9"] - ex["p90"]) / spread < 0.02
+
+    # superset guarantee: every truly-frequent event_type is in the candidates
+    n = ev.count()
+    truly = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().filter(F.col("count") > 0.2 * n).collect()
+    }
+    cands = set(frequent_items(ev, "event_type", 0.2))
+    assert truly <= cands
