@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "cohort_retention",
     "text_tfidf_topk",
     "kmeans_embeddings",
+    # round-4 wave 4: ingestion/mixture/zorder/stream-join additions
+    "mixture_sample_tokens",
+    "training_shuffle_mixing",
+    "geo_zorder_density",
+    "stream_interval_join_attribution",
 ]
 
 
