@@ -146,6 +146,40 @@ def cmd_prepare(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Continual corpus ingestion: dedup new shards against the persisted
+    fingerprint index (batch, or availableNow streaming with --stream)."""
+    from railgun_spark.session import get_spark
+    from railgun_spark.streaming.ingest import (
+        ingest_batch,
+        stream_ingest_dedup_availablenow,
+    )
+
+    spark = get_spark("railgun_ingest")
+    if args.stream:
+        schema = spark.read.parquet(args.input_dir).schema
+        admitted = stream_ingest_dedup_availablenow(
+            spark,
+            args.input_dir,
+            schema,
+            index_path=args.index,
+            sink_path=args.sink,
+            checkpoint_dir=args.checkpoint or args.sink.rstrip("/") + "_checkpoint",
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    else:
+        admitted = ingest_batch(
+            spark.read.parquet(args.input_dir),
+            args.index,
+            args.sink,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    print(json.dumps({"admitted": admitted}))
+    return 0
+
+
 def cmd_functions(args) -> int:
     from railgun_spark.functions import functions
 
@@ -206,6 +240,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--records-per-shard", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, default=32)
     p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser(
+        "ingest",
+        help="dedup arriving shards against the fingerprint index, append survivors",
+    )
+    p.add_argument("--input-dir", required=True, help="dir of arriving parquet shards")
+    p.add_argument("--index", required=True, help="fingerprint index path (grows append-only)")
+    p.add_argument("--sink", required=True, help="corpus sink path")
+    p.add_argument("--stream", action="store_true", help="drain via Structured Streaming (availableNow)")
+    p.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: <sink>_checkpoint)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

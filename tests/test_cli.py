@@ -109,3 +109,25 @@ def test_prepare_subcommand(spark, capsys, tmp_path):
     summary = json.loads(capsys.readouterr().out)
     assert summary["n_covered_docs"] == summary["n_train_docs"] > 0
     assert (tmp_path / "prep" / "manifest.jsonl").exists()
+
+
+def test_ingest_subcommand(spark, capsys, tmp_path):
+    from pyspark.sql import Row
+
+    b1 = tmp_path / "b1"
+    spark.createDataFrame(
+        [Row(doc_id=1, text="one two"), Row(doc_id=2, text="three four"),
+         Row(doc_id=3, text="one two")]
+    ).write.parquet(str(b1))
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    rc = main(["ingest", "--input-dir", str(b1), "--index", idx, "--sink", sink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 2}
+
+    # second batch: everything already seen
+    b2 = tmp_path / "b2"
+    spark.createDataFrame([Row(doc_id=9, text="three four")]).write.parquet(str(b2))
+    rc = main(["ingest", "--input-dir", str(b2), "--index", idx, "--sink", sink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 0}
+    assert spark.read.parquet(sink).count() == 2
