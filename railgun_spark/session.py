@@ -32,6 +32,12 @@ def get_spark(app_name: str = "railgun_spark", extra_conf: dict | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pandas/pyarrow writes timestamp[us] with isAdjustedToUTC=false;
+        # without this, Spark 4 infers TIMESTAMP_NTZ which breaks
+        # unix_micros()/withWatermark(). Session tz is pinned UTC above, so
+        # reading as TIMESTAMP preserves the wall-clock values the DuckDB
+        # oracle sees.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -65,9 +71,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     Parquet scans get predicate pushdown + column pruning from Catalyst for
     free; registering views lets callers mix DataFrame and SQL freely.
     """
+    from railgun_spark.sources.tables import load_table
+
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

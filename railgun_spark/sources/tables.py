@@ -1,10 +1,19 @@
 """Loaders for the driver's parquet tables.
 
-`events.parquet` is written with TIMESTAMP(NANOS) which the Spark parquet
-reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it with the
-`nanosAsLong` legacy conf (runtime-settable) and convert to a proper
-TimestampType by integer-dividing to microseconds — truncation, matching
-DuckDB's ns->us behavior when fetching, so oracle values agree.
+`events.parquet` has shipped with two timestamp encodings across driver
+regenerations, and `load_events` normalizes both to a plain TimestampType:
+
+- TIMESTAMP(NANOS): the Spark parquet reader rejects it
+  ([PARQUET_TYPE_ILLEGAL]); we read it with the `nanosAsLong` legacy conf
+  (runtime-settable) and integer-divide to microseconds — truncation,
+  matching DuckDB's ns->us behavior when fetching, so oracle values agree.
+- timestamp[us] with isAdjustedToUTC=false (pandas/pyarrow default): Spark 4
+  infers TIMESTAMP_NTZ, which `unix_micros`/`withWatermark` reject. We
+  disable NTZ inference at read time (runtime-settable conf) so the column
+  comes back as TIMESTAMP, and keep a cast branch as belt-and-braces for
+  sessions where the scan was already planned with NTZ. The session
+  timezone is pinned UTC (session.py), so wall-clock values are identical
+  to what the DuckDB oracle sees.
 """
 
 from __future__ import annotations
@@ -21,7 +30,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
