@@ -616,6 +616,55 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - survivors' hashes append to the index (the only write amplification
 #     is the batch's own size).
 # --------------------------------------------------------------------------
+_BACKUP_SUFFIX = ".compact_backup"
+
+
+def _local_index_path(index_path: str) -> str:
+    """Resolve a local filesystem path from an index URI; raise on remote
+    schemes (the driver-side os.rename swap in `compact_index` only makes
+    sense on a local filesystem — on s3/hdfs, compaction is a job-committer
+    concern, not a rename)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(index_path)
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"index path must be a local path or file: URI, got scheme "
+            f"{parsed.scheme!r} in {index_path!r}"
+        )
+    return parsed.path if parsed.scheme else index_path
+
+
+def _recover_index(local: str) -> None:
+    """If a prior `compact_index` crashed between its two renames, the live
+    path is absent but the backup holds the complete pre-compaction index;
+    restore it so membership checks never silently see an empty index."""
+    import os
+
+    backup = local.rstrip("/") + _BACKUP_SUFFIX
+    if not os.path.exists(local) and os.path.exists(backup):
+        os.rename(backup, local)
+
+
+def _read_index_or_none(spark: SparkSession, index_path: str):
+    """Read a fingerprint/band index, distinguishing 'does not exist yet'
+    (first batch: return None) from 'exists but unreadable' (raise). A
+    permissions blip or corrupt footer must NOT silently disable dedup —
+    swallowing it would admit every duplicate from then on."""
+    from urllib.parse import urlparse
+
+    from pyspark.errors import AnalysisException
+
+    if urlparse(index_path).scheme in ("", "file"):
+        _recover_index(_local_index_path(index_path))
+    try:
+        return spark.read.parquet(index_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def dedup_against_index(
     df: DataFrame,
     index_path: str,
@@ -635,11 +684,10 @@ def dedup_against_index(
         winners,
         (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__keep"]),
     ).select(hashed["*"])
-    try:
-        seen = spark.read.parquet(index_path).select(F.col("h").alias("__h"))
-    except Exception:  # first batch: no index yet
+    seen = _read_index_or_none(spark, index_path)
+    if seen is None:  # first batch: no index yet
         return batch_unique
-    return batch_unique.join(seen, "__h", "left_anti")
+    return batch_unique.join(seen.select(F.col("h").alias("__h")), "__h", "left_anti")
 
 
 def append_to_index(survivors: DataFrame, index_path: str) -> None:
@@ -691,10 +739,7 @@ def near_dup_against_index(
         .distinct()
     )
     drops = intra_hits
-    try:
-        seen = spark.read.parquet(index_path)
-    except Exception:  # first batch: no index yet
-        seen = None
+    seen = _read_index_or_none(spark, index_path)
     if seen is not None:
         index_hits = bands.join(seen.select("band_key"), "band_key", "left_semi").select(
             "__id"
@@ -723,19 +768,41 @@ def compact_index(spark: SparkSession, index_path: str, n_files: int | None = No
     standard maintenance pass — run it when file count or dup ratio grows,
     not per batch. Returns the compacted row count.
 
-    The rewrite goes through a temp dir then an atomic-ish swap (rename on
-    the same filesystem); readers racing the swap see the old or new
+    Durability: the rewrite lands in a temp dir created as a SIBLING of the
+    index (same filesystem, so every move below is a true os.rename, never a
+    copy+delete window), then swaps via rename(live->backup),
+    rename(tmp->live), rmtree(backup). A crash at any point leaves either
+    the old index live or the backup recoverable — `_recover_index` (run by
+    every index read and by the next compaction) restores it, so membership
+    answers are never lost. Readers racing the swap see the old or new
     listing, both of which answer membership identically."""
+    import os
     import shutil
+    import stat
     import tempfile
 
-    idx = spark.read.parquet(index_path)
-    parts = n_files or max(1, idx.rdd.getNumPartitions() // 8)
-    tmp = tempfile.mkdtemp(prefix="idx_compact_")
-    compacted = idx.distinct().repartition(parts)
-    compacted.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    local = index_path.replace("file:", "")
-    shutil.rmtree(local)
-    shutil.move(tmp, local)
+    local = _local_index_path(index_path)
+    _recover_index(local)
+    if n_files is not None and n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    idx = spark.read.parquet(local)
+    parts = n_files if n_files is not None else max(1, idx.rdd.getNumPartitions() // 8)
+    src_mode = stat.S_IMODE(os.stat(local).st_mode)
+    parent = os.path.dirname(os.path.abspath(local.rstrip("/")))
+    tmp = tempfile.mkdtemp(prefix=".idx_compact_", dir=parent)
+    try:
+        # Eager: this job scans the live index and writes tmp before any
+        # rename touches the live path.
+        idx.distinct().repartition(parts).write.mode("overwrite").parquet(tmp)
+        os.chmod(tmp, src_mode)  # Spark's overwrite recreated tmp with umask perms
+        n = spark.read.parquet(tmp).count()
+        backup = local.rstrip("/") + _BACKUP_SUFFIX
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(local, backup)
+        os.rename(tmp, local)
+        shutil.rmtree(backup)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return n

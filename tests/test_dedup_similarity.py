@@ -308,3 +308,89 @@ def test_compact_index_preserves_membership(spark, tmp_path):
     # membership unchanged: the same content is still rejected
     again = spark.createDataFrame([Row(doc_id=9, text="aa bb")])
     assert dedup_against_index(again, idx).count() == 0
+
+
+def _seed_index(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import append_to_index, dedup_against_index
+
+    idx = str(tmp_path / "fp")
+    b = spark.createDataFrame([Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="cc dd")])
+    append_to_index(dedup_against_index(b, idx), idx)
+    return idx
+
+
+def test_compact_index_rejects_remote_scheme_and_bad_n_files(spark, tmp_path):
+    import pytest as _pytest
+
+    from railgun_spark.operators.dedup import compact_index
+
+    idx = _seed_index(spark, tmp_path)
+    with _pytest.raises(ValueError, match="scheme"):
+        compact_index(spark, "s3a://bucket/fp")
+    with _pytest.raises(ValueError, match="n_files"):
+        compact_index(spark, idx, n_files=0)
+    # a file: URI with the scheme mid-path-safe parse still works
+    assert compact_index(spark, f"file:{idx}", n_files=1) == 2
+
+
+def test_compact_index_crash_recovery(spark, tmp_path):
+    """Simulate a crash between the two renames of the swap: the live path
+    is absent but the backup exists. Every index read (and the next
+    compaction) must restore it — duplicates keep being rejected, never
+    silently re-admitted as a 'first batch'."""
+    import os
+
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        _BACKUP_SUFFIX,
+        compact_index,
+        dedup_against_index,
+    )
+
+    idx = _seed_index(spark, tmp_path)
+    os.rename(idx, idx + _BACKUP_SUFFIX)  # crash window: live gone, backup whole
+    again = spark.createDataFrame([Row(doc_id=9, text="aa bb")])
+    assert dedup_against_index(again, idx).count() == 0  # recovered, still dedups
+    assert os.path.isdir(idx) and not os.path.exists(idx + _BACKUP_SUFFIX)
+
+    os.rename(idx, idx + _BACKUP_SUFFIX)  # crash again; recover via compaction
+    assert compact_index(spark, idx, n_files=1) == 2
+    assert os.path.isdir(idx) and not os.path.exists(idx + _BACKUP_SUFFIX)
+
+
+def test_compact_index_preserves_dir_mode_and_same_fs_tmp(spark, tmp_path):
+    import os
+    import stat
+
+    from railgun_spark.operators.dedup import compact_index
+
+    idx = _seed_index(spark, tmp_path)
+    os.chmod(idx, 0o755)
+    compact_index(spark, idx, n_files=1)
+    assert stat.S_IMODE(os.stat(idx).st_mode) == 0o755
+    # no stray tmp dirs left beside the index
+    assert [p for p in os.listdir(tmp_path) if p.startswith(".idx_compact_")] == []
+
+
+def test_unreadable_index_raises_instead_of_admitting_dups(spark, tmp_path):
+    """An index that EXISTS but cannot be read must raise loudly — treating
+    it as 'no index yet' would silently disable dedup for every batch."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        dedup_against_index,
+        near_dup_against_index,
+    )
+
+    idx = tmp_path / "fp"
+    idx.mkdir()
+    (idx / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    b = spark.createDataFrame([Row(doc_id=1, text="aa bb cc dd")])
+    with _pytest.raises(Exception):
+        dedup_against_index(b, str(idx)).count()
+    with _pytest.raises(Exception):
+        near_dup_against_index(b, str(idx)).count()
