@@ -26,6 +26,12 @@ from railgun_spark.suite import extra_query
 PR_ITER = 3
 PR_DAMP = 0.85
 PR_ROUND = 8
+# Cap on distinct words contributing edges per document. Without it the
+# per-doc self-join fans out as distinct-words², so one 100k-word document
+# generates 10^10 edge candidates; with it the fan-out is a constant
+# (≤ K·(K-1) pairs/doc). Deterministic: the first K of the alphabetically
+# sorted distinct words — mirrored exactly in the DuckDB oracle.
+PR_MAX_WORDS_PER_DOC = 64
 
 
 def _pagerank_oracle() -> str:
@@ -48,10 +54,16 @@ def _pagerank_oracle() -> str:
         prev = f"r{k}"
     steps_sql = ", ".join(steps)
     return f"""
-    WITH dw AS (
+    WITH dw0 AS (
       SELECT DISTINCT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
       FROM documents
+    ), dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, word,
+               row_number() OVER (PARTITION BY doc_id ORDER BY word) AS rn
+        FROM dw0
+      ) WHERE rn <= {PR_MAX_WORDS_PER_DOC}
     ), edges AS (
       SELECT DISTINCT a.word AS src, b.word AS dst
       FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word <> b.word
@@ -79,17 +91,29 @@ def _pagerank_oracle() -> str:
     doc=f"PageRank, {PR_ITER} fixed supersteps over the word co-occurrence "
     "graph: one edge-join + groupBy per step, distributed state, "
     "localCheckpoint-flattened lineage; ranks rounded per step for "
-    "cross-engine re-sync.",
+    f"cross-engine re-sync. Edge construction caps distinct words/doc at "
+    f"{PR_MAX_WORDS_PER_DOC} so per-doc pair fan-out is constant.",
     tags=("graph", "iterative"),
 )
 def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    dw = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-        ).alias("word"),
-    ).distinct()
+    # slice of the sorted distinct-word array bounds the self-join fan-out
+    # per doc at K·(K-1) regardless of document length (see PR_MAX_WORDS_PER_DOC)
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("word")), 1, PR_MAX_WORDS_PER_DOC
+            ).alias("words")
+        )
+        .select("doc_id", F.explode("words").alias("word"))
+    )
     a, b = dw.alias("a"), dw.alias("b")
     edges = (
         a.join(
