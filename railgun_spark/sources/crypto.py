@@ -8,7 +8,11 @@ key derivation railgun/util/CreateCipher.go:19-34):
 The reference's KDF (CreateCipher.go:26, Go `argon2.Key`) is **Argon2i**
 with time=3, memory=32 MiB, lanes=4, keyLen=32. KDF selection here is
 explicit — see `derive_key` — because a silently-substituted KDF decrypts
-Go-railgun payloads into garbage bytes.
+Go-railgun payloads into garbage bytes. Argon2i itself comes from
+`cryptography`>=48 (OpenSSL's RFC 9106 implementation; validated against
+the published §5.2 Argon2i test vector in tests) with argon2-cffi as a
+fallback backend — Go's x/crypto/argon2 passes the same RFC vectors, so
+derivation is byte-for-byte identical to the reference.
 
 Decryption happens at the loader (driver or a mapInPandas over
 binaryFile), never as a column type — matching the reference, where
@@ -20,46 +24,65 @@ from __future__ import annotations
 _KDFS = ("auto", "argon2i", "argon2id")
 
 
+def _argon2i_go_params(passphrase: str, salt: bytes) -> bytes:
+    """Argon2i with the reference's exact parameter set —
+    `argon2.Key(passphrase, salt, 3, 32*1024, 4, 32)` (CreateCipher.go:26).
+    Backends in preference order: `cryptography`>=48 (OpenSSL RFC 9106),
+    argon2-cffi. Both pass the published RFC 9106 §5.2 Argon2i vector (as
+    does Go's x/crypto/argon2), so output is byte-for-byte Go-identical.
+    Raises ImportError when neither backend exists."""
+    try:
+        from cryptography.hazmat.primitives.kdf.argon2 import Argon2i
+
+        return Argon2i(
+            salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024
+        ).derive(passphrase.encode())
+    except ImportError:
+        pass
+    from argon2.low_level import Type, hash_secret_raw  # type: ignore
+
+    return hash_secret_raw(
+        secret=passphrase.encode(),
+        salt=salt,
+        time_cost=3,
+        memory_cost=32 * 1024,
+        parallelism=4,
+        hash_len=32,
+        type=Type.I,
+    )
+
+
 def derive_key(passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
     """Key derivation with an explicit KDF choice.
 
     - ``argon2i``: byte-for-byte reference interop (CreateCipher.go:26).
-      Requires argon2-cffi; raises RuntimeError if it is absent rather
-      than silently deriving a different key.
-    - ``argon2id``: `cryptography`'s KDF, same cost parameters —
-      self-consistent encrypt/decrypt, NOT interoperable with Go-railgun
-      ciphertexts.
-    - ``auto``: argon2i when available; otherwise a loud RuntimeWarning
-      downgrade to argon2id (never a silent switch).
+      Requires an Argon2i backend (cryptography>=48 or argon2-cffi);
+      raises RuntimeError if none is present rather than silently
+      deriving a different key.
+    - ``argon2id``: same cost parameters — self-consistent
+      encrypt/decrypt, NOT interoperable with Go-railgun ciphertexts.
+    - ``auto``: argon2i when a backend is available; otherwise a loud
+      RuntimeWarning downgrade to argon2id (never a silent switch).
     """
     if kdf not in _KDFS:
         raise ValueError(f"kdf must be one of {_KDFS}, got {kdf!r}")
     salt = bytes.fromhex(salt_hex)
     if kdf in ("auto", "argon2i"):
         try:
-            from argon2.low_level import Type, hash_secret_raw  # type: ignore
-
-            return hash_secret_raw(
-                secret=passphrase.encode(),
-                salt=salt,
-                time_cost=3,
-                memory_cost=32 * 1024,
-                parallelism=4,
-                hash_len=32,
-                type=Type.I,
-            )
+            return _argon2i_go_params(passphrase, salt)
         except ImportError:
             if kdf == "argon2i":
                 raise RuntimeError(
-                    "argon2-cffi is required for Argon2i key derivation "
-                    "(Go-railgun .enc interop, CreateCipher.go:26); install "
-                    "argon2-cffi, or pass kdf='argon2id' for self-consistent "
-                    "but non-interoperable encryption"
+                    "an Argon2i backend (cryptography>=48 or argon2-cffi) is "
+                    "required for Argon2i key derivation (Go-railgun .enc "
+                    "interop, CreateCipher.go:26); install one, or pass "
+                    "kdf='argon2id' for self-consistent but non-interoperable "
+                    "encryption"
                 ) from None
             import warnings
 
             warnings.warn(
-                "argon2-cffi unavailable: deriving with Argon2id instead of "
+                "no Argon2i backend: deriving with Argon2id instead of "
                 "the reference's Argon2i — ciphertexts are NOT interoperable "
                 "with Go-railgun .enc payloads; pass kdf='argon2id' to "
                 "acknowledge and silence this warning",
