@@ -229,11 +229,27 @@ def _decode_document(data: bytes, fmt: str) -> list[dict]:
         cp.read_string("[d]\n" + data.decode())
         doc = dict(cp["d"])
     elif fmt == "bson":
-        try:
-            import bson  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError("bson codec not available in this container") from e
-        doc = bson.loads(data)
+        import base64
+
+        from railgun_spark.sources import bson_codec
+
+        def _json_safe(v):
+            # the document formats feed a JSON bridge for schema inference;
+            # map the two non-JSON BSON types to stable encodings
+            if isinstance(v, bytes):
+                return base64.b64encode(v).decode()
+            if hasattr(v, "isoformat"):
+                return v.isoformat()
+            if isinstance(v, list):
+                return [_json_safe(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _json_safe(x) for k, x in v.items()}
+            return v
+
+        docs = bson_codec.loads_many(data)
+        doc = [_json_safe(d) for d in docs]
+        if len(doc) == 1:
+            doc = doc[0]
     elif fmt in ("hcl", "hcl2"):
         from railgun_spark.sources.hcl import loads as _hcl_loads
 
@@ -322,11 +338,10 @@ def _encode_document(rows: list[dict], fmt: str) -> bytes:
 
         return _hcl_dumps(rows[0]).encode()
     if fmt == "bson":
-        try:
-            import bson  # type: ignore
-        except ImportError as e:
-            raise NotImplementedError("bson codec not available in this container") from e
-        return b"".join(bson.dumps(r) for r in rows)
+        from railgun_spark.sources import bson_codec
+
+        # multi-row payloads are concatenated documents (mongodump layout)
+        return b"".join(bson_codec.dumps(r) for r in rows)
     raise ValueError(fmt)  # pragma: no cover
 
 

@@ -514,6 +514,61 @@ def test_kdf_auto_downgrade_warns_when_no_backend(monkeypatch):
         crypto.derive_key("pw", "a1b2c3d4e5f60718", kdf="argon2id")
 
 
+# ---------------- BSON codec ----------------
+def test_bson_codec_matches_published_spec_examples():
+    """Byte-for-byte against the two worked examples on bsonspec.org."""
+    from railgun_spark.sources import bson_codec
+
+    assert bson_codec.dumps({"hello": "world"}) == (
+        b"\x16\x00\x00\x00\x02hello\x00\x06\x00\x00\x00world\x00\x00"
+    )
+    assert bson_codec.dumps({"BSON": ["awesome", 5.05, 1986]}) == (
+        b"1\x00\x00\x00\x04BSON\x00&\x00\x00\x00\x020\x00\x08\x00\x00\x00"
+        b"awesome\x00\x011\x00333333\x14@\x102\x00\xc2\x07\x00\x00\x00\x00"
+    )
+
+
+def test_bson_codec_round_trip_and_stream():
+    import datetime as _dt
+
+    from railgun_spark.sources import bson_codec
+
+    doc = {
+        "s": "héllo",
+        "i32": 3,
+        "i64": 2**40,
+        "f": 1.5,
+        "b": True,
+        "n": None,
+        "arr": [1, "two", {"k": 2.0}],
+        "nested": {"a": [True, None]},
+        "bin": b"\x00\x01\xff",
+        "ts": _dt.datetime(2024, 5, 1, tzinfo=_dt.timezone.utc),
+    }
+    assert bson_codec.loads(bson_codec.dumps(doc)) == doc
+    stream = bson_codec.dumps({"a": 1}) + bson_codec.dumps({"b": 2})
+    assert bson_codec.loads_many(stream) == [{"a": 1}, {"b": 2}]
+    with pytest.raises(ValueError, match="malformed BSON"):
+        bson_codec.loads_many(stream[:-3])
+    with pytest.raises(ValueError, match="unsupported BSON element type"):
+        # 0x07 ObjectId is deliberately out of scope
+        bson_codec.loads(b"\x11\x00\x00\x00\x07k\x00" + b"\x00" * 12 + b"\x00")
+
+
+def test_bson_format_read_write_round_trip(spark, tmp_path):
+    """Multi-row DataFrame -> concatenated BSON docs -> DataFrame."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(name="a", n=1, score=0.5), Row(name="b", n=2, score=1.5)]
+    )
+    p = str(tmp_path / "rows.bson")
+    formats.write(df, p, fmt="bson")
+    back = formats.read(spark, p, fmt="bson")
+    got = sorted((r["name"], r["n"], r["score"]) for r in back.collect())
+    assert got == [("a", 1, 0.5), ("b", 2, 1.5)]
+
+
 def test_kdf_invalid_name_rejected():
     from railgun_spark.sources import crypto
 
