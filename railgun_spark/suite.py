@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
         packing,
         relational,
         relational2,
+        reporting,
         similarity,
         text,
     )

@@ -57,6 +57,10 @@ EXPECTED_EXTRA = {
     "training_shuffle_mixing",  # salted-hash epoch shuffle mixing proof
     "stream_interval_join_attribution",  # stream-stream join batch twin
     "geo_zorder_density",  # Morton bit-interleave cross-engine gate
+    # round-6 additions: corpus-health reporting
+    "source_quality_report",  # per-source docs/dups/tokens/quality means
+    "token_length_histogram",  # power-of-two token buckets + cum share
+    "cross_source_overlap",  # shared 3-gram shingles per source pair
 }
 
 
