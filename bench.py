@@ -9,6 +9,12 @@ noise-floor estimator — three rounds of single-shot timing showed
 +-10-30%/query run-to-run drift on identical code); "queries_median"
 carries the median so regressions that only widen variance stay visible.
 "value" is the sum of mins.
+
+Failure isolation: a query that raises is recorded in "errors" (first
+line of the exception) and skipped in later iterations; every other
+query still benches and the JSON line still prints. One broken query
+must never blank the whole bench — an environment shift once crashed the
+harness at query 13 of 25 and cost two rounds of numbers.
 """
 
 from __future__ import annotations
@@ -63,31 +69,43 @@ def main():
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
     # warm the JVM + file listing with the cheapest query, untimed
-    qs["pricing_summary"](spark, sf_dir).collect()
+    try:
+        qs["pricing_summary"](spark, sf_dir).collect()
+    except Exception:
+        pass  # the timed loop will record the error per-query
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(iters):  # interleave iterations so drift hits all queries alike
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            try:
+                qs[name](spark, sf_dir).collect()
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                continue
             samples[name].append(time.time() - t0)
 
-    mins = {n: round(min(ts), 3) for n, ts in samples.items()}
-    medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
+    done = {n: ts for n, ts in samples.items() if ts}
+    mins = {n: round(min(ts), 3) for n, ts in done.items()}
+    medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in done.items()}
     total = round(sum(mins.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": mins,
-                "queries_median": medians,
-                "iters": iters,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": mins,
+        "queries_median": medians,
+        "iters": iters,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    # always exit 0 with the JSON line printed: partial numbers + an
+    # explicit "errors" field beat rc=1 with no numbers at all
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
