@@ -533,3 +533,126 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the byte-code compression scale path
+# beyond IVF. Each vector is split into PQ_M subvectors; each subvector is
+# quantized to the id of its nearest sub-codebook centroid, so a
+# 64-dim float vector compresses to PQ_M small codes. A query scores
+# candidates with an ADC (asymmetric distance computation) lookup table:
+# per subspace, the distance from the query's subvector to EVERY centroid
+# is precomputed (PQ_M x PQ_KS values, driver-side — the table is tiny),
+# and a vector's approximate distance is the sum of table entries selected
+# by its codes.
+#
+# 100 TB shape: encoding is map-only against broadcast-literal centroids
+# (one pruned collect for the codebook init; production would train each
+# sub-codebook with the kmeans_embeddings loop per subspace — same plan
+# shape). Scoring touches only the PQ_M-byte codes, never the raw
+# vectors: the scan reads a few bytes/row and the top-k is a TakeOrdered.
+# Cross-engine determinism: squared distances rounded at 6 before the
+# argmin (lowest-centroid tiebreak), the shared _sq_dist/row_number
+# idioms proven by kmeans/IVF.
+# --------------------------------------------------------------------------
+PQ_M = 4  # subspaces
+PQ_DS = EMB_DIM // PQ_M  # dims per subspace
+PQ_KS = 4  # centroids per sub-codebook (init = subvectors of vec_id 1..KS)
+
+
+def _pq_oracle() -> str:
+    sqd = (
+        "round(list_aggregate(list_transform({a}, "
+        "(x, i) -> (x - {b}[i]) * (x - {b}[i])), 'sum'), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, label, m.range AS m,
+             v[m.range * {PQ_DS} + 1 : m.range * {PQ_DS} + {PQ_DS}] AS sv
+      FROM e, range(0, {PQ_M}) m
+    ),
+    cent AS (SELECT vec_id AS j, m, sv AS cv FROM sub
+             WHERE vec_id BETWEEN 1 AND {PQ_KS}),
+    q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 0),
+    codes AS (
+      SELECT vec_id, label, m, j AS code FROM (
+        SELECT s.vec_id, s.label, s.m, c.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sqd.format(a="s.sv", b="c.cv")}, c.j) AS rn
+        FROM sub s JOIN cent c ON s.m = c.m
+        WHERE s.vec_id <> 0
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.m, c.j, {sqd.format(a="q.qv", b="c.cv")} AS qd
+      FROM cent c JOIN q ON c.m = q.m
+    )
+    SELECT codes.vec_id, any_value(codes.label) AS label,
+           string_agg(codes.code, '-' ORDER BY codes.m) AS code,
+           round(sum(lut.qd), 6) AS adc_dist
+    FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.j
+    GROUP BY codes.vec_id
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """
+
+
+@extra_query(
+    "ann_pq_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN: {PQ_M}x{PQ_DS}-dim subspaces, "
+    f"{PQ_KS}-entry sub-codebooks (first-K init), map-only encoding vs "
+    "broadcast centroids, ADC scoring via a driver-built lookup table — "
+    "candidates are scored from codes alone, never the raw vectors.",
+    tags=("similarity", "ann"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    # one pushdown-pruned job fetches query + codebook-init vectors
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.filter(F.col("vec_id") <= PQ_KS).collect()
+    }
+    qv = small[0]
+    # cents[m] = [(j, subvector)] for subspace m, ascending j
+    cents = {
+        m: [(j, small[j][m * PQ_DS : (m + 1) * PQ_DS]) for j in range(1, PQ_KS + 1)]
+        for m in range(PQ_M)
+    }
+
+    def _py_sqd(a: list[float], b: list[float]) -> float:
+        # same left-to-right fold order as _sq_dist / list_aggregate 'sum'
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    # ADC lookup table, driver-side: PQ_M x PQ_KS rounded distances
+    lut = {
+        m: [_py_sqd(qv[m * PQ_DS : (m + 1) * PQ_DS], cv) for _, cv in cents[m]]
+        for m in range(PQ_M)
+    }
+
+    enc = emb.filter(F.col("vec_id") != 0)
+    code_cols = []
+    adc = F.lit(0.0)
+    for m in range(PQ_M):
+        sub = F.slice(F.col("v"), m * PQ_DS + 1, PQ_DS)
+        dists = F.array(*[_sq_dist(sub, cv) for _, cv in cents[m]])
+        # first-min position = lowest-j tiebreak; j is the 1-based position
+        code_m = F.array_position(dists, F.array_min(dists)).cast("int")
+        code_cols.append(code_m)
+        adc = adc + F.element_at(_lit_vec(lut[m]), code_m)
+    return (
+        enc.select(
+            "vec_id",
+            "label",
+            F.concat_ws("-", *code_cols).alias("code"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

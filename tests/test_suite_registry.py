@@ -61,6 +61,7 @@ EXPECTED_EXTRA = {
     "source_quality_report",  # per-source docs/dups/tokens/quality means
     "token_length_histogram",  # power-of-two token buckets + cum share
     "cross_source_overlap",  # shared 3-gram shingles per source pair
+    "ann_pq_topk",  # product-quantization ANN with ADC scoring
 }
 
 
