@@ -208,6 +208,102 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Containment near-dup pairs: C(A,B) = |A ∩ B| / |min(A,B)| over shingle
+# sets. Catches SUPERSET duplication — a document embedded verbatim inside
+# a longer one (quote expansion, page chrome around a reused article) —
+# which symmetric Jaccard misses: a doc fully contained in one 3x its size
+# has Jaccard <= 1/3 but containment 1.0.
+#
+# Scale shape (two-phase, like MinHash-LSH): candidates come from a
+# RARE-shingle inverted-index self-join — only shingles with document
+# frequency <= CONTAIN_DF_CAP participate, so per-shingle pair fan-out is
+# bounded at DF_CAP^2 regardless of corpus size (the standard rare-feature
+# blocking used by inverted_index_rare); then candidates verify with exact
+# array intersection. Recall caveat, stated honestly: a contained pair
+# whose every shared shingle is corpus-common is not produced — at 0.9
+# containment such pairs need EVERY shingle of the smaller doc to be
+# common, which is exactly the boilerplate class dedup should not chase.
+# The contained doc is the smaller shingle set (higher doc_id on ties,
+# matching the lower-id-survives discipline).
+# --------------------------------------------------------------------------
+CONTAIN_DF_CAP = 20
+CONTAIN_THRESHOLD = 0.9
+
+
+@extra_query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), rare AS (
+      SELECT g FROM posts GROUP BY g HAVING count(*) <= {CONTAIN_DF_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.g IN (SELECT g FROM rare)
+    ), verified AS (
+      SELECT cand.d1, cand.d2, len(sa.sh) AS n1, len(sb.sh) AS n2,
+             len(list_intersect(sa.sh, sb.sh)) AS inter
+      FROM cand
+      JOIN s sa ON sa.doc_id = cand.d1
+      JOIN s sb ON sb.doc_id = cand.d2
+    )
+    SELECT CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS doc_container,
+           CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS doc_contained,
+           round(inter * 1.0 / least(n1, n2), 4) AS containment
+    FROM verified
+    WHERE inter * 1.0 / least(n1, n2) >= {CONTAIN_THRESHOLD}
+    ORDER BY doc_contained, doc_container
+    """,
+    doc="Asymmetric containment near-dup pairs (|A∩B|/|smaller|): rare-"
+    f"shingle inverted-index candidates (df <= {CONTAIN_DF_CAP}, bounded "
+    "fan-out) + exact intersection verify. Catches docs embedded verbatim "
+    "in longer docs, which symmetric Jaccard misses.",
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select("doc_id", "sh")
+    posts = s.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("g")
+    )
+    rare_posts = posts.join(rare, "g", "left_semi")
+    a, b = rare_posts.alias("a"), rare_posts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sb = s.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    n1, n2 = F.size("sh1"), F.size("sh2")
+    contain = inter * F.lit(1.0) / F.least(n1, n2)
+    return (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(contain >= CONTAIN_THRESHOLD)
+        .select(
+            F.when(n1 <= n2, F.col("d2")).otherwise(F.col("d1")).alias("doc_container"),
+            F.when(n1 <= n2, F.col("d1")).otherwise(F.col("d2")).alias("doc_contained"),
+            F.round(contain, 4).alias("containment"),
+        )
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH: the scale path for near-dup detection.
 # --------------------------------------------------------------------------
 def minhash_pairs_ctes(threshold: float = 0.5) -> str:

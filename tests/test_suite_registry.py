@@ -62,6 +62,7 @@ EXPECTED_EXTRA = {
     "token_length_histogram",  # power-of-two token buckets + cum share
     "cross_source_overlap",  # shared 3-gram shingles per source pair
     "ann_pq_topk",  # product-quantization ANN with ADC scoring
+    "dedup_containment",  # asymmetric containment pairs, rare-shingle blocked
 }
 
 
