@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "training_shuffle_mixing",
     "geo_zorder_density",
     "stream_interval_join_attribution",
+    # round-6 additions
+    "ann_pq_topk",
+    "dedup_containment",
+    "cross_source_overlap",
 ]
 
 

@@ -180,6 +180,36 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus-health report over a documents directory: per-source quality/
+    duplication, token-length histogram, cross-source shingle overlap —
+    the per-ingest-wave monitoring queries (operators/reporting.py)."""
+    from railgun_spark.operators.reporting import (
+        cross_source_overlap,
+        source_quality_report,
+        token_length_histogram,
+    )
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_stats")
+    sections = {
+        "source_quality": source_quality_report,
+        "token_length_histogram": token_length_histogram,
+        "cross_source_overlap": cross_source_overlap,
+    }
+    wanted = args.sections.split(",") if args.sections else list(sections)
+    unknown = [w for w in wanted if w not in sections]
+    if unknown:
+        print(f"unknown sections {unknown}; choose from {sorted(sections)}", file=sys.stderr)
+        return 2
+    out = {
+        name: [r.asDict() for r in sections[name](spark, args.input_dir).collect()]
+        for name in wanted
+    }
+    print(json.dumps(out, indent=2 if args.pretty else None))
+    return 0
+
+
 def cmd_functions(args) -> int:
     from railgun_spark.functions import functions
 
@@ -253,6 +283,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser(
+        "stats", help="corpus-health report (quality/dups/token-lengths/overlap)"
+    )
+    p.add_argument("--input-dir", required=True, help="dir containing documents.parquet")
+    p.add_argument(
+        "--sections",
+        default=None,
+        help="comma list: source_quality,token_length_histogram,cross_source_overlap",
+    )
+    p.add_argument("--pretty", action="store_true")
+    p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

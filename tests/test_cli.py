@@ -131,3 +131,24 @@ def test_ingest_subcommand(spark, capsys, tmp_path):
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {"admitted": 0}
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_stats_subcommand(spark, capsys):
+    rc = main(
+        [
+            "stats",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--sections", "source_quality,token_length_histogram",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"source_quality", "token_length_histogram"}
+    assert all(r["n_docs"] >= r["dup_docs"] >= 0 for r in out["source_quality"])
+    hist = out["token_length_histogram"]
+    assert hist == sorted(hist, key=lambda r: r["bucket_lo"])
+    assert abs(hist[-1]["cum_share"] - 1.0) < 1e-9
+
+    # unknown section is a usage error, not a crash
+    assert main(["stats", "--input-dir", "/root/testdata/sf0.001",
+                 "--sections", "nope"]) == 2
