@@ -277,6 +277,74 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental embedding near-dup gate — the continual-ingestion twin of
+# `embedding_near_dup_pairs`, completing the modality set next to the text
+# gates (dedup.dedup_against_index / near_dup_against_index). The
+# persisted index stores one (band_idx, band_val) row per admitted vector
+# per band — NEAR_DUP_BANDS ints/vector, independent of dimension. A new
+# vector is rejected if ANY of its bands collides with the index (same
+# collision-rejects trade as the text band gate); intra-batch, greedy by
+# id. All signature work is one Arrow-batch matmul per batch partition —
+# zero shuffle until the index equi-join, which at PB scale is a bucketed
+# join on uniformly distributed band values.
+# --------------------------------------------------------------------------
+def _embedding_band_rows(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            lsh_bands_col(to_double(F.col(vec_col)), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS)
+        ).alias("band_idx", "band_val"),
+    )
+
+
+def embedding_dedup_against_index(
+    df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rows of `df` with no sign-LSH band collision against the index nor
+    against a smaller-id row of this batch. Commit survivors with
+    `append_embedding_bands_to_index`."""
+    from railgun_spark.operators.dedup import _read_index_or_none
+
+    spark = df.sparkSession
+    bands = _embedding_band_rows(df, vec_col, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    drops = intra_hits
+    seen = _read_index_or_none(spark, index_path)
+    if seen is not None:
+        index_hits = bands.join(
+            seen.select("band_idx", "band_val"), ["band_idx", "band_val"], "left_semi"
+        ).select("__id")
+        drops = drops.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_embedding_bands_to_index(
+    survivors: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append the survivors' band rows (recomputed map-only; the index grows
+    NEAR_DUP_BANDS rows per admitted vector)."""
+    _embedding_band_rows(survivors, vec_col, id_col).select(
+        "band_idx", "band_val"
+    ).write.mode("append").parquet(index_path)
+
+
+# --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse centroids partition the corpus; a query
 # probes only its nearest `NPROBE` centroid buckets. Centroids here are
 # deterministic (the vectors with vec_id 1..K) so the whole pipeline —

@@ -375,6 +375,61 @@ def test_compact_index_preserves_dir_mode_and_same_fs_tmp(spark, tmp_path):
     assert [p for p in os.listdir(tmp_path) if p.startswith(".idx_compact_")] == []
 
 
+def test_embedding_dedup_against_index_batches(spark, tmp_path):
+    """Continual-ingestion gate for the embedding modality: identical
+    vectors collide in every sign-LSH band; an opposite vector flips every
+    sign so it collides in none."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.similarity import (
+        EMB_DIM,
+        NEAR_DUP_BAND_BITS,
+        NEAR_DUP_BANDS,
+        append_embedding_bands_to_index,
+        embedding_dedup_against_index,
+        lsh_bands_col,
+    )
+    from pyspark.sql import functions as F
+
+    v1 = [1.0 if d % 3 else -1.0 for d in range(EMB_DIM)]
+    v2 = [-x for x in v1]  # complement bands: disjoint from v1 in all bands
+    # a third vector, verified disjoint from both before the gate test
+    v3 = [float((d * 7) % 5 - 2) or 1.0 for d in range(EMB_DIM)]
+    probe = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in ((1, v1), (2, v2), (3, v3))]
+    )
+    bands = {
+        r["vec_id"]: set(enumerate(r["b"]))
+        for r in probe.select(
+            "vec_id",
+            lsh_bands_col(
+                F.col("embedding"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS
+            ).alias("b"),
+        ).collect()
+    }
+    assert not (bands[1] & bands[2])
+    assert not (bands[3] & bands[1]) and not (bands[3] & bands[2])
+
+    idx = str(tmp_path / "emb_bands")
+    b1 = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v1), Row(vec_id=2, embedding=v2),
+         Row(vec_id=3, embedding=v1)]  # intra-batch dup of 1
+    )
+    s1 = embedding_dedup_against_index(b1, idx)
+    assert sorted(r["vec_id"] for r in s1.collect()) == [1, 2]
+    append_embedding_bands_to_index(s1, idx)
+
+    b2 = spark.createDataFrame(
+        [Row(vec_id=10, embedding=v2),  # cross-batch dup of 2
+         Row(vec_id=11, embedding=v3)]  # new: no band shared with 1 or 2
+    )
+    s2 = embedding_dedup_against_index(b2, idx)
+    assert sorted(r["vec_id"] for r in s2.collect()) == [11]
+    append_embedding_bands_to_index(s2, idx)
+    # index holds NEAR_DUP_BANDS rows per admitted vector
+    assert spark.read.parquet(idx).count() == 3 * 4
+
+
 def test_unreadable_index_raises_instead_of_admitting_dups(spark, tmp_path):
     """An index that EXISTS but cannot be read must raise loudly — treating
     it as 'no index yet' would silently disable dedup for every batch."""

@@ -18,7 +18,14 @@ gone quadratic at x2. Giant duplicate clusters (the skew case) land in
 the same band buckets; AQE skew-join splitting (on in session.py) keeps
 those buckets from serializing a straggler.
 
-Usage: python tools/scale_probe.py [max_k]
+Also probes round-6 heavy operators on the same blown-up corpora:
+`dedup_containment` (rare-shingle blocked candidates + lossless count
+prefilter — cost tracks candidate pairs, which track duplicate density)
+and `cross_source_overlap` (deduped shingle equi-join, cost tracks
+distinct (shingle, source) rows).
+
+Usage: python tools/scale_probe.py [max_k] [op ...]
+  ops: minhash (default), containment, overlap
 """
 
 from __future__ import annotations
@@ -34,10 +41,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main() -> None:
-    from railgun_spark.operators.dedup import minhash_dup_pairs
+    from railgun_spark.operators.dedup import dedup_containment, minhash_dup_pairs
+    from railgun_spark.operators.reporting import cross_source_overlap
     from railgun_spark.session import get_spark
 
-    max_k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = sys.argv[1:]
+    max_k = int(args[0]) if args and args[0].isdigit() else 8
+    ops = [a for a in args if not a.isdigit()] or ["minhash"]
+    runner = {
+        "minhash": lambda spark, d: minhash_dup_pairs(spark, d, 0.5),
+        "containment": dedup_containment,
+        "overlap": cross_source_overlap,
+    }
     spark = get_spark("scale_probe")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n0 = base.count()
@@ -48,6 +63,7 @@ def main() -> None:
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(f" copyset{i}")).alias("text"),
                 "lang",
+                F.concat(F.col("source"), F.lit(f"_{i}")).alias("source"),
             )
             for i in range(k)
         ]
@@ -60,9 +76,10 @@ def main() -> None:
     while k <= max_k:
         d = tempfile.mkdtemp(prefix=f"blow{k}_")
         blowup(k).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-        t = time.time()
-        n_pairs = minhash_dup_pairs(spark, d, 0.5).count()
-        print(f"x{k}: docs={n0 * k} pairs={n_pairs} sec={time.time() - t:.2f}")
+        for op in ops:
+            t = time.time()
+            n = runner[op](spark, d).count()
+            print(f"{op} x{k}: docs={n0 * k} rows={n} sec={time.time() - t:.2f}")
         k *= 2
 
 
