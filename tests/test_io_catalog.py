@@ -818,3 +818,33 @@ def test_hcl_dumps_loads_roundtrip_property(doc):
     from railgun_spark.sources.hcl import dumps, loads
 
     assert loads(dumps(doc)) == doc
+
+
+# pure-codec property round-trip: no Spark in the loop, so run many examples
+_bson_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**63), 2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+)
+_bson_value = st.recursive(
+    _bson_scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8).filter(lambda k: "\x00" not in k),
+                        children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(doc=st.dictionaries(
+    st.text(min_size=1, max_size=8).filter(lambda k: "\x00" not in k),
+    _bson_value, max_size=6))
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bson_codec_property_roundtrip(doc):
+    from railgun_spark.sources import bson_codec
+
+    assert bson_codec.loads(bson_codec.dumps(doc)) == doc
