@@ -49,6 +49,67 @@ def ingest_batch(
     return survivors.count()
 
 
+def ingest_embeddings_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Embedding-modality twin of `ingest_batch`: gate one batch of vectors
+    through the sign-LSH band index (similarity.embedding_dedup_against_index),
+    write survivors, commit their bands. Same exactly-once-per-near-dup-class
+    discipline; the index grows NEAR_DUP_BANDS ints per admitted vector."""
+    from railgun_spark.operators.similarity import (
+        append_embedding_bands_to_index,
+        embedding_dedup_against_index,
+    )
+
+    survivors = embedding_dedup_against_index(
+        batch_df, index_path, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint()
+    survivors.write.mode("append").parquet(sink_path)
+    append_embedding_bands_to_index(
+        survivors, index_path, vec_col=vec_col, id_col=id_col
+    )
+    return survivors.count()
+
+
+def stream_ingest_embeddings_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Drain `source_dir` of embedding shards through the band-index gate
+    (availableNow); returns total vectors admitted."""
+    admitted = [0]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        admitted[0] += ingest_embeddings_batch(
+            batch_df, index_path, sink_path, vec_col=vec_col, id_col=id_col
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admitted[0]
+
+
 def stream_ingest_dedup_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -213,6 +213,53 @@ def test_stream_ingest_dedup_matches_batch_content_set(spark, tmp_path):
     assert admitted2 == 0
 
 
+def test_stream_ingest_embeddings_gate(spark, tmp_path):
+    """Embedding shards streamed one-per-micro-batch admit exactly one
+    vector per sign-LSH near-dup class; a restart against the same index
+    admits nothing (exactly-once per class across the stream's lifetime)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.similarity import EMB_DIM
+    from railgun_spark.streaming.ingest import stream_ingest_embeddings_availablenow
+
+    v1 = [1.0 if d % 3 else -1.0 for d in range(EMB_DIM)]
+    v2 = [-x for x in v1]  # disjoint bands from v1 (complement signs)
+    src = tmp_path / "arriving"
+    src.mkdir()
+    shard1 = [Row(vec_id=1, embedding=v1), Row(vec_id=2, embedding=v1)]
+    shard2 = [Row(vec_id=10, embedding=v2), Row(vec_id=11, embedding=v1)]
+    df1 = spark.createDataFrame(shard1)
+    for i, rows in enumerate([shard1, shard2]):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"shard{i}.parquet"))
+
+    admitted = stream_ingest_embeddings_availablenow(
+        spark,
+        str(src),
+        df1.schema,
+        index_path=str(tmp_path / "bands"),
+        sink_path=str(tmp_path / "vecs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert admitted == 2  # one per near-dup class (v1-class, v2-class)
+    sink = spark.read.parquet(str(tmp_path / "vecs"))
+    assert sorted(r["vec_id"] for r in sink.collect()) == [1, 10]
+
+    admitted2 = stream_ingest_embeddings_availablenow(
+        spark,
+        str(src),
+        df1.schema,
+        index_path=str(tmp_path / "bands"),
+        sink_path=str(tmp_path / "vecs2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert admitted2 == 0
+
+
 # ------------------- stream-stream interval join -------------------
 def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     from railgun_spark.sources.tables import load_events
