@@ -246,6 +246,83 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Word-unigram entropy: H(doc) = -sum_w p_w ln p_w over in-doc word
+# frequencies — the classic CCNet-style quality signal orthogonal to the
+# type-token repetition ratio (a doc repeating TWO words alternately has
+# rep ~1 but H ~ ln 2; a doc with one run-on word has both low). Low
+# entropy flags templated/boilerplate text for the cleaning pipeline.
+#
+# Shape: explode -> count per (doc, word) -> per-doc fold — two shuffles
+# whose key cardinality is bounded by per-doc vocabulary, never corpus².
+# Cross-engine: per-doc H is rounded at 6 BEFORE the per-lang rollup (the
+# kmeans/pagerank re-sync discipline), so summation-order ulp drift in
+# the inner sum cannot reach the rolled-up averages.
+# --------------------------------------------------------------------------
+ENTROPY_LOW = 2.0  # nats; ~e^2 effective vocabulary
+
+
+@extra_query(
+    "text_entropy_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY doc_id, lang, w
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id
+    ), h AS (
+      SELECT cnt.doc_id, any_value(cnt.lang) AS lang,
+             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS ent
+      FROM cnt JOIN tot USING (doc_id)
+      GROUP BY cnt.doc_id
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(ent), 4) AS avg_entropy,
+           round(min(ent), 4) AS min_entropy,
+           sum(CASE WHEN ent < {ENTROPY_LOW} THEN 1 ELSE 0 END)::BIGINT
+             AS n_low_entropy
+    FROM h GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language word-unigram entropy profile (CCNet-style quality "
+    "signal): per-doc H rounded at 6 before the per-lang rollup; flags "
+    f"templated docs below {ENTROPY_LOW} nats.",
+    tags=("text", "quality"),
+)
+def text_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    cnt = (
+        docs.select("doc_id", "lang", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    h = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("ent"),
+        )
+    )
+    return (
+        h.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ent"), 4).alias("avg_entropy"),
+            F.round(F.min("ent"), 4).alias("min_entropy"),
+            F.sum(F.when(F.col("ent") < ENTROPY_LOW, 1).otherwise(0)).alias(
+                "n_low_entropy"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token estimation: subword tokenizers split letter-runs, digits,
 # and punctuation separately (the GPT-2 pre-tokenizer shape), so a regex
 # over those classes estimates real token counts far better than \S+ —

@@ -63,6 +63,7 @@ EXPECTED_EXTRA = {
     "cross_source_overlap",  # shared 3-gram shingles per source pair
     "ann_pq_topk",  # product-quantization ANN with ADC scoring
     "dedup_containment",  # asymmetric containment pairs, rare-shingle blocked
+    "text_entropy_profile",  # word-unigram entropy quality signal
 }
 
 
