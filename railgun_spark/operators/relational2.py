@@ -685,3 +685,74 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, list(ORDER_STATUSES))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape (sole problem supplier in multi-supplier orders),
+# adapted to this schema: the testdata lineitem has no commit/receipt
+# dates, so "problem" = a returned line (l_returnflag = 'R'). The classic
+# formulation is EXISTS(other supplier in the order) AND NOT EXISTS(other
+# supplier also late) — two correlated subqueries that execution engines
+# rewrite into joins. The Spark-first form computes both conditions in
+# ONE aggregate over lineitem (distinct suppliers / distinct R-flagged
+# suppliers per order), replacing a 3-way self-join of the fact table
+# with a single map-side-combining groupBy; the dim join (supplier name)
+# broadcasts. At 100 TB that is one shuffle of (orderkey) keys instead of
+# two fact-fact shuffles.
+# --------------------------------------------------------------------------
+@extra_query(
+    "sole_return_supplier_ranking",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS ns,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr
+      FROM lineitem
+      GROUP BY l_orderkey
+    ), sole AS (
+      SELECT l.l_suppkey, count(*) AS numwait
+      FROM lineitem l
+      JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+      WHERE l.l_returnflag = 'R' AND p.ns >= 2 AND p.nr = 1
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, sole.numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="Q21-shaped sole-problem-supplier ranking: EXISTS/NOT-EXISTS "
+    "collapsed into one per-order aggregate (distinct vs distinct-flagged "
+    "suppliers), fact joined once, supplier dim broadcast.",
+    tags=("join", "subquery"),
+)
+def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nr"),
+    )
+    fixed_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    sole = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order.filter((F.col("ns") >= 2) & (F.col("nr") == 1)), "l_orderkey")
+        .join(fixed_orders, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        sole.join(F.broadcast(sup), "l_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -64,6 +64,7 @@ EXPECTED_EXTRA = {
     "ann_pq_topk",  # product-quantization ANN with ADC scoring
     "dedup_containment",  # asymmetric containment pairs, rare-shingle blocked
     "text_entropy_profile",  # word-unigram entropy quality signal
+    "sole_return_supplier_ranking",  # Q21-shaped exists/not-exists as one agg
 }
 
 
