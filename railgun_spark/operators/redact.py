@@ -1,0 +1,78 @@
+"""PII redaction for training corpora: map-side regexp replacement of
+emails, IPv4 addresses, and phone-like numbers, plus a per-pattern hit
+report. The reference has no analog (harness-superset operator in the
+spirit of its string DFL functions, SURVEY §2.8); the patterns are the
+standard public ones every corpus-cleaning pipeline ships.
+
+Scale shape: `redact` is a pure Column expression chain — regexp_replace
+stacked per pattern, whole-stage-codegen'd, ZERO shuffle and zero Python.
+`pii_report` adds one tiny groupBy over pattern-name keys. At 100 TB both
+are scan-bound.
+
+Pattern notes (kept deliberately conservative):
+- email: RFC-ish local@domain.tld — the dominant PII class in web text.
+- ipv4: dotted quad with 0-255 octets, word-bounded so version strings
+  like "1.2.3.4000" don't match.
+- phone: 7+ digit runs with optional separators and country prefix,
+  anchored to non-digit boundaries; deliberately NOT matching short ids.
+False positives redact a little too much (safe direction for training
+data); false negatives are the tunable part — pass extra patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ordered: emails first so their digits don't partially match as phones
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
+    "phone": r"(?<![0-9A-Za-z])\+?[0-9][0-9()\-. ]{5,}[0-9](?![0-9A-Za-z])",
+}
+
+
+def redact_col(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Stacked regexp_replace over `patterns` (default PII_PATTERNS); each
+    match becomes ``<NAME>`` so downstream tokenization sees a stable
+    placeholder instead of a hole."""
+    out = col
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def redact(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Replace PII in `text_col` in place; all other columns pass through."""
+    return df.withColumn(text_col, redact_col(F.col(text_col), patterns))
+
+
+def pii_report(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-pattern totals: docs hit + total matches. One map-side pass
+    (regexp_count per pattern) + a rollup over pattern-count columns."""
+    pats = patterns or PII_PATTERNS
+    counts = df.select(
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+            for name, pat in pats.items()
+        ]
+    )
+    # ONE scan: all totals in a single aggregate row, then stack-unpivot
+    agg = counts.agg(
+        *[
+            F.sum(F.when(F.col(n) > 0, 1).otherwise(0)).alias(f"{n}__docs")
+            for n in pats
+        ],
+        *[F.sum(n).alias(f"{n}__matches") for n in pats],
+    )
+    stack_args = ", ".join(f"'{n}', {n}__docs, {n}__matches" for n in pats)
+    return agg.select(
+        F.expr(
+            f"stack({len(pats)}, {stack_args}) AS (pattern, n_docs, n_matches)"
+        )
+    ).orderBy("pattern")
