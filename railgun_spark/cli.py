@@ -141,6 +141,7 @@ def cmd_prepare(args) -> int:
         max_tokens=args.max_tokens,
         records_per_shard=args.records_per_shard,
         n_buckets=args.buckets,
+        redact_pii=args.redact_pii,
     )
     print(json.dumps(summary))
     return 0
@@ -269,6 +270,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens", type=int, default=2048)
     p.add_argument("--records-per-shard", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="replace emails/IPs/phone-like runs with <NAME> placeholders "
+        "after the split (membership stays content-hash stable)",
+    )
     p.set_defaults(fn=cmd_prepare)
 
     p = sub.add_parser(

@@ -226,6 +226,7 @@ def prepare_training_shards(
     max_tokens: int = 512,
     records_per_shard: int = 1_000_000,
     n_buckets: int = 32,
+    redact_pii: bool = False,
 ) -> dict:
     """End-to-end training-data preparation: the composition a 100 TB
     pipeline actually runs, each stage the scale-shaped operator certified
@@ -253,6 +254,13 @@ def prepare_training_shards(
     clean_ids = verdicts.filter(F.col("reason") == "clean").select("doc_id")
     clean = docs.join(clean_ids, "doc_id")
     train = clean.filter(split_assignment(F.col("text")) == "train")
+    if redact_pii:
+        # AFTER the split: split/dedup membership stays a function of the
+        # original content hash, while shipped text carries placeholders.
+        # Map-side regexp chain — adds no shuffle to the pipeline.
+        from railgun_spark.operators.redact import redact
+
+        train = redact(train)
 
     # Lossless budget handling: docs over the token budget are CHUNKED (not
     # dropped) before packing. Chunk size is in whitespace tokens, halved to

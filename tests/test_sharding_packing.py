@@ -184,3 +184,23 @@ def test_chunking_partitions_tokens_exactly(spark, docs):
         assert r["mx"] <= C
         # every chunk except possibly the last is full
         assert r["k"] == (orig[r["doc_id"]] + C - 1) // C
+
+
+def test_prepare_with_redaction_same_membership(spark, tmp_path):
+    """--redact-pii must not change WHICH docs ship (split/dedup membership
+    is a function of original content), only the text they carry."""
+    from railgun_spark.operators.corpus import prepare_training_shards
+
+    plain = prepare_training_shards(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "a"), max_tokens=512
+    )
+    red = prepare_training_shards(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "b"), max_tokens=512,
+        redact_pii=True,
+    )
+    assert red["n_train_docs"] == plain["n_train_docs"]
+    assert red["n_covered_docs"] == plain["n_covered_docs"]
+    a = spark.read.parquet(str(tmp_path / "a" / "shards"))
+    b = spark.read.parquet(str(tmp_path / "b" / "shards"))
+    assert sorted(r["orig_doc_id"] for r in a.select("orig_doc_id").distinct().collect()) == \
+           sorted(r["orig_doc_id"] for r in b.select("orig_doc_id").distinct().collect())
