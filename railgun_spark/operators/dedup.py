@@ -208,6 +208,90 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring duplication fraction (the "Deduplicating Training Data
+# Makes Language Models Better" filter, Lee et al. 2021, arXiv:2107.06499
+# — public paper): a document is flagged when a large fraction of its
+# K-word windows occur verbatim in OTHER documents. Catches copied spans
+# and boilerplate that whole-document near-dup misses, without suffix
+# arrays: K-word windows hash to 60-bit keys, one groupBy(hash) marks
+# windows whose hash spans >= 2 DISTINCT docs, one groupBy(doc) rolls up
+# the duplicated fraction. The shuffle carries 8-byte hashes, never text;
+# window extraction is map-side higher-order expressions.
+# --------------------------------------------------------------------------
+DUP_WINDOW_K = 10
+DUP_WINDOW_FRAC = 0.5
+
+
+@extra_query(
+    "duplicated_window_fraction",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - {DUP_WINDOW_K} + 2),
+                    i -> ('0x' || substr(md5(
+                        list_aggregate(ws[i:i + {DUP_WINDOW_K} - 1], 'string_agg', ' ')
+                    ), 1, 15))::UBIGINT::BIGINT)) AS h
+      FROM t WHERE len(ws) >= {DUP_WINDOW_K}
+    ), marked AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h
+    )
+    SELECT win.doc_id,
+           count(*) AS n_windows,
+           sum(CASE WHEN marked.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+           round(sum(CASE WHEN marked.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac
+    FROM win JOIN marked USING (h)
+    GROUP BY win.doc_id
+    HAVING sum(CASE WHEN marked.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+           / count(*) >= {DUP_WINDOW_FRAC}
+    ORDER BY dup_frac DESC, doc_id
+    """,
+    doc=f"Exact-substring duplication filter (Lee et al. 2021 shape): flag "
+    f"docs with >= {DUP_WINDOW_FRAC:.0%} of their {DUP_WINDOW_K}-word "
+    "windows duplicated verbatim in other docs. Windows hash to 60-bit "
+    "keys map-side; the shuffles carry hashes only.",
+    tags=("dedup", "quality"),
+)
+def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = words(F.col("text"))
+    k = DUP_WINDOW_K
+    # windows as positions 1..len-K+1; join K words per window, hash60.
+    # (non-distinct: repeated windows inside one doc each count toward the
+    # doc's fraction, matching the oracle's unnest semantics)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - k + 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(" ", F.slice(ws, i, k)), "UTF-8")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    win = docs.filter(F.size(ws) >= k).select(
+        "doc_id", F.explode(win_hashes).alias("h")
+    )
+    marked = win.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    frac = dup * F.lit(1.0) / F.count(F.lit(1))
+    return (
+        win.join(marked, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.alias("n_dup_windows"),
+            F.round(frac, 4).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows") >= DUP_WINDOW_FRAC)
+        .orderBy(F.desc("dup_frac"), "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Containment near-dup pairs: C(A,B) = |A ∩ B| / |min(A,B)| over shingle
 # sets. Catches SUPERSET duplication — a document embedded verbatim inside
 # a longer one (quote expansion, page chrome around a reused article) —

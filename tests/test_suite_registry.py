@@ -65,6 +65,7 @@ EXPECTED_EXTRA = {
     "dedup_containment",  # asymmetric containment pairs, rare-shingle blocked
     "text_entropy_profile",  # word-unigram entropy quality signal
     "sole_return_supplier_ranking",  # Q21-shaped exists/not-exists as one agg
+    "duplicated_window_fraction",  # Lee-et-al exact-substring dup filter
 }
 
 
