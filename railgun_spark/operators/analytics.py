@@ -584,3 +584,106 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel latency percentiles: HOW FAST users convert, not just whether
+# (funnel_conversion counts). Per-user first-view -> first-click ->
+# first-purchase chain (the funnel's strictly-ordered min-ts joins), then
+# exact nearest-rank p25/p50/p75 of the latency per stage pair. Latencies
+# are integer seconds (bigint microsecond difference DIV 1e6) so both
+# engines rank identical values. The rank window partitions by stage (2
+# keys) over the CONVERTED-USERS aggregate — user-cardinality rows, not
+# events; same external-sort discipline as revenue_percentiles.
+# --------------------------------------------------------------------------
+@extra_query(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t1, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ), p AS (
+      SELECT e.user_id, c.t1, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id, c.t1
+    ), lat AS (
+      SELECT 'view_to_click' AS stage,
+             (epoch_us(t2) - epoch_us(t1)) // 1000000 AS secs FROM c
+      UNION ALL
+      SELECT 'view_to_purchase' AS stage,
+             (epoch_us(t3) - epoch_us(t1)) // 1000000 AS secs FROM p
+    ), ranked AS (
+      SELECT stage, secs,
+             row_number() OVER (PARTITION BY stage ORDER BY secs) AS rn
+      FROM lat
+    ), counts AS (
+      SELECT stage, count(*) AS n FROM lat GROUP BY stage
+    )
+    SELECT r.stage, any_value(c.n) AS n_users,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN secs END) AS p25_s,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN secs END) AS p50_s,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN secs END) AS p75_s
+    FROM ranked r JOIN counts c USING (stage)
+    GROUP BY r.stage
+    ORDER BY r.stage
+    """,
+    doc="Exact nearest-rank latency percentiles for the view->click and "
+    "view->purchase funnel legs: strictly-ordered min-ts chain, integer-"
+    "second latencies, rank window over converted users only.",
+    tags=("agg", "funnel", "events"),
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t1", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def secs(a, b):
+        return ((F.unix_micros(F.col(b)) - F.unix_micros(F.col(a))) / F.lit(1_000_000)).cast("bigint")
+
+    lat = c.select(F.lit("view_to_click").alias("stage"), secs("t1", "t2").alias("secs")).unionByName(
+        p.select(F.lit("view_to_purchase").alias("stage"), secs("t1", "t3").alias("secs"))
+    )
+    counts = lat.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("stage").orderBy("secs")
+    ranked = lat.withColumn("rn", F.row_number().over(w))
+
+    def at_rank(alias: str, q: float):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == target, F.col("secs"))).alias(alias)
+
+    return (
+        ranked.join(F.broadcast(counts), "stage")
+        .groupBy("stage")
+        .agg(
+            F.any_value(F.col("n")).alias("n_users"),
+            at_rank("p25_s", 0.25),
+            at_rank("p50_s", 0.50),
+            at_rank("p75_s", 0.75),
+        )
+        .orderBy("stage")
+    )

@@ -66,6 +66,7 @@ EXPECTED_EXTRA = {
     "text_entropy_profile",  # word-unigram entropy quality signal
     "sole_return_supplier_ranking",  # Q21-shaped exists/not-exists as one agg
     "duplicated_window_fraction",  # Lee-et-al exact-substring dup filter
+    "funnel_latency_percentiles",  # nearest-rank time-to-convert per leg
 }
 
 
