@@ -687,3 +687,60 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew report — the measurement that decides salting / AQE skew
+# handling at 100 TB. For a key column: row and key cardinalities, the
+# heaviest key's share, top-10 keys' share, and the max/mean ratio. One
+# groupBy(key) shuffle; every later stage runs over the KEY-cardinality
+# aggregate (window over per-key counts, single-row rollup). Ratios
+# rounded at 4 on both engines.
+# --------------------------------------------------------------------------
+@extra_query(
+    "key_skew_report_events",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn FROM per_key
+    ), tot AS (
+      SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_c
+      FROM per_key
+    )
+    SELECT t.n_rows::BIGINT AS n_rows, t.n_keys::BIGINT AS n_keys,
+           t.max_c::BIGINT AS max_key_rows,
+           round(t.max_c * 1.0 / t.n_rows, 4) AS max_key_share,
+           round((SELECT sum(c) FROM ranked WHERE rn <= 10) * 1.0
+                 / t.n_rows, 4) AS top10_share,
+           round(t.max_c * 1.0 * t.n_keys / t.n_rows, 4) AS skew_ratio
+    FROM tot t
+    """,
+    doc="Join-key skew profile for events.user_id: heaviest-key and top-10 "
+    "shares plus max/mean ratio — the salting/AQE decision input. One "
+    "groupBy(key) shuffle; windows run over per-key counts only.",
+    tags=("agg", "ops", "events"),
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = per_key.withColumn(
+        "rn", F.row_number().over(Window.partitionBy().orderBy(F.desc("c"), "user_id"))
+    )
+    return ranked.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("max_key_share"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum("c"),
+            4,
+        ).alias("top10_share"),
+        F.round(
+            F.max("c") * F.lit(1.0) * F.count(F.lit(1)) / F.sum("c"), 4
+        ).alias("skew_ratio"),
+    )

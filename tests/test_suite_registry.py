@@ -67,6 +67,7 @@ EXPECTED_EXTRA = {
     "sole_return_supplier_ranking",  # Q21-shaped exists/not-exists as one agg
     "duplicated_window_fraction",  # Lee-et-al exact-substring dup filter
     "funnel_latency_percentiles",  # nearest-rank time-to-convert per leg
+    "key_skew_report_events",  # join-key skew profile (salting decision input)
 }
 
 
