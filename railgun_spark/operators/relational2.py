@@ -573,7 +573,12 @@ TOPK_SALT = 16
     doc=f"Two-stage salted top-k: stage 1 keeps top-k per (group, "
     f"salt mod {TOPK_SALT}) — balanced reducers; stage 2 re-ranks the "
     f"<= k x {TOPK_SALT} survivors per group. Identical output to the "
-    "direct window (the oracle is the direct form).",
+    "direct window (the oracle is the direct form). Measured caveat "
+    "(tools/skew_probe.py): Spark 4 already plans filter(rank<=k) as "
+    "Partial+Final WindowGroupLimit — a native map-side top-k — so on "
+    "this engine the direct form wins (~1.5x); keep this explicit "
+    "pattern for engines without that rewrite and for non-rank window "
+    "aggregates it cannot cover.",
     tags=("window", "topk", "skew"),
 )
 def window_topk_salted(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
