@@ -524,7 +524,11 @@ AGG_SALT = 16
     f"groups on (key, salt mod {AGG_SALT}) — {AGG_SALT}x the reducers, "
     "balanced; stage 2 merges the partials. count(distinct) stays exact by "
     "salting on the distinct column itself (user_id), so each (key, salt) "
-    "bucket owns disjoint users.",
+    "bucket owns disjoint users. Measured caveat (tools/skew_probe.py "
+    "--agg): Spark 4's own distinct-agg rewrite shuffles on (key, user_id) "
+    "first, so the direct form wins (~1.3x) here; keep this explicit "
+    "pattern for non-decomposable aggregates and engines without the "
+    "rewrite.",
     tags=("agg", "skew"),
 )
 def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,7 +27,16 @@ full group) where the rewrite does not apply — but on Spark 4, prefer
 the direct rank-filter form and let Catalyst de-skew it. "Measure,
 don't guess": the manual salt costs ~1.5x here, it does not save 3x.
 
-Usage: python tools/skew_probe.py [blow_factor]
+The same holds for salted AGGREGATION (`--agg`): on 1.6M skewed events
+(one hot event_type), direct groupBy + count_distinct beats the manual
+two-stage salt 0.31 s vs 0.40 s — Spark's distinct-aggregate rewrite
+shuffles on (group, user_id) first (Expand + two-phase agg), so the hot
+GROUP key never concentrates a reducer, and plain count/sum de-skew via
+map-side partial aggregation. Manual salting earns its keep only for
+non-decomposable aggregates Spark cannot rewrite (exact medians,
+collect_list order statistics) on engines without these rewrites.
+
+Usage: python tools/skew_probe.py [blow_factor] [--agg]
 """
 
 from __future__ import annotations
@@ -44,11 +53,58 @@ K = 3
 SALT = 16
 
 
+def probe_agg(spark, blow: int) -> None:
+    base = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select(
+        "event_type", "user_id"
+    )
+    parts = [
+        base.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        for i in range(blow)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "view", "view").otherwise(F.lit("HOT")),
+    ).localCheckpoint()
+    print(f"agg probe rows={df.count()}")
+
+    def direct():
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("u")
+        )
+
+    def salted():
+        s = df.withColumn("_s", F.pmod(F.hash("user_id"), F.lit(SALT)))
+        p = s.groupBy("event_type", "_s").agg(
+            F.count(F.lit(1)).alias("pn"), F.count_distinct("user_id").alias("pu")
+        )
+        return p.groupBy("event_type").agg(
+            F.sum("pn").alias("n"), F.sum("pu").alias("u")
+        )
+
+    assert sorted(map(tuple, direct().collect())) == sorted(
+        map(tuple, salted().collect())
+    )
+    for name, fn in (("direct", direct), ("salted", salted)):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn().collect()
+            ts.append(time.time() - t0)
+        print(f"agg {name}: min={min(ts):.2f}s median={sorted(ts)[1]:.2f}s")
+
+
 def main() -> None:
     from railgun_spark.session import get_spark
 
-    blow = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    args = [a for a in sys.argv[1:] if a != "--agg"]
+    blow = int(args[0]) if args else 16
     spark = get_spark("skew_probe")
+    if "--agg" in sys.argv[1:]:
+        probe_agg(spark, blow)
+        return
     base = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").select(
         "o_orderpriority", "o_orderkey", "o_totalprice"
     )
