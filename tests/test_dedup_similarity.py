@@ -486,3 +486,54 @@ def test_redact_custom_patterns_and_safe_direction(spark):
     # custom pattern layer composes after the defaults
     got = redact(df, patterns={"secret": r"sk-[A-Za-z0-9]+"}).first()["text"]
     assert got == "key=<SECRET>; dotted 999.1.2.3 run"
+
+
+def test_bucketed_index_same_result_fewer_shuffles(spark, tmp_path):
+    """The bucketed index table must admit exactly the same rows as the
+    parquet index, with FEWER exchanges in the anti-join plan (the index
+    side scans in place thanks to its bucket layout)."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        append_to_bucketed_index,
+        append_to_index,
+        bucketize_index,
+        dedup_against_bucketed_index,
+        dedup_against_index,
+    )
+
+    idx = str(tmp_path / "fp")
+    b1 = spark.createDataFrame([Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="cc dd")])
+    append_to_index(dedup_against_index(b1, idx), idx)
+
+    table = "fp_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert bucketize_index(spark, idx, table, n_buckets=8) == 2
+
+    b2 = spark.createDataFrame(
+        [Row(doc_id=10, text="aa bb"),  # dup vs index
+         Row(doc_id=11, text="ee ff")]  # new
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_parquet = dedup_against_index(b2, idx)
+        via_table = dedup_against_bucketed_index(b2, table)
+        assert sorted(r["doc_id"] for r in via_table.collect()) == \
+               sorted(r["doc_id"] for r in via_parquet.collect()) == [11]
+
+        def n_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange")
+
+        plan_table = via_table._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_table
+        assert n_exchanges(via_table) < n_exchanges(via_parquet)
+
+        # appends preserve the bucket spec and stay visible to the gate
+        append_to_bucketed_index(via_table, table)
+        b3 = spark.createDataFrame([Row(doc_id=20, text="ee ff")])
+        assert dedup_against_bucketed_index(b3, table).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
