@@ -149,14 +149,38 @@ def cmd_prepare(args) -> int:
 
 def cmd_ingest(args) -> int:
     """Continual corpus ingestion: dedup new shards against the persisted
-    fingerprint index (batch, or availableNow streaming with --stream)."""
+    fingerprint index (batch, or availableNow streaming with --stream).
+    With --bucketed-table, the gate anti-joins a bucketed index table
+    instead of the parquet path (shuffle-free on the index side)."""
     from railgun_spark.session import get_spark
     from railgun_spark.streaming.ingest import (
         ingest_batch,
         stream_ingest_dedup_availablenow,
     )
 
+    if not args.bucketed_table and not args.index:
+        print("one of --index or --bucketed-table is required", file=sys.stderr)
+        return 2
     spark = get_spark("railgun_ingest")
+    if args.bucketed_table:
+        from railgun_spark.operators.dedup import (
+            append_to_bucketed_index,
+            dedup_against_bucketed_index,
+        )
+
+        if args.stream:
+            print("--bucketed-table supports batch mode only", file=sys.stderr)
+            return 2
+        survivors = dedup_against_bucketed_index(
+            spark.read.parquet(args.input_dir),
+            args.bucketed_table,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).localCheckpoint()
+        survivors.drop("__h").write.mode("append").parquet(args.sink)
+        append_to_bucketed_index(survivors, args.bucketed_table)
+        print(json.dumps({"admitted": survivors.count()}))
+        return 0
     if args.stream:
         schema = spark.read.parquet(args.input_dir).schema
         admitted = stream_ingest_dedup_availablenow(
@@ -283,7 +307,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="dedup arriving shards against the fingerprint index, append survivors",
     )
     p.add_argument("--input-dir", required=True, help="dir of arriving parquet shards")
-    p.add_argument("--index", required=True, help="fingerprint index path (grows append-only)")
+    p.add_argument("--index", required=False, default=None,
+                   help="fingerprint index path (grows append-only)")
+    p.add_argument("--bucketed-table", default=None,
+                   help="bucketed index table name (from bucketize_index); "
+                   "replaces --index, batch mode only")
     p.add_argument("--sink", required=True, help="corpus sink path")
     p.add_argument("--stream", action="store_true", help="drain via Structured Streaming (availableNow)")
     p.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: <sink>_checkpoint)")

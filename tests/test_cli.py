@@ -152,3 +152,36 @@ def test_stats_subcommand(spark, capsys):
     # unknown section is a usage error, not a crash
     assert main(["stats", "--input-dir", "/root/testdata/sf0.001",
                  "--sections", "nope"]) == 2
+
+
+def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import append_to_index, bucketize_index, dedup_against_index
+
+    # seed a parquet index with one batch, migrate it to a bucketed table
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame([Row(doc_id=1, text="one two")])
+    append_to_index(dedup_against_index(seed, idx), idx)
+    table = "cli_fp_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        bucketize_index(spark, idx, table, n_buckets=4)
+
+        b = tmp_path / "arrivals"
+        spark.createDataFrame(
+            [Row(doc_id=9, text="one two"), Row(doc_id=10, text="three four")]
+        ).write.parquet(str(b))
+        rc = main(["ingest", "--input-dir", str(b), "--sink", str(tmp_path / "corpus"),
+                   "--bucketed-table", table])
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+        assert [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()] == [10]
+
+        # missing both index args is a usage error
+        assert main(["ingest", "--input-dir", str(b), "--sink", str(tmp_path / "c2")]) == 2
+        # streaming + bucketed table is rejected
+        assert main(["ingest", "--input-dir", str(b), "--sink", str(tmp_path / "c3"),
+                     "--bucketed-table", table, "--stream"]) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
