@@ -515,3 +515,82 @@ def training_shuffle_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "decile")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture shares: the standard multilingual-pretraining
+# re-weighting (sample language l proportional to p_l^alpha, alpha in
+# (0,1] — alpha=1 keeps natural proportions, smaller alpha flattens the
+# head and boosts the tail; the UNIMAX / mT5 recipe, public papers).
+# Produces the `shares_permille` input for `mixture_rates`, so the whole
+# chain stays integer-exact after this one rounded step. Shape: one
+# map-side-combined groupBy for per-group token counts (rows = #groups),
+# window over that group-sized aggregate, round(4) on the double pow —
+# both engines libm-pow over identical doubles, the PMI/ln precedent.
+# Permille shares are floored; the remainder (<= #groups permille) is
+# assigned to the LARGEST group so shares sum to exactly 1000.
+# --------------------------------------------------------------------------
+MIX_TEMP_ALPHA = 0.5
+
+
+@extra_query(
+    "mixture_temperature_shares",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS avail
+      FROM documents GROUP BY lang
+    ), powed AS (
+      SELECT lang, avail,
+             round(pow(avail * 1.0 / (SELECT sum(avail) FROM counts),
+                       {MIX_TEMP_ALPHA}), 4) AS w
+      FROM counts
+    ), shared AS (
+      SELECT lang, avail,
+             CAST(floor(w * 1000 / (SELECT sum(w) FROM powed)) AS BIGINT)
+               AS share_permille,
+             row_number() OVER (ORDER BY avail DESC, lang) AS rk
+      FROM powed
+    )
+    SELECT lang, avail,
+           (share_permille + CASE WHEN rk = 1
+              THEN 1000 - (SELECT sum(share_permille) FROM shared)
+              ELSE 0 END)::BIGINT AS share_permille
+    FROM shared
+    ORDER BY lang
+    """,
+    doc=f"Temperature-scaled (alpha={MIX_TEMP_ALPHA}) mixture shares per "
+    "language: natural token proportions flattened by p^alpha (the "
+    "multilingual-pretraining recipe), floored to integer permille with "
+    "the remainder on the largest group so shares sum to exactly 1000.",
+    tags=("corpus", "mixture"),
+)
+def mixture_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = token_count(F.col("text"))
+    counts = docs.groupBy("lang").agg(F.sum(tok).alias("avail"))
+    w_all = Window.partitionBy()
+    powed = counts.withColumn(
+        "w",
+        F.round(
+            F.pow(F.col("avail") * F.lit(1.0) / F.sum("avail").over(w_all),
+                  F.lit(MIX_TEMP_ALPHA)),
+            4,
+        ),
+    )
+    shared = powed.withColumn(
+        "share_permille",
+        F.floor(F.col("w") * F.lit(1000) / F.sum("w").over(w_all)).cast("bigint"),
+    ).withColumn("rk", F.row_number().over(Window.partitionBy().orderBy(F.desc("avail"), "lang")))
+    return shared.select(
+        "lang",
+        "avail",
+        (
+            F.col("share_permille")
+            + F.when(
+                F.col("rk") == 1,
+                F.lit(1000) - F.sum("share_permille").over(w_all),
+            ).otherwise(0)
+        ).cast("bigint").alias("share_permille"),
+    ).orderBy("lang")

@@ -68,6 +68,7 @@ EXPECTED_EXTRA = {
     "duplicated_window_fraction",  # Lee-et-al exact-substring dup filter
     "funnel_latency_percentiles",  # nearest-rank time-to-convert per leg
     "key_skew_report_events",  # join-key skew profile (salting decision input)
+    "mixture_temperature_shares",  # p^alpha multilingual mixture shares
 }
 
 
