@@ -92,7 +92,10 @@ def main():
                 continue
             samples[name].append(time.time() - t0)
 
-    done = {n: ts for n, ts in samples.items() if ts}
+    # a query in `errors` contributes NOTHING to the headline numbers even
+    # if earlier iterations succeeded — blending a 1-sample min into a
+    # total that other rounds compare against would skew silently
+    done = {n: ts for n, ts in samples.items() if ts and n not in errors}
     mins = {n: round(min(ts), 3) for n, ts in done.items()}
     medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in done.items()}
     total = round(sum(mins.values()), 3)

@@ -264,13 +264,7 @@ def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc's fraction, matching the oracle's unnest semantics)
     win_hashes = F.transform(
         F.sequence(F.lit(1), F.size(ws) - k + 1),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.encode(F.concat_ws(" ", F.slice(ws, i, k)), "UTF-8")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint"),
+        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws, i, k))),
     )
     win = docs.filter(F.size(ws) >= k).select(
         "doc_id", F.explode(win_hashes).alias("h")
@@ -340,8 +334,8 @@ CONTAIN_THRESHOLD = 0.9
       JOIN s sa ON sa.doc_id = cand.d1
       JOIN s sb ON sb.doc_id = cand.d2
     )
-    SELECT CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS doc_container,
-           CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS doc_contained,
+    SELECT CASE WHEN n1 < n2 THEN d2 ELSE d1 END AS doc_container,
+           CASE WHEN n1 < n2 THEN d1 ELSE d2 END AS doc_contained,
            round(inter * 1.0 / least(n1, n2), 4) AS containment
     FROM verified
     WHERE inter * 1.0 / least(n1, n2) >= {CONTAIN_THRESHOLD}
@@ -420,8 +414,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "d2")
         .filter(contain >= CONTAIN_THRESHOLD)
         .select(
-            F.when(n1 <= n2, F.col("d2")).otherwise(F.col("d1")).alias("doc_container"),
-            F.when(n1 <= n2, F.col("d1")).otherwise(F.col("d2")).alias("doc_contained"),
+            # strict <: on equal sizes (d1 < d2 by construction) the LOWER
+            # id is the container/survivor, matching the lower-id-survives
+            # discipline of every other dedup operator
+            F.when(n1 < n2, F.col("d2")).otherwise(F.col("d1")).alias("doc_container"),
+            F.when(n1 < n2, F.col("d1")).otherwise(F.col("d2")).alias("doc_contained"),
             F.round(contain, 4).alias("containment"),
         )
         .orderBy("doc_contained", "doc_container")
@@ -931,7 +928,9 @@ def bucketize_index(
     """Materialize a parquet fingerprint index as a managed table bucketed
     by hash (one-time migration; thereafter append with
     `append_to_bucketed_index`). Returns the distinct row count."""
-    idx = spark.read.parquet(_local_index_path(index_path)).select("h").distinct()
+    local = _local_index_path(index_path)
+    _recover_index(local)  # a crash-interrupted compaction is recoverable
+    idx = spark.read.parquet(local).select("h").distinct()
     idx.write.mode("overwrite").format("parquet").bucketBy(n_buckets, "h").saveAsTable(
         table
     )

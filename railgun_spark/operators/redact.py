@@ -33,29 +33,55 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def redact_col(col: Column, patterns: dict[str, str] | None = None) -> Column:
-    """Stacked regexp_replace over `patterns` (default PII_PATTERNS); each
-    match becomes ``<NAME>`` so downstream tokenization sees a stable
-    placeholder instead of a hole."""
+def _resolve_patterns(
+    patterns: dict[str, str] | None, replace_defaults: bool
+) -> dict[str, str]:
+    """Extra patterns EXTEND the default PII set (applied after it) unless
+    `replace_defaults` is explicitly set — silently dropping the email/IP/
+    phone defaults because a caller added one custom pattern would be the
+    exact PII leak this module exists to prevent."""
+    if patterns is None:
+        return PII_PATTERNS
+    if replace_defaults:
+        return patterns
+    return {**PII_PATTERNS, **patterns}
+
+
+def redact_col(
+    col: Column,
+    patterns: dict[str, str] | None = None,
+    replace_defaults: bool = False,
+) -> Column:
+    """Stacked regexp_replace; each match becomes ``<NAME>`` so downstream
+    tokenization sees a stable placeholder instead of a hole. `patterns`
+    adds to PII_PATTERNS (see _resolve_patterns)."""
     out = col
-    for name, pat in (patterns or PII_PATTERNS).items():
+    for name, pat in _resolve_patterns(patterns, replace_defaults).items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
 
 
 def redact(
-    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replace_defaults: bool = False,
 ) -> DataFrame:
     """Replace PII in `text_col` in place; all other columns pass through."""
-    return df.withColumn(text_col, redact_col(F.col(text_col), patterns))
+    return df.withColumn(
+        text_col, redact_col(F.col(text_col), patterns, replace_defaults)
+    )
 
 
 def pii_report(
-    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replace_defaults: bool = False,
 ) -> DataFrame:
     """Per-pattern totals: docs hit + total matches. One map-side pass
     (regexp_count per pattern) + a rollup over pattern-count columns."""
-    pats = patterns or PII_PATTERNS
+    pats = _resolve_patterns(patterns, replace_defaults)
     counts = df.select(
         *[
             F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)

@@ -51,8 +51,8 @@ TOKEN_BUCKET_EDGES = (0, 16, 32, 64, 128, 256, 512)
              AS dup_docs,
            round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars,
-           round(avg(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
-                     * least(1.0, n_chars / 500.0)), 4) AS avg_quality
+           round(avg(round(least(1.0, len(regexp_extract_all(text, '\\S+')) / 100.0)
+                           * least(1.0, n_chars / 500.0), 6)), 4) AS avg_quality
     FROM documents
     GROUP BY source
     ORDER BY source

@@ -51,7 +51,11 @@ def _encode_value(key: str, v) -> bytes:
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=datetime.timezone.utc)
-        ms = int(v.timestamp() * 1000)
+        # integer floor-division millis: exact, and floors pre-epoch values
+        # like Go's/pymongo's encoders (int(ts*1000) would truncate toward
+        # zero, off by 1 ms for sub-ms pre-1970 datetimes)
+        epoch = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        ms = epoch // datetime.timedelta(milliseconds=1)
         return b"\x09" + k + struct.pack("<q", ms)
     if isinstance(v, (list, tuple)):
         inner = b"".join(_encode_value(str(i), x) for i, x in enumerate(v))
@@ -83,7 +87,13 @@ def _decode_value(tag: int, data: bytes, pos: int):
         (n,) = struct.unpack_from("<i", data, pos)
         doc = _decode_doc(data[pos : pos + n])
         if tag == 0x04:
-            return [doc[str(i)] for i in range(len(doc))], pos + n
+            try:
+                return [doc[str(i)] for i in range(len(doc))], pos + n
+            except KeyError:
+                raise ValueError(
+                    f"malformed BSON array at byte {pos}: keys are not the "
+                    f"canonical '0'..'{len(doc) - 1}' (got {sorted(doc)[:8]})"
+                ) from None
         return doc, pos + n
     if tag == 0x05:
         (n,) = struct.unpack_from("<i", data, pos)

@@ -32,11 +32,17 @@ def _argon2i_go_params(passphrase: str, salt: bytes) -> bytes:
     does Go's x/crypto/argon2), so output is byte-for-byte Go-identical.
     Raises ImportError when neither backend exists."""
     try:
+        from cryptography.exceptions import UnsupportedAlgorithm
         from cryptography.hazmat.primitives.kdf.argon2 import Argon2i
 
-        return Argon2i(
-            salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024
-        ).derive(passphrase.encode())
+        try:
+            return Argon2i(
+                salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024
+            ).derive(passphrase.encode())
+        except UnsupportedAlgorithm:
+            # cryptography>=48 built against OpenSSL<3.2 imports fine but
+            # cannot provide the Argon2 EVP_KDF — fall through to argon2-cffi
+            pass
     except ImportError:
         pass
     from argon2.low_level import Type, hash_secret_raw  # type: ignore

@@ -483,8 +483,13 @@ def test_redact_custom_patterns_and_safe_direction(spark):
     df = spark.createDataFrame([Row(text="key=sk-abcdef123456; dotted 999.1.2.3 run")])
     # digit-dot runs over-redact as phones: the documented safe direction
     assert "<PHONE>" in redact(df).first()["text"]
-    # custom pattern layer composes after the defaults
+    # custom patterns EXTEND the defaults (the digit run still redacts)
     got = redact(df, patterns={"secret": r"sk-[A-Za-z0-9]+"}).first()["text"]
+    assert got == "key=<SECRET>; dotted <PHONE> run"
+    # explicit opt-out replaces the default set entirely
+    got = redact(
+        df, patterns={"secret": r"sk-[A-Za-z0-9]+"}, replace_defaults=True
+    ).first()["text"]
     assert got == "key=<SECRET>; dotted 999.1.2.3 run"
 
 
