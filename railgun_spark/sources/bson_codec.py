@@ -97,13 +97,24 @@ def _decode_value(tag: int, data: bytes, pos: int):
         return doc, pos + n
     if tag == 0x05:
         (n,) = struct.unpack_from("<i", data, pos)
+        subtype = data[pos + 4]
+        if subtype != 0x00:
+            # old-binary (0x02) embeds an inner length; UUID/user subtypes
+            # carry semantics we can't round-trip — raise, never corrupt
+            raise ValueError(
+                f"unsupported BSON binary subtype 0x{subtype:02x} at byte {pos}"
+            )
         return bytes(data[pos + 5 : pos + 5 + n]), pos + 5 + n
     if tag == 0x08:
         return data[pos] != 0, pos + 1
     if tag == 0x09:
         (ms,) = struct.unpack_from("<q", data, pos)
+        # integer timedelta arithmetic: fromtimestamp(ms/1000.0) loses
+        # microseconds once |seconds| nears 2^53/1000 (year-9999 values
+        # decode ~7us off), breaking the exact round-trip
         return (
-            datetime.datetime.fromtimestamp(ms / 1000.0, tz=datetime.timezone.utc),
+            datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            + datetime.timedelta(milliseconds=ms),
             pos + 8,
         )
     if tag == 0x0A:
@@ -132,6 +143,10 @@ def _decode_doc(data: bytes) -> dict:
 
 def loads(data: bytes) -> dict:
     """Decode the FIRST document in `data`."""
+    if len(data) < 5:
+        raise ValueError(
+            f"malformed BSON document: {len(data)} bytes, need at least 5"
+        )
     (total,) = struct.unpack_from("<i", data, 0)
     return _decode_doc(bytes(data[:total]))
 

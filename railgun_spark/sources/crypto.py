@@ -95,10 +95,18 @@ def derive_key(passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
                 RuntimeWarning,
                 stacklevel=2,
             )
+    from cryptography.exceptions import UnsupportedAlgorithm
     from cryptography.hazmat.primitives.kdf.argon2 import Argon2id
 
     kdf_impl = Argon2id(salt=salt, length=32, iterations=3, lanes=4, memory_cost=32 * 1024)
-    return kdf_impl.derive(passphrase.encode())
+    try:
+        return kdf_impl.derive(passphrase.encode())
+    except UnsupportedAlgorithm:
+        raise RuntimeError(
+            "no usable Argon2 backend: cryptography is installed but its "
+            "OpenSSL lacks the Argon2 KDF (needs OpenSSL>=3.2), and "
+            "argon2-cffi is absent — install argon2-cffi or upgrade OpenSSL"
+        ) from None
 
 
 def decrypt_bytes(data: bytes, passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:

@@ -246,10 +246,7 @@ def _decode_document(data: bytes, fmt: str) -> list[dict]:
                 return {k: _json_safe(x) for k, x in v.items()}
             return v
 
-        docs = bson_codec.loads_many(data)
-        doc = [_json_safe(d) for d in docs]
-        if len(doc) == 1:
-            doc = doc[0]
+        doc = [_json_safe(d) for d in bson_codec.loads_many(data)]
     elif fmt in ("hcl", "hcl2"):
         from railgun_spark.sources.hcl import loads as _hcl_loads
 

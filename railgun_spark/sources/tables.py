@@ -8,12 +8,17 @@ regenerations, and `load_events` normalizes both to a plain TimestampType:
   (runtime-settable) and integer-divide to microseconds — truncation,
   matching DuckDB's ns->us behavior when fetching, so oracle values agree.
 - timestamp[us] with isAdjustedToUTC=false (pandas/pyarrow default): Spark 4
-  infers TIMESTAMP_NTZ, which `unix_micros`/`withWatermark` reject. We
-  disable NTZ inference at read time (runtime-settable conf) so the column
-  comes back as TIMESTAMP, and keep a cast branch as belt-and-braces for
-  sessions where the scan was already planned with NTZ. The session
-  timezone is pinned UTC (session.py), so wall-clock values are identical
-  to what the DuckDB oracle sees.
+  infers TIMESTAMP_NTZ, which `unix_micros`/`withWatermark` reject.
+  Sessions built by `session.get_spark` disable NTZ inference engine-wide
+  (a deliberate, documented policy set at build time — not mutated here,
+  so unrelated reads in foreign sessions keep their own semantics); for
+  sessions without that conf the cast branch below normalizes the column.
+  The session timezone is pinned UTC (session.py), so wall-clock values
+  are identical to what the DuckDB oracle sees.
+
+The `nanosAsLong` conf IS set at runtime: without it the nanos-encoded
+file cannot be read at all ([PARQUET_TYPE_ILLEGAL]), so there is no
+schema-ambiguity hazard — only failure vs. success.
 """
 
 from __future__ import annotations
@@ -30,7 +35,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":

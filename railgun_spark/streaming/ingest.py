@@ -31,22 +31,49 @@ from pyspark.sql import DataFrame, SparkSession
 from railgun_spark.operators.dedup import append_to_index, dedup_against_index
 
 
+def _write_sink(survivors: DataFrame, sink_path: str, batch_id: int | None) -> int:
+    """Write a batch's survivors. Batch backfills (batch_id None) append.
+    Streaming batches write to an `ingest_batch=<id>` partition dir with
+    OVERWRITE, making the foreachBatch replay after a crash idempotent:
+
+    - crash before the sink write: replay regates, same survivors, same
+      partition overwritten once;
+    - crash between sink write and index append: replay re-admits (index
+      has no entry yet) and overwrites the SAME partition — no duplicate
+      sink rows (the window the plain append left open);
+    - crash after index append: replay's gate rejects everything, and the
+      empty batch SKIPS the write below so the already-written partition
+      survives — no data loss.
+    """
+    n = survivors.count()
+    if batch_id is None:
+        survivors.write.mode("append").parquet(sink_path)
+    elif n > 0:
+        survivors.write.mode("overwrite").parquet(
+            f"{sink_path}/ingest_batch={batch_id}"
+        )
+    return n
+
+
 def ingest_batch(
     batch_df: DataFrame,
     index_path: str,
     sink_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> int:
     """Gate one batch through the index: write survivors to the sink,
     commit their fingerprints. Returns the number admitted. Usable
-    directly for batch backfills — the streaming path calls exactly this."""
+    directly for batch backfills — the streaming path calls exactly this
+    (with its foreachBatch batch_id, for replay-idempotent sink writes)."""
     survivors = dedup_against_index(
         batch_df, index_path, text_col=text_col, id_col=id_col
     ).localCheckpoint()
-    survivors.drop("__h").write.mode("append").parquet(sink_path)
-    append_to_index(survivors, index_path)
-    return survivors.count()
+    n = _write_sink(survivors.drop("__h"), sink_path, batch_id)
+    if n > 0:
+        append_to_index(survivors, index_path)
+    return n
 
 
 def ingest_embeddings_batch(
@@ -55,6 +82,7 @@ def ingest_embeddings_batch(
     sink_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> int:
     """Embedding-modality twin of `ingest_batch`: gate one batch of vectors
     through the sign-LSH band index (similarity.embedding_dedup_against_index),
@@ -68,11 +96,42 @@ def ingest_embeddings_batch(
     survivors = embedding_dedup_against_index(
         batch_df, index_path, vec_col=vec_col, id_col=id_col
     ).localCheckpoint()
-    survivors.write.mode("append").parquet(sink_path)
-    append_embedding_bands_to_index(
-        survivors, index_path, vec_col=vec_col, id_col=id_col
+    n = _write_sink(survivors, sink_path, batch_id)
+    if n > 0:
+        append_embedding_bands_to_index(
+            survivors, index_path, vec_col=vec_col, id_col=id_col
+        )
+    return n
+
+
+def _drain_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    max_files_per_trigger: int,
+    gate,
+) -> int:
+    """Shared availableNow scaffold: file stream -> foreachBatch(gate) ->
+    drain to completion. `gate(batch_df, batch_id) -> admitted count`."""
+    admitted = [0]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
     )
-    return survivors.count()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        admitted[0] += gate(batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admitted[0]
 
 
 def stream_ingest_embeddings_availablenow(
@@ -88,26 +147,17 @@ def stream_ingest_embeddings_availablenow(
 ) -> int:
     """Drain `source_dir` of embedding shards through the band-index gate
     (availableNow); returns total vectors admitted."""
-    admitted = [0]
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_embeddings_batch(
+            batch_df, index_path, sink_path,
+            vec_col=vec_col, id_col=id_col, batch_id=batch_id,
+        ),
     )
-
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        admitted[0] += ingest_embeddings_batch(
-            batch_df, index_path, sink_path, vec_col=vec_col, id_col=id_col
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return admitted[0]
 
 
 def stream_ingest_dedup_availablenow(
@@ -123,23 +173,14 @@ def stream_ingest_dedup_availablenow(
 ) -> int:
     """Drain `source_dir` through the dedup gate (availableNow) and return
     the total number of admitted documents."""
-    admitted = [0]
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        schema,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_batch(
+            batch_df, index_path, sink_path,
+            text_col=text_col, id_col=id_col, batch_id=batch_id,
+        ),
     )
-
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        admitted[0] += ingest_batch(
-            batch_df, index_path, sink_path, text_col=text_col, id_col=id_col
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return admitted[0]

@@ -200,7 +200,9 @@ def test_stream_ingest_dedup_matches_batch_content_set(spark, tmp_path):
     texts = sorted(r["text"] for r in sink.collect())
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
     assert admitted == 3
-    assert sink.columns == ["doc_id", "text"]
+    # streaming batches land in ingest_batch=<id> partitions (the replay-
+    # idempotent overwrite target); partition discovery surfaces the column
+    assert sorted(sink.columns) == ["doc_id", "ingest_batch", "text"]
     # restart with the same index: everything is now a duplicate
     admitted2 = stream_ingest_dedup_availablenow(
         spark,
@@ -276,3 +278,34 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     b = sorted(tuple(r[k] for k in key) for r in batch.collect())
     s = sorted(tuple(r[k] for k in key) for r in streamed.collect())
     assert b == s and len(b) > 0
+
+
+def test_ingest_replay_windows_are_idempotent(spark, tmp_path):
+    """Simulate the two foreachBatch crash-replay windows directly:
+    (a) crash BETWEEN sink write and index append -> replay re-admits and
+    OVERWRITES the same partition (no duplicate sink rows);
+    (b) crash AFTER index append -> replay's empty batch skips the write,
+    leaving the already-written partition intact (no data loss)."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import dedup_against_index
+    from railgun_spark.streaming.ingest import _write_sink, ingest_batch
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="one two"), Row(doc_id=2, text="three four")]
+    )
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "corpus")
+
+    # (a) sink written, index append lost: write the partition as the
+    # crashed attempt would have, WITHOUT touching the index
+    survivors = dedup_against_index(batch, idx).drop("__h")
+    _write_sink(survivors, sink, batch_id=7)
+    assert spark.read.parquet(sink).count() == 2
+    # replay of batch 7: index still empty -> re-admits, overwrites same partition
+    assert ingest_batch(batch, idx, sink, batch_id=7) == 2
+    assert spark.read.parquet(sink).count() == 2  # not 4
+
+    # (b) index committed, checkpoint lost: replay re-gates to empty and
+    # must NOT clobber the partition with an empty overwrite
+    assert ingest_batch(batch, idx, sink, batch_id=7) == 0
+    assert spark.read.parquet(sink).count() == 2

@@ -45,16 +45,23 @@ def _write(tmp_path, ts_type) -> str:
 
 
 @pytest.mark.parametrize(
-    "ts_type",
+    "ts_type,infer_ntz",
     [
-        pa.timestamp("us"),  # isAdjustedToUTC=false -> Spark TIMESTAMP_NTZ
-        pa.timestamp("us", tz="UTC"),  # isAdjustedToUTC=true -> TIMESTAMP
-        pa.timestamp("ns"),  # TIMESTAMP(NANOS) -> nanosAsLong bigint path
+        (pa.timestamp("us"), False),  # engine policy: NTZ inference off
+        (pa.timestamp("us"), True),  # foreign session: cast branch must fire
+        (pa.timestamp("us", tz="UTC"), False),  # isAdjustedToUTC=true
+        (pa.timestamp("ns"), False),  # TIMESTAMP(NANOS) -> nanosAsLong path
     ],
-    ids=["ntz_us", "utc_us", "nanos"],
+    ids=["ntz_us_policy", "ntz_us_cast_branch", "utc_us", "nanos"],
 )
-def test_load_events_normalizes_to_timestamp(spark, tmp_path, ts_type):
-    df = load_events(spark, _write(tmp_path, ts_type))
+def test_load_events_normalizes_to_timestamp(spark, tmp_path, ts_type, infer_ntz):
+    conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(infer_ntz).lower())
+    try:
+        df = load_events(spark, _write(tmp_path, ts_type))
+    finally:
+        spark.conf.set(conf_key, prior)
     assert isinstance(df.schema["ts"].dataType, TimestampType), df.dtypes
     # The operators that broke must analyze cleanly on the loaded frame.
     df.select(F.unix_micros("ts").alias("us")).collect()
