@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from railgun_spark.sources.tables import load_events
@@ -295,7 +295,13 @@ def read_zordered(
     )
 
 
+WEB_MERCATOR_MAX_LAT = 85.05112878
+
+
 def _lat_to_tile_int(lat: float, zoom: int) -> int:
+    # clamp to the Web-Mercator domain: tan(±90°) overflows and log() raises
+    # a math domain error for the natural full-world bbox (-180,-90,180,90)
+    lat = max(-WEB_MERCATOR_MAX_LAT, min(WEB_MERCATOR_MAX_LAT, lat))
     rad = lat * PI / 180.0
     return int(
         math.floor((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / PI) / 2.0 * (2.0**zoom))

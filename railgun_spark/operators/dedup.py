@@ -61,8 +61,11 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _hash60_str(e: Column) -> Column:
-    """60-bit hash of a string expression (DuckDB-reproducible, see text.hash60)."""
-    return F.conv(F.substring(F.md5(F.encode(e, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+    """60-bit hash of a string expression — delegates to text.hash60 so the
+    cross-engine-parity-critical definition lives in exactly one place."""
+    from railgun_spark.operators.text import hash60
+
+    return hash60(e)
 
 
 MERSENNE31 = 2147483647  # 2^31 - 1
@@ -149,16 +152,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_exact_keep_first(df: DataFrame, cols: list[str]) -> DataFrame:
+def dedup_exact_keep_first(
+    df: DataFrame, cols: list[str], id_col: str | None = None
+) -> DataFrame:
     """Production exact-dedup: keep the lowest-id row per content hash.
+    `id_col` defaults to the first column.
 
     groupBy(hash).min is preferred over window row_number at scale: partial
-    aggregation collapses duplicates map-side before the shuffle.
+    aggregation collapses duplicates map-side before the shuffle. The
+    semi-join matches on BOTH (hash, id): matching on id alone would keep
+    every row sharing an id with a winner, even rows whose own hash lost
+    (non-unique ids across different content).
     """
-    h = F.xxhash64(*cols).alias("__h")
-    keys = df.select(h, F.col(df.columns[0]).alias("__id"))
-    winners = keys.groupBy("__h").agg(F.min("__id").alias("__id"))
-    return df.join(winners, df[df.columns[0]] == winners["__id"], "left_semi")
+    id_col = id_col or df.columns[0]
+    hashed = df.withColumn("__h", F.xxhash64(*cols))
+    winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__id"))
+    out = hashed.join(
+        winners,
+        (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__id"]),
+        "left_semi",
+    )
+    return out.drop("__h")
 
 
 # --------------------------------------------------------------------------
@@ -883,6 +897,19 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
         raise
 
 
+def _batch_unique(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-batch exact dedup (lowest id per content hash), keeping the
+    `__h` column for the subsequent index anti-join / append."""
+    from railgun_spark.operators.text import hash60
+
+    hashed = df.withColumn("__h", hash60(F.col(text_col)))
+    winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
+    return hashed.join(
+        winners,
+        (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__keep"]),
+    ).select(hashed["*"])
+
+
 def dedup_against_index(
     df: DataFrame,
     index_path: str,
@@ -891,18 +918,8 @@ def dedup_against_index(
 ) -> DataFrame:
     """Rows of `df` whose content hash is new (not in batch-earlier rows,
     not in the index). Call `append_to_index` with the result to commit."""
-    from railgun_spark.operators.text import hash60
-
-    spark = df.sparkSession
-    h = hash60(F.col(text_col))
-    hashed = df.withColumn("__h", h)
-    # intra-batch: keep lowest id per hash
-    winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
-    batch_unique = hashed.join(
-        winners,
-        (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__keep"]),
-    ).select(hashed["*"])
-    seen = _read_index_or_none(spark, index_path)
+    batch_unique = _batch_unique(df, text_col, id_col)
+    seen = _read_index_or_none(df.sparkSession, index_path)
     if seen is None:  # first batch: no index yet
         return batch_unique
     return batch_unique.join(seen.select(F.col("h").alias("__h")), "__h", "left_anti")
@@ -946,17 +963,8 @@ def dedup_against_bucketed_index(
     """`dedup_against_index` against a bucketed index table: same result,
     but the index side of the anti-join scans in place (no Exchange) —
     verify with .explain(): the only shuffle is the batch side."""
-    from railgun_spark.operators.text import hash60
-
-    spark = df.sparkSession
-    h = hash60(F.col(text_col))
-    hashed = df.withColumn("__h", h)
-    winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
-    batch_unique = hashed.join(
-        winners,
-        (hashed["__h"] == winners["__h"]) & (hashed[id_col] == winners["__keep"]),
-    ).select(hashed["*"])
-    seen = spark.table(table).select(F.col("h").alias("__h"))
+    batch_unique = _batch_unique(df, text_col, id_col)
+    seen = df.sparkSession.table(table).select(F.col("h").alias("__h"))
     return batch_unique.join(seen, "__h", "left_anti")
 
 
@@ -982,12 +990,19 @@ def append_to_bucketed_index(survivors: DataFrame, table: str) -> None:
 def _band_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, band_key) — one row per (doc, band). Docs with < 3 words have
     no shingles, hence no bands: they can never near-dup match and always
-    survive (exact dedup handles them)."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(band_keys(minhash_signature(shingles(F.col(text_col))))).alias(
-            "band_key"
-        ),
+    survive (exact dedup handles them). The size filter below enforces
+    that: without it, an empty shingle array yields a NULL-min signature
+    whose concat_ws band keys DEGENERATE to '0'..'3' — every short doc
+    would collide with every other short doc forever once one was
+    admitted to the index."""
+    sh = shingles(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(
+            "__id",
+            F.explode(band_keys(minhash_signature(F.col("__sh")))).alias("band_key"),
+        )
     )
 
 

@@ -69,9 +69,7 @@ def dfl_project_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dfl_sort_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    return run_pipeline(ev, "map(@, '@value') | sort(@, '@value', true) | limit(@, 10)").withColumnRenamed(
-        "value", "value"
-    )
+    return run_pipeline(ev, "map(@, '@value') | sort(@, '@value', true) | limit(@, 10)")
 
 
 @query(

@@ -96,13 +96,17 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     explode is Spark-side; real frame extraction would decode inside a
     mapInPandas over the sampled (media_id, frame_idx) pairs."""
     frames = F.coalesce(F.element_at("meta", "frames").cast("int"), F.lit(0))
+    # a video declaring zero frames yields NO rows — greatest(frames-1, 0)
+    # would emit a phantom frame_idx 0 that a real decoder cannot decode
     return (
         df.filter(F.col("kind") == "video")
+        .withColumn("__frames", frames)
+        .filter(F.col("__frames") > 0)
         .select(
             "media_id",
-            F.explode(F.sequence(F.lit(0), F.greatest(frames - 1, F.lit(0)), F.lit(every_n))).alias(
-                "frame_idx"
-            ),
+            F.explode(
+                F.sequence(F.lit(0), F.col("__frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
         )
     )
 
@@ -151,7 +155,13 @@ def media_frame(spark, sf_dir: str) -> DataFrame:
     )
 
 
-_FEAT_SUM_SQL = " + ".join(f"ascii(substr(text, {i + 1}, 1)) + {i}" for i in range(8))
+# mirrors fake_decode's wrap-around content[i % n] so texts shorter than 8
+# bytes stay oracle-exact (unwrapped substr reads past the end -> ascii('')=0)
+_FEAT_SUM_SQL = " + ".join(
+    f"(CASE WHEN octet_length(encode(text)) = 0 THEN 0 "
+    f"ELSE ascii(substr(text, ({i} % octet_length(encode(text))) + 1, 1)) END + {i})"
+    for i in range(8)
+)
 
 
 @query(
@@ -192,9 +202,10 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
     SELECT media_id, CAST(frame_idx AS INT) AS frame_idx
     FROM (
       SELECT doc_id AS media_id,
-             unnest(generate_series(0, greatest(CAST(n_chars // 5 AS INT) - 1, 0), 10))
+             unnest(generate_series(0, CAST(n_chars // 5 AS INT) - 1, 10))
                AS frame_idx
-      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+      FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 2 AND CAST(n_chars // 5 AS INT) > 0
     )
     ORDER BY media_id, frame_idx
     """,

@@ -475,12 +475,15 @@ def inverted_index_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("w"),
     )
     n = F.size("w")
+    # clamp at 0: a doc with no [a-z0-9] runs (empty/punctuation/pure CJK)
+    # has n=0 and an unclamped slice length of -1 crashes the whole query
+    ln = F.greatest(n - 1, F.lit(0))
     bigrams = ws.select(
         "doc_id",
         F.explode(
             F.zip_with(
-                F.slice("w", 1, n - 1),
-                F.slice("w", 2, n - 1),
+                F.slice("w", 1, ln),
+                F.slice("w", 2, ln),
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         ).alias("bigram"),

@@ -542,3 +542,41 @@ def test_bucketed_index_same_result_fewer_shuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_short_docs_never_near_dup_match(spark, tmp_path):
+    """<3-word docs have no shingles hence NO bands: two short docs in one
+    batch must both survive, and a short doc must survive even after other
+    short docs were admitted to the index (the degenerate-band regression:
+    a NULL-min signature once produced keys '0'..'3' for every short doc)."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.dedup import (
+        _band_rows,
+        append_bands_to_index,
+        near_dup_against_index,
+    )
+
+    idx = str(tmp_path / "bands")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="hi"), Row(doc_id=2, text="yo there")]
+    )
+    assert _band_rows(b1, "text", "doc_id").count() == 0
+    s1 = near_dup_against_index(b1, idx)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    append_bands_to_index(s1, idx)  # writes nothing for short docs
+
+    b2 = spark.createDataFrame([Row(doc_id=10, text="hey now")])
+    assert [r["doc_id"] for r in near_dup_against_index(b2, idx).collect()] == [10]
+
+
+def test_dedup_exact_keep_first_nonunique_ids(spark):
+    """A row sharing an id with a winner but whose own content LOST its
+    hash group must still be dropped (the id-only semi-join regression)."""
+    from railgun_spark.operators.dedup import dedup_exact_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b")], ["id", "text"]
+    )
+    out = sorted((r["id"], r["text"]) for r in dedup_exact_keep_first(df, ["text"]).collect())
+    assert out == [(1, "a"), (2, "b")]
