@@ -121,6 +121,7 @@ class Catalog:
         if kind is DataStore:
             deps += [l.name for l in self.list(Layer) if l.datastore == name]
             deps += [s.name for s in self.list(Service) if s.datastore == name]
+            deps += [j.name for j in self.list(Job) if j.output == name]
         if kind is Process:
             deps += [s.name for s in self.list(Service) if s.process == name]
         if kind is Service:

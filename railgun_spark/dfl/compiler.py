@@ -125,8 +125,10 @@ def compile_expr(node: Node, ctx: Context) -> Column:
     if isinstance(node, Attribute):
         return ctx.resolve_attr(node.path)
     if isinstance(node, Variable):
-        v = ctx.variables.get(node.name)
-        if v is None:
+        # sentinel lookup: a variable legitimately bound to null must compile
+        # to lit(None), not masquerade as unbound
+        v = ctx.variables.get(node.name, _NO_CONST)
+        if v is _NO_CONST:
             raise DflCompileError(f"unbound variable ${node.name}")
         return v if isinstance(v, Column) else _lit_value(v)
     if isinstance(node, ArrayNode):
@@ -539,6 +541,52 @@ def _const_eval(node: Node, variables: dict):
     return _NO_CONST
 
 
+def _eval_scalar(stage: Node, ctx: Context, current: Any):
+    """Driver-side evaluation of a pipeline stage whose INPUT is already a
+    Python scalar (e.g. ``len(@) | @ * 2``): ``@`` binds to the scalar
+    (attribute paths index into dict scalars), ``len``/abs compose, and
+    everything else defers to the pure-scalar evaluator. Raises a compile
+    error for constructs that need rows — a scalar has none."""
+
+    def subst(node: Node) -> Node:
+        if isinstance(node, Attribute):
+            v = current
+            for part in node.path:
+                if isinstance(v, dict):
+                    v = v.get(part)
+                else:
+                    raise DflCompileError(
+                        f"attribute path @{'.'.join(node.path)} on non-object "
+                        f"scalar {type(current).__name__}"
+                    )
+            return Literal(v)
+        if isinstance(node, Call):
+            if node.name == "len" and len(node.args) == 1:
+                inner = subst(node.args[0])
+                if isinstance(inner, Literal):
+                    return Literal(len(inner.value))
+            raise DflCompileError(
+                f"function {node.name}() is not defined on a scalar pipeline value"
+            )
+        if isinstance(node, Unary):
+            return Unary(node.op, subst(node.operand))
+        if isinstance(node, Binary):
+            return Binary(node.op, subst(node.left), subst(node.right))
+        if isinstance(node, Ternary):
+            return Ternary(subst(node.cond), subst(node.then), subst(node.other))
+        if isinstance(node, Between):
+            return Between(subst(node.value), subst(node.lo), subst(node.hi))
+        return node
+
+    folded = _const_eval(subst(stage), ctx.variables)
+    if folded is _NO_CONST:
+        raise DflCompileError(
+            "stage is not evaluable in scalar context (the previous pipeline "
+            "stage produced a scalar, not a collection)"
+        )
+    return folded
+
+
 def _run_stage(current: Any, stage: Node, ctx: Context):
     if isinstance(stage, Assign):
         folded = _const_eval(stage.value, ctx.variables)
@@ -701,7 +749,12 @@ def _process_one(df: DataFrame, node: Node, ctx: Context) -> DataFrame:
         ctx.variables[node.name] = compile_expr(node.value, ctx)
         return df
     if isinstance(node, Ternary) and _is_null_literal(node.then):
-        # `cond ? null : expr` — the null-drop idiom (geonames.dfl:1-9)
+        # `cond ? null : expr` — the null-drop idiom (geonames.dfl:1-9).
+        # SQL three-valued semantics BY DESIGN: a NULL condition also drops
+        # the row (filter(~NULL) = filter(NULL) = drop), matching the
+        # `WHERE NOT (cond)` form the DuckDB oracle gate pins — both
+        # directions of the idiom treat an unknowable condition as a drop,
+        # which for a data-cleaning filter is the conservative side.
         keep = ~compile_expr(node.cond, ctx)
         return _process_one(df.filter(keep), node.other, ctx)
     if isinstance(node, Ternary) and _is_null_literal(node.other):

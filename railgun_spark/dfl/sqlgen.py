@@ -146,6 +146,19 @@ def _collection_literals(node: Node) -> list | None:
     return None
 
 
+def _structurally_struct(node: Node) -> bool:
+    """Structural mirror of the compiler's _maybe_struct for the cases
+    decidable without a schema: a dict literal, or a +/- chain rooted in
+    one, compiles to struct ops (dropFields), never array ops."""
+    if isinstance(node, SetNode):
+        return False
+    if isinstance(node, DictNode):
+        return True
+    if isinstance(node, Binary) and node.op in ("+", "-"):
+        return _structurally_struct(node.left)
+    return False
+
+
 def _binary_sql(node: Binary, scope: _Scope) -> str:
     op = node.op
     l_node, r_node = node.left, node.right
@@ -186,6 +199,12 @@ def _binary_sql(node: Binary, scope: _Scope) -> str:
         return f"({l} + {r})"
     if op == "-":
         if isinstance(r_node, SetNode):
+            if _structurally_struct(l_node):
+                # the compiler lowers this to struct dropFields (key removal);
+                # rendering array_except would be subtly wrong SQL
+                raise SqlRenderError(
+                    "struct key removal (- {keys}) has no SQL rendering"
+                )
             return f"array_except({expr_sql(l_node, scope)}, {expr_sql(r_node, scope)})"
         return f"({expr_sql(l_node, scope)} - {expr_sql(r_node, scope)})"
     if op in ("*", "/", "%"):

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from railgun_spark.dfl import parser as _parser
 from railgun_spark.dfl.ast import Attribute, Binary, Literal, Node, Variable
-from railgun_spark.dfl.compiler import Context, compile_expr, process as _process_rows, run_pipeline
+from railgun_spark.dfl.compiler import (
+    Context,
+    DflCompileError,
+    compile_expr,
+    process as _process_rows,
+    run_pipeline,
+)
 from railgun_spark.sources import formats
 
 
@@ -74,12 +80,19 @@ def analyze_output_uri(uri_expr: str, variables: dict | None, df: DataFrame) -> 
             if static_prefix and v is not None and not isinstance(v, Column):
                 base_parts.append(str(v))
                 continue
-        if isinstance(p, (Attribute,)) or True:
-            static_prefix = False
-            name = "_p_" + "_".join(p.path) if isinstance(p, Attribute) else f"_p{len(order)}"
-            if name not in generated:
+        # everything else (attributes, computed expressions) becomes a
+        # generated partition column
+        static_prefix = False
+        name = "_p_" + "_".join(p.path) if isinstance(p, Attribute) else f"_p{len(order)}"
+        if name not in generated:
+            try:
                 generated[name] = compile_expr(p, ctx).cast("string")
-                order.append(name)
+            except DflCompileError as e:
+                raise DflCompileError(
+                    f"dynamic output-uri part is not computable per-row "
+                    f"({e}); bind the variable or use a static output uri"
+                ) from e
+            order.append(name)
     if not generated:
         return None
     return DynamicSink(base="".join(base_parts).rstrip("/-_"), partition_cols=order, generated=generated)
@@ -121,6 +134,14 @@ def process_uri(
             limit=output_limit, passphrase=output_passphrase, salt=output_salt,
         )
         return None
+    if output_passphrase:
+        # the .enc block cipher forces a whole-payload single-file write
+        # (process.go:663) — that cannot compose with a dynamic partitioned
+        # sink, and silently writing cleartext would be the worst outcome
+        raise ValueError(
+            "encrypted output (.enc/passphrase) is not supported with a "
+            "dynamic output URI; write to a static .enc path instead"
+        )
     out = result
     for name, col in sink.generated.items():
         out = out.withColumn(name, col)

@@ -209,7 +209,12 @@ def create_app(
             denied = _require_auth()
             if denied:
                 return denied
-            catalog.add(kind(**request.get_json(force=True)))
+            body = request.get_json(force=True)
+            try:
+                obj = kind(**body)
+            except TypeError as e:
+                return _render({"error": f"invalid {kind_name} payload: {e}"}, ext), 400
+            catalog.add(obj)
             return _render({"success": True}, ext)
         return _render([to_dict(o) for o in catalog.list(kind)], ext)
 
@@ -228,24 +233,37 @@ def create_app(
             return _render({"success": True}, ext)
         if request.method == "POST":
             body = request.get_json(force=True)
-            body["name"] = name
-            catalog.update(kind(**body))
+            try:
+                body["name"] = name
+                obj = kind(**body)
+            except TypeError as e:
+                return _render({"error": f"invalid {kind_name} payload: {e}"}, ext), 400
+            catalog.update(obj)
             return _render({"success": True}, ext)
         return _render(to_dict(catalog.get(kind, name)), ext)
 
     @app.route("/services/<name>/exec.<ext>", methods=["POST"])
     def service_exec(name, ext):
+        denied = _require_auth()  # exec = compute; bearer-gated like mutations
+        if denied:
+            return denied
         body = request.get_json(silent=True) or {}
         result = catalog.exec_service(name, body.get("variables", {}))
         return _render(_df_payload(result), ext)
 
     @app.route("/jobs/<name>/exec.<ext>", methods=["POST"])
     def job_exec(name, ext):
+        denied = _require_auth()  # jobs can write datastores
+        if denied:
+            return denied
         result = catalog.exec_job(name)
         return _render(_df_payload(result), ext)
 
     @app.route("/workflows/<name>/exec.<ext>", methods=["POST"])
     def workflow_exec(name, ext):
+        denied = _require_auth()
+        if denied:
+            return denied
         results = catalog.exec_workflow(name)
         return _render([_df_payload(r) for r in results], ext)
 
@@ -270,6 +288,10 @@ def create_app(
 
         layer = catalog.get(MODEL_TYPES["Layer"], name)
         df = catalog.layer_frame(name)
+        try:
+            limit = int(request.args.get("limit", -1))
+        except ValueError:
+            return _render({"error": "limit must be an integer"}, ext), 400
         feats = tile_data(
             df,
             z,
@@ -277,7 +299,7 @@ def create_app(
             y,
             layer_extent=tuple(layer.extent) if layer.extent else None,
             user_dfl=request.args.get("dfl"),
-            limit=int(request.args.get("limit", -1)),
+            limit=limit,
         )
         return _render(feature_collection(feats), ext)
 
@@ -289,8 +311,11 @@ def create_app(
 
         layer = catalog.get(MODEL_TYPES["Layer"], name)
         df = catalog.layer_frame(name)
-        zoom = int(request.args.get("zoom", min(z + 4, 18)))
-        threshold = int(request.args.get("threshold", 1))
+        try:
+            zoom = int(request.args.get("zoom", min(z + 4, 18)))
+            threshold = int(request.args.get("threshold", 1))
+        except ValueError:
+            return Response("zoom and threshold must be integers", status=400)
         grid = tile_mask_grid(
             df, z, x, y, mask_zoom=zoom, threshold=threshold,
             layer_extent=tuple(layer.extent) if layer.extent else None,

@@ -185,3 +185,20 @@ def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
                      "--bucketed-table", table, "--stream"]) == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dynamic_sink_with_passphrase_raises(spark, tmp_path):
+    """A dynamic partitioned sink cannot honor .enc whole-payload
+    encryption; asking for both must raise, never write cleartext."""
+    import pytest as _pytest
+
+    from railgun_spark.plans.process import process_uri
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"grp": "a", "v": 1}\n{"grp": "b", "v": 2}')
+    with _pytest.raises(ValueError, match="dynamic output URI"):
+        process_uri(
+            spark, str(src), expr=None,
+            output_uri=f"'{tmp_path}/out/' + @grp",
+            output_format="jsonl", output_passphrase="pw", output_salt="a1b2",
+        )

@@ -339,3 +339,25 @@ def test_sqlgen_folds_scalar_assigns(spark):
         df, "($n := 1 + 1) | filter(@, '@v >= $n')", "t_fold"
     )
     assert len(spark.sql(sql).collect()) == 2
+
+
+def test_scalar_pipeline_stages(spark):
+    """A stage after a scalar-producing stage evaluates driver-side with @
+    bound to the scalar (len(@) | @ * 2); row-needing stages raise."""
+    from railgun_spark.dfl import run_pipeline
+    from railgun_spark.dfl.compiler import DflCompileError
+
+    df = spark.createDataFrame([{"a": 1}, {"a": 2}, {"a": 3}])
+    assert run_pipeline(df, "len(@) | @ * 2") == 6
+    assert run_pipeline(df, "len(@) | @ > 2 ? 100 : 0") == 100
+    with pytest.raises(DflCompileError, match="scalar"):
+        run_pipeline(df, "len(@) | filter(@, '@a == 1')")
+
+
+def test_variable_bound_to_null_compiles(spark):
+    """A variable legitimately bound to null is NOT an unbound variable."""
+    from railgun_spark.dfl import run_pipeline
+
+    df = spark.createDataFrame([{"a": 1}, {"a": None}])
+    out = run_pipeline(df, "filter(@, '@a == $x')", variables={"x": None})
+    assert out.count() == 0  # NULL == NULL is NULL, never true — but it compiles

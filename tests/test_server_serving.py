@@ -7,7 +7,7 @@ import zlib
 
 import pytest
 
-from railgun_spark.catalog import Catalog, DataStore, Layer, Process, Service
+from railgun_spark.catalog import Catalog, DataStore, Job, Layer, Process, Service
 from railgun_spark.geo.serving import (
     buffered_tile_bbox,
     extent_intersects,
@@ -216,3 +216,49 @@ def test_read_encrypted_many_distributed(spark, tmp_path):
     # the decode happens executor-side: plan shows an Arrow python hop, and
     # the frame is partitionable (no driver collect in the data path)
     assert df.rdd.getNumPartitions() >= 1
+
+
+def test_exec_routes_require_auth_and_bad_payloads_400(spark, tmp_path):
+    """Exec endpoints are compute/write surfaces: bearer-gated like
+    mutations. Malformed catalog payloads return 400, not a stack-trace
+    500; non-numeric tile params 400 likewise."""
+    pytest.importorskip("flask")
+    from railgun_spark.server import create_app
+
+    data = tmp_path / "d.jsonl"
+    data.write_text(json.dumps({"a": 1}))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d", uri=str(data), format="jsonl"))
+    cat.add(Process(name="p", expression="filter(@, '@a == 1')"))
+    cat.add(Service(name="s", process="p", datastore="d"))
+    cat.add(Job(name="j", service="s"))
+    client = create_app(cat, root_password="hunter2").test_client()
+
+    for route in ("/services/s/exec.json", "/jobs/j/exec.json"):
+        assert client.post(route).status_code == 401
+
+    r = client.post("/authenticate.json", json={"username": "root", "password": "hunter2"})
+    hdr = {"Authorization": f"bearer {r.get_json()['token']}"}
+    assert client.post("/services/s/exec.json", headers=hdr).status_code == 200
+
+    # unknown field -> 400 with a diagnostic, not a TypeError 500
+    bad = client.post("/workspaces.json", json={"name": "w", "nope": 1}, headers=hdr)
+    assert bad.status_code == 400 and "invalid" in bad.get_json()["error"]
+
+
+def test_datastore_delete_blocked_by_job_output(spark, tmp_path):
+    """A datastore referenced as a Job OUTPUT is a dependent: deleting it
+    must raise, like layer/service references."""
+    from railgun_spark.catalog.registry import DependencyError
+
+    data = tmp_path / "d.jsonl"
+    data.write_text(json.dumps({"a": 1}))
+    out_uri = tmp_path / "out.jsonl"
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d", uri=str(data), format="jsonl"))
+    cat.add(DataStore(name="sink", uri=str(out_uri), format="jsonl"))
+    cat.add(Process(name="p", expression="filter(@, '@a == 1')"))
+    cat.add(Service(name="s", process="p", datastore="d"))
+    cat.add(Job(name="j", service="s", output="sink"))
+    with pytest.raises(DependencyError, match="sink"):
+        cat.delete(DataStore, "sink")
