@@ -12,6 +12,8 @@ CATALOG: dict[str, dict] = {
     # conversion (SURVEY §2.8)
     "int64": {"args": ["x"], "doc": "lenient cast to 64-bit int (null on malformed)"},
     "int32": {"args": ["x"], "doc": "lenient cast to 32-bit int"},
+    "int16": {"args": ["x"], "doc": "lenient cast to 16-bit int"},
+    "int8": {"args": ["x"], "doc": "lenient cast to 8-bit int"},
     "float64": {"args": ["x"], "doc": "lenient cast to double"},
     "float32": {"args": ["x"], "doc": "lenient cast to float"},
     "string": {"args": ["x"], "doc": "cast to string"},
@@ -44,9 +46,10 @@ CATALOG: dict[str, dict] = {
     "first": {"args": ["xs"], "doc": "first element"},
     "last": {"args": ["xs"], "doc": "last element"},
     "set": {"args": ["xs"], "doc": "distinct elements (set semantics)"},
+    "unique": {"args": ["xs"], "doc": "alias of set"},
     "array": {"args": ["xs"], "doc": "materialize as array"},
     "sort": {"args": ["xs", "key?", "desc?"], "doc": "sort collection"},
-    "limit": {"args": ["xs", "n"], "doc": "first n elements (n<0 = all)"},
+    "limit": {"args": ["xs", "n"], "doc": "first n elements; at pipeline level n<0 = all (expression level requires n >= 0)"},
     "filter": {"args": ["xs", "pred"], "doc": "keep elements where pred(@) holds"},
     "map": {"args": ["xs", "expr"], "doc": "project elements through expr(@)"},
     "hist": {"args": ["xs", "k1?", "k2?"], "doc": "value counts, optionally nested"},

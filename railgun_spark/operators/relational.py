@@ -30,7 +30,11 @@ from railgun_spark.suite import extra_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # route through load_table: a future _t(..., "events") call must get the
+    # timestamp-normalized frame, not a raw nanos/NTZ-encoded read
+    from railgun_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------
@@ -548,9 +552,11 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "nation")
         .groupBy(F.col("n_regionkey").alias("region_id"))
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
-            F.size(F.collect_set("n_name")).alias("n_nations"),
+        .agg(F.array_sort(F.collect_set("n_name")).alias("__s"))  # ONE agg buffer
+        .select(
+            "region_id",
+            F.array_join("__s", ",").alias("nations"),
+            F.size("__s").alias("n_nations"),
         )
         .orderBy("region_id")
     )

@@ -18,7 +18,10 @@ from railgun_spark.suite import extra_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # route through load_table so "events" always gets timestamp-normalized
+    from railgun_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # --------------------------------------------------------------------------

@@ -69,18 +69,23 @@ def stream_decontaminate_availablenow(
     (File stream sources take a directory of arriving shards; the eval set
     and schema come from the pinned sf_dir table.)"""
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ev = eval_shingle_set(spark, sf_dir)
+    # materialize the eval side ONCE: without this, every micro-batch
+    # re-executes the whole scan/shingle/explode/distinct subtree before
+    # broadcasting — "computed once" must mean the work, not just the plan
+    ev = eval_shingle_set(spark, sf_dir).localCheckpoint()
     stream = (
         spark.readStream.schema(static_docs.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    flagged: list[int] = []
+    # keyed by batch_id: a crash-replayed batch OVERWRITES its own entry
+    # instead of appending duplicates (same replay window ingest.py closes)
+    flagged_by_batch: dict[int, list[int]] = {}
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        flagged.extend(
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        flagged_by_batch[batch_id] = [
             r["doc_id"] for r in flag_contaminated_batch(batch_df, ev).collect()
-        )
+        ]
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -89,4 +94,4 @@ def stream_decontaminate_availablenow(
         .start()
     )
     q.awaitTermination()
-    return sorted(flagged)
+    return sorted(d for ids in flagged_by_batch.values() for d in ids)

@@ -92,15 +92,21 @@ def streaming_dedup_first_seen(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (seen_list,) = state.get if state.exists else ([],)
         seen = set(seen_list or [])
-        out = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("event_id").iterrows():
-                h = int(row["content_hash"])
-                if h not in seen:
-                    seen.add(h)
-                    out.append((int(row["user_id"]), int(row["event_id"]), h))
+        # concat BEFORE sorting: a group spanning multiple Arrow chunks must
+        # pick min(event_id) per hash across the whole micro-batch, not per
+        # chunk — and vectorized pandas, never per-row iterrows
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values("event_id", kind="mergesort")
+            fresh = pdf[~pdf["content_hash"].isin(seen)].drop_duplicates(
+                "content_hash", keep="first"
+            )
+            seen.update(int(h) for h in fresh["content_hash"])
+            out = fresh[["user_id", "event_id", "content_hash"]]
+        else:
+            out = pdf
         state.update((sorted(seen),))
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "content_hash"])
+        yield out
 
     return (
         events.select("user_id", "event_id", "content_hash")

@@ -113,7 +113,7 @@ SESSION_WINDOW_GAP_MIN = 30
     "session_window_counts",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_WINDOW_GAP_MIN} minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -121,7 +121,10 @@ SESSION_WINDOW_GAP_MIN = 30
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- same (ts, event_id) tiebreak as the marked window: without
+             -- it, duplicate (user_id, ts) rows could order either way and
+             -- attach an event to the wrong session nondeterministically
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )

@@ -47,10 +47,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 EXTRA: dict[str, QuerySpec] = {}
 
 
+def _assert_unregistered(name: str) -> None:
+    # a duplicate name would silently REPLACE the old spec: the size caps
+    # and set-equality guards all still pass while the shadowed query
+    # loses correctness coverage — fail registration instead
+    if name in REGISTRY or name in EXTRA:
+        raise ValueError(f"suite query {name!r} is already registered")
+
+
 def query(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator: register a driver-gated suite query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _assert_unregistered(name)
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
@@ -66,6 +75,7 @@ def extra_query(name: str, oracle: str | None = None, doc: str = "", tags: tuple
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _assert_unregistered(name)
         EXTRA[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
