@@ -357,3 +357,83 @@ def geo_zorder_density(spark, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("morton", "tile_x", "tile_y", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# Bing quadkey encoding: the tile's (x, y, z) as a base-4 string whose
+# PREFIXES are its ancestors — `substr(qk, 1, z')` is the z'-zoom parent,
+# which makes zoom-out rollups a substring groupBy (no re-projection) and
+# gives lexicographic locality for range pruning, complementing the Morton
+# integer key (write_zordered) with a human-readable hierarchical form.
+# Pure integer bit arithmetic per level — identical in Spark and DuckDB.
+# --------------------------------------------------------------------------
+def quadkey(tx: Column, ty: Column, zoom: int) -> Column:
+    """digit_i = xbit + 2*ybit at level i (most significant level first)."""
+    digits = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        d = (
+            F.when(tx.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+            + F.when(ty.bitwiseAND(F.lit(mask)) != 0, 2).otherwise(0)
+        )
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
+
+
+def _quadkey_sql(tx: str, ty: str, zoom: int) -> str:
+    parts = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        parts.append(
+            f"CAST((CASE WHEN ({tx} & {mask}) != 0 THEN 1 ELSE 0 END"
+            f" + CASE WHEN ({ty} & {mask}) != 0 THEN 2 ELSE 0 END) AS VARCHAR)"
+        )
+    return " || ".join(parts)
+
+
+QUADKEY_Z = 6
+QUADKEY_PARENT_Z = 3
+
+
+@extra_query(
+    "geo_quadkey_rollup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    ), tiles AS (
+      SELECT CAST(floor((lon + 180.0) * {2**QUADKEY_Z}.0 / 360.0) AS BIGINT) AS tx,
+             CAST(floor((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi())
+                        / 2.0 * {2**QUADKEY_Z}.0) AS BIGINT) AS ty
+      FROM pts
+    ), qk AS (
+      SELECT {_quadkey_sql('tx', 'ty', QUADKEY_Z)} AS quadkey FROM tiles
+    )
+    SELECT substr(quadkey, 1, {QUADKEY_PARENT_Z}) AS parent_quadkey,
+           count(*) AS n,
+           count(DISTINCT quadkey) AS n_child_tiles
+    FROM qk
+    GROUP BY parent_quadkey
+    ORDER BY parent_quadkey
+    """,
+    doc=f"Bing quadkey at z={QUADKEY_Z} rolled up to its z={QUADKEY_PARENT_Z} "
+    "ancestor by string PREFIX — the hierarchy property that makes "
+    "zoom-out aggregation a substring groupBy with no re-projection; "
+    "integer bit arithmetic per level, exact on both engines.",
+    tags=("geo", "hist"),
+)
+def geo_quadkey_rollup(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    tiles = ev.select(
+        tile_x(_lon(), QUADKEY_Z).alias("tx"), tile_y(_lat(), QUADKEY_Z).alias("ty")
+    )
+    qk = tiles.select(quadkey(F.col("tx"), F.col("ty"), QUADKEY_Z).alias("quadkey"))
+    return (
+        qk.groupBy(
+            F.substring("quadkey", 1, QUADKEY_PARENT_Z).alias("parent_quadkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("quadkey").alias("n_child_tiles"),
+        )
+        .orderBy("parent_quadkey")
+    )

@@ -768,3 +768,72 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# FORWARD as-of join — the direction twin of asof_join_orders_events
+# (pandas merge_asof direction='forward'): each order matched to the
+# EARLIEST FOLLOWING event of its user. Same union + single window
+# shuffle; the frame flips to (CURRENT ROW, UNBOUNDED FOLLOWING) with a
+# null-skipping first_value. Same-timestamp events sort before the order
+# row and therefore attach BACKWARD (documented tie policy, consistent
+# with the backward twin where same-ts events count as preceding).
+# --------------------------------------------------------------------------
+@extra_query(
+    "asof_join_forward",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS uid, ts AS ev_ts, event_id FROM events
+    ), ord AS (
+      SELECT o_orderkey, o_custkey % 150 AS uid, o_orderdate + INTERVAL 30 YEAR AS o_ts
+      FROM orders
+    ), u AS (
+      SELECT uid, ev_ts AS ts, event_id, NULL::BIGINT AS o_orderkey, 0 AS is_order FROM ev
+      UNION ALL
+      SELECT uid, o_ts AS ts, NULL, o_orderkey, 1 FROM ord
+    ), filled AS (
+      SELECT uid, ts, o_orderkey, is_order,
+             first_value(CASE WHEN is_order = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY uid ORDER BY ts, is_order, coalesce(event_id, o_orderkey)
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_event_id
+      FROM u
+    )
+    SELECT o_orderkey, uid, next_event_id
+    FROM filled WHERE is_order = 1
+    ORDER BY o_orderkey
+    """,
+    doc="Forward as-of join (merge_asof direction='forward'): union + one "
+    "window shuffle with a null-skipping first_value over the FOLLOWING "
+    "frame — no range-join explosion, same plan family as the backward "
+    "twin.",
+    tags=("join", "asof"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("uid"), F.col("ts"), F.col("event_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"), F.lit(0).alias("is_order"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("uid"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 YEAR")).alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+        F.lit(1).alias("is_order"),
+    )
+    u = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "is_order", F.coalesce("event_id", "o_orderkey"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.withColumn(
+        "next_event_id",
+        F.first(
+            F.when(F.col("is_order") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("is_order") == 1)
+        .select("o_orderkey", "uid", "next_event_id")
+        .orderBy("o_orderkey")
+    )

@@ -69,6 +69,8 @@ EXPECTED_EXTRA = {
     "funnel_latency_percentiles",  # nearest-rank time-to-convert per leg
     "key_skew_report_events",  # join-key skew profile (salting decision input)
     "mixture_temperature_shares",  # p^alpha multilingual mixture shares
+    "asof_join_forward",  # merge_asof direction=forward twin
+    "geo_quadkey_rollup",  # Bing quadkey prefix-hierarchy rollup
 }
 
 
