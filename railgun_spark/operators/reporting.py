@@ -215,3 +215,50 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("shared"), "source_a", "source_b")
     )
+
+
+@extra_query(
+    "dedup_loss_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(text), 1, 15))::UBIGINT::BIGINT AS fp
+      FROM documents
+    ), winners AS (
+      SELECT fp, min(doc_id) AS keep FROM h GROUP BY fp
+    )
+    SELECT h.source,
+           count(*) AS n_docs,
+           sum(CASE WHEN h.doc_id = w.keep THEN 1 ELSE 0 END)::BIGINT AS n_survivors,
+           count(*) - sum(CASE WHEN h.doc_id = w.keep THEN 1 ELSE 0 END)::BIGINT
+             AS n_lost,
+           round((count(*) - sum(CASE WHEN h.doc_id = w.keep THEN 1 ELSE 0 END))
+                 * 1.0 / count(*), 4) AS loss_frac
+    FROM h JOIN winners w ON h.fp = w.fp
+    GROUP BY h.source
+    ORDER BY loss_frac DESC, h.source
+    """,
+    doc="Which sources lose most content to GLOBAL exact dedup: per source, "
+    "docs vs lowest-id-per-hash survivors and the loss fraction — the "
+    "ingest-priority signal (a high-loss source mostly re-crawls known "
+    "content). One hash groupBy + one equi-join + one source rollup.",
+    tags=("reporting", "dedup"),
+)
+def dedup_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = docs.select("doc_id", "source", hash60(F.col("text")).alias("fp"))
+    winners = h.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    survived = F.sum(F.when(F.col("doc_id") == F.col("keep"), 1).otherwise(0))
+    return (
+        h.join(winners, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            survived.alias("n_survivors"),
+            (F.count(F.lit(1)) - survived).alias("n_lost"),
+            F.round(
+                (F.count(F.lit(1)) - survived) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("loss_frac"),
+        )
+        .orderBy(F.desc("loss_frac"), "source")
+    )

@@ -71,6 +71,7 @@ EXPECTED_EXTRA = {
     "mixture_temperature_shares",  # p^alpha multilingual mixture shares
     "asof_join_forward",  # merge_asof direction=forward twin
     "geo_quadkey_rollup",  # Bing quadkey prefix-hierarchy rollup
+    "dedup_loss_by_source",  # per-source global-dedup loss fractions
 }
 
 
