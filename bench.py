@@ -58,7 +58,41 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "dedup_containment",
     "cross_source_overlap",
+    # round-7: the previously-unbenched heavyweights (EXTRA registry) — a
+    # perf regression in an unbenched query is invisible, so every iterative
+    # or multi-shuffle operator gets a recorded sf0.1 time
+    "pagerank_word_graph",
+    "dedup_cluster_survivors",
+    "duplicated_window_fraction",
+    "corpus_clean_summary",
+    "word_cooccurrence_pmi",
+    "inverted_index_rare",
+    "funnel_conversion",
+    "rolling_active_users",
 ]
+
+# Non-DataFrame benchmarks: full pipelines that write to disk and return
+# counts instead of a collectable DataFrame. Each entry is
+# name -> callable(spark, sf_dir) doing ALL its work (timed like a query).
+def _prepare_end_to_end(spark, sf_dir):
+    """Timed end-to-end training-data preparation (clean -> split -> chunk ->
+    pack -> shard + manifest) into a throwaway dir — the composed pipeline
+    a 100 TB corpus run actually executes."""
+    import shutil
+    import tempfile
+
+    from railgun_spark.operators.corpus import prepare_training_shards
+
+    out = tempfile.mkdtemp(prefix="bench_prepare_")
+    try:
+        prepare_training_shards(spark, sf_dir, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+BENCH_SPECIAL = {
+    "prepare_end_to_end": _prepare_end_to_end,
+}
 
 
 def main():
@@ -78,15 +112,19 @@ def main():
     except Exception:
         pass  # the timed loop will record the error per-query
 
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
+    samples: dict[str, list[float]] = {name: [] for name in all_names}
     errors: dict[str, str] = {}
     for _ in range(iters):  # interleave iterations so drift hits all queries alike
-        for name in BENCH_QUERIES:
+        for name in all_names:
             if name in errors:
                 continue
             t0 = time.time()
             try:
-                qs[name](spark, sf_dir).collect()
+                if name in BENCH_SPECIAL:
+                    BENCH_SPECIAL[name](spark, sf_dir)
+                else:
+                    qs[name](spark, sf_dir).collect()
             except Exception as e:
                 errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
                 continue
