@@ -32,7 +32,7 @@ from railgun_spark.operators.dedup import (
     minhash_pairs_ctes,
 )
 from railgun_spark.operators.text import token_count
-from railgun_spark.suite import extra_query
+from railgun_spark.suite import extra_query, query
 
 MIN_TOKENS = 25
 
@@ -130,7 +130,7 @@ def corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select("doc_id", reason.alias("reason"))
 
 
-@extra_query(
+@query(
     "corpus_clean_summary",
     oracle=_corpus_oracle(),
     doc="Full cleaning pipeline verdict histogram: quality gate, exact "
@@ -420,7 +420,7 @@ def _mixture_oracle() -> str:
     """
 
 
-@extra_query(
+@query(
     "mixture_sample_tokens",
     oracle=_mixture_oracle(),
     doc="Token-budget mixture sampling: half the corpus token mass at "

@@ -236,7 +236,7 @@ DUP_WINDOW_K = 10
 DUP_WINDOW_FRAC = 0.5
 
 
-@extra_query(
+@query(
     "duplicated_window_fraction",
     oracle=f"""
     WITH t AS (
@@ -322,7 +322,7 @@ CONTAIN_DF_CAP = 20
 CONTAIN_THRESHOLD = 0.9
 
 
-@extra_query(
+@query(
     "dedup_containment",
     oracle=f"""
     WITH t AS (

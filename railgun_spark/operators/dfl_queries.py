@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from railgun_spark.dfl import process, run_pipeline
 from railgun_spark.sources.tables import load_events
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 @query(
@@ -36,7 +36,7 @@ def dfl_filter_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "dfl_project_construct",
     oracle="""
     SELECT n_nationkey AS id,
@@ -58,7 +58,7 @@ def dfl_project_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
-@query(
+@extra_query(
     "dfl_sort_desc_limit",
     oracle="""
     SELECT value FROM events ORDER BY value DESC LIMIT 10

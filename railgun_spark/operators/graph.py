@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from railgun_spark.suite import extra_query
+from railgun_spark.suite import extra_query, query
 
 PR_ITER = 3
 PR_DAMP = 0.85
@@ -85,7 +85,7 @@ def _pagerank_oracle() -> str:
     """
 
 
-@extra_query(
+@query(
     "pagerank_word_graph",
     oracle=_pagerank_oracle(),
     doc=f"PageRank, {PR_ITER} fixed supersteps over the word co-occurrence "

@@ -134,7 +134,7 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 # oracle-expressible in SQL — the strongest possible check on the Arrow
 # batch plumbing.
 # --------------------------------------------------------------------------
-from railgun_spark.suite import query  # noqa: E402
+from railgun_spark.suite import extra_query, query  # noqa: E402
 
 
 def media_frame(spark, sf_dir: str) -> DataFrame:
@@ -222,7 +222,7 @@ def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "multimodal_kind_stats",
     oracle="""
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -200,7 +200,7 @@ def revenue_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ilike wildcard filter (mexican.dfl:8 `@properties?.name ilike %taco%`).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "filter_ilike",
     oracle="""
     SELECT p_brand, count(*) AS n_parts,
@@ -337,7 +337,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # distinct | sort | limit (bars.dfl:10-12 `array(set(@)) | sort | limit`).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "distinct_sort_limit",
     oracle="""
     SELECT DISTINCT c_mktsegment
@@ -388,7 +388,7 @@ def project_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Global aggregate stats — the af.Functions catalog surface
 # (max/min/sum/mean, router/RailgunRouter.go:60-65; len: named/named.go:16).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "agg_global_stats",
     oracle="""
     SELECT count(*) AS n,
@@ -533,7 +533,7 @@ def set_ops_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Array set algebra on grouped values (set()/`-`/intersects, SURVEY §2.7).
 # Sorted arrays so cross-engine order matches.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "array_set_algebra",
     oracle="""
     SELECT n_regionkey AS region_id,

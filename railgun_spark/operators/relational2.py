@@ -779,7 +779,7 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row and therefore attach BACKWARD (documented tie policy, consistent
 # with the backward twin where same-ts events count as preceding).
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "asof_join_forward",
     oracle="""
     WITH ev AS (

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from railgun_spark.operators.text import hash60, token_count
-from railgun_spark.suite import extra_query
+from railgun_spark.suite import extra_query, query
 
 # power-of-two token-count bucket edges; a doc falls in the last bucket
 # whose edge is <= its token count (integer compares on both engines)
@@ -149,7 +149,7 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "cross_source_overlap",
     oracle="""
     WITH t AS (

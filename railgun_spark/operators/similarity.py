@@ -448,7 +448,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle whose key cardinality is labels x dims — balanced regardless of
 # corpus size; the per-label summary is a second tiny shuffle.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "embedding_centroid_stats",
     oracle=f"""
     WITH x AS (
@@ -666,7 +666,7 @@ def _pq_oracle() -> str:
     """
 
 
-@extra_query(
+@query(
     "ann_pq_topk",
     oracle=_pq_oracle(),
     doc=f"Product-quantization ANN: {PQ_M}x{PQ_DS}-dim subspaces, "

@@ -30,7 +30,6 @@ EXPECTED_EXTRA = {
     "decontaminate_ngram_overlap",  # benchmark n-gram overlap, broadcast eval side
     "text_repetition_stats",  # Gopher-style repetition quality profile
     "dedup_cluster_survivors",  # transitive near-dup clusters via min-label CC
-    "corpus_clean_summary",  # composed cleaning pipeline verdict histogram
     "corpus_split_histogram",  # content-hash train/val/test assignment
     "text_bpe_token_estimate",  # pre-tokenizer-shaped token budget
     "window_topk_salted",  # skew-proof two-stage top-k per group
@@ -49,29 +48,33 @@ EXPECTED_EXTRA = {
     "event_transition_matrix",  # Markov transition counts
     "inter_event_time_hist",  # log-bucketed gap histogram
     "word_cooccurrence_pmi",  # collocation mining with PMI
-    "pagerank_word_graph",  # 3-superstep PageRank
     "item_cooccurrence_topk",  # market-basket co-purchase pairs
     "customer_revenue_deciles",  # ntile(10) spend deciles
     "document_chunking",  # map-side token-window chunking
-    "mixture_sample_tokens",  # token-budget domain mixture sampling
     "training_shuffle_mixing",  # salted-hash epoch shuffle mixing proof
     "stream_interval_join_attribution",  # stream-stream join batch twin
     "geo_zorder_density",  # Morton bit-interleave cross-engine gate
     # round-6 additions: corpus-health reporting
     "source_quality_report",  # per-source docs/dups/tokens/quality means
     "token_length_histogram",  # power-of-two token buckets + cum share
-    "cross_source_overlap",  # shared 3-gram shingles per source pair
-    "ann_pq_topk",  # product-quantization ANN with ADC scoring
-    "dedup_containment",  # asymmetric containment pairs, rare-shingle blocked
     "text_entropy_profile",  # word-unigram entropy quality signal
     "sole_return_supplier_ranking",  # Q21-shaped exists/not-exists as one agg
-    "duplicated_window_fraction",  # Lee-et-al exact-substring dup filter
     "funnel_latency_percentiles",  # nearest-rank time-to-convert per leg
     "key_skew_report_events",  # join-key skew profile (salting decision input)
     "mixture_temperature_shares",  # p^alpha multilingual mixture shares
-    "asof_join_forward",  # merge_asof direction=forward twin
     "geo_quadkey_rollup",  # Bing quadkey prefix-hierarchy rollup
     "dedup_loss_by_source",  # per-source global-dedup loss fractions
+    # round-7 rotation: legacy capability-twins demoted so the driver gate
+    # certifies the round-4/6 flagships instead (capabilities stay certified
+    # by a REGISTRY sibling or an EXTRA twin + this local gate)
+    "filter_ilike",  # like/ilike: dfl compiler certifies the predicate row
+    "dfl_sort_desc_limit",  # twin of sort_desc_limit (also EXTRA)
+    "dfl_project_construct",  # twin of project_construct (also EXTRA)
+    "distinct_sort_limit",  # set(@)/distinct: set_ops_datasets certifies
+    "multimodal_kind_stats",  # multimodal_features + frame_sample certify
+    "agg_global_stats",  # global aggregates: pricing_summary certifies
+    "array_set_algebra",  # §2.7 set ops: set_ops_datasets certifies
+    "embedding_centroid_stats",  # centroids: kmeans_embeddings + ann_ivf certify
 }
 
 
