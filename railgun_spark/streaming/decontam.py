@@ -61,13 +61,23 @@ def stream_decontaminate_availablenow(
     sf_dir: str,
     source_dir: str,
     checkpoint_dir: str,
+    flags_sink: str,
     max_files_per_trigger: int = 1,
-) -> list[int]:
+) -> DataFrame:
     """Run document shards landing in `source_dir` through the streaming
-    path to completion (availableNow) and return the flagged doc_ids — the
+    path to completion (availableNow) and return the flagged docs as a
+    DataFrame ``(doc_id, ingest_batch)`` read from `flags_sink` — the
     batch-twin harness used by tests to prove stream/batch equivalence.
     (File stream sources take a directory of arriving shards; the eval set
-    and schema come from the pinned sf_dir table.)"""
+    and schema come from the pinned sf_dir table.)
+
+    Flags are WRITTEN, not collected: on a contaminated slice of a 100 TB
+    corpus the flag set is itself big data, so each micro-batch overwrites
+    its own ``ingest_batch=<id>`` partition of the parquet sink (the same
+    replay-idempotent discipline as ingest.py `_write_sink`) and the
+    driver never holds a row. A crash-replayed batch recomputes identical
+    flags (the join has no cross-batch state) and overwrites the same
+    partition, so restarts never duplicate or lose flags."""
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # materialize the eval side ONCE: without this, every micro-batch
     # re-executes the whole scan/shingle/explode/distinct subtree before
@@ -78,14 +88,13 @@ def stream_decontaminate_availablenow(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    # keyed by batch_id: a crash-replayed batch OVERWRITES its own entry
-    # instead of appending duplicates (same replay window ingest.py closes)
-    flagged_by_batch: dict[int, list[int]] = {}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        flagged_by_batch[batch_id] = [
-            r["doc_id"] for r in flag_contaminated_batch(batch_df, ev).collect()
-        ]
+        # empty batches still write their (empty) partition: idempotent
+        # either way, and the sink then records that the batch was examined
+        flag_contaminated_batch(batch_df, ev).write.mode("overwrite").parquet(
+            f"{flags_sink}/ingest_batch={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -94,4 +103,8 @@ def stream_decontaminate_availablenow(
         .start()
     )
     q.awaitTermination()
-    return sorted(d for ids in flagged_by_batch.values() for d in ids)
+    try:
+        return spark.read.option("basePath", flags_sink).parquet(flags_sink)
+    except Exception:
+        # zero micro-batches ran (empty source dir): no sink was created
+        return spark.createDataFrame([], "doc_id BIGINT, ingest_batch INT")

@@ -156,10 +156,19 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     src = tmp_path / "arriving"
     src.mkdir()
     shutil.copy(f"{sf_dir}/documents.parquet", src / "shard-0.parquet")
-    stream_ids = stream_decontaminate_availablenow(
-        spark, sf_dir, str(src), str(tmp_path / "ckpt")
+    flagged = stream_decontaminate_availablenow(
+        spark, sf_dir, str(src), str(tmp_path / "ckpt"), str(tmp_path / "flags")
     )
+    stream_ids = sorted(r["doc_id"] for r in flagged.collect())
     assert stream_ids == batch_ids and len(batch_ids) > 0
+
+    # restart idempotence: a full replay (fresh checkpoint, same sink)
+    # recomputes identical flags and OVERWRITES its own batch partitions —
+    # the sink never accumulates duplicates across crash/restart cycles
+    replay = stream_decontaminate_availablenow(
+        spark, sf_dir, str(src), str(tmp_path / "ckpt2"), str(tmp_path / "flags")
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == batch_ids
 
 
 # ------------------- streaming ingest through the dedup gate -------------------
