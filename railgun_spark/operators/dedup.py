@@ -440,6 +440,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Containment blocker recall counter: the df<=CAP rare-shingle block trades
+# recall exactly where duplication is heaviest (a doc whose EVERY shingle
+# is shared by > CAP docs has no rare shingles and is invisible to the
+# candidate generator). This report makes that trade observable in
+# production instead of silent: n_docs_no_rare_shingles is the count of
+# blocker-invisible docs per run. Scale shape: the same posts/rare frames
+# as the main operator, one extra left_anti + two counts.
+# --------------------------------------------------------------------------
+@extra_query(
+    "containment_recall_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), posts AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), rare AS (
+      SELECT g FROM posts GROUP BY g HAVING count(*) <= {CONTAIN_DF_CAP}
+    ), covered AS (
+      SELECT DISTINCT doc_id FROM posts WHERE g IN (SELECT g FROM rare)
+    )
+    SELECT (SELECT count(*) FROM s) AS n_docs,
+           (SELECT count(*) FROM s) - (SELECT count(*) FROM covered)
+             AS n_docs_no_rare_shingles
+    """,
+    doc="Observability for dedup_containment's df-cap recall trade: docs "
+    "with shingles but ZERO rare (df <= cap) shingles cannot appear in any "
+    "candidate pair. Non-zero means the cap is excluding the most-duplicated "
+    "region of the corpus — raise the cap or fall back to MinHash there.",
+    tags=("dedup", "containment", "reporting"),
+)
+def containment_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select("doc_id", "sh")
+    posts = s.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("g")
+    )
+    covered = (
+        posts.join(rare, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        s.select("doc_id")
+        .join(covered, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__c").isNull(), 1).otherwise(0)).alias(
+                "n_docs_no_rare_shingles"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH: the scale path for near-dup detection.
 # --------------------------------------------------------------------------
 def minhash_pairs_ctes(threshold: float = 0.5) -> str:

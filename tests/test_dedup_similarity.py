@@ -580,3 +580,13 @@ def test_dedup_exact_keep_first_nonunique_ids(spark):
     )
     out = sorted((r["id"], r["text"]) for r in dedup_exact_keep_first(df, ["text"]).collect())
     assert out == [(1, "a"), (2, "b")]
+
+
+def test_containment_blocker_sees_every_doc(spark):
+    """The df-cap recall counter: at sf0.01 every shingled doc must hold at
+    least one rare shingle (counter == 0); non-zero means the blocker is
+    silently excluding the most-duplicated region of the corpus."""
+    from railgun_spark.operators.dedup import containment_recall_report
+
+    row = containment_recall_report(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_docs"] > 0 and row["n_docs_no_rare_shingles"] == 0

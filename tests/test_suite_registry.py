@@ -75,6 +75,8 @@ EXPECTED_EXTRA = {
     "agg_global_stats",  # global aggregates: pricing_summary certifies
     "array_set_algebra",  # §2.7 set ops: set_ops_datasets certifies
     "embedding_centroid_stats",  # centroids: kmeans_embeddings + ann_ivf certify
+    # round-7 additions
+    "containment_recall_report",  # df-cap blocker-invisible doc counter
 }
 
 

@@ -24,8 +24,16 @@ prefilter — cost tracks candidate pairs, which track duplicate density)
 and `cross_source_overlap` (deduped shingle equi-join, cost tracks
 distinct (shingle, source) rows).
 
+Round-7 additions: the two iterative operators (`pagerank` — 3 supersteps
+over the word graph; `clusters` — min-label connected components to
+survivor selection) get recorded curves, and `recall` reports the
+containment blocker's per-run `n_docs_no_rare_shingles` counter at each
+blow-up factor (the df-cap's recall trade, observable instead of silent —
+salted copies multiply every shingle's document frequency, so rising k is
+exactly the adversarial case for the cap).
+
 Usage: python tools/scale_probe.py [max_k] [op ...]
-  ops: minhash (default), containment, overlap
+  ops: minhash (default), containment, overlap, recall, pagerank, clusters
 """
 
 from __future__ import annotations
@@ -41,7 +49,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main() -> None:
-    from railgun_spark.operators.dedup import dedup_containment, minhash_dup_pairs
+    from railgun_spark.operators.dedup import (
+        containment_recall_report,
+        dedup_cluster_survivors,
+        dedup_containment,
+        minhash_dup_pairs,
+    )
+    from railgun_spark.operators.graph import pagerank_word_graph
     from railgun_spark.operators.reporting import cross_source_overlap
     from railgun_spark.session import get_spark
 
@@ -52,6 +66,9 @@ def main() -> None:
         "minhash": lambda spark, d: minhash_dup_pairs(spark, d, 0.5),
         "containment": dedup_containment,
         "overlap": cross_source_overlap,
+        "recall": containment_recall_report,
+        "pagerank": pagerank_word_graph,
+        "clusters": dedup_cluster_survivors,
     }
     spark = get_spark("scale_probe")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
@@ -78,6 +95,14 @@ def main() -> None:
         blowup(k).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
         for op in ops:
             t = time.time()
+            if op == "recall":
+                row = runner[op](spark, d).collect()[0]
+                print(
+                    f"recall x{k}: docs={row['n_docs']} "
+                    f"no_rare_shingles={row['n_docs_no_rare_shingles']} "
+                    f"sec={time.time() - t:.2f}"
+                )
+                continue
             n = runner[op](spark, d).count()
             print(f"{op} x{k}: docs={n0 * k} rows={n} sec={time.time() - t:.2f}")
         k *= 2
