@@ -109,13 +109,26 @@ def derive_key(passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
         ) from None
 
 
+def _cfb(iv: bytes):
+    """CFB mode via its post-deprecation import path. The reference's wire
+    format is fixed at AES-256-CFB (CreateCipher.go:30), but `cryptography`
+    moves CFB to hazmat.decrepit in release 49 — the decrepit path (present
+    since 48) is tried first so decryption neither warns today nor breaks
+    the day the primitives path drops the symbol."""
+    try:
+        from cryptography.hazmat.decrepit.ciphers.modes import CFB
+    except ImportError:  # cryptography < 48: only the primitives path exists
+        from cryptography.hazmat.primitives.ciphers.modes import CFB
+    return CFB(iv)
+
+
 def decrypt_bytes(data: bytes, passphrase: str, salt_hex: str, kdf: str = "auto") -> bytes:
     """IV-prefixed AES-256-CFB decrypt (DecryptBytes.go:27-41)."""
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
 
     key = derive_key(passphrase, salt_hex, kdf=kdf)
     iv, body = data[:16], data[16:]
-    cipher = Cipher(algorithms.AES(key), modes.CFB(iv))
+    cipher = Cipher(algorithms.AES(key), _cfb(iv))
     dec = cipher.decryptor()
     return dec.update(body) + dec.finalize()
 
@@ -127,11 +140,11 @@ def encrypt_bytes(
     cli/process.go:59-112 '.enc' output)."""
     import os
 
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
 
     key = derive_key(passphrase, salt_hex, kdf=kdf)
     iv = iv or os.urandom(16)
-    enc = Cipher(algorithms.AES(key), modes.CFB(iv)).encryptor()
+    enc = Cipher(algorithms.AES(key), _cfb(iv)).encryptor()
     return iv + enc.update(data) + enc.finalize()
 
 
