@@ -30,7 +30,20 @@ survivor selection) get recorded curves, and `recall` reports the
 containment blocker's per-run `n_docs_no_rare_shingles` counter at each
 blow-up factor (the df-cap's recall trade, observable instead of silent —
 salted copies multiply every shingle's document frequency, so rising k is
-exactly the adversarial case for the cap).
+exactly the adversarial case for the cap). Measured (local[32],
+2026-08-14):
+
+    recall   x1: no_rare=0 5.9s   x2: 0 3.3s   x4: 0 4.1s   x8: 0 3.6s
+    pagerank x1: 3.5s  x2: 3.3s  x4: 3.3s  x8: 3.5s   (flat: capped
+        per-doc fan-out => vertex set grows with vocabulary, not corpus)
+    clusters x1: 4.0s  x2: 4.6s  x4: 9.7s  x8: 8.2s   (8x docs, 20x
+        cluster rows, ~2x wall — label propagation cost tracks edges,
+        which track true duplicate pairs)
+
+The recall counter staying 0 even at x8 is expected for THIS blow-up
+shape: every salted copy keeps its own `copysetN` suffix shingles, which
+stay rare. The counter exists for the production case (boilerplate shared
+verbatim by >CAP organic docs) that synthetic salting can't produce.
 
 Usage: python tools/scale_probe.py [max_k] [op ...]
   ops: minhash (default), containment, overlap, recall, pagerank, clusters
