@@ -153,7 +153,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact_keep_first(
-    df: DataFrame, cols: list[str], id_col: str | None = None
+    df: DataFrame, cols: list[str], id_col: str | None = None, strict: bool = False
 ) -> DataFrame:
     """Production exact-dedup: keep the lowest-id row per content hash.
     `id_col` defaults to the first column.
@@ -163,9 +163,26 @@ def dedup_exact_keep_first(
     semi-join matches on BOTH (hash, id): matching on id alone would keep
     every row sharing an id with a winner, even rows whose own hash lost
     (non-unique ids across different content).
+
+    Known edge of the default path: two PHYSICALLY duplicated rows with the
+    same id AND same content both match the winning (hash, id) pair and
+    both survive. Pass ``strict=True`` for exact one-survivor-per-hash
+    semantics via row_number — correct even for full-row duplicates, at
+    the cost of a sort within each hash's shuffle partition instead of a
+    map-side-combining aggregate (hash keys are near-unique, so the
+    per-key sort is tiny; prefer the default when ids are unique).
     """
     id_col = id_col or df.columns[0]
     hashed = df.withColumn("__h", F.xxhash64(*cols))
+    if strict:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__h").orderBy(F.col(id_col))
+        return (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn")
+        )
     winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__id"))
     out = hashed.join(
         winners,
@@ -956,7 +973,18 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
     try:
         return spark.read.parquet(index_path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
+        # classify by the STRUCTURED error class, not message wording (which
+        # changes across Spark versions); getCondition is the Spark 4 name,
+        # getErrorClass its predecessor; substring match is the last resort
+        # for builds predating error classes
+        cls = None
+        for attr in ("getCondition", "getErrorClass"):
+            get = getattr(e, attr, None)
+            if get is not None:
+                cls = get()
+                if cls is not None:
+                    break
+        if cls == "PATH_NOT_FOUND" or (cls is None and "PATH_NOT_FOUND" in str(e)):
             return None
         raise
 
@@ -1124,7 +1152,19 @@ def compact_index(spark: SparkSession, index_path: str, n_files: int | None = No
     the old index live or the backup recoverable — `_recover_index` (run by
     every index read and by the next compaction) restores it, so membership
     answers are never lost. Readers racing the swap see the old or new
-    listing, both of which answer membership identically."""
+    listing, both of which answer membership identically.
+
+    Single-compactor assumption: readers in OTHER PROCESSES are unsafe
+    during the swap window — a concurrent `_read_index_or_none` that runs
+    its own `_recover_index` between rename(live->backup) and
+    rename(tmp->live) would restore the backup and make the second rename
+    fail, aborting the compaction (index still valid, work lost). Within
+    one driver process the window is safe (the swap is not preempted by
+    another thread's recovery of the SAME paths only if compaction is the
+    sole writer — which this module assumes throughout: one maintenance
+    process owns the index). Cross-process coordination (lock file, or
+    compacting into a versioned dir + atomic pointer) is the operational
+    pattern when multiple drivers share an index."""
     import os
     import shutil
     import stat

@@ -13,8 +13,17 @@ Pattern notes (kept deliberately conservative):
 - email: RFC-ish local@domain.tld — the dominant PII class in web text.
 - ipv4: dotted quad with 0-255 octets, word-bounded so version strings
   like "1.2.3.4000" don't match.
-- phone: 7+ digit runs with optional separators and country prefix,
-  anchored to non-digit boundaries; deliberately NOT matching short ids.
+- phone: three shapes, all capped at the E.164 ceiling of 15 digits with
+  at most two separator chars between consecutive digits: (a) a "+"
+  country prefix (spaces allowed as separators), (b) the parenthesized/
+  delimited NANP shape `(xxx) xxx-xxxx`, (c) bare digit runs joined by
+  `-.()` only — NOT spaces. Space separators without a "+"/"(" anchor are
+  what turned benign numeric lists ("2020 2021 2022 ...", scores, ISBNs)
+  into <PHONE> spans; those no longer match at all, and the per-gap +
+  total-length caps keep any single match from bridging independent
+  numbers. Space-separated domestic numbers without an anchor ("call 555
+  123 4567") are the documented false-negative — add a locale pattern if
+  your corpus carries them.
 False positives redact a little too much (safe direction for training
 data); false negatives are the tunable part — pass extra patterns.
 """
@@ -29,7 +38,13 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
-    "phone": r"(?<![0-9A-Za-z])\+?[0-9][0-9()\-. ]{5,}[0-9](?![0-9A-Za-z])",
+    # three anchored shapes (see module docstring); each gap <=2 separator
+    # chars, 6-15 digits total, so no match bridges unrelated numbers
+    "phone": r"(?<![0-9A-Za-z])(?:"
+    r"\+[0-9](?:[()\-. ]{0,2}[0-9]){5,14}"  # +international: spaces OK
+    r"|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"  # NANP (xxx) xxx-xxxx
+    r"|[0-9](?:[()\-.]{0,2}[0-9]){5,14}"  # bare runs: -.() only, no spaces
+    r")(?![0-9A-Za-z])",
 }
 
 

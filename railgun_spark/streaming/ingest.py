@@ -32,9 +32,9 @@ from railgun_spark.operators.dedup import append_to_index, dedup_against_index
 
 
 def _write_sink(survivors: DataFrame, sink_path: str, batch_id: int | None) -> int:
-    """Write a batch's survivors. Batch backfills (batch_id None) append.
-    Streaming batches write to an `ingest_batch=<id>` partition dir with
-    OVERWRITE, making the foreachBatch replay after a crash idempotent:
+    """Write a batch's survivors. Streaming batches write to an
+    `ingest_batch=<id>` partition dir with OVERWRITE, making the
+    foreachBatch replay after a crash idempotent:
 
     - crash before the sink write: replay regates, same survivors, same
       partition overwritten once;
@@ -44,10 +44,17 @@ def _write_sink(survivors: DataFrame, sink_path: str, batch_id: int | None) -> i
     - crash after index append: replay's gate rejects everything, and the
       empty batch SKIPS the write below so the already-written partition
       survives — no data loss.
+
+    Batch backfills (batch_id None) APPEND under the reserved
+    `ingest_batch=-1` partition so a sink fed by both modes keeps ONE
+    uniform partition layout (files at the sink root alongside
+    ingest_batch=<id> dirs would make the whole sink unreadable). Streaming
+    batch ids are non-negative, so -1 never collides; backfills have no
+    replay window (no checkpoint), hence append, not overwrite.
     """
     n = survivors.count()
     if batch_id is None:
-        survivors.write.mode("append").parquet(sink_path)
+        survivors.write.mode("append").parquet(f"{sink_path}/ingest_batch=-1")
     elif n > 0:
         survivors.write.mode("overwrite").parquet(
             f"{sink_path}/ingest_batch={batch_id}"

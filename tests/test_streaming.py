@@ -318,3 +318,45 @@ def test_ingest_replay_windows_are_idempotent(spark, tmp_path):
     # must NOT clobber the partition with an empty overwrite
     assert ingest_batch(batch, idx, sink, batch_id=7) == 0
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_backfill_and_stream_share_one_sink_layout(spark, tmp_path):
+    """A sink fed by BOTH a streaming run and a batch backfill must keep one
+    uniform ingest_batch=<id> partition layout and stay readable as a single
+    table — backfills land under the reserved ingest_batch=-1 partition
+    (files at the sink root next to partition dirs would make
+    spark.read.parquet reject the whole sink)."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import (
+        ingest_batch,
+        stream_ingest_dedup_availablenow,
+    )
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+    shard = [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma delta")]
+    df = spark.createDataFrame(shard)
+    stage = tmp_path / "stage"
+    df.coalesce(1).write.parquet(str(stage))
+    shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / "shard.parquet"))
+
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    admitted = stream_ingest_dedup_availablenow(
+        spark, str(src), df.schema, index_path=idx, sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert admitted == 2
+    # batch backfill into the SAME sink and index (one dup, one new doc)
+    backfill = spark.createDataFrame(
+        [Row(doc_id=100, text="epsilon zeta"), Row(doc_id=101, text="alpha beta")]
+    )
+    assert ingest_batch(backfill, idx, sink, batch_id=None) == 1
+
+    merged = spark.read.parquet(sink)  # one layout: reads without error
+    rows = {r["text"]: r["ingest_batch"] for r in merged.collect()}
+    assert sorted(rows) == ["alpha beta", "epsilon zeta", "gamma delta"]
+    assert rows["epsilon zeta"] == -1  # backfill partition
+    assert all(b >= 0 for t, b in rows.items() if t != "epsilon zeta")
