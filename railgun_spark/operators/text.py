@@ -654,3 +654,210 @@ def with_compression_ratio(df, text_col: str = "text", out_col: str = "compress_
             yield pdf
 
     return df.mapInPandas(add_ratio, schema)
+
+
+# --------------------------------------------------------------------------
+# Distributed tokenizer-vocabulary induction. Training a BPE tokenizer over
+# a 100 TB corpus starts with exactly two corpus-wide aggregates, and both
+# are implemented here in the shape the real trainers use (word-count
+# dictionary FIRST, so all pair work happens over the vocabulary, which is
+# orders of magnitude smaller than the corpus):
+#   - `bpe_merge_candidates`: the first BPE merge iteration — adjacent
+#     symbol-pair frequencies weighted by word count. One map-side-combined
+#     groupBy collapses the corpus scan to vocab size; the pair explode and
+#     second groupBy run over the vocabulary only. (Subsequent iterations
+#     re-run the same frame with merged symbols — each is vocab-sized work,
+#     which is why BPE training is tractable at corpus scale at all.)
+#   - `vocab_coverage_curve`: cumulative token-coverage share of the top-K
+#     words, the standard vocab-size sizing curve (what fraction of token
+#     occurrences a K-entry vocabulary covers before subword fallback).
+#     The global window runs over the vocab-sized aggregate, never the
+#     corpus — same discipline as the reporting module's bucket windows.
+# --------------------------------------------------------------------------
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@extra_query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM t GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair, c
+      FROM wc WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+    doc="First BPE merge iteration: adjacent character-pair frequencies "
+    "weighted by word count, computed over the vocabulary (not the corpus) "
+    "after one map-side-combined word-count aggregate.",
+    tags=("text", "vocab"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _word_counts(spark, sf_dir).filter(F.length("w") >= 2)
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )
+
+
+VOCAB_CURVE_KS = (10, 20, 50, 100)
+
+
+@extra_query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM t GROUP BY w
+    ), ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, w) AS r,
+             sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wc
+    )
+    SELECT k.top_k,
+           round((SELECT max(cum) FROM ranked WHERE r <= k.top_k) * 1.0
+                 / (SELECT max(cum) FROM ranked), 4) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in VOCAB_CURVE_KS)}) k(top_k)
+    ORDER BY top_k
+    """,
+    doc="Token-coverage share of the top-K words (vocab-size sizing curve). "
+    "Rank/cumsum windows run over the vocab-sized word-count aggregate, "
+    "never the corpus.",
+    tags=("text", "vocab"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wc = _word_counts(spark, sf_dir)
+    # single-partition window is deliberate and safe: the frame is the
+    # vocabulary (post map-side-combine), not the corpus
+    w = Window.orderBy(F.desc("c"), "w").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = wc.select(
+        F.row_number().over(w).alias("r"), F.sum("c").over(w).alias("cum")
+    )
+    agg = ranked.agg(
+        *[
+            F.max(F.when(F.col("r") <= k, F.col("cum"))).alias(f"c{k}")
+            for k in VOCAB_CURVE_KS
+        ],
+        F.max("cum").alias("t"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("top_k"),
+                        F.round(F.col(f"c{k}") * F.lit(1.0) / F.col("t"), 4).alias(
+                            "coverage"
+                        ),
+                    )
+                    for k in VOCAB_CURVE_KS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """Distributed BPE training loop: learn `n_merges` merge rules over the
+    corpus, returning them in order. Extends `bpe_merge_candidates` from
+    one iteration to the full greedy loop the real tokenizer trainers run:
+
+      corpus scan -> ONE map-side-combined word-count aggregate (the only
+      corpus-sized pass), then per merge iteration entirely over the
+      vocab-sized frame: adjacent-pair counts weighted by word frequency
+      -> argmax pair (freq desc, then lexicographic — deterministic
+      tie-break) -> left-to-right non-overlapping merge applied to every
+      word's symbol array via F.aggregate (a Catalyst fold, no Python).
+
+    At 100 TB the vocabulary is millions of rows, not billions — each
+    iteration is a small groupBy plus a map-only transform, which is why
+    corpus-scale BPE training is tractable at all. The frame is
+    localCheckpoint'ed every iteration: 10 nested aggregate() transforms
+    would otherwise stack into one unanalyzable mega-plan (same lineage
+    discipline as the pagerank supersteps, graph.py).
+
+    Words shorter than 2 symbols stop participating automatically (no
+    adjacent pairs); training stops early if no pair remains.
+    """
+    vocab = _word_counts(spark, sf_dir).localCheckpoint()
+    symbols = vocab.select(
+        F.split("w", "").alias("sym"), "c"
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            symbols.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("c").alias("freq"))
+        )
+        top = pairs.orderBy(F.desc("freq"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = a + b
+        # left-to-right non-overlapping merge as a Catalyst fold: append
+        # each symbol, replacing the accumulator's tail when (tail, s)
+        # equals the learned pair ("aaa" + merge(a,a) -> ["aa","a"])
+        fold = F.aggregate(
+            "sym",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        symbols = symbols.select(fold.alias("sym"), "c").localCheckpoint()
+    return merges

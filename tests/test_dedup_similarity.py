@@ -590,3 +590,71 @@ def test_containment_blocker_sees_every_doc(spark):
 
     row = containment_recall_report(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["n_docs"] > 0 and row["n_docs_no_rare_shingles"] == 0
+
+
+def test_redact_phone_does_not_bridge_numeric_lists(spark):
+    """Benign space-separated numeric runs (years, scores) must survive:
+    the unbounded separator class once collapsed them into one <PHONE>."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.redact import redact
+
+    keep = "scores 2020 2021 2022 2023 remained stable"
+    assert redact(spark.createDataFrame([Row(text=keep)])).first()["text"] == keep
+    got = redact(
+        spark.createDataFrame([Row(text="call +44 20 7946 0958 or (555) 123-4567")])
+    ).first()["text"]
+    assert got == "call <PHONE> or <PHONE>"
+
+
+def test_dedup_exact_keep_first_strict_full_row_dups(spark):
+    """Full-row duplicates (same id, same content) both survive the default
+    (hash,id) semi-join — the documented edge; strict=True's row_number
+    path keeps exactly one row per content hash."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="a"), Row(id=1, text="a"), Row(id=2, text="b")]
+    )
+    assert dedup_exact_keep_first(df, ["text"]).count() == 3
+    out = dedup_exact_keep_first(df, ["text"], strict=True)
+    assert sorted((r["id"], r["text"]) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE loop (vocab-frame pair counts + Catalyst fold
+    merge) must learn the exact merge sequence a plain in-memory greedy
+    BPE learns from the same word counts, tie-break included."""
+    from collections import Counter
+
+    import duckdb
+
+    from railgun_spark.operators.text import bpe_train
+
+    wc = duckdb.sql(
+        "SELECT w, count(*) AS c FROM (SELECT unnest(regexp_extract_all("
+        f"lower(text), '[a-z0-9]+')) AS w FROM '{sf_dir}/documents.parquet')"
+        " GROUP BY w"
+    ).fetchall()
+
+    vocab = [(list(w), c) for w, c in wc]
+    expected = []
+    for _ in range(8):
+        pc = Counter()
+        for sym, c in vocab:
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected.append(best)
+        a, b = best
+        for sym, _ in vocab:
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            sym[:] = out
+    assert bpe_train(spark, sf_dir, n_merges=8) == expected and len(expected) == 8

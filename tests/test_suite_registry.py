@@ -77,6 +77,8 @@ EXPECTED_EXTRA = {
     "embedding_centroid_stats",  # centroids: kmeans_embeddings + ann_ivf certify
     # round-7 additions
     "containment_recall_report",  # df-cap blocker-invisible doc counter
+    "bpe_merge_candidates",  # first BPE merge iteration over the vocab
+    "vocab_coverage_curve",  # top-K token-coverage vocab sizing curve
 }
 
 
