@@ -94,6 +94,11 @@ BENCH_SPECIAL = {
     "prepare_end_to_end": _prepare_end_to_end,
 }
 
+# SPARK_GRAFT_BENCH_ALL=1 benches EVERY registered query (REGISTRY+EXTRA)
+# instead of the curated list — the full-coverage sweep that makes a perf
+# regression in ANY query visible. Not the per-round default (the driver's
+# budget fits the curated list), but tools/ and pre-release checks use it.
+
 
 def main():
     from railgun_spark import suite
@@ -112,7 +117,10 @@ def main():
     except Exception:
         pass  # the timed loop will record the error per-query
 
-    all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1":
+        all_names = list(qs) + list(BENCH_SPECIAL)
+    else:
+        all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
     samples: dict[str, list[float]] = {name: [] for name in all_names}
     errors: dict[str, str] = {}
     for _ in range(iters):  # interleave iterations so drift hits all queries alike

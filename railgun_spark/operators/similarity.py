@@ -724,3 +724,78 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, Abbas et al. 2023, arXiv:2303.09540 —
+# public paper): k-means clusters as the blocking structure, exact cosine
+# within clusters. Complements `embedding_near_dup_pairs`' sign-LSH
+# blocking with the opposite recall profile: LSH bands can miss true pairs
+# whose signs straddle hyperplanes, cluster blocking misses only pairs
+# split across centroids (rare for genuine semantic duplicates, which is
+# the paper's observation). At 100 TB the paper's own recipe bounds the
+# within-cluster work: K scales with the corpus so expected cluster size
+# stays constant, and the pairing is an equi-join on cluster id — shuffle
+# by cluster, pair within partitions, never corpus x corpus. Assignment
+# reuses the map-only broadcast-centroid argmin certified by
+# `kmeans_embeddings`.
+# --------------------------------------------------------------------------
+SEMDEDUP_COS = 0.4
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < {KMEANS_K}
+    ), d1 AS (
+      SELECT vec_id, e, cid,
+             round(list_aggregate(
+               list_transform(e, (x, i) -> (x - c[i]) * (x - c[i])), 'sum'), 6)
+               AS dist
+      FROM emb CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT vec_id, e, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    )
+    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {cos.format(a="x.e", b="y.e")} AS cos_sim
+    FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE {cos.format(a="x.e", b="y.e")} >= {SEMDEDUP_COS}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@extra_query(
+    "semantic_dedup_pairs",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic near-dup pairs: k-means cluster blocking "
+    f"(first-{KMEANS_K} init, one assignment pass) + exact within-cluster "
+    f"cosine >= {SEMDEDUP_COS}. Equi-join on cluster id — work scales with "
+    "cluster occupancy; K grows with the corpus to bound it.",
+    tags=("similarity", "dedup"),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    init_rows = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
+    a = assign_clusters(emb, c0).select("vec_id", "e", "cluster")
+    x = a.select("cluster", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = a.select("cluster", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        x.join(y, "cluster")
+        .filter((F.col("vec_a") < F.col("vec_b")) & (sim >= SEMDEDUP_COS))
+        .select("cluster", "vec_a", "vec_b", sim.alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

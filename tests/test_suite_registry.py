@@ -79,6 +79,7 @@ EXPECTED_EXTRA = {
     "containment_recall_report",  # df-cap blocker-invisible doc counter
     "bpe_merge_candidates",  # first BPE merge iteration over the vocab
     "vocab_coverage_curve",  # top-K token-coverage vocab sizing curve
+    "semantic_dedup_pairs",  # SemDeDup: k-means blocked within-cluster cosine
 }
 
 
