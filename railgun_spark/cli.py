@@ -209,11 +209,13 @@ def cmd_stats(args) -> int:
     """Corpus-health report over a documents directory: per-source quality/
     duplication, token-length histogram, cross-source shingle overlap —
     the per-ingest-wave monitoring queries (operators/reporting.py)."""
+    from railgun_spark.operators.dedup import containment_recall_report
     from railgun_spark.operators.reporting import (
         cross_source_overlap,
         source_quality_report,
         token_length_histogram,
     )
+    from railgun_spark.operators.text import vocab_coverage_curve
     from railgun_spark.session import get_spark
 
     spark = get_spark("railgun_stats")
@@ -221,6 +223,8 @@ def cmd_stats(args) -> int:
         "source_quality": source_quality_report,
         "token_length_histogram": token_length_histogram,
         "cross_source_overlap": cross_source_overlap,
+        "containment_recall": containment_recall_report,
+        "vocab_coverage": vocab_coverage_curve,
     }
     wanted = args.sections.split(",") if args.sections else list(sections)
     unknown = [w for w in wanted if w not in sections]

@@ -153,6 +153,17 @@ def test_stats_subcommand(spark, capsys):
     assert main(["stats", "--input-dir", "/root/testdata/sf0.001",
                  "--sections", "nope"]) == 2
 
+    # round-7 sections: blocker-recall counter + vocab coverage curve
+    rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
+               "--sections", "containment_recall,vocab_coverage"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    (cr,) = out["containment_recall"]
+    assert cr["n_docs"] > 0 and cr["n_docs_no_rare_shingles"] >= 0
+    curve = out["vocab_coverage"]
+    assert [r["top_k"] for r in curve] == sorted(r["top_k"] for r in curve)
+    assert all(0.0 < r["coverage"] <= 1.0 for r in curve)
+
 
 def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
     from pyspark.sql import Row
