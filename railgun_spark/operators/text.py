@@ -819,6 +819,31 @@ def bpe_train(
         F.split("w", "").alias("sym"), "c"
     ).localCheckpoint()
 
+    return _bpe_merge_loop(symbols, n_merges)
+
+
+def merge_symbols_col(sym: Column | str, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping BPE merge of the adjacent pair (a, b)
+    in a symbol array, as a Catalyst fold: append each symbol, replacing
+    the accumulator's tail when (tail, s) equals the pair. Overlap
+    semantics match every reference BPE implementation:
+    ["a","a","a"] + merge(a,a) -> ["aa","a"], never ["a","aa"] or
+    ["aa","aa"]."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_merge_loop(symbols: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -843,21 +868,7 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        merged = a + b
-        # left-to-right non-overlapping merge as a Catalyst fold: append
-        # each symbol, replacing the accumulator's tail when (tail, s)
-        # equals the learned pair ("aaa" + merge(a,a) -> ["aa","a"])
-        fold = F.aggregate(
-            "sym",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        symbols = symbols.select(fold.alias("sym"), "c").localCheckpoint()
+        symbols = symbols.select(
+            merge_symbols_col("sym", a, b).alias("sym"), "c"
+        ).localCheckpoint()
     return merges

@@ -658,3 +658,39 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
                     out.append(s)
             sym[:] = out
     assert bpe_train(spark, sf_dir, n_merges=8) == expected and len(expected) == 8
+
+
+def test_bpe_merge_fold_overlap_semantics(spark):
+    """The Catalyst merge fold must apply left-to-right NON-overlapping
+    merges — the semantics every reference BPE implementation uses. The
+    overlap cases are the ones a naive pairwise replace gets wrong."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.text import merge_symbols_col
+
+    cases = {
+        "aaa": ["aa", "a"],          # not ["a","aa"]: leftmost wins
+        "aaaa": ["aa", "aa"],
+        "aaaaa": ["aa", "aa", "a"],
+        "baaa": ["b", "aa", "a"],
+        "abab": ["ab", "ab"],        # pair (a,b) for contrast below
+        "b": ["b"],
+        # (empty string omitted: F.split('','') yields [''], a split
+        # artifact — bpe_train's [a-z0-9]+ word regex can't produce it)
+    }
+    df = spark.createDataFrame([Row(w=w) for w in cases])
+    from pyspark.sql import functions as F
+
+    got_aa = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", merge_symbols_col(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    for w, exp in cases.items():
+        if w != "abab":
+            assert got_aa[w] == exp, (w, got_aa[w])
+    got_ab = df.filter(F.col("w") == "abab").select(
+        merge_symbols_col(F.split("w", ""), "a", "b").alias("m")
+    ).first()["m"]
+    assert got_ab == ["ab", "ab"]
