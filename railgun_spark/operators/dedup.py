@@ -981,18 +981,12 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
     try:
         return spark.read.parquet(index_path)
     except AnalysisException as e:
-        # classify by the STRUCTURED error class, not message wording (which
-        # changes across Spark versions); getCondition is the Spark 4 name,
-        # getErrorClass its predecessor; substring match is the last resort
-        # for builds predating error classes
-        cls = None
-        for attr in ("getCondition", "getErrorClass"):
-            get = getattr(e, attr, None)
-            if get is not None:
-                cls = get()
-                if cls is not None:
-                    break
-        if cls == "PATH_NOT_FOUND" or (cls is None and "PATH_NOT_FOUND" in str(e)):
+        # classify by the STRUCTURED error class, not message wording
+        # (which changes across Spark versions); substring match only for
+        # builds predating error classes — see railgun_spark.errors
+        from railgun_spark.errors import is_path_not_found
+
+        if is_path_not_found(e):
             return None
         raise
 

@@ -16,6 +16,7 @@ benchmark set, clean rows flow to the corpus sink.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +106,13 @@ def stream_decontaminate_availablenow(
     q.awaitTermination()
     try:
         return spark.read.option("basePath", flags_sink).parquet(flags_sink)
-    except Exception:
-        # zero micro-batches ran (empty source dir): no sink was created
-        return spark.createDataFrame([], "doc_id BIGINT, ingest_batch INT")
+    except AnalysisException as e:
+        # zero micro-batches ran (empty source dir): no sink was created.
+        # ONLY that case maps to empty — an unreadable/corrupt sink must
+        # raise, not silently report zero contamination (same discipline
+        # as dedup._read_index_or_none).
+        from railgun_spark.errors import is_path_not_found
+
+        if is_path_not_found(e):
+            return spark.createDataFrame([], "doc_id BIGINT, ingest_batch INT")
+        raise
