@@ -872,3 +872,65 @@ def _bpe_merge_loop(symbols: DataFrame, n_merges: int) -> list[tuple[str, str]]:
             merge_symbols_col("sym", a, b).alias("sym"), "c"
         ).localCheckpoint()
     return merges
+
+
+# --------------------------------------------------------------------------
+# Corpus-unigram negative-log-likelihood quality score — the CCNet/
+# RedPajama-class "language model filter" in its exactly-reproducible
+# unigram form: score(doc) = mean over token occurrences of -ln p(w),
+# p(w) = corpus_count(w) / corpus_tokens. High scores mark docs full of
+# corpus-atypical tokens (mojibake, code soup, wrong-language fragments);
+# the top of the ranking is the removal candidate list.
+#
+# Scale shape: one (doc, word) map-side-combined count, one vocab-sized
+# unigram model joined back on the word key, one groupBy(doc). The corpus
+# token total is a driver scalar (exact integer — same collected-literal
+# discipline as the k-means centroids). Per-doc scores round at 6 before
+# the ordering so the cross-engine rank is deterministic.
+# --------------------------------------------------------------------------
+@extra_query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY doc_id, lang, w
+    ), vocab AS (
+      SELECT w, count(*) AS cw FROM t GROUP BY w
+    ), tot AS (
+      SELECT count(*) AS tt FROM t
+    ), d AS (
+      SELECT cnt.doc_id, any_value(cnt.lang) AS lang,
+             CAST(sum(cnt.c) AS BIGINT) AS n_tokens,
+             round(sum(cnt.c * -ln(vocab.cw * 1.0 / tt)) / sum(cnt.c), 6) AS nll
+      FROM cnt JOIN vocab USING (w), tot
+      GROUP BY cnt.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, nll
+    FROM d ORDER BY nll DESC, doc_id LIMIT 25
+    """,
+    doc="Unigram-LM quality score: mean -ln p(word) per doc against the "
+    "corpus unigram model; top-25 most-atypical docs (the filter list). "
+    "One (doc,word) count + vocab join + one groupBy(doc).",
+    tags=("text", "quality"),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    posts = docs.select("doc_id", "lang", F.explode(ws).alias("w"))
+    cnt = posts.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = posts.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    total = posts.count()  # exact integer scalar, embedded as a literal
+    nll_num = F.sum(F.col("c") * -F.log(F.col("cw") * F.lit(1.0) / F.lit(total)))
+    return (
+        cnt.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum("c").alias("n_tokens"),
+            F.round(nll_num / F.sum("c"), 6).alias("nll"),
+        )
+        .orderBy(F.desc("nll"), "doc_id")
+        .limit(25)
+    )

@@ -80,6 +80,7 @@ EXPECTED_EXTRA = {
     "bpe_merge_candidates",  # first BPE merge iteration over the vocab
     "vocab_coverage_curve",  # top-K token-coverage vocab sizing curve
     "semantic_dedup_pairs",  # SemDeDup: k-means blocked within-cluster cosine
+    "unigram_logprob_quality",  # CCNet-style unigram-LM filter list
 }
 
 
