@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "inverted_index_rare",
     "funnel_conversion",
     "rolling_active_users",
+    # round-7 new operators
+    "semantic_dedup_pairs",
+    "bpe_merge_candidates",
+    "unigram_logprob_quality",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

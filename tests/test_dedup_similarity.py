@@ -694,3 +694,21 @@ def test_bpe_merge_fold_overlap_semantics(spark):
         merge_symbols_col(F.split("w", ""), "a", "b").alias("m")
     ).first()["m"]
     assert got_ab == ["ab", "ab"]
+
+
+def test_redact_phone_numeric_list_sweep(spark):
+    """Sweep of benign numeric-list shapes that must survive redaction
+    whole (the unbounded separator class used to fuse all of them)."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.redact import redact
+
+    keep = [
+        "2020 2021 2022 2023 2024 2025 2026",      # year list
+        "scores were 10 24 133 9 77 41 5",          # short tokens
+        "ids 1234 5678 9012 3456 7890 1234 5678",  # 4-digit columns
+        "page 12, page 34, page 56, page 78",       # punctuated shorts
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in keep])
+    got = [r["text"] for r in redact(df).collect()]
+    assert got == keep
