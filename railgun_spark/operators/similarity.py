@@ -207,10 +207,10 @@ NEAR_DUP_COS = 0.4
 
 
 def _near_dup_oracle() -> str:
-    cos = (
-        "round(list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
+    # cosine as dot-of-prenormalized vectors — the same expression shape
+    # the Spark side computes (one norm per VECTOR, one dot per PAIR), so
+    # rounded values match across engines
+    cos = "round(list_dot_product({a}, {b}), 6)"
     band_selects = "\n      UNION ALL ".join(
         f"SELECT vec_id, {i} AS band_idx, "
         f"{_sql_bucket('v', NEAR_DUP_BAND_BITS, EMB_DIM, first_plane=i * NEAR_DUP_BAND_BITS)}"
@@ -219,6 +219,11 @@ def _near_dup_oracle() -> str:
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+      FROM e
+    ),
     bands AS (
       {band_selects}
     ),
@@ -228,9 +233,9 @@ def _near_dup_oracle() -> str:
         ON x.band_idx = y.band_idx AND x.band_val = y.band_val
        AND x.vec_id < y.vec_id
     )
-    SELECT vec_a, vec_b, {cos.format(a="a.v", b="b.v")} AS cos_sim
-    FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
-    WHERE {cos.format(a="a.v", b="b.v")} >= {NEAR_DUP_COS}
+    SELECT vec_a, vec_b, {cos.format(a="a.vn", b="b.vn")} AS cos_sim
+    FROM cand JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b
+    WHERE {cos.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_COS}
     ORDER BY vec_a, vec_b
     """
 
@@ -264,15 +269,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    # name the cosine ONCE, then filter on the named column: the same
-    # expression in both filter() and select() was evaluated twice per
-    # candidate — an interpreted 64-element fold each time
+    # normalize once per VECTOR (2k norm folds), so each of the ~460k
+    # candidate pairs pays ONE dot fold instead of three (dot + both
+    # norms) — the verify leg is the cost center at this band selectivity.
+    # The cosine is a named column (filter + project evaluate it once).
+    emb_n = emb.select(
+        "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
+    ).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
+    )
+    a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("vna"))
+    b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vnb"))
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos_sim", F.round(dot(F.col("vna"), F.col("vnb")), 6))
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
