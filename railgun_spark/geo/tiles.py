@@ -437,3 +437,112 @@ def geo_quadkey_rollup(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("parent_quadkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Geohash — the third hierarchical cell key next to Bing quadkeys and
+# Morton/Z-order, and the one with the public base32 text form (elasticsearch
+# / redis / postgres ecosystems). Same prefix-hierarchy property as the
+# quadkey: truncating k characters yields the ancestor cell, so zoom-out
+# rollups are substring groupBys. Encoding is pure integer Column
+# arithmetic: quantize lon/lat, interleave bits MSB-first starting with
+# lon (NOT plain Morton — that only coincides when lon gets one bit more
+# than lat, i.e. odd precision), then map 5-bit groups through the base32
+# alphabet. Identical SQL emitted for the DuckDB oracle.
+# --------------------------------------------------------------------------
+GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 5  # 25 bits: 13 lon + 12 lat (~4.9 km cells)
+
+
+def _geohash_bit_plan(precision: int) -> list[tuple[str, int, int]]:
+    """(source, source_bit, target_position) per bit: MSB-first, lon first."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    plan = []
+    for k in range(total):
+        pos = total - 1 - k
+        if k % 2 == 0:
+            plan.append(("x", lon_bits - 1 - k // 2, pos))
+        else:
+            plan.append(("y", lat_bits - 1 - (k - 1) // 2, pos))
+    return plan
+
+
+def geohash(lon: Column, lat: Column, precision: int = GEOHASH_PRECISION) -> Column:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))).cast("bigint")
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))).cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for src, src_bit, pos in _geohash_bit_plan(precision):
+        bit = F.shiftright(x if src == "x" else y, src_bit).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(bit, pos))
+    chars = [
+        F.lit(GEOHASH_ALPHA).substr(
+            (F.shiftright(code, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + 1).cast(
+                "int"
+            ),
+            F.lit(1),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def _geohash_sql(lon: str, lat: str, precision: int = GEOHASH_PRECISION) -> str:
+    """DuckDB twin of `geohash` — identical quantization and bit plan."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    x = f"CAST(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}.0) AS BIGINT)"
+    y = f"CAST(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}.0) AS BIGINT)"
+    terms = [
+        f"(((({x if src == 'x' else y}) >> {src_bit}) & 1) << {pos})"
+        for src, src_bit, pos in _geohash_bit_plan(precision)
+    ]
+    code = "(" + " | ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_ALPHA}', CAST((({code} >> {5 * (precision - 1 - i)}) & 31) + 1 AS INT), 1)"
+        for i in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+GEOHASH_PARENT_LEN = 3
+
+
+@extra_query(
+    "geo_geohash_rollup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+    ), gh AS (
+      SELECT {_geohash_sql('lon', 'lat')} AS geohash FROM pts
+    )
+    SELECT substr(geohash, 1, {GEOHASH_PARENT_LEN}) AS parent_cell,
+           count(*) AS n,
+           count(DISTINCT geohash) AS n_child_cells
+    FROM gh
+    GROUP BY parent_cell
+    ORDER BY n DESC, parent_cell
+    LIMIT 25
+    """,
+    doc=f"Geohash (precision {GEOHASH_PRECISION}) rolled up to its "
+    f"{GEOHASH_PARENT_LEN}-char ancestor by string prefix — base32 cell "
+    "keys as pure integer bit-plan Column arithmetic, cross-engine exact.",
+    tags=("geo", "hist"),
+)
+def geo_geohash_rollup(spark, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    gh = ev.select(geohash(_lon(), _lat()).alias("geohash"))
+    return (
+        gh.groupBy(F.substring("geohash", 1, GEOHASH_PARENT_LEN).alias("parent_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("geohash").alias("n_child_cells"),
+        )
+        .orderBy(F.desc("n"), "parent_cell")
+        .limit(25)
+    )

@@ -147,3 +147,16 @@ def test_read_zordered_bbox_prunes_and_matches(spark, tmp_path):
     with redirect_stdout(buf):
         got.explain("formatted")
     assert "_tile_x" in buf.getvalue() and "PushedFilters" in buf.getvalue()
+
+
+def test_geohash_known_vectors(spark):
+    """Public geohash test vectors (geohash.org convention)."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import geohash
+
+    cases = [(-5.603, 42.605, "ezs42"), (-74.0060, 40.7128, "dr5re"),
+             (139.6917, 35.6895, "xn774"), (0.0, 0.0, "s0000")]
+    df = spark.createDataFrame([(lo, la) for lo, la, _ in cases], ["lon", "lat"])
+    got = [r[0] for r in df.select(geohash(F.col("lon"), F.col("lat"))).collect()]
+    assert got == [g for _, _, g in cases]

@@ -81,6 +81,7 @@ EXPECTED_EXTRA = {
     "vocab_coverage_curve",  # top-K token-coverage vocab sizing curve
     "semantic_dedup_pairs",  # SemDeDup: k-means blocked within-cluster cosine
     "unigram_logprob_quality",  # CCNet-style unigram-LM filter list
+    "geo_geohash_rollup",  # base32 geohash prefix-hierarchy rollup
 }
 
 
