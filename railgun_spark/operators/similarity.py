@@ -851,3 +851,89 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+) -> dict[int, list[float]]:
+    """Lloyd's k-means to CONVERGENCE (movement below `tol`), the
+    production form of the fixed-2-iteration gate query: same map-only
+    broadcast-centroid assignment and one K*dim-row shuffle per iteration,
+    plus a driver-side movement check (K*dim doubles — trivially small)
+    that stops the loop when centroids settle. Deterministic: first-K
+    init, rounded centroid recomputation each step (the cross-engine
+    discipline), lowest-id tie-breaks. Returns {cluster_id: centroid}.
+
+    At 100 TB each iteration is one scan + one tiny shuffle; the frame
+    never accumulates lineage because assignment is re-derived from the
+    BASE scan against new literal centroids each pass (no checkpoint
+    needed — the plan depth is constant per iteration)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    init_rows = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
+    return _kmeans_loop(emb, cents, max_iter, tol)
+
+
+def _kmeans_loop(
+    emb: DataFrame, cents: dict[int, list[float]], max_iter: int, tol: float
+) -> dict[int, list[float]]:
+    """Shared Lloyd's loop over a (vec_id, e) frame: assignment vs
+    broadcast-literal centroids, K*dim-row recompute shuffle, driver-side
+    movement stop. A cluster that captures no points keeps its centroid."""
+    for _ in range(max_iter):
+        new_cents = recompute_centroids(assign_clusters(emb, cents))
+        for cid in cents:
+            new_cents.setdefault(cid, cents[cid])
+        movement = max(
+            max(abs(a - b) for a, b in zip(cents[cid], new_cents[cid]))
+            for cid in cents
+        )
+        cents = new_cents
+        if movement < tol:
+            break
+    return cents
+
+
+def pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> dict[int, dict[int, list[float]]]:
+    """Train PQ sub-codebooks — the production form of `ann_pq_topk`'s
+    first-K codebook init, closing the loop its docstring promises: for
+    each of the `m` subspaces, run the shared Lloyd's loop over the SLICED
+    (dim/m)-dim frame. Each subspace's iterations are the same
+    map-only-assignment + tiny-shuffle plan as full k-means, just on
+    narrower vectors; the m loops run sequentially on a shared scan
+    (slice is a map-side projection). Returns {subspace: {cid: centroid}};
+    centroid ids are 1..ks to match the 1-based codes `ann_pq_topk`
+    emits."""
+    ds = EMB_DIM // m
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    init_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= ks))
+        .orderBy("vec_id")
+        .collect()
+    )
+    books: dict[int, dict[int, list[float]]] = {}
+    for mm in range(m):
+        sub = emb.select(
+            "vec_id", F.slice(F.col("e"), mm * ds + 1, ds).alias("e")
+        )
+        init = {
+            int(r["vec_id"]): list(r["e"])[mm * ds : (mm + 1) * ds]
+            for r in init_rows
+        }
+        books[mm] = _kmeans_loop(sub, init, max_iter, tol)
+    return books

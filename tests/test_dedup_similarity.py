@@ -712,3 +712,79 @@ def test_redact_phone_numeric_list_sweep(spark):
     df = spark.createDataFrame([Row(text=t) for t in keep])
     got = [r["text"] for r in redact(df).collect()]
     assert got == keep
+
+
+def test_kmeans_train_matches_numpy_reference(spark):
+    """kmeans_train to convergence must reproduce an in-memory numpy
+    Lloyd's loop with the same init, rounding, and tie-breaks."""
+    import numpy as np
+
+    from railgun_spark.operators.similarity import kmeans_train
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    X = np.array([list(map(float, r["embedding"])) for r in emb.collect()])
+    k = 4
+    cents = {i: X[i].tolist() for i in range(k)}
+    for _ in range(20):
+        d = np.stack(
+            [np.round(((X - np.array(c)) ** 2).sum(axis=1), 6) for c in cents.values()]
+        )  # k x n, same rounded-at-6 distances as the Spark side
+        assign = d.argmin(axis=0)  # argmin takes the first (lowest cid) on ties
+        new = {}
+        for cid in range(k):
+            pts = X[assign == cid]
+            new[cid] = (
+                np.round(pts.mean(axis=0), 4).tolist() if len(pts) else cents[cid]
+            )
+        movement = max(
+            max(abs(a - b) for a, b in zip(cents[c], new[c])) for c in cents
+        )
+        cents = new
+        if movement < 1e-4:
+            break
+
+    got = kmeans_train(spark, sf_dir, k=k, max_iter=20, tol=1e-4)
+    assert set(got) == set(cents)
+    for cid in cents:
+        assert got[cid] == [round(v, 4) for v in cents[cid]], cid
+
+
+def test_pq_train_reduces_quantization_distortion(spark):
+    """Trained sub-codebooks must reconstruct vectors strictly better than
+    the first-K init codebooks (the Lloyd's guarantee, per subspace), and
+    carry the right shapes (m subspaces x ks centroids x dim/m)."""
+    import numpy as np
+
+    from railgun_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_KS,
+        PQ_M,
+        pq_train,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = EMB_DIM // PQ_M
+    books = pq_train(spark, sf_dir, max_iter=10)
+    assert set(books) == set(range(PQ_M))
+    for mm in range(PQ_M):
+        assert set(books[mm]) == set(range(1, PQ_KS + 1))
+        assert all(len(c) == ds for c in books[mm].values())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    X = np.array([list(map(float, r["embedding"])) for r in emb.collect()])
+    init = {
+        mm: {j: X[j][mm * ds : (mm + 1) * ds].tolist() for j in range(1, PQ_KS + 1)}
+        for mm in range(PQ_M)
+    }
+
+    def distortion(bks):
+        total = 0.0
+        for mm in range(PQ_M):
+            sub = X[:, mm * ds : (mm + 1) * ds]
+            C = np.array([bks[mm][j] for j in sorted(bks[mm])])
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    assert distortion(books) < distortion(init)
