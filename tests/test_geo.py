@@ -160,3 +160,26 @@ def test_geohash_known_vectors(spark):
     df = spark.createDataFrame([(lo, la) for lo, la, _ in cases], ["lon", "lat"])
     got = [r[0] for r in df.select(geohash(F.col("lon"), F.col("lat"))).collect()]
     assert got == [g for _, _, g in cases]
+
+
+def test_geohash_prefix_hierarchy(spark):
+    """Truncating a geohash yields the ancestor cell's hash: the MSB-first
+    alternating bit plan nests across precisions (the property that makes
+    zoom-out rollups a substring groupBy)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import geohash
+
+    rng = np.random.default_rng(7)
+    pts = [(float(lo), float(la)) for lo, la in zip(
+        rng.uniform(-180, 179.999, 200), rng.uniform(-85, 85, 200))]
+    df = spark.createDataFrame(pts, ["lon", "lat"])
+    rows = df.select(
+        geohash(F.col("lon"), F.col("lat"), 5).alias("g5"),
+        geohash(F.col("lon"), F.col("lat"), 3).alias("g3"),
+        geohash(F.col("lon"), F.col("lat"), 1).alias("g1"),
+    ).collect()
+    for r in rows:
+        assert r["g5"][:3] == r["g3"] and r["g5"][:1] == r["g1"]
