@@ -937,3 +937,53 @@ def pq_train(
         }
         books[mm] = _kmeans_loop(sub, init, max_iter, tol)
     return books
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: dict[int, list[float]],
+    nprobe: int = 2,
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """IVF search against TRAINED centroids — the production composition
+    `kmeans_train(...)` -> `ivf_search(...)` that `ann_ivf_topk` (fixed
+    first-K codebook, oracle-gated) stands in for at the gate. Same plan
+    shape: map-only cell assignment vs broadcast-literal centroids,
+    client-side probe selection over the K tiny centroids, exact cosine
+    re-rank inside the probed cells only. `nprobe=len(centroids)` probes
+    everything and therefore equals brute force — the recall knob is
+    explicit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id).first()["v"]
+    ]
+    cents = sorted(centroids.items())
+    sims = F.array(*[F.round(cosine(F.col("v"), _lit_vec(cv)), 6) for _, cv in cents])
+    cid_of = F.array(*[F.lit(cid) for cid, _ in cents])
+    assigned = F.element_at(cid_of, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+    def _pycos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5), 6)
+
+    probes = [
+        cid for cid, _ in sorted(cents, key=lambda c: (-_pycos(c[1], qv), c[0]))[:nprobe]
+    ]
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cid", assigned)
+        .filter(F.col("cid").isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(cosine(F.col("v"), _lit_vec(qv)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -788,3 +788,24 @@ def test_pq_train_reduces_quantization_distortion(spark):
         return total
 
     assert distortion(books) < distortion(init)
+
+
+def test_ivf_search_with_trained_centroids_recall(spark):
+    """kmeans_train -> ivf_search composition: recall@10 vs brute force is
+    non-decreasing in nprobe and exactly 1.0 when every cell is probed."""
+    from railgun_spark.operators.similarity import (
+        ivf_search,
+        kmeans_train,
+        knn_brute_force,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cents = kmeans_train(spark, sf_dir, k=8, max_iter=10)
+    exact = [r["vec_id"] for r in knn_brute_force(spark, sf_dir).collect()]
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in ivf_search(spark, sf_dir, cents, nprobe=nprobe).collect()}
+        return len(got & set(exact)) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8 == 1.0
