@@ -773,13 +773,15 @@ SEMDEDUP_K = 16  # blocking clusters — the paper's scale knob: K grows with
 # stays bounded; 16 keeps sf0.1 clusters at ~125 vectors / ~8k pairs each
 
 
-def _semdedup_oracle() -> str:
-    # cosine as dot-of-prenormalized vectors — the SAME expression shape the
-    # Spark side computes (normalize once per vector, dot once per pair), so
-    # the rounded values match bit-for-bit across engines
+def semdedup_pairs_ctes() -> str:
+    """DuckDB CTE chain ending in ``sempairs(cluster, vec_a, vec_b,
+    cos_sim)`` — twin of the Spark pipeline in `semantic_dedup_pairs`;
+    shared by the pairs oracle and the survivors (CC) oracle so the two
+    stay in lock-step. Cosine is the dot of prenormalized vectors — the
+    SAME expression shape the Spark side computes (normalize once per
+    vector, dot once per pair), so rounded values match across engines."""
     cos = "round(list_dot_product({a}, {b}), 6)"
-    return f"""
-    WITH emb AS (
+    return f"""emb AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ), c0 AS (
@@ -799,11 +801,18 @@ def _semdedup_oracle() -> str:
       SELECT vec_id, cluster,
              list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
       FROM a1
-    )
-    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
-           {cos.format(a="x.en", b="y.en")} AS cos_sim
-    FROM a1n x JOIN a1n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-    WHERE {cos.format(a="x.en", b="y.en")} >= {SEMDEDUP_COS}
+    ), sempairs AS (
+      SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {cos.format(a="x.en", b="y.en")} AS cos_sim
+      FROM a1n x JOIN a1n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {cos.format(a="x.en", b="y.en")} >= {SEMDEDUP_COS}
+    )"""
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH {semdedup_pairs_ctes()}
+    SELECT cluster, vec_a, vec_b, cos_sim FROM sempairs
     ORDER BY vec_a, vec_b
     """
 
@@ -986,4 +995,46 @@ def ivf_search(
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
+    )
+
+
+@extra_query(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {semdedup_pairs_ctes()},
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM sempairs
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM sempairs
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node AS vec_id, min(label) AS group_id FROM reach GROUP BY node
+    )
+    SELECT group_id, count(*) AS group_size, min(vec_id) AS survivor_vec
+    FROM comp GROUP BY group_id ORDER BY group_id
+    """,
+    doc="Semantic-dedup pairs resolved into transitive groups via the same "
+    "distributed min-label propagation as the text clusters; survivor = "
+    "min vec_id per group — the embedding-modality twin of "
+    "dedup_cluster_survivors. Oracle: DuckDB recursive CTE over the shared "
+    "sempairs chain.",
+    tags=("similarity", "dedup", "iterative"),
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("node").alias("survivor_vec"))
+        .select(F.col("label").alias("group_id"), "group_size", "survivor_vec")
+        .orderBy("group_id")
     )

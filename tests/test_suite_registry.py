@@ -82,6 +82,7 @@ EXPECTED_EXTRA = {
     "semantic_dedup_pairs",  # SemDeDup: k-means blocked within-cluster cosine
     "unigram_logprob_quality",  # CCNet-style unigram-LM filter list
     "geo_geohash_rollup",  # base32 geohash prefix-hierarchy rollup
+    "semantic_dedup_survivors",  # CC groups + survivors over sempairs
 }
 
 
