@@ -215,7 +215,10 @@ def cmd_stats(args) -> int:
         source_quality_report,
         token_length_histogram,
     )
-    from railgun_spark.operators.text import vocab_coverage_curve
+    from railgun_spark.operators.text import (
+        unigram_logprob_quality,
+        vocab_coverage_curve,
+    )
     from railgun_spark.session import get_spark
 
     spark = get_spark("railgun_stats")
@@ -225,6 +228,7 @@ def cmd_stats(args) -> int:
         "cross_source_overlap": cross_source_overlap,
         "containment_recall": containment_recall_report,
         "vocab_coverage": vocab_coverage_curve,
+        "unigram_outliers": unigram_logprob_quality,
     }
     wanted = args.sections.split(",") if args.sections else list(sections)
     unknown = [w for w in wanted if w not in sections]

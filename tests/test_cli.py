@@ -153,9 +153,9 @@ def test_stats_subcommand(spark, capsys):
     assert main(["stats", "--input-dir", "/root/testdata/sf0.001",
                  "--sections", "nope"]) == 2
 
-    # round-7 sections: blocker-recall counter + vocab coverage curve
+    # round-7 sections: blocker-recall counter, vocab curve, LM outliers
     rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
-               "--sections", "containment_recall,vocab_coverage"])
+               "--sections", "containment_recall,vocab_coverage,unigram_outliers"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     (cr,) = out["containment_recall"]
@@ -163,6 +163,8 @@ def test_stats_subcommand(spark, capsys):
     curve = out["vocab_coverage"]
     assert [r["top_k"] for r in curve] == sorted(r["top_k"] for r in curve)
     assert all(0.0 < r["coverage"] <= 1.0 for r in curve)
+    outliers = out["unigram_outliers"]
+    assert len(outliers) == 25 and all(r["nll"] > 0 for r in outliers)
 
 
 def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
