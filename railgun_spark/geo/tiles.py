@@ -473,8 +473,17 @@ def geohash(lon: Column, lat: Column, precision: int = GEOHASH_PRECISION) -> Col
     total = 5 * precision
     lon_bits = (total + 1) // 2
     lat_bits = total - lon_bits
-    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))).cast("bigint")
-    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))).cast("bigint")
+    # clamp to the last cell: lat=90 / lon=180 quantize to 2^bits, whose
+    # low bits are all zero — without the clamp the north pole would
+    # encode as the SOUTH-pole cell (and +180 as -180)
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("bigint")
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("bigint")
     code = F.lit(0).cast("bigint")
     for src, src_bit, pos in _geohash_bit_plan(precision):
         bit = F.shiftright(x if src == "x" else y, src_bit).bitwiseAND(F.lit(1))
@@ -496,8 +505,14 @@ def _geohash_sql(lon: str, lat: str, precision: int = GEOHASH_PRECISION) -> str:
     total = 5 * precision
     lon_bits = (total + 1) // 2
     lat_bits = total - lon_bits
-    x = f"CAST(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}.0) AS BIGINT)"
-    y = f"CAST(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}.0) AS BIGINT)"
+    x = (
+        f"CAST(least(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}.0), "
+        f"{(1 << lon_bits) - 1}) AS BIGINT)"
+    )
+    y = (
+        f"CAST(least(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}.0), "
+        f"{(1 << lat_bits) - 1}) AS BIGINT)"
+    )
     terms = [
         f"(((({x if src == 'x' else y}) >> {src_bit}) & 1) << {pos})"
         for src, src_bit, pos in _geohash_bit_plan(precision)

@@ -15,14 +15,16 @@ Pattern notes (kept deliberately conservative):
   like "1.2.3.4000" don't match.
 - phone: three shapes, all capped at the E.164 ceiling of 15 digits with
   at most two separator chars between consecutive digits: (a) a "+"
-  country prefix (spaces allowed as separators), (b) the parenthesized/
-  delimited NANP shape `(xxx) xxx-xxxx`, (c) bare digit runs joined by
-  `-.()` only — NOT spaces. Space separators without a "+"/"(" anchor are
-  what turned benign numeric lists ("2020 2021 2022 ...", scores, ISBNs)
-  into <PHONE> spans; those no longer match at all, and the per-gap +
-  total-length caps keep any single match from bridging independent
-  numbers. Space-separated domestic numbers without an anchor ("call 555
-  123 4567") are the documented false-negative — add a locale pattern if
+  country prefix (spaces allowed as separators), (b) the parenthesized
+  NANP shape `(xxx) xxx-xxxx` — the parens are REQUIRED, since a
+  parenless "555 123 4567" is shape-identical to benign 3-3-4 numeric
+  lists, (c) bare digit runs joined by `-.()` only — NOT spaces. Space
+  separators without a "+" or "(xxx)" anchor are what turned benign
+  numeric lists ("2020 2021 2022 ...", scores, ISBNs) into <PHONE>
+  spans; those no longer match at all, and the per-gap + total-length
+  caps keep any single match from bridging independent numbers.
+  Space-separated domestic numbers without an anchor ("call 555 123
+  4567") are the documented false-negative — add a locale pattern if
   your corpus carries them.
 False positives redact a little too much (safe direction for training
 data); false negatives are the tunable part — pass extra patterns.
@@ -39,10 +41,14 @@ PII_PATTERNS: dict[str, str] = {
     "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b",
     # three anchored shapes (see module docstring); each gap <=2 separator
-    # chars, 6-15 digits total, so no match bridges unrelated numbers
+    # chars, 6-15 digits total, so no match bridges unrelated numbers.
+    # The NANP branch REQUIRES the area-code parens: without them,
+    # "555 123 4567" is indistinguishable from a benign 3-3-4 numeric list
+    # (scores, page columns), which is exactly the class this pattern must
+    # not eat — parenless forms need -.() separators (bare-run branch).
     "phone": r"(?<![0-9A-Za-z])(?:"
     r"\+[0-9](?:[()\-. ]{0,2}[0-9]){5,14}"  # +international: spaces OK
-    r"|\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"  # NANP (xxx) xxx-xxxx
+    r"|\([0-9]{3}\)[-. ]{0,2}[0-9]{3}[-. ][0-9]{4}"  # NANP (xxx) xxx-xxxx
     r"|[0-9](?:[()\-.]{0,2}[0-9]){5,14}"  # bare runs: -.() only, no spaces
     r")(?![0-9A-Za-z])",
 }

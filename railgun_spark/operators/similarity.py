@@ -967,10 +967,10 @@ def ivf_search(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("v")
     )
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == query_vec_id).first()["v"]
-    ]
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        raise ValueError(f"query vector vec_id={query_vec_id} not found in {sf_dir}")
+    qv = [float(x) for x in qrow["v"]]
     cents = sorted(centroids.items())
     sims = F.array(*[F.round(cosine(F.col("v"), _lit_vec(cv)), 6) for _, cv in cents])
     cid_of = F.array(*[F.lit(cid) for cid, _ in cents])

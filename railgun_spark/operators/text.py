@@ -814,10 +814,14 @@ def bpe_train(
     Words shorter than 2 symbols stop participating automatically (no
     adjacent pairs); training stops early if no pair remains.
     """
-    vocab = _word_counts(spark, sf_dir).localCheckpoint()
-    symbols = vocab.select(
-        F.split("w", "").alias("sym"), "c"
-    ).localCheckpoint()
+    # checkpoint only the symbol frame: vocab feeds it exactly once, so a
+    # second pinned copy of the corpus aggregate would just hold executor
+    # storage for the whole loop
+    symbols = (
+        _word_counts(spark, sf_dir)
+        .select(F.split("w", "").alias("sym"), "c")
+        .localCheckpoint()
+    )
 
     return _bpe_merge_loop(symbols, n_merges)
 
@@ -920,8 +924,11 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     posts = docs.select("doc_id", "lang", F.explode(ws).alias("w"))
     cnt = posts.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = posts.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    total = posts.count()  # exact integer scalar, embedded as a literal
+    # pin the vocab aggregate: the token total is sum(cw) over THIS frame
+    # (exact integer — no third corpus scan), and the join below reads the
+    # pinned copy instead of re-running the corpus explode
+    vocab = posts.groupBy("w").agg(F.count(F.lit(1)).alias("cw")).localCheckpoint()
+    total = vocab.agg(F.sum("cw")).first()[0]
     nll_num = F.sum(F.col("c") * -F.log(F.col("cw") * F.lit(1.0) / F.lit(total)))
     return (
         cnt.join(vocab, "w")

@@ -79,6 +79,25 @@ def stream_decontaminate_availablenow(
     driver never holds a row. A crash-replayed batch recomputes identical
     flags (the join has no cross-batch state) and overwrites the same
     partition, so restarts never duplicate or lose flags."""
+    import os
+
+    # Per-batch overwrite is idempotent only while the batch-id -> files
+    # mapping is stable, i.e. within ONE checkpoint lineage (crash restarts
+    # resume from the checkpoint with the same batch ids). A FRESH
+    # checkpoint may batch the files differently, and a smaller batch
+    # count would leave the old run's higher-numbered partitions in the
+    # sink, reported back as phantom flags. Refuse that combination
+    # loudly instead of silently mixing two runs' outputs.
+    if not os.path.exists(checkpoint_dir) and os.path.exists(flags_sink):
+        if any(not e.startswith((".", "_")) for e in os.listdir(flags_sink)):
+            raise ValueError(
+                f"flags_sink {flags_sink!r} already holds partitions but "
+                f"checkpoint_dir {checkpoint_dir!r} is fresh: a new "
+                "checkpoint may assign different batch ids and strand the "
+                "old run's partitions as phantom flags. Resume with the "
+                "original checkpoint, or point the fresh run at an empty "
+                "sink."
+            )
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # materialize the eval side ONCE: without this, every micro-batch
     # re-executes the whole scan/shingle/explode/distinct subtree before

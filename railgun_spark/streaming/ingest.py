@@ -54,12 +54,37 @@ def _write_sink(survivors: DataFrame, sink_path: str, batch_id: int | None) -> i
     """
     n = survivors.count()
     if batch_id is None:
+        _reject_legacy_root_files(sink_path)
         survivors.write.mode("append").parquet(f"{sink_path}/ingest_batch=-1")
     elif n > 0:
         survivors.write.mode("overwrite").parquet(
             f"{sink_path}/ingest_batch={batch_id}"
         )
     return n
+
+
+def _reject_legacy_root_files(sink_path: str) -> None:
+    """A sink written by the pre-partitioned backfill layout has part-files
+    at the root; appending an ingest_batch=-1 partition NEXT to them would
+    create the mixed layout that makes the whole sink unreadable. Refuse
+    with a migration hint instead of corrupting a working sink."""
+    import os
+
+    if not os.path.isdir(sink_path):
+        return
+    root_files = [
+        e
+        for e in os.listdir(sink_path)
+        if not e.startswith((".", "_")) and not os.path.isdir(os.path.join(sink_path, e))
+    ]
+    if root_files:
+        raise ValueError(
+            f"sink {sink_path!r} holds data files at its root (legacy "
+            "unpartitioned backfill layout); adding an ingest_batch=-1 "
+            "partition beside them would make the sink unreadable. Migrate "
+            "first: move the root files into an ingest_batch=-1/ "
+            f"subdirectory (e.g. seen {root_files[:3]})."
+        )
 
 
 def ingest_batch(

@@ -809,3 +809,18 @@ def test_ivf_search_with_trained_centroids_recall(spark):
 
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8 == 1.0
+
+
+def test_redact_phone_nanp_requires_parens(spark):
+    """Parenless 3-3-4 digit groups are shape-identical to benign numeric
+    lists and must NOT redact; the parenthesized NANP form must."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.redact import redact
+
+    keep = "call 555 123 4567 maybe"  # documented false-negative
+    assert redact(spark.createDataFrame([Row(text=keep)])).first()["text"] == keep
+    got = redact(
+        spark.createDataFrame([Row(text="call (555) 123-4567 now")])
+    ).first()["text"]
+    assert got == "call <PHONE> now"

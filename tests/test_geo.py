@@ -183,3 +183,20 @@ def test_geohash_prefix_hierarchy(spark):
     ).collect()
     for r in rows:
         assert r["g5"][:3] == r["g3"] and r["g5"][:1] == r["g1"]
+
+
+def test_geohash_pole_and_antimeridian_clamp(spark):
+    """lat=90 / lon=180 quantize one past the last cell; the clamp must
+    keep them in the adjacent (north/east) cell, not wrap to south/west."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.geo.tiles import geohash
+
+    df = spark.createDataFrame(
+        [(0.0, 90.0), (0.0, 89.9999999), (0.0, -90.0), (180.0, 0.0), (179.9999999, 0.0)],
+        ["lon", "lat"],
+    )
+    g = [r[0] for r in df.select(geohash(F.col("lon"), F.col("lat"))).collect()]
+    assert g[0] == g[1]  # north pole == just-south-of-pole cell
+    assert g[0] != g[2]  # and NOT the south pole
+    assert g[3] == g[4]  # +180 == just-west-of-antimeridian cell

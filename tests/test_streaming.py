@@ -162,13 +162,38 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     stream_ids = sorted(r["doc_id"] for r in flagged.collect())
     assert stream_ids == batch_ids and len(batch_ids) > 0
 
-    # restart idempotence: a full replay (fresh checkpoint, same sink)
-    # recomputes identical flags and OVERWRITES its own batch partitions —
-    # the sink never accumulates duplicates across crash/restart cycles
-    replay = stream_decontaminate_availablenow(
-        spark, sf_dir, str(src), str(tmp_path / "ckpt2"), str(tmp_path / "flags")
+    # crash-replay idempotence: a replayed batch (same batch id, same
+    # content — what a checkpoint resume delivers) OVERWRITES its own
+    # partition, leaving one copy of every flag
+    from railgun_spark.streaming.decontam import (
+        eval_shingle_set,
+        flag_contaminated_batch,
+    )
+
+    ev = eval_shingle_set(spark, sf_dir)
+    batch_df = spark.read.parquet(str(src / "shard-0.parquet"))
+    flag_contaminated_batch(batch_df, ev).write.mode("overwrite").parquet(
+        str(tmp_path / "flags" / "ingest_batch=0")
+    )
+    replay = spark.read.option("basePath", str(tmp_path / "flags")).parquet(
+        str(tmp_path / "flags")
     )
     assert sorted(r["doc_id"] for r in replay.collect()) == batch_ids
+
+    # a FRESH checkpoint may batch differently and strand old partitions
+    # as phantom flags — that combination must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phantom flags"):
+        stream_decontaminate_availablenow(
+            spark, sf_dir, str(src), str(tmp_path / "ckpt2"), str(tmp_path / "flags")
+        )
+
+    # fresh checkpoint + fresh sink: same flag set, no interference
+    rerun = stream_decontaminate_availablenow(
+        spark, sf_dir, str(src), str(tmp_path / "ckpt3"), str(tmp_path / "flags2")
+    )
+    assert sorted(r["doc_id"] for r in rerun.collect()) == batch_ids
 
 
 # ------------------- streaming ingest through the dedup gate -------------------
@@ -360,3 +385,24 @@ def test_backfill_and_stream_share_one_sink_layout(spark, tmp_path):
     assert sorted(rows) == ["alpha beta", "epsilon zeta", "gamma delta"]
     assert rows["epsilon zeta"] == -1  # backfill partition
     assert all(b >= 0 for t, b in rows.items() if t != "epsilon zeta")
+
+
+def test_backfill_refuses_legacy_root_file_sink(spark, tmp_path):
+    """A sink with part-files at its root (the pre-partitioned backfill
+    layout) must be refused, not silently corrupted into a mixed layout."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import ingest_batch
+
+    sink = tmp_path / "legacy"
+    spark.createDataFrame([Row(doc_id=1, text="old row")]).coalesce(1).write.parquet(
+        str(sink)
+    )
+    with _pytest.raises(ValueError, match="legacy"):
+        ingest_batch(
+            spark.createDataFrame([Row(doc_id=2, text="new row")]),
+            str(tmp_path / "idx"),
+            str(sink),
+            batch_id=None,
+        )
