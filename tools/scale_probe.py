@@ -72,6 +72,11 @@ def main() -> None:
     from railgun_spark.operators.reporting import cross_source_overlap
     from railgun_spark.session import get_spark
 
+    from railgun_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
     args = sys.argv[1:]
     max_k = int(args[0]) if args and args[0].isdigit() else 8
     ops = [a for a in args if not a.isdigit()] or ["minhash"]
@@ -82,10 +87,18 @@ def main() -> None:
         "recall": containment_recall_report,
         "pagerank": pagerank_word_graph,
         "clusters": dedup_cluster_survivors,
+        # embedding modality: blown-up embeddings are EXACT duplicates
+        # (same vector, new vec_id), so every copy set is a true near-dup
+        # clique — pair counts grow ~k^2 per clique, the adversarial case
+        "semdedup": semantic_dedup_pairs,
+        "embnear": embedding_near_dup_pairs,
     }
+    EMB_OPS = {"semdedup", "embnear"}
     spark = get_spark("scale_probe")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    emb_base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     n0 = base.count()
+    e0 = emb_base.count()
 
     def blowup(k: int):
         parts = [
@@ -102,10 +115,28 @@ def main() -> None:
             df = df.unionByName(p)
         return df
 
+    def blowup_emb(k: int):
+        parts = [
+            emb_base.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "label",
+                "embedding",
+            )
+            for i in range(k)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     k = 1
     while k <= max_k:
         d = tempfile.mkdtemp(prefix=f"blow{k}_")
         blowup(k).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        if any(op in EMB_OPS for op in ops):
+            blowup_emb(k).write.mode("overwrite").parquet(
+                os.path.join(d, "embeddings.parquet")
+            )
         for op in ops:
             t = time.time()
             if op == "recall":
@@ -117,7 +148,9 @@ def main() -> None:
                 )
                 continue
             n = runner[op](spark, d).count()
-            print(f"{op} x{k}: docs={n0 * k} rows={n} sec={time.time() - t:.2f}")
+            base_n = e0 if op in EMB_OPS else n0
+            unit = "vecs" if op in EMB_OPS else "docs"
+            print(f"{op} x{k}: {unit}={base_n * k} rows={n} sec={time.time() - t:.2f}")
         k *= 2
 
 
