@@ -45,6 +45,18 @@ shape: every salted copy keeps its own `copysetN` suffix shingles, which
 stay rare. The counter exists for the production case (boilerplate shared
 verbatim by >CAP organic docs) that synthetic salting can't produce.
 
+Embedding modality (blown-up embeddings are EXACT-duplicate cliques —
+the adversarial case where true pairs grow quadratically in duplication;
+measured local[32], 2026-08-14):
+
+    semdedup x1: 185 pairs 4.9s   x2: 2.7k 4.3s   x4: 15k 7.0s
+             x8: 68k pairs 13.9s   (8x vecs, 367x pairs, 2.8x wall)
+    embnear  x1: 475 pairs 3.9s   x2: 3.9k 3.5s   x4: 20k 5.5s
+             x8: 86k pairs 15.1s   (8x vecs, 182x pairs, 3.9x wall)
+
+Both track TRUE duplicate pairs, never vecs^2 — the same property the
+MinHash curve establishes for text.
+
 Usage: python tools/scale_probe.py [max_k] [op ...]
   ops: minhash (default), containment, overlap, recall, pagerank, clusters
 """
