@@ -392,6 +392,15 @@ def _compile_call(node: Call, ctx: Context) -> Column:
         from railgun_spark.geo.tiles import tile_y
 
         return tile_y(a(0).cast("double"), a(1))
+    if name == "geohash":
+        from railgun_spark.geo.tiles import GEOHASH_PRECISION, geohash
+
+        # precision fixes the bit plan at compile time, so it must be a
+        # literal (like split's separator)
+        if len(args) > 2 and not isinstance(args[2], Literal):
+            raise DflCompileError("geohash precision must be a literal")
+        prec = int(args[2].value) if len(args) > 2 else GEOHASH_PRECISION
+        return geohash(a(0).cast("double"), a(1).cast("double"), prec)
     if name == "filter":
         # array-level filter: filter(@arr, 'pred with @ = element')
         pred = _sub_expr(args[1])

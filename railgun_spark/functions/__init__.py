@@ -60,6 +60,10 @@ CATALOG: dict[str, dict] = {
     "bbox": {"args": ["coords"], "doc": "[minX, minY, maxX, maxY] aggregate"},
     "tileX": {"args": ["lon", "z"], "doc": "web-mercator tile x (geo/LongitudeToTile.go)"},
     "tileY": {"args": ["lat", "z"], "doc": "web-mercator tile y (geo/LatitudeToTile.go)"},
+    "geohash": {
+        "args": ["lon", "lat", "precision?"],
+        "doc": "base32 geohash cell key (superset; precision literal, default 5)",
+    },
 }
 
 

@@ -361,3 +361,19 @@ def test_variable_bound_to_null_compiles(spark):
     df = spark.createDataFrame([{"a": 1}, {"a": None}])
     out = run_pipeline(df, "filter(@, '@a == $x')", variables={"x": None})
     assert out.count() == 0  # NULL == NULL is NULL, never true — but it compiles
+
+
+def test_dfl_geohash_function(spark):
+    """geohash() in a DFL projection (superset function, tileX/tileY kin):
+    known public vector + literal-precision enforcement."""
+    import pytest as _pytest
+
+    from railgun_spark.dfl import run_pipeline
+    from railgun_spark.dfl.compiler import DflCompileError
+
+    df = spark.createDataFrame([(1, -5.603, 42.605)], ["id", "lon", "lat"])
+    out = run_pipeline(df, "map(@, '{id: @id, gh: geohash(@lon, @lat), g3: geohash(@lon, @lat, 3)}')")
+    row = out.first()
+    assert row["gh"] == "ezs42" and row["g3"] == "ezs"
+    with _pytest.raises(DflCompileError, match="literal"):
+        run_pipeline(df, "map(@, '{g: geohash(@lon, @lat, @id)}')").collect()
