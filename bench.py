@@ -127,7 +127,16 @@ def main():
         all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
     samples: dict[str, list[float]] = {name: [] for name in all_names}
     errors: dict[str, str] = {}
+    # wall budget: the suite has grown past 40 queries, and an external
+    # harness timeout would blank ALL numbers. Complete iterations are
+    # dropped instead: after each full pass, stop if the next one would
+    # plausibly overrun — min-of-fewer-iters beats no JSON line at all.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    t_start = time.time()
+    iters_done = 0
     for _ in range(iters):  # interleave iterations so drift hits all queries alike
+        if iters_done > 0 and (time.time() - t_start) * (iters_done + 1) / iters_done > budget:
+            break
         for name in all_names:
             if name in errors:
                 continue
@@ -141,6 +150,7 @@ def main():
                 errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
                 continue
             samples[name].append(time.time() - t0)
+        iters_done += 1
 
     # a query in `errors` contributes NOTHING to the headline numbers even
     # if earlier iterations succeeded — blending a 1-sample min into a
@@ -155,7 +165,7 @@ def main():
         "unit": "sec",
         "queries": mins,
         "queries_median": medians,
-        "iters": iters,
+        "iters": iters_done,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
