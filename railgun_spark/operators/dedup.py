@@ -887,7 +887,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(a, b) undirected -> (node, label) with label = component min.
     Driver-side loop with a scalar convergence probe per round (the label
-    sum decreases monotonically; fixpoint == unchanged sum)."""
+    sum decreases monotonically; fixpoint == unchanged sum).
+
+    Each round does min-label propagation over edges PLUS a pointer-jump
+    (label(v) := label(label(v))): every label value is itself a node key,
+    so a self-join halves the remaining distance to the component minimum
+    — convergence in O(log diameter) rounds instead of O(diameter), which
+    is what makes a pathological duplicate CHAIN (each doc near-dup of the
+    next) safe at corpus scale. Exhausting `max_iter` without reaching the
+    fixpoint raises rather than silently returning partially-propagated
+    labels: with the jump, 25 rounds cover diameters past 2^25."""
     sym = edges.select(F.col("a"), F.col("b")).union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -897,17 +906,43 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
+        # re-alias BOTH columns: a bare F.col("label") would reuse labels'
+        # attribute id, giving the union two children that share an id —
+        # Catalyst's union constraint rewrite chokes on that once the
+        # pointer-jump self-join is in the lineage
         msgs = sym.join(labels, sym.a == labels.node).select(
-            F.col("b").alias("node"), F.col("label")
+            F.col("b").alias("node"), F.col("label").alias("label")
         )
+        # checkpoint BEFORE the self-join: a union+groupBy lineage
+        # self-joined against itself trips Catalyst's union-constraint
+        # attribute rewrite (NoSuchElementException); a checkpointed frame
+        # has fresh attributes on each side. Node-sized frame, cheap.
         labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
+        # pointer jump: labels are node keys, so label(label(v)) is total.
+        # The jump side is an explicitly RENAMED projection, not a plain
+        # self-alias: the alias form's dedup left the checkpointed output
+        # carrying a join constraint on an attribute outside its output,
+        # which the NEXT round's union constraint-rewrite cannot resolve.
+        jmp = labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        labels = (
+            labels.join(jmp, F.col("label") == F.col("jnode"))
+            .select("node", F.col("jlabel").alias("label"))
+            .localCheckpoint()
+        )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} rounds — "
+        "with pointer jumping this needs a component diameter past "
+        f"2^{max_iter}; raise max_iter only after checking the edge set "
+        "for corruption"
+    )
 
 
 @extra_query(

@@ -824,3 +824,17 @@ def test_redact_phone_nanp_requires_parens(spark):
         spark.createDataFrame([Row(text="call (555) 123-4567 now")])
     ).first()["text"]
     assert got == "call <PHONE> now"
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 200-node chain (diameter far past max_iter) must still converge:
+    pointer jumping gives O(log diameter) rounds. The old pure-propagation
+    loop silently returned partially-propagated labels here."""
+    from railgun_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a: long, b: long"
+    )
+    comp = connected_components(edges)
+    labels = {r["label"] for r in comp.collect()}
+    assert labels == {0} and comp.count() == 201
