@@ -1038,3 +1038,42 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("group_id"), "group_size", "survivor_vec")
         .orderBy("group_id")
     )
+
+
+def assign_clusters_batch(
+    emb: DataFrame, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """Large-K twin of `assign_clusters`: one Arrow-batched BLAS argmin
+    per batch against a broadcast centroid matrix. The literal-expression
+    argmin builds an O(K) Catalyst expression tree — exact and
+    oracle-matched, but impractical past a few dozen centroids; at
+    SemDeDup scale (K in the tens of thousands, grown with the corpus)
+    the assignment must be ||x||^2 - 2xC^T + ||c||^2 in one matmul.
+    Same rounded-distance / lowest-cid-tie discipline; note the float
+    summation ORDER differs from the Catalyst fold, so on exact
+    rounded-distance ties near the 1e-6 boundary the two forms could in
+    principle pick different clusters — the oracle-gated queries keep
+    the expression form, this is the production fan-out path
+    (parity-tested on the fixture data)."""
+    cids = sorted(centroids)
+    C = np.array([centroids[c] for c in cids], dtype="float64")  # K x dim
+    c_sq = (C**2).sum(axis=1)  # K
+    cid_arr = np.array(cids, dtype="int32")
+
+    @F.pandas_udf("struct<cluster: int, dist: double>")
+    def _assign(col: pd.Series) -> pd.DataFrame:
+        if col.empty:
+            return pd.DataFrame({"cluster": [], "dist": []})
+        M = np.vstack(col.to_numpy()).astype("float64")  # n x dim
+        d = ((M**2).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]).round(6)
+        idx = d.argmin(axis=1)  # first minimum = lowest cid (cids sorted)
+        return pd.DataFrame(
+            {"cluster": cid_arr[idx], "dist": d[np.arange(len(idx)), idx]}
+        )
+
+    return emb.select("vec_id", "e", _assign("e").alias("a")).select(
+        "vec_id",
+        "e",
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.dist").alias("dist"),
+    )

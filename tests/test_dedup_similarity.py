@@ -838,3 +838,27 @@ def test_connected_components_long_chain_pointer_jump(spark):
     comp = connected_components(edges)
     labels = {r["label"] for r in comp.collect()}
     assert labels == {0} and comp.count() == 201
+
+
+def test_assign_clusters_batch_parity(spark):
+    """The BLAS large-K assignment must agree with the oracle-exact
+    expression argmin on the fixture data (trained centroids, K=8)."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        assign_clusters,
+        assign_clusters_batch,
+        kmeans_train,
+        to_double,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    cents = kmeans_train(spark, sf_dir, k=8, max_iter=10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    exact = {r["vec_id"]: r["cluster"] for r in assign_clusters(emb, cents).collect()}
+    fast = {
+        r["vec_id"]: r["cluster"] for r in assign_clusters_batch(emb, cents).collect()
+    }
+    assert fast == exact and len(exact) > 0
