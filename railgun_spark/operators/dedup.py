@@ -215,50 +215,90 @@ def dedup_exact_keep_first(
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
     ORDER BY doc_a, doc_b
     """,
-    doc="Pairwise Jaccard within a blocking key (lang). At 100 TB the "
-    "blocked pairwise is only for verify; candidate generation is LSH. "
-    "(Verify-leg cost at sf0.1: 338 s -> 94 s via int-hashed shingles, "
-    "size-ratio prejoin filter, and union-by-arithmetic.)",
+    doc="Exact-threshold Jaccard similarity self-join (J >= 0.8) via "
+    "lossless prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07, "
+    "public paper): candidates come from a token-bucketed equi-join on "
+    "each doc's rarest-first prefix, never an all-pairs product — the "
+    "result set is provably identical to the oracle's quadratic join. "
+    "(Verify-leg cost at sf0.1: 338 s -> 94 s via int-hashed shingles; "
+    "-> ~3 s via prefix filtering.)",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same all-pairs-within-lang semantics as the oracle, with plan
-    # improvements (338 s -> see docstring at sf0.1):
-    # - shingles hash to 8-byte ints MAP-SIDE before the pair join: each
-    #   pair row was carrying two ~2 KB string arrays (the dominant cost —
-    #   row materialization, not the set intersect); int arrays cut the
-    #   payload ~2.5x and compare faster. Hash-equality == shingle-equality
-    #   is the same xxhash64 assumption every dedup operator here builds on.
-    # - size-ratio prefilter IN the join condition: J >= 0.8 requires
-    #   min(|A|,|B|) >= 0.8*max(|A|,|B|) (since inter <= min, union >= max)
-    #   — integer math rejects pairs before any array work
-    # - |A u B| = |A| + |B| - |A n B| (shingle arrays are distinct), so
-    #   array_union — as expensive as the intersect — is never computed
+    # Prefix-filtered exact similarity join (AllPairs/PPJoin family).
+    # For J(A,B) >= tau = 4/5, |A n B| >= ceil(tau*|A|) and >= ceil(tau*|B|)
+    # (inter >= tau*union >= tau*max). Under ANY global total order on
+    # tokens, the smallest element of A n B must therefore sit within the
+    # first p = |X| - ceil(tau*|X|) + 1 tokens of BOTH docs (else the whole
+    # intersection fits in a suffix shorter than the required overlap) —
+    # so an equi-join on exploded prefix tokens finds EVERY qualifying
+    # pair: this is lossless blocking, not an approximation.
+    #
+    # Plan shape (and the 100 TB story):
+    # 1. shingles hash to 8-byte ints map-side (xxhash64 collision-free
+    #    assumption shared with every dedup operator here);
+    # 2. per-(lang, token) document frequency, one groupBy over exploded
+    #    tokens — ordering each doc's tokens rarest-first minimizes prefix
+    #    token df, hence candidate pairs (the AllPairs ordering heuristic);
+    # 3. prefix tokens (~(1-tau) of each doc) self-equi-join on
+    #    (lang, token) with integer size-ratio pruning (5*min >= 4*max),
+    #    distinct (doc_a, doc_b) — cost tracks sum(df^2) over RARE tokens,
+    #    never docs^2;
+    # 4. verify only the candidates: join the two shingle arrays back and
+    #    compute the exact Jaccard, with |A u B| = |A|+|B|-|A n B| so the
+    #    union array is never built.
+    # Every shuffle key (token hash, doc_id) is fine-grained; the old
+    # lang-keyed all-pairs join (5 keys, quadratic per key) is gone.
     s = _docs_with_shingles(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.transform("sh", lambda g: F.xxhash64(g)).alias("sh"),
         F.size("sh").alias("n"),
     )
-    a = s.alias("a")
-    b = s.alias("b")
+    # reused three times (df table, prefixes, both verify sides): pin it
+    s = s.localCheckpoint(eager=False)
+
+    tok = s.select("doc_id", "lang", "n", F.explode("sh").alias("t"))
+    df_tab = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("__df"))
+    # p = n - ceil(4n/5) + 1, in exact integer math (float tau would
+    # over-round ceil and silently shorten the prefix = lost pairs)
+    pref_len = F.col("n") - F.floor((4 * F.col("n") + 4) / F.lit(5)).cast("long") + 1
+    from pyspark.sql.window import Window
+
+    order_w = Window.partitionBy("doc_id").orderBy("__df", "t")
+    pref = (
+        tok.join(df_tab, ["lang", "t"])
+        .withColumn("__rn", F.row_number().over(order_w))
+        .filter(F.col("__rn") <= pref_len)
+        .select("lang", "t", "doc_id", "n")
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
-    ratio_ok = F.least(na, nb) * F.lit(1.0) >= F.lit(0.8) * F.greatest(na, nb)
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(
-            b,
+    cand = (
+        pa.join(
+            pb,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.t") == F.col("b.t"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ratio_ok,
+            & (F.least(na, nb) * 5 >= F.greatest(na, nb) * 4),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"), F.col("n").alias("__na"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"), F.col("n").alias("__nb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("__i", inter)
-        .withColumn("jaccard", F.round(F.col("__i") * F.lit(1.0) / (na + nb - F.col("__i")), 4))
-        .filter(F.col("__i") * F.lit(1.0) / (na + nb - F.col("__i")) >= 0.8)
+        # float comparison mirrors the oracle's `* 1.0 / ... >= 0.8` exactly
+        .filter(F.col("__i") * F.lit(1.0) / union >= 0.8)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__i") * F.lit(1.0) / union, 4).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )
