@@ -193,6 +193,109 @@ def dedup_exact_keep_first(
 
 
 # --------------------------------------------------------------------------
+# Exact-threshold Jaccard similarity self-join via lossless prefix
+# filtering (AllPairs/PPJoin, Bayardo et al. WWW'07 — public paper).
+# --------------------------------------------------------------------------
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau_num: int,
+    tau_den: int,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose set columns have Jaccard >= tau
+    (= tau_num/tau_den, kept rational so the prefix arithmetic is exact),
+    optionally restricted to rows agreeing on `block_cols`. Returns
+    (id_a, id_b, jaccard) — jaccard as unrounded double.
+
+    LOSSLESS blocking, not an approximation: for J(A,B) >= tau,
+    |A n B| >= ceil(tau*|A|) and >= ceil(tau*|B|) (inter >= tau*union >=
+    tau*max). Under any global total order on set elements, the smallest
+    element of A n B must sit within the first
+    p = |X| - ceil(tau*|X|) + 1 elements of BOTH sets (otherwise the
+    whole intersection fits in a suffix shorter than the required
+    overlap) — so an equi-join on exploded p-element prefixes finds
+    EVERY qualifying pair. Elements are ordered rarest-document-
+    frequency-first (the AllPairs heuristic), which minimizes prefix
+    collisions, then only candidates are verified with the real
+    intersection. Candidate cost tracks sum(df^2) over RARE elements,
+    never rows^2; every shuffle key (element, id) is fine-grained.
+
+    `set_col` must hold DISTINCT elements (the union is computed as
+    |A|+|B|-|A n B|). Pre-hash large string elements to 8-byte ints
+    (xxhash64) — pair rows then carry int arrays, not text.
+    At 100 TB this is the exact-verify complement to MinHash-LSH
+    (dedup_minhash_lsh): LSH when a small false-negative rate is fine,
+    this when the threshold must be exact.
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+    bc = list(block_cols)
+    s = df.select(
+        *bc,
+        F.col(id_col).alias("__id"),
+        F.col(set_col).alias("__set"),
+        F.size(set_col).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    # reused three times (df table, prefixes, both verify sides): pin it
+    s = s.localCheckpoint(eager=False)
+
+    tok = s.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+    df_tab = tok.groupBy(*bc, "__t").agg(F.count(F.lit(1)).alias("__df"))
+    # p = n - ceil(tau*n) + 1, exact integer math (float tau would
+    # over-round ceil and silently shorten the prefix = lost pairs)
+    pref_len = (
+        F.col("__n")
+        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
+        + 1
+    )
+    from pyspark.sql.window import Window
+
+    order_w = Window.partitionBy(*bc, "__id").orderBy("__df", "__t")
+    pref = (
+        tok.join(df_tab, bc + ["__t"])
+        .withColumn("__rn", F.row_number().over(order_w))
+        .filter(F.col("__rn") <= pref_len)
+        .select(*bc, "__t", "__id", "__n")
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    # SQL `=` semantics: rows with a NULL block key never pair (matches
+    # the DuckDB oracle's `a.lang = b.lang`)
+    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bc]
+    cond = (
+        (F.col("a.__t") == F.col("b.__t"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        # size-ratio prune: J >= tau needs tau_den*min >= tau_num*max
+        & (F.least(na, nb) * tau_den >= F.greatest(na, nb) * tau_num)
+    )
+    for eq in block_eq:
+        cond = cond & eq
+    cand = (
+        pa.join(pb, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(
+        F.col("__id").alias("id_a"), F.col("__set").alias("__sha"), F.col("__n").alias("__na")
+    )
+    sb = s.select(
+        F.col("__id").alias("id_b"), F.col("__set").alias("__shb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__i", inter)
+        # float comparison mirrors SQL's `* 1.0 / ... >= tau` semantics
+        .filter(F.col("__i") * F.lit(1.0) / union >= F.lit(tau_num) / F.lit(tau_den))
+        .select("id_a", "id_b", (F.col("__i") * F.lit(1.0) / union).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (blocked pairwise verify).
 # --------------------------------------------------------------------------
 @extra_query(
@@ -225,83 +328,22 @@ def dedup_exact_keep_first(
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Prefix-filtered exact similarity join (AllPairs/PPJoin family).
-    # For J(A,B) >= tau = 4/5, |A n B| >= ceil(tau*|A|) and >= ceil(tau*|B|)
-    # (inter >= tau*union >= tau*max). Under ANY global total order on
-    # tokens, the smallest element of A n B must therefore sit within the
-    # first p = |X| - ceil(tau*|X|) + 1 tokens of BOTH docs (else the whole
-    # intersection fits in a suffix shorter than the required overlap) —
-    # so an equi-join on exploded prefix tokens finds EVERY qualifying
-    # pair: this is lossless blocking, not an approximation.
-    #
-    # Plan shape (and the 100 TB story):
-    # 1. shingles hash to 8-byte ints map-side (xxhash64 collision-free
-    #    assumption shared with every dedup operator here);
-    # 2. per-(lang, token) document frequency, one groupBy over exploded
-    #    tokens — ordering each doc's tokens rarest-first minimizes prefix
-    #    token df, hence candidate pairs (the AllPairs ordering heuristic);
-    # 3. prefix tokens (~(1-tau) of each doc) self-equi-join on
-    #    (lang, token) with integer size-ratio pruning (5*min >= 4*max),
-    #    distinct (doc_a, doc_b) — cost tracks sum(df^2) over RARE tokens,
-    #    never docs^2;
-    # 4. verify only the candidates: join the two shingle arrays back and
-    #    compute the exact Jaccard, with |A u B| = |A|+|B|-|A n B| so the
-    #    union array is never built.
-    # Every shuffle key (token hash, doc_id) is fine-grained; the old
-    # lang-keyed all-pairs join (5 keys, quadratic per key) is gone.
+    # Thin wrapper over jaccard_similarity_join (see its docstring for the
+    # lossless-prefix-filter argument): shingles hash to 8-byte ints
+    # map-side so candidate/verify rows carry int arrays, not ~2 KB text.
     s = _docs_with_shingles(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.transform("sh", lambda g: F.xxhash64(g)).alias("sh"),
-        F.size("sh").alias("n"),
     )
-    # reused three times (df table, prefixes, both verify sides): pin it
-    s = s.localCheckpoint(eager=False)
-
-    tok = s.select("doc_id", "lang", "n", F.explode("sh").alias("t"))
-    df_tab = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("__df"))
-    # p = n - ceil(4n/5) + 1, in exact integer math (float tau would
-    # over-round ceil and silently shorten the prefix = lost pairs)
-    pref_len = F.col("n") - F.floor((4 * F.col("n") + 4) / F.lit(5)).cast("long") + 1
-    from pyspark.sql.window import Window
-
-    order_w = Window.partitionBy("doc_id").orderBy("__df", "t")
-    pref = (
-        tok.join(df_tab, ["lang", "t"])
-        .withColumn("__rn", F.row_number().over(order_w))
-        .filter(F.col("__rn") <= pref_len)
-        .select("lang", "t", "doc_id", "n")
+    pairs = jaccard_similarity_join(
+        s, id_col="doc_id", set_col="sh", tau_num=4, tau_den=5, block_cols=("lang",)
     )
-    pa, pb = pref.alias("a"), pref.alias("b")
-    na, nb = F.col("a.n"), F.col("b.n")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(na, nb) * 5 >= F.greatest(na, nb) * 4),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"), F.col("n").alias("__na"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"), F.col("n").alias("__nb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    union = F.col("__na") + F.col("__nb") - F.col("__i")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("__i", inter)
-        # float comparison mirrors the oracle's `* 1.0 / ... >= 0.8` exactly
-        .filter(F.col("__i") * F.lit(1.0) / union >= 0.8)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("__i") * F.lit(1.0) / union, 4).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------

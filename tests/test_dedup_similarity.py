@@ -862,3 +862,60 @@ def test_assign_clusters_batch_parity(spark):
         r["vec_id"]: r["cluster"] for r in assign_clusters_batch(emb, cents).collect()
     }
     assert fast == exact and len(exact) > 0
+
+
+def test_jaccard_similarity_join_matches_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: on randomized set collections the
+    join returns exactly the brute-force all-pairs result, across several
+    thresholds, with and without a blocking column. Exercises the edge
+    shapes the sf0.01 oracle gate can miss: singleton sets, identical
+    sets, subsets right at the threshold, and tiny universes that force
+    heavy prefix-token collisions."""
+    import itertools
+    import random
+
+    from railgun_spark.operators.dedup import jaccard_similarity_join
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(120):
+        block = rng.choice(["x", "y"])
+        universe = range(30)  # small universe -> dense overlaps
+        size = rng.randint(1, 12)
+        s = sorted(rng.sample(universe, size))
+        rows.append((i, block, s))
+    # adversarial additions: exact dup pair, subset pair, singleton twins
+    rows += [
+        (200, "x", [1, 2, 3, 4, 5]),
+        (201, "x", [1, 2, 3, 4, 5]),
+        (202, "x", [1, 2, 3, 4]),
+        (203, "y", [7]),
+        (204, "y", [7]),
+    ]
+    df = spark.createDataFrame(rows, "id: long, block: string, s: array<long>")
+
+    def brute(tau_num, tau_den, use_block):
+        out = set()
+        for (ia, ba, sa), (ib, bb, sb) in itertools.combinations(rows, 2):
+            if use_block and ba != bb:
+                continue
+            a, b = set(sa), set(sb)
+            inter = len(a & b)
+            if inter * 1.0 / len(a | b) >= tau_num / tau_den:
+                out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    for tau_num, tau_den in [(1, 2), (4, 5), (1, 1)]:
+        for use_block in (False, True):
+            bc = ("block",) if use_block else ()
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in jaccard_similarity_join(
+                    df, "id", "s", tau_num, tau_den, block_cols=bc
+                ).collect()
+            }
+            assert got == brute(tau_num, tau_den, use_block), (
+                tau_num,
+                tau_den,
+                use_block,
+            )
