@@ -433,6 +433,103 @@ def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring duplication REMOVAL (the second half of Lee et al. 2021,
+# arXiv:2107.06499 — public paper): where duplicated_window_fraction only
+# FLAGS documents, this rewrites them — every word covered by a K-word
+# window that occurs verbatim in >= 2 distinct documents is deleted, and
+# the surviving words are re-joined. Removing just the copied spans (page
+# chrome, license boilerplate, quoted passages) keeps the novel remainder
+# of a document in the corpus instead of dropping or keeping it whole.
+# --------------------------------------------------------------------------
+@extra_query(
+    "duplicated_span_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), win AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) - {DUP_WINDOW_K} + 2)) AS i,
+             unnest(list_transform(range(1, len(ws) - {DUP_WINDOW_K} + 2),
+                    i -> ('0x' || substr(md5(
+                        list_aggregate(ws[i:i + {DUP_WINDOW_K} - 1], 'string_agg', ' ')
+                    ), 1, 15))::UBIGINT::BIGINT)) AS h
+      FROM t WHERE len(ws) >= {DUP_WINDOW_K}
+    ), per AS (
+      SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM win GROUP BY h
+    ), dupwin AS (
+      SELECT win.doc_id, win.i FROM win JOIN per USING (h) WHERE per.mn <> per.mx
+    ), cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list_transform(list(i),
+                                   s -> range(s, s + {DUP_WINDOW_K})))) AS covered
+      FROM dupwin GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.ws) AS n_words,
+           coalesce(len(cov.covered), 0) AS n_removed,
+           coalesce(list_aggregate(
+             list_transform(
+               list_filter(range(1, len(t.ws) + 1),
+                           i -> cov.covered IS NULL OR NOT list_contains(cov.covered, i)),
+               i -> t.ws[i]),
+             'string_agg', ' '), '') AS cleaned_text
+    FROM t LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=f"Exact-substring span removal (Lee et al. 2021): delete every word "
+    f"covered by a {DUP_WINDOW_K}-word window shared verbatim by >= 2 docs; "
+    "emit the rewritten corpus with per-doc removal counts.",
+    tags=("dedup", "quality"),
+)
+def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan shape: one posexplode of map-side window hashes; duplicated
+    # hashes detected with min(doc)!=max(doc) per hash (no countDistinct,
+    # no second window extraction); covered positions built per doc from
+    # the duplicated starts only; one left join hands each doc its covered
+    # set. Shuffles carry (hash, doc, pos) 8-byte triples and the final
+    # per-doc covered arrays — never window text. The rewrite itself is
+    # pure map-side higher-order expressions over the word array.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = DUP_WINDOW_K
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = base.localCheckpoint(eager=False)  # reused: window explode + final rewrite
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - k + 1),
+        lambda i: _hash60_str(F.concat_ws(" ", F.slice("ws", i, k))),
+    )
+    win = base.filter(F.size("ws") >= k).select(
+        "doc_id", F.posexplode(win_hashes).alias("i0", "h")
+    )
+    per_h = win.groupBy("h").agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+    dupwin = win.join(per_h.filter("dup").select("h"), "h").select(
+        "doc_id", (F.col("i0") + 1).alias("i")
+    )
+    cov = dupwin.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(F.collect_list(F.sequence(F.col("i"), F.col("i") + k - 1)))
+        ).alias("covered")
+    )
+    pos = F.sequence(F.lit(1), F.size("ws"))
+    # F.filter (not array_except) so surviving word order is guaranteed
+    keep = F.filter(
+        pos, lambda i: F.col("covered").isNull() | ~F.array_contains("covered", i)
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.coalesce(F.size("covered"), F.lit(0)).alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(keep, lambda i: F.element_at("ws", i))
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Containment near-dup pairs: C(A,B) = |A ∩ B| / |min(A,B)| over shingle
 # sets. Catches SUPERSET duplication — a document embedded verbatim inside
 # a longer one (quote expansion, page chrome around a reused article) —

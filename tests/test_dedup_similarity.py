@@ -919,3 +919,33 @@ def test_jaccard_similarity_join_matches_brute_force(spark):
                 tau_den,
                 use_block,
             )
+
+
+def test_duplicated_span_removal_cuts_shared_span_only(spark, tmp_path):
+    """Two docs sharing a verbatim 12-word span lose exactly that span
+    (plus nothing else); a third unrelated doc is untouched; a short doc
+    (< K words) passes through whole."""
+    from railgun_spark.operators.dedup import DUP_WINDOW_K, duplicated_span_removal
+
+    assert DUP_WINDOW_K == 10
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    rows = [
+        (1, f"unique one two three {span}", "en", "s", 0),
+        (2, f"{span} totally different tail words here", "en", "s", 0),
+        (3, "nothing shared in this medium length document at all " * 3, "en", "s", 0),
+        (4, "tiny doc", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in duplicated_span_removal(spark, d).collect()}
+    assert len(out) == 4
+    # the shared 12-word span is fully covered in both docs 1 and 2
+    assert out[1]["n_removed"] == 12 and out[1]["cleaned_text"] == "unique one two three"
+    assert out[2]["n_removed"] == 12
+    assert out[2]["cleaned_text"] == "totally different tail words here"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"].startswith("nothing shared")
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny doc"
