@@ -949,3 +949,49 @@ def test_duplicated_span_removal_cuts_shared_span_only(spark, tmp_path):
     assert out[3]["n_removed"] == 0
     assert out[3]["cleaned_text"].startswith("nothing shared")
     assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "tiny doc"
+
+
+def test_containment_similarity_join_matches_brute_force(spark):
+    """The one-sided prefix filter must be lossless for containment
+    C = inter/min: randomized sets vs brute force across thresholds,
+    including subset pairs (C=1.0 at any size gap) the Jaccard join's
+    size-ratio prune would reject."""
+    import itertools
+    import random
+
+    from railgun_spark.operators.dedup import containment_similarity_join
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(100):
+        size = rng.randint(1, 14)
+        rows.append((i, sorted(rng.sample(range(40), size))))
+    # subset pairs with big size gaps: C = 1.0, Jaccard well below threshold
+    rows += [
+        (200, [0, 1, 2]),
+        (201, [0, 1, 2] + list(range(10, 24))),
+        (202, [39]),
+        (203, list(range(25, 40))),
+    ]
+    df = spark.createDataFrame(rows, "id: long, s: array<long>")
+
+    def brute(tau_num, tau_den):
+        out = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            a, b = set(sa), set(sb)
+            if len(a & b) * 1.0 / min(len(a), len(b)) >= tau_num / tau_den:
+                out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    for tau_num, tau_den in [(1, 2), (9, 10), (1, 1)]:
+        got = {
+            (min(r["id_small"], r["id_big"]), max(r["id_small"], r["id_big"]))
+            for r in containment_similarity_join(df, "id", "s", tau_num, tau_den).collect()
+        }
+        assert got == brute(tau_num, tau_den), (tau_num, tau_den)
+    # the big-gap subset pair must be present at tau = 1.0
+    got = {
+        (r["id_small"], r["id_big"])
+        for r in containment_similarity_join(df, "id", "s", 1, 1).collect()
+    }
+    assert (200, 201) in got
