@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "semantic_dedup_pairs",
     "bpe_merge_candidates",
     "unigram_logprob_quality",
+    # round-7 late wave: lossless prefix-filtered similarity joins (the
+    # exact-threshold complement to LSH) + Lee-et-al span removal
+    "dedup_ngram_jaccard",
+    "dedup_containment_exact",
+    "duplicated_span_removal",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -83,6 +83,9 @@ EXPECTED_EXTRA = {
     "unigram_logprob_quality",  # CCNet-style unigram-LM filter list
     "geo_geohash_rollup",  # base32 geohash prefix-hierarchy rollup
     "semantic_dedup_survivors",  # CC groups + survivors over sempairs
+    # round-7 late wave: lossless prefix-filter joins + span removal
+    "dedup_containment_exact",  # one-sided prefix filter, no df-cap recall loss
+    "duplicated_span_removal",  # Lee et al. removal half (rewrites the corpus)
 }
 
 
