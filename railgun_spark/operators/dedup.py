@@ -295,6 +295,93 @@ def jaccard_similarity_join(
     )
 
 
+def jaccard_similarity_join_ab(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau_num: int,
+    tau_den: int,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-table variant of jaccard_similarity_join: every (left, right)
+    pair with Jaccard >= tau_num/tau_den, as (id_left, id_right, jaccard).
+    Same lossless prefix-filter lemma — the smallest common element under
+    a global total order must sit in BOTH rows' rarest-first prefixes —
+    with document frequency computed over the UNION of both token tables
+    so the ordering is consistent across sides. The canonical use is
+    near-duplicate benchmark decontamination: `right` (the eval set) is
+    tiny next to `left` (the corpus), so the candidate equi-join's right
+    side stays small and the whole pipeline is one token-keyed join plus
+    a candidate verify — never corpus x eval pairs."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+    bc = list(block_cols)
+
+    def norm(df: DataFrame) -> DataFrame:
+        out = df.select(
+            *bc,
+            F.col(id_col).alias("__id"),
+            F.col(set_col).alias("__set"),
+            F.size(set_col).alias("__n"),
+        ).filter(F.col("__n") > 0)
+        return out.localCheckpoint(eager=False)  # reused: tokens + verify
+
+    L, R = norm(left), norm(right)
+    ltok = L.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+    rtok = R.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+    df_tab = (
+        ltok.select(*bc, "__t")
+        .unionByName(rtok.select(*bc, "__t"))
+        .groupBy(*bc, "__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    pref_len = (
+        F.col("__n")
+        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
+        + 1
+    )
+    from pyspark.sql.window import Window
+
+    order_w = Window.partitionBy(*bc, "__id").orderBy("__df", "__t")
+
+    def prefixes(tok: DataFrame) -> DataFrame:
+        return (
+            tok.join(df_tab, bc + ["__t"])
+            .withColumn("__rn", F.row_number().over(order_w))
+            .filter(F.col("__rn") <= pref_len)
+            .select(*bc, "__t", "__id", "__n")
+        )
+
+    pa, pb = prefixes(ltok).alias("a"), prefixes(rtok).alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    cond = (F.col("a.__t") == F.col("b.__t")) & (
+        F.least(na, nb) * tau_den >= F.greatest(na, nb) * tau_num
+    )
+    for c in bc:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        pa.join(pb, cond)
+        .select(F.col("a.__id").alias("id_left"), F.col("b.__id").alias("id_right"))
+        .distinct()
+    )
+    sa = L.select(
+        F.col("__id").alias("id_left"), F.col("__set").alias("__sha"), F.col("__n").alias("__na")
+    )
+    sb = R.select(
+        F.col("__id").alias("id_right"), F.col("__set").alias("__shb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    return (
+        cand.join(sa, "id_left")
+        .join(sb, "id_right")
+        .withColumn("__i", inter)
+        .filter(F.col("__i") * F.lit(1.0) / union >= F.lit(tau_num) / F.lit(tau_den))
+        .select("id_left", "id_right", (F.col("__i") * F.lit(1.0) / union).alias("jaccard"))
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (blocked pairwise verify).
 # --------------------------------------------------------------------------
@@ -1187,6 +1274,81 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shingles",
             "n_overlap",
             F.round(frac, 4).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate decontamination: per-eval-doc matching, not pooled
+# overlap. decontaminate_ngram_overlap unions ALL eval shingles into one
+# pool, so a training doc assembled from slivers of many benchmarks flags
+# but "which benchmark did we leak?" is unanswerable, and a doc 95%
+# identical to ONE small benchmark item can stay under the pooled
+# threshold if that item is tiny relative to the doc. This variant flags
+# training docs within Jaccard >= 0.7 of a SPECIFIC eval document via the
+# cross-table prefix-filter join — exact, per-item attribution.
+# --------------------------------------------------------------------------
+NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN = 7, 10
+
+
+@extra_query(
+    "decontaminate_neardup_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), ev AS (
+      SELECT * FROM s WHERE doc_id % {EVAL_MOD} = 0
+    ), tr AS (
+      SELECT * FROM s WHERE doc_id % {EVAL_MOD} <> 0
+    ), j AS (
+      SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_doc_id,
+             len(list_intersect(tr.sh, ev.sh)) * 1.0
+               / len(list_distinct(list_concat(tr.sh, ev.sh))) AS jac
+      FROM tr, ev
+    )
+    SELECT doc_id, eval_doc_id, round(jac, 4) AS jaccard
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jac DESC, eval_doc_id) AS rn
+      FROM j
+      WHERE jac >= {NEARDUP_CONTAM_NUM} / {NEARDUP_CONTAM_DEN}
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="Per-eval-doc near-duplicate decontamination: training docs within "
+    f"Jaccard >= {NEARDUP_CONTAM_NUM}/{NEARDUP_CONTAM_DEN} of a specific "
+    "eval document (best match reported), via the lossless cross-table "
+    "prefix-filter join — exact leak attribution the pooled-shingle "
+    "overlap cannot give.",
+    tags=("dedup", "decontamination"),
+)
+def decontaminate_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
+    )
+    ev = s.filter(F.col("doc_id") % EVAL_MOD == 0)
+    tr = s.filter(F.col("doc_id") % EVAL_MOD != 0)
+    pairs = jaccard_similarity_join_ab(
+        tr, ev, "doc_id", "sh", NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN
+    )
+    from pyspark.sql.window import Window
+
+    best = Window.partitionBy("id_left").orderBy(F.desc("jaccard"), "id_right")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_left").alias("doc_id"),
+            F.col("id_right").alias("eval_doc_id"),
+            F.round("jaccard", 4).alias("jaccard"),
         )
         .orderBy("doc_id")
     )

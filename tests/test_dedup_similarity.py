@@ -995,3 +995,36 @@ def test_containment_similarity_join_matches_brute_force(spark):
         for r in containment_similarity_join(df, "id", "s", 1, 1).collect()
     }
     assert (200, 201) in got
+
+
+def test_jaccard_similarity_join_ab_matches_brute_force(spark):
+    """The cross-table prefix filter must be lossless: randomized left and
+    right collections vs brute force, including identical cross-table rows
+    and sets that only exist on one side."""
+    import random
+
+    from railgun_spark.operators.dedup import jaccard_similarity_join_ab
+
+    rng = random.Random(7)
+    left = [(i, sorted(rng.sample(range(35), rng.randint(1, 12)))) for i in range(80)]
+    right = [(1000 + i, sorted(rng.sample(range(35), rng.randint(1, 12)))) for i in range(25)]
+    right += [(2000, left[0][1]), (2001, [34])]  # exact cross-table dup + singleton
+    ldf = spark.createDataFrame(left, "id: long, s: array<long>")
+    rdf = spark.createDataFrame(right, "id: long, s: array<long>")
+
+    def brute(tau_num, tau_den):
+        out = set()
+        for il, sl in left:
+            for ir, sr in right:
+                a, b = set(sl), set(sr)
+                if len(a & b) * 1.0 / len(a | b) >= tau_num / tau_den:
+                    out.add((il, ir))
+        return out
+
+    for tau_num, tau_den in [(1, 2), (7, 10), (1, 1)]:
+        got = {
+            (r["id_left"], r["id_right"])
+            for r in jaccard_similarity_join_ab(ldf, rdf, "id", "s", tau_num, tau_den).collect()
+        }
+        assert got == brute(tau_num, tau_den), (tau_num, tau_den)
+    assert (left[0][0], 2000) in brute(1, 1)

@@ -86,6 +86,7 @@ EXPECTED_EXTRA = {
     # round-7 late wave: lossless prefix-filter joins + span removal
     "dedup_containment_exact",  # one-sided prefix filter, no df-cap recall loss
     "duplicated_span_removal",  # Lee et al. removal half (rewrites the corpus)
+    "decontaminate_neardup_eval",  # per-eval-doc leak attribution (AB prefix join)
 }
 
 
