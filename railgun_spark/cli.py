@@ -142,6 +142,7 @@ def cmd_prepare(args) -> int:
         records_per_shard=args.records_per_shard,
         n_buckets=args.buckets,
         redact_pii=args.redact_pii,
+        remove_dup_spans=args.remove_dup_spans,
     )
     print(json.dumps(summary))
     return 0
@@ -307,6 +308,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="replace emails/IPs/phone-like runs with <NAME> placeholders "
         "after the split (membership stays content-hash stable)",
+    )
+    p.add_argument(
+        "--remove-dup-spans",
+        action="store_true",
+        help="cut cross-doc duplicated 10-word spans from shipped train "
+        "text (Lee et al. removal) after the split; docs rewritten to "
+        "nothing are dropped",
     )
     p.set_defaults(fn=cmd_prepare)
 

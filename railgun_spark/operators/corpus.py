@@ -227,6 +227,7 @@ def prepare_training_shards(
     records_per_shard: int = 1_000_000,
     n_buckets: int = 32,
     redact_pii: bool = False,
+    remove_dup_spans: bool = False,
 ) -> dict:
     """End-to-end training-data preparation: the composition a 100 TB
     pipeline actually runs, each stage the scale-shaped operator certified
@@ -259,6 +260,31 @@ def prepare_training_shards(
     # measured 20.7 s -> 8.2 s warm at sf0.1 for identical output
     clean = docs.join(clean_ids, "doc_id").localCheckpoint()
     train = clean.filter(split_assignment(F.col("text")) == "train")
+    n_span_rewritten = 0
+    if remove_dup_spans:
+        # AFTER the split, like redaction: split/dedup membership stays a
+        # function of the ORIGINAL content hash while shipped text loses
+        # the cross-doc duplicated spans (Lee et al. removal, dedup.py).
+        # Duplication evidence comes from the WHOLE corpus — a span shared
+        # between a train doc and an eval doc is exactly the leak to cut.
+        # Rewritten docs ship the word-normalized (lowercased a-z0-9)
+        # text the span detector operates on; untouched docs keep their
+        # original bytes. Docs rewritten to nothing are dropped.
+        from railgun_spark.operators.dedup import duplicated_span_removal
+
+        spans = duplicated_span_removal(spark, sf_dir).select(
+            "doc_id", "n_removed", "cleaned_text"
+        )
+        rewritten = F.coalesce(F.col("n_removed"), F.lit(0)) > 0
+        joined = train.join(spans, "doc_id", "left")
+        n_span_rewritten = joined.filter(rewritten).count()
+        train = (
+            joined.withColumn(
+                "text", F.when(rewritten, F.col("cleaned_text")).otherwise(F.col("text"))
+            )
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+            .drop("n_removed", "cleaned_text")
+        )
     if redact_pii:
         # AFTER the split: split/dedup membership stays a function of the
         # original content hash, while shipped text carries placeholders.
@@ -315,6 +341,7 @@ def prepare_training_shards(
         "n_covered_docs": rows.select("orig_doc_id").distinct().count(),
         "n_bins": packed.select("bin_id").distinct().count(),
         "n_shards": manifest.count(),
+        "n_span_rewritten": n_span_rewritten,
     }
 
 

@@ -204,3 +204,25 @@ def test_prepare_with_redaction_same_membership(spark, tmp_path):
     b = spark.read.parquet(str(tmp_path / "b" / "shards"))
     assert sorted(r["orig_doc_id"] for r in a.select("orig_doc_id").distinct().collect()) == \
            sorted(r["orig_doc_id"] for r in b.select("orig_doc_id").distinct().collect())
+
+
+def test_prepare_with_span_removal(spark, tmp_path):
+    """--remove-dup-spans rewrites shipped train text (duplicated spans
+    cut) without changing split membership, except docs rewritten to
+    nothing, which must be dropped rather than shipped empty."""
+    from railgun_spark.operators.corpus import prepare_training_shards
+
+    plain = prepare_training_shards(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "a"), max_tokens=512
+    )
+    cut = prepare_training_shards(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "b"), max_tokens=512,
+        remove_dup_spans=True,
+    )
+    assert plain["n_span_rewritten"] == 0
+    assert cut["n_span_rewritten"] >= 0
+    # membership only shrinks (empty rewrites dropped), never grows
+    assert cut["n_covered_docs"] <= plain["n_covered_docs"]
+    b = spark.read.parquet(str(tmp_path / "b" / "shards"))
+    # nothing empty ships
+    assert b.filter("length(trim(text)) = 0").count() == 0

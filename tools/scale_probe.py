@@ -57,8 +57,25 @@ measured local[32], 2026-08-14):
 Both track TRUE duplicate pairs, never vecs^2 — the same property the
 MinHash curve establishes for text.
 
+Round-7 late-wave curves (lossless prefix-filter joins + span removal;
+salted copies form k-wide J~1 cliques so TRUE pairs grow ~k^2 per clique
+while docs grow k; measured local[32], 2026-08-14):
+
+    jaccard          x1: 69 pairs 7.0s (warmup)  x2: 5.3k 3.5s
+                     x4: 31k 4.1s   x8: 144k pairs 8.8s
+        8x docs, ~27x the x2 pair count, 2.5x the x2 wall — candidate
+        cost tracks true pairs, never docs^2 (the old all-pairs form
+        was 87 s at x1 alone)
+    containment_exact x1: 249 pairs 3.3s  x2: 5.9k 2.8s  x4: 34k 4.1s
+                     x8: 155k pairs 5.3s
+        faster than the df-capped blocker at EVERY k (capped was 6.2 s
+        at x8 in the round-6 run) with zero recall caveat
+    span             flat 0.5-0.8 s x1-x8 — two hash-keyed shuffles and
+        a map-side rewrite, cost tracks corpus size linearly
+
 Usage: python tools/scale_probe.py [max_k] [op ...]
-  ops: minhash (default), containment, overlap, recall, pagerank, clusters
+  ops: minhash (default), containment, overlap, recall, pagerank,
+       clusters, semdedup, embnear, jaccard, containment_exact, span
 """
 
 from __future__ import annotations
@@ -78,6 +95,9 @@ def main() -> None:
         containment_recall_report,
         dedup_cluster_survivors,
         dedup_containment,
+        dedup_containment_exact,
+        dedup_ngram_jaccard,
+        duplicated_span_removal,
         minhash_dup_pairs,
     )
     from railgun_spark.operators.graph import pagerank_word_graph
@@ -104,6 +124,13 @@ def main() -> None:
         # clique — pair counts grow ~k^2 per clique, the adversarial case
         "semdedup": semantic_dedup_pairs,
         "embnear": embedding_near_dup_pairs,
+        # round-7 late wave: the lossless prefix-filter joins. Salted
+        # copies form k-wide J~1 cliques, so true pairs grow ~k^2 per
+        # clique while docs grow k — exactly the shape that separates
+        # candidate-tracking cost from docs^2 cost.
+        "jaccard": dedup_ngram_jaccard,
+        "containment_exact": dedup_containment_exact,
+        "span": duplicated_span_removal,
     }
     EMB_OPS = {"semdedup", "embnear"}
     spark = get_spark("scale_probe")
