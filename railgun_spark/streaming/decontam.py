@@ -57,6 +57,25 @@ def flag_contaminated_batch(batch_df: DataFrame, ev: DataFrame) -> DataFrame:
     ).select("doc_id")
 
 
+def _refuse_fresh_checkpoint_over_used_sink(checkpoint_dir: str, flags_sink: str) -> None:
+    """Per-batch overwrite is idempotent only while the batch-id -> files
+    mapping is stable, i.e. within ONE checkpoint lineage. A FRESH
+    checkpoint may batch the files differently and strand the old run's
+    higher-numbered partitions as phantom flags — refuse loudly."""
+    import os
+
+    if not os.path.exists(checkpoint_dir) and os.path.exists(flags_sink):
+        if any(not e.startswith((".", "_")) for e in os.listdir(flags_sink)):
+            raise ValueError(
+                f"flags_sink {flags_sink!r} already holds partitions but "
+                f"checkpoint_dir {checkpoint_dir!r} is fresh: a new "
+                "checkpoint may assign different batch ids and strand the "
+                "old run's partitions as phantom flags. Resume with the "
+                "original checkpoint, or point the fresh run at an empty "
+                "sink."
+            )
+
+
 def stream_decontaminate_availablenow(
     spark: SparkSession,
     sf_dir: str,
@@ -79,25 +98,7 @@ def stream_decontaminate_availablenow(
     driver never holds a row. A crash-replayed batch recomputes identical
     flags (the join has no cross-batch state) and overwrites the same
     partition, so restarts never duplicate or lose flags."""
-    import os
-
-    # Per-batch overwrite is idempotent only while the batch-id -> files
-    # mapping is stable, i.e. within ONE checkpoint lineage (crash restarts
-    # resume from the checkpoint with the same batch ids). A FRESH
-    # checkpoint may batch the files differently, and a smaller batch
-    # count would leave the old run's higher-numbered partitions in the
-    # sink, reported back as phantom flags. Refuse that combination
-    # loudly instead of silently mixing two runs' outputs.
-    if not os.path.exists(checkpoint_dir) and os.path.exists(flags_sink):
-        if any(not e.startswith((".", "_")) for e in os.listdir(flags_sink)):
-            raise ValueError(
-                f"flags_sink {flags_sink!r} already holds partitions but "
-                f"checkpoint_dir {checkpoint_dir!r} is fresh: a new "
-                "checkpoint may assign different batch ids and strand the "
-                "old run's partitions as phantom flags. Resume with the "
-                "original checkpoint, or point the fresh run at an empty "
-                "sink."
-            )
+    _refuse_fresh_checkpoint_over_used_sink(checkpoint_dir, flags_sink)
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # materialize the eval side ONCE: without this, every micro-batch
     # re-executes the whole scan/shingle/explode/distinct subtree before
@@ -134,4 +135,93 @@ def stream_decontaminate_availablenow(
 
         if is_path_not_found(e):
             return spark.createDataFrame([], "doc_id BIGINT, ingest_batch INT")
+        raise
+
+
+def stream_neardup_decontaminate_availablenow(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str,
+    checkpoint_dir: str,
+    flags_sink: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of decontaminate_neardup_eval (operators/dedup.py):
+    each arriving shard's training docs run the lossless cross-table
+    prefix-filter join against the pinned eval set, and every doc within
+    Jaccard >= NEARDUP_CONTAM threshold of some eval doc is flagged with
+    its best-matching eval doc — per-item leak attribution at ingest
+    time, not a pooled-shingle score.
+
+    Per-batch semantics are complete (the eval side is static and each
+    doc lives in exactly one micro-batch), so the per-batch best match
+    equals the batch operator's global best match — the batch-twin test
+    asserts the exact (doc_id, eval_doc_id, jaccard) set. Flags land in
+    the replay-idempotent ``ingest_batch=<id>`` partition layout; the
+    driver never holds a flag row."""
+    from railgun_spark.operators.dedup import (
+        NEARDUP_CONTAM_DEN,
+        NEARDUP_CONTAM_NUM,
+        jaccard_similarity_join_ab,
+    )
+    from pyspark.sql.window import Window
+
+    _refuse_fresh_checkpoint_over_used_sink(checkpoint_dir, flags_sink)
+    static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # pinned eval side: hashed shingle sets, materialized once
+    ev = (
+        static_docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(
+            "doc_id",
+            F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    stream = (
+        spark.readStream.schema(static_docs.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tr = (
+            batch_df.filter(F.col("doc_id") % EVAL_MOD != 0)
+            .select(
+                "doc_id",
+                F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g)).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+        )
+        pairs = jaccard_similarity_join_ab(
+            tr, ev, "doc_id", "sh", NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN
+        )
+        best = Window.partitionBy("id_left").orderBy(F.desc("jaccard"), "id_right")
+        flags = (
+            pairs.withColumn("__rn", F.row_number().over(best))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("id_left").alias("doc_id"),
+                F.col("id_right").alias("eval_doc_id"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+        )
+        flags.write.mode("overwrite").parquet(f"{flags_sink}/ingest_batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.option("basePath", flags_sink).parquet(flags_sink)
+    except AnalysisException as e:
+        from railgun_spark.errors import is_path_not_found
+
+        if is_path_not_found(e):
+            return spark.createDataFrame(
+                [], "doc_id BIGINT, eval_doc_id BIGINT, jaccard DOUBLE, ingest_batch INT"
+            )
         raise

@@ -406,3 +406,48 @@ def test_backfill_refuses_legacy_root_file_sink(spark, tmp_path):
             str(sink),
             batch_id=None,
         )
+
+
+def test_stream_neardup_decontaminate_matches_batch(spark, tmp_path):
+    """The streaming per-eval-doc attribution must produce exactly the
+    batch operator's (doc_id, eval_doc_id, jaccard) set — per-batch
+    best-match equals global best-match because the eval side is static
+    and every doc lives in one micro-batch. Also: fresh-checkpoint-over-
+    used-sink refusal and the empty-source empty-frame path."""
+    import shutil
+
+    import pytest as _pytest
+
+    from railgun_spark.operators.dedup import decontaminate_neardup_eval
+    from railgun_spark.streaming.decontam import (
+        stream_neardup_decontaminate_availablenow,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        (r["doc_id"], r["eval_doc_id"], r["jaccard"])
+        for r in decontaminate_neardup_eval(spark, sf_dir).collect()
+    )
+    assert len(batch) > 0
+    src = tmp_path / "arriving"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "shard-0.parquet")
+    flagged = stream_neardup_decontaminate_availablenow(
+        spark, sf_dir, str(src), str(tmp_path / "ckpt"), str(tmp_path / "flags")
+    )
+    got = sorted(
+        (r["doc_id"], r["eval_doc_id"], r["jaccard"]) for r in flagged.collect()
+    )
+    assert got == batch
+
+    with _pytest.raises(ValueError, match="phantom flags"):
+        stream_neardup_decontaminate_availablenow(
+            spark, sf_dir, str(src), str(tmp_path / "ckpt2"), str(tmp_path / "flags")
+        )
+
+    empty_src = tmp_path / "empty"
+    empty_src.mkdir()
+    empty = stream_neardup_decontaminate_availablenow(
+        spark, sf_dir, str(empty_src), str(tmp_path / "ckpt3"), str(tmp_path / "flags3")
+    )
+    assert empty.count() == 0
