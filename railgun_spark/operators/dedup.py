@@ -1024,6 +1024,67 @@ def _minhash_oracle() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# LSH recall audit: ground truth from the lossless prefix-filter join.
+#
+# MinHash-LSH trades a false-negative rate for bucketed candidates; the
+# (NUM_BANDS, ROWS_PER_BAND) S-curve predicts it, but the honest number is
+# measured, not predicted. With an exact similarity join now in the
+# toolbox, recall is directly auditable: every true pair (J >= threshold)
+# comes from the prefix-filter join, LSH's verified pairs left-join
+# against them, and the miss count IS the false-negative set. At 100 TB
+# this runs on a sampled slice as a continuous canary — band-config drift
+# (or a corpus whose duplicates sit near the threshold, where the S-curve
+# is shallowest) shows up as a recall drop, not as silent dup leakage.
+# --------------------------------------------------------------------------
+@extra_query(
+    "lsh_recall_report",
+    oracle=f"""
+    WITH {minhash_pairs_ctes(0.5)},
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT count(*) AS n_exact_pairs,
+           sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_lsh_pairs,
+           sum(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_missed,
+           round(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall
+    FROM exact e LEFT JOIN pairs p ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+    """,
+    doc="Measured MinHash-LSH recall at J >= 0.5: exact pairs from the "
+    "lossless prefix-filter join vs LSH's verified pairs; n_missed is the "
+    "false-negative set. The band-config canary to run on sampled slices "
+    "in production.",
+    tags=("dedup", "reporting"),
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
+    )
+    exact = jaccard_similarity_join(s, "doc_id", "sh", 1, 2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    lsh = (
+        minhash_dup_pairs(spark, sf_dir, 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    # LSH's verified pairs are a subset of the exact set (same J filter),
+    # so one left join carries all three counts
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    return exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        hit.alias("n_lsh_pairs"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_missed"),
+        F.round(hit * F.lit(1.0) / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Verified near-dup pairs (doc_a, doc_b, jaccard), unordered.
 

@@ -87,6 +87,7 @@ EXPECTED_EXTRA = {
     "dedup_containment_exact",  # one-sided prefix filter, no df-cap recall loss
     "duplicated_span_removal",  # Lee et al. removal half (rewrites the corpus)
     "decontaminate_neardup_eval",  # per-eval-doc leak attribution (AB prefix join)
+    "lsh_recall_report",  # measured MinHash-LSH false-negative canary
 }
 
 
