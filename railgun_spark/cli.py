@@ -210,7 +210,10 @@ def cmd_stats(args) -> int:
     """Corpus-health report over a documents directory: per-source quality/
     duplication, token-length histogram, cross-source shingle overlap —
     the per-ingest-wave monitoring queries (operators/reporting.py)."""
-    from railgun_spark.operators.dedup import containment_recall_report
+    from railgun_spark.operators.dedup import (
+        containment_recall_report,
+        lsh_recall_report,
+    )
     from railgun_spark.operators.reporting import (
         cross_source_overlap,
         source_quality_report,
@@ -228,6 +231,7 @@ def cmd_stats(args) -> int:
         "token_length_histogram": token_length_histogram,
         "cross_source_overlap": cross_source_overlap,
         "containment_recall": containment_recall_report,
+        "lsh_recall": lsh_recall_report,
         "vocab_coverage": vocab_coverage_curve,
         "unigram_outliers": unigram_logprob_quality,
     }
@@ -241,6 +245,89 @@ def cmd_stats(args) -> int:
         for name in wanted
     }
     print(json.dumps(out, indent=2 if args.pretty else None))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Near-dup pair detection over a documents directory, written as
+    parquet for downstream joins (pairs are big data — only the summary
+    counts reach the driver). Methods:
+
+      minhash     banded MinHash-LSH candidates + exact-Jaccard verify
+                  (fast, ~1% false negatives — see lsh_recall_report)
+      jaccard     LOSSLESS prefix-filtered exact Jaccard self-join
+      containment LOSSLESS one-sided prefix filter, C = |A∩B|/|smaller|
+
+    --survivors additionally resolves pairs into clusters (connected
+    components, min-id survivor) for minhash/jaccard, or drops contained
+    docs for containment, and writes the survivor table."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.dedup import (
+        _docs_with_shingles,
+        connected_components,
+        containment_similarity_join,
+        jaccard_similarity_join,
+        minhash_dup_pairs,
+    )
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_dedup")
+    sf_dir = args.input_dir
+    defaults = {"minhash": (1, 2), "jaccard": (4, 5), "containment": (9, 10)}
+    tau_num = args.tau_num if args.tau_num is not None else defaults[args.method][0]
+    tau_den = args.tau_den if args.tau_den is not None else defaults[args.method][1]
+
+    if args.method == "minhash":
+        pairs = minhash_dup_pairs(spark, sf_dir, tau_num / tau_den)
+    else:
+        s = _docs_with_shingles(spark, sf_dir).select(
+            "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
+        )
+        if args.method == "jaccard":
+            pairs = jaccard_similarity_join(s, "doc_id", "sh", tau_num, tau_den).select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+        else:
+            pairs = containment_similarity_join(s, "doc_id", "sh", tau_num, tau_den).select(
+                F.col("id_small").alias("doc_contained"),
+                F.col("id_big").alias("doc_container"),
+                F.round("containment", 4).alias("containment"),
+            )
+    pairs.write.mode("overwrite").parquet(f"{args.output_dir}/pairs")
+    pairs = spark.read.parquet(f"{args.output_dir}/pairs")  # pin: avoid recompute below
+    summary = {
+        "method": args.method,
+        "tau": f"{tau_num}/{tau_den}",
+        "n_docs": spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
+        "n_pairs": pairs.count(),
+        "n_survivors": None,
+    }
+    if args.survivors:
+        if args.method == "containment":
+            contained = pairs.select(F.col("doc_contained").alias("doc_id")).distinct()
+            survivors = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id")
+                .join(contained, "doc_id", "left_anti")
+            )
+        else:
+            comp = connected_components(
+                pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            )
+            clustered = comp.groupBy("label").agg(F.min("node").alias("doc_id"))
+            in_cluster = comp.select(F.col("node").alias("doc_id"))
+            survivors = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id")
+                .join(in_cluster, "doc_id", "left_anti")
+                .unionByName(clustered.select("doc_id"))
+            )
+        survivors.write.mode("overwrite").parquet(f"{args.output_dir}/survivors")
+        summary["n_survivors"] = spark.read.parquet(f"{args.output_dir}/survivors").count()
+    print(json.dumps(summary))
     return 0
 
 
@@ -346,6 +433,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pretty", action="store_true")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser(
+        "dedup",
+        help="near-dup pair detection (minhash/jaccard/containment) + "
+        "optional cluster survivors, written as parquet",
+    )
+    p.add_argument("--input-dir", required=True, help="dir containing documents.parquet")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument(
+        "--method", choices=("minhash", "jaccard", "containment"), default="minhash"
+    )
+    p.add_argument(
+        "--tau-num", type=int, default=None,
+        help="threshold numerator (defaults: minhash 1/2, jaccard 4/5, containment 9/10)",
+    )
+    p.add_argument("--tau-den", type=int, default=None)
+    p.add_argument(
+        "--survivors", action="store_true",
+        help="also resolve clusters and write the survivor doc_id table",
+    )
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

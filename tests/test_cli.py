@@ -166,6 +166,14 @@ def test_stats_subcommand(spark, capsys):
     outliers = out["unigram_outliers"]
     assert len(outliers) == 25 and all(r["nll"] > 0 for r in outliers)
 
+    # LSH false-negative canary (exact-join ground truth)
+    rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
+               "--sections", "lsh_recall"])
+    assert rc == 0
+    (lr,) = json.loads(capsys.readouterr().out)["lsh_recall"]
+    assert lr["n_exact_pairs"] == lr["n_lsh_pairs"] + lr["n_missed"]
+    assert 0.0 <= lr["recall"] <= 1.0
+
 
 def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
     from pyspark.sql import Row
@@ -215,3 +223,49 @@ def test_dynamic_sink_with_passphrase_raises(spark, tmp_path):
             output_uri=f"'{tmp_path}/out/' + @grp",
             output_format="jsonl", output_passphrase="pw", output_salt="a1b2",
         )
+
+
+def test_dedup_subcommand_jaccard_survivors(spark, capsys, tmp_path):
+    """`dedup --method jaccard --survivors` writes pairs + survivors
+    parquet; every doc is either a survivor or clustered under one, and
+    the summary counts agree with the written tables."""
+    out = tmp_path / "dd"
+    rc = main(
+        [
+            "dedup",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--output-dir", str(out),
+            "--method", "jaccard",
+            "--survivors",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["method"] == "jaccard" and summary["tau"] == "4/5"
+    pairs = spark.read.parquet(str(out / "pairs"))
+    assert pairs.count() == summary["n_pairs"]
+    assert set(pairs.columns) == {"doc_a", "doc_b", "jaccard"}
+    surv = spark.read.parquet(str(out / "survivors"))
+    assert surv.count() == summary["n_survivors"]
+    # survivors <= docs, and each pair removes at most one doc
+    assert summary["n_survivors"] <= summary["n_docs"]
+    assert summary["n_survivors"] >= summary["n_docs"] - summary["n_pairs"]
+
+
+def test_dedup_subcommand_containment(spark, capsys, tmp_path):
+    out = tmp_path / "dc"
+    rc = main(
+        [
+            "dedup",
+            "--input-dir", "/root/testdata/sf0.001",
+            "--output-dir", str(out),
+            "--method", "containment",
+            "--survivors",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pairs = spark.read.parquet(str(out / "pairs"))
+    assert set(pairs.columns) == {"doc_contained", "doc_container", "containment"}
+    n_contained = pairs.select("doc_contained").distinct().count()
+    assert summary["n_survivors"] == summary["n_docs"] - n_contained
