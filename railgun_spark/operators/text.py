@@ -941,3 +941,78 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("nll"), "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (the model-based quality filter
+# shape: fasttext-style linear text classifiers gate pretraining corpora
+# in the CCNet / GPT-3-appendix-A lineage — public papers). A trained
+# model is a weight vector indexed by feature hash; scoring is pure
+# map-side arithmetic: hash each word into D buckets, sum the bucket
+# weights, normalize by length. Here the weight table is a DETERMINISTIC
+# pseudo-random function of the bucket id (md5-derived, embeddable in
+# SQL) so the whole scoring path is oracle-checkable bit-for-bit; swap
+# `weights` for a broadcast array of trained values in production — the
+# plan shape (zero shuffles before the final top-k) is identical.
+# Sigmoid is deliberately omitted: exp() differs by ULPs across engine
+# libms, and the raw mean-weight score is order-equivalent.
+# --------------------------------------------------------------------------
+CLASSIFIER_BUCKETS = 4096
+
+
+def classifier_score(text: Column) -> Column:
+    """Mean hashed-bucket weight over the doc's words: the linear
+    classifier margin (monotone in the sigmoid probability)."""
+    ws = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    D = CLASSIFIER_BUCKETS
+
+    def weight(w: Column) -> Column:
+        bucket = hash60(w) % D
+        return (
+            (hash60(F.concat(F.lit("w:"), bucket.cast("string"))) % 2001 - 1000)
+            / F.lit(1000.0)
+        )
+
+    total = F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + weight(w))
+    return total / F.size(ws)
+
+
+@extra_query(
+    "quality_classifier_lowscore",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, len(ws) AS n_words,
+             list_aggregate(list_transform(ws, w ->
+               ((('0x' || substr(md5('w:' || CAST(
+                     ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT
+                       % {CLASSIFIER_BUCKETS} AS VARCHAR)), 1, 15)
+                 )::UBIGINT::BIGINT % 2001) - 1000) / 1000.0
+             ), 'sum') / len(ws) AS score
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words, round(score, 6) AS score
+    FROM sc ORDER BY score, doc_id LIMIT 25
+    """,
+    doc="Hashing-trick linear quality classifier (fasttext-style filter "
+    f"shape, {CLASSIFIER_BUCKETS} buckets, deterministic md5 weights): "
+    "the 25 lowest-margin docs — the slice a trained filter would drop. "
+    "Zero shuffles before the final top-k; production swaps in trained "
+    "weights with the identical plan.",
+    tags=("text", "quality"),
+)
+def quality_classifier_lowscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return (
+        docs.filter(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            F.size(ws).alias("n_words"),
+            F.round(classifier_score(F.col("text")), 6).alias("score"),
+        )
+        .orderBy("score", "doc_id")
+        .limit(25)
+    )

@@ -88,6 +88,7 @@ EXPECTED_EXTRA = {
     "duplicated_span_removal",  # Lee et al. removal half (rewrites the corpus)
     "decontaminate_neardup_eval",  # per-eval-doc leak attribution (AB prefix join)
     "lsh_recall_report",  # measured MinHash-LSH false-negative canary
+    "quality_classifier_lowscore",  # hashing-trick linear filter margin
 }
 
 
