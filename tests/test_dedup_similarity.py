@@ -1028,3 +1028,51 @@ def test_jaccard_similarity_join_ab_matches_brute_force(spark):
         }
         assert got == brute(tau_num, tau_den), (tau_num, tau_den)
     assert (left[0][0], 2000) in brute(1, 1)
+
+
+def test_duplicated_span_removal_matches_python_reference(spark, tmp_path):
+    """Randomized corpus (short docs, tiny vocab => accidental window
+    collisions, planted shared spans, sub-K docs) vs a direct Python
+    reference implementation of the coverage-union semantics."""
+    import random
+    import re
+
+    from railgun_spark.operators.dedup import DUP_WINDOW_K, duplicated_span_removal
+
+    K = DUP_WINDOW_K
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    planted = " ".join(rng.choice(vocab) for _ in range(K + 3))
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if i % 5 == 0:
+            text = f"{text} {planted}" if text else planted
+        rows.append((i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    # reference: window -> set(docs); covered = union of duplicated windows
+    win2docs: dict[tuple, set] = {}
+    toks = {did: re.findall(r"[a-z0-9]+", text.lower()) for did, text, *_ in rows}
+    for did, ws in toks.items():
+        for p in range(len(ws) - K + 1):
+            win2docs.setdefault(tuple(ws[p : p + K]), set()).add(did)
+    expected = {}
+    for did, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - K + 1):
+            if len(win2docs[tuple(ws[p : p + K])]) >= 2:
+                covered.update(range(p, p + K))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        expected[did] = (len(ws), len(covered), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["cleaned_text"])
+        for r in duplicated_span_removal(spark, d).collect()
+    }
+    assert got == expected
