@@ -1632,6 +1632,89 @@ def append_to_index(survivors: DataFrame, index_path: str) -> None:
 
 
 # --------------------------------------------------------------------------
+# Incremental exact-substring filter: the continual-ingestion form of the
+# Lee et al. duplicated-window filter. The batch operator needs the whole
+# corpus to mark a window duplicated; at ingest time the question becomes
+# one-sided — "is this arriving doc assembled from spans we already
+# hold?" — answered by a window-hash index (8-byte rows, same
+# recover/append discipline as the content-hash index). A doc admitted
+# first is NOT retro-flagged when copies arrive later; the copies are.
+# Within one batch, cross-doc duplication still counts both ways (same
+# min!=max trick as the batch operator).
+# --------------------------------------------------------------------------
+def _window_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, h) for every k-word window (non-distinct: repeats inside one
+    doc each count toward that doc's fraction, like the batch operator)."""
+    ws = words(F.col(text_col))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - k + 1),
+        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws, i, k))),
+    )
+    return df.filter(F.size(ws) >= k).select(
+        F.col(id_col).alias("__id"), F.explode(win_hashes).alias("h")
+    )
+
+
+def span_dup_against_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_WINDOW_K,
+    frac: float = DUP_WINDOW_FRAC,
+) -> DataFrame:
+    """Docs whose duplicated-window fraction vs the index PLUS intra-batch
+    cross-doc duplication reaches `frac`:
+    (id, n_windows, n_dup_windows, dup_frac). Admit the complement, then
+    `append_window_hashes_to_index` with the admitted docs to commit.
+    Shuffles carry (h, id) 8-byte pairs; the index join is a left semi on
+    the hash column only."""
+    win = _window_hashes(df, text_col, id_col, k)
+    per = win.groupBy("h", "__id").agg(F.count(F.lit(1)).alias("cnt"))
+    # intra-batch duplicated hashes: seen in >= 2 docs of this batch
+    batch_dup = (
+        per.groupBy("h")
+        .agg((F.min("__id") != F.max("__id")).alias("d"))
+        .filter("d")
+        .select("h")
+    )
+    seen = _read_index_or_none(df.sparkSession, index_path)
+    dup_h = batch_dup if seen is None else batch_dup.unionByName(
+        seen.select("h")
+    ).distinct()
+    hit = per.join(dup_h, "h", "left_semi").groupBy("__id").agg(
+        F.sum("cnt").alias("n_dup_windows")
+    )
+    totals = per.groupBy("__id").agg(F.sum("cnt").alias("n_windows"))
+    out_frac = F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows")
+    return (
+        totals.join(hit, "__id")
+        .filter(out_frac >= frac)
+        .select(
+            F.col("__id").alias(id_col),
+            "n_windows",
+            "n_dup_windows",
+            F.round(out_frac, 4).alias("dup_frac"),
+        )
+    )
+
+
+def append_window_hashes_to_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DUP_WINDOW_K,
+) -> None:
+    """Append the admitted docs' DISTINCT window hashes (8 bytes/row).
+    Replays re-append the same hashes — semi-join consumers are unaffected
+    by physical duplicates, and compact_index() folds them away."""
+    _window_hashes(df, text_col, id_col, k).select("h").distinct().write.mode(
+        "append"
+    ).parquet(index_path)
+
+
+# --------------------------------------------------------------------------
 # Bucketed index: the PB-scale form of the fingerprint index. A plain
 # parquet index must SHUFFLE on every batch's anti-join; a table bucketed
 # by hash has HashPartitioning(h, n) as its native layout, so the join

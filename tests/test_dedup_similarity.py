@@ -1076,3 +1076,48 @@ def test_duplicated_span_removal_matches_python_reference(spark, tmp_path):
         for r in duplicated_span_removal(spark, d).collect()
     }
     assert got == expected
+
+
+def test_span_dup_against_index_two_waves(spark, tmp_path):
+    """Wave 1 (originals) passes and commits its window hashes; wave 2
+    copies are flagged against history while fresh docs pass; an
+    intra-batch pair of copies flags BOTH ways; replayed appends leave
+    semi-join results unchanged."""
+    from railgun_spark.operators.dedup import (
+        append_window_hashes_to_index,
+        span_dup_against_index,
+    )
+
+    idx = str(tmp_path / "spanidx")
+    span = " ".join(f"s{i}" for i in range(12))
+    other = " ".join(f"t{i}" for i in range(12))
+    w1 = spark.createDataFrame(
+        [(1, f"{span} unique tail one"), (2, "completely different words " + other)],
+        "doc_id: long, text: string",
+    )
+    flagged1 = span_dup_against_index(w1, idx)
+    assert flagged1.count() == 0  # nothing in history, no intra-batch dups
+    append_window_hashes_to_index(w1, idx)
+
+    fresh = " ".join(f"u{i}" for i in range(15))
+    shared = " ".join(f"v{i}" for i in range(12))
+    w2 = spark.createDataFrame(
+        [
+            (10, f"{span} new suffix here"),     # copy of history span
+            (11, fresh),                          # fresh: passes
+            (12, f"prefix words {other}"),        # copy of history span
+            (13, f"intra a {shared}"),            # intra-batch pair with 14
+            (14, f"intra b {shared}"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in span_dup_against_index(w2, idx).collect()}
+    assert 10 in got and 12 in got, got
+    assert 13 in got and 14 in got  # intra-batch duplication counts both ways
+    assert 11 not in got
+    assert all(0 < r["dup_frac"] <= 1.0 for r in got.values())
+
+    # replayed append: same distinct hashes again; flags unchanged
+    append_window_hashes_to_index(w1, idx)
+    again = {r["doc_id"] for r in span_dup_against_index(w2, idx).collect()}
+    assert again == set(got)
