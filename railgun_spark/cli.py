@@ -162,6 +162,9 @@ def cmd_ingest(args) -> int:
     if not args.bucketed_table and not args.index:
         print("one of --index or --bucketed-table is required", file=sys.stderr)
         return 2
+    if args.span_index and (args.stream or args.bucketed_table):
+        print("--span-index supports plain batch mode only", file=sys.stderr)
+        return 2
     spark = get_spark("railgun_ingest")
     if args.bucketed_table:
         from railgun_spark.operators.dedup import (
@@ -201,6 +204,7 @@ def cmd_ingest(args) -> int:
             args.sink,
             text_col=args.text_col,
             id_col=args.id_col,
+            span_index_path=args.span_index,
         )
     print(json.dumps({"admitted": admitted}))
     return 0
@@ -420,6 +424,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, help="stream checkpoint dir (default: <sink>_checkpoint)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--span-index", default=None,
+        help="window-hash index path: also reject docs assembled mostly "
+        "from 10-word spans already in history (batch mode)",
+    )
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser(

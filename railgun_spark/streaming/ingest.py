@@ -94,17 +94,40 @@ def ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: int | None = None,
+    span_index_path: str | None = None,
 ) -> int:
     """Gate one batch through the index: write survivors to the sink,
     commit their fingerprints. Returns the number admitted. Usable
     directly for batch backfills — the streaming path calls exactly this
-    (with its foreachBatch batch_id, for replay-idempotent sink writes)."""
+    (with its foreachBatch batch_id, for replay-idempotent sink writes).
+
+    With `span_index_path`, exact-dedup survivors additionally pass the
+    incremental exact-substring filter (span_dup_against_index): docs
+    assembled mostly from k-word spans already in history — different
+    content hash, so invisible to the exact gate — are rejected, and
+    admitted docs commit their window hashes alongside their content
+    hashes. Rejected docs commit NEITHER index entry, so an identical
+    retry is re-judged consistently."""
+    from railgun_spark.operators.dedup import (
+        append_window_hashes_to_index,
+        span_dup_against_index,
+    )
+
     survivors = dedup_against_index(
         batch_df, index_path, text_col=text_col, id_col=id_col
     ).localCheckpoint()
+    if span_index_path is not None:
+        flagged = span_dup_against_index(
+            survivors, span_index_path, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        survivors = survivors.join(flagged, id_col, "left_anti").localCheckpoint()
     n = _write_sink(survivors.drop("__h"), sink_path, batch_id)
     if n > 0:
         append_to_index(survivors, index_path)
+        if span_index_path is not None:
+            append_window_hashes_to_index(
+                survivors, span_index_path, text_col=text_col, id_col=id_col
+            )
     return n
 
 

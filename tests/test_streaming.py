@@ -451,3 +451,37 @@ def test_stream_neardup_decontaminate_matches_batch(spark, tmp_path):
         spark, sf_dir, str(empty_src), str(tmp_path / "ckpt3"), str(tmp_path / "flags3")
     )
     assert empty.count() == 0
+
+
+def test_ingest_batch_span_gate(spark, tmp_path):
+    """With a span index, exact-dedup survivors that are mostly assembled
+    from spans already in history (different content hash, so invisible
+    to the exact gate) are rejected; their hashes commit to NEITHER
+    index, so a retry re-judges them identically."""
+    from railgun_spark.streaming.ingest import ingest_batch
+
+    idx = str(tmp_path / "idx")
+    span_idx = str(tmp_path / "span_idx")
+    sink = str(tmp_path / "sink")
+    span = " ".join(f"s{i}" for i in range(20))
+    w1 = spark.createDataFrame(
+        [(1, f"{span} original tail")], "doc_id: long, text: string"
+    )
+    assert ingest_batch(w1, idx, sink, span_index_path=span_idx) == 1
+
+    w2 = spark.createDataFrame(
+        [
+            (10, f"{span} different tail"),  # new hash, old span: reject
+            (11, " ".join(f"n{i}" for i in range(20))),  # fresh: admit
+        ],
+        "doc_id: long, text: string",
+    )
+    assert ingest_batch(w2, idx, sink, span_index_path=span_idx) == 1
+    admitted = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert admitted == {1, 11}
+    # the rejected doc committed nothing: an identical retry is rejected
+    # again (not admitted via a stale hash entry)
+    w3 = spark.createDataFrame(
+        [(20, f"{span} different tail")], "doc_id: long, text: string"
+    )
+    assert ingest_batch(w3, idx, sink, span_index_path=span_idx) == 0
