@@ -168,7 +168,36 @@ def _drain_availablenow(
     gate,
 ) -> int:
     """Shared availableNow scaffold: file stream -> foreachBatch(gate) ->
-    drain to completion. `gate(batch_df, batch_id) -> admitted count`."""
+    drain to completion. `gate(batch_df, batch_id) -> admitted count`.
+
+    Refuses a source dir whose only parquet lives inside subdirectories:
+    the file stream source lists PLAIN files (no recursion, and key=value
+    dirs are partition columns), so a directory of Spark-written shard
+    DIRECTORIES would silently drain zero batches — ingestion reporting
+    success while admitting nothing."""
+    import os
+
+    if os.path.isdir(source_dir):
+        entries = [e for e in os.listdir(source_dir) if not e.startswith((".", "_"))]
+        top_files = [e for e in entries if os.path.isfile(os.path.join(source_dir, e))]
+        nested_parquet = [
+            e
+            for e in entries
+            if os.path.isdir(os.path.join(source_dir, e))
+            and "=" not in e
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(source_dir, e))
+            )
+        ]
+        if not top_files and nested_parquet:
+            raise ValueError(
+                f"source_dir {source_dir!r} holds parquet only inside "
+                f"subdirectories ({nested_parquet[:3]}...): the file stream "
+                "source does not recurse, so this run would silently ingest "
+                "NOTHING. Point source_dir at a directory of plain parquet "
+                "files (e.g. the part files themselves)."
+            )
     admitted = [0]
     stream = (
         spark.readStream.schema(schema)
@@ -225,9 +254,21 @@ def stream_ingest_dedup_availablenow(
     max_files_per_trigger: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    span_index_path: str | None = None,
 ) -> int:
     """Drain `source_dir` through the dedup gate (availableNow) and return
-    the total number of admitted documents."""
+    the total number of admitted documents. `span_index_path` adds the
+    incremental exact-substring filter (see ingest_batch). Replay
+    semantics with the span gate: content hashes append BEFORE window
+    hashes, so a crash between the two appends makes the replay's exact
+    gate reject the whole batch (empty batch skips the write — sink
+    intact) and the batch's window hashes are then never committed.
+    That trade is deliberate: the hard invariant (no duplicate sink
+    rows) survives every crash window, at the cost of span-index
+    COVERAGE for that one batch — later copies of its spans pass the
+    span gate instead of being rejected. The reverse append order would
+    close that window but let a replayed batch span-reject its own docs
+    and, for sub-window-length docs, re-admit true duplicates."""
     return _drain_availablenow(
         spark,
         source_dir,
@@ -237,5 +278,6 @@ def stream_ingest_dedup_availablenow(
         lambda batch_df, batch_id: ingest_batch(
             batch_df, index_path, sink_path,
             text_col=text_col, id_col=id_col, batch_id=batch_id,
+            span_index_path=span_index_path,
         ),
     )

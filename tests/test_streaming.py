@@ -485,3 +485,76 @@ def test_ingest_batch_span_gate(spark, tmp_path):
         [(20, f"{span} different tail")], "doc_id: long, text: string"
     )
     assert ingest_batch(w3, idx, sink, span_index_path=span_idx) == 0
+
+
+def test_stream_ingest_span_gate_and_replay_window(spark, tmp_path):
+    """Streaming drain with the span gate rejects a span-copy shard; and
+    the crash window BETWEEN content-hash append and window-hash append
+    degrades to lost span COVERAGE only — replay admits nothing, the
+    sink keeps exactly one copy of everything."""
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import (
+        ingest_batch,
+        stream_ingest_dedup_availablenow,
+    )
+
+    span = " ".join(f"q{i}" for i in range(20))
+    src = tmp_path / "arriving"
+    src.mkdir()
+
+    def ship(name: str, rows) -> None:
+        # the file stream source lists plain files (no recursion): write
+        # via Spark, then move the single part file in as the shard
+        import glob
+        import shutil
+
+        tmp = tmp_path / f"__{name}"
+        spark.createDataFrame(rows).coalesce(1).write.parquet(str(tmp))
+        (part,) = glob.glob(str(tmp / "part-*.parquet"))
+        shutil.move(part, str(src / name))
+
+    ship("s0.parquet", [Row(doc_id=1, text=f"{span} original")])
+    ship("s1.parquet", [Row(doc_id=2, text=f"{span} rehash tail")])  # new hash, old span
+    schema = spark.read.parquet(str(src / "s0.parquet")).schema
+    idx, span_idx, sink = (
+        str(tmp_path / "i"),
+        str(tmp_path / "si"),
+        str(tmp_path / "c"),
+    )
+    admitted = stream_ingest_dedup_availablenow(
+        spark, str(src), schema, idx, sink, str(tmp_path / "ck"),
+        span_index_path=span_idx,
+    )
+    # one file per trigger, ordered: the original is admitted first, the
+    # span-copy shard is then rejected against history
+    assert admitted == 1
+    assert spark.read.parquet(sink).count() == 1
+
+    # crash window: content hashes committed, window hashes lost -> the
+    # replayed batch admits nothing and must not clobber the sink
+    batch = spark.read.parquet(str(src / "s0.parquet"))
+    assert ingest_batch(batch, idx, sink, batch_id=0, span_index_path=span_idx) == 0
+    assert spark.read.parquet(sink).count() == 1
+
+
+def test_stream_ingest_refuses_nested_shard_dirs(spark, tmp_path):
+    """A source dir holding parquet only inside shard DIRECTORIES would
+    silently drain zero batches — the scaffold must refuse loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import stream_ingest_dedup_availablenow
+
+    src = tmp_path / "arr"
+    src.mkdir()
+    spark.createDataFrame([Row(doc_id=1, text="x")]).coalesce(1).write.parquet(
+        str(src / "shard0.parquet")
+    )
+    schema = spark.read.parquet(str(src / "shard0.parquet")).schema
+    with _pytest.raises(ValueError, match="does not recurse"):
+        stream_ingest_dedup_availablenow(
+            spark, str(src), schema, str(tmp_path / "i"), str(tmp_path / "c"),
+            str(tmp_path / "ck"),
+        )
