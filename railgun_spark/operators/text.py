@@ -1016,3 +1016,114 @@ def quality_classifier_lowscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("score", "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed logistic-regression training over hashed features: the
+# TRAINED counterpart to classifier_score's deterministic demo weights.
+# The model a production quality filter actually runs (fasttext-lineage
+# linear classifier) is a D-bucket weight vector; training it at corpus
+# scale is the same shape as kmeans_train / bpe_train: per-iteration
+# map-side work + one tiny aggregate, with only the D-sized weight
+# vector ever reaching the driver.
+#
+# Per iteration (all fine-grained shuffle keys, constant plan depth):
+#   1. dot(w, x_doc): explode (doc, bucket, x) joins the broadcast
+#      D-row weight table, one groupBy(doc);
+#   2. residual p - y per doc (sigmoid on the driver is avoided — it is
+#      computed in the JVM; cross-engine exp() parity does not matter
+#      here because training is not oracle-gated);
+#   3. gradient per bucket: one groupBy(bucket) over residual * x;
+#   4. D rows collect to the driver, weights update, loop.
+# --------------------------------------------------------------------------
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    iters: int = 20,
+    lr: float = 2.0,
+) -> list[float]:
+    """Train a logistic regression on length-normalized hashed-bucket
+    counts; `label_col` is 0/1. Returns the D-element weight list (use
+    `score_documents` to apply it). L2-free, full-batch gradient descent
+    — deterministic given the input."""
+    spark = docs.sparkSession
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = (
+        docs.filter(F.size(ws) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("double").alias("__y"),
+            F.explode(ws).alias("__w"),
+            F.size(ws).alias("__n"),
+        )
+        .select(
+            "__id",
+            "__y",
+            (hash60(F.col("__w")) % n_buckets).alias("__b"),
+            (F.lit(1.0) / F.col("__n")).alias("__x"),
+        )
+        .groupBy("__id", "__y", "__b")
+        .agg(F.sum("__x").alias("__x"))
+        .localCheckpoint()  # reused every iteration; lineage must not grow
+    )
+    n_docs = base.select("__id").distinct().count()
+    weights = [0.0] * n_buckets
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)], "__b: long, __wt: double"
+        )
+        dot = (
+            base.join(F.broadcast(wdf), "__b")
+            .groupBy("__id", "__y")
+            .agg(F.sum(F.col("__x") * F.col("__wt")).alias("__dot"))
+        )
+        resid = dot.select(
+            "__id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__dot"))) - F.col("__y")).alias(
+                "__r"
+            ),
+        )
+        grad_rows = (
+            base.join(resid, "__id")
+            .groupBy("__b")
+            .agg((F.sum(F.col("__r") * F.col("__x")) / n_docs).alias("__g"))
+            .collect()
+        )
+        for r in grad_rows:
+            weights[r["__b"]] -= lr * r["__g"]
+    return weights
+
+
+def score_documents(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score) — classifier margin per doc under trained `weights`,
+    via the same explode + broadcast-weight join as training (no giant
+    literal arrays in the plan). Higher = keep."""
+    spark = docs.sparkSession
+    n_buckets = len(weights)
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "__b: long, __wt: double"
+    )
+    ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    tok = (
+        docs.filter(F.size(ws) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(ws).alias("__w"),
+            F.size(ws).alias("__n"),
+        )
+        .select("__id", (hash60(F.col("__w")) % n_buckets).alias("__b"), "__n")
+    )
+    return (
+        tok.join(F.broadcast(wdf), "__b")
+        .groupBy("__id")
+        .agg((F.sum("__wt") / F.first("__n")).alias("score"))
+        .select(F.col("__id").alias(id_col), "score")
+    )

@@ -1121,3 +1121,61 @@ def test_span_dup_against_index_two_waves(spark, tmp_path):
     append_window_hashes_to_index(w1, idx)
     again = {r["doc_id"] for r in span_dup_against_index(w2, idx).collect()}
     assert again == set(got)
+
+
+def test_train_quality_classifier_separates_planted_classes(spark):
+    """Full-batch distributed LR over hashed features must separate two
+    disjoint-vocabulary classes on its training set, improve over the
+    zero-weight start, and agree with an in-driver reference
+    implementation of the same gradient updates."""
+    import math
+    import random
+
+    from railgun_spark.operators.text import (
+        CLASSIFIER_BUCKETS,
+        score_documents,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(3)
+    good_vocab = [f"good{i}" for i in range(40)]
+    bad_vocab = [f"spam{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        vocab, y = (good_vocab, 1) if i % 2 == 0 else (bad_vocab, 0)
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 20)))
+        rows.append((i, text, y))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, label: int")
+
+    w = train_quality_classifier(df, "label", iters=15)
+    assert len(w) == CLASSIFIER_BUCKETS and any(x != 0 for x in w)
+    scores = {
+        r["doc_id"]: r["score"] for r in score_documents(df, w).collect()
+    }
+    correct = sum(
+        1 for i, _, y in rows if (scores[i] > 0) == (y == 1)
+    )
+    assert correct / len(rows) >= 0.95
+
+    # driver reference: identical full-batch GD on the same features
+    import re
+
+    feats = []
+    for i, text, y in rows:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        b = {}
+        for t in toks:
+            h = int(__import__("hashlib").md5(t.encode()).hexdigest()[:15], 16)
+            b[h % CLASSIFIER_BUCKETS] = b.get(h % CLASSIFIER_BUCKETS, 0) + 1 / len(toks)
+        feats.append((b, y))
+    ref = [0.0] * CLASSIFIER_BUCKETS
+    for _ in range(15):
+        grad = [0.0] * CLASSIFIER_BUCKETS
+        for b, y in feats:
+            dot = sum(ref[k] * v for k, v in b.items())
+            r = 1.0 / (1.0 + math.exp(-dot)) - y
+            for k, v in b.items():
+                grad[k] += r * v
+        for k in range(CLASSIFIER_BUCKETS):
+            ref[k] -= 2.0 * grad[k] / len(feats)
+    assert max(abs(a - c) for a, c in zip(w, ref)) < 1e-6
