@@ -1122,6 +1122,14 @@ def test_span_dup_against_index_two_waves(spark, tmp_path):
     again = {r["doc_id"] for r in span_dup_against_index(w2, idx).collect()}
     assert again == set(got)
 
+    # the maintenance pass folds replay duplicates without changing answers
+    from railgun_spark.operators.dedup import compact_index
+
+    n = compact_index(spark, idx)
+    assert n == spark.read.parquet(idx).distinct().count()
+    after = {r["doc_id"] for r in span_dup_against_index(w2, idx).collect()}
+    assert after == set(got)
+
 
 def test_train_quality_classifier_separates_planted_classes(spark):
     """Full-batch distributed LR over hashed features must separate two
