@@ -162,8 +162,8 @@ def cmd_ingest(args) -> int:
     if not args.bucketed_table and not args.index:
         print("one of --index or --bucketed-table is required", file=sys.stderr)
         return 2
-    if args.span_index and (args.stream or args.bucketed_table):
-        print("--span-index supports plain batch mode only", file=sys.stderr)
+    if args.span_index and args.bucketed_table:
+        print("--span-index is not supported with --bucketed-table", file=sys.stderr)
         return 2
     spark = get_spark("railgun_ingest")
     if args.bucketed_table:
@@ -196,6 +196,7 @@ def cmd_ingest(args) -> int:
             checkpoint_dir=args.checkpoint or args.sink.rstrip("/") + "_checkpoint",
             text_col=args.text_col,
             id_col=args.id_col,
+            span_index_path=args.span_index,
         )
     else:
         admitted = ingest_batch(
@@ -295,9 +296,18 @@ def cmd_dedup(args) -> int:
                 F.round("jaccard", 4).alias("jaccard"),
             )
         else:
-            pairs = containment_similarity_join(s, "doc_id", "sh", tau_num, tau_den).select(
-                F.col("id_small").alias("doc_contained"),
-                F.col("id_big").alias("doc_container"),
+            raw = containment_similarity_join(s, "doc_id", "sh", tau_num, tau_den)
+            # equal-size tie-break matches dedup_containment_exact (and the
+            # min-id-survivor rule of the other methods): the LOWER id is
+            # the container/survivor — id_small by the join's tie-break
+            tie = F.col("n_small") == F.col("n_big")
+            pairs = raw.select(
+                F.when(tie, F.col("id_big")).otherwise(F.col("id_small")).alias(
+                    "doc_contained"
+                ),
+                F.when(tie, F.col("id_small")).otherwise(F.col("id_big")).alias(
+                    "doc_container"
+                ),
                 F.round("containment", 4).alias("containment"),
             )
     pairs.write.mode("overwrite").parquet(f"{args.output_dir}/pairs")
@@ -427,7 +437,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--span-index", default=None,
         help="window-hash index path: also reject docs assembled mostly "
-        "from 10-word spans already in history (batch mode)",
+        "from 10-word spans already in history (batch or --stream)",
     )
     p.set_defaults(fn=cmd_ingest)
 

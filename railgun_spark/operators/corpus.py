@@ -265,18 +265,24 @@ def prepare_training_shards(
         # AFTER the split, like redaction: split/dedup membership stays a
         # function of the ORIGINAL content hash while shipped text loses
         # the cross-doc duplicated spans (Lee et al. removal, dedup.py).
-        # Duplication evidence comes from the WHOLE corpus — a span shared
-        # between a train doc and an eval doc is exactly the leak to cut.
-        # Rewritten docs ship the word-normalized (lowercased a-z0-9)
-        # text the span detector operates on; untouched docs keep their
-        # original bytes. Docs rewritten to nothing are dropped.
-        from railgun_spark.operators.dedup import duplicated_span_removal
+        # Duplication evidence comes from the CLEANED corpus — against the
+        # RAW corpus every dedup survivor's windows still collide with its
+        # already-removed duplicates, and "keep one copy" silently becomes
+        # "keep zero copies" (the whole survivor text reads as duplicated).
+        # Cleaned-side evidence still spans train AND held-out splits, so
+        # a span shared between a train doc and an eval doc — the leak —
+        # is cut. Rewritten docs ship the word-normalized (lowercased
+        # a-z0-9) text the span detector operates on; untouched docs keep
+        # their original bytes. Docs rewritten to nothing are dropped.
+        from railgun_spark.operators.dedup import span_removal_frame
 
-        spans = duplicated_span_removal(spark, sf_dir).select(
-            "doc_id", "n_removed", "cleaned_text"
-        )
+        spans = span_removal_frame(clean).select("doc_id", "n_removed", "cleaned_text")
         rewritten = F.coalesce(F.col("n_removed"), F.lit(0)) > 0
-        joined = train.join(spans, "doc_id", "left")
+        # pin: the span pipeline (window explode + two groupBys + join)
+        # otherwise re-runs for the rewrite count, both union branches of
+        # the packing units, and every summary count — same discipline as
+        # the `clean` checkpoint above
+        joined = train.join(spans, "doc_id", "left").localCheckpoint()
         n_span_rewritten = joined.filter(rewritten).count()
         train = (
             joined.withColumn(

@@ -196,6 +196,93 @@ def dedup_exact_keep_first(
 # Exact-threshold Jaccard similarity self-join via lossless prefix
 # filtering (AllPairs/PPJoin, Bayardo et al. WWW'07 — public paper).
 # --------------------------------------------------------------------------
+# Shared prefix-filter machinery (used by jaccard_similarity_join, its
+# AB variant, and containment_similarity_join — one definition of the
+# tau validation, frame normalization, exact prefix-length arithmetic,
+# rarest-first ranking, and the Jaccard verify scaffold).
+def _check_tau(tau_num: int, tau_den: int) -> None:
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+
+
+def _sets_frame(df: DataFrame, id_col: str, set_col: str, bc: list[str]) -> DataFrame:
+    """(block..., __id, __set, __n) with empty sets dropped, lazily
+    checkpointed — every caller reuses it for tokens AND verify sides."""
+    s = df.select(
+        *bc,
+        F.col(id_col).alias("__id"),
+        F.col(set_col).alias("__set"),
+        F.size(set_col).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    return s.localCheckpoint(eager=False)
+
+
+def _tokens(s: DataFrame, bc: list[str]) -> DataFrame:
+    return s.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+
+
+def _prefix_len(tau_num: int, tau_den: int):
+    """p = n - ceil(tau*n) + 1, exact integer math (float tau would
+    over-round ceil and silently shorten the prefix = lost pairs)."""
+    return (
+        F.col("__n")
+        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
+        + 1
+    )
+
+
+def _rarest_first_prefixes(
+    tok: DataFrame, df_tab: DataFrame, bc: list[str], tau_num: int, tau_den: int
+) -> DataFrame:
+    """First p tokens of each row under the global (df, token) order —
+    rarest-document-frequency-first, the AllPairs candidate-minimizing
+    heuristic. `df_tab` supplies (__t -> __df); any consistent total
+    order preserves losslessness, df-ascending just shrinks candidates."""
+    from pyspark.sql.window import Window
+
+    order_w = Window.partitionBy(*bc, "__id").orderBy("__df", "__t")
+    return (
+        tok.join(df_tab, bc + ["__t"])
+        .withColumn("__rn", F.row_number().over(order_w))
+        .filter(F.col("__rn") <= _prefix_len(tau_num, tau_den))
+        .select(*bc, "__t", "__id", "__n")
+    )
+
+
+def _size_ratio_ok(na, nb, tau_num: int, tau_den: int):
+    """J >= tau needs tau_den*min >= tau_num*max (inter <= min, union >= max)."""
+    return F.least(na, nb) * tau_den >= F.greatest(na, nb) * tau_num
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    s_left: DataFrame,
+    s_right: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    la: str,
+    lb: str,
+) -> DataFrame:
+    """Join the full sets back onto candidate (la, lb) pairs and keep the
+    exact-Jaccard survivors; |A u B| = |A|+|B|-|A n B| so the union array
+    is never built. Float comparison mirrors SQL `* 1.0 / ... >= tau`."""
+    sa = s_left.select(
+        F.col("__id").alias(la), F.col("__set").alias("__sha"), F.col("__n").alias("__na")
+    )
+    sb = s_right.select(
+        F.col("__id").alias(lb), F.col("__set").alias("__shb"), F.col("__n").alias("__nb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.col("__na") + F.col("__nb") - F.col("__i")
+    return (
+        cand.join(sa, la)
+        .join(sb, lb)
+        .withColumn("__i", inter)
+        .filter(F.col("__i") * F.lit(1.0) / union >= F.lit(tau_num) / F.lit(tau_den))
+        .select(la, lb, (F.col("__i") * F.lit(1.0) / union).alias("jaccard"))
+    )
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -229,70 +316,28 @@ def jaccard_similarity_join(
     (dedup_minhash_lsh): LSH when a small false-negative rate is fine,
     this when the threshold must be exact.
     """
-    if not (0 < tau_num <= tau_den):
-        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+    _check_tau(tau_num, tau_den)
     bc = list(block_cols)
-    s = df.select(
-        *bc,
-        F.col(id_col).alias("__id"),
-        F.col(set_col).alias("__set"),
-        F.size(set_col).alias("__n"),
-    ).filter(F.col("__n") > 0)
-    # reused three times (df table, prefixes, both verify sides): pin it
-    s = s.localCheckpoint(eager=False)
-
-    tok = s.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+    s = _sets_frame(df, id_col, set_col, bc)
+    tok = _tokens(s, bc)
     df_tab = tok.groupBy(*bc, "__t").agg(F.count(F.lit(1)).alias("__df"))
-    # p = n - ceil(tau*n) + 1, exact integer math (float tau would
-    # over-round ceil and silently shorten the prefix = lost pairs)
-    pref_len = (
-        F.col("__n")
-        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
-        + 1
-    )
-    from pyspark.sql.window import Window
-
-    order_w = Window.partitionBy(*bc, "__id").orderBy("__df", "__t")
-    pref = (
-        tok.join(df_tab, bc + ["__t"])
-        .withColumn("__rn", F.row_number().over(order_w))
-        .filter(F.col("__rn") <= pref_len)
-        .select(*bc, "__t", "__id", "__n")
-    )
+    pref = _rarest_first_prefixes(tok, df_tab, bc, tau_num, tau_den)
     pa, pb = pref.alias("a"), pref.alias("b")
-    na, nb = F.col("a.__n"), F.col("b.__n")
-    # SQL `=` semantics: rows with a NULL block key never pair (matches
-    # the DuckDB oracle's `a.lang = b.lang`)
-    block_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bc]
     cond = (
         (F.col("a.__t") == F.col("b.__t"))
         & (F.col("a.__id") < F.col("b.__id"))
-        # size-ratio prune: J >= tau needs tau_den*min >= tau_num*max
-        & (F.least(na, nb) * tau_den >= F.greatest(na, nb) * tau_num)
+        & _size_ratio_ok(F.col("a.__n"), F.col("b.__n"), tau_num, tau_den)
     )
-    for eq in block_eq:
-        cond = cond & eq
+    # SQL `=` semantics: rows with a NULL block key never pair (matches
+    # the DuckDB oracle's `a.lang = b.lang`)
+    for c in bc:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
         pa.join(pb, cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sa = s.select(
-        F.col("__id").alias("id_a"), F.col("__set").alias("__sha"), F.col("__n").alias("__na")
-    )
-    sb = s.select(
-        F.col("__id").alias("id_b"), F.col("__set").alias("__shb"), F.col("__n").alias("__nb")
-    )
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    union = F.col("__na") + F.col("__nb") - F.col("__i")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("__i", inter)
-        # float comparison mirrors SQL's `* 1.0 / ... >= tau` semantics
-        .filter(F.col("__i") * F.lit(1.0) / union >= F.lit(tau_num) / F.lit(tau_den))
-        .select("id_a", "id_b", (F.col("__i") * F.lit(1.0) / union).alias("jaccard"))
-    )
+    return _verify_jaccard(cand, s, s, tau_num, tau_den, "id_a", "id_b")
 
 
 def jaccard_similarity_join_ab(
@@ -314,49 +359,21 @@ def jaccard_similarity_join_ab(
     tiny next to `left` (the corpus), so the candidate equi-join's right
     side stays small and the whole pipeline is one token-keyed join plus
     a candidate verify — never corpus x eval pairs."""
-    if not (0 < tau_num <= tau_den):
-        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
+    _check_tau(tau_num, tau_den)
     bc = list(block_cols)
-
-    def norm(df: DataFrame) -> DataFrame:
-        out = df.select(
-            *bc,
-            F.col(id_col).alias("__id"),
-            F.col(set_col).alias("__set"),
-            F.size(set_col).alias("__n"),
-        ).filter(F.col("__n") > 0)
-        return out.localCheckpoint(eager=False)  # reused: tokens + verify
-
-    L, R = norm(left), norm(right)
-    ltok = L.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
-    rtok = R.select(*bc, "__id", "__n", F.explode("__set").alias("__t"))
+    L = _sets_frame(left, id_col, set_col, bc)
+    R = _sets_frame(right, id_col, set_col, bc)
+    ltok, rtok = _tokens(L, bc), _tokens(R, bc)
     df_tab = (
         ltok.select(*bc, "__t")
         .unionByName(rtok.select(*bc, "__t"))
         .groupBy(*bc, "__t")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
-    pref_len = (
-        F.col("__n")
-        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
-        + 1
-    )
-    from pyspark.sql.window import Window
-
-    order_w = Window.partitionBy(*bc, "__id").orderBy("__df", "__t")
-
-    def prefixes(tok: DataFrame) -> DataFrame:
-        return (
-            tok.join(df_tab, bc + ["__t"])
-            .withColumn("__rn", F.row_number().over(order_w))
-            .filter(F.col("__rn") <= pref_len)
-            .select(*bc, "__t", "__id", "__n")
-        )
-
-    pa, pb = prefixes(ltok).alias("a"), prefixes(rtok).alias("b")
-    na, nb = F.col("a.__n"), F.col("b.__n")
-    cond = (F.col("a.__t") == F.col("b.__t")) & (
-        F.least(na, nb) * tau_den >= F.greatest(na, nb) * tau_num
+    pa = _rarest_first_prefixes(ltok, df_tab, bc, tau_num, tau_den).alias("a")
+    pb = _rarest_first_prefixes(rtok, df_tab, bc, tau_num, tau_den).alias("b")
+    cond = (F.col("a.__t") == F.col("b.__t")) & _size_ratio_ok(
+        F.col("a.__n"), F.col("b.__n"), tau_num, tau_den
     )
     for c in bc:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -365,21 +382,7 @@ def jaccard_similarity_join_ab(
         .select(F.col("a.__id").alias("id_left"), F.col("b.__id").alias("id_right"))
         .distinct()
     )
-    sa = L.select(
-        F.col("__id").alias("id_left"), F.col("__set").alias("__sha"), F.col("__n").alias("__na")
-    )
-    sb = R.select(
-        F.col("__id").alias("id_right"), F.col("__set").alias("__shb"), F.col("__n").alias("__nb")
-    )
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    union = F.col("__na") + F.col("__nb") - F.col("__i")
-    return (
-        cand.join(sa, "id_left")
-        .join(sb, "id_right")
-        .withColumn("__i", inter)
-        .filter(F.col("__i") * F.lit(1.0) / union >= F.lit(tau_num) / F.lit(tau_den))
-        .select("id_left", "id_right", (F.col("__i") * F.lit(1.0) / union).alias("jaccard"))
-    )
+    return _verify_jaccard(cand, L, R, tau_num, tau_den, "id_left", "id_right")
 
 
 # --------------------------------------------------------------------------
@@ -570,16 +573,31 @@ def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "quality"),
 )
 def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Plan shape: one posexplode of map-side window hashes; duplicated
-    # hashes detected with min(doc)!=max(doc) per hash (no countDistinct,
-    # no second window extraction); covered positions built per doc from
-    # the duplicated starts only; one left join hands each doc its covered
-    # set. Shuffles carry (hash, doc, pos) 8-byte triples and the final
-    # per-doc covered arrays — never window text. The rewrite itself is
-    # pure map-side higher-order expressions over the word array.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_removal_frame(docs).orderBy("doc_id")
+
+
+def span_removal_frame(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame form of duplicated_span_removal (unordered): duplication
+    evidence comes from exactly the documents IN `docs`. Pipelines must
+    pass the corpus slice whose duplication should count — e.g. the
+    CLEANED corpus, not the raw one: against the raw corpus every dedup
+    survivor's windows still collide with its already-removed duplicates,
+    and "keep one copy" silently becomes "keep zero copies".
+
+    Plan shape: one posexplode of map-side window hashes; duplicated
+    hashes detected with min(doc)!=max(doc) per hash (no countDistinct,
+    no second window extraction); covered positions built per doc from
+    the duplicated starts only; one left join hands each doc its covered
+    set. Shuffles carry (hash, doc, pos) 8-byte triples and the final
+    per-doc covered arrays — never window text. The rewrite itself is
+    pure map-side higher-order expressions over the word array."""
     k = DUP_WINDOW_K
-    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    )
     base = base.localCheckpoint(eager=False)  # reused: window explode + final rewrite
     win_hashes = F.transform(
         F.sequence(F.lit(1), F.size("ws") - k + 1),
@@ -597,22 +615,23 @@ def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.collect_list(F.sequence(F.col("i"), F.col("i") + k - 1)))
         ).alias("covered")
     )
-    pos = F.sequence(F.lit(1), F.size("ws"))
+    # guarded: sequence(1, 0) is the DESCENDING [1, 0], and element_at on
+    # an empty word array then crashes the job (zero-word docs: empty,
+    # punctuation-only, or non-latin text) — such docs pass through whole
+    pos = F.when(
+        F.size("ws") > 0, F.sequence(F.lit(1), F.size("ws"))
+    ).otherwise(F.array().cast("array<int>"))
     # F.filter (not array_except) so surviving word order is guaranteed
     keep = F.filter(
         pos, lambda i: F.col("covered").isNull() | ~F.array_contains("covered", i)
     )
-    return (
-        base.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("ws").alias("n_words"),
-            F.coalesce(F.size("covered"), F.lit(0)).alias("n_removed"),
-            F.concat_ws(
-                " ", F.transform(keep, lambda i: F.element_at("ws", i))
-            ).alias("cleaned_text"),
-        )
-        .orderBy("doc_id")
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.coalesce(F.size("covered"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(keep, lambda i: F.element_at("ws", i))
+        ).alias("cleaned_text"),
     )
 
 
@@ -856,27 +875,11 @@ def containment_similarity_join(
     `set_col` must hold DISTINCT elements; pre-hash large strings to
     8-byte ints (xxhash64).
     """
-    if not (0 < tau_num <= tau_den):
-        raise ValueError(f"tau must be in (0, 1]: got {tau_num}/{tau_den}")
-    s = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(set_col).alias("__set"),
-        F.size(set_col).alias("__n"),
-    ).filter(F.col("__n") > 0)
-    s = s.localCheckpoint(eager=False)  # reused: df table, prefixes, verify sides
-
-    tok = s.select("__id", "__n", F.explode("__set").alias("__t"))
+    _check_tau(tau_num, tau_den)
+    s = _sets_frame(df, id_col, set_col, [])
+    tok = _tokens(s, [])
     df_tab = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    pref_len = (
-        F.col("__n")
-        - F.floor((tau_num * F.col("__n") + tau_den - 1) / F.lit(tau_den)).cast("long")
-        + 1
-    )
-    from pyspark.sql.window import Window
-
-    order_w = Window.partitionBy("__id").orderBy("__df", "__t")
-    ranked = tok.join(df_tab, "__t").withColumn("__rn", F.row_number().over(order_w))
-    pref = ranked.filter(F.col("__rn") <= pref_len).select("__t", "__id", "__n")
+    pref = _rarest_first_prefixes(tok, df_tab, [], tau_num, tau_den)
     pa, tb = pref.alias("a"), tok.alias("b")
     # a is the smaller (or equal, tie-broken by id) side by construction
     smaller = (F.col("a.__n") < F.col("b.__n")) | (
@@ -1048,12 +1051,14 @@ def _minhash_oracle() -> str:
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     )
     SELECT count(*) AS n_exact_pairs,
-           sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           coalesce(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
              AS n_lsh_pairs,
-           sum(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT
+           coalesce(sum(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
              AS n_missed,
-           round(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) AS recall
+           CASE WHEN count(*) > 0 THEN
+             round(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4)
+           END AS recall
     FROM exact e LEFT JOIN pairs p ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
     """,
     doc="Measured MinHash-LSH recall at J >= 0.5: exact pairs from the "
@@ -1075,13 +1080,18 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__hit", F.lit(1))
     )
     # LSH's verified pairs are a subset of the exact set (same J filter),
-    # so one left join carries all three counts
+    # so one left join carries all three counts. The zero-exact-pairs
+    # corpus (the healthy steady state this canary confirms) reports NULL
+    # recall instead of tripping ANSI DIVIDE_BY_ZERO.
     hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
     return exact.join(lsh, ["doc_a", "doc_b"], "left").agg(
-        F.count(F.lit(1)).alias("n_exact_pairs"),
-        hit.alias("n_lsh_pairs"),
-        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_missed"),
-        F.round(hit * F.lit(1.0) / F.count(F.lit(1)), 4).alias("recall"),
+        n.alias("n_exact_pairs"),
+        F.coalesce(hit, F.lit(0)).alias("n_lsh_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_missed"),
+        F.when(n > 0, F.round(hit * F.lit(1.0) / n, 4)).alias("recall"),
     )
 
 
@@ -1679,9 +1689,10 @@ def span_dup_against_index(
         .select("h")
     )
     seen = _read_index_or_none(df.sparkSession, index_path)
-    dup_h = batch_dup if seen is None else batch_dup.unionByName(
-        seen.select("h")
-    ).distinct()
+    # NO distinct over the union: the left_semi consumer is unaffected by
+    # duplicate build-side rows, and a distinct here would re-shuffle the
+    # ENTIRE history index on every batch
+    dup_h = batch_dup if seen is None else batch_dup.unionByName(seen.select("h"))
     hit = per.join(dup_h, "h", "left_semi").groupBy("__id").agg(
         F.sum("cnt").alias("n_dup_windows")
     )

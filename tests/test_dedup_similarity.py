@@ -1050,6 +1050,9 @@ def test_duplicated_span_removal_matches_python_reference(spark, tmp_path):
         if i % 5 == 0:
             text = f"{text} {planted}" if text else planted
         rows.append((i, text, "en", "s", len(text)))
+    # zero-word docs (empty / punctuation-only / non-latin): the rewrite
+    # must pass them through whole, not crash on element_at of []
+    rows += [(90, "", "en", "s", 0), (91, "!!! ??? ...", "en", "s", 11)]
     df = spark.createDataFrame(
         rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
     )

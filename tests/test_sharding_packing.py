@@ -226,3 +226,41 @@ def test_prepare_with_span_removal(spark, tmp_path):
     b = spark.read.parquet(str(tmp_path / "b" / "shards"))
     # nothing empty ships
     assert b.filter("length(trim(text)) = 0").count() == 0
+
+
+def test_span_removal_evidence_is_cleaned_corpus(spark, tmp_path):
+    """A doc whose exact duplicate was removed by the clean stage must NOT
+    be gutted by span removal: evidence comes from the cleaned corpus, so
+    'keep one copy' stays one copy (against the raw corpus the survivor's
+    every window collided with its removed twin and the text vanished)."""
+    from railgun_spark.operators.corpus import corpus_verdicts, prepare_training_shards
+
+    body = " ".join(f"word{i}" for i in range(40))
+    others = [
+        (100 + i, " ".join(f"filler{i}x{j}" for j in range(30)), "en", "s", 0)
+        for i in range(12)
+    ]
+    rows = [
+        (1, body, "en", "s", len(body)),
+        (2, body, "en", "s", len(body)),  # exact duplicate of 1
+    ] + others
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    verdicts = {r["doc_id"]: r["reason"] for r in corpus_verdicts(spark, d).collect()}
+    assert verdicts[2] == "exact_duplicate" and verdicts[1] == "clean"
+
+    out = prepare_training_shards(
+        spark, d, str(tmp_path / "o"), max_tokens=512, remove_dup_spans=True
+    )
+    shards = spark.read.parquet(str(tmp_path / "o" / "shards"))
+    kept = {r["orig_doc_id"] for r in shards.select("orig_doc_id").distinct().collect()}
+    # doc 1 survives WITH its text iff it landed in the train split; either
+    # way it must not have been span-gutted: rewrite count stays 0 because
+    # the cleaned corpus holds only one copy of the span
+    assert out["n_span_rewritten"] == 0
+    if 1 in kept:
+        texts = [r["text"] for r in shards.filter("orig_doc_id = 1").collect()]
+        assert any("word0" in t for t in texts)
