@@ -222,6 +222,7 @@ def cmd_stats(args) -> int:
     from railgun_spark.operators.reporting import (
         cross_source_overlap,
         source_quality_report,
+        span_dup_by_source,
         token_length_histogram,
     )
     from railgun_spark.operators.text import (
@@ -237,6 +238,7 @@ def cmd_stats(args) -> int:
         "cross_source_overlap": cross_source_overlap,
         "containment_recall": containment_recall_report,
         "lsh_recall": lsh_recall_report,
+        "span_dup_by_source": span_dup_by_source,
         "vocab_coverage": vocab_coverage_curve,
         "unigram_outliers": unigram_logprob_quality,
     }

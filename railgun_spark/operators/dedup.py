@@ -486,11 +486,31 @@ DUP_WINDOW_FRAC = 0.5
 )
 def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        window_dup_frac_frame(docs)
+        .filter(
+            F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows") >= DUP_WINDOW_FRAC
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+    )
+
+
+def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc duplicated-window stats, unfiltered:
+    (doc_id, n_windows, n_dup_windows, dup_frac) for every doc with >= K
+    words. Shared by the threshold query and the per-source rollup.
+
+    Plan: windows as positions 1..len-K+1; join K words per window,
+    hash60 (non-distinct: repeated windows inside one doc each count
+    toward the doc's fraction, matching the oracle's unnest semantics).
+    ONE explode feeding one (h, doc_id) pre-aggregate: map-side combine
+    collapses intra-doc window repeats before the shuffle, every later
+    stage works on distinct (h, doc) pairs (strictly smaller). nd — the
+    distinct docs carrying h — is then a plain count(*) per h, so the
+    original plan's double window extraction and countDistinct's extra
+    internal shuffle both disappear: 7.7 s -> ~4 s at sf0.1."""
     ws = words(F.col("text"))
     k = DUP_WINDOW_K
-    # windows as positions 1..len-K+1; join K words per window, hash60.
-    # (non-distinct: repeated windows inside one doc each count toward the
-    # doc's fraction, matching the oracle's unnest semantics)
     win_hashes = F.transform(
         F.sequence(F.lit(1), F.size(ws) - k + 1),
         lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws, i, k))),
@@ -498,13 +518,6 @@ def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = docs.filter(F.size(ws) >= k).select(
         "doc_id", F.explode(win_hashes).alias("h")
     )
-    # ONE explode feeding one (h, doc_id) pre-aggregate: map-side combine
-    # collapses intra-doc window repeats before the shuffle, every later
-    # stage works on distinct (h, doc) pairs (strictly smaller). nd — the
-    # distinct docs carrying h — is then a plain count(*) per h, so the
-    # original plan's double window extraction (marked + join each
-    # recomputed the md5 explode) and countDistinct's extra internal
-    # shuffle both disappear: 7.7 s -> ~4 s at sf0.1, identical output.
     per = win.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
     per_h = per.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0))
@@ -517,8 +530,6 @@ def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup.alias("n_dup_windows"),
             F.round(dup * F.lit(1.0) / total, 4).alias("dup_frac"),
         )
-        .filter(F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows") >= DUP_WINDOW_FRAC)
-        .orderBy(F.desc("dup_frac"), "doc_id")
     )
 
 

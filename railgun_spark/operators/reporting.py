@@ -262,3 +262,73 @@ def dedup_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("loss_frac"), "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source span duplication: WHICH sources ship boilerplate. The per-doc
+# duplicated-window fraction (Lee et al. shape, dedup.py) rolled up by
+# source — mean duplication plus the share of docs past the removal
+# threshold. The actionable triage view: a source with high flagged_share
+# needs span removal (or exclusion) before it poisons the mixture.
+# --------------------------------------------------------------------------
+from railgun_spark.operators.dedup import DUP_WINDOW_FRAC, DUP_WINDOW_K
+
+
+@extra_query(
+    "span_dup_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), win AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - {DUP_WINDOW_K} + 2),
+                    i -> ('0x' || substr(md5(
+                        list_aggregate(ws[i:i + {DUP_WINDOW_K} - 1], 'string_agg', ' ')
+                    ), 1, 15))::UBIGINT::BIGINT)) AS h
+      FROM t WHERE len(ws) >= {DUP_WINDOW_K}
+    ), marked AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h
+    ), per AS (
+      SELECT win.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN marked.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM win JOIN marked USING (h)
+      GROUP BY win.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(avg(round(per.n_dup * 1.0 / per.n_windows, 4)), 4)
+             AS mean_dup_frac,
+           round(sum(CASE WHEN per.n_dup * 1.0 / per.n_windows >= {DUP_WINDOW_FRAC}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS flagged_share
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY mean_dup_frac DESC, source
+    """,
+    doc="Boilerplate triage by source: mean duplicated-window fraction and "
+    "the share of docs past the removal threshold, per source. One extra "
+    "groupBy(source) over the per-doc window stats.",
+    tags=("dedup", "reporting"),
+)
+def span_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.dedup import window_dup_frac_frame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = window_dup_frac_frame(docs)
+    raw_frac = F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows")
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_frac"), 4).alias("mean_dup_frac"),
+            F.round(
+                F.sum(F.when(raw_frac >= DUP_WINDOW_FRAC, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("flagged_share"),
+        )
+        .orderBy(F.desc("mean_dup_frac"), "source")
+    )

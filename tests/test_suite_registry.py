@@ -89,6 +89,7 @@ EXPECTED_EXTRA = {
     "decontaminate_neardup_eval",  # per-eval-doc leak attribution (AB prefix join)
     "lsh_recall_report",  # measured MinHash-LSH false-negative canary
     "quality_classifier_lowscore",  # hashing-trick linear filter margin
+    "span_dup_by_source",  # boilerplate triage: window-dup fraction by source
 }
 
 
