@@ -12,7 +12,10 @@ Shards are landed as N separate files so availableNow processes N
 micro-batches (maxFilesPerTrigger=1), exercising the per-batch overhead
 honestly rather than one giant batch.
 
-Usage: python tools/ingest_probe.py [n_shards]   (default 8)
+Usage: python tools/ingest_probe.py [n_shards] [--span]   (default 8)
+  --span: also gate every batch through the window-hash span index
+  (exact-substring filter) — measures the full three-index admission
+  path (content hash + span windows) instead of the exact gate alone.
 Prints one JSON line:
   {"metric": "ingest_throughput", "wave1": {"docs": N, "admitted": M,
    "sec": s, "docs_per_sec": r}, "wave2": {...}, "sf": ...}
@@ -20,6 +23,12 @@ Prints one JSON line:
 Measured (sf0.1 = 5000 docs in 8 shards, local[32], 2026-08-14):
   wave1 (fresh):  4992/5000 admitted, 9.5 s  = 524 docs/s
   wave2 (replay):    0/5000 admitted, 4.3 s  = 1161 docs/s
+With --span (content-hash + window-hash gates, same run shape):
+  wave1 (fresh):  4731/5000 admitted, 24.0 s = 208 docs/s — the span
+    gate additionally rejects 261 docs whose 10-word spans duplicate
+    earlier-admitted shards (cross-shard boilerplate the exact gate
+    cannot see); ~2.5x wall for window hashing + the second index leg
+  wave2 (replay):    0/5000 admitted, 6.9 s  = 729 docs/s
 Both waves are micro-batch-overhead bound at this size (~1.2 s and
 ~0.5 s per availableNow batch respectively) — per-doc cost is in the
 noise, so real throughput scales with batch size: the gate's joins are
@@ -60,7 +69,9 @@ def main() -> int:
     for i, p in enumerate(parts):
         shutil.move(os.path.join(stage, p), os.path.join(src, f"shard{i}.parquet"))
 
+    with_span = "--span" in sys.argv
     idx = os.path.join(work, "idx")
+    span_idx = os.path.join(work, "span_idx") if with_span else None
     out = {}
     for wave in (1, 2):
         t0 = time.time()
@@ -71,6 +82,7 @@ def main() -> int:
             index_path=idx,
             sink_path=os.path.join(work, f"corpus{wave}"),
             checkpoint_dir=os.path.join(work, f"ckpt{wave}"),
+            span_index_path=span_idx,
         )
         dt = time.time() - t0
         out[f"wave{wave}"] = {
@@ -86,6 +98,7 @@ def main() -> int:
             {
                 "metric": "ingest_throughput",
                 "n_shards": n_shards,
+                "span_gate": with_span,
                 **out,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
