@@ -1540,6 +1540,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 )
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dup_pairs(spark, sf_dir, 0.5)
+    return _cluster_survivors(pairs)
+
+
+def _cluster_survivors(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs -> (cluster_id, cluster_size, survivor_doc)
+    via min-label connected components; survivor = min doc_id."""
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
@@ -1551,6 +1557,56 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@extra_query(
+    "dedup_cluster_survivors_exact",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM t WHERE len(ws) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, count(*) AS cluster_size, min(doc_id) AS survivor_doc
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="PROVABLY-COMPLETE duplicate clusters: transitive components over "
+    "the lossless prefix-filter Jaccard join at J >= 0.5 instead of "
+    "MinHash-LSH pairs — the clusters the LSH variant converges to with "
+    "zero false-negative edges (lsh_recall_report measures the gap: a "
+    "missed edge can split a cluster in two and admit an extra copy). "
+    "Oracle: recursive CTE over the true all-pairs edges.",
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_survivors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
+    )
+    pairs = jaccard_similarity_join(s, "doc_id", "sh", 1, 2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _cluster_survivors(pairs)
 
 
 # --------------------------------------------------------------------------

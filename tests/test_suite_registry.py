@@ -90,6 +90,7 @@ EXPECTED_EXTRA = {
     "lsh_recall_report",  # measured MinHash-LSH false-negative canary
     "quality_classifier_lowscore",  # hashing-trick linear filter margin
     "span_dup_by_source",  # boilerplate triage: window-dup fraction by source
+    "dedup_cluster_survivors_exact",  # clusters over the lossless join (no LSH misses)
 }
 
 
