@@ -206,10 +206,12 @@ NEAR_DUP_BAND_BITS = 4
 NEAR_DUP_COS = 0.4
 
 
-def _near_dup_oracle() -> str:
-    # cosine as dot-of-prenormalized vectors — the same expression shape
-    # the Spark side computes (one norm per VECTOR, one dot per PAIR), so
-    # rounded values match across engines
+def _near_dup_ctes() -> str:
+    """CTE chain ending in ``ndpairs(vec_a, vec_b, cos_sim)`` — the
+    verified banded-LSH near-dup pairs; reused by the pairs query and the
+    recall canary. Cosine as dot-of-prenormalized vectors — the same
+    expression shape the Spark side computes (one norm per VECTOR, one
+    dot per PAIR), so rounded values match across engines."""
     cos = "round(list_dot_product({a}, {b}), 6)"
     band_selects = "\n      UNION ALL ".join(
         f"SELECT vec_id, {i} AS band_idx, "
@@ -217,8 +219,7 @@ def _near_dup_oracle() -> str:
         f" AS band_val FROM e"
         for i in range(NEAR_DUP_BANDS)
     )
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     en AS (
       SELECT vec_id,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
@@ -232,10 +233,18 @@ def _near_dup_oracle() -> str:
       FROM bands x JOIN bands y
         ON x.band_idx = y.band_idx AND x.band_val = y.band_val
        AND x.vec_id < y.vec_id
-    )
-    SELECT vec_a, vec_b, {cos.format(a="a.vn", b="b.vn")} AS cos_sim
-    FROM cand JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b
-    WHERE {cos.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_COS}
+    ),
+    ndpairs AS (
+      SELECT vec_a, vec_b, {cos.format(a="a.vn", b="b.vn")} AS cos_sim
+      FROM cand JOIN en a ON a.vec_id = vec_a JOIN en b ON b.vec_id = vec_b
+      WHERE {cos.format(a="a.vn", b="b.vn")} >= {NEAR_DUP_COS}
+    )"""
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+    WITH {_near_dup_ctes()}
+    SELECT vec_a, vec_b, cos_sim FROM ndpairs
     ORDER BY vec_a, vec_b
     """
 
@@ -1077,3 +1086,93 @@ def assign_clusters_batch(
         F.col("a.cluster").alias("cluster"),
         F.col("a.dist").alias("dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding LSH recall canary — the vector-modality twin of
+# dedup.lsh_recall_report. Ground truth comes from a blocked brute-force
+# matmul against the broadcast normalized matrix (the canary is meant for
+# a SAMPLED slice at 100 TB — full brute force is the point here, it is
+# what certifies the banded gate); the banded pipeline's verified pairs
+# left-join against it and the miss count IS the sign-LSH false-negative
+# set. Band-config drift (or a corpus whose near-dups sit at low cosine,
+# where 4x4-bit sign bands are weakest) shows as a recall drop instead of
+# silent dup leakage.
+# --------------------------------------------------------------------------
+@extra_query(
+    "embedding_lsh_recall_report",
+    oracle=None,  # assigned below: composes the shared ndpairs CTE chain
+    doc=f"Measured sign-LSH recall at cos >= {NEAR_DUP_COS}: brute-force "
+    "matmul ground truth vs the banded pipeline's verified pairs; "
+    "n_missed is the false-negative set. Run on sampled slices in "
+    "production. Measured 0.516 at sf0.1 — the 4x4-bit S-curve predicts "
+    "~0.50 at cos 0.4 (P(band)=(1-acos(c)/pi)^4), i.e. the banded gate "
+    "is for HIGH-cosine near-dups; at a 0.4 threshold use more/wider "
+    "bands or the brute-force path this canary runs.",
+    tags=("similarity", "dedup", "reporting"),
+)
+def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    emb_n = emb.select(
+        "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
+    ).select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
+    # the whole normalized matrix broadcasts (canary scale: n x dim
+    # doubles — 2.5 MB at sf0.1; sample upstream for bigger slices)
+    rows = sorted(emb_n.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    M = np.array([r["vn"] for r in rows], dtype="float64")
+    tau = NEAR_DUP_COS
+
+    def exact_pairs(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy()
+            Vb = np.vstack(pdf["vn"].to_numpy()).astype("float64")
+            S = np.round(Vb @ M.T, 6)
+            mask = (S >= tau) & (bids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame({"vec_a": bids[ii], "vec_b": ids[jj]})
+
+    exact = emb_n.mapInPandas(exact_pairs, "vec_a: long, vec_b: long")
+    lsh = (
+        embedding_near_dup_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return exact.join(lsh, ["vec_a", "vec_b"], "left").agg(
+        n.alias("n_exact_pairs"),
+        F.coalesce(hit, F.lit(0)).alias("n_lsh_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_missed"),
+        F.when(n > 0, F.round(hit * F.lit(1.0) / n, 4)).alias("recall"),
+    )
+
+
+# the oracle composes the shared CTE chain; assigned post-definition so it
+# reuses _near_dup_ctes() exactly (the decorator literal cannot)
+from railgun_spark import suite as _suite  # noqa: E402
+
+_suite.EXTRA["embedding_lsh_recall_report"].oracle = f"""
+    WITH {_near_dup_ctes()},
+    exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM en a JOIN en b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.vn, b.vn), 6) >= {NEAR_DUP_COS}
+    )
+    SELECT count(*) AS n_exact_pairs,
+           coalesce(sum(CASE WHEN p.vec_a IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_lsh_pairs,
+           coalesce(sum(CASE WHEN p.vec_a IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_missed,
+           CASE WHEN count(*) > 0 THEN
+             round(sum(CASE WHEN p.vec_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4)
+           END AS recall
+    FROM exact e LEFT JOIN ndpairs p ON e.vec_a = p.vec_a AND e.vec_b = p.vec_b
+    """

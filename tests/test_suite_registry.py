@@ -91,6 +91,7 @@ EXPECTED_EXTRA = {
     "quality_classifier_lowscore",  # hashing-trick linear filter margin
     "span_dup_by_source",  # boilerplate triage: window-dup fraction by source
     "dedup_cluster_survivors_exact",  # clusters over the lossless join (no LSH misses)
+    "embedding_lsh_recall_report",  # sign-LSH false-negative canary (matmul truth)
 }
 
 
