@@ -347,6 +347,72 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination against a SEPARATE eval corpus: flag
+    training docs overlapping the eval set, write flags as parquet, print
+    summary counts. Modes:
+
+      pooled   n-gram overlap vs the union of all eval shingles
+               (GPT-3-appendix-C shape; fast, no attribution)
+      neardup  per-eval-doc Jaccard >= tau via the lossless cross-table
+               prefix-filter join (exact leak attribution)
+    """
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.dedup import (
+        CONTAM_THRESHOLD,
+        jaccard_similarity_join_ab,
+        shingles,
+    )
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_decontam")
+
+    def shingled(path: str) -> "object":
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        return docs.select(
+            F.col(args.id_col).alias("doc_id"),
+            F.transform(shingles(F.col(args.text_col)), lambda g: F.xxhash64(g)).alias(
+                "sh"
+            ),
+        ).filter(F.size("sh") > 0)
+
+    tr, ev = shingled(args.input_dir), shingled(args.eval_dir)
+    if args.mode == "pooled":
+        ev_pool = ev.select(F.explode("sh").alias("g")).distinct()
+        tok = tr.select(
+            "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+        )
+        frac = F.col("n_overlap") / F.col("n_shingles")
+        thr = args.threshold if args.threshold is not None else CONTAM_THRESHOLD
+        flags = (
+            tok.join(F.broadcast(ev_pool), "g")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(frac >= thr)
+            .select("doc_id", "n_shingles", "n_overlap", F.round(frac, 4).alias("contam_frac"))
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        tau_num, tau_den = 7, 10
+        pairs = jaccard_similarity_join_ab(tr, ev, "doc_id", "sh", tau_num, tau_den)
+        best = Window.partitionBy("id_left").orderBy(F.desc("jaccard"), "id_right")
+        flags = (
+            pairs.withColumn("__rn", F.row_number().over(best))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("id_left").alias("doc_id"),
+                F.col("id_right").alias("eval_doc_id"),
+                F.round("jaccard", 4).alias("jaccard"),
+            )
+        )
+    flags.write.mode("overwrite").parquet(args.output_dir)
+    n = spark.read.parquet(args.output_dir).count()
+    print(json.dumps({"mode": args.mode, "n_flagged": n}))
+    return 0
+
+
 def cmd_functions(args) -> int:
     from railgun_spark.functions import functions
 
@@ -475,6 +541,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="also resolve clusters and write the survivor doc_id table",
     )
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "decontam",
+        help="flag training docs overlapping a separate eval corpus "
+        "(pooled n-gram overlap, or per-eval-doc near-dup attribution)",
+    )
+    p.add_argument("--input-dir", required=True, help="training corpus (documents.parquet)")
+    p.add_argument("--eval-dir", required=True, help="eval corpus (documents.parquet)")
+    p.add_argument("--output-dir", required=True, help="flags parquet destination")
+    p.add_argument("--mode", choices=("pooled", "neardup"), default="pooled")
+    p.add_argument(
+        "--threshold", type=float, default=None,
+        help="pooled-mode overlap fraction (default 0.1)",
+    )
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_decontam)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

@@ -269,3 +269,37 @@ def test_dedup_subcommand_containment(spark, capsys, tmp_path):
     assert set(pairs.columns) == {"doc_contained", "doc_container", "containment"}
     n_contained = pairs.select("doc_contained").distinct().count()
     assert summary["n_survivors"] == summary["n_docs"] - n_contained
+
+
+def test_decontam_subcommand(spark, capsys, tmp_path):
+    """Both modes flag a planted leak between a train corpus and a
+    separate eval corpus; an unrelated doc stays clean."""
+    leak = " ".join(f"leak{i}" for i in range(25))
+    train = spark.createDataFrame(
+        [(1, leak + " extra tail"), (2, "totally unrelated content " * 5)],
+        "doc_id: long, text: string",
+    )
+    ev = spark.createDataFrame([(900, leak)], "doc_id: long, text: string")
+    tdir, edir = tmp_path / "t", tmp_path / "e"
+    train.coalesce(1).write.parquet(str(tdir / "documents.parquet"))
+    ev.coalesce(1).write.parquet(str(edir / "documents.parquet"))
+
+    rc = main([
+        "decontam", "--input-dir", str(tdir), "--eval-dir", str(edir),
+        "--output-dir", str(tmp_path / "f1"), "--mode", "pooled",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    flagged = spark.read.parquet(str(tmp_path / "f1"))
+    assert out["n_flagged"] == 1
+    assert [r["doc_id"] for r in flagged.collect()] == [1]
+
+    rc = main([
+        "decontam", "--input-dir", str(tdir), "--eval-dir", str(edir),
+        "--output-dir", str(tmp_path / "f2"), "--mode", "neardup",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = spark.read.parquet(str(tmp_path / "f2")).collect()
+    assert out["n_flagged"] == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["eval_doc_id"] == 900
