@@ -357,11 +357,14 @@ def cmd_decontam(args) -> int:
       neardup  per-eval-doc Jaccard >= tau via the lossless cross-table
                prefix-filter join (exact leak attribution)
     """
+    from fractions import Fraction
+
     from pyspark.sql import functions as F
 
     from railgun_spark.operators.dedup import (
         CONTAM_THRESHOLD,
-        jaccard_similarity_join_ab,
+        neardup_contamination,
+        pooled_contamination,
         shingles,
     )
     from railgun_spark.session import get_spark
@@ -379,34 +382,17 @@ def cmd_decontam(args) -> int:
 
     tr, ev = shingled(args.input_dir), shingled(args.eval_dir)
     if args.mode == "pooled":
-        ev_pool = ev.select(F.explode("sh").alias("g")).distinct()
-        tok = tr.select(
-            "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
-        )
-        frac = F.col("n_overlap") / F.col("n_shingles")
         thr = args.threshold if args.threshold is not None else CONTAM_THRESHOLD
-        flags = (
-            tok.join(F.broadcast(ev_pool), "g")
-            .groupBy("doc_id", "n_shingles")
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
-            .filter(frac >= thr)
-            .select("doc_id", "n_shingles", "n_overlap", F.round(frac, 4).alias("contam_frac"))
-        )
+        flags = pooled_contamination(tr, ev, threshold=thr)
+    elif args.threshold is not None:
+        # the prefix filter needs a RATIONAL tau; map the float exactly
+        frac = Fraction(str(args.threshold)).limit_denominator(1000)
+        if not (0 < frac <= 1):
+            print(f"--threshold must be in (0, 1]: {args.threshold}", file=sys.stderr)
+            return 2
+        flags = neardup_contamination(tr, ev, frac.numerator, frac.denominator)
     else:
-        from pyspark.sql.window import Window
-
-        tau_num, tau_den = 7, 10
-        pairs = jaccard_similarity_join_ab(tr, ev, "doc_id", "sh", tau_num, tau_den)
-        best = Window.partitionBy("id_left").orderBy(F.desc("jaccard"), "id_right")
-        flags = (
-            pairs.withColumn("__rn", F.row_number().over(best))
-            .filter(F.col("__rn") == 1)
-            .select(
-                F.col("id_left").alias("doc_id"),
-                F.col("id_right").alias("eval_doc_id"),
-                F.round("jaccard", 4).alias("jaccard"),
-            )
-        )
+        flags = neardup_contamination(tr, ev)
     flags.write.mode("overwrite").parquet(args.output_dir)
     n = spark.read.parquet(args.output_dir).count()
     print(json.dumps({"mode": args.mode, "n_flagged": n}))
@@ -516,7 +502,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--sections",
         default=None,
-        help="comma list: source_quality,token_length_histogram,cross_source_overlap",
+        help="comma list: source_quality, token_length_histogram, "
+        "cross_source_overlap, containment_recall, lsh_recall, "
+        "span_dup_by_source, vocab_coverage, unigram_outliers",
     )
     p.add_argument("--pretty", action="store_true")
     p.set_defaults(fn=cmd_stats)
@@ -553,7 +541,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("pooled", "neardup"), default="pooled")
     p.add_argument(
         "--threshold", type=float, default=None,
-        help="pooled-mode overlap fraction (default 0.1)",
+        help="flag threshold: pooled overlap fraction (default 0.1) or "
+        "neardup Jaccard (default 0.7)",
     )
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")

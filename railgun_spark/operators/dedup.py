@@ -1335,29 +1335,36 @@ CONTAM_THRESHOLD = 0.1
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _docs_with_shingles(spark, sf_dir)
-    ev = (
-        s.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-    )
-    tr = s.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+    return pooled_contamination(
+        s.filter(F.col("doc_id") % EVAL_MOD != 0),
+        s.filter(F.col("doc_id") % EVAL_MOD == 0),
+    ).orderBy("doc_id")
+
+
+def pooled_contamination(
+    tr: DataFrame, ev: DataFrame, threshold: float = CONTAM_THRESHOLD
+) -> DataFrame:
+    """Pooled-shingle decontamination over shingled (doc_id, sh) frames:
+    training docs whose shingle overlap with the UNION of eval shingles
+    reaches `threshold`, as (doc_id, n_shingles, n_overlap, contam_frac).
+    The eval pool broadcasts (benchmarks are tiny next to the corpus);
+    the scan is a map-side join + one groupBy(doc_id). Shared by the
+    oracle-gated query and the decontam CLI."""
+    ev_pool = ev.select(F.explode("sh").alias("g")).distinct()
+    tok = tr.select(
         "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
     )
     hits = (
-        tr.join(F.broadcast(ev), "g")
+        tok.join(F.broadcast(ev_pool), "g")
         .groupBy("doc_id", "n_shingles")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     frac = F.col("n_overlap") / F.col("n_shingles")
-    return (
-        hits.filter(frac >= CONTAM_THRESHOLD)
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_overlap",
-            F.round(frac, 4).alias("contam_frac"),
-        )
-        .orderBy("doc_id")
+    return hits.filter(frac >= threshold).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(frac, 4).alias("contam_frac"),
     )
 
 
@@ -1416,11 +1423,24 @@ def decontaminate_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _docs_with_shingles(spark, sf_dir).select(
         "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
     )
-    ev = s.filter(F.col("doc_id") % EVAL_MOD == 0)
-    tr = s.filter(F.col("doc_id") % EVAL_MOD != 0)
-    pairs = jaccard_similarity_join_ab(
-        tr, ev, "doc_id", "sh", NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN
-    )
+    return neardup_contamination(
+        s.filter(F.col("doc_id") % EVAL_MOD != 0),
+        s.filter(F.col("doc_id") % EVAL_MOD == 0),
+    ).orderBy("doc_id")
+
+
+def neardup_contamination(
+    tr: DataFrame,
+    ev: DataFrame,
+    tau_num: int = NEARDUP_CONTAM_NUM,
+    tau_den: int = NEARDUP_CONTAM_DEN,
+) -> DataFrame:
+    """Per-eval-doc near-dup attribution over shingled (doc_id, sh)
+    frames: each training doc within Jaccard >= tau of some eval doc,
+    with its best match (ties -> lowest eval id), as
+    (doc_id, eval_doc_id, jaccard). Shared by the oracle-gated query,
+    the streaming twin's semantics, and the decontam CLI."""
+    pairs = jaccard_similarity_join_ab(tr, ev, "doc_id", "sh", tau_num, tau_den)
     from pyspark.sql.window import Window
 
     best = Window.partitionBy("id_left").orderBy(F.desc("jaccard"), "id_right")
@@ -1432,7 +1452,6 @@ def decontaminate_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_right").alias("eval_doc_id"),
             F.round("jaccard", 4).alias("jaccard"),
         )
-        .orderBy("doc_id")
     )
 
 

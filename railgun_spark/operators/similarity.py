@@ -1123,20 +1123,33 @@ def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(emb_n.collect(), key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype="int64")
     M = np.array([r["vn"] for r in rows], dtype="float64")
-    tau = NEAR_DUP_COS
+    # BLAS pairwise summation differs from the engines' sequential fold
+    # in the low bits, so numpy only PRE-FILTERS with slack around the
+    # round-6 boundary; every surviving candidate is then decided by the
+    # same Catalyst fold expression ndpairs and the DuckDB oracle use —
+    # boundary pairs classify identically across all three computations
+    tau_loose = NEAR_DUP_COS - 1e-5
 
-    def exact_pairs(batches):
+    def exact_candidates(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             bids = pdf["vec_id"].to_numpy()
             Vb = np.vstack(pdf["vn"].to_numpy()).astype("float64")
-            S = np.round(Vb @ M.T, 6)
-            mask = (S >= tau) & (bids[:, None] < ids[None, :])
+            S = Vb @ M.T
+            mask = (S >= tau_loose) & (bids[:, None] < ids[None, :])
             ii, jj = np.nonzero(mask)
             yield pd.DataFrame({"vec_a": bids[ii], "vec_b": ids[jj]})
 
-    exact = emb_n.mapInPandas(exact_pairs, "vec_a: long, vec_b: long")
+    cand = emb_n.mapInPandas(exact_candidates, "vec_a: long, vec_b: long")
+    a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("__vna"))
+    b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("__vnb"))
+    exact = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(F.round(dot(F.col("__vna"), F.col("__vnb")), 6) >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b")
+    )
     lsh = (
         embedding_near_dup_pairs(spark, sf_dir)
         .select("vec_a", "vec_b")

@@ -52,7 +52,8 @@ def main() -> int:
     from railgun_spark.session import get_spark
     from railgun_spark.streaming.ingest import stream_ingest_dedup_availablenow
 
-    n_shards = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_shards = int(pos[0]) if pos else 8
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("ingest_probe")
