@@ -72,6 +72,10 @@ while docs grow k; measured local[32], 2026-08-14):
         at x8 in the round-6 run) with zero recall caveat
     span             flat 0.5-0.8 s x1-x8 — two hash-keyed shuffles and
         a map-side rewrite, cost tracks corpus size linearly
+    lrtrain          5-iteration distributed LR: 6.8 / 6.8 / 7.4 s at
+        x2/x4/x8 (x1 10.8 s includes warmup) — per-iteration cost is
+        shuffle-overhead bound at these sizes; the gradient aggregate
+        stays D rows regardless of corpus scale
 
 Usage: python tools/scale_probe.py [max_k] [op ...]
   ops: minhash (default), containment, overlap, recall, pagerank,
@@ -109,6 +113,22 @@ def main() -> None:
         semantic_dedup_pairs,
     )
 
+    def _lrtrain_probe(spark, d):
+        from pyspark.sql import functions as F
+
+        from railgun_spark.operators.text import train_quality_classifier
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).withColumn(
+            "label", (F.col("doc_id") % 2).cast("int")
+        )
+        w = train_quality_classifier(docs, "label", iters=5)
+        # runner prints rows=; report nonzero weights as the "row" count
+        class _N:
+            def count(self_inner):
+                return sum(1 for x in w if x != 0.0)
+
+        return _N()
+
     args = sys.argv[1:]
     max_k = int(args[0]) if args and args[0].isdigit() else 8
     ops = [a for a in args if not a.isdigit()] or ["minhash"]
@@ -131,6 +151,10 @@ def main() -> None:
         "jaccard": dedup_ngram_jaccard,
         "containment_exact": dedup_containment_exact,
         "span": duplicated_span_removal,
+        # distributed LR trainer (5 iterations, parity labels — the cost
+        # is label-independent): per-iter one broadcast-weight join, one
+        # per-doc dot, one per-bucket gradient aggregate
+        "lrtrain": _lrtrain_probe,
     }
     EMB_OPS = {"semdedup", "embnear"}
     spark = get_spark("scale_probe")
