@@ -384,6 +384,14 @@ def _compile_call(node: Call, ctx: Context) -> Column:
         ) else a(0).getItem(args[1].value)
     if name == "intersects":
         return F.arrays_overlap(a(0), a(1))
+    if name == "jaccard":
+        # exact set similarity |A n B| / |A u B| over DISTINCT views of
+        # both arrays (same semantics as the dedup operators); empty-vs-
+        # empty is NULL (guarded — ANSI mode would raise on 0/0)
+        da, db = F.array_distinct(a(0)), F.array_distinct(a(1))
+        inter = F.size(F.array_intersect(da, db))
+        union = F.size(da) + F.size(db) - inter
+        return F.when(union > 0, inter * F.lit(1.0) / union)
     if name == "tileX" or name == "tilex":
         from railgun_spark.geo.tiles import tile_x
 

@@ -276,6 +276,13 @@ def _call_sql(node: Call, scope: _Scope) -> str:
         return f"array_sort({a(0)})"
     if name == "intersects":
         return f"arrays_overlap({a(0)}, {a(1)})"
+    if name == "jaccard":
+        da, db = f"array_distinct({a(0)})", f"array_distinct({a(1)})"
+        inter = f"size(array_intersect({da}, {db}))"
+        union = f"(size({da}) + size({db}) - {inter})"
+        return (
+            f"(CASE WHEN {union} > 0 THEN {inter} * 1.0 / {union} END)"
+        )
     if name == "lookup":
         if isinstance(args[1], Literal):
             return f"{a(0)}[{_lit_sql(args[1].value)}]"

@@ -56,6 +56,11 @@ CATALOG: dict[str, dict] = {
     "group": {"args": ["xs", "key"], "doc": "group elements by key expression"},
     "lookup": {"args": ["m", "k"], "doc": "dynamic key access, null if absent"},
     "intersects": {"args": ["a", "b"], "doc": "set/array overlap test"},
+    "jaccard": {
+        "args": ["a", "b"],
+        "doc": "exact Jaccard set similarity |A∩B|/|A∪B| over distinct "
+        "array views (NULL when both empty)",
+    },
     # geospatial (SURVEY §2.9)
     "bbox": {"args": ["coords"], "doc": "[minX, minY, maxX, maxY] aggregate"},
     "tileX": {"args": ["lon", "z"], "doc": "web-mercator tile x (geo/LongitudeToTile.go)"},

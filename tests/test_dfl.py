@@ -377,3 +377,29 @@ def test_dfl_geohash_function(spark):
     assert row["gh"] == "ezs42" and row["g3"] == "ezs"
     with _pytest.raises(DflCompileError, match="literal"):
         run_pipeline(df, "map(@, '{g: geohash(@lon, @lat, @id)}')").collect()
+
+
+def test_jaccard_function_and_sql_twin(spark):
+    """jaccard(a, b) in DFL projections: exact set similarity over
+    distinct array views, NULL on empty-vs-empty (ANSI-safe), and the
+    SQL renderer agrees with the compiled Column."""
+    from railgun_spark.dfl import run_pipeline
+    from railgun_spark.dfl.sqlgen import pipeline_sql_for_df
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"], ["b", "c", "d"]),
+            (2, ["a", "a", "b"], ["a", "b"]),   # distinct views: J = 1.0
+            (3, ["x"], ["y"]),
+            (4, [], []),
+        ],
+        "id: long, u: array<string>, v: array<string>",
+    )
+    expr = "map(@, '{id: @id, j: jaccard(@u, @v)}')"
+    got = {r["id"]: r["j"] for r in run_pipeline(df, expr).collect()}
+    assert abs(got[1] - 0.5) < 1e-12 and got[2] == 1.0 and got[3] == 0.0
+    assert got[4] is None
+    sql = pipeline_sql_for_df(df, expr, "t", {})
+    df.createOrReplaceTempView("t")
+    via_sql = {r["id"]: r["j"] for r in spark.sql(sql).collect()}
+    assert via_sql == got
