@@ -3,10 +3,12 @@ typed metadata, processed via Arrow-batched mapInPandas.
 
 Beyond-reference component for training-data pipelines. The Spark-side
 plumbing (schemas, batch iteration, partition behavior) is real and tested;
-the actual media decoding is STUBBED — image/audio libraries are not in
-this container — behind `decoder=` hooks that default to a deterministic
-fake (so tests exercise the full pipeline shape) or raise
-NotImplementedError when `require_real=True`.
+media decoding is pluggable behind `decoder=` hooks: `decode_image`
+REALLY decodes the library-free formats (binary PPM P6, uncompressed
+24/32-bit BMP — pure struct+numpy, golden-tested), while codec-bound
+formats (JPEG/PNG/audio/video; PIL/ffmpeg absent from this container)
+default to a deterministic fake for pipeline-shape tests or raise
+NotImplementedError when `require_real=True` without a decoder.
 
 Scale design: binary payloads ride in parquet binary columns (or are
 referenced by uri and loaded inside the batch fn), metadata stays columnar
@@ -68,8 +70,9 @@ def extract_features(
     Python hop: one Arrow batch in, one out, no per-row serialization."""
     if require_real and decoder is None:
         raise NotImplementedError(
-            "real media decoding requires PIL/torchaudio/ffmpeg, not present "
-            "in this container; pass decoder= or use fake_decode"
+            "real media decoding needs a decoder: pass decoder=decode_image "
+            "for PPM/BMP (library-free), or a PIL/torchaudio/ffmpeg-backed "
+            "callable (not present in this container) for other codecs"
         )
     fn = decoder or fake_decode
 
@@ -248,3 +251,104 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# --------------------------------------------------------------------------
+# REAL image decoding for the library-free formats. PIL/ffmpeg are absent
+# from this container, but binary PPM (P6) and uncompressed 24/32-bit BMP
+# need nothing beyond struct + numpy — so for those formats
+# `extract_features(df, decoder=decode_image, require_real=True)` is a
+# genuinely working decode path, not a stub. Anything else (JPEG/PNG/
+# video/audio) still raises: wire a codec library through the same hook.
+# --------------------------------------------------------------------------
+def decode_image(content: bytes, kind: str) -> dict:
+    """Decode PPM(P6)/BMP bytes to (width, height, feature[8]): mean R, G,
+    B, mean gray, and the four quadrant gray means — deterministic numpy
+    arithmetic, no codec libraries. Raises ValueError on non-image kinds
+    and on formats that DO need a codec library."""
+    import numpy as np
+
+    if kind != "image":
+        raise ValueError(f"decode_image got kind={kind!r}")
+    b = bytes(content or b"")
+    if b[:2] == b"P6":
+        rgb = _decode_ppm_p6(b)
+    elif b[:2] == b"BM":
+        rgb = _decode_bmp(b)
+    else:
+        raise ValueError(
+            "unsupported image codec (library-free decode covers PPM P6 and "
+            "uncompressed BMP; JPEG/PNG need a codec library via decoder=)"
+        )
+    h, w = rgb.shape[0], rgb.shape[1]
+    gray = rgb.mean(axis=2)
+    th, lw = (h + 1) // 2, (w + 1) // 2  # top/left halves (never empty)
+    feature = [
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        float(gray.mean()),
+        float(gray[:th, :lw].mean()),
+        float(gray[:th, w // 2 :].mean()),
+        float(gray[h // 2 :, :lw].mean()),
+        float(gray[h // 2 :, w // 2 :].mean()),
+    ]
+    return {"width": int(w), "height": int(h), "feature": feature}
+
+
+def _decode_ppm_p6(b: bytes):
+    """Binary PPM: 'P6' <ws> width <ws> height <ws> maxval <one ws> raw
+    RGB triplets; '#' comments allowed in the header."""
+    import numpy as np
+
+    tokens, i, n = [], 2, len(b)
+    while len(tokens) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < n and not b[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(b[start:i]))
+    i += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = b[i : i + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype("float64")
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed (BI_RGB) 24/32-bit BMP: BITMAPINFOHEADER, rows padded
+    to 4 bytes, bottom-up unless height is negative; pixels are BGR(A)."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(b, dtype=np.uint8, count=w * bypp, offset=off).reshape(
+            w, bypp
+        )
+        rows.append(row[:, 2::-1])  # BGR(A) -> RGB
+    img = np.stack(rows if top_down else rows[::-1])
+    return img.astype("float64")

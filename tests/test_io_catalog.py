@@ -848,3 +848,69 @@ def test_bson_codec_property_roundtrip(doc):
     from railgun_spark.sources import bson_codec
 
     assert bson_codec.loads(bson_codec.dumps(doc)) == doc
+
+
+def test_real_image_decode_ppm_and_bmp(spark):
+    """decode_image genuinely decodes library-free formats end-to-end
+    through the mapInPandas pipeline with require_real=True: a hand-built
+    P6 PPM (with a header comment) and both bottom-up and top-down
+    uncompressed BMPs, pixel values pinned against a numpy reference;
+    unsupported codecs and kinds raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(3, 5, 3), dtype=np.uint8)  # h=3 w=5
+
+    ppm = b"P6\n# comment\n5 3\n255\n" + img.tobytes()
+
+    def bmp_bytes(arr, top_down=False):
+        h, w, _ = arr.shape
+        stride = (w * 3 + 3) & ~3
+        rows = arr if top_down else arr[::-1]
+        raster = b"".join(
+            row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3) for row in rows
+        )
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+            len(raster), 2835, 2835, 0, 0,
+        )
+        return header + raster
+
+    gray = img.astype("float64").mean(axis=2)
+    expect = [
+        img[:, :, 0].mean(), img[:, :, 1].mean(), img[:, :, 2].mean(),
+        gray.mean(), gray[:2, :3].mean(), gray[:2, 2:].mean(),
+        gray[1:, :3].mean(), gray[1:, 2:].mean(),
+    ]
+    for content in (ppm, bmp_bytes(img), bmp_bytes(img, top_down=True)):
+        d = decode_image(content, "image")
+        assert (d["width"], d["height"]) == (5, 3)
+        assert np.allclose(d["feature"], expect)
+
+    # end-to-end through the Arrow pipeline with require_real
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm), {}), (2, "image", bytearray(bmp_bytes(img)), {})],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(df, decoder=decode_image, require_real=True).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (5, 3)
+        assert np.allclose(r["feature"], expect, atol=1e-4)  # float32 schema
+
+    with _pytest.raises(ValueError, match="codec"):
+        decode_image(b"\x89PNG....", "image")
+    with _pytest.raises(ValueError, match="kind"):
+        decode_image(ppm, "audio")
