@@ -352,3 +352,104 @@ def _decode_bmp(b: bytes):
         rows.append(row[:, 2::-1])  # BGR(A) -> RGB
     img = np.stack(rows if top_down else rows[::-1])
     return img.astype("float64")
+
+
+# --------------------------------------------------------------------------
+# REAL audio decoding for the library-free format: RIFF/WAVE PCM needs
+# only struct + numpy. 16-bit PCM (format 1) and 32-bit IEEE float
+# (format 3) are covered; compressed codecs (MP3/AAC/Opus) still need a
+# library through the same hook.
+# --------------------------------------------------------------------------
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_wav(content: bytes) -> dict:
+    """RIFF/WAVE PCM -> sample_rate, n_channels, n_samples, duration, and
+    an 8-dim feature: [rms, peak, zero-crossing rate, mean, rms of four
+    equal time segments] over the channel-averaged signal in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload (compressed audio needs a codec library)")
+    i, n = 12, len(b)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid, csize = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        body = b[i + 8 : i + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
+    else:
+        raise ValueError(
+            f"only 16-bit PCM or 32-bit float WAVE (format={audio_format}, bits={bits})"
+        )
+    if n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
+    n_samples = len(x)
+    if n_samples == 0:
+        raise ValueError("empty WAVE data chunk")
+    rms = float(np.sqrt((x**2).mean()))
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n_samples > 1 else 0.0
+    seg = max(1, n_samples // 4)
+    seg_rms = [
+        float(np.sqrt((x[k * seg : (k + 1) * seg if k < 3 else n_samples] ** 2).mean()))
+        for k in range(4)
+    ]
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(n_samples),
+        "duration_s": n_samples / sample_rate,
+        "feature": [rms, float(np.abs(x).max()), zcr, float(x.mean())] + seg_rms,
+    }
+
+
+def extract_audio_features(
+    df: DataFrame, decoder: Callable[[bytes], dict] | None = None
+) -> DataFrame:
+    """Audio rows (MEDIA_SCHEMA, kind='audio') -> AUDIO_FEATURE_SCHEMA via
+    mapInPandas; default decoder is the real WAV/PCM decode_wav."""
+    fn = decoder or decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                # an all-filtered batch would emit float64-typed empty
+                # columns that Arrow cannot cast to list<float>
+                continue
+            decoded = [fn(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "n_channels": [d["n_channels"] for d in decoded],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "duration_s": [d["duration_s"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -914,3 +914,62 @@ def test_real_image_decode_ppm_and_bmp(spark):
         decode_image(b"\x89PNG....", "image")
     with _pytest.raises(ValueError, match="kind"):
         decode_image(ppm, "audio")
+
+
+def test_real_wav_decode(spark):
+    """decode_wav genuinely decodes PCM WAV: a synthesized stereo sine
+    wave recovers its rate/channels/duration, the rms pins to A/sqrt(2),
+    and the zero-crossing rate to 2*f/rate; float32 WAVE and truncation
+    paths covered; end-to-end through extract_audio_features."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav,
+        extract_audio_features,
+    )
+
+    rate, freq, amp, dur = 8000, 440, 0.5, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    mono = (amp * np.sin(2 * np.pi * freq * t)).astype("float64")
+
+    def wav_bytes(x, channels=1, fmt=1):
+        if fmt == 1:
+            pcm = (np.repeat(x, channels) * 32767).astype("<i2").tobytes()
+            bits = 16
+        else:
+            pcm = np.repeat(x, channels).astype("<f4").tobytes()
+            bits = 32
+        byterate = rate * channels * bits // 8
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                    byterate, channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(pcm))
+        )
+        return hdr + pcm
+
+    for content, ch in ((wav_bytes(mono), 1), (wav_bytes(mono, 2), 2),
+                        (wav_bytes(mono, 1, fmt=3), 1)):
+        d = decode_wav(content)
+        assert (d["sample_rate"], d["n_channels"]) == (rate, ch)
+        assert abs(d["duration_s"] - dur) < 1e-9
+        rms, peak, zcr = d["feature"][0], d["feature"][1], d["feature"][2]
+        assert abs(rms - amp / np.sqrt(2)) < 1e-3
+        assert abs(peak - amp) < 1e-3
+        assert abs(zcr - 2 * freq / rate) < 5e-3
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_bytes(mono)), {}),
+         (2, "image", bytearray(b"P6..."), {})],  # filtered out by kind
+        MEDIA_SCHEMA,
+    )
+    rows = extract_audio_features(df).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 1
+    assert rows[0]["n_samples"] == len(mono)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x03compressed-mp3-ish")
