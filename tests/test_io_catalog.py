@@ -973,3 +973,49 @@ def test_real_wav_decode(spark):
 
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"ID3\x03compressed-mp3-ish")
+
+
+def test_real_y4m_video_decode(spark):
+    """decode_y4m decodes a synthesized 3-frame 4:2:0 Y4M: dims, fps,
+    per-frame luma means, and the inter-frame motion proxy all pin to the
+    constructed values; 4:4:4 and error paths covered; end-to-end through
+    extract_video_features."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_y4m,
+        extract_video_features,
+    )
+
+    w, h = 8, 4
+    lumas = [10, 60, 200]
+
+    def y4m_bytes(csp=b"420"):
+        chroma = w * h // 2 if csp == b"420" else w * h * 2
+        out = b"YUV4MPEG2 W8 H4 F25:1 Ip A1:1 C" + csp + b"\n"
+        for v in lumas:
+            out += b"FRAME\n" + bytes([v]) * (w * h) + b"\x80" * chroma
+        return out
+
+    for csp in (b"420", b"444"):
+        d = decode_y4m(y4m_bytes(csp))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 3)
+        assert d["fps"] == 25.0
+        assert d["feature"][:4] == [10.0, 60.0, 200.0, 0.0]
+        assert abs(d["feature"][4] - np.mean(lumas)) < 1e-9
+        assert abs(d["feature"][6] - np.mean([50, 140])) < 1e-9  # motion proxy
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(y4m_bytes()), {}),
+         (2, "audio", bytearray(b"RIFF..."), {})],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_video_features(df).collect()
+    assert len(rows) == 1 and rows[0]["n_frames"] == 3
+
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"\x00\x00\x01\xba mpeg-ps")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(y4m_bytes()[:-10])
