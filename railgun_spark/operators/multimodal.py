@@ -560,3 +560,57 @@ def extract_video_features(
             )
 
     return df.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
+
+
+def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling for Y4M video rows: decodes every `every_n`-th
+    frame's luma plane inside mapInPandas and emits
+    (media_id, frame_idx, luma_mean) — the working counterpart of the
+    metadata-driven frame_sample stub. Only sampled planes are touched
+    per batch; compressed video still needs a codec library."""
+    import numpy as np
+
+    schema = "media_id: long, frame_idx: int, luma_mean: double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            mids, idxs, means = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content or b"")
+                if not b.startswith(b"YUV4MPEG2"):
+                    raise ValueError(
+                        "sample_frames_y4m needs YUV4MPEG2 content "
+                        "(compressed video needs a codec library)"
+                    )
+                nl = b.index(b"\n")
+                w = h = None
+                csp = b"420"
+                for tok in b[9:nl].split():
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                    elif tok[:1] == b"C":
+                        csp = tok[1:4]
+                luma = w * h
+                chroma = {b"420": luma // 2, b"444": luma * 2}[csp]
+                i, k = nl + 1, 0
+                while i < len(b):
+                    i = b.index(b"\n", i) + 1
+                    if i + luma + chroma > len(b):
+                        raise ValueError("truncated Y4M frame")
+                    if k % every_n == 0:
+                        plane = np.frombuffer(b, dtype=np.uint8, count=luma, offset=i)
+                        mids.append(mid)
+                        idxs.append(k)
+                        means.append(float(plane.mean()))
+                    i += luma + chroma
+                    k += 1
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "luma_mean": means}
+            )
+
+    return df.mapInPandas(batches, schema)

@@ -1019,3 +1019,20 @@ def test_real_y4m_video_decode(spark):
         decode_y4m(b"\x00\x00\x01\xba mpeg-ps")
     with _pytest.raises(ValueError, match="truncated"):
         decode_y4m(y4m_bytes()[:-10])
+
+
+def test_sample_frames_y4m(spark):
+    """Real frame sampling decodes every n-th luma plane: a 7-frame Y4M
+    sampled every 3 yields frames 0,3,6 with their exact luma means."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames_y4m
+
+    w, h = 4, 2
+    vals = [5, 15, 25, 35, 45, 55, 65]
+    content = b"YUV4MPEG2 W4 H2 F30:1 C420\n" + b"".join(
+        b"FRAME\n" + bytes([v]) * (w * h) + b"\x80" * (w * h // 2) for v in vals
+    )
+    df = spark.createDataFrame([(7, "video", bytearray(content), {})], MEDIA_SCHEMA)
+    rows = sorted(
+        (r["frame_idx"], r["luma_mean"]) for r in sample_frames_y4m(df, 3).collect()
+    )
+    assert rows == [(0, 5.0), (3, 35.0), (6, 65.0)]
