@@ -3,12 +3,14 @@ typed metadata, processed via Arrow-batched mapInPandas.
 
 Beyond-reference component for training-data pipelines. The Spark-side
 plumbing (schemas, batch iteration, partition behavior) is real and tested;
-media decoding is pluggable behind `decoder=` hooks: `decode_image`
-REALLY decodes the library-free formats (binary PPM P6, uncompressed
-24/32-bit BMP — pure struct+numpy, golden-tested), while codec-bound
-formats (JPEG/PNG/audio/video; PIL/ffmpeg absent from this container)
-default to a deterministic fake for pipeline-shape tests or raise
-NotImplementedError when `require_real=True` without a decoder.
+media decoding is pluggable behind `decoder=` hooks: `decode_media`
+(dispatching to decode_image / decode_wav / decode_y4m) REALLY decodes
+one library-free format per modality — PPM P6 + uncompressed BMP, PCM
+and float WAV, YUV4MPEG2 — pure struct+numpy, golden-tested, truncation
+refused everywhere; codec-bound formats (JPEG/PNG/MP3/H.264; PIL/ffmpeg
+absent from this container) default to a deterministic fake for
+pipeline-shape tests or raise NotImplementedError when
+`require_real=True` without a decoder.
 
 Scale design: binary payloads ride in parquet binary columns (or are
 referenced by uri and loaded inside the batch fn), metadata stays columnar
@@ -70,9 +72,10 @@ def extract_features(
     Python hop: one Arrow batch in, one out, no per-row serialization."""
     if require_real and decoder is None:
         raise NotImplementedError(
-            "real media decoding needs a decoder: pass decoder=decode_image "
-            "for PPM/BMP (library-free), or a PIL/torchaudio/ffmpeg-backed "
-            "callable (not present in this container) for other codecs"
+            "real media decoding needs a decoder: pass decoder=decode_media "
+            "for the library-free formats (PPM/BMP, WAV, Y4M), or a "
+            "PIL/torchaudio/ffmpeg-backed callable (not present in this "
+            "container) for compressed codecs"
         )
     fn = decoder or fake_decode
 
@@ -257,8 +260,9 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
 # REAL image decoding for the library-free formats. PIL/ffmpeg are absent
 # from this container, but binary PPM (P6) and uncompressed 24/32-bit BMP
 # need nothing beyond struct + numpy — so for those formats
-# `extract_features(df, decoder=decode_image, require_real=True)` is a
-# genuinely working decode path, not a stub. Anything else (JPEG/PNG/
+# `extract_features(df, decoder=decode_media, require_real=True)` is a
+# genuinely working decode path, not a stub (decode_media dispatches by
+# kind; decode_image alone requires a pre-filtered image-only frame). Anything else (JPEG/PNG/
 # video/audio) still raises: wire a codec library through the same hook.
 # --------------------------------------------------------------------------
 def decode_image(content: bytes, kind: str) -> dict:
@@ -328,11 +332,14 @@ def _decode_ppm_p6(b: bytes):
 
 def _decode_bmp(b: bytes):
     """Uncompressed (BI_RGB) 24/32-bit BMP: BITMAPINFOHEADER, rows padded
-    to 4 bytes, bottom-up unless height is negative; pixels are BGR(A)."""
+    to 4 bytes, bottom-up unless height is negative; pixels are BGR(A).
+    One vectorized frombuffer/reshape — no per-row Python loop."""
     import struct
 
     import numpy as np
 
+    if len(b) < 54:
+        raise ValueError(f"truncated BMP header ({len(b)} bytes)")
     data_off = struct.unpack_from("<I", b, 10)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
@@ -343,14 +350,12 @@ def _decode_bmp(b: bytes):
     h = abs(h)
     bypp = bpp // 8
     stride = (w * bypp + 3) & ~3
-    rows = []
-    for r in range(h):
-        off = data_off + r * stride
-        row = np.frombuffer(b, dtype=np.uint8, count=w * bypp, offset=off).reshape(
-            w, bypp
-        )
-        rows.append(row[:, 2::-1])  # BGR(A) -> RGB
-    img = np.stack(rows if top_down else rows[::-1])
+    if data_off + h * stride > len(b):
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=data_off)
+    img = raster.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)[:, :, 2::-1]
+    if not top_down:
+        img = img[::-1]
     return img.astype("float64")
 
 
@@ -388,6 +393,12 @@ def decode_wav(content: bytes) -> dict:
     data = None
     while i + 8 <= n:
         cid, csize = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        if i + 8 + csize > n:
+            # refuse truncation instead of silently decoding fewer
+            # samples than the header declares (PPM/Y4M discipline)
+            raise ValueError(
+                f"truncated WAVE {cid!r} chunk: {n - i - 8} of {csize} bytes"
+            )
         body = b[i + 8 : i + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -412,10 +423,11 @@ def decode_wav(content: bytes) -> dict:
         raise ValueError("empty WAVE data chunk")
     rms = float(np.sqrt((x**2).mean()))
     zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n_samples > 1 else 0.0
-    seg = max(1, n_samples // 4)
+    # array_split never drops samples; sub-4-sample clips get 0.0 for the
+    # empty segments instead of NaN poisoning the float32 feature column
     seg_rms = [
-        float(np.sqrt((x[k * seg : (k + 1) * seg if k < 3 else n_samples] ** 2).mean()))
-        for k in range(4)
+        float(np.sqrt((s**2).mean())) if len(s) else 0.0
+        for s in np.array_split(x, 4)
     ]
     return {
         "sample_rate": int(sample_rate),
@@ -474,13 +486,24 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_y4m(content: bytes) -> dict:
-    """YUV4MPEG2 (4:2:0 or 4:4:4) -> dims, frame count, fps, and an 8-dim
-    feature: mean luma of the first four frames, overall luma mean/std,
-    and mean inter-frame absolute luma delta (a motion proxy), zero-pad."""
-    import numpy as np
+# colorspaces by EXACT token (a prefix slice would misclassify variants
+# like 444alpha, whose frames carry an extra plane): chroma bytes per
+# luma byte as a rational
+_Y4M_CHROMA = {
+    b"420": (1, 2),
+    b"420jpeg": (1, 2),
+    b"420mpeg2": (1, 2),
+    b"420paldv": (1, 2),
+    b"422": (1, 1),
+    b"444": (2, 1),
+}
 
-    b = bytes(content or b"")
+
+def _parse_y4m_header(b: bytes) -> tuple[int, int, float, int, int, int]:
+    """Validate and parse the YUV4MPEG2 stream header. Returns
+    (width, height, fps, luma_size, chroma_size, first_frame_offset).
+    Shared by decode_y4m and sample_frames_y4m so validation cannot
+    drift between them."""
     if not b.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload (compressed video needs a codec library)")
     nl = b.index(b"\n")
@@ -496,24 +519,44 @@ def decode_y4m(content: bytes) -> dict:
             num, den = tok[1:].split(b":")
             fps = int(num) / int(den)
         elif tok[:1] == b"C":
-            csp = tok[1:4]
+            csp = tok[1:]
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    luma_size = w * h
-    chroma = {b"420": luma_size // 2, b"444": luma_size * 2}.get(csp)
-    if chroma is None:
+    if csp not in _Y4M_CHROMA:
         raise ValueError(f"unsupported Y4M colorspace C{csp.decode()}")
-    frame_size = luma_size + chroma
-    i, lumas = nl + 1, []
+    num, den = _Y4M_CHROMA[csp]
+    luma_size = w * h
+    return w, h, fps, luma_size, luma_size * num // den, nl + 1
+
+
+def _y4m_frames(b: bytes, luma_size: int, chroma_size: int, start: int):
+    """Yield (frame_idx, luma_offset) for every frame, validating the
+    FRAME marker and refusing truncation even mid-chroma."""
+    i, k = start, 0
     while i < len(b):
         if not b.startswith(b"FRAME", i):
             raise ValueError(f"bad FRAME marker at byte {i}")
         i = b.index(b"\n", i) + 1  # frame headers may carry params
-        if i + frame_size > len(b):  # luma AND chroma must be complete
+        if i + luma_size + chroma_size > len(b):
             raise ValueError("truncated Y4M frame")
-        plane = b[i : i + luma_size]
-        lumas.append(np.frombuffer(plane, dtype=np.uint8).astype("float64"))
-        i += frame_size
+        yield k, i
+        i += luma_size + chroma_size
+        k += 1
+
+
+def decode_y4m(content: bytes) -> dict:
+    """YUV4MPEG2 (4:2:0/4:2:2/4:4:4) -> dims, frame count, fps, and an
+    8-dim feature: mean luma of the first four frames, overall luma
+    mean/std, and mean inter-frame absolute luma delta (a motion proxy),
+    zero-pad."""
+    import numpy as np
+
+    b = bytes(content or b"")
+    w, h, fps, luma_size, chroma_size, start = _parse_y4m_header(b)
+    lumas = [
+        np.frombuffer(b, dtype=np.uint8, count=luma_size, offset=off).astype("float64")
+        for _, off in _y4m_frames(b, luma_size, chroma_size, start)
+    ]
     if not lumas:
         raise ValueError("Y4M with zero frames")
     means = [float(x.mean()) for x in lumas]
@@ -580,37 +623,33 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
             mids, idxs, means = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content or b"")
-                if not b.startswith(b"YUV4MPEG2"):
-                    raise ValueError(
-                        "sample_frames_y4m needs YUV4MPEG2 content "
-                        "(compressed video needs a codec library)"
-                    )
-                nl = b.index(b"\n")
-                w = h = None
-                csp = b"420"
-                for tok in b[9:nl].split():
-                    if tok[:1] == b"W":
-                        w = int(tok[1:])
-                    elif tok[:1] == b"H":
-                        h = int(tok[1:])
-                    elif tok[:1] == b"C":
-                        csp = tok[1:4]
-                luma = w * h
-                chroma = {b"420": luma // 2, b"444": luma * 2}[csp]
-                i, k = nl + 1, 0
-                while i < len(b):
-                    i = b.index(b"\n", i) + 1
-                    if i + luma + chroma > len(b):
-                        raise ValueError("truncated Y4M frame")
+                _, _, _, luma, chroma, start = _parse_y4m_header(b)
+                for k, off in _y4m_frames(b, luma, chroma, start):
                     if k % every_n == 0:
-                        plane = np.frombuffer(b, dtype=np.uint8, count=luma, offset=i)
+                        plane = np.frombuffer(b, dtype=np.uint8, count=luma, offset=off)
                         mids.append(mid)
                         idxs.append(k)
                         means.append(float(plane.mean()))
-                    i += luma + chroma
-                    k += 1
             yield pd.DataFrame(
                 {"media_id": mids, "frame_idx": idxs, "luma_mean": means}
             )
 
     return df.mapInPandas(batches, schema)
+
+
+def decode_media(content: bytes, kind: str) -> dict:
+    """Kind-dispatching REAL decoder for the library-free formats of all
+    three modalities (image: PPM/BMP, audio: WAV, video: Y4M), shaped for
+    extract_features' image-centric FEATURE_SCHEMA: audio rows report
+    width/height 0 and carry the 8-dim signal feature; video rows carry
+    the luma feature with real dims. Mixed-kind media frames run
+    end-to-end with require_real=True; codec-bound payloads raise."""
+    if kind == "image":
+        return decode_image(content, kind)
+    if kind == "audio":
+        d = decode_wav(content)
+        return {"width": 0, "height": 0, "feature": d["feature"]}
+    if kind == "video":
+        d = decode_y4m(content)
+        return {"width": d["width"], "height": d["height"], "feature": d["feature"]}
+    raise ValueError(f"unknown media kind {kind!r}")

@@ -1036,3 +1036,61 @@ def test_sample_frames_y4m(spark):
         (r["frame_idx"], r["luma_mean"]) for r in sample_frames_y4m(df, 3).collect()
     )
     assert rows == [(0, 5.0), (3, 35.0), (6, 65.0)]
+
+
+def test_decode_media_mixed_kinds_and_hardening(spark):
+    """decode_media runs a MIXED media frame end-to-end with
+    require_real=True (one library-free format per modality); decoder
+    hardening: truncated WAV/BMP raise ValueError (not numpy/struct
+    noise), sub-4-sample WAV has no NaN features, 4:2:2 Y4M decodes,
+    444alpha is rejected as unsupported (not 'bad FRAME marker')."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        decode_wav,
+        decode_y4m,
+        extract_features,
+    )
+
+    img = np.full((2, 2, 3), 100, dtype=np.uint8)
+    ppm = b"P6\n2 2\n255\n" + img.tobytes()
+    pcm = (0.25 * np.sin(np.arange(800) / 10)).astype("<f4").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    y4m = b"YUV4MPEG2 W2 H2 F10:1 C422\n" + b"FRAME\n" + bytes([50]) * 4 + b"\x80" * 4
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm), {}), (2, "audio", bytearray(wav), {}),
+         (3, "video", bytearray(y4m), {})],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            extract_features(df, decoder=decode_media, require_real=True).collect()}
+    assert rows[1]["width"] == 2 and rows[2]["width"] == 0 and rows[3]["width"] == 2
+    assert all(len(r["feature"]) == 8 for r in rows.values())
+    assert not any(np.isnan(r["feature"]).any() for r in rows.values())
+
+    with _pytest.raises(ValueError, match="truncated WAVE"):
+        decode_wav(wav[:-7])
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        decode_media(b"BM\x00\x00", "image")
+    # 2-sample PCM: empty rms segments are 0.0, never NaN
+    tiny_pcm = struct.pack("<2h", 1000, -1000)
+    tiny = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + tiny_pcm
+    )
+    assert not any(np.isnan(v) for v in decode_wav(tiny)["feature"])
+    with _pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444alpha\n" + b"FRAME\n" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="kind"):
+        decode_media(b"x", "hologram")
