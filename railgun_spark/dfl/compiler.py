@@ -392,6 +392,10 @@ def _compile_call(node: Call, ctx: Context) -> Column:
         inter = F.size(F.array_intersect(da, db))
         union = F.size(da) + F.size(db) - inter
         return F.when(union > 0, inter * F.lit(1.0) / union)
+    if name == "hamming":
+        # bit distance between integer fingerprints (the simhash verify
+        # expression as a scalar)
+        return F.bit_count(a(0).cast("long").bitwiseXOR(a(1).cast("long")))
     if name == "tileX" or name == "tilex":
         from railgun_spark.geo.tiles import tile_x
 

@@ -283,6 +283,8 @@ def _call_sql(node: Call, scope: _Scope) -> str:
         return (
             f"(CASE WHEN {union} > 0 THEN {inter} * 1.0 / {union} END)"
         )
+    if name == "hamming":
+        return f"bit_count(CAST({a(0)} AS BIGINT) ^ CAST({a(1)} AS BIGINT))"
     if name == "lookup":
         if isinstance(args[1], Literal):
             return f"{a(0)}[{_lit_sql(args[1].value)}]"

@@ -61,6 +61,11 @@ CATALOG: dict[str, dict] = {
         "doc": "exact Jaccard set similarity |A∩B|/|A∪B| over distinct "
         "array views (NULL when both empty)",
     },
+    "hamming": {
+        "args": ["a", "b"],
+        "doc": "bit distance between integer fingerprints "
+        "(bit_count(a XOR b) — the simhash verify expression)",
+    },
     # geospatial (SURVEY §2.9)
     "bbox": {"args": ["coords"], "doc": "[minX, minY, maxX, maxY] aggregate"},
     "tileX": {"args": ["lon", "z"], "doc": "web-mercator tile x (geo/LongitudeToTile.go)"},

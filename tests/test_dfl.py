@@ -403,3 +403,21 @@ def test_jaccard_function_and_sql_twin(spark):
     df.createOrReplaceTempView("t")
     via_sql = {r["id"]: r["j"] for r in spark.sql(sql).collect()}
     assert via_sql == got
+
+
+def test_hamming_function_and_sql_twin(spark):
+    """hamming(a, b) = bit_count(a XOR b): known distances, and the SQL
+    rendering agrees with the compiled Column."""
+    from railgun_spark.dfl import run_pipeline
+    from railgun_spark.dfl.sqlgen import pipeline_sql_for_df
+
+    df = spark.createDataFrame(
+        [(1, 0b1010, 0b0101), (2, 255, 255), (3, 0, (1 << 31))],
+        "id: long, a: long, b: long",
+    )
+    expr = "map(@, '{id: @id, d: hamming(@a, @b)}')"
+    got = {r["id"]: r["d"] for r in run_pipeline(df, expr).collect()}
+    assert got == {1: 4, 2: 0, 3: 1}
+    sql = pipeline_sql_for_df(df, expr, "th", {})
+    df.createOrReplaceTempView("th")
+    assert {r["id"]: r["d"] for r in spark.sql(sql).collect()} == got
