@@ -347,6 +347,20 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_verify_shards(args) -> int:
+    """Check a prepared shard directory against its manifest (row counts
+    and key ranges recomputed from the bytes on disk). Exit 1 on any
+    mismatch — run after copying/moving a corpus, before training."""
+    from railgun_spark.session import get_spark
+    from railgun_spark.sources.sharding import verify_shards
+
+    summary = verify_shards(
+        get_spark("railgun_verify_shards"), args.dir, sort_key=args.sort_key
+    )
+    print(json.dumps(summary))
+    return 0 if summary["ok"] else 1
+
+
 def cmd_decontam(args) -> int:
     """Benchmark decontamination against a SEPARATE eval corpus: flag
     training docs overlapping the eval set, write flags as parquet, print
@@ -529,6 +543,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="also resolve clusters and write the survivor doc_id table",
     )
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "verify-shards",
+        help="check a prepared shard dir against its manifest "
+        "(recomputed row counts + key ranges); exit 1 on mismatch",
+    )
+    p.add_argument("--dir", required=True, help="prepare output dir (shards/ + manifest.jsonl)")
+    p.add_argument("--sort-key", default="bin_id")
+    p.set_defaults(fn=cmd_verify_shards)
 
     p = sub.add_parser(
         "decontam",

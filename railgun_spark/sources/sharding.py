@@ -82,3 +82,45 @@ def write_manifest(manifest: DataFrame, path: str) -> None:
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r, default=str) + "\n")
+
+
+def verify_shards(spark: SparkSession, out_dir: str, sort_key: str = "bin_id") -> dict:
+    """Integrity check of a prepared shard directory against its
+    manifest — the post-copy/post-move verification an operator runs
+    before pointing a training job at the data. Recomputes the per-shard
+    (n_rows, min_key, max_key) from the parquet bytes actually on disk
+    (one column-pruned scan, shard-cardinality shuffle) and compares
+    against manifest.jsonl. Returns a summary dict; `mismatches` lists
+    every shard whose recomputed stats disagree, plus shards present on
+    only one side. Missing manifest raises (an unverifiable corpus is an
+    error, not a pass)."""
+    import json
+    import os
+
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(f"no manifest.jsonl under {out_dir!r}")
+    with open(manifest_path) as f:
+        declared = {
+            os.path.basename(r["shard"]): r
+            for r in (json.loads(line) for line in f if line.strip())
+        }
+    actual = {
+        os.path.basename(r["shard"]): r.asDict()
+        for r in build_manifest(spark, os.path.join(out_dir, "shards"), sort_key).collect()
+    }
+    mismatches = []
+    for name in sorted(set(declared) | set(actual)):
+        d, a = declared.get(name), actual.get(name)
+        if d is None or a is None:
+            mismatches.append({"shard": name, "declared": d, "actual": a})
+            continue
+        if any(str(d[k]) != str(a[k]) for k in ("n_rows", "min_key", "max_key")):
+            mismatches.append({"shard": name, "declared": d, "actual": a})
+    return {
+        "n_shards_declared": len(declared),
+        "n_shards_actual": len(actual),
+        "n_rows_actual": sum(a["n_rows"] for a in actual.values()),
+        "ok": not mismatches,
+        "mismatches": mismatches,
+    }

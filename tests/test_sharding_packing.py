@@ -264,3 +264,33 @@ def test_span_removal_evidence_is_cleaned_corpus(spark, tmp_path):
     if 1 in kept:
         texts = [r["text"] for r in shards.filter("orig_doc_id = 1").collect()]
         assert any("word0" in t for t in texts)
+
+
+def test_verify_shards_detects_tampering(spark, tmp_path):
+    """verify-shards passes on a fresh prepare output, fails (exit 1,
+    mismatch listed) after a shard file is deleted, and raises on a
+    missing manifest."""
+    import glob
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from railgun_spark.cli import main
+    from railgun_spark.operators.corpus import prepare_training_shards
+    from railgun_spark.sources.sharding import verify_shards
+
+    out = str(tmp_path / "prep")
+    prepare_training_shards(
+        spark, "/root/testdata/sf0.001", out, max_tokens=40, records_per_shard=40
+    )
+    summary = verify_shards(spark, out)
+    assert summary["ok"] and summary["n_shards_declared"] == summary["n_shards_actual"]
+    assert main(["verify-shards", "--dir", out]) == 0
+
+    victim = sorted(glob.glob(f"{out}/shards/*.parquet"))[0]
+    os.remove(victim)
+    assert main(["verify-shards", "--dir", out]) == 1
+
+    with _pytest.raises(FileNotFoundError):
+        verify_shards(spark, str(tmp_path / "nowhere"))
