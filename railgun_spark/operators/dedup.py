@@ -1694,12 +1694,25 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
         raise
 
 
+def _content_hash60(df: DataFrame, col: str):
+    """60-bit content hash for the ingest gates: text columns go through
+    the shared UTF-8 hash60 (cross-engine parity); BINARY columns (media
+    payloads) hash their raw bytes directly — md5 takes binary as-is, so
+    the whole continual-ingestion gate works unchanged on multimodal
+    tables."""
+    from pyspark.sql.types import BinaryType
+
+    from railgun_spark.operators.text import hash60
+
+    if isinstance(df.schema[col].dataType, BinaryType):
+        return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("bigint")
+    return hash60(F.col(col))
+
+
 def _batch_unique(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Intra-batch exact dedup (lowest id per content hash), keeping the
     `__h` column for the subsequent index anti-join / append."""
-    from railgun_spark.operators.text import hash60
-
-    hashed = df.withColumn("__h", hash60(F.col(text_col)))
+    hashed = df.withColumn("__h", _content_hash60(df, text_col))
     winners = hashed.groupBy("__h").agg(F.min(F.col(id_col)).alias("__keep"))
     return hashed.join(
         winners,

@@ -1190,3 +1190,30 @@ def test_train_quality_classifier_separates_planted_classes(spark):
         for k in range(CLASSIFIER_BUCKETS):
             ref[k] -= 2.0 * grad[k] / len(feats)
     assert max(abs(a - c) for a, c in zip(w, ref)) < 1e-6
+
+
+def test_ingest_gate_on_binary_media_content(spark, tmp_path):
+    """The exact-dedup ingest gate works unchanged on BINARY media
+    payloads: duplicate bytes are rejected intra-batch and cross-batch
+    via the raw-byte hash, distinct payloads admit."""
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import ingest_batch
+
+    idx, sink = str(tmp_path / "midx"), str(tmp_path / "msink")
+    blob_a, blob_b = bytes(range(200)), b"\x89PNG" + b"\x01" * 500
+    w1 = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(blob_a)),
+         Row(media_id=2, content=bytearray(blob_a)),   # intra-batch dup
+         Row(media_id=3, content=bytearray(blob_b))],
+        "media_id: long, content: binary",
+    )
+    assert ingest_batch(w1, idx, sink, text_col="content", id_col="media_id") == 2
+    w2 = spark.createDataFrame(
+        [Row(media_id=9, content=bytearray(blob_b)),   # cross-batch dup
+         Row(media_id=10, content=bytearray(b"fresh bytes"))],
+        "media_id: long, content: binary",
+    )
+    assert ingest_batch(w2, idx, sink, text_col="content", id_col="media_id") == 1
+    admitted = {r["media_id"] for r in spark.read.parquet(sink).collect()}
+    assert admitted == {1, 3, 10}
