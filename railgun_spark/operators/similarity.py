@@ -311,11 +311,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero shuffle until the index equi-join, which at PB scale is a bucketed
 # join on uniformly distributed band values.
 # --------------------------------------------------------------------------
-def _embedding_band_rows(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _embedding_band_rows(
+    df: DataFrame, vec_col: str, id_col: str, dim: int = EMB_DIM
+) -> DataFrame:
     return df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
-            lsh_bands_col(to_double(F.col(vec_col)), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS)
+            lsh_bands_col(
+                to_double(F.col(vec_col)), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS, dim=dim
+            )
         ).alias("band_idx", "band_val"),
     )
 
@@ -325,14 +329,18 @@ def embedding_dedup_against_index(
     index_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """Rows of `df` with no sign-LSH band collision against the index nor
     against a smaller-id row of this batch. Commit survivors with
-    `append_embedding_bands_to_index`."""
+    `append_embedding_bands_to_index`. `dim` must match the vector
+    length — any numeric array column works, including decoded MEDIA
+    features (multimodal.decode_media), which makes this the near-dup
+    gate for images/audio/video payloads too."""
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    bands = _embedding_band_rows(df, vec_col, id_col)
+    bands = _embedding_band_rows(df, vec_col, id_col, dim=dim)
     a, b = bands.alias("a"), bands.alias("b")
     intra_hits = (
         a.join(
@@ -359,10 +367,11 @@ def append_embedding_bands_to_index(
     index_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = EMB_DIM,
 ) -> None:
     """Append the survivors' band rows (recomputed map-only; the index grows
     NEAR_DUP_BANDS rows per admitted vector)."""
-    _embedding_band_rows(survivors, vec_col, id_col).select(
+    _embedding_band_rows(survivors, vec_col, id_col, dim=dim).select(
         "band_idx", "band_val"
     ).write.mode("append").parquet(index_path)
 
