@@ -141,7 +141,7 @@ def geo_tile_hist(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "geo_bbox_filter",
     oracle=f"""
     WITH pts AS (

@@ -388,7 +388,7 @@ def jaccard_similarity_join_ab(
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (blocked pairwise verify).
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH t AS (
@@ -542,7 +542,7 @@ def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
 # chrome, license boilerplate, quoted passages) keeps the novel remainder
 # of a document in the corpus instead of dropping or keeping it whole.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "duplicated_span_removal",
     oracle=f"""
     WITH t AS (
@@ -927,7 +927,7 @@ def containment_similarity_join(
     )
 
 
-@extra_query(
+@query(
     "dedup_containment_exact",
     oracle=f"""
     WITH t AS (
@@ -1051,7 +1051,7 @@ def _minhash_oracle() -> str:
 # (or a corpus whose duplicates sit near the threshold, where the S-curve
 # is shallowest) shows up as a recall drop, not as silent dup leakage.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "lsh_recall_report",
     oracle=f"""
     WITH {minhash_pairs_ctes(0.5)},
@@ -1381,7 +1381,7 @@ def pooled_contamination(
 NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN = 7, 10
 
 
-@extra_query(
+@query(
     "decontaminate_neardup_eval",
     oracle=f"""
     WITH t AS (

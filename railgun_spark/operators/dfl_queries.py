@@ -96,7 +96,7 @@ def dfl_stream_null_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
-@query(
+@extra_query(
     "dfl_between_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount

@@ -27,7 +27,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # EXISTS semi-join (TPC-H Q4 shape).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "semi_join_priority_orders",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
@@ -282,7 +282,7 @@ def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ranking / navigation window functions (SURVEY §2.5: absent in the
 # reference; full family exposed here).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "window_rank_functions",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -80,7 +80,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "text_quality_topk",
     oracle="""
     SELECT doc_id, lang,

@@ -18,7 +18,6 @@ import pytest
 from railgun_spark import suite
 
 EXPECTED_EXTRA = {
-    "dedup_ngram_jaccard",  # all-pairs verify leg of dedup_minhash_lsh
     "revenue_range_filter",  # between+agg: covered by dfl_between_filter + pricing_summary
     "filter_membership",  # in/iin: same §2.2 row as filter_ilike/dfl_between_filter
     "hist_event_type",  # 1-arg hist: hist_nested supersets
@@ -84,12 +83,16 @@ EXPECTED_EXTRA = {
     "geo_geohash_rollup",  # base32 geohash prefix-hierarchy rollup
     "semantic_dedup_survivors",  # CC groups + survivors over sempairs
     # round-7 late wave: lossless prefix-filter joins + span removal
-    "dedup_containment_exact",  # one-sided prefix filter, no df-cap recall loss
-    "duplicated_span_removal",  # Lee et al. removal half (rewrites the corpus)
-    "decontaminate_neardup_eval",  # per-eval-doc leak attribution (AB prefix join)
-    "lsh_recall_report",  # measured MinHash-LSH false-negative canary
     "quality_classifier_lowscore",  # hashing-trick linear filter margin
     "span_dup_by_source",  # boilerplate triage: window-dup fraction by source
+    # late-round-7 rotation: five legacy capability-twins demoted so the
+    # driver gate certifies the late-wave flagships (prefix-filter joins,
+    # span removal, the LSH canary, near-dup leak attribution)
+    "dfl_between_filter",  # between: range_join + dfl_filter_hist certify
+    "geo_bbox_filter",  # bbox filter: geo_bbox_agg + geo_tile_hist certify
+    "window_rank_functions",  # rank/dense_rank: window_topk certifies 2.5
+    "semi_join_priority_orders",  # semi: anti_join + below_avg certify 2.4
+    "text_quality_topk",  # quality: corpus_clean_summary + classifier certify
     "dedup_cluster_survivors_exact",  # clusters over the lossless join (no LSH misses)
     "embedding_lsh_recall_report",  # sign-LSH false-negative canary (matmul truth)
 }
