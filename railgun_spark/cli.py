@@ -357,7 +357,9 @@ def cmd_verify_shards(args) -> int:
     summary = verify_shards(
         get_spark("railgun_verify_shards"), args.dir, sort_key=args.sort_key
     )
-    print(json.dumps(summary))
+    # sort keys may be dates/timestamps/decimals — the mismatch report
+    # must print, not TypeError (write_manifest needs default=str too)
+    print(json.dumps(summary, default=str))
     return 0 if summary["ok"] else 1
 
 

@@ -1695,17 +1695,18 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
 
 
 def _content_hash60(df: DataFrame, col: str):
-    """60-bit content hash for the ingest gates: text columns go through
-    the shared UTF-8 hash60 (cross-engine parity); BINARY columns (media
-    payloads) hash their raw bytes directly — md5 takes binary as-is, so
-    the whole continual-ingestion gate works unchanged on multimodal
-    tables."""
+    """60-bit content hash for the EXACT ingest gate: text columns go
+    through the shared UTF-8 hash60 (cross-engine parity); BINARY
+    columns (media payloads) hash their raw bytes via the same
+    hash60_bytes definition. Only the exact gate is binary-safe — the
+    span gate word-splits text and is refused for binary content in
+    ingest_batch."""
     from pyspark.sql.types import BinaryType
 
-    from railgun_spark.operators.text import hash60
+    from railgun_spark.operators.text import hash60, hash60_bytes
 
     if isinstance(df.schema[col].dataType, BinaryType):
-        return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("bigint")
+        return hash60_bytes(F.col(col))
     return hash60(F.col(col))
 
 

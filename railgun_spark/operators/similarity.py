@@ -314,6 +314,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_band_rows(
     df: DataFrame, vec_col: str, id_col: str, dim: int = EMB_DIM
 ) -> DataFrame:
+    # the dim column tags every band row: band values from different
+    # hyperplane sets share the same small value space, so an index fed
+    # by mixed dimensions would otherwise produce silent false collisions
     return df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
@@ -321,7 +324,7 @@ def _embedding_band_rows(
                 to_double(F.col(vec_col)), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS, dim=dim
             )
         ).alias("band_idx", "band_val"),
-    )
+    ).withColumn("dim", F.lit(dim))
 
 
 def embedding_dedup_against_index(
@@ -355,6 +358,8 @@ def embedding_dedup_against_index(
     drops = intra_hits
     seen = _read_index_or_none(spark, index_path)
     if seen is not None:
+        if "dim" in seen.columns:
+            seen = seen.filter(F.col("dim") == dim)
         index_hits = bands.join(
             seen.select("band_idx", "band_val"), ["band_idx", "band_val"], "left_semi"
         ).select("__id")
@@ -372,7 +377,7 @@ def append_embedding_bands_to_index(
     """Append the survivors' band rows (recomputed map-only; the index grows
     NEAR_DUP_BANDS rows per admitted vector)."""
     _embedding_band_rows(survivors, vec_col, id_col, dim=dim).select(
-        "band_idx", "band_val"
+        "band_idx", "band_val", "dim"
     ).write.mode("append").parquet(index_path)
 
 

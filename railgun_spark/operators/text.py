@@ -26,6 +26,12 @@ def token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
 
 
+def hash60_bytes(col: Column) -> Column:
+    """60-bit md5-prefix hash over raw BYTES — the single definition of
+    the cross-engine fingerprint scheme (hash60 routes through it)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit hash reproducible in DuckDB:
     conv(substr(md5(x),1,15),16,10) == ('0x'||substr(md5(x),1,15))::UBIGINT.
@@ -33,7 +39,7 @@ def hash60(col: Column) -> Column:
     Used instead of xxhash64 wherever cross-engine parity matters; for
     internal-only hashing prefer F.xxhash64 (faster, 64-bit).
     """
-    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("bigint")
+    return hash60_bytes(F.encode(col, "UTF-8"))
 
 
 def quality_score(text: Column, n_chars: Column) -> Column:

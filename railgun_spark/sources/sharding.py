@@ -105,10 +105,27 @@ def verify_shards(spark: SparkSession, out_dir: str, sort_key: str = "bin_id") -
             os.path.basename(r["shard"]): r
             for r in (json.loads(line) for line in f if line.strip())
         }
-    actual = {
-        os.path.basename(r["shard"]): r.asDict()
-        for r in build_manifest(spark, os.path.join(out_dir, "shards"), sort_key).collect()
-    }
+    try:
+        actual = {
+            os.path.basename(r["shard"]): r.asDict()
+            for r in build_manifest(
+                spark, os.path.join(out_dir, "shards"), sort_key
+            ).collect()
+        }
+    except Exception as e:
+        # a lost/empty shards tree IS the failure mode this tool exists
+        # for (partial copy) — report every declared shard as missing
+        # instead of surfacing a Spark traceback
+        from railgun_spark.errors import is_path_not_found
+
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and (
+            is_path_not_found(e) or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            actual = {}
+        else:
+            raise
     mismatches = []
     for name in sorted(set(declared) | set(actual)):
         d, a = declared.get(name), actual.get(name)

@@ -113,6 +113,16 @@ def ingest_batch(
         span_dup_against_index,
     )
 
+    if span_index_path is not None:
+        from pyspark.sql.types import BinaryType
+
+        if isinstance(batch_df.schema[text_col].dataType, BinaryType):
+            # the span gate word-splits text; an implicit binary->string
+            # cast would hash meaningless "words" from media bytes
+            raise ValueError(
+                f"span_index_path requires a text column; {text_col!r} is "
+                "BINARY (only the exact content-hash gate is binary-safe)"
+            )
     survivors = dedup_against_index(
         batch_df, index_path, text_col=text_col, id_col=id_col
     ).localCheckpoint()
@@ -138,6 +148,7 @@ def ingest_embeddings_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     batch_id: int | None = None,
+    dim: int | None = None,
 ) -> int:
     """Embedding-modality twin of `ingest_batch`: gate one batch of vectors
     through the sign-LSH band index (similarity.embedding_dedup_against_index),
@@ -148,13 +159,16 @@ def ingest_embeddings_batch(
         embedding_dedup_against_index,
     )
 
+    from railgun_spark.operators.similarity import EMB_DIM
+
+    d = dim if dim is not None else EMB_DIM
     survivors = embedding_dedup_against_index(
-        batch_df, index_path, vec_col=vec_col, id_col=id_col
+        batch_df, index_path, vec_col=vec_col, id_col=id_col, dim=d
     ).localCheckpoint()
     n = _write_sink(survivors, sink_path, batch_id)
     if n > 0:
         append_embedding_bands_to_index(
-            survivors, index_path, vec_col=vec_col, id_col=id_col
+            survivors, index_path, vec_col=vec_col, id_col=id_col, dim=d
         )
     return n
 

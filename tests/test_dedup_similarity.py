@@ -1217,3 +1217,54 @@ def test_ingest_gate_on_binary_media_content(spark, tmp_path):
     assert ingest_batch(w2, idx, sink, text_col="content", id_col="media_id") == 1
     admitted = {r["media_id"] for r in spark.read.parquet(sink).collect()}
     assert admitted == {1, 3, 10}
+
+
+def test_embedding_gate_dim_threading(spark, tmp_path):
+    """The sign-LSH band gate accepts any vector dimension via dim=:
+    8-dim CENTERED vectors gate correctly (near-dup rejected against the
+    index, different direction admitted). Note: sign-LSH separates
+    DIRECTION — low-dim all-positive features (e.g. raw image quadrant
+    means) collapse to near-identical sign patterns and need centering
+    or a learned embedding before this gate; that is a property of the
+    method, asserted here by construction, not a plumbing limit."""
+    from railgun_spark.operators.similarity import (
+        append_embedding_bands_to_index,
+        embedding_dedup_against_index,
+    )
+
+    idx = str(tmp_path / "bands8")
+    v = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    near = [x + 0.01 for x in v]
+    diff = [-x for x in v]  # opposite direction: no band can collide
+    w1 = spark.createDataFrame([(1, v)], "vec_id: long, feature: array<double>")
+    s1 = embedding_dedup_against_index(w1, idx, vec_col="feature", dim=8)
+    assert s1.count() == 1
+    append_embedding_bands_to_index(s1, idx, vec_col="feature", dim=8)
+
+    w2 = spark.createDataFrame(
+        [(10, near), (11, diff)], "vec_id: long, feature: array<double>"
+    )
+    s2 = embedding_dedup_against_index(w2, idx, vec_col="feature", dim=8)
+    admitted = {r["vec_id"] for r in s2.collect()}
+    assert admitted == {11}
+
+
+def test_ingest_span_gate_refuses_binary_content(spark, tmp_path):
+    """The span gate word-splits text; binary content must be refused
+    loudly, not silently tokenized through an implicit cast."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from railgun_spark.streaming.ingest import ingest_batch
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(b"\x00\x01binary"))],
+        "media_id: long, content: binary",
+    )
+    with _pytest.raises(ValueError, match="binary-safe"):
+        ingest_batch(
+            df, str(tmp_path / "i"), str(tmp_path / "s"),
+            text_col="content", id_col="media_id",
+            span_index_path=str(tmp_path / "si"),
+        )

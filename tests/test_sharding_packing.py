@@ -294,3 +294,23 @@ def test_verify_shards_detects_tampering(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         verify_shards(spark, str(tmp_path / "nowhere"))
+
+
+def test_verify_shards_missing_shard_tree(spark, tmp_path):
+    """A surviving manifest with a lost shards/ tree — the primary
+    partial-copy failure — reports every declared shard as missing (exit
+    summary ok=false), never a Spark traceback."""
+    import json as _json
+    import shutil
+
+    from railgun_spark.operators.corpus import prepare_training_shards
+    from railgun_spark.sources.sharding import verify_shards
+
+    out = str(tmp_path / "prep")
+    prepare_training_shards(
+        spark, "/root/testdata/sf0.001", out, max_tokens=512, records_per_shard=100
+    )
+    shutil.rmtree(f"{out}/shards")
+    summary = verify_shards(spark, out)
+    assert not summary["ok"] and summary["n_shards_actual"] == 0
+    assert len(summary["mismatches"]) == summary["n_shards_declared"] > 0
