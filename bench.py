@@ -1,7 +1,15 @@
 """Benchmark harness: runs the headline suite queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r08+): stdout carries the FULL detail JSON (with
+per-query mins/medians) first, then a compact headline JSON as the FINAL
+line:
+  {"metric":...,"value":total_sec,"unit":"sec","n_queries":N,"n_errors":E,
+   "iters":I,"sf":...,"detail":"BENCH_DETAIL.json"}
+The driver's stdout capture keeps only the last ~2000 chars; r07's
+single-line per-query blob outgrew that and the official artifact parsed
+as null. Per-query detail also lands in BENCH_DETAIL.json
+($SPARK_GRAFT_BENCH_DETAIL overrides the path).
 
 Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3; JVM warmed
 untimed first). "queries" reports the per-query MIN (the standard
@@ -175,9 +183,35 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    # The driver captures only the LAST ~2000 chars of stdout; r07's
+    # full per-query blob outgrew that window and the official artifact
+    # recorded parsed:null. So: per-query detail goes to a sidecar file
+    # (and to stdout FIRST, for humans), and the FINAL stdout line is a
+    # compact headline JSON with no per-query dicts — stays parseable at
+    # any suite size.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not blank the headline line
+    print(json.dumps(out))  # full detail first — safe to truncate
+    headline = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(done),
+        "n_errors": len(errors),
+        "iters": iters_done,
+        "sf": out["sf"],
+        "detail": os.path.basename(detail_path),
+    }
     # always exit 0 with the JSON line printed: partial numbers + an
-    # explicit "errors" field beat rc=1 with no numbers at all
-    print(json.dumps(out))
+    # explicit error count beat rc=1 with no numbers at all
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

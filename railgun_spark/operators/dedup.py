@@ -1670,11 +1670,14 @@ def _recover_index(local: str) -> None:
         os.rename(backup, local)
 
 
-def _read_index_or_none(spark: SparkSession, index_path: str):
+def _read_index_or_none(spark: SparkSession, index_path: str, merge_schema: bool = False):
     """Read a fingerprint/band index, distinguishing 'does not exist yet'
     (first batch: return None) from 'exists but unreadable' (raise). A
     permissions blip or corrupt footer must NOT silently disable dedup —
-    swallowing it would admit every duplicate from then on."""
+    swallowing it would admit every duplicate from then on.
+    ``merge_schema`` forces a deterministic union schema for indexes whose
+    column set evolved (e.g. the embedding band index gained a ``dim``
+    column); without it, which file's schema wins is nondeterministic."""
     from urllib.parse import urlparse
 
     from pyspark.errors import AnalysisException
@@ -1682,7 +1685,10 @@ def _read_index_or_none(spark: SparkSession, index_path: str):
     if urlparse(index_path).scheme in ("", "file"):
         _recover_index(_local_index_path(index_path))
     try:
-        return spark.read.parquet(index_path)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(index_path)
     except AnalysisException as e:
         # classify by the STRUCTURED error class, not message wording
         # (which changes across Spark versions); substring match only for

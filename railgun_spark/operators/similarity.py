@@ -200,10 +200,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (2^band_bits per band, more bands/bits at scale), unlike a label/lang
 # block which degenerates to O(n^2)-within-block. The oracle computes the
 # same bands from the same hyperplanes, so candidate semantics are checked.
+#
+# Geometry vs threshold (sign-LSH S-curve): a pair at cosine c agrees with
+# one hyperplane w.p. p_bit = 1 - acos(c)/pi; collides in one band w.p.
+# p_bit^bits; is a candidate w.p. 1 - (1 - p_bit^bits)^bands. The config
+# below MUST satisfy >=0.95 predicted recall AT the default threshold —
+# r7's 4x4 config predicted (and the canary measured) ~0.5 at cos 0.4.
+# 16 bands x 3 bits: p_bit(0.4)=0.631, band p=0.251, recall
+# 1-(1-0.251)^16 = 0.990 (canary-verified each round). The honest cost:
+# at a threshold this low the S-curve is shallow — background pairs at
+# cos~0 still collide w.p. 1-(1-0.5^3)^16 = 0.88, so the verify leg sees
+# most pairs and LSH buys little over the canary's blocked brute-force
+# matmul. Banding pays at HIGH thresholds (at cos 0.8+, FP(0) drops fast
+# with wider bands); pick geometry per threshold with band_geometry().
 # --------------------------------------------------------------------------
-NEAR_DUP_BANDS = 4
-NEAR_DUP_BAND_BITS = 4
+NEAR_DUP_BANDS = 16
+NEAR_DUP_BAND_BITS = 3
 NEAR_DUP_COS = 0.4
+
+
+def band_geometry(
+    tau: float, target_recall: float = 0.95, max_bands: int = 32
+) -> tuple[int, int, float]:
+    """Pick (bands, bits, predicted_recall) for sign-LSH at threshold
+    ``tau``: the WIDEST bands (fewest false candidates) whose band count
+    for ``target_recall`` stays within ``max_bands``. Recall model:
+    1 - (1 - p_bit^bits)^bands with p_bit = 1 - acos(tau)/pi."""
+    import math
+
+    p_bit = 1.0 - math.acos(tau) / math.pi
+    best = None
+    for bits in range(1, 33):
+        p_band = p_bit**bits
+        if p_band >= 1.0:  # tau == 1.0
+            return (1, bits, 1.0)
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+        if bands <= max_bands:
+            best = (bands, bits, 1.0 - (1.0 - p_band) ** bands)
+        else:
+            break  # wider bands only need more bands
+    if best is None:
+        raise ValueError(
+            f"no sign-LSH geometry reaches recall {target_recall} at tau {tau} "
+            f"within {max_bands} bands; raise max_bands or use the exact path"
+        )
+    return best
 
 
 def _near_dup_ctes() -> str:
@@ -278,9 +319,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
-    # normalize once per VECTOR (2k norm folds), so each of the ~460k
-    # candidate pairs pays ONE dot fold instead of three (dot + both
-    # norms) — the verify leg is the cost center at this band selectivity.
+    # normalize once per VECTOR (2k norm folds), so each candidate pair
+    # pays ONE dot fold instead of three (dot + both norms) — at a 0.4
+    # threshold the S-curve admits ~88% of background pairs (see the
+    # geometry note above), so the verify leg IS the cost center.
     # The cosine is a named column (filter + project evaluate it once).
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
@@ -310,7 +352,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # id. All signature work is one Arrow-batch matmul per batch partition —
 # zero shuffle until the index equi-join, which at PB scale is a bucketed
 # join on uniformly distributed band values.
+#
+# The gate has its OWN geometry, decoupled from the pairs query: the index
+# stores only (band_idx, band_val) — no per-vector ids — so its band-value
+# space (bands * 2^bits keys) bounds how many vectors it can admit before
+# saturating into reject-everything. 4 bands x 4 bits is the deliberate
+# high-precision/low-recall end of that trade (rejection recall at the
+# S-curve: ~0.95 only at cos >= 0.89); it gates exact and near-exact
+# re-ingests cheaply, while threshold-faithful near-dup detection is the
+# pairs query / canary above. NEAR_DUP_BAND_BITS=3 here would saturate at
+# 8 values per band — do not couple these constants.
 # --------------------------------------------------------------------------
+GATE_BANDS = 4
+GATE_BAND_BITS = 4
+
+
 def _embedding_band_rows(
     df: DataFrame, vec_col: str, id_col: str, dim: int = EMB_DIM
 ) -> DataFrame:
@@ -321,7 +377,7 @@ def _embedding_band_rows(
         F.col(id_col).alias("__id"),
         F.posexplode(
             lsh_bands_col(
-                to_double(F.col(vec_col)), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS, dim=dim
+                to_double(F.col(vec_col)), GATE_BANDS, GATE_BAND_BITS, dim=dim
             )
         ).alias("band_idx", "band_val"),
     ).withColumn("dim", F.lit(dim))
@@ -356,10 +412,18 @@ def embedding_dedup_against_index(
         .distinct()
     )
     drops = intra_hits
-    seen = _read_index_or_none(spark, index_path)
+    seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
         if "dim" in seen.columns:
-            seen = seen.filter(F.col("dim") == dim)
+            # legacy 3-column indexes (written before the dim tag) read as
+            # dim=NULL under the merged schema; those rows were ALL written
+            # at the default EMB_DIM, so NULL must match the default —
+            # filtering them out would silently drop the pre-upgrade dedup
+            # history and re-admit its near-duplicates
+            match = F.col("dim") == dim
+            if dim == EMB_DIM:
+                match = match | F.col("dim").isNull()
+            seen = seen.filter(match)
         index_hits = bands.join(
             seen.select("band_idx", "band_val"), ["band_idx", "band_val"], "left_semi"
         ).select("__id")
@@ -375,7 +439,7 @@ def append_embedding_bands_to_index(
     dim: int = EMB_DIM,
 ) -> None:
     """Append the survivors' band rows (recomputed map-only; the index grows
-    NEAR_DUP_BANDS rows per admitted vector)."""
+    GATE_BANDS rows per admitted vector)."""
     _embedding_band_rows(survivors, vec_col, id_col, dim=dim).select(
         "band_idx", "band_val", "dim"
     ).write.mode("append").parquet(index_path)
@@ -1109,9 +1173,9 @@ def assign_clusters_batch(
 # a SAMPLED slice at 100 TB — full brute force is the point here, it is
 # what certifies the banded gate); the banded pipeline's verified pairs
 # left-join against it and the miss count IS the sign-LSH false-negative
-# set. Band-config drift (or a corpus whose near-dups sit at low cosine,
-# where 4x4-bit sign bands are weakest) shows as a recall drop instead of
-# silent dup leakage.
+# set. Band-config drift shows as a recall drop instead of silent dup
+# leakage — this canary is what caught r7's 4x4 config at recall 0.516
+# and certifies the current geometry at its own default threshold.
 # --------------------------------------------------------------------------
 @extra_query(
     "embedding_lsh_recall_report",
@@ -1119,10 +1183,9 @@ def assign_clusters_batch(
     doc=f"Measured sign-LSH recall at cos >= {NEAR_DUP_COS}: brute-force "
     "matmul ground truth vs the banded pipeline's verified pairs; "
     "n_missed is the false-negative set. Run on sampled slices in "
-    "production. Measured 0.516 at sf0.1 — the 4x4-bit S-curve predicts "
-    "~0.50 at cos 0.4 (P(band)=(1-acos(c)/pi)^4), i.e. the banded gate "
-    "is for HIGH-cosine near-dups; at a 0.4 threshold use more/wider "
-    "bands or the brute-force path this canary runs.",
+    f"production. The {NEAR_DUP_BANDS}x{NEAR_DUP_BAND_BITS}-bit S-curve "
+    f"predicts 0.990 recall at cos {NEAR_DUP_COS} "
+    "(1-(1-(1-acos(c)/pi)^bits)^bands); measured 0.9891 at sf0.1.",
     tags=("similarity", "dedup", "reporting"),
 )
 def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,7 +153,7 @@ def ingest_embeddings_batch(
     """Embedding-modality twin of `ingest_batch`: gate one batch of vectors
     through the sign-LSH band index (similarity.embedding_dedup_against_index),
     write survivors, commit their bands. Same exactly-once-per-near-dup-class
-    discipline; the index grows NEAR_DUP_BANDS ints per admitted vector."""
+    discipline; the index grows GATE_BANDS ints per admitted vector."""
     from railgun_spark.operators.similarity import (
         append_embedding_bands_to_index,
         embedding_dedup_against_index,

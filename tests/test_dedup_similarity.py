@@ -383,8 +383,8 @@ def test_embedding_dedup_against_index_batches(spark, tmp_path):
 
     from railgun_spark.operators.similarity import (
         EMB_DIM,
-        NEAR_DUP_BAND_BITS,
-        NEAR_DUP_BANDS,
+        GATE_BAND_BITS,
+        GATE_BANDS,
         append_embedding_bands_to_index,
         embedding_dedup_against_index,
         lsh_bands_col,
@@ -403,7 +403,7 @@ def test_embedding_dedup_against_index_batches(spark, tmp_path):
         for r in probe.select(
             "vec_id",
             lsh_bands_col(
-                F.col("embedding"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS
+                F.col("embedding"), GATE_BANDS, GATE_BAND_BITS
             ).alias("b"),
         ).collect()
     }
@@ -426,8 +426,8 @@ def test_embedding_dedup_against_index_batches(spark, tmp_path):
     s2 = embedding_dedup_against_index(b2, idx)
     assert sorted(r["vec_id"] for r in s2.collect()) == [11]
     append_embedding_bands_to_index(s2, idx)
-    # index holds NEAR_DUP_BANDS rows per admitted vector
-    assert spark.read.parquet(idx).count() == 3 * 4
+    # index holds GATE_BANDS rows per admitted vector
+    assert spark.read.parquet(idx).count() == 3 * GATE_BANDS
 
 
 def test_unreadable_index_raises_instead_of_admitting_dups(spark, tmp_path):
@@ -1247,6 +1247,39 @@ def test_embedding_gate_dim_threading(spark, tmp_path):
     s2 = embedding_dedup_against_index(w2, idx, vec_col="feature", dim=8)
     admitted = {r["vec_id"] for r in s2.collect()}
     assert admitted == {11}
+
+
+def test_embedding_gate_legacy_index_without_dim_column(spark, tmp_path):
+    """An index written before the dim tag existed has only
+    (band_idx, band_val) columns; after new 3-column rows are appended the
+    dir is mixed-schema. Legacy rows must read as dim=NULL (mergeSchema)
+    and MATCH the EMB_DIM default — dropping them would silently re-admit
+    every pre-upgrade near-duplicate."""
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.similarity import (
+        EMB_DIM,
+        _embedding_band_rows,
+        append_embedding_bands_to_index,
+        embedding_dedup_against_index,
+    )
+
+    idx = str(tmp_path / "legacy_bands")
+    v1 = [1.0 if d % 3 else -1.0 for d in range(EMB_DIM)]
+    v2 = [-x for x in v1]
+    w1 = spark.createDataFrame([Row(vec_id=1, embedding=v1)])
+    # simulate the pre-upgrade writer: band rows WITHOUT the dim column
+    _embedding_band_rows(w1, "embedding", "vec_id").select(
+        "band_idx", "band_val"
+    ).write.mode("append").parquet(idx)
+
+    # append a post-upgrade row so the dir is genuinely mixed-schema
+    w2 = spark.createDataFrame([Row(vec_id=2, embedding=v2)])
+    append_embedding_bands_to_index(w2, idx)
+
+    # re-ingesting v1 (only in the LEGACY rows) must be rejected
+    w3 = spark.createDataFrame([Row(vec_id=10, embedding=v1)])
+    assert embedding_dedup_against_index(w3, idx).count() == 0
 
 
 def test_ingest_span_gate_refuses_binary_content(spark, tmp_path):
