@@ -258,18 +258,20 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # REAL image decoding for the library-free formats. PIL/ffmpeg are absent
-# from this container, but binary PPM (P6) and uncompressed 24/32-bit BMP
-# need nothing beyond struct + numpy — so for those formats
+# from this container, but binary PPM (P6), uncompressed 24/32-bit BMP,
+# and 8-bit non-interlaced PNG (stdlib zlib inflate + per-scanline
+# unfilter) need nothing beyond stdlib + numpy — so for those formats
 # `extract_features(df, decoder=decode_media, require_real=True)` is a
 # genuinely working decode path, not a stub (decode_media dispatches by
-# kind; decode_image alone requires a pre-filtered image-only frame). Anything else (JPEG/PNG/
-# video/audio) still raises: wire a codec library through the same hook.
+# kind; decode_image alone requires a pre-filtered image-only frame).
+# Anything else (JPEG/video/audio codecs) still raises: wire a codec
+# library through the same hook.
 # --------------------------------------------------------------------------
 def decode_image(content: bytes, kind: str) -> dict:
-    """Decode PPM(P6)/BMP bytes to (width, height, feature[8]): mean R, G,
-    B, mean gray, and the four quadrant gray means — deterministic numpy
-    arithmetic, no codec libraries. Raises ValueError on non-image kinds
-    and on formats that DO need a codec library."""
+    """Decode PPM(P6)/BMP/PNG bytes to (width, height, feature[8]): mean
+    R, G, B, mean gray, and the four quadrant gray means — deterministic
+    stdlib+numpy arithmetic, no codec libraries. Raises ValueError on
+    non-image kinds and on formats that DO need a codec library."""
     import numpy as np
 
     if kind != "image":
@@ -279,10 +281,13 @@ def decode_image(content: bytes, kind: str) -> dict:
         rgb = _decode_ppm_p6(b)
     elif b[:2] == b"BM":
         rgb = _decode_bmp(b)
+    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+        rgb = _decode_png(b)
     else:
         raise ValueError(
-            "unsupported image codec (library-free decode covers PPM P6 and "
-            "uncompressed BMP; JPEG/PNG need a codec library via decoder=)"
+            "unsupported image codec (library-free decode covers PPM P6, "
+            "uncompressed BMP, and 8-bit non-interlaced PNG; JPEG needs a "
+            "codec library via decoder=)"
         )
     h, w = rgb.shape[0], rgb.shape[1]
     gray = rgb.mean(axis=2)
@@ -359,6 +364,110 @@ def _decode_bmp(b: bytes):
     return img.astype("float64")
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
+    into an (h, w*bpp) uint8 raster. Up is whole-row vectorized; Sub is a
+    per-byte-lane cumsum (recon[i] = raw[i] + recon[i-bpp] telescopes to a
+    running sum within each lane i mod bpp); Average/Paeth carry a true
+    left-recurrence, so those rows pay a per-pixel loop — inflate still
+    dominates decode time."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    for y in range(h):
+        ftype, row = int(arr[y, 0]), arr[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub
+            rec = row.reshape(w, bpp).cumsum(axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential left-dependency
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0  # left
+                bb = prev[i]  # up
+                if ftype == 3:
+                    rec[i] = row[i] + ((a + bb) >> 1)
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0  # upper-left
+                    pa, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    rec[i] = row[i] + pred
+                rec[i] &= 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on scanline {y}")
+        out[y] = rec & 0xFF
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _decode_png(b: bytes):
+    """8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA) via stdlib zlib
+    + numpy unfiltering; alpha is dropped, gray replicates to RGB. Palette
+    (PLTE), 16-bit, and Adam7 interlacing raise — same honesty discipline
+    as the other decoders (truncated streams are refused, never padded)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    i, n = 8, len(b)
+    ihdr = None
+    idat = []
+    seen_iend = False
+    while i + 8 <= n:
+        clen, ctype = struct.unpack_from(">I4s", b, i)
+        if i + 12 + clen > n:
+            raise ValueError(f"truncated PNG {ctype.decode('latin1')!r} chunk")
+        body = b[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + clen  # length + type + body + CRC
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend or not idat:
+        raise ValueError("truncated PNG: missing IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"palette/unknown PNG color type {color} not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if not w or not h:
+        raise ValueError("zero-dimension PNG")
+    bpp = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != h * (w * bpp + 1):
+        raise ValueError(
+            f"truncated PNG raster: {len(raw)} != {h * (w * bpp + 1)} bytes"
+        )
+    px = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    if color == 0:  # gray
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:  # gray + alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # RGB / RGBA: drop alpha
+        rgb = px[:, :, :3]
+    return rgb.astype("float64")
+
+
 # --------------------------------------------------------------------------
 # REAL audio decoding for the library-free format: RIFF/WAVE PCM needs
 # only struct + numpy. 16-bit PCM (format 1) and 32-bit IEEE float
@@ -408,16 +517,27 @@ def decode_wav(content: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 1 and bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
-    elif audio_format == 3 and bits == 32:
-        x = np.frombuffer(data, dtype="<f4").astype("float64")
-    else:
+    if (audio_format, bits) not in ((1, 16), (3, 32)):
         raise ValueError(
             f"only 16-bit PCM or 32-bit float WAVE (format={audio_format}, bits={bits})"
         )
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"bad WAVE fmt: channels={n_channels}, rate={sample_rate}")
+    frame_bytes = (bits // 8) * n_channels
+    if len(data) % frame_bytes:
+        # same refusal discipline as the other decoders: a data chunk that
+        # is not a whole number of frames would otherwise surface numpy's
+        # raw buffer error (16-bit) or silently drop samples (multichannel)
+        raise ValueError(
+            f"truncated WAVE data chunk: {len(data)} bytes is not a "
+            f"multiple of the {frame_bytes}-byte frame size"
+        )
+    if audio_format == 1:
+        x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    else:
+        x = np.frombuffer(data, dtype="<f4").astype("float64")
     if n_channels > 1:
-        x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
+        x = x.reshape(-1, n_channels).mean(axis=1)
     n_samples = len(x)
     if n_samples == 0:
         raise ValueError("empty WAVE data chunk")
@@ -524,6 +644,14 @@ def _parse_y4m_header(b: bytes) -> tuple[int, int, float, int, int, int]:
         raise ValueError("Y4M header missing W/H")
     if csp not in _Y4M_CHROMA:
         raise ValueError(f"unsupported Y4M colorspace C{csp.decode()}")
+    # subsampled chroma planes are ceil(w/2) x ceil(h/2) (420) or
+    # ceil(w/2) x h (422); the w*h*ratio arithmetic below is only exact
+    # for even dimensions — odd dims would mis-size every frame and
+    # decode from misaligned offsets before failing confusingly
+    if csp.startswith(b"420") and (w % 2 or h % 2):
+        raise ValueError(f"odd dimensions unsupported for C{csp.decode()}: {w}x{h}")
+    if csp == b"422" and w % 2:
+        raise ValueError(f"odd width unsupported for C422: {w}x{h}")
     num, den = _Y4M_CHROMA[csp]
     luma_size = w * h
     return w, h, fps, luma_size, luma_size * num // den, nl + 1

@@ -911,9 +911,144 @@ def test_real_image_decode_ppm_and_bmp(spark):
         assert np.allclose(r["feature"], expect, atol=1e-4)  # float32 schema
 
     with _pytest.raises(ValueError, match="codec"):
-        decode_image(b"\x89PNG....", "image")
+        decode_image(b"\x89PNG....", "image")  # bogus signature, not a PNG
     with _pytest.raises(ValueError, match="kind"):
         decode_image(ppm, "audio")
+
+
+def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0):
+    """Minimal PNG encoder for golden tests: per-scanline filter choice
+    (applying the spec's FORWARD filter so the decoder must invert it),
+    8-bit gray/gray+alpha/RGB/RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
+    filters = filters or [0] * h
+    a64 = arr.astype(np.int64)
+    raw = bytearray()
+    for y, ftype in zip(range(h), filters):
+        row = a64[y].reshape(-1)
+        prev = a64[y - 1].reshape(-1) if y else np.zeros(w * ch, dtype=np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        uleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            enc = row - left
+        elif ftype == 2:
+            enc = row - prev
+        elif ftype == 3:
+            enc = row - ((left + prev) >> 1)
+        else:  # Paeth
+            pa, pb, pc = (
+                np.abs(prev - uleft),
+                np.abs(left - uleft),
+                np.abs(left + prev - 2 * uleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, uleft)
+            )
+            enc = row - pred
+        raw += bytes([ftype]) + bytes((enc & 0xFF).astype(np.uint8))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode(spark):
+    """_decode_png inverts every spec filter type (None/Sub/Up/Average/
+    Paeth) for RGB/RGBA/gray/gray+alpha, pixel-pinned against the numpy
+    source through the quadrant feature math; palette, 16-bit, Adam7,
+    truncated and corrupt streams are refused loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_png,
+        decode_image,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)  # h=6 w=5
+
+    # every filter type appears, including on the first row (y=0 edge)
+    for filters in ([0, 1, 2, 3, 4, 3], [4, 4, 4, 4, 4, 4], [3, 1, 0, 2, 4, 1]):
+        assert np.array_equal(_decode_png(_png_bytes(img, filters)), img)
+
+    # RGBA drops alpha; gray and gray+alpha replicate to RGB
+    rgba = np.dstack([img, rng.randint(0, 256, size=(6, 5), dtype=np.uint8)])
+    assert np.array_equal(_decode_png(_png_bytes(rgba, [4, 3, 2, 1, 0, 4])), img)
+    g = rng.randint(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    assert np.array_equal(_decode_png(_png_bytes(g, [1, 4, 3, 2])), np.repeat(g, 3, 2))
+    ga = np.dstack([g[:, :, 0], rng.randint(0, 256, size=(4, 3), dtype=np.uint8)])
+    assert np.array_equal(_decode_png(_png_bytes(ga, [2, 4, 1, 3])), np.repeat(g, 3, 2))
+
+    # feature math matches the shared (PPM) path exactly
+    png = _png_bytes(img, [0, 1, 2, 3, 4, 3])
+    ppm = b"P6\n5 6\n255\n" + img.tobytes()
+    assert decode_image(png, "image") == decode_image(ppm, "image")
+
+    # end-to-end through the Arrow pipeline with require_real
+    df = spark.createDataFrame([(7, "image", bytearray(png), {})], MEDIA_SCHEMA)
+    row = extract_features(df, decoder=decode_image, require_real=True).collect()[0]
+    assert (row["width"], row["height"]) == (5, 6)
+    assert np.allclose(row["feature"], decode_image(png, "image")["feature"], atol=1e-4)
+
+    with _pytest.raises(ValueError, match="palette"):
+        _decode_png(_png_bytes(img, color=3))
+    with _pytest.raises(ValueError, match="bit depth"):
+        _decode_png(_png_bytes(img, depth=16))
+    with _pytest.raises(ValueError, match="interlaced"):
+        _decode_png(_png_bytes(img, interlace=1))
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        _decode_png(png[:-20])  # IEND cut off
+    with _pytest.raises(ValueError, match="corrupt|truncated"):
+        # IDAT payload mangled: inflate fails or raster comes up short
+        bad = bytearray(png)
+        bad[50] ^= 0xFF
+        _decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="missing IHDR"):
+        _decode_png(png[:8] + png[33:])  # IHDR chunk stripped
+    with _pytest.raises(ValueError, match="filter type"):
+        raw = np.zeros((1, 2, 3), dtype=np.uint8)
+        good = _png_bytes(raw)
+        # forge filter byte 9 by re-encoding with a hand-rolled raw stream
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+        forged = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x09" + b"\x00" * 6))
+            + chunk(b"IEND", b"")
+        )
+        _decode_png(forged)
 
 
 def test_real_wav_decode(spark):
@@ -973,6 +1108,40 @@ def test_real_wav_decode(spark):
 
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"ID3\x03compressed-mp3-ish")
+
+
+def test_wav_partial_frame_and_y4m_odd_dims_refused():
+    """A WAVE data chunk that is not a whole number of frames is refused
+    (not surfaced as numpy's raw buffer error / silently truncated), and
+    Y4M subsampled colorspaces refuse odd dimensions instead of decoding
+    frames from misaligned offsets."""
+    import struct
+
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import _parse_y4m_header, decode_wav
+
+    def wav(data, channels=2, bits=16, fmt=1):
+        fmt_body = struct.pack("<HHIIHH", fmt, channels, 8000,
+                               8000 * channels * bits // 8, channels * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with _pytest.raises(ValueError, match="truncated WAVE data"):
+        decode_wav(wav(b"\x01\x02\x03\x04\x05\x06", channels=2))  # 1.5 frames
+    with _pytest.raises(ValueError, match="truncated WAVE data"):
+        decode_wav(wav(b"\x01\x02\x03", channels=1))  # odd bytes, 16-bit mono
+    assert decode_wav(wav(b"\x01\x02\x03\x04", channels=2))["n_samples"] == 1
+
+    assert _parse_y4m_header(b"YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n")[0] == 4
+    for hdr in (b"W3 H2 C420", b"W4 H3 C420", b"W3 H3 C420jpeg", b"W5 H2 C422"):
+        with _pytest.raises(ValueError, match="odd"):
+            _parse_y4m_header(b"YUV4MPEG2 " + hdr + b" F25:1\nFRAME\n")
+    # odd dims are fine where no subsampling occurs
+    assert _parse_y4m_header(b"YUV4MPEG2 W3 H3 F25:1 C444\nFRAME\n")[0] == 3
+    assert _parse_y4m_header(b"YUV4MPEG2 W4 H3 F25:1 C422\nFRAME\n")[1] == 3
 
 
 def test_real_y4m_video_decode(spark):

@@ -51,11 +51,8 @@ def main() -> int:
     spark = get_spark("audit_plans")
     bad = 0
     audited = dict(e.queries())
-    # EXTRA entries are held to the same plan bar, except the documented
-    # verify-only all-pairs helper (demoted from the registry for that reason)
-    audited.update(
-        (n, s.fn) for n, s in suite.extra_specs().items() if n != "dedup_ngram_jaccard"
-    )
+    # EXTRA entries are held to the same plan bar as the driver registry
+    audited.update((n, s.fn) for n, s in suite.extra_specs().items())
     for name, fn in audited.items():
         if only and name not in only:
             continue
