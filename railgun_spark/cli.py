@@ -286,6 +286,18 @@ def cmd_dedup(args) -> int:
     tau_den = args.tau_den if args.tau_den is not None else defaults[args.method][1]
 
     if args.method == "minhash":
+        # the LSH band config (NUM_BANDS x ROWS_PER_BAND) is tuned for the
+        # J>=0.5 S-curve; a different tau only moves the VERIFY threshold,
+        # so lower taus silently raise the false-negative rate (the bands
+        # never surface the extra candidates). Warn instead of pretending.
+        if abs(tau_num / tau_den - 0.5) > 0.05:
+            print(
+                f"warning: minhash bands are tuned for tau=0.5; at "
+                f"tau={tau_num}/{tau_den} recall degrades along the LSH "
+                f"S-curve — use --method jaccard for an exact join at "
+                f"arbitrary thresholds",
+                file=sys.stderr,
+            )
         pairs = minhash_dup_pairs(spark, sf_dir, tau_num / tau_den)
     else:
         s = _docs_with_shingles(spark, sf_dir).select(
@@ -397,22 +409,115 @@ def cmd_decontam(args) -> int:
         ).filter(F.size("sh") > 0)
 
     tr, ev = shingled(args.input_dir), shingled(args.eval_dir)
+    summary = {"mode": args.mode}
     if args.mode == "pooled":
         thr = args.threshold if args.threshold is not None else CONTAM_THRESHOLD
+        summary["threshold"] = thr
         flags = pooled_contamination(tr, ev, threshold=thr)
-    elif args.threshold is not None:
-        # the prefix filter needs a RATIONAL tau; map the float exactly
-        frac = Fraction(str(args.threshold)).limit_denominator(1000)
-        if not (0 < frac <= 1):
-            print(f"--threshold must be in (0, 1]: {args.threshold}", file=sys.stderr)
-            return 2
-        flags = neardup_contamination(tr, ev, frac.numerator, frac.denominator)
     else:
-        flags = neardup_contamination(tr, ev)
+        if args.threshold is not None:
+            # the prefix filter needs a RATIONAL tau; map the float exactly
+            frac = Fraction(str(args.threshold)).limit_denominator(1000)
+            if not (0 < frac <= 1):
+                print(f"--threshold must be in (0, 1]: {args.threshold}", file=sys.stderr)
+                return 2
+            if abs(float(frac) - args.threshold) > 1e-9:
+                print(
+                    f"warning: --threshold {args.threshold} approximated as "
+                    f"{frac.numerator}/{frac.denominator} = {float(frac):.6f} "
+                    f"(the prefix filter needs a rational tau)",
+                    file=sys.stderr,
+                )
+            flags = neardup_contamination(tr, ev, frac.numerator, frac.denominator)
+            summary["tau_num"], summary["tau_den"] = frac.numerator, frac.denominator
+        else:
+            from railgun_spark.operators.dedup import (
+                NEARDUP_CONTAM_DEN,
+                NEARDUP_CONTAM_NUM,
+            )
+
+            flags = neardup_contamination(tr, ev)
+            summary["tau_num"] = NEARDUP_CONTAM_NUM
+            summary["tau_den"] = NEARDUP_CONTAM_DEN
     flags.write.mode("overwrite").parquet(args.output_dir)
-    n = spark.read.parquet(args.output_dir).count()
-    print(json.dumps({"mode": args.mode, "n_flagged": n}))
+    summary["n_flagged"] = spark.read.parquet(args.output_dir).count()
+    print(json.dumps(summary))
     return 0
+
+
+def client_mod_collections() -> tuple[str, ...]:
+    from railgun_spark.client import COLLECTIONS
+
+    return COLLECTIONS
+
+
+def _client_payload(raw: str | None) -> dict | None:
+    """--json accepts an inline object, @file, or '-' for stdin."""
+    if raw is None:
+        return None
+    if raw == "-":
+        raw = sys.stdin.read()
+    elif raw.startswith("@"):
+        with open(raw[1:]) as f:
+            raw = f.read()
+    obj = json.loads(raw)
+    if not isinstance(obj, dict):
+        raise SystemExit("--json must be a JSON object")
+    return obj
+
+
+def cmd_client(args) -> int:
+    """`railgun client` twin (reference railgun/cli/client.go:317-559):
+    authenticate + per-collection add/get/update/delete/list/exec against
+    a running server, bearer token from --jwt-token or $RAILGUN_JWT_TOKEN."""
+    import os
+
+    from railgun_spark.client import ClientError, RailgunClient
+
+    client = RailgunClient(
+        server=args.server,
+        token=args.jwt_token or os.environ.get("RAILGUN_JWT_TOKEN"),
+        ext=args.output_format,
+    )
+    try:
+        if args.collection == "authenticate":
+            if not args.username or not args.password:
+                raise SystemExit("authenticate requires --username and --password")
+            print(client.authenticate(args.username, args.password))
+            return 0
+        if not args.action:
+            raise SystemExit(f"an action is required for {args.collection}")
+        payload = _client_payload(args.payload)
+        if args.action == "list":
+            out = client.list(args.collection)
+        elif args.action == "add":
+            if payload is None:
+                raise SystemExit("add requires --json")
+            out = client.add(args.collection, payload)
+        else:
+            if not args.name:
+                raise SystemExit(f"{args.action} requires --name")
+            if args.action == "get":
+                out = client.get(args.collection, args.name)
+            elif args.action == "update":
+                if payload is None:
+                    raise SystemExit("update requires --json")
+                out = client.update(args.collection, args.name, payload)
+            elif args.action == "delete":
+                out = client.delete(args.collection, args.name)
+            else:  # exec
+                out = client.exec(args.collection, args.name, payload)
+        print(out)
+        return 0
+    except ClientError as e:
+        print(e.body or str(e), file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    except OSError as e:  # connection refused, DNS, timeouts
+        print(f"cannot reach {args.server}: {e}", file=sys.stderr)
+        return 1
 
 
 def cmd_functions(args) -> int:
@@ -572,6 +677,45 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_decontam)
+
+    p = sub.add_parser(
+        "client",
+        help="drive a running railgun_spark server over HTTP "
+        "(authenticate / CRUD / exec)",
+    )
+    p.add_argument(
+        "--server", default="http://localhost:8080", help="server base URL"
+    )
+    p.add_argument(
+        "--jwt-token",
+        default=None,
+        help="bearer token for mutations (default: $RAILGUN_JWT_TOKEN)",
+    )
+    p.add_argument(
+        "--output-format", default="json", help="response extension (json/yaml/...)"
+    )
+    p.add_argument(
+        "collection",
+        choices=("authenticate",) + client_mod_collections(),
+        help="'authenticate' or a catalog collection",
+    )
+    p.add_argument(
+        "action",
+        nargs="?",
+        choices=("list", "get", "add", "update", "delete", "exec"),
+        help="collection action (omit for authenticate)",
+    )
+    p.add_argument("--name", default=None, help="item name (get/update/delete/exec)")
+    p.add_argument(
+        "--json",
+        dest="payload",
+        default=None,
+        help="item payload as a JSON object, or @file, or '-' for stdin "
+        "(add/update; exec variables)",
+    )
+    p.add_argument("--username", default=None, help="authenticate username")
+    p.add_argument("--password", default=None, help="authenticate password")
+    p.set_defaults(fn=cmd_client)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

@@ -303,3 +303,91 @@ def test_decontam_subcommand(spark, capsys, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "f2")).collect()
     assert out["n_flagged"] == 1
     assert rows[0]["doc_id"] == 1 and rows[0]["eval_doc_id"] == 900
+
+
+def test_client_subcommand_live_server(spark, tmp_path, capsys, monkeypatch):
+    """`railgun_spark client` drives a LIVE server over real HTTP
+    (reference railgun/cli/client.go): authenticate, then round-trip a
+    workspace + datastore + layer through add/get/list/update/delete,
+    exec a service, and fail cleanly (rc 1, no traceback) on 401/404."""
+    import threading
+
+    pytest.importorskip("flask")
+    from werkzeug.serving import make_server
+
+    from railgun_spark.catalog.models import DataStore, Process, Service
+    from railgun_spark.catalog.registry import Catalog
+    from railgun_spark.server import create_app
+
+    data = tmp_path / "d.jsonl"
+    data.write_text(json.dumps({"a": 1}))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="d", uri=str(data), format="jsonl"))
+    cat.add(Process(name="p", expression="filter(@, '@a == 1')"))
+    cat.add(Service(name="s", process="p", datastore="d"))
+
+    srv = make_server("127.0.0.1", 0, create_app(cat, root_password="hunter2"))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+
+        # unauthenticated mutation -> rc 1, error on stderr, no traceback
+        rc = main(["client", "--server", url, "workspaces", "add",
+                   "--json", '{"name": "w1"}'])
+        err = capsys.readouterr().err
+        assert rc == 1 and "authorization" in err.lower()
+
+        assert main(["client", "--server", url, "authenticate",
+                     "--username", "root", "--password", "hunter2"]) == 0
+        token = json.loads(capsys.readouterr().out)["token"]
+        monkeypatch.setenv("RAILGUN_JWT_TOKEN", token)  # flag-free mutations
+
+        # workspace + datastore + layer round-trip
+        assert main(["client", "--server", url, "workspaces", "add",
+                     "--json", '{"name": "w1", "title": "first"}']) == 0
+        assert main(["client", "--server", url, "datastores", "add", "--json",
+                     json.dumps({"name": "d2", "uri": str(data),
+                                 "format": "jsonl", "workspace": "w1"})]) == 0
+        assert main(["client", "--server", url, "layers", "add", "--json",
+                     '{"name": "l1", "datastore": "d2"}']) == 0
+        capsys.readouterr()
+
+        assert main(["client", "--server", url, "workspaces", "get",
+                     "--name", "w1"]) == 0
+        assert json.loads(capsys.readouterr().out)["title"] == "first"
+
+        assert main(["client", "--server", url, "layers", "list"]) == 0
+        assert {o["name"] for o in json.loads(capsys.readouterr().out)} == {"l1"}
+
+        assert main(["client", "--server", url, "workspaces", "update",
+                     "--name", "w1", "--json", '{"title": "second"}']) == 0
+        assert main(["client", "--server", url, "workspaces", "get",
+                     "--name", "w1"]) == 0
+        assert json.loads(capsys.readouterr().out.splitlines()[-1])["title"] == "second"
+
+        # exec a service through the client (bearer-gated compute)
+        assert main(["client", "--server", url, "services", "exec",
+                     "--name", "s"]) == 0
+        assert json.loads(capsys.readouterr().out) == [{"a": 1}]
+
+        # delete respects dependency ordering: layer, datastore, workspace
+        for coll, name in (("layers", "l1"), ("datastores", "d2"),
+                           ("workspaces", "w1")):
+            assert main(["client", "--server", url, coll, "delete",
+                         "--name", name]) == 0
+        capsys.readouterr()
+        assert main(["client", "--server", url, "workspaces", "get",
+                     "--name", "w1"]) == 1  # gone -> 404 -> rc 1
+
+        # @file payload form
+        pf = tmp_path / "w.json"
+        pf.write_text('{"name": "w9"}')
+        assert main(["client", "--server", url, "workspaces", "add",
+                     "--json", f"@{pf}"]) == 0
+
+        # unreachable server -> rc 1 with a diagnostic, not a traceback
+        rc = main(["client", "--server", "http://127.0.0.1:1", "workspaces", "list"])
+        assert rc == 1 and "cannot reach" in capsys.readouterr().err
+    finally:
+        srv.shutdown()
