@@ -669,7 +669,11 @@ CONTAIN_DF_CAP = 20
 CONTAIN_THRESHOLD = 0.9
 
 
-@query(
+@extra_query(
+    # r8 rotation: demoted to EXTRA — dedup_containment_exact (lossless
+    # AND faster at sf0.1) keeps the containment row driver-certified;
+    # this df-capped blocker variant stays locally gated with its recall
+    # counter (containment_recall_report)
     "dedup_containment",
     oracle=f"""
     WITH t AS (

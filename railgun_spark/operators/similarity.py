@@ -41,7 +41,10 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-@query(
+@extra_query(
+    # r8 rotation: demoted to EXTRA — the exact-cosine baseline is the
+    # canary's ground-truth leg; ANN stays driver-certified by the
+    # lsh/ivf/pq entries while the recall canary takes this gate slot
     "knn_brute_force",
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1177,7 +1180,10 @@ def assign_clusters_batch(
 # leakage — this canary is what caught r7's 4x4 config at recall 0.516
 # and certifies the current geometry at its own default threshold.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
+    # r8 rotation: promoted to the driver gate — this canary is what
+    # certifies the retuned 16x3-bit band geometry (recall 0.9891 at the
+    # default threshold, vs 0.516 for the r7 config it caught)
     "embedding_lsh_recall_report",
     oracle=None,  # assigned below: composes the shared ndpairs CTE chain
     doc=f"Measured sign-LSH recall at cos >= {NEAR_DUP_COS}: brute-force "
@@ -1248,7 +1254,7 @@ def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuses _near_dup_ctes() exactly (the decorator literal cannot)
 from railgun_spark import suite as _suite  # noqa: E402
 
-_suite.EXTRA["embedding_lsh_recall_report"].oracle = f"""
+_suite.REGISTRY["embedding_lsh_recall_report"].oracle = f"""
     WITH {_near_dup_ctes()},
     exact AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

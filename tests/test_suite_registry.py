@@ -94,7 +94,12 @@ EXPECTED_EXTRA = {
     "semi_join_priority_orders",  # semi: anti_join + below_avg certify 2.4
     "text_quality_topk",  # quality: corpus_clean_summary + classifier certify
     "dedup_cluster_survivors_exact",  # clusters over the lossless join (no LSH misses)
-    "embedding_lsh_recall_report",  # sign-LSH false-negative canary (matmul truth)
+    # round-8 additions + rotation: embedding_lsh_recall_report and
+    # market_share_by_year promoted to the driver gate; these two demoted
+    # (capabilities stay certified by REGISTRY siblings)
+    "nation_trade_volume_by_year",  # Q7: bidirectional nation-pair trade by year
+    "knn_brute_force",  # exact-cosine baseline: ANN gate keeps lsh/ivf/pq
+    "dedup_containment",  # df-capped blocker: dedup_containment_exact certifies
 }
 
 
