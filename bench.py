@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_containment_exact",
     "duplicated_span_removal",
+    # round-8: retuned embedding near-dup (16x3-bit bands), its recall
+    # canary (now driver-gated), and the new TPC-H Q7/Q8 join shapes
+    "embedding_near_dup_pairs",
+    "embedding_lsh_recall_report",
+    "nation_trade_volume_by_year",
+    "market_share_by_year",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -364,16 +364,17 @@ def _decode_bmp(b: bytes):
     return img.astype("float64")
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+def _png_unfilter(raw: bytes, stride: int, h: int, bpp: int):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
-    into an (h, w*bpp) uint8 raster. Up is whole-row vectorized; Sub is a
+    into an (h, stride) uint8 raster; `stride` is the scanline byte width
+    and `bpp` the filter's left-neighbour distance in bytes (rounds up to
+    1 for sub-8-bit depths). Up is whole-row vectorized; Sub is a
     per-byte-lane cumsum (recon[i] = raw[i] + recon[i-bpp] telescopes to a
     running sum within each lane i mod bpp); Average/Paeth carry a true
     left-recurrence, so those rows pay a per-pixel loop — inflate still
     dominates decode time."""
     import numpy as np
 
-    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     for y in range(h):
@@ -382,7 +383,7 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
         if ftype == 0:  # None
             rec = row
         elif ftype == 1:  # Sub
-            rec = row.reshape(w, bpp).cumsum(axis=0).reshape(stride)
+            rec = row.reshape(stride // bpp, bpp).cumsum(axis=0).reshape(stride)
         elif ftype == 2:  # Up
             rec = row + prev
         elif ftype in (3, 4):  # Average / Paeth: sequential left-dependency
@@ -404,14 +405,16 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
 def _decode_png(b: bytes):
-    """8-bit non-interlaced PNG (gray/RGB/gray+alpha/RGBA) via stdlib zlib
-    + numpy unfiltering; alpha is dropped, gray replicates to RGB. Palette
-    (PLTE), 16-bit, and Adam7 interlacing raise — same honesty discipline
-    as the other decoders (truncated streams are refused, never padded)."""
+    """Non-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA; 8-bit
+    samples, plus 1/2/4-bit gray and palette) via stdlib zlib + numpy
+    unfiltering; alpha is dropped, gray replicates to RGB, palette
+    indexes resolve through PLTE. 16-bit and Adam7 interlacing raise —
+    same honesty discipline as the other decoders (truncated streams
+    are refused, never padded)."""
     import struct
     import zlib
 
@@ -420,6 +423,7 @@ def _decode_png(b: bytes):
     i, n = 8, len(b)
     ihdr = None
     idat = []
+    plte = None
     seen_iend = False
     while i + 8 <= n:
         clen, ctype = struct.unpack_from(">I4s", b, i)
@@ -428,6 +432,10 @@ def _decode_png(b: bytes):
         body = b[i + 8 : i + 8 + clen]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if clen % 3 or not clen:
+                raise ValueError(f"bad PLTE length {clen}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -439,28 +447,52 @@ def _decode_png(b: bytes):
     if not seen_iend or not idat:
         raise ValueError("truncated PNG: missing IDAT/IEND")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (bit depth {depth})")
     if color not in _PNG_CHANNELS:
-        raise ValueError(f"palette/unknown PNG color type {color} not supported")
+        raise ValueError(f"unknown PNG color type {color}")
+    if depth != 8 and not (depth in (1, 2, 4) and color in (0, 3)):
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} for color type {color} "
+            "(8-bit everywhere; 1/2/4-bit gray and palette)"
+        )
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
     if interlace != 0:
         raise ValueError("Adam7-interlaced PNG not supported")
     if not w or not h:
         raise ValueError("zero-dimension PNG")
-    bpp = _PNG_CHANNELS[color]
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = _PNG_CHANNELS[color]
+    row_bytes = (w * ch * depth + 7) // 8
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != h * (w * bpp + 1):
+    if len(raw) != h * (row_bytes + 1):
         raise ValueError(
-            f"truncated PNG raster: {len(raw)} != {h * (w * bpp + 1)} bytes"
+            f"truncated PNG raster: {len(raw)} != {h * (row_bytes + 1)} bytes"
         )
-    px = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
-    if color == 0:  # gray
-        rgb = np.repeat(px, 3, axis=2)
+    # filtering operates on BYTES; for sub-8-bit depths the left
+    # neighbour is the previous byte (spec: bpp rounds up to 1)
+    fbpp = max(1, ch * depth // 8)
+    rows = _png_unfilter(raw, row_bytes, h, fbpp)  # h x row_bytes
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth]  # MSB-first
+        pow2 = 1 << np.arange(depth - 1, -1, -1)
+        px = (bits.reshape(h, w, depth) * pow2).sum(axis=2).astype(np.uint8)
+        px = px.reshape(h, w, 1)
+    else:
+        px = rows.reshape(h, w, ch)
+    if color == 3:  # palette lookup
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range ({len(plte)} entries)"
+            )
+        rgb = plte[idx]
+    elif color == 0:  # gray: scale sub-8 depths to the 0..255 range
+        g = px if depth == 8 else (px.astype(np.uint16) * 255 // ((1 << depth) - 1))
+        rgb = np.repeat(g.astype(np.uint8), 3, axis=2)
     elif color == 4:  # gray + alpha
         rgb = np.repeat(px[:, :, :1], 3, axis=2)
     else:  # RGB / RGBA: drop alpha

@@ -916,10 +916,11 @@ def test_real_image_decode_ppm_and_bmp(spark):
         decode_image(ppm, "audio")
 
 
-def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0):
+def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0, plte=None):
     """Minimal PNG encoder for golden tests: per-scanline filter choice
-    (applying the spec's FORWARD filter so the decoder must invert it),
-    8-bit gray/gray+alpha/RGB/RGBA."""
+    (applying the spec's FORWARD filter over the PACKED byte rows, so the
+    decoder must invert it), gray/gray+alpha/RGB/RGBA/palette at 8-bit
+    plus 1/2/4-bit gray and palette."""
     import struct
     import zlib
 
@@ -928,13 +929,25 @@ def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0):
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
     filters = filters or [0] * h
-    a64 = arr.astype(np.int64)
+
+    def packed(y):  # scanline as filter-input BYTES
+        samples = arr[y].reshape(-1).astype(np.uint8)
+        if depth == 8:
+            return samples.astype(np.int64)
+        bits = ((samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
+            np.uint8
+        )
+        return np.packbits(bits.reshape(-1)).astype(np.int64)
+
+    fbpp = max(1, ch * depth // 8)
+    a64 = np.stack([packed(y) for y in range(h)])
     raw = bytearray()
+    nb = a64.shape[1]
     for y, ftype in zip(range(h), filters):
-        row = a64[y].reshape(-1)
-        prev = a64[y - 1].reshape(-1) if y else np.zeros(w * ch, dtype=np.int64)
-        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
-        uleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        row = a64[y]
+        prev = a64[y - 1] if y else np.zeros(nb, dtype=np.int64)
+        left = np.concatenate([np.zeros(fbpp, dtype=np.int64), row[:-fbpp]])
+        uleft = np.concatenate([np.zeros(fbpp, dtype=np.int64), prev[:-fbpp]])
         if ftype == 0:
             enc = row
         elif ftype == 1:
@@ -964,9 +977,11 @@ def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0):
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    plte_chunk = b"" if plte is None else chunk(b"PLTE", bytes(np.asarray(plte, dtype=np.uint8).reshape(-1)))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte_chunk
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -1001,6 +1016,26 @@ def test_real_png_decode(spark):
     assert np.array_equal(_decode_png(_png_bytes(g, [1, 4, 3, 2])), np.repeat(g, 3, 2))
     ga = np.dstack([g[:, :, 0], rng.randint(0, 256, size=(4, 3), dtype=np.uint8)])
     assert np.array_equal(_decode_png(_png_bytes(ga, [2, 4, 1, 3])), np.repeat(g, 3, 2))
+
+    # palette: indices resolve through PLTE, every filter type in play
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 5, 1), dtype=np.uint8)
+    pal_png = _png_bytes(idx, [0, 1, 2, 3, 4, 2], color=3, plte=plte)
+    assert np.array_equal(_decode_png(pal_png), plte[idx[:, :, 0]])
+    # 4-bit palette and 2-bit gray (packed scanlines)
+    pal4 = _png_bytes(idx, [2, 1, 0, 4, 3, 1], color=3, depth=4, plte=plte)
+    assert np.array_equal(_decode_png(pal4), plte[idx[:, :, 0]])
+    g2 = rng.randint(0, 4, size=(3, 7, 1), dtype=np.uint8)
+    got = _decode_png(_png_bytes(g2, [0, 2, 1], color=0, depth=2))
+    assert np.array_equal(got, np.repeat(g2.astype(int) * 255 // 3, 3, axis=2))
+    # 1-bit gray: the bilevel-fax class
+    g1 = rng.randint(0, 2, size=(4, 11, 1), dtype=np.uint8)
+    got = _decode_png(_png_bytes(g1, [0, 1, 2, 1], color=0, depth=1))
+    assert np.array_equal(got, np.repeat(g1 * 255, 3, axis=2))
+    # out-of-range palette index refused, not wrapped
+    bad_idx = np.full((2, 2, 1), 5, dtype=np.uint8)
+    with _pytest.raises(ValueError, match="palette index"):
+        _decode_png(_png_bytes(bad_idx, color=3, plte=plte[:3]))
 
     # feature math matches the shared (PPM) path exactly
     png = _png_bytes(img, [0, 1, 2, 3, 4, 3])
