@@ -974,3 +974,115 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape): a HAVING-over-sum threshold on
+# the fact table selects the qualifying order keys, then a semi-join
+# pulls the order/customer detail — the aggregate runs ONCE, map-side
+# combined, and only the tiny qualifying key set joins back (never a
+# correlated re-aggregate per order). At 100 TB: one orderkey shuffle
+# for the groupBy, broadcast of the qualifying keys.
+# --------------------------------------------------------------------------
+@extra_query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM big
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: HAVING sum(qty) > 300 computed once on the "
+    "fact table; the qualifying key set (tiny by construction) joins "
+    "back for detail — top-k by order value via TakeOrdered.",
+    tags=("join", "agg", "topk"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey", F.round("__qty", 2).alias("total_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Returned-item reporting (TPC-H Q10 shape): customers ranked by revenue
+# lost to returns in one quarter. The returnflag + date filters prune the
+# fact scan BEFORE the joins; customer detail attaches after the
+# per-customer aggregate, so the wide columns never ride the big shuffle.
+# --------------------------------------------------------------------------
+@extra_query(
+    "returned_item_customers",
+    oracle="""
+    WITH lost AS (
+      SELECT o_custkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+    FROM lost
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: filters reach the scans before the orderkey "
+    "shuffle; customer/nation detail joins AFTER the per-customer "
+    "aggregate (the top-k candidate set), nation broadcast.",
+    tags=("join", "agg", "topk"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    lost = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            # whole-dollar revenue: a ~100-term float sum can land within
+            # 1e-8 of a cent's .xx5 rounding boundary and flip between
+            # engines' summation orders (it did, at sf0.01); at 0 decimals
+            # the flip window is 5000x narrower than the per-term noise
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        lost.join(cust, lost.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

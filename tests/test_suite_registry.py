@@ -101,6 +101,8 @@ EXPECTED_EXTRA = {
     "knn_brute_force",  # exact-cosine baseline: ANN gate keeps lsh/ivf/pq
     "dedup_containment",  # df-capped blocker: dedup_containment_exact certifies
     "embedding_neardup_exact_pairs",  # lossless blocked-matmul cosine self-join
+    "large_volume_orders",  # Q18: HAVING-threshold keys join back for detail
+    "returned_item_customers",  # Q10: returns-quarter lost-revenue top-k
 }
 
 
