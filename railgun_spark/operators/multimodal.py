@@ -259,19 +259,21 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # REAL image decoding for the library-free formats. PIL/ffmpeg are absent
 # from this container, but binary PPM (P6), uncompressed 24/32-bit BMP,
-# and 8-bit non-interlaced PNG (stdlib zlib inflate + per-scanline
-# unfilter) need nothing beyond stdlib + numpy — so for those formats
+# non-interlaced PNG (stdlib zlib inflate + per-scanline unfilter), and
+# baseline JPEG (from-scratch T.81 huffman + IDCT in operators/jpeg.py)
+# need nothing beyond stdlib + numpy — so for those formats
 # `extract_features(df, decoder=decode_media, require_real=True)` is a
 # genuinely working decode path, not a stub (decode_media dispatches by
 # kind; decode_image alone requires a pre-filtered image-only frame).
-# Anything else (JPEG/video/audio codecs) still raises: wire a codec
-# library through the same hook.
+# Anything else (progressive JPEG, video/audio compression codecs) still
+# raises: wire a codec library through the same hook.
 # --------------------------------------------------------------------------
 def decode_image(content: bytes, kind: str) -> dict:
-    """Decode PPM(P6)/BMP/PNG bytes to (width, height, feature[8]): mean
-    R, G, B, mean gray, and the four quadrant gray means — deterministic
-    stdlib+numpy arithmetic, no codec libraries. Raises ValueError on
-    non-image kinds and on formats that DO need a codec library."""
+    """Decode PPM(P6)/BMP/PNG/baseline-JPEG bytes to (width, height,
+    feature[8]): mean R, G, B, mean gray, and the four quadrant gray
+    means — deterministic stdlib+numpy arithmetic, no codec libraries.
+    Raises ValueError on non-image kinds and on formats that DO need a
+    codec library."""
     import numpy as np
 
     if kind != "image":
@@ -283,11 +285,15 @@ def decode_image(content: bytes, kind: str) -> dict:
         rgb = _decode_bmp(b)
     elif b[:8] == b"\x89PNG\r\n\x1a\n":
         rgb = _decode_png(b)
+    elif b[:2] == b"\xff\xd8":
+        from railgun_spark.operators.jpeg import decode_jpeg
+
+        rgb = decode_jpeg(b)
     else:
         raise ValueError(
             "unsupported image codec (library-free decode covers PPM P6, "
-            "uncompressed BMP, and 8-bit non-interlaced PNG; JPEG needs a "
-            "codec library via decoder=)"
+            "uncompressed BMP, 8-bit non-interlaced PNG, and baseline "
+            "JPEG; progressive JPEG needs a codec library via decoder=)"
         )
     h, w = rgb.shape[0], rgb.shape[1]
     gray = rgb.mean(axis=2)
