@@ -391,3 +391,16 @@ def test_client_subcommand_live_server(spark, tmp_path, capsys, monkeypatch):
         assert rc == 1 and "cannot reach" in capsys.readouterr().err
     finally:
         srv.shutdown()
+
+
+def test_client_exec_refuses_non_executable_collections():
+    """Only services/jobs/workflows expose exec; the client refuses the
+    rest locally instead of minting a 404 round-trip."""
+    import pytest as _pytest
+
+    from railgun_spark.client import EXECUTABLE, RailgunClient
+
+    c = RailgunClient(server="http://127.0.0.1:1")
+    assert set(EXECUTABLE) == {"services", "jobs", "workflows"}
+    with _pytest.raises(ValueError, match="cannot be executed"):
+        c.exec("workspaces", "w")

@@ -1301,3 +1301,43 @@ def test_ingest_span_gate_refuses_binary_content(spark, tmp_path):
             text_col="content", id_col="media_id",
             span_index_path=str(tmp_path / "si"),
         )
+
+
+def test_band_geometry_math():
+    """band_geometry returns (bands, bits, predicted_recall) satisfying
+    the S-curve model at the requested threshold, prefers the widest
+    bands that fit, and the shipped default config meets its contract."""
+    import math
+
+    import pytest as _pytest
+
+    from railgun_spark.operators.similarity import (
+        NEAR_DUP_BAND_BITS,
+        NEAR_DUP_BANDS,
+        NEAR_DUP_COS,
+        band_geometry,
+    )
+
+    def predicted(tau, bands, bits):
+        p = (1.0 - math.acos(tau) / math.pi) ** bits
+        return 1.0 - (1.0 - p) ** bands
+
+    # the shipped default geometry meets >=0.95 predicted recall at the
+    # default threshold — the r7 defect this helper exists to prevent
+    assert predicted(NEAR_DUP_COS, NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS) >= 0.95
+
+    for tau in (0.4, 0.6, 0.8, 0.95):
+        bands, bits, recall = band_geometry(tau, target_recall=0.95, max_bands=32)
+        assert bands <= 32 and bits >= 1
+        assert recall >= 0.95
+        assert abs(recall - predicted(tau, bands, bits)) < 1e-9
+        # widest-fitting bands: one more bit would need > max_bands
+        p_next = (1.0 - math.acos(tau) / math.pi) ** (bits + 1)
+        need_next = math.ceil(math.log(0.05) / math.log(1.0 - p_next))
+        assert need_next > 32
+
+    # higher thresholds afford wider bands (better background rejection)
+    assert band_geometry(0.9)[1] > band_geometry(0.4)[1]
+    # unreachable target within the band cap raises instead of under-delivering
+    with _pytest.raises(ValueError, match="no sign-LSH geometry"):
+        band_geometry(0.05, target_recall=0.999, max_bands=2)
