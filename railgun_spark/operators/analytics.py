@@ -571,9 +571,13 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    ranked = rev.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("revenue", "o_custkey"))
-    )
+    # distributed rank instead of a no-partition ntile window (which
+    # funnels every customer through one partition at scale); the ntile
+    # oracle cross-checks the bucket arithmetic
+    from railgun_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    ranked_df, total = with_global_rank(rev, ["revenue", "o_custkey"])
+    ranked = ranked_df.withColumn("decile", ntile_from_rank("__rank", 10, total))
     return (
         ranked.groupBy("decile")
         .agg(
@@ -722,25 +726,32 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "ops", "events"),
 )
 def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     ev = load_events(spark, sf_dir).select("user_id")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    ranked = per_key.withColumn(
-        "rn", F.row_number().over(Window.partitionBy().orderBy(F.desc("c"), "user_id"))
+    # top-10 heaviest keys via sort|limit (distributed TakeOrdered) — a
+    # no-partition row_number window here would funnel EVERY key through
+    # one partition, and key cardinality scales with the corpus
+    top10 = (
+        per_key.orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
     )
-    return ranked.agg(
+    stats = per_key.agg(
         F.sum("c").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("c").alias("max_key_rows"),
-        F.round(F.max("c") * F.lit(1.0) / F.sum("c"), 4).alias("max_key_share"),
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("max_key_rows") * F.lit(1.0) / F.col("n_rows"), 4).alias(
+            "max_key_share"
+        ),
+        F.round(F.col("top10_rows") * F.lit(1.0) / F.col("n_rows"), 4).alias(
+            "top10_share"
+        ),
         F.round(
-            F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
-            * F.lit(1.0)
-            / F.sum("c"),
-            4,
-        ).alias("top10_share"),
-        F.round(
-            F.max("c") * F.lit(1.0) * F.count(F.lit(1)) / F.sum("c"), 4
+            F.col("max_key_rows") * F.lit(1.0) * F.col("n_keys") / F.col("n_rows"), 4
         ).alias("skew_ratio"),
     )

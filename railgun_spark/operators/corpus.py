@@ -541,16 +541,19 @@ SHUFFLE_SALT = "epoch-0"
     tags=("corpus", "sampling"),
 )
 def training_shuffle_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from railgun_spark.operators.rank import ntile_from_rank, with_global_rank
     from railgun_spark.operators.text import hash60
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hk = hash60(F.concat(F.lit(SHUFFLE_SALT), F.col("text")))
-    w = Window.orderBy("hk", "doc_id")
+    # distributed rank (range partition + offsets) instead of a global
+    # ntile window, which would funnel the whole corpus through ONE
+    # partition; the DuckDB ntile oracle cross-checks the semantics
+    ranked, total = with_global_rank(
+        docs.select("lang", "doc_id", hk.alias("hk")), ["hk", "doc_id"]
+    )
     return (
-        docs.select("lang", "doc_id", hk.alias("hk"))
-        .withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", ntile_from_rank("__rank", 10, total))
         .groupBy("lang", "decile")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "decile")

@@ -1341,3 +1341,47 @@ def test_band_geometry_math():
     # unreachable target within the band cap raises instead of under-delivering
     with _pytest.raises(ValueError, match="no sign-LSH geometry"):
         band_geometry(0.05, target_recall=0.999, max_bands=2)
+
+
+def test_distributed_global_rank_matches_window_ntile(spark):
+    """with_global_rank + ntile_from_rank must reproduce Spark's own
+    NTILE over a single-partition window exactly (including the
+    remainder rule), stay partition-invariant, and never plan an
+    Exchange SinglePartition."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.rank import ntile_from_rank, with_global_rank
+
+    rows = [Row(k=i, v=(i * 7919) % 101) for i in range(137)]
+    for n in (4, 10):
+        for parts in (1, 5):
+            df = spark.createDataFrame(rows).repartition(parts)
+            ranked, total = with_global_rank(df, ["v", "k"])
+            assert total == 137
+            mine = {
+                r["k"]: r["b"]
+                for r in ranked.withColumn(
+                    "b", ntile_from_rank("__rank", n, total)
+                ).collect()
+            }
+            ref = {
+                r["k"]: r["b"]
+                for r in spark.createDataFrame(rows)
+                .withColumn("b", F.ntile(n).over(Window.orderBy("v", "k")))
+                .collect()
+            }
+            assert mine == ref
+    # ranks are a permutation of 0..total-1
+    got = sorted(r["__rank"] for r in ranked.collect())
+    assert got == list(range(137))
+    # fewer rows than buckets: each row its own bucket
+    small = spark.createDataFrame(rows[:3])
+    ranked, total = with_global_rank(small, ["v", "k"])
+    bs = sorted(
+        r["b"] for r in ranked.withColumn("b", ntile_from_rank("__rank", 10, total)).collect()
+    )
+    assert bs == [1, 2, 3]
+    # no single-partition funnel in the plan
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

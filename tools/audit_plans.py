@@ -29,6 +29,7 @@ ALLOW_NESTED_LOOP = {
     "revenue_range_filter",  # scalar bound broadcast
     "promo_revenue_ratio",  # scalar ratio over one aggregated row
     "agg_global_stats",  # single-row aggregate
+    "key_skew_report_events",  # crossJoin of two single-row aggregates
 }
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
