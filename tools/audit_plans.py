@@ -34,6 +34,20 @@ ALLOW_NESTED_LOOP = {
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 
+# A Window fed by Exchange SinglePartition moves its WHOLE input through
+# one task — a scale-killer when the input tracks the corpus (that shape
+# hid in two queries until r8; see operators/rank.py for the distributed
+# replacement). Allowed only where the windowed frame is bounded BY
+# CONSTRUCTION, never corpus-sized:
+ALLOW_GLOBAL_WINDOW = {
+    "lsh_recall_report",  # windows over the single-row counter frame
+    "mixture_sample_tokens",  # per-language aggregate (bounded languages)
+    "mixture_temperature_shares",  # per-language aggregate
+    "daily_revenue_gapfill",  # date spine (bounded calendar days)
+    "vocab_coverage_curve",  # vocab-sized word-count aggregate
+    "token_length_histogram",  # power-of-two bucket frame (<64 rows)
+}
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -68,6 +82,12 @@ def main() -> int:
             flags.remove("BroadcastNestedLoopJoin")
         if "CartesianProduct" in flags and name in ALLOW_NESTED_LOOP:
             flags.remove("CartesianProduct")
+        if (
+            "Window" in plan
+            and "SinglePartition" in plan
+            and name not in ALLOW_GLOBAL_WINDOW
+        ):
+            flags.append("WindowOverSinglePartition")
         n_exchanges = plan.count("Exchange")
         if flags:
             print(f"FLAG {name}: {flags} (exchanges={n_exchanges})")
