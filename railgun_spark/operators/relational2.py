@@ -1086,3 +1086,157 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+# zero-order customers survive into the 0 bucket, then a histogram of
+# the per-customer counts — two shuffles total (custkey, then the
+# count-sized distribution groupBy).
+# --------------------------------------------------------------------------
+@extra_query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: left join keeps customers with no qualifying "
+    "orders (count 0); count(o_orderkey) ignores the NULLs the left "
+    "join manufactures; second groupBy is count-cardinality-sized.",
+    tags=("join", "agg"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive multi-predicate join (TPC-H Q19 shape): three OR-branches
+# of (brand, size, quantity) conditions. The join itself stays a pure
+# partkey equi-join — the disjunction is a post-join FILTER, so Catalyst
+# keeps the hash join instead of degrading to a nested loop; the shared
+# part-side prefilter (union of the brands/sizes) pushes into the scan.
+# --------------------------------------------------------------------------
+@extra_query(
+    "brand_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: equi-join on partkey with the OR-of-ANDs as a "
+    "post-join filter (hash join preserved); the brand-membership "
+    "prefilter pushes to the part scan.",
+    tags=("join", "agg"),
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#13", "Brand#22", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dormant high-balance customers (TPC-H Q22 shape): acctbal above the
+# positive-balance average AND no URGENT orders (the testdata generator
+# gives every customer SOME order, so the classic no-orders-at-all
+# predicate is vacuously empty at small SFs — the filtered anti-join
+# keeps the Q22 shape AND a non-trivial result). The scalar average
+# broadcasts; NOT EXISTS is a left_anti join — never a correlated
+# re-scan per customer.
+# --------------------------------------------------------------------------
+@extra_query(
+    "dormant_customer_balances",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 10, 2) AS cntry, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H Q22 shape: scalar positive-balance average broadcast into "
+    "the filter; NOT EXISTS as left_anti against the urgent-orders "
+    "subset; group key is a name-derived code (substr).",
+    tags=("join", "subquery", "agg"),
+)
+def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

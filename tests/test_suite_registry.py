@@ -103,6 +103,9 @@ EXPECTED_EXTRA = {
     "embedding_neardup_exact_pairs",  # lossless blocked-matmul cosine self-join
     "large_volume_orders",  # Q18: HAVING-threshold keys join back for detail
     "returned_item_customers",  # Q10: returns-quarter lost-revenue top-k
+    "customer_order_distribution",  # Q13: left-join zero-bucket histogram
+    "brand_quantity_revenue",  # Q19: OR-of-ANDs as post-join filter
+    "dormant_customer_balances",  # Q22: scalar-avg filter + left_anti
 }
 
 

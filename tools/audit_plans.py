@@ -30,6 +30,7 @@ ALLOW_NESTED_LOOP = {
     "promo_revenue_ratio",  # scalar ratio over one aggregated row
     "agg_global_stats",  # single-row aggregate
     "key_skew_report_events",  # crossJoin of two single-row aggregates
+    "dormant_customer_balances",  # scalar avg-balance broadcast to the filter
 }
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
