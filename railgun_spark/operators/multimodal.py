@@ -413,14 +413,51 @@ def _png_unfilter(raw: bytes, stride: int, h: int, bpp: int):
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
+# Adam7 interlacing (PNG spec §8.2): per-pass (x0, y0, dx, dy). Each pass
+# is an independently-filtered sub-image; decoded pixels scatter back on
+# the (y0::dy, x0::dx) grid.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_subimage(raw: bytes, off: int, w: int, h: int, ch: int, depth: int):
+    """Decode one (sub-)image's filtered scanlines starting at `off`:
+    returns ((h, w, ch) uint8/uint16 array or None for an empty pass,
+    bytes consumed). Shared by the sequential and Adam7 paths so
+    unfiltering/unpacking cannot drift between them."""
+    import numpy as np
+
+    if w == 0 or h == 0:
+        return None, 0
+    row_bytes = (w * ch * depth + 7) // 8
+    need = h * (row_bytes + 1)
+    chunk = raw[off : off + need]
+    if len(chunk) < need:
+        raise ValueError(f"truncated PNG raster: {len(chunk)} < {need} bytes")
+    fbpp = max(1, ch * depth // 8)
+    rows = _png_unfilter(chunk, row_bytes, h, fbpp)
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth]  # MSB-first
+        pow2 = 1 << np.arange(depth - 1, -1, -1)
+        px = (bits.reshape(h, w, depth) * pow2).sum(axis=2).astype(np.uint8)
+        px = px.reshape(h, w, 1)
+    elif depth == 8:
+        px = rows.reshape(h, w, ch)
+    else:  # 16-bit: big-endian sample pairs
+        pairs = rows.reshape(h, w, ch, 2).astype(np.uint16)
+        px = (pairs[..., 0] << 8) | pairs[..., 1]
+    return px, need
+
 
 def _decode_png(b: bytes):
-    """Non-interlaced PNG (gray/RGB/palette/gray+alpha/RGBA; 8-bit
-    samples, plus 1/2/4-bit gray and palette) via stdlib zlib + numpy
-    unfiltering; alpha is dropped, gray replicates to RGB, palette
-    indexes resolve through PLTE. 16-bit and Adam7 interlacing raise —
-    same honesty discipline as the other decoders (truncated streams
-    are refused, never padded)."""
+    """PNG (gray/RGB/palette/gray+alpha/RGBA; 8- and 16-bit samples plus
+    1/2/4-bit gray and palette; sequential or Adam7-interlaced) via
+    stdlib zlib + numpy unfiltering; alpha is dropped, gray replicates
+    to RGB, palette indexes resolve through PLTE, 16-bit samples scale
+    into the 0..255 float range. Truncated or malformed streams are
+    refused, never padded — the shared decoder discipline."""
     import struct
     import zlib
 
@@ -455,55 +492,60 @@ def _decode_png(b: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
-    if depth != 8 and not (depth in (1, 2, 4) and color in (0, 3)):
+    ok_depth = depth == 8 or (depth in (1, 2, 4) and color in (0, 3)) or (
+        depth == 16 and color in (0, 2, 4, 6)
+    )
+    if not ok_depth:
         raise ValueError(
-            f"unsupported PNG bit depth {depth} for color type {color} "
-            "(8-bit everywhere; 1/2/4-bit gray and palette)"
+            f"unsupported PNG bit depth {depth} for color type {color}"
         )
     if comp != 0 or filt != 0:
         raise ValueError(f"bad PNG compression/filter method ({comp}/{filt})")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if not w or not h:
         raise ValueError("zero-dimension PNG")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
-    row_bytes = (w * ch * depth + 7) // 8
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != h * (row_bytes + 1):
+    if interlace == 0:
+        px, used = _png_subimage(raw, 0, w, h, ch, depth)
+    else:  # Adam7: seven independently-filtered passes, scattered back
+        px = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
+        used = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+            hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+            sub, n_used = _png_subimage(raw, used, wp, hp, ch, depth)
+            used += n_used
+            if sub is not None:
+                px[y0::dy, x0::dx] = sub
+    if used != len(raw):
         raise ValueError(
-            f"truncated PNG raster: {len(raw)} != {h * (row_bytes + 1)} bytes"
+            f"PNG raster size mismatch: {len(raw)} bytes, expected {used}"
         )
-    # filtering operates on BYTES; for sub-8-bit depths the left
-    # neighbour is the previous byte (spec: bpp rounds up to 1)
-    fbpp = max(1, ch * depth // 8)
-    rows = _png_unfilter(raw, row_bytes, h, fbpp)  # h x row_bytes
-    if depth < 8:
-        bits = np.unpackbits(rows, axis=1)[:, : w * depth]  # MSB-first
-        pow2 = 1 << np.arange(depth - 1, -1, -1)
-        px = (bits.reshape(h, w, depth) * pow2).sum(axis=2).astype(np.uint8)
-        px = px.reshape(h, w, 1)
-    else:
-        px = rows.reshape(h, w, ch)
     if color == 3:  # palette lookup
         idx = px[:, :, 0]
         if int(idx.max()) >= len(plte):
             raise ValueError(
                 f"palette index {int(idx.max())} out of range ({len(plte)} entries)"
             )
-        rgb = plte[idx]
-    elif color == 0:  # gray: scale sub-8 depths to the 0..255 range
-        g = px if depth == 8 else (px.astype(np.uint16) * 255 // ((1 << depth) - 1))
-        rgb = np.repeat(g.astype(np.uint8), 3, axis=2)
+        rgb = plte[idx].astype("float64")
+    elif color == 0:  # gray: scale every depth to the 0..255 range
+        g = px.astype("float64") * (255.0 / ((1 << depth) - 1)) if depth != 8 else px.astype("float64")
+        rgb = np.repeat(g.reshape(h, w, 1), 3, axis=2)
     elif color == 4:  # gray + alpha
-        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        g = px[:, :, :1].astype("float64")
+        rgb = np.repeat(g / 257.0 if depth == 16 else g, 3, axis=2)
     else:  # RGB / RGBA: drop alpha
-        rgb = px[:, :, :3]
-    return rgb.astype("float64")
+        rgb = px[:, :, :3].astype("float64")
+        if depth == 16:
+            rgb = rgb / 257.0
+    return rgb
 
 
 # --------------------------------------------------------------------------

@@ -919,8 +919,9 @@ def test_real_image_decode_ppm_and_bmp(spark):
 def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0, plte=None):
     """Minimal PNG encoder for golden tests: per-scanline filter choice
     (applying the spec's FORWARD filter over the PACKED byte rows, so the
-    decoder must invert it), gray/gray+alpha/RGB/RGBA/palette at 8-bit
-    plus 1/2/4-bit gray and palette."""
+    decoder must invert it), gray/gray+alpha/RGB/RGBA/palette at 8- and
+    16-bit plus 1/2/4-bit packed depths, sequential or Adam7."""
+    import itertools
     import struct
     import zlib
 
@@ -928,45 +929,63 @@ def _png_bytes(arr, filters=None, color=None, depth=8, interlace=0, plte=None):
 
     h, w, ch = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if color is None else color
-    filters = filters or [0] * h
+    filt_iter = itertools.cycle(filters or [0])
+    fbpp = max(1, ch * depth // 8)
 
-    def packed(y):  # scanline as filter-input BYTES
-        samples = arr[y].reshape(-1).astype(np.uint8)
+    def pack_row(samples):  # one scanline's samples -> filter-input bytes
         if depth == 8:
             return samples.astype(np.int64)
-        bits = ((samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(
-            np.uint8
-        )
-        return np.packbits(bits.reshape(-1)).astype(np.int64)
+        if depth == 16:
+            out = np.empty(samples.size * 2, dtype=np.int64)
+            out[0::2] = samples.astype(np.int64) >> 8
+            out[1::2] = samples.astype(np.int64) & 0xFF
+            return out
+        bits = ((samples.astype(np.uint8)[:, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        return np.packbits(bits.reshape(-1).astype(np.uint8)).astype(np.int64)
 
-    fbpp = max(1, ch * depth // 8)
-    a64 = np.stack([packed(y) for y in range(h)])
-    raw = bytearray()
-    nb = a64.shape[1]
-    for y, ftype in zip(range(h), filters):
-        row = a64[y]
-        prev = a64[y - 1] if y else np.zeros(nb, dtype=np.int64)
-        left = np.concatenate([np.zeros(fbpp, dtype=np.int64), row[:-fbpp]])
-        uleft = np.concatenate([np.zeros(fbpp, dtype=np.int64), prev[:-fbpp]])
-        if ftype == 0:
-            enc = row
-        elif ftype == 1:
-            enc = row - left
-        elif ftype == 2:
-            enc = row - prev
-        elif ftype == 3:
-            enc = row - ((left + prev) >> 1)
-        else:  # Paeth
-            pa, pb, pc = (
-                np.abs(prev - uleft),
-                np.abs(left - uleft),
-                np.abs(left + prev - 2 * uleft),
-            )
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, uleft)
-            )
-            enc = row - pred
-        raw += bytes([ftype]) + bytes((enc & 0xFF).astype(np.uint8))
+    def filter_subimage(sub):  # independently-filtered (sub-)image
+        out = bytearray()
+        prev = None
+        for y in range(sub.shape[0]):
+            row = pack_row(sub[y].reshape(-1))
+            if prev is None:
+                prev = np.zeros(len(row), dtype=np.int64)
+            ftype = next(filt_iter)
+            left = np.concatenate([np.zeros(fbpp, dtype=np.int64), row[:-fbpp]])
+            uleft = np.concatenate([np.zeros(fbpp, dtype=np.int64), prev[:-fbpp]])
+            if ftype == 0:
+                enc = row
+            elif ftype == 1:
+                enc = row - left
+            elif ftype == 2:
+                enc = row - prev
+            elif ftype == 3:
+                enc = row - ((left + prev) >> 1)
+            else:  # Paeth
+                pa, pb, pc = (
+                    np.abs(prev - uleft),
+                    np.abs(left - uleft),
+                    np.abs(left + prev - 2 * uleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, uleft)
+                )
+                enc = row - pred
+            out += bytes([ftype]) + bytes((enc & 0xFF).astype(np.uint8))
+            prev = row
+        return out
+
+    if interlace == 0:
+        raw = filter_subimage(arr)
+    else:  # Adam7 pass extraction
+        raw = bytearray()
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filter_subimage(sub)
 
     def chunk(tag, body):
         return (
@@ -1048,12 +1067,28 @@ def test_real_png_decode(spark):
     assert (row["width"], row["height"]) == (5, 6)
     assert np.allclose(row["feature"], decode_image(png, "image")["feature"], atol=1e-4)
 
+    # Adam7 interlacing: seven independently-filtered passes scatter back
+    # to exactly the sequential result, at even and odd dimensions
+    for shape in ((6, 5), (16, 16), (9, 13), (1, 1), (3, 2)):
+        ai = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+        got = _decode_png(_png_bytes(ai, [0, 1, 2, 3, 4], interlace=1))
+        assert np.array_equal(got, ai), shape
+    # 16-bit: big-endian samples, scaled to the 0..255 float range
+    img16 = rng.randint(0, 65536, size=(5, 4, 3)).astype(np.uint16)
+    got = _decode_png(_png_bytes(img16, [4, 3, 2, 1, 0], depth=16))
+    assert np.allclose(got, img16.astype("float64") / 257.0)
+    g16 = rng.randint(0, 65536, size=(3, 6, 1)).astype(np.uint16)
+    got = _decode_png(_png_bytes(g16, [2, 1, 4], depth=16))
+    assert np.allclose(got, np.repeat(g16 * (255.0 / 65535.0), 3, axis=2))
+    # 16-bit + Adam7 together
+    got = _decode_png(_png_bytes(img16, [3, 4], depth=16, interlace=1))
+    assert np.allclose(got, img16.astype("float64") / 257.0)
+
     with _pytest.raises(ValueError, match="palette"):
         _decode_png(_png_bytes(img, color=3))
     with _pytest.raises(ValueError, match="bit depth"):
-        _decode_png(_png_bytes(img, depth=16))
-    with _pytest.raises(ValueError, match="interlaced"):
-        _decode_png(_png_bytes(img, interlace=1))
+        idx8 = np.zeros((2, 2, 1), dtype=np.uint16)
+        _decode_png(_png_bytes(idx8, color=3, depth=16, plte=plte))  # 16-bit palette
     with _pytest.raises(ValueError, match="truncated PNG"):
         _decode_png(png[:-20])  # IEND cut off
     with _pytest.raises(ValueError, match="corrupt|truncated"):
