@@ -1,23 +1,33 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) decoder — stdlib + numpy.
+"""JPEG (ITU-T T.81 / ISO 10918-1) decoder — stdlib + numpy.
 
-Covers the dominant interchange subset: baseline sequential DCT (SOF0),
-8-bit samples, Huffman entropy coding, 1 or 3 components, chroma
-subsampling up to 2x2 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers,
-JFIF/EXIF APPn segments. Refused loudly (same honesty discipline as the
-PPM/BMP/PNG/WAV/Y4M decoders — truncation is an error, never padding):
-progressive (SOF2) and the other non-baseline SOFs, arithmetic coding,
-12-bit precision, 4-component CMYK, sampling factors above 2.
+Covers the dominant interchange subsets: baseline sequential DCT (SOF0,
+plus SOF1 extended-sequential at 8-bit) AND progressive DCT (SOF2) with
+both spectral selection and successive approximation; 8-bit samples,
+Huffman entropy coding, 1 or 3 components, chroma subsampling up to 2x2
+(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers, multi-scan files with
+between-scan DHT redefinition, JFIF/EXIF APPn segments. Refused loudly
+(same honesty discipline as the PPM/BMP/PNG/WAV/Y4M decoders —
+truncation is an error, never padding): lossless/hierarchical SOFs,
+arithmetic coding, 12-bit precision, 4-component CMYK, sampling factors
+above 2.
 
 Structure (all from the public spec):
   - marker walk: DQT (quant tables), DHT (Huffman code lengths+symbols,
-    spec Annex C canonical code construction), SOF0 (dims + per-component
-    sampling/quant ids), DRI (restart interval), SOS (per-component
-    table bindings) then the entropy-coded scan.
+    spec Annex C canonical code construction), SOF (dims + per-component
+    sampling/quant ids), DRI (restart interval), then one SOS per scan —
+    each scan's entropy data is decoded as it is encountered into a
+    per-component COEFFICIENT store (baseline is the degenerate single
+    full-spectrum scan of the same machinery).
   - scan bytes are de-stuffed (FF 00 -> FF) and split at RSTn markers;
-    each restart interval decodes independently with DC predictors reset.
-  - per MCU and component: DC category + extend (spec F.2.2.1), AC
-    run/size with ZRL and EOB (F.2.2.2), dezigzag, dequantize, 8x8 IDCT
-    as two orthonormal-DCT matrix multiplies (exact float, no fixed-point
+    each restart interval decodes independently with DC predictors and
+    the EOB-run counter reset.
+  - progressive semantics per spec G.1.2: DC first scans code diffs of
+    point-transformed values, DC refinement appends one bit per block;
+    AC first scans code a spectral band with EOBn run codes; AC
+    refinement delivers newly-significant +-1<<Al coefficients plus
+    correction bits for every nonzero coefficient crossed.
+  - after all scans: dezigzag, dequantize, batched 8x8 IDCT as two
+    orthonormal-DCT matrix multiplies (exact float, no fixed-point
     approximation), +128 level shift.
   - chroma planes upsample by sample replication; BT.601 YCbCr -> RGB.
 
@@ -115,21 +125,22 @@ def _extend(v: int, category: int) -> int:
     return v
 
 
-def _destuff_and_split(scan: bytes) -> list[bytes]:
-    """Remove FF00 stuffing and split the scan at RSTn markers into
-    independently-decodable restart intervals."""
+def _destuff_and_split(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """From `start`, remove FF00 stuffing and split the entropy-coded
+    data at RSTn markers into independently-decodable restart intervals.
+    Returns (intervals, position of the terminating marker's 0xFF)."""
     intervals: list[bytes] = []
     cur = bytearray()
-    i, n = 0, len(scan)
+    i, n = start, len(b)
     while i < n:
-        b = scan[i]
-        if b != 0xFF:
-            cur.append(b)
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
             i += 1
             continue
         if i + 1 >= n:
             break
-        m = scan[i + 1]
+        m = b[i + 1]
         if m == 0x00:
             cur.append(0xFF)
             i += 2
@@ -137,30 +148,206 @@ def _destuff_and_split(scan: bytes) -> list[bytes]:
             intervals.append(bytes(cur))
             cur = bytearray()
             i += 2
-        else:  # next marker (EOI or otherwise): scan ends here
+        else:  # next marker (EOI, next SOS header, DHT, ...): scan ends
             break
     intervals.append(bytes(cur))
-    return intervals
+    return intervals, i
+
+
+class _ScanState:
+    """Entropy state shared across one scan's blocks: DC predictors per
+    scan-component and the progressive end-of-band run counter."""
+
+    def __init__(self, n_comps: int):
+        self.pred = [0] * n_comps
+        self.eobrun = 0
+
+    def reset(self):
+        self.pred = [0] * len(self.pred)
+        self.eobrun = 0
+
+
+def _decode_dc(reader, table, state, si, coef, ah, al):
+    if ah == 0:  # first DC scan: category + diff bits, scaled by Al
+        cat = table.decode(reader)
+        if cat > 11:
+            raise ValueError(f"bad JPEG DC category {cat}")
+        state.pred[si] += _extend(reader.bits(cat), cat)
+        coef[0] = state.pred[si] << al
+    else:  # refinement: one bit appends 1<<Al
+        if reader.bit():
+            coef[0] |= 1 << al
+
+
+def _refine_nonzero(reader, coef, k, al):
+    """Correction bit for an already-nonzero coefficient (spec G.1.2.3):
+    a 1-bit moves the magnitude toward the next level if that bit is not
+    already set."""
+    if reader.bit() and (coef[k] & (1 << al)) == 0:
+        coef[k] += (1 << al) if coef[k] > 0 else -(1 << al)
+
+
+def _decode_ac_first(reader, table, state, coef, ss, se, al):
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = table.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of 2^r + extra end-of-band blocks (baseline's
+            # plain EOB is the r=0 case: run of exactly one, this block)
+            state.eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        coef[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, table, state, coef, ss, se, al):
+    """Progressive AC successive-approximation refinement (G.1.2.3):
+    newly-significant coefficients arrive as +-1<<Al; every nonzero
+    coefficient crossed on the way receives a correction bit."""
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        for k in range(ss, se + 1):
+            if coef[k]:
+                _refine_nonzero(reader, coef, k, al)
+        return
+    k = ss
+    while k <= se:
+        rs = table.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: correct the rest of this band, then run
+                state.eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
+                for kk in range(k, se + 1):
+                    if coef[kk]:
+                        _refine_nonzero(reader, coef, kk, al)
+                return
+            newval = 0  # ZRL: skip 16 zero-history coefficients
+        elif s == 1:
+            newval = (1 << al) if reader.bit() else -(1 << al)
+        else:
+            raise ValueError(f"bad JPEG AC refinement size {s}")
+        # advance past r zero-history coefficients, correcting nonzeros
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(reader, coef, k, al)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if s and k <= se:
+            coef[k] = newval
+        k += 1
+
+
+def _process_scan(
+    intervals, scan_comps, ss, se, ah, al, restart_interval,
+    comps, geom, coef, huff_dc, huff_ac,
+):
+    """Decode one scan's entropy-coded intervals into the coefficient
+    store. Ns>1 scans interleave over MCUs (hs*vs blocks per component);
+    Ns==1 scans are non-interleaved and walk the COMPONENT's own block
+    raster (ceil dims of its subsampled plane — smaller than the padded
+    MCU grid for subsampled components)."""
+    hmax, vmax, mcus_x, mcus_y, w, h = geom
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        ci0 = scan_comps[0][0]
+        _, hs0, vs0, _ = comps[ci0]
+        comp_w = -(-w * hs0 // hmax)
+        comp_h = -(-h * vs0 // vmax)
+        cbw = -(-comp_w // 8)
+        cbh = -(-comp_h // 8)
+        n_units = cbw * cbh
+    per_interval = restart_interval if restart_interval else n_units
+    expected = -(-n_units // per_interval)
+    if len(intervals) < expected:
+        raise ValueError(
+            f"truncated JPEG scan: {len(intervals)} restart intervals, "
+            f"expected {expected}"
+        )
+    band_lo = max(ss, 1)
+
+    def decode_block(reader, state, si, dc_id, ac_id, blk):
+        if ss == 0:
+            if ah == 0 and dc_id not in huff_dc:
+                raise ValueError(f"JPEG references undefined DC table {dc_id}")
+            _decode_dc(reader, huff_dc.get(dc_id), state, si, blk, ah, al)
+        if se >= band_lo and se >= 1:
+            if ac_id not in huff_ac:
+                raise ValueError(f"JPEG references undefined AC table {ac_id}")
+            if ah == 0:
+                _decode_ac_first(reader, huff_ac[ac_id], state, blk, band_lo, se, al)
+            else:
+                _decode_ac_refine(reader, huff_ac[ac_id], state, blk, band_lo, se, al)
+
+    unit = 0
+    for interval in intervals[:expected]:
+        reader = _BitReader(interval)
+        state = _ScanState(len(scan_comps))
+        for _ in range(min(per_interval, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for si, (ci, dc_id, ac_id) in enumerate(scan_comps):
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_block(
+                                reader, state, si, dc_id, ac_id,
+                                coef[ci][my * vs + by, mx * hs + bx],
+                            )
+            else:
+                ci, dc_id, ac_id = scan_comps[0]
+                by, bx = divmod(unit, cbw)
+                decode_block(reader, state, 0, dc_id, ac_id, coef[ci][by, bx])
+            unit += 1
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) float64 RGB raster in [0, 255]."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes -> (h, w, 3)
+    float64 RGB raster in [0, 255]. Both paths decode into a shared
+    coefficient store; baseline is the degenerate single full-spectrum
+    scan of the progressive machinery, so the block layer cannot drift
+    between them."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    frame = None  # (h, w, progressive, [(cid, hs, vs, tq)])
     restart_interval = 0
-    scan_bindings = None  # [(comp_idx, dc_id, ac_id)]
-    scan_data = None
+    coef = None  # per component: (blocks_y, blocks_x, 64) int32, zigzag order
+    geom = None
+    saw_scan = False
+    hit_eoi = False
 
     i, n = 2, len(b)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {i}")
         marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
         if marker == 0xD9:  # EOI
+            hit_eoi = True
+            break
+        if marker == 0x01:  # TEM: standalone
+            i += 2
+            continue
+        if i + 4 > n:
             break
         seg_len = struct.unpack_from(">H", b, i + 2)[0]
         if i + 2 + seg_len > n:
@@ -193,8 +380,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT table")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 j += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG precision supported ({prec})")
             if nc not in (1, 3):
@@ -206,94 +395,80 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise ValueError(f"unsupported JPEG sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise ValueError(f"non-baseline JPEG ({kind}) needs a codec library")
+            frame = (h, w, marker == 0xC2, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline/progressive JPEG (SOF{marker - 0xC0}: lossless/"
+                "arithmetic/hierarchical) needs a codec library"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
+            h, w, progressive, comps = frame
+            if not h or not w:
+                raise ValueError("zero-dimension JPEG")
+            if geom is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcus_x, mcus_y, w, h)
+                coef = [
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype="int32")
+                    for (_, hs, vs, _) in comps
+                ]
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise ValueError("JPEG partial-scan SOS not supported (baseline interleaved only)")
-            cids = [c[0] for c in frame[2]]
-            scan_bindings = []
+            cids = [c[0] for c in comps]
+            scan_comps = []  # (ci, dc_id, ac_id)
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
-                scan_bindings.append((cids.index(cs), tt >> 4, tt & 0x0F))
-            scan_data = b[i + 2 + seg_len :]
-            break
-        # APPn / COM / others: skip
+                if cs not in cids:
+                    raise ValueError(f"JPEG scan references unknown component {cs}")
+                scan_comps.append((cids.index(cs), tt >> 4, tt & 0x0F))
+            ss, se, ah_al = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("sequential JPEG scan must cover the full spectrum")
+            if ss > se or se > 63:
+                raise ValueError(f"bad JPEG spectral band {ss}..{se}")
+            if ss > 0 and ns != 1:
+                raise ValueError("JPEG AC scans must be single-component")
+            intervals, i_next = _destuff_and_split(b, i + 2 + seg_len)
+            _process_scan(
+                intervals, scan_comps, ss, se, ah, al, restart_interval,
+                comps, geom, coef, huff_dc, huff_ac,
+            )
+            saw_scan = True
+            i = i_next
+            continue
+        # APPn / COM / DNL / others: skip
         i += 2 + seg_len
 
-    if frame is None or scan_data is None:
-        raise ValueError("truncated JPEG: missing SOF0/SOS")
-    h, w, comps = frame
-    if not h or not w:
-        raise ValueError("zero-dimension JPEG")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    if frame is None or not saw_scan:
+        raise ValueError("truncated JPEG: missing SOF/SOS")
+    if not hit_eoi:
+        raise ValueError("truncated JPEG: missing EOI")
+    h, w, progressive, comps = frame
+    hmax, vmax = geom[0], geom[1]
 
-    # per-component coefficient planes (in blocks)
+    # dequantize + IDCT every block, assemble per-component planes
     planes = []
-    for _, hs, vs, tq in comps:
+    for ci, (_, hs, vs, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError(f"JPEG references undefined quant table {tq}")
-        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype="float64"))
-
-    intervals = _destuff_and_split(scan_data)
-    n_mcus = mcus_x * mcus_y
-    per_interval = restart_interval if restart_interval else n_mcus
-    expected_intervals = -(-n_mcus // per_interval)
-    if len(intervals) < expected_intervals:
-        raise ValueError(
-            f"truncated JPEG scan: {len(intervals)} restart intervals, "
-            f"expected {expected_intervals}"
+        by, bx = coef[ci].shape[:2]
+        # vectorized over all blocks: dezigzag, dequantize, batched IDCT
+        zz = coef[ci].reshape(-1, 64).astype("float64") * qt[tq].astype("float64")
+        blocks = np.zeros((zz.shape[0], 64))
+        blocks[:, _ZIGZAG] = zz
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _M, blocks, _M) + 128.0
+        plane = (
+            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
-
-    mcu = 0
-    for interval in intervals[:expected_intervals]:
-        reader = _BitReader(interval)
-        pred = [0] * len(comps)
-        for _ in range(min(per_interval, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for ci, (_, hs, vs, tq) in enumerate(comps):
-                dc_id, ac_id = scan_bindings[ci][1], scan_bindings[ci][2]
-                if dc_id not in huff_dc or ac_id not in huff_ac:
-                    raise ValueError("JPEG references undefined Huffman table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype="int64")
-                        cat = huff_dc[dc_id].decode(reader)
-                        if cat > 11:
-                            raise ValueError(f"bad JPEG DC category {cat}")
-                        pred[ci] += _extend(reader.bits(cat), cat)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huff_ac[ac_id].decode(reader)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype="float64")
-                        blk[_ZIGZAG] = zz * qt[tq]
-                        pix = _M.T @ blk.reshape(8, 8) @ _M + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu += 1
+        planes.append(plane)
 
     # upsample to full resolution by sample replication, crop, color-convert
     full = []

@@ -5,10 +5,11 @@ Beyond-reference component for training-data pipelines. The Spark-side
 plumbing (schemas, batch iteration, partition behavior) is real and tested;
 media decoding is pluggable behind `decoder=` hooks: `decode_media`
 (dispatching to decode_image / decode_wav / decode_y4m) REALLY decodes
-one library-free format per modality — PPM P6 + uncompressed BMP, PCM
-and float WAV, YUV4MPEG2 — pure struct+numpy, golden-tested, truncation
-refused everywhere; codec-bound formats (JPEG/PNG/MP3/H.264; PIL/ffmpeg
-absent from this container) default to a deterministic fake for
+the library-free formats — PPM P6, uncompressed BMP, full PNG, JPEG
+(baseline + progressive, operators/jpeg.py) for images; PCM and float
+WAV for audio; YUV4MPEG2 for video — pure stdlib+numpy, golden-tested,
+truncation refused everywhere; codec-bound formats (MP3/AAC/H.264;
+ffmpeg absent from this container) default to a deterministic fake for
 pipeline-shape tests or raise NotImplementedError when
 `require_real=True` without a decoder.
 
@@ -73,9 +74,9 @@ def extract_features(
     if require_real and decoder is None:
         raise NotImplementedError(
             "real media decoding needs a decoder: pass decoder=decode_media "
-            "for the library-free formats (PPM/BMP, WAV, Y4M), or a "
-            "PIL/torchaudio/ffmpeg-backed callable (not present in this "
-            "container) for compressed codecs"
+            "for the library-free formats (PPM/BMP/PNG/JPEG, WAV, Y4M), or "
+            "a torchaudio/ffmpeg-backed callable (not present in this "
+            "container) for compressed audio/video codecs"
         )
     fn = decoder or fake_decode
 
@@ -260,16 +261,16 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
 # REAL image decoding for the library-free formats. PIL/ffmpeg are absent
 # from this container, but binary PPM (P6), uncompressed 24/32-bit BMP,
 # non-interlaced PNG (stdlib zlib inflate + per-scanline unfilter), and
-# baseline JPEG (from-scratch T.81 huffman + IDCT in operators/jpeg.py)
+# JPEG — baseline AND progressive (from-scratch T.81 huffman + IDCT in operators/jpeg.py)
 # need nothing beyond stdlib + numpy — so for those formats
 # `extract_features(df, decoder=decode_media, require_real=True)` is a
 # genuinely working decode path, not a stub (decode_media dispatches by
 # kind; decode_image alone requires a pre-filtered image-only frame).
-# Anything else (progressive JPEG, video/audio compression codecs) still
-# raises: wire a codec library through the same hook.
+# Anything else (video/audio compression codecs) still raises: wire a
+# codec library through the same hook.
 # --------------------------------------------------------------------------
 def decode_image(content: bytes, kind: str) -> dict:
-    """Decode PPM(P6)/BMP/PNG/baseline-JPEG bytes to (width, height,
+    """Decode PPM(P6)/BMP/PNG/JPEG bytes to (width, height,
     feature[8]): mean R, G, B, mean gray, and the four quadrant gray
     means — deterministic stdlib+numpy arithmetic, no codec libraries.
     Raises ValueError on non-image kinds and on formats that DO need a
@@ -292,8 +293,8 @@ def decode_image(content: bytes, kind: str) -> dict:
     else:
         raise ValueError(
             "unsupported image codec (library-free decode covers PPM P6, "
-            "uncompressed BMP, 8-bit non-interlaced PNG, and baseline "
-            "JPEG; progressive JPEG needs a codec library via decoder=)"
+            "uncompressed BMP, PNG, and baseline+progressive JPEG; other "
+            "formats need a codec library via decoder=)"
         )
     h, w = rgb.shape[0], rgb.shape[1]
     gray = rgb.mean(axis=2)

@@ -68,30 +68,197 @@ def _build_table(symbols_used):
     return counts, bytes(syms), codes
 
 
-def _block_symbols(zz, pred):
-    """(dc_category, [(rs, extra_val, extra_bits)...]) for one block."""
-    diff = int(zz[0]) - pred
-    cat = _category(diff)
-    dc = (cat, _extend_inverse(diff, cat))
-    acs = []
-    run = 0
-    last = 63
-    while last > 0 and zz[last] == 0:
-        last -= 1
-    for k in range(1, last + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            acs.append((0xF0, 0, 0))
-            run -= 16
-        s = _category(v)
-        acs.append(((run << 4) | s, _extend_inverse(v, s), s))
+def _sig(v: int) -> int:
+    return 1 if v >= 0 else -1
+
+
+class _Collector:
+    """Pass 1: record Huffman symbols; ignore raw bits."""
+
+    def __init__(self):
+        self.dc: list[int] = []
+        self.ac: list[int] = []
+
+    def sym_dc(self, v):
+        self.dc.append(v)
+
+    def sym_ac(self, v):
+        self.ac.append(v)
+
+    def bits(self, v, n):
+        pass
+
+
+class _CodeWriter:
+    """Pass 2: emit real codes through a _BitWriter."""
+
+    def __init__(self, bw, dc_codes, ac_codes):
+        self.bw, self.dc_codes, self.ac_codes = bw, dc_codes, ac_codes
+
+    def sym_dc(self, v):
+        L, c = self.dc_codes[v]
+        self.bw.write(c, L)
+
+    def sym_ac(self, v):
+        L, c = self.ac_codes[v]
+        self.bw.write(c, L)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v & ((1 << n) - 1), n)
+
+
+def _scan_units(comp_idxs, comps_meta, geom):
+    hmax, vmax, mcus_x, mcus_y, w, h = geom
+    if len(comp_idxs) > 1:
+        return mcus_x * mcus_y, None
+    ci = comp_idxs[0]
+    _, hs, vs, _ = comps_meta[ci]
+    comp_w = -(-w * hs // hmax)
+    comp_h = -(-h * vs // vmax)
+    cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+    return cbw * cbh, cbw
+
+
+def _emit_interval(out, coefs, comps_meta, scan, geom, unit_lo, unit_hi, cbw):
+    """Emit entropy symbols for units [unit_lo, unit_hi) of one restart
+    interval — DC first/refine, AC first (with EOB runs), AC refine
+    (with buffered correction bits), mirroring the decoder exactly."""
+    comp_idxs, ss, se, ah, al = scan
+    hmax, vmax, mcus_x, mcus_y, w, h = geom
+    band_lo = max(ss, 1)
+    pred = {ci: 0 for ci in comp_idxs}
+    eobrun = 0
+    pending: list[int] = []  # buffered refinement correction bits
+    allow_runs = ss > 0 and ah == 0  # progressive AC first scans
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            n = min(eobrun, 32767)
+            r = n.bit_length() - 1
+            out.sym_ac(r << 4)
+            out.bits(n - (1 << r), r)
+            for bit in pending:
+                out.bits(bit, 1)
+            pending.clear()
+            eobrun -= n
+
+    def dc_block(ci, blk):
+        if ah == 0:
+            v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+            diff = v - pred[ci]
+            pred[ci] = v
+            cat = _category(diff)
+            out.sym_dc(cat)
+            out.bits(_extend_inverse(diff, cat), cat)
+        else:
+            out.bits((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first_block(blk):
+        nonlocal eobrun
+        vals = [_sig(int(blk[k])) * (abs(int(blk[k])) >> al) for k in range(band_lo, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            if allow_runs:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+            else:
+                out.sym_ac(0x00)
+            return
+        flush_eob()
         run = 0
-    if last < 63:
-        acs.append((0x00, 0, 0))  # EOB
-    return dc, acs, int(zz[0])
+        for i, v in enumerate(vals):
+            if i > nz[-1]:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.sym_ac(0xF0)
+                run -= 16
+            s = _category(v)
+            out.sym_ac((run << 4) | s)
+            out.bits(_extend_inverse(v, s), s)
+            run = 0
+        if nz[-1] < len(vals) - 1:  # trailing zeros: EOB territory
+            if allow_runs:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+            else:
+                out.sym_ac(0x00)
+
+    def ac_refine_block(blk):
+        nonlocal eobrun
+        ks = list(range(band_lo, se + 1))
+        was_sig = {k: (abs(int(blk[k])) >> (al + 1)) != 0 for k in ks}
+        now_mag = {k: abs(int(blk[k])) >> al for k in ks}
+        newly = [k for k in ks if not was_sig[k] and now_mag[k] == 1]
+
+        def corr(krange):
+            return [now_mag[k] & 1 for k in krange if was_sig[k]]
+
+        if not newly:
+            eobrun += 1
+            pending.extend(corr(ks))
+            if eobrun == 32767:
+                flush_eob()
+            return
+        flush_eob()
+        run = 0
+        seg_corr: list[int] = []
+        pos = 0
+        for k in ks:
+            if k > newly[-1]:
+                break
+            if was_sig[k]:
+                seg_corr.append(now_mag[k] & 1)
+            elif now_mag[k] == 1:  # newly significant
+                out.sym_ac((run << 4) | 1)
+                out.bits(1 if int(blk[k]) > 0 else 0, 1)
+                for bit in seg_corr:
+                    out.bits(bit, 1)
+                seg_corr = []
+                run = 0
+            else:  # zero history, stays zero
+                run += 1
+                if run == 16:
+                    out.sym_ac(0xF0)
+                    for bit in seg_corr:
+                        out.bits(bit, 1)
+                    seg_corr = []
+                    run = 0
+            pos += 1
+        tail = [k for k in ks if k > newly[-1]]
+        if tail:
+            eobrun += 1
+            pending.extend(corr(tail))
+            if eobrun == 32767:
+                flush_eob()
+
+    for unit in range(unit_lo, unit_hi):
+        if len(comp_idxs) > 1:  # interleaved MCU
+            my, mx = divmod(unit, mcus_x)
+            for ci in comp_idxs:
+                _, hs, vs, _ = comps_meta[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coefs[ci][my * vs + by][mx * hs + bx]
+                        if ss == 0:
+                            dc_block(ci, blk)
+                        if se >= band_lo and se >= 1:
+                            (ac_first_block if ah == 0 else ac_refine_block)(blk)
+        else:
+            ci = comp_idxs[0]
+            by, bx = divmod(unit, cbw)
+            blk = coefs[ci][by][bx]
+            if ss == 0:
+                dc_block(ci, blk)
+            if se >= band_lo and se >= 1:
+                (ac_first_block if ah == 0 else ac_refine_block)(blk)
+    flush_eob()
 
 
 def encode_jpeg(
@@ -100,10 +267,13 @@ def encode_jpeg(
     sampling=(1, 1),
     restart_interval: int = 0,
     grayscale: bool = False,
+    scans=None,
 ) -> bytes:
-    """Minimal baseline encoder: YCbCr (or grayscale), `sampling` (hs, vs)
-    applied to luma (chroma stays 1x1), one quant table for all
-    components, canonical single-length Huffman tables."""
+    """Spec encoder: baseline (scans=None -> SOF0, one interleaved
+    full-spectrum scan) or progressive (SOF2 with an explicit scan list
+    of (comp_indices, Ss, Se, Ah, Al)). YCbCr (or grayscale), `sampling`
+    (hs, vs) on luma, one quant table, canonical single-length Huffman
+    tables rebuilt per scan."""
     h, w = rgb.shape[:2]
     q = np.ones(64, dtype="int32") if qtab is None else qtab.astype("int32")
     r, g, b = [rgb[:, :, c].astype("float64") for c in range(3)]
@@ -113,7 +283,6 @@ def encode_jpeg(
     hs, vs = sampling
     comps = [(1, hs, vs, y)]
     if not grayscale:
-        # chroma at 1x1: box-average down by (hs, vs)
         def sub(p):
             if hs == 1 and vs == 1:
                 return p
@@ -128,85 +297,88 @@ def encode_jpeg(
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    geom = (hmax, vmax, mcus_x, mcus_y, w, h)
 
-    # pad every component plane to its MCU-covered size
-    padded = []
+    comps_meta = []
+    coefs = []  # per comp: [by][bx] -> zigzag int array
     for cid, chs, cvs, plane in comps:
         ph, pw = mcus_y * cvs * 8, mcus_x * chs * 8
         plane = np.pad(
             plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
         )
-        padded.append((cid, chs, cvs, plane))
+        grid = []
+        for by in range(ph // 8):
+            row = []
+            for bx in range(pw // 8):
+                f = _M @ (plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _M.T
+                row.append(np.round(f.reshape(64)[_ZIGZAG] / q).astype("int64"))
+            grid.append(row)
+        coefs.append(grid)
+        comps_meta.append((cid, chs, cvs, 0))
 
-    # quantized zigzag blocks in MCU-interleaved order
-    def zz_block(plane, y0, x0):
-        f = _M @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ _M.T
-        # zigzag: zz[i] = f[_ZIGZAG[i]], quantized
-        return np.round(f.reshape(64)[_ZIGZAG] / q).astype("int64")
-
-    n_mcus = mcus_x * mcus_y
-    dc_syms, ac_syms = [], []
-    pred = [0] * len(padded)
-    tokens_all = []
-    for m in range(n_mcus):
-        if restart_interval and m % restart_interval == 0:
-            pred = [0] * len(padded)
-        my, mx = divmod(m, mcus_x)
-        tokens = []
-        for ci, (cid, chs, cvs, plane) in enumerate(padded):
-            for by in range(cvs):
-                for bx in range(chs):
-                    zz = zz_block(plane, (my * cvs + by) * 8, (mx * chs + bx) * 8)
-                    dc, acs, dcval = _block_symbols(zz, pred[ci])
-                    pred[ci] = dcval
-                    dc_syms.append(dc[0])
-                    ac_syms += [a[0] for a in acs]
-                    tokens.append((dc, acs))
-        tokens_all.append(tokens)
-
-    dc_counts, dc_symbols, dc_codes = _build_table(dc_syms)
-    ac_counts, ac_symbols, ac_codes = _build_table(ac_syms)
-
-    scan = bytearray()
-    writer = _BitWriter()
-    for m, tokens in enumerate(tokens_all):
-        if restart_interval and m and m % restart_interval == 0:
-            scan += writer.flush()
-            scan += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-            writer = _BitWriter()
-        for (cat, extra), acs in tokens:
-            L, code = dc_codes[cat]
-            writer.write(code, L)
-            if cat:
-                writer.write(extra, cat)
-            for rs, extra_v, extra_n in acs:
-                L, code = ac_codes[rs]
-                writer.write(code, L)
-                if extra_n:
-                    writer.write(extra_v, extra_n)
-    scan += writer.flush()
+    if scans is None:
+        scans = [(list(range(len(comps))), 0, 63, 0, 0)]
+        sof_marker = 0xC0
+    else:
+        sof_marker = 0xC2
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(padded)])
-    for cid, chs, cvs, _ in padded:
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, chs, cvs, _ in comps_meta:
         sof += bytes([cid, (chs << 4) | cvs, 0])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbols)
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)
+    out += seg(sof_marker, sof)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(padded)])
-    for cid, *_ in padded:
-        sos += bytes([cid, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += scan
+
+    for scan in scans:
+        comp_idxs, ss, se, ah, al = scan
+        n_units, cbw = _scan_units(comp_idxs, comps_meta, geom)
+        per = restart_interval if restart_interval else n_units
+
+        col = _Collector()
+        unit = 0
+        while unit < n_units:
+            hi = min(unit + per, n_units)
+            _emit_interval(col, coefs, comps_meta, scan, geom, unit, hi, cbw)
+            unit = hi
+        dc_counts, dc_symbols, dc_codes = _build_table(col.dc)
+        ac_counts, ac_symbols, ac_codes = _build_table(col.ac)
+        if col.dc:
+            out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbols)
+        if col.ac:
+            out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)
+
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([comps_meta[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+
+        scan_bytes = bytearray()
+        unit = 0
+        n_int = 0
+        bw = _BitWriter()
+        writer = _CodeWriter(bw, dc_codes, ac_codes)
+        while unit < n_units:
+            hi = min(unit + per, n_units)
+            _emit_interval(writer, coefs, comps_meta, scan, geom, unit, hi, cbw)
+            unit = hi
+            if unit < n_units:
+                scan_bytes += bw.flush()
+                scan_bytes += bytes([0xFF, 0xD0 + (n_int % 8)])
+                n_int += 1
+                bw = _BitWriter()
+                writer = _CodeWriter(bw, dc_codes, ac_codes)
+        scan_bytes += bw.flush()
+        out += scan_bytes
+
     out += b"\xff\xd9"
     return bytes(out)
+
 
 
 # ---------------------------------------------------------------------------
@@ -287,10 +459,10 @@ def test_refusals():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" + good)
-    # flip SOF0 -> SOF2 (progressive)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(prog)
+    # SOF3 (lossless) refused
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(ValueError, match="lossless|SOF3"):
+        decode_jpeg(lossless)
     # truncated scan: cut well into the entropy data
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[: len(good) - (len(good) - good.find(b"\xff\xda")) // 2])
@@ -322,3 +494,100 @@ def test_decode_image_dispatch_and_pipeline(spark):
     df = spark.createDataFrame([(1, "image", bytearray(jpg), {})], MEDIA_SCHEMA)
     row = extract_features(df, decoder=decode_image, require_real=True).collect()[0]
     assert np.allclose(row["feature"], d["feature"], atol=1e-4)
+
+
+def _spectral_scans(ncomps):
+    """Spectral-selection-only progressive: DC scan, then per-component
+    AC bands split in two."""
+    scans = [(list(range(ncomps)), 0, 0, 0, 0)]
+    for ci in range(ncomps):
+        scans += [([ci], 1, 5, 0, 0), ([ci], 6, 63, 0, 0)]
+    return scans
+
+
+def _successive_scans(ncomps):
+    """Full progressive: DC and AC first scans at Al=1, then refinement
+    scans down to Al=0 — exercises DC refine, AC refine with newly-
+    significant coeffs, correction bits, ZRL, and EOB runs."""
+    scans = [(list(range(ncomps)), 0, 0, 0, 1)]
+    for ci in range(ncomps):
+        scans.append(([ci], 1, 63, 0, 1))
+    scans.append((list(range(ncomps)), 0, 0, 1, 0))
+    for ci in range(ncomps):
+        scans.append(([ci], 1, 63, 1, 0))
+    return scans
+
+
+def test_progressive_spectral_equals_baseline():
+    """Spectral-selection-only progressive must reconstruct EXACTLY the
+    same coefficients as baseline: pixel-identical output."""
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg(img, scans=_spectral_scans(3)))
+    assert np.array_equal(base, prog)
+    assert np.abs(prog - img).max() < 6.0
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    rng = np.random.RandomState(37)
+    img = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg(img, scans=_successive_scans(3)))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_successive_two_levels():
+    """Two refinement levels (Al=2 -> 1 -> 0) with a coarse quant table:
+    small coefficients only become significant in late scans, exercising
+    the EOB-run + buffered-correction paths hard."""
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    q = np.full(64, 8, dtype="int32")
+    scans = [([0, 1, 2], 0, 0, 0, 2)]
+    scans += [([ci], 1, 63, 0, 2) for ci in range(3)]
+    scans += [([0, 1, 2], 0, 0, 2, 1)]
+    scans += [([ci], 1, 63, 2, 1) for ci in range(3)]
+    scans += [([0, 1, 2], 0, 0, 1, 0)]
+    scans += [([ci], 1, 63, 1, 0) for ci in range(3)]
+    base = decode_jpeg(encode_jpeg(img, qtab=q))
+    prog = decode_jpeg(encode_jpeg(img, qtab=q, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_subsampled_and_grayscale():
+    """4:2:0 progressive exercises the per-component (non-padded) block
+    raster of non-interleaved AC scans; grayscale the 1-component path."""
+    rng = np.random.RandomState(43)
+    base_img = rng.randint(0, 256, size=(3, 4, 3)).astype("float64")
+    img = np.kron(base_img, np.ones((8, 8, 1))).astype(np.uint8)  # 24x32
+    b420 = decode_jpeg(encode_jpeg(img, sampling=(2, 2)))
+    p420 = decode_jpeg(encode_jpeg(img, sampling=(2, 2), scans=_successive_scans(3)))
+    assert np.array_equal(b420, p420)
+
+    g = rng.randint(0, 256, size=(21, 10), dtype=np.uint8)
+    gimg = np.dstack([g, g, g])
+    bg = decode_jpeg(encode_jpeg(gimg, grayscale=True))
+    pg = decode_jpeg(
+        encode_jpeg(gimg, grayscale=True, scans=_successive_scans(1))
+    )
+    assert np.array_equal(bg, pg)
+
+
+def test_progressive_with_restarts():
+    rng = np.random.RandomState(47)
+    img = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, scans=_successive_scans(3)))
+    rst = decode_jpeg(
+        encode_jpeg(img, scans=_successive_scans(3), restart_interval=3)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_progressive_truncated_scan_refused():
+    rng = np.random.RandomState(53)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    prog = encode_jpeg(img, scans=_spectral_scans(3))
+    # cut mid-way through the final AC scan's entropy data
+    with pytest.raises(ValueError, match="truncated|missing EOI"):
+        decode_jpeg(prog[: len(prog) - 30])
