@@ -212,13 +212,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16 bands x 3 bits: p_bit(0.4)=0.631, band p=0.251, recall
 # 1-(1-0.251)^16 = 0.990 (canary-verified each round). The honest cost:
 # at a threshold this low the S-curve is shallow — background pairs at
-# cos~0 still collide w.p. 1-(1-0.5^3)^16 = 0.88, so the verify leg sees
-# most pairs and LSH buys little over the canary's blocked brute-force
-# matmul. Banding pays at HIGH thresholds (at cos 0.8+, FP(0) drops fast
-# with wider bands); pick geometry per threshold with band_geometry(),
-# and below the banding regime use embedding_neardup_exact_pairs (the
-# lossless blocked-matmul self-join further down) — measured 4.3 s at
-# 16k vectors where this operator's verify leg is quasi-quadratic.
+# cos~0 still collide w.p. 1-(1-0.5^3)^16 = 0.88, so banding prunes
+# almost nothing, and the 3-bit band-value space (bands * 2^bits keys)
+# makes a band equi-join quadratic per key. The pairs query therefore
+# EXECUTES as the commuted intersection — blocked-matmul exact pairs
+# filtered to band-colliders map-side — which preserves banded
+# semantics at blocked-matmul cost (see embedding_near_dup_pairs).
+# Banding as a JOIN STRATEGY pays at HIGH thresholds (at cos 0.8+,
+# FP(0) drops fast with wider bands); pick geometry per threshold with
+# band_geometry(), and below the banding regime prefer
+# embedding_neardup_exact_pairs (recall 1.0 at the same cost).
 # --------------------------------------------------------------------------
 NEAR_DUP_BANDS = 16
 NEAR_DUP_BAND_BITS = 3
@@ -305,43 +308,52 @@ def _near_dup_oracle() -> str:
     tags=("similarity", "dedup"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantics: banded sign-LSH candidates (pairs sharing ANY band)
+    # verified at >= NEAR_DUP_COS. Computed via the commuted
+    # intersection: (banded candidates) INTERSECT (pairs >= tau) equals
+    # (pairs >= tau) FILTERED to band-colliders — so the execution
+    # never materializes the banded candidate join at all. That matters
+    # twice at this recall-faithful geometry: the S-curve admits ~88%
+    # of background pairs (verify wall), and 3-bit bands have only
+    # bands*2^bits distinct keys, so the band equi-join ITSELF is
+    # quadratic-in-n per key (measured 67 s at 16k vectors). Here the
+    # blocked-matmul generator (BLAS, slack-loosened, lossless superset)
+    # produces the ~true pairs, the shared Catalyst fold decides them,
+    # and a map-side zip_with over the two 16-int signatures applies the
+    # band-collision condition per surviving pair. The recall canary
+    # still measures exactly the banding misses.
+    import math
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    bands = emb.select(
+    sig = emb.select(
         "vec_id",
-        F.posexplode(lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS)).alias(
-            "band_idx", "band_val"
-        ),
+        lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS).alias("sig"),
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    # normalize once per VECTOR (2k norm folds), so each candidate pair
-    # pays ONE dot fold instead of three (dot + both norms) — at a 0.4
-    # threshold the S-curve admits ~88% of background pairs (see the
-    # geometry note above), so the verify leg IS the cost center.
-    # The cosine is a named column (filter + project evaluate it once).
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
     ).select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
     )
+    n = emb_n.count()
+    n_blocks = max(1, math.ceil(n / EXACT_BLOCK_ROWS))
+    cand = exact_cosine_candidate_pairs(emb_n, NEAR_DUP_COS, n_blocks)
     a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("vna"))
     b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vnb"))
+    sa = sig.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sigb"))
+    shares_band = F.exists(
+        F.zip_with("siga", "sigb", lambda p, q: p == q), lambda eq: eq
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .withColumn("cos_sim", F.round(dot(F.col("vna"), F.col("vnb")), 6))
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        .join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .filter(shares_band)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )

@@ -51,14 +51,18 @@ measured local[32], 2026-08-14):
 
     semdedup x1: 185 pairs 4.9s   x2: 2.7k 4.3s   x4: 15k 7.0s
              x8: 68k pairs 13.9s   (8x vecs, 367x pairs, 2.8x wall)
-    embnear  (r8 geometry, 16x3-bit bands, recall 0.99 at cos 0.4):
-             x1: 910 pairs 10.3s  x2: 5.6k 13.7s  x4: 27k 50.5s
-        QUASI-QUADRATIC by design: at tau=0.4 the sign-LSH S-curve
-        admits ~88% of background pairs, and every candidate row ships
-        two vectors through the verify shuffle — this is the measured
-        price of >=0.95 recall from BANDING at a threshold below the
-        regime it serves (r7's 4x4 config was 4x faster here because it
-        silently missed half the true pairs). For low thresholds use:
+    embnear  (r8 geometry, 16x3-bit bands, recall 0.99 at cos 0.4;
+              computed as the COMMUTED intersection — exact block-matmul
+              pairs filtered to band-colliders by a map-side zip_with):
+             x1: 910 pairs 6.1s   x2: 5.6k 4.0s   x4: 27k 3.4s
+             x8: 114k pairs 9.4s  (8x vecs, 125x pairs, 2.3x the x2
+        wall). Two naive forms were measured and rejected on this probe:
+        banded-join + per-candidate vector verify (50 s at x4 — the
+        S-curve admits ~88% of background pairs at tau=0.4) and
+        banded-join + matmul-pruned verify (67 s at x8 — 3-bit bands
+        have only bands*2^bits keys, so the band equi-join ITSELF is
+        quadratic per key). The rewrite keeps banded semantics exactly
+        (the canary still measures banding misses: 640 at x8).
     embexact (lossless blocked-matmul self-join, recall 1.0):
              x1: 920 pairs 6.9s   x2: 5.7k 3.1s   x4: 27k 3.5s
              x8: 115k pairs 4.3s  (8x vecs, 125x pairs, 1.4x the x2
@@ -66,10 +70,10 @@ measured local[32], 2026-08-14):
         n_blocks replication; candidate rows are 16 bytes and only TRUE
         pairs ever ship vectors (the Catalyst re-verify).
 
-semdedup/embexact track TRUE duplicate pairs, never vecs^2-sized
+semdedup/embnear/embexact track TRUE duplicate pairs, never vecs^2-sized
 shuffles — the same property the MinHash curve establishes for text;
-embnear's curve documents why banding is the wrong tool below cos~0.8
-and the geometry note in similarity.py points users at embexact there.
+the geometry note in similarity.py routes low-threshold users to
+embexact (recall 1.0 at the same cost).
 
 Round-7 late-wave curves (lossless prefix-filter joins + span removal;
 salted copies form k-wide J~1 cliques so TRUE pairs grow ~k^2 per clique
