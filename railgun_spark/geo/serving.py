@@ -154,3 +154,111 @@ def grid_to_png(grid: list[list[int]], size: int = 256) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first), CLEAR/EOI,
+    dictionary reset at 4096. Width rule: the DECODER adds its entries
+    one code behind the encoder (it cannot complete an entry until the
+    next code arrives), so the encoder bumps its code width one entry
+    LATER than its own counter suggests — when next == 2^width + 1 —
+    which is exactly when the decoder's lagged counter reaches
+    2^width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, width = fresh()
+    emit(clear, width)
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt == 4096:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def grid_to_gif(grid: list[list[int]], size: int = 256) -> bytes:
+    """GIF87a of the mask grid scaled to size x size — the reference's
+    gif branch of img/RespondWithGrid.go:33-34, library-free (from-scratch
+    LZW). Two-entry palette: background black, mask white."""
+    side = len(grid)
+    scale = max(1, size // side)
+    w = h = side * scale
+    indices = []
+    for gy in range(side):
+        row = [1 if grid[gy][gx] else 0 for gx in range(side) for _ in range(scale)]
+        for _ in range(scale):
+            indices.extend(row)
+    lzw = _lzw_encode(indices, 2)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF0, 0, 0])  # global table, 2 entries; bg 0; no aspect
+    out += bytes([0, 0, 0, 255, 255, 255])  # palette: black, white
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+    out += bytes([2])  # LZW min code size
+    for i in range(0, len(lzw), 255):  # <=255-byte sub-blocks
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def grid_to_jpeg(grid: list[list[int]], size: int = 256) -> bytes:
+    """Baseline JPEG of the mask grid — the reference's jpeg branch of
+    img/RespondWithGrid.go:35-37, via the library's own grayscale
+    encoder (operators/jpeg.py)."""
+    import numpy as np
+
+    from railgun_spark.operators.jpeg import encode_gray_jpeg
+
+    side = len(grid)
+    scale = max(1, size // side)
+    g = (np.asarray(grid, dtype="uint8") * 255).repeat(scale, 0).repeat(scale, 1)
+    return encode_gray_jpeg(g)
+
+
+MASK_FORMATS = {
+    "png": (grid_to_png, "image/png"),
+    "gif": (grid_to_gif, "image/gif"),
+    "jpg": (grid_to_jpeg, "image/jpeg"),
+    "jpeg": (grid_to_jpeg, "image/jpeg"),
+}
+
+
+def grid_to_image(grid: list[list[int]], ext: str, size: int = 256) -> tuple[bytes, str]:
+    """Encode a mask grid as (bytes, mimetype) by extension — the
+    RespondWithGrid format dispatch (png/gif/jpg)."""
+    if ext not in MASK_FORMATS:
+        raise ValueError(f"unsupported mask format {ext!r} (png/gif/jpg/jpeg)")
+    fn, mime = MASK_FORMATS[ext]
+    return fn(grid, size=size), mime

@@ -484,3 +484,123 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.dstack([r, g, bl]), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Grayscale baseline ENCODER — the serving-side twin of the decoder
+# (reference img/RespondWithGrid.go:35-37 serves density masks as jpeg;
+# this provides that wire format without a codec library). Single
+# component, SOF0, canonical one-length Huffman tables over the symbols
+# actually used (spec Annex C; the all-ones code stays unassigned).
+# ---------------------------------------------------------------------------
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_gray_jpeg(gray, qtab=None) -> bytes:
+    """(h, w) uint8 grayscale -> baseline JFIF bytes. `qtab` is a 64-long
+    zigzag-order quantization table (default: all ones, near-lossless)."""
+    gray = np.asarray(gray, dtype="float64")
+    if gray.ndim != 2 or not gray.size:
+        raise ValueError(f"encode_gray_jpeg expects a non-empty 2-D array, got {gray.shape}")
+    h, w = gray.shape
+    q = (
+        np.ones(64, dtype="int32")
+        if qtab is None
+        else np.asarray(qtab, dtype="int32").reshape(64)
+    )
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    # forward DCT + quantize, zigzag order, all blocks row-major
+    zz_blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            f = _M @ (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _M.T
+            zz_blocks.append(np.round(f.reshape(64)[_ZIGZAG] / q).astype("int64"))
+
+    # token stream: (dc_cat, dc_extra) + [(rs, extra, nbits)...] per block
+    def extend_inv(v, cat):
+        return v if v >= 0 else v + (1 << cat) - 1
+
+    tokens = []
+    pred = 0
+    dc_syms, ac_syms = [], []
+    for zz in zz_blocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        cat = _category(diff)
+        dc_syms.append(cat)
+        acs = []
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                run -= 16
+            s = _category(v)
+            acs.append(((run << 4) | s, extend_inv(v, s), s))
+            run = 0
+        if last < 63:
+            acs.append((0x00, 0, 0))
+        ac_syms += [a[0] for a in acs]
+        tokens.append(((cat, extend_inv(diff, cat)), acs))
+
+    def build_table(symbols):
+        syms = sorted(set(symbols)) or [0]
+        bits = max(2, len(syms).bit_length())
+        while (1 << bits) < len(syms) + 1:
+            bits += 1
+        counts = [0] * 16
+        counts[bits - 1] = len(syms)
+        return counts, bytes(syms), {s: (bits, i) for i, s in enumerate(syms)}
+
+    dc_counts, dc_symbols, dc_codes = build_table(dc_syms)
+    ac_counts, ac_symbols, ac_codes = build_table(ac_syms)
+
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def put(value, width):
+        nonlocal acc, nbits
+        for k in range(width - 1, -1, -1):
+            acc = (acc << 1) | ((value >> k) & 1)
+            nbits += 1
+            if nbits == 8:
+                out_bits.append(acc)
+                if acc == 0xFF:
+                    out_bits.append(0x00)
+                acc = nbits = 0
+
+    for (cat, extra), acs in tokens:
+        L, c = dc_codes[cat]
+        put(c, L)
+        if cat:
+            put(extra, cat)
+        for rs, ev, en in acs:
+            L, c = ac_codes[rs]
+            put(c, L)
+            if en:
+                put(ev, en)
+    while nbits:
+        put(1, 1)  # pad final byte with 1-bits
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbols)
+        + seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbols)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(out_bits)
+        + b"\xff\xd9"
+    )

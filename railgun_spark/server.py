@@ -8,7 +8,7 @@ Route parity with railgun/router/RailgunRouter.go:
   POST       /workflows/{name}/exec.{ext}    sequential jobs   (:131)
   GET        /layers/{name}/items.{ext}      dfl + limit items (:132, ItemsHandler.go:43-194)
   GET        /layers/{name}/tiles/data/{z}/{x}/{y}.{ext}   (:133)
-  GET        /layers/{name}/tiles/mask/{z}/{x}/{y}.png     (:135)
+  GET        /layers/{name}/tiles/mask/{z}/{x}/{y}.{png|gif|jpg} (:135)
   GET        /dfl/functions.{ext}            function catalog  (:65)
   GET        /gss/formats.{ext}              format list       (:58)
 
@@ -114,7 +114,7 @@ def _swagger_doc() -> dict:
     for path, desc in (
         ("/layers/{name}/items.{ext}", "layer items with optional dfl + limit"),
         ("/layers/{name}/tiles/data/{z}/{x}/{y}.{ext}", "GeoJSON tile data"),
-        ("/layers/{name}/tiles/mask/{z}/{x}/{y}.png", "rasterized density mask"),
+        ("/layers/{name}/tiles/mask/{z}/{x}/{y}.{ext}", "rasterized density mask (png/gif/jpg)"),
         ("/dfl/functions.{ext}", "DFL function catalog"),
         ("/gss/formats.{ext}", "serialization format list"),
         ("/swagger.{ext}", "this document"),
@@ -303,12 +303,16 @@ def create_app(
         )
         return _render(feature_collection(feats), ext)
 
-    @app.route("/layers/<name>/tiles/mask/<int:z>/<int:x>/<int:y>.png")
-    def layer_tile_mask(name, z, x, y):
+    @app.route("/layers/<name>/tiles/mask/<int:z>/<int:x>/<int:y>.<ext>")
+    def layer_tile_mask(name, z, x, y, ext):
         from flask import Response
 
-        from railgun_spark.geo.serving import grid_to_png, tile_mask_grid
+        from railgun_spark.geo.serving import MASK_FORMATS, grid_to_image, tile_mask_grid
 
+        if ext not in MASK_FORMATS:  # png/gif/jpg per RespondWithGrid.go:20-46
+            return _render(
+                {"error": f"unsupported mask format {ext} (png/gif/jpg)"}, "json"
+            ), 404
         layer = catalog.get(MODEL_TYPES["Layer"], name)
         df = catalog.layer_frame(name)
         try:
@@ -320,7 +324,8 @@ def create_app(
             df, z, x, y, mask_zoom=zoom, threshold=threshold,
             layer_extent=tuple(layer.extent) if layer.extent else None,
         )
-        return Response(grid_to_png(grid), mimetype="image/png")
+        body, mime = grid_to_image(grid, ext)
+        return Response(body, mimetype=mime)
 
     @app.route("/swagger.<ext>")
     def swagger_route(ext):

@@ -189,9 +189,120 @@ def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/mask/10/292/391.png?zoom=12")
     assert r.status_code == 200 and r.data.startswith(b"\x89PNG")
 
+    # gif + jpg mask formats (RespondWithGrid.go:20-46 parity)
+    r = app_client.get("/layers/bars/tiles/mask/10/292/391.gif?zoom=12")
+    assert r.status_code == 200 and r.data.startswith(b"GIF87a")
+    assert r.mimetype == "image/gif"
+    r = app_client.get("/layers/bars/tiles/mask/10/292/391.jpg?zoom=12")
+    assert r.status_code == 200 and r.data.startswith(b"\xff\xd8")
+    assert r.mimetype == "image/jpeg"
+    r = app_client.get("/layers/bars/tiles/mask/10/292/391.bmp?zoom=12")
+    assert r.status_code == 404
+
     # tile far away -> empty collection
     r = app_client.get("/layers/bars/tiles/data/10/0/0.json")
     assert r.get_json()["numberOfFeatures"] == 0
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Test-side GIF LZW decoder (mirror width/reset rules)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, width = fresh()
+    out: list[int] = []
+    prev = None
+    nbits_total = len(data) * 8
+    while True:
+        if pos + width > nbits_total:
+            raise AssertionError("ran out of LZW bits before EOI")
+        code = 0
+        for i in range(width):  # LSB-first
+            byte, bit = divmod(pos + i, 8)
+            code |= ((data[byte] >> bit) & 1) << i
+        pos += width
+        if code == clear:
+            table, nxt, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:  # KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise AssertionError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def test_mask_gif_and_jpeg_pixels_match_png_grid(spark, tmp_path):
+    """The three mask encodings carry the SAME raster: decode the GIF via
+    a test-side LZW decoder and the JPEG via the library's own decoder,
+    and compare both against the grid."""
+    import numpy as np
+
+    from railgun_spark.geo.serving import grid_to_gif, grid_to_jpeg
+
+    rng = np.random.RandomState(3)
+    side = 16
+    grid = [[int(rng.rand() < 0.4) for _ in range(side)] for _ in range(side)]
+    expect = (np.array(grid, dtype="uint8") * 255).repeat(4, 0).repeat(4, 1)
+
+    gif = grid_to_gif(grid, size=64)
+    assert gif[:6] == b"GIF87a" and gif[-1:] == b"\x3b"
+    w = int.from_bytes(gif[6:8], "little")
+    h = int.from_bytes(gif[8:10], "little")
+    assert (w, h) == (64, 64)
+    # palette: black then white
+    assert gif[13:19] == bytes([0, 0, 0, 255, 255, 255])
+    # image descriptor at 19; LZW starts after it
+    assert gif[19] == 0x2C  # descriptor: 10 bytes (19..28)
+    min_code = gif[29]
+    # reassemble sub-blocks
+    lzw = bytearray()
+    p = 30
+    while gif[p]:
+        n = gif[p]
+        lzw += gif[p + 1 : p + 1 + n]
+        p += 1 + n
+    pixels = _lzw_decode(bytes(lzw), min_code)
+    assert len(pixels) == 64 * 64
+    got = np.array(pixels, dtype="uint8").reshape(64, 64) * 255
+    assert np.array_equal(got, expect)
+
+    # full-size random mask: >4096 LZW entries forces the dictionary
+    # reset (CLEAR mid-stream) — decoded pixels must still match exactly
+    big = [[int(v) for v in row] for row in (rng.rand(256, 256) < 0.5)]
+    bgif = grid_to_gif(big, size=256)
+    lzw2 = bytearray()
+    p = 30
+    while bgif[p]:
+        n = bgif[p]
+        lzw2 += bgif[p + 1 : p + 1 + n]
+        p += 1 + n
+    px2 = _lzw_decode(bytes(lzw2), bgif[29])
+    assert np.array_equal(
+        np.array(px2, dtype="uint8").reshape(256, 256), np.array(big, dtype="uint8")
+    )
+
+    from railgun_spark.operators.jpeg import decode_jpeg
+
+    jp = decode_jpeg(grid_to_jpeg(grid, size=64))
+    # JPEG is lossy but near-lossless at the unit table: binary mask
+    # pixels stay within a few levels of 0/255
+    assert jp.shape == (64, 64, 3)
+    assert np.abs(jp[:, :, 0] - expect).max() < 8.0
 
 
 def test_read_encrypted_many_distributed(spark, tmp_path):
