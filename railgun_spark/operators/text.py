@@ -898,6 +898,83 @@ def _bpe_merge_loop(symbols: DataFrame, n_merges: int) -> list[tuple[str, str]]:
 # discipline as the k-means centroids). Per-doc scores round at 6 before
 # the ordering so the cross-engine rank is deterministic.
 # --------------------------------------------------------------------------
+def bpe_encode(
+    df,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tokens",
+):
+    """Apply trained BPE merges (from `bpe_train`) to a corpus: each row
+    gains an `out_col` array of subword tokens.
+
+    Scale shape mirrors training's insight — tokenization is VOCAB-sized
+    work, not corpus-sized: the corpus explodes once into (id, pos, word)
+    rows, each DISTINCT word is tokenized exactly once inside an Arrow
+    batch (merge ranks broadcast; greedy lowest-rank-first, left-to-right
+    non-overlapping — the published GPT-2 bpe() loop), and the token
+    arrays join back by word before an order-preserving per-document
+    reassembly (collect_list of (pos, toks) structs, array_sort,
+    flatten). Documents with no words keep an empty array.
+    """
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    def tokenize_words(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                syms = list(w)
+                while len(syms) > 1:
+                    best = None
+                    for a, b in zip(syms, syms[1:]):
+                        r = ranks.get((a, b))
+                        if r is not None and (best is None or r < best):
+                            best = r
+                    if best is None:
+                        break
+                    a, b = merges[best]
+                    merged = []
+                    i = 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                out.append(syms)
+            yield pd.DataFrame({"w": pdf["w"], "toks": out})
+
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "w"),
+    )
+    vocab = words.select("w").distinct()
+    word_toks = vocab.mapInPandas(tokenize_words, "w: string, toks: array<string>")
+    assembled = (
+        words.join(word_toks, "w")
+        .groupBy("__id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.join(assembled, df[id_col] == assembled["__id"], "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>")))
+    )
+
+
 @extra_query(
     "unigram_logprob_quality",
     oracle="""

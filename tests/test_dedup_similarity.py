@@ -1385,3 +1385,48 @@ def test_distributed_global_rank_matches_window_ntile(spark):
     # no single-partition funnel in the plan
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark, sf_dir):
+    """bpe_encode: greedy lowest-rank-first with left-to-right
+    non-overlapping application (hand-pinned outcomes), order-preserving
+    document reassembly, empty-text rows keep an empty array, and with
+    TRAINED merges every document's tokens concatenate back to exactly
+    its lowercased word stream (lossless segmentation invariant)."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "abcabd abx"), (2, ""), (3, "ZZZ zz"), (4, "ba ab")],
+        "doc_id: long, text: string",
+    )
+    merges = [("a", "b"), ("ab", "c")]
+    rows = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, merges).collect()}
+    # "abcabd": ab+ab first (rank 0, both occurrences), then ab+c (rank 1)
+    assert rows[1] == ["abc", "ab", "d", "ab", "x"]
+    assert rows[2] == []
+    assert rows[3] == ["z", "z", "z", "z", "z"]  # no merge applies
+    assert rows[4] == ["b", "a", "ab"]  # "ba" untouched; word order kept
+
+    # partitioning must not change reassembly order
+    rows7 = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(df.repartition(7), merges).collect()
+    }
+    assert rows7 == rows
+
+    # trained merges on real data: tokens concatenate back to the words
+    trained = bpe_train(spark, sf_dir, n_merges=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    enc = bpe_encode(docs, trained)
+    bad = enc.withColumn(
+        "joined", F.concat_ws("", "tokens")
+    ).withColumn(
+        "expected",
+        F.concat_ws(
+            "",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        ),
+    ).filter(F.col("joined") != F.col("expected"))
+    assert bad.count() == 0
