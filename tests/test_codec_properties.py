@@ -1,0 +1,160 @@
+"""Property tests over the from-scratch codec layer (PNG/JPEG/GIF):
+random-input round-trips through the paired encoders, and a fuzz pass
+asserting every decoder fails CLOSED on garbage — ValueError, never a
+hang, wrong-shaped output, or a foreign exception type. Spark-free:
+these exercise the pure codec functions directly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from railgun_spark.geo.serving import _lzw_encode
+from railgun_spark.operators.jpeg import decode_jpeg, encode_gray_jpeg
+from railgun_spark.operators.multimodal import _decode_png, decode_wav, decode_y4m
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Independent LZW decoder (mirrors GIF semantics: decoder entries
+    lag the encoder by one code; width bumps when ITS counter fills)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    table, nxt, width = {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+    out: list[int] = []
+    prev = None
+    total = len(data) * 8
+    while True:
+        assert pos + width <= total, "ran out of bits before EOI"
+        code = 0
+        for i in range(width):
+            byte, bit = divmod(pos + i, 8)
+            code |= ((data[byte] >> bit) & 1) << i
+        pos += width
+        if code == clear:
+            table, nxt, width = {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        else:
+            assert code == nxt and prev is not None, f"bad code {code}"
+            entry = prev + (prev[0],)
+        out.extend(entry)
+        if prev is not None:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(0, 3), min_size=1, max_size=4000),
+    min_code=st.integers(2, 4),
+)
+def test_lzw_roundtrip_property(data, min_code):
+    """LZW encode -> independent decode is the identity for any index
+    stream (covers KwKwK, width growth, and — at larger sizes — the
+    4096 dictionary reset)."""
+    assert _lzw_decode(_lzw_encode(data, min_code), min_code) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, interlace, seed):
+    """Random 8-bit images of every color type, sequential and Adam7,
+    random per-scanline filters: byte-exact through the decoder."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_io_catalog import _png_bytes
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = [int(x) for x in rng.randint(0, 5, size=h)]
+    got = _decode_png(_png_bytes(arr, filters, interlace=interlace))
+    if ch >= 3:
+        expect = arr[:, :, :3]
+    else:
+        expect = np.repeat(arr[:, :, :1], 3, axis=2)
+    assert np.array_equal(got, expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gray_jpeg_roundtrip_property(w, h, seed):
+    """encode_gray_jpeg -> decode_jpeg stays within DCT float rounding
+    (unit quant table) at any dimensions, including non-multiple-of-8."""
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_gray_jpeg(g))
+    assert out.shape == (h, w, 3)
+    assert np.abs(out[:, :, 0] - g).max() < 6.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=300), seed=st.integers(0, 2**31 - 1))
+def test_decoders_fail_closed_on_garbage(payload, seed):
+    """Garbage (random bytes, and random bytes behind each format's magic
+    prefix) must raise ValueError from every decoder — never another
+    exception type and never a silent wrong answer."""
+    rng = np.random.RandomState(seed)
+    blobs = [payload]
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 "):
+        blobs.append(magic + payload)
+    # a syntactically plausible but corrupt RIFF/WAVE head
+    blobs.append(b"RIFF" + bytes([payload[0] if payload else 0, 0, 0, 0]) + b"WAVE" + payload)
+    for blob in blobs:
+        for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m):
+            try:
+                fn(blob)
+            except ValueError:
+                pass  # the contract
+            else:
+                # only acceptable non-error: a decoder actually decoding a
+                # (tiny) valid stream that hypothesis stumbled into — it
+                # must then be the RIGHT magic for that decoder
+                magic_ok = (
+                    (fn is _decode_png and blob[:8] == b"\x89PNG\r\n\x1a\n")
+                    or (fn is decode_jpeg and blob[:2] == b"\xff\xd8")
+                    or (fn is decode_wav and blob[:4] == b"RIFF")
+                    or (fn is decode_y4m and blob[:9] == b"YUV4MPEG2")
+                )
+                assert magic_ok, f"{fn.__name__} decoded garbage without magic"
+
+
+def test_decoders_reject_deep_truncations_of_valid_streams():
+    """Every strict prefix of a small valid file raises ValueError (or
+    decodes identically for JPEG prefixes that still contain EOI — which
+    cannot happen for strict prefixes, so: always ValueError)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_io_catalog import _png_bytes
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _png_bytes(img, [0, 1, 2, 3, 4])
+    jpg = encode_gray_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8))
+    for blob, fn in ((png, _decode_png), (jpg, decode_jpeg)):
+        full = fn(blob)
+        assert full is not None
+        for cut in range(1, len(blob), 7):
+            with pytest.raises(ValueError):
+                fn(blob[:cut])
