@@ -445,6 +445,49 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """BPE tokenization pipeline: train merges on the corpus (or load a
+    saved merge list), encode every document at vocab-sized cost
+    (text.bpe_encode), write (id, tokens, n_tokens) parquet, print a
+    summary JSON line."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.text import bpe_encode, bpe_train
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_tokenize")
+    if args.merges_file:
+        with open(args.merges_file) as f:
+            merges = [tuple(m) for m in json.load(f)]
+        if not all(len(m) == 2 for m in merges):
+            print("--merges-file must be a JSON list of [left, right] pairs", file=sys.stderr)
+            return 2
+    else:
+        merges = bpe_train(spark, args.input_dir, n_merges=args.n_merges)
+    if args.save_merges:
+        with open(args.save_merges, "w") as f:
+            json.dump([list(m) for m in merges], f)
+    docs = spark.read.parquet(f"{args.input_dir}/documents.parquet")
+    enc = bpe_encode(docs, merges, text_col=args.text_col, id_col=args.id_col).select(
+        args.id_col, "tokens", F.size("tokens").alias("n_tokens")
+    )
+    enc.write.mode("overwrite").parquet(args.output_dir)
+    out = spark.read.parquet(args.output_dir)
+    summary = out.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "n_docs": summary["n_docs"],
+                "total_tokens": summary["total_tokens"],
+                "n_merges": len(merges),
+            }
+        )
+    )
+    return 0
+
+
 def client_mod_collections() -> tuple[str, ...]:
     from railgun_spark.client import COLLECTIONS
 
@@ -716,6 +759,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--username", default=None, help="authenticate username")
     p.add_argument("--password", default=None, help="authenticate password")
     p.set_defaults(fn=cmd_client)
+
+    p = sub.add_parser(
+        "tokenize",
+        help="BPE-tokenize a corpus: train merges (or load them), write "
+        "(id, tokens, n_tokens) parquet",
+    )
+    p.add_argument("--input-dir", required=True, help="dir with documents.parquet")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--n-merges", type=int, default=50)
+    p.add_argument("--merges-file", default=None, help="load merges from JSON instead of training")
+    p.add_argument("--save-merges", default=None, help="write the trained merges to JSON")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_tokenize)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

@@ -404,3 +404,34 @@ def test_client_exec_refuses_non_executable_collections():
     assert set(EXECUTABLE) == {"services", "jobs", "workflows"}
     with _pytest.raises(ValueError, match="cannot be executed"):
         c.exec("workspaces", "w")
+
+
+def test_tokenize_subcommand(spark, capsys, tmp_path):
+    """tokenize trains merges, writes the token parquet and the merges
+    JSON; a second run loading the saved merges reproduces the output
+    exactly (deterministic round-trip through the file format)."""
+    out1, out2 = str(tmp_path / "tok1"), str(tmp_path / "tok2")
+    merges_f = str(tmp_path / "merges.json")
+    rc = main(["tokenize", "--input-dir", "/root/testdata/sf0.001",
+               "--output-dir", out1, "--n-merges", "6",
+               "--save-merges", merges_f])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["n_merges"] == 6 and s1["n_docs"] > 0 and s1["total_tokens"] > 0
+    assert len(json.load(open(merges_f))) == 6
+
+    rc = main(["tokenize", "--input-dir", "/root/testdata/sf0.001",
+               "--output-dir", out2, "--merges-file", merges_f])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2 == s1
+    a = {r["doc_id"]: r["tokens"] for r in spark.read.parquet(out1).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in spark.read.parquet(out2).collect()}
+    assert a == b
+
+    # malformed merges file is a usage error, not a stack trace
+    bad = tmp_path / "bad.json"
+    bad.write_text('[["a","b","c"]]')
+    assert main(["tokenize", "--input-dir", "/root/testdata/sf0.001",
+                 "--output-dir", str(tmp_path / "t3"),
+                 "--merges-file", str(bad)]) == 2
