@@ -231,6 +231,8 @@ def cmd_stats(args) -> int:
     )
     from railgun_spark.session import get_spark
 
+    from railgun_spark.operators.similarity import embedding_lsh_recall_report
+
     spark = get_spark("railgun_stats")
     sections = {
         "source_quality": source_quality_report,
@@ -238,11 +240,19 @@ def cmd_stats(args) -> int:
         "cross_source_overlap": cross_source_overlap,
         "containment_recall": containment_recall_report,
         "lsh_recall": lsh_recall_report,
+        "embedding_lsh_recall": embedding_lsh_recall_report,
         "span_dup_by_source": span_dup_by_source,
         "vocab_coverage": vocab_coverage_curve,
         "unigram_outliers": unigram_logprob_quality,
     }
     wanted = args.sections.split(",") if args.sections else list(sections)
+    if args.sections is None:
+        import os
+
+        # the embedding canary needs embeddings.parquet; a documents-only
+        # corpus dir should still get the full default report
+        if not os.path.exists(f"{args.input_dir}/embeddings.parquet"):
+            wanted.remove("embedding_lsh_recall")
     unknown = [w for w in wanted if w not in sections]
     if unknown:
         print(f"unknown sections {unknown}; choose from {sorted(sections)}", file=sys.stderr)
@@ -668,6 +678,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="comma list: source_quality, token_length_histogram, "
         "cross_source_overlap, containment_recall, lsh_recall, "
+        "embedding_lsh_recall, "
         "span_dup_by_source, vocab_coverage, unigram_outliers",
     )
     p.add_argument("--pretty", action="store_true")

@@ -435,3 +435,28 @@ def test_tokenize_subcommand(spark, capsys, tmp_path):
     assert main(["tokenize", "--input-dir", "/root/testdata/sf0.001",
                  "--output-dir", str(tmp_path / "t3"),
                  "--merges-file", str(bad)]) == 2
+
+
+def test_stats_embedding_lsh_recall_section(spark, capsys, tmp_path):
+    """The embedding sign-LSH recall canary is a stats section; corpora
+    without embeddings.parquet still get the full default report."""
+    rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
+               "--sections", "embedding_lsh_recall"])
+    assert rc == 0
+    (row,) = json.loads(capsys.readouterr().out)["embedding_lsh_recall"]
+    assert row["n_exact_pairs"] == row["n_lsh_pairs"] + row["n_missed"]
+
+    # a docs-only dir: default sections run, embedding section skipped
+    import shutil
+    docs_only = tmp_path / "docs_only"
+    docs_only.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                docs_only / "documents.parquet")
+    rc = main(["stats", "--input-dir", str(docs_only),
+               "--sections", "source_quality"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["stats", "--input-dir", str(docs_only)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert "embedding_lsh_recall" not in out and "source_quality" in out
