@@ -145,6 +145,14 @@ def main():
         all_names = list(qs) + list(BENCH_SPECIAL)
     else:
         all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # comma list: targeted re-bench while iterating on a query
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in qs and n not in BENCH_SPECIAL]
+        if unknown:
+            print(json.dumps({"error": f"unknown bench queries {unknown}"}))
+            return
+        all_names = wanted
     samples: dict[str, list[float]] = {name: [] for name in all_names}
     errors: dict[str, str] = {}
     # wall budget: the suite has grown past 40 queries, and an external

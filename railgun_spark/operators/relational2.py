@@ -779,7 +779,10 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row and therefore attach BACKWARD (documented tie policy, consistent
 # with the backward twin where same-ts events count as preceding).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
+    # r8 rotation: demoted to EXTRA — the backward as-of
+    # (asof_join_orders_events) keeps §2.4's as-of row driver-certified;
+    # the freed slot certifies the round's novel lossless cosine join
     "asof_join_forward",
     oracle="""
     WITH ev AS (

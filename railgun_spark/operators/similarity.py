@@ -433,7 +433,10 @@ def exact_cosine_candidate_pairs(
     )
 
 
-@extra_query(
+@query(
+    # r8 rotation: promoted to the driver gate — the round's novel
+    # lossless operator, certified directly (asof_join_forward demoted;
+    # its backward sibling keeps that row certified)
     "embedding_neardup_exact_pairs",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -100,7 +100,7 @@ EXPECTED_EXTRA = {
     "nation_trade_volume_by_year",  # Q7: bidirectional nation-pair trade by year
     "knn_brute_force",  # exact-cosine baseline: ANN gate keeps lsh/ivf/pq
     "dedup_containment",  # df-capped blocker: dedup_containment_exact certifies
-    "embedding_neardup_exact_pairs",  # lossless blocked-matmul cosine self-join
+    "asof_join_forward",  # forward as-of: the backward sibling certifies 2.4
     "large_volume_orders",  # Q18: HAVING-threshold keys join back for detail
     "returned_item_customers",  # Q10: returns-quarter lost-revenue top-k
     "customer_order_distribution",  # Q13: left-join zero-bucket histogram
