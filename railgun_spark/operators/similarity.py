@@ -495,16 +495,21 @@ def embedding_neardup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 #
 # The gate has its OWN geometry, decoupled from the pairs query: the index
 # stores only (band_idx, band_val) — no per-vector ids — so its band-value
-# space (bands * 2^bits keys) bounds how many vectors it can admit before
-# saturating into reject-everything. 4 bands x 4 bits is the deliberate
-# high-precision/low-recall end of that trade (rejection recall at the
-# S-curve: ~0.95 only at cos >= 0.89); it gates exact and near-exact
-# re-ingests cheaply, while threshold-faithful near-dup detection is the
-# pairs query / canary above. NEAR_DUP_BAND_BITS=3 here would saturate at
-# 8 values per band — do not couple these constants.
+# space bounds useful capacity: every admitted vector claims GATE_BANDS
+# values out of 2^GATE_BAND_BITS per band, and a NEW vector false-rejects
+# w.p. ~1-(1-N/2^bits)^bands ~= bands*N/2^bits. Wide 24-bit bands (int32-
+# safe) put that at ~4N/16.7M — 2.4% per million admitted vectors — while
+# rejection stays sharp exactly where an id-free gate can be sharp:
+# identical vectors reject with certainty (identical sign patterns), and
+# the S-curve gives ~0.99 at cos 0.999, ~0.80 at cos 0.99, falling fast
+# below (threshold-faithful near-dup detection is the pairs query /
+# canary above, which CAN verify). NEAR_DUP_BAND_BITS=3 here would
+# saturate at 8 values per band — do not couple these constants; r8
+# widened the gate from 4x4 bits, whose 64-key space saturated into
+# reject-everything after a few dozen admitted vectors.
 # --------------------------------------------------------------------------
 GATE_BANDS = 4
-GATE_BAND_BITS = 4
+GATE_BAND_BITS = 24
 
 
 def _embedding_band_rows(

@@ -1430,3 +1430,39 @@ def test_bpe_encode_applies_merges_in_rank_order(spark, sf_dir):
         ),
     ).filter(F.col("joined") != F.col("expected"))
     assert bad.count() == 0
+
+
+def test_embedding_gate_does_not_saturate(spark, tmp_path):
+    """Regression for the r7 4x4-bit gate geometry, whose 64-key value
+    space saturated into reject-everything after a few dozen admitted
+    vectors: with 24-bit bands, admitting 40 random vectors must still
+    let a fresh, unrelated vector through (false-reject ~ 4N/2^24)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from railgun_spark.operators.similarity import (
+        EMB_DIM,
+        append_embedding_bands_to_index,
+        embedding_dedup_against_index,
+    )
+
+    rng = np.random.RandomState(19)
+    idx = str(tmp_path / "sat_bands")
+    batch = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.randn(EMB_DIM)])
+         for i in range(40)]
+    )
+    s = embedding_dedup_against_index(batch, idx)
+    n_admitted = s.count()
+    # random gaussian vectors are mutually near-orthogonal: the intra-batch
+    # 24-bit band collision rate is ~40*40*4/2^24 — everything admits
+    assert n_admitted == 40
+    append_embedding_bands_to_index(s, idx)
+
+    fresh = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[float(x) for x in rng.randn(EMB_DIM)])]
+    )
+    assert embedding_dedup_against_index(fresh, idx).count() == 1
+    # while an exact re-ingest of an admitted vector still rejects
+    dup = batch.filter("vec_id = 7").selectExpr("200 AS vec_id", "embedding")
+    assert embedding_dedup_against_index(dup, idx).count() == 0
