@@ -518,14 +518,22 @@ def _embedding_band_rows(
     # the dim column tags every band row: band values from different
     # hyperplane sets share the same small value space, so an index fed
     # by mixed dimensions would otherwise produce silent false collisions
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            lsh_bands_col(
-                to_double(F.col(vec_col)), GATE_BANDS, GATE_BAND_BITS, dim=dim
-            )
-        ).alias("band_idx", "band_val"),
-    ).withColumn("dim", F.lit(dim))
+    # the bits column tags the GEOMETRY: band values from different
+    # (bands, bits) configs share the same value space, so an index built
+    # under one geometry is silently inert (or falsely colliding) under
+    # another — the gate refuses mismatches instead
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                lsh_bands_col(
+                    to_double(F.col(vec_col)), GATE_BANDS, GATE_BAND_BITS, dim=dim
+                )
+            ).alias("band_idx", "band_val"),
+        )
+        .withColumn("dim", F.lit(dim))
+        .withColumn("bits", F.lit(GATE_BAND_BITS))
+    )
 
 
 def embedding_dedup_against_index(
@@ -559,16 +567,29 @@ def embedding_dedup_against_index(
     drops = intra_hits
     seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
-        if "dim" in seen.columns:
-            # legacy 3-column indexes (written before the dim tag) read as
-            # dim=NULL under the merged schema; those rows were ALL written
-            # at the default EMB_DIM, so NULL must match the default —
-            # filtering them out would silently drop the pre-upgrade dedup
-            # history and re-admit its near-duplicates
-            match = F.col("dim") == dim
-            if dim == EMB_DIM:
-                match = match | F.col("dim").isNull()
-            seen = seen.filter(match)
+        # an index whose rows lack the geometry tag (or carry a different
+        # one) was built under another (bands, bits) config: its values
+        # can NEVER collide meaningfully with this session's signatures,
+        # so treating it as history would silently admit every duplicate
+        # it holds. Refuse loudly (same fail-closed discipline as an
+        # unreadable index) — rebuild the index under the current
+        # geometry instead.
+        if "bits" not in seen.columns:
+            raise ValueError(
+                f"embedding band index {index_path} predates the geometry "
+                f"tag (built with a pre-r8 gate config); rebuild it under "
+                f"the current {GATE_BANDS}x{GATE_BAND_BITS}-bit geometry"
+            )
+        foreign = seen.filter(
+            F.col("bits").isNull() | (F.col("bits") != GATE_BAND_BITS)
+        ).limit(1)
+        if foreign.count():
+            raise ValueError(
+                f"embedding band index {index_path} contains rows from a "
+                f"different gate geometry; rebuild it under the current "
+                f"{GATE_BANDS}x{GATE_BAND_BITS}-bit geometry"
+            )
+        seen = seen.filter(F.col("dim") == dim)
         index_hits = bands.join(
             seen.select("band_idx", "band_val"), ["band_idx", "band_val"], "left_semi"
         ).select("__id")
@@ -586,7 +607,7 @@ def append_embedding_bands_to_index(
     """Append the survivors' band rows (recomputed map-only; the index grows
     GATE_BANDS rows per admitted vector)."""
     _embedding_band_rows(survivors, vec_col, id_col, dim=dim).select(
-        "band_idx", "band_val", "dim"
+        "band_idx", "band_val", "dim", "bits"
     ).write.mode("append").parquet(index_path)
 
 

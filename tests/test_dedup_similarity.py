@@ -1249,37 +1249,55 @@ def test_embedding_gate_dim_threading(spark, tmp_path):
     assert admitted == {11}
 
 
-def test_embedding_gate_legacy_index_without_dim_column(spark, tmp_path):
-    """An index written before the dim tag existed has only
-    (band_idx, band_val) columns; after new 3-column rows are appended the
-    dir is mixed-schema. Legacy rows must read as dim=NULL (mergeSchema)
-    and MATCH the EMB_DIM default — dropping them would silently re-admit
-    every pre-upgrade near-duplicate."""
+def test_embedding_gate_refuses_foreign_geometry_index(spark, tmp_path):
+    """An index whose rows lack the geometry tag (pre-r8 config) or carry
+    a different bits value cannot collide meaningfully with the current
+    signatures — treating it as history would silently re-admit every
+    duplicate it holds. The gate must refuse loudly, and a matching-
+    geometry index with mixed dims must still filter by dim."""
+    import pytest as _pytest
     from pyspark.sql import Row
 
     from railgun_spark.operators.similarity import (
         EMB_DIM,
+        GATE_BAND_BITS,
         _embedding_band_rows,
         append_embedding_bands_to_index,
         embedding_dedup_against_index,
     )
+    from pyspark.sql import functions as F
 
-    idx = str(tmp_path / "legacy_bands")
     v1 = [1.0 if d % 3 else -1.0 for d in range(EMB_DIM)]
-    v2 = [-x for x in v1]
     w1 = spark.createDataFrame([Row(vec_id=1, embedding=v1)])
-    # simulate the pre-upgrade writer: band rows WITHOUT the dim column
+
+    # index written WITHOUT the bits tag (simulated pre-r8 writer)
+    idx_old = str(tmp_path / "pre_r8")
     _embedding_band_rows(w1, "embedding", "vec_id").select(
-        "band_idx", "band_val"
-    ).write.mode("append").parquet(idx)
+        "band_idx", "band_val", "dim"
+    ).write.parquet(idx_old)
+    with _pytest.raises(ValueError, match="geometry"):
+        embedding_dedup_against_index(w1, idx_old)
 
-    # append a post-upgrade row so the dir is genuinely mixed-schema
-    w2 = spark.createDataFrame([Row(vec_id=2, embedding=v2)])
-    append_embedding_bands_to_index(w2, idx)
+    # index rows tagged with a DIFFERENT bits value
+    idx_foreign = str(tmp_path / "foreign")
+    _embedding_band_rows(w1, "embedding", "vec_id").withColumn(
+        "bits", F.lit(GATE_BAND_BITS - 1)
+    ).select("band_idx", "band_val", "dim", "bits").write.parquet(idx_foreign)
+    with _pytest.raises(ValueError, match="different gate geometry"):
+        embedding_dedup_against_index(w1, idx_foreign)
 
-    # re-ingesting v1 (only in the LEGACY rows) must be rejected
-    w3 = spark.createDataFrame([Row(vec_id=10, embedding=v1)])
-    assert embedding_dedup_against_index(w3, idx).count() == 0
+    # matching geometry, mixed dims: only same-dim rows gate
+    idx = str(tmp_path / "mixed_dim")
+    append_embedding_bands_to_index(w1, idx)
+    v8 = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]
+    w8 = spark.createDataFrame([(5, v8)], "vec_id: long, feature: array<double>")
+    s8 = embedding_dedup_against_index(w8, idx, vec_col="feature", dim=8)
+    assert s8.count() == 1  # 64-dim history does not gate 8-dim vectors
+    append_embedding_bands_to_index(s8, idx, vec_col="feature", dim=8)
+    assert embedding_dedup_against_index(w1, idx).count() == 0  # still seen
+    assert (
+        embedding_dedup_against_index(w8, idx, vec_col="feature", dim=8).count() == 0
+    )
 
 
 def test_ingest_span_gate_refuses_binary_content(spark, tmp_path):
