@@ -6,8 +6,9 @@ plumbing (schemas, batch iteration, partition behavior) is real and tested;
 media decoding is pluggable behind `decoder=` hooks: `decode_media`
 (dispatching to decode_image / decode_wav / decode_y4m) REALLY decodes
 the library-free formats — PPM P6, uncompressed BMP, full PNG, JPEG
-(baseline + progressive, operators/jpeg.py) for images; PCM and float
-WAV for audio; YUV4MPEG2 for video — pure stdlib+numpy, golden-tested,
+(baseline + progressive, operators/jpeg.py) for images; PCM/float WAV
+and FLAC (operators/flac.py) for audio; YUV4MPEG2 for video — pure
+stdlib+numpy, golden-tested,
 truncation refused everywhere; codec-bound formats (MP3/AAC/H.264;
 ffmpeg absent from this container) default to a deterministic fake for
 pipeline-shape tests or raise NotImplementedError when
@@ -74,8 +75,8 @@ def extract_features(
     if require_real and decoder is None:
         raise NotImplementedError(
             "real media decoding needs a decoder: pass decoder=decode_media "
-            "for the library-free formats (PPM/BMP/PNG/JPEG, WAV, Y4M), or "
-            "a torchaudio/ffmpeg-backed callable (not present in this "
+            "for the library-free formats (PPM/BMP/PNG/JPEG, WAV/FLAC, Y4M), "
+            "or a torchaudio/ffmpeg-backed callable (not present in this "
             "container) for compressed audio/video codecs"
         )
     fn = decoder or fake_decode
@@ -643,8 +644,8 @@ def extract_audio_features(
     df: DataFrame, decoder: Callable[[bytes], dict] | None = None
 ) -> DataFrame:
     """Audio rows (MEDIA_SCHEMA, kind='audio') -> AUDIO_FEATURE_SCHEMA via
-    mapInPandas; default decoder is the real WAV/PCM decode_wav."""
-    fn = decoder or decode_wav
+    mapInPandas; the default decoder dispatches WAV/PCM or FLAC by magic."""
+    fn = decoder or decode_audio
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -846,17 +847,29 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(batches, schema)
 
 
+def decode_audio(content: bytes) -> dict:
+    """Audio container dispatch: RIFF/WAVE PCM or FLAC (operators/flac.py,
+    from-scratch) by magic — both return the same result shape."""
+    b = bytes(content or b"")
+    if b[:4] == b"fLaC":
+        from railgun_spark.operators.flac import decode_flac
+
+        return decode_flac(b)
+    return decode_wav(b)
+
+
 def decode_media(content: bytes, kind: str) -> dict:
     """Kind-dispatching REAL decoder for the library-free formats of all
-    three modalities (image: PPM/BMP, audio: WAV, video: Y4M), shaped for
-    extract_features' image-centric FEATURE_SCHEMA: audio rows report
-    width/height 0 and carry the 8-dim signal feature; video rows carry
-    the luma feature with real dims. Mixed-kind media frames run
-    end-to-end with require_real=True; codec-bound payloads raise."""
+    three modalities (image: PPM/BMP/PNG/JPEG, audio: WAV/FLAC, video:
+    Y4M), shaped for extract_features' image-centric FEATURE_SCHEMA:
+    audio rows report width/height 0 and carry the 8-dim signal feature;
+    video rows carry the luma feature with real dims. Mixed-kind media
+    frames run end-to-end with require_real=True; codec-bound payloads
+    raise."""
     if kind == "image":
         return decode_image(content, kind)
     if kind == "audio":
-        d = decode_wav(content)
+        d = decode_audio(content)
         return {"width": 0, "height": 0, "feature": d["feature"]}
     if kind == "video":
         d = decode_y4m(content)

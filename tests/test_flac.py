@@ -1,0 +1,335 @@
+"""FLAC decoder golden tests.
+
+As with JPEG, no codec library exists in the container to produce
+reference files, so a from-scratch SPEC ENCODER drives the decoder:
+MSB-first bit writer, CRC-8/CRC-16 (shared with the decoder — pinned
+separately against hand-computed vectors so the pair cannot drift
+together), UTF-8 frame numbers, rice-coded residuals with per-partition
+parameters, and every subframe type (constant/verbatim/fixed/LPC).
+Integer-exact prediction makes most round-trips bit-exact; the WAV path
+cross-checks features on identical samples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from railgun_spark.operators.flac import _crc8, _crc16, decode_flac
+
+
+class _BitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = self.n = 0
+
+    def align(self):
+        while self.n:
+            self.write(0, 1)
+
+    def bytes(self):
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _rice_write(w: _BitW, v: int, k: int):
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1  # zigzag
+    if v < 0:
+        u = (-v << 1) - 1
+    else:
+        u = v << 1
+    q = u >> k
+    for _ in range(q):
+        w.write(0, 1)
+    w.write(1, 1)
+    if k:
+        w.write(u & ((1 << k) - 1), k)
+
+
+_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _write_subframe(w: _BitW, samples, bps, kind, rice_k=4, part_order=0,
+                    lpc=None, wasted=0):
+    """kind: 'verbatim' | 'constant' | ('fixed', order) | 'lpc'."""
+    samples = [int(s) for s in samples]
+    w.write(0, 1)  # padding
+    if kind == "constant":
+        w.write(0, 6)
+    elif kind == "verbatim":
+        w.write(1, 6)
+    elif isinstance(kind, tuple) and kind[0] == "fixed":
+        w.write(8 + kind[1], 6)
+    else:  # lpc
+        w.write(31 + len(lpc[0]), 6)
+    if wasted:
+        w.write(1, 1)
+        for _ in range(wasted - 1):
+            w.write(0, 1)
+        w.write(1, 1)
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+    else:
+        w.write(0, 1)
+
+    def s_write(v, n):
+        w.write(v & ((1 << n) - 1), n)
+
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        s_write(samples[0], bps)
+        return
+    if kind == "verbatim":
+        for s in samples:
+            s_write(s, bps)
+        return
+    if isinstance(kind, tuple):
+        order = kind[1]
+        coefs = _FIXED[order]
+        shift = 0
+        pred = lambda i: sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+    else:
+        coefs, precision, shift = lpc
+        order = len(coefs)
+        pred = lambda i: sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+    for s in samples[:order]:
+        s_write(s, bps)
+    if not isinstance(kind, tuple):  # LPC header
+        w.write(precision - 1, 4)
+        s_write(shift, 5)
+        for c in coefs:
+            s_write(c, precision)
+    # residuals: method 0 (4-bit rice), chosen partition order
+    w.write(0, 2)
+    w.write(part_order, 4)
+    n_parts = 1 << part_order
+    blocksize = len(samples)
+    k = order
+    for p in range(n_parts):
+        n = (blocksize >> part_order) - (order if p == 0 else 0)
+        w.write(rice_k, 4)
+        for i in range(n):
+            _rice_write(w, samples[k + i] - pred(k + i), rice_k)
+        k += n
+
+
+def encode_flac(channels, sample_rate=8000, bps=16, blocksize=None,
+                kinds=None, ch_mode="independent", rice_k=4, part_order=0,
+                lpc=None, wasted=0):
+    """channels: list of equal-length int sample lists. Splits into
+    frames of `blocksize` (default: all in one frame)."""
+    n_ch = len(channels)
+    total = len(channels[0])
+    blocksize = blocksize or total
+    out = bytearray(b"fLaC")
+    si = _BitW()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    body = si.bytes() + b"\x00" * 16  # md5 unchecked
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    ch_codes = {"independent": n_ch - 1, "left_side": 8, "right_side": 9,
+                "mid_side": 10}
+    frame_no = 0
+    for start in range(0, total, blocksize):
+        frame = [c[start : start + blocksize] for c in channels]
+        bs = len(frame[0])
+        w = _BitW()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocksize strategy
+        w.write(7, 4)  # 16-bit blocksize follows
+        w.write(0, 4)  # rate from STREAMINFO
+        w.write(ch_codes[ch_mode], 4)
+        w.write(4, 3)  # 16-bit samples
+        w.write(0, 1)
+        assert frame_no < 0x80
+        w.write(frame_no, 8)  # 1-byte UTF-8 number
+        w.write(bs - 1, 16)
+        w.align()
+        hdr = w.bytes()
+        hdr += bytes([_crc8(hdr)])
+        fw = _BitW()
+        kind_list = kinds or ["verbatim"] * n_ch
+        if ch_mode == "independent":
+            subs = [(frame[i], bps) for i in range(n_ch)]
+        else:
+            left = np.array(frame[0], dtype="int64")
+            right = np.array(frame[1], dtype="int64")
+            side = left - right
+            if ch_mode == "left_side":
+                subs = [(left, bps), (side, bps + 1)]
+            elif ch_mode == "right_side":
+                subs = [(side, bps + 1), (right, bps)]
+            else:
+                mid = (left + right) >> 1
+                subs = [(mid, bps), (side, bps + 1)]
+        for (data, sub_bps), kind in zip(subs, kind_list):
+            _write_subframe(fw, data, sub_bps, kind, rice_k=rice_k,
+                            part_order=part_order, lpc=lpc, wasted=wasted)
+        fw.align()
+        frame_bytes = hdr + fw.bytes()
+        frame_bytes += _crc16(frame_bytes).to_bytes(2, "big")
+        out += frame_bytes
+        frame_no += 1
+    return bytes(out)
+
+
+def test_crc_vectors():
+    """Pin the CRC polynomials against independently-computed vectors so
+    encoder and decoder cannot drift together."""
+    # CRC-8 poly 0x07 over "123456789" is the standard check value 0xF4
+    assert _crc8(b"123456789") == 0xF4
+    # CRC-16/BUYPASS (poly 0x8005, init 0, no reflect) check value 0xFEE8
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def _sine(n, freq, rate, amp, phase=0.0):
+    t = np.arange(n)
+    return np.round(amp * np.sin(2 * np.pi * freq * t / rate + phase)).astype("int64")
+
+
+def test_verbatim_roundtrip_and_wav_feature_parity():
+    """Verbatim stereo FLAC decodes bit-exactly; features equal the WAV
+    decode of identical PCM (cross-format check through shared math)."""
+    import struct
+
+    from railgun_spark.operators.multimodal import decode_wav
+
+    rate, n = 8000, 1000
+    left = _sine(n, 440, rate, 12000)
+    right = _sine(n, 220, rate, 8000)
+    d = decode_flac(encode_flac([list(left), list(right)], sample_rate=rate))
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (rate, 2, n)
+    assert abs(d["duration_s"] - n / rate) < 1e-9
+
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    w = decode_wav(wav)
+    assert np.allclose(d["feature"], w["feature"], atol=1e-12)
+
+
+def test_fixed_predictors_all_orders_bit_exact():
+    rate, n = 8000, 512
+    x = _sine(n, 300, rate, 9000) + _sine(n, 77, rate, 3000)
+    for order in range(5):
+        out = decode_flac(
+            encode_flac([list(x)], kinds=[("fixed", order)], rice_k=6)
+        )
+        # re-decode through verbatim for the identical-feature comparison
+        ref = decode_flac(encode_flac([list(x)]))
+        assert out["feature"] == ref["feature"], f"order {order}"
+
+
+def test_constant_lpc_partitions_wasted_and_multiframe():
+    rate = 8000
+    # constant subframe
+    c = decode_flac(encode_flac([[137] * 256], kinds=["constant"]))
+    assert c["n_samples"] == 256 and abs(c["feature"][3] - 137 / 32768) < 1e-9
+    # LPC order 2 with a shift
+    x = _sine(600, 150, rate, 11000)
+    lpc = ([3, -1], 5, 1)  # coefs, precision bits, shift
+    got = decode_flac(encode_flac([list(x)], kinds=["lpc"], lpc=lpc, rice_k=7))
+    ref = decode_flac(encode_flac([list(x)]))
+    assert got["feature"] == ref["feature"]
+    # rice partitions (order 2 -> 4 partitions) + multiframe split
+    y = _sine(1024, 500, rate, 5000)
+    got = decode_flac(
+        encode_flac([list(y)], blocksize=256, kinds=[("fixed", 1)], part_order=2)
+    )
+    ref = decode_flac(encode_flac([list(y)]))
+    assert got["feature"] == ref["feature"] and got["n_samples"] == 1024
+    # wasted bits: all-even samples shifted down in the subframe
+    z = (_sine(256, 100, rate, 7000) >> 1) << 1
+    got = decode_flac(encode_flac([list(z)], wasted=1))
+    ref = decode_flac(encode_flac([list(z)]))
+    assert got["feature"] == ref["feature"]
+
+
+def test_stereo_decorrelation_modes_bit_exact():
+    rate, n = 8000, 400
+    left = _sine(n, 330, rate, 10000)
+    right = _sine(n, 110, rate, 6000, phase=1.0)
+    ref = decode_flac(encode_flac([list(left), list(right)], sample_rate=rate))
+    for mode in ("left_side", "right_side", "mid_side"):
+        got = decode_flac(
+            encode_flac([list(left), list(right)], sample_rate=rate, ch_mode=mode)
+        )
+        assert got["feature"] == ref["feature"], mode
+
+
+def test_flac_refusals():
+    x = list(_sine(128, 100, 8000, 5000))
+    good = encode_flac([x])
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(good[: len(good) - 10])
+    # corrupt one byte inside the frame: CRC-16 (or an upstream field
+    # check) must catch it
+    bad = bytearray(good)
+    bad[-20] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # corrupt the header CRC byte itself
+    hdr_bad = bytearray(good)
+    # frame starts right after metadata: find sync 0xFFF8
+    fs = good.index(b"\xff\xf8", 4)
+    hdr_bad[fs + 5] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(hdr_bad))
+
+
+def test_flac_through_arrow_audio_pipeline(spark):
+    """FLAC payloads ride the same mapInPandas audio path as WAV — the
+    default decoder dispatches by magic, mixed WAV+FLAC batches work."""
+    import struct
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_audio_features,
+        extract_features,
+    )
+
+    rate, n = 8000, 600
+    x = _sine(n, 440, rate, 12000)
+    flac = encode_flac([list(x)], sample_rate=rate)
+    inter = np.asarray(x, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(inter)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(inter)) + inter)
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), {}), (2, "audio", bytearray(flac), {})],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["n_samples"] == rows[2]["n_samples"] == n
+    assert np.allclose(rows[1]["feature"], rows[2]["feature"], atol=1e-6)
+
+    # and through the generic mixed-kind dispatcher with require_real
+    feats = {r["media_id"]: r for r in
+             extract_features(df, decoder=decode_media, require_real=True).collect()}
+    assert np.allclose(feats[1]["feature"], feats[2]["feature"], atol=1e-6)
