@@ -158,12 +158,15 @@ def grid_to_png(grid: list[list[int]], size: int = 256) -> bytes:
 
 def _lzw_encode(indices, min_code_size: int) -> bytes:
     """GIF-variant LZW: variable-width codes (LSB-first), CLEAR/EOI,
-    dictionary reset at 4096. Width rule: the DECODER adds its entries
-    one code behind the encoder (it cannot complete an entry until the
-    next code arrives), so the encoder bumps its code width one entry
-    LATER than its own counter suggests — when next == 2^width + 1 —
-    which is exactly when the decoder's lagged counter reaches
-    2^width."""
+    dictionary reset at 4096. The code WIDTH is governed by the
+    receiver: a decoder completes one dictionary entry per data code
+    (except the first after a clear) and widens when ITS counter fills
+    a power of two — one entry behind the encoder's own assignments,
+    and including one final add after the LAST data code, which can
+    widen the EOI. The encoder therefore simulates the decoder's width
+    state verbatim instead of deriving it from its own counter (the
+    off-by-one at end-of-stream was caught by the hypothesis
+    round-trip)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     acc = 0
@@ -179,29 +182,50 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    def fresh():
-        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+    # encoder's own dictionary (code assignment order matches the
+    # decoder's entry construction order)
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    # simulated DECODER width state
+    dec_nxt = eoi + 1
+    dec_width = min_code_size + 1
+    first_data = True
 
-    table, nxt, width = fresh()
-    emit(clear, width)
+    def emit_data(code):
+        nonlocal dec_nxt, dec_width, first_data
+        emit(code, dec_width)
+        if first_data:
+            first_data = False
+        else:
+            dec_nxt += 1
+            if dec_nxt == (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+
+    def emit_clear():
+        nonlocal table, nxt, dec_nxt, dec_width, first_data
+        emit(clear, dec_width)
+        table = {(i,): i for i in range(clear)}
+        nxt = eoi + 1
+        dec_nxt = eoi + 1
+        dec_width = min_code_size + 1
+        first_data = True
+
+    emit(clear, dec_width)
     buf = ()
     for px in indices:
         cand = buf + (px,)
         if cand in table:
             buf = cand
             continue
-        emit(table[buf], width)
+        emit_data(table[buf])
         table[cand] = nxt
         nxt += 1
-        if nxt == (1 << width) + 1 and width < 12:
-            width += 1
         if nxt == 4096:
-            emit(clear, width)
-            table, nxt, width = fresh()
+            emit_clear()
         buf = (px,)
     if buf:
-        emit(table[buf], width)
-    emit(eoi, width)
+        emit_data(table[buf])
+    emit(eoi, dec_width)
     if nbits:
         out.append(acc & 0xFF)
     return bytes(out)
