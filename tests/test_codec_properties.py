@@ -65,6 +65,14 @@ def test_lzw_roundtrip_property(data, min_code):
     assert _lzw_decode(_lzw_encode(data, min_code), min_code) == data
 
 
+def test_lzw_eoi_width_regression():
+    """Pinned falsifying example: the decoder's dictionary add after the
+    FINAL data code fills 2^width, so the EOI must be read one bit
+    wider — the original encoder emitted it at the stale width."""
+    data = [0, 0, 1, 1, 0, 0, 0, 2, 0, 3, 0, 0, 1]
+    assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     w=st.integers(1, 40),
