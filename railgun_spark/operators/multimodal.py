@@ -291,11 +291,13 @@ def decode_image(content: bytes, kind: str) -> dict:
         from railgun_spark.operators.jpeg import decode_jpeg
 
         rgb = decode_jpeg(b)
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        rgb = _decode_gif(b)
     else:
         raise ValueError(
             "unsupported image codec (library-free decode covers PPM P6, "
-            "uncompressed BMP, PNG, and baseline+progressive JPEG; other "
-            "formats need a codec library via decoder=)"
+            "uncompressed BMP, PNG, GIF, and baseline+progressive JPEG; "
+            "other formats need a codec library via decoder=)"
         )
     h, w = rgb.shape[0], rgb.shape[1]
     gray = rgb.mean(axis=2)
@@ -311,6 +313,145 @@ def decode_image(content: bytes, kind: str) -> dict:
         float(gray[h // 2 :, w // 2 :].mean()),
     ]
     return {"width": int(w), "height": int(h), "feature": feature}
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decode (spec Appendix F): variable-width codes
+    LSB-first, CLEAR/EOI, one dictionary entry completed per data code
+    (except the first after a clear), width widening when the decoder's
+    own counter fills a power of two, KwKwK handling. Stops after
+    `n_pixels` even if EOI is missing padding-wise, but refuses running
+    out of bits early."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    total_bits = len(data) * 8
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, nxt, width = fresh()
+    out: list[int] = []
+    prev = None
+    while len(out) < n_pixels:
+        if pos + width > total_bits:
+            raise ValueError("truncated GIF image data")
+        code = 0
+        for i in range(width):
+            byte, bit = divmod(pos + i, 8)
+            code |= ((data[byte] >> bit) & 1) << i
+        pos += width
+        if code == clear:
+            table, nxt, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError(
+                f"GIF image data ended after {len(out)} of {n_pixels} pixels"
+            )
+        if code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:  # KwKwK
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.array(out[:n_pixels], dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(b: bytes):
+    """GIF87a/89a first image: global/local color table, optional
+    interlacing, 89a extension blocks skipped (animation beyond the
+    first frame, transparency, and disposal are presentation concerns —
+    feature extraction wants the first raster). Truncation refused."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif marker == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            table = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8)
+                if len(table) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                table = table.reshape(n, 3)
+                i += 3 * n
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            if not w or not h:
+                raise ValueError("zero-dimension GIF image")
+            if i >= len(b):
+                raise ValueError("truncated GIF image data")
+            min_code = b[i]
+            i += 1
+            if not (2 <= min_code <= 11):
+                raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+            lzw = bytearray()
+            while i < len(b) and b[i]:
+                n = b[i]
+                chunk = b[i + 1 : i + 1 + n]
+                if len(chunk) < n:
+                    raise ValueError("truncated GIF data sub-block")
+                lzw += chunk
+                i += 1 + n
+            if i >= len(b):
+                raise ValueError("truncated GIF: missing block terminator")
+            idx = _lzw_decode_gif(bytes(lzw), min_code, w * h)
+            if int(idx.max()) >= len(table):
+                raise ValueError(
+                    f"GIF pixel index {int(idx.max())} outside the "
+                    f"{len(table)}-entry color table"
+                )
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                rows = idx.reshape(h, w)
+                out = np.empty((h, w), dtype=np.uint8)
+                r = 0
+                for y0, dy in _GIF_INTERLACE_PASSES:
+                    for y in range(y0, h, dy):
+                        out[y] = rows[r]
+                        r += 1
+                idx = out.reshape(-1)
+            return table[idx.reshape(h, w)].astype("float64")
+        elif marker == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"bad GIF block marker 0x{marker:02x}")
+    raise ValueError("GIF contains no image")
 
 
 def _decode_ppm_p6(b: bytes):
@@ -847,14 +988,159 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(batches, schema)
 
 
+def _audio_result(x, sample_rate: int, n_channels: int) -> dict:
+    """Shared audio feature tail over the channel-averaged signal in
+    [-1, 1] — one implementation so WAV/FLAC/AIFF/AU features cannot
+    drift."""
+    import numpy as np
+
+    n_samples = len(x)
+    if n_samples == 0:
+        raise ValueError("empty audio stream")
+    rms = float(np.sqrt((x**2).mean()))
+    zcr = (
+        float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+        if n_samples > 1
+        else 0.0
+    )
+    seg_rms = [
+        float(np.sqrt((s**2).mean())) if len(s) else 0.0
+        for s in np.array_split(x, 4)
+    ]
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(n_samples),
+        "duration_s": n_samples / sample_rate,
+        "feature": [rms, float(np.abs(x).max()), zcr, float(x.mean())] + seg_rms,
+    }
+
+
+def _read_f80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF's sample-rate field)."""
+    import struct
+
+    exp, hi, lo = struct.unpack(">HII", b[:10])
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    mant = (hi << 32) | lo
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def decode_aiff(content: bytes) -> dict:
+    """AIFF (FORM/AIFF): COMM (channels, frames, bits, 80-bit-float
+    rate) + SSND big-endian PCM; 8/16-bit integer samples."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content or b"")
+    if b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    i, n = 12, len(b)
+    comm = data = None
+    while i + 8 <= n:
+        cid, csize = b[i : i + 4], struct.unpack_from(">I", b, i + 4)[0]
+        if i + 8 + csize > n:
+            raise ValueError(f"truncated AIFF {cid!r} chunk")
+        body = b[i + 8 : i + 8 + csize]
+        if cid == b"COMM":
+            if csize < 18:
+                raise ValueError("truncated AIFF COMM chunk")
+            comm = struct.unpack_from(">hIh", body, 0) + (_read_f80(body[8:18]),)
+        elif cid == b"SSND":
+            offset = struct.unpack_from(">I", body, 0)[0]
+            data = body[8 + offset :]
+        i += 8 + csize + (csize & 1)
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    n_channels, n_frames, bits, rate = comm
+    if n_channels < 1 or rate <= 0:
+        raise ValueError(f"bad AIFF COMM: channels={n_channels}, rate={rate}")
+    if bits == 16:
+        dt, scale = ">i2", 32768.0
+    elif bits == 8:
+        dt, scale = "i1", 128.0
+    else:
+        raise ValueError(f"only 8/16-bit AIFF supported (bits={bits})")
+    frame_bytes = (bits // 8) * n_channels
+    need = n_frames * frame_bytes
+    if len(data) < need:
+        raise ValueError(f"truncated AIFF SSND: {len(data)} < {need} bytes")
+    x = np.frombuffer(data[:need], dtype=dt).astype("float64") / scale
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return _audio_result(x, int(round(rate)), n_channels)
+
+
+def _mulaw_expand(u):
+    """G.711 mu-law byte -> linear PCM in [-32124, 32124]."""
+    import numpy as np
+
+    u = ~u.astype(np.uint8)
+    sign = u & 0x80
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    x = (((m.astype(np.int32) << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -x, x)
+
+
+def decode_au(content: bytes) -> dict:
+    """Sun/NeXT AU (.snd): big-endian header, encodings 1 (G.711
+    mu-law), 2 (int8), 3 (int16 BE), 6 (float32 BE)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content or b"")
+    if b[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    if len(b) < 24:
+        raise ValueError("truncated AU header")
+    offset, size, enc, rate, n_channels = struct.unpack_from(">IIIII", b, 4)
+    if offset < 24 or n_channels < 1 or rate < 1:
+        raise ValueError(f"bad AU header: offset={offset}, rate={rate}, channels={n_channels}")
+    data = b[offset:]
+    if size != 0xFFFFFFFF:
+        if len(data) < size:
+            raise ValueError(f"truncated AU data: {len(data)} < {size} bytes")
+        data = data[:size]
+    if enc == 1:  # mu-law
+        x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, dtype="i1").astype("float64") / 128.0
+    elif enc == 3:
+        if len(data) % 2:
+            raise ValueError("truncated AU 16-bit sample")
+        x = np.frombuffer(data, dtype=">i2").astype("float64") / 32768.0
+    elif enc == 6:
+        if len(data) % 4:
+            raise ValueError("truncated AU float sample")
+        x = np.frombuffer(data, dtype=">f4").astype("float64")
+    else:
+        raise ValueError(f"unsupported AU encoding {enc} (1/2/3/6 supported)")
+    if n_channels > 1:
+        if len(x) % n_channels:
+            raise ValueError("AU data not a whole number of frames")
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return _audio_result(x, rate, n_channels)
+
+
 def decode_audio(content: bytes) -> dict:
-    """Audio container dispatch: RIFF/WAVE PCM or FLAC (operators/flac.py,
-    from-scratch) by magic — both return the same result shape."""
+    """Audio container dispatch by magic: RIFF/WAVE PCM, FLAC
+    (operators/flac.py, from-scratch), AIFF, or Sun AU — all return the
+    same result shape."""
     b = bytes(content or b"")
     if b[:4] == b"fLaC":
         from railgun_spark.operators.flac import decode_flac
 
         return decode_flac(b)
+    if b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        return decode_aiff(b)
+    if b[:4] == b".snd":
+        return decode_au(b)
     return decode_wav(b)
 
 

@@ -12,8 +12,16 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from railgun_spark.geo.serving import _lzw_encode
+from railgun_spark.operators.flac import decode_flac
 from railgun_spark.operators.jpeg import decode_jpeg, encode_gray_jpeg
-from railgun_spark.operators.multimodal import _decode_png, decode_wav, decode_y4m
+from railgun_spark.operators.multimodal import (
+    _decode_gif,
+    _decode_png,
+    decode_aiff,
+    decode_au,
+    decode_wav,
+    decode_y4m,
+)
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -124,12 +132,14 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
     exception type and never a silent wrong answer."""
     rng = np.random.RandomState(seed)
     blobs = [payload]
-    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 "):
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 ",
+                  b"GIF89a", b"fLaC", b"FORM1234AIFF", b".snd"):
         blobs.append(magic + payload)
     # a syntactically plausible but corrupt RIFF/WAVE head
     blobs.append(b"RIFF" + bytes([payload[0] if payload else 0, 0, 0, 0]) + b"WAVE" + payload)
     for blob in blobs:
-        for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m):
+        for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m,
+                   _decode_gif, decode_flac, decode_aiff, decode_au):
             try:
                 fn(blob)
             except ValueError:
@@ -143,6 +153,10 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
                     or (fn is decode_jpeg and blob[:2] == b"\xff\xd8")
                     or (fn is decode_wav and blob[:4] == b"RIFF")
                     or (fn is decode_y4m and blob[:9] == b"YUV4MPEG2")
+                    or (fn is _decode_gif and blob[:4] == b"GIF8")
+                    or (fn is decode_flac and blob[:4] == b"fLaC")
+                    or (fn is decode_aiff and blob[:4] == b"FORM")
+                    or (fn is decode_au and blob[:4] == b".snd")
                 )
                 assert magic_ok, f"{fn.__name__} decoded garbage without magic"
 

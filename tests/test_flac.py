@@ -333,3 +333,85 @@ def test_flac_through_arrow_audio_pipeline(spark):
     feats = {r["media_id"]: r for r in
              extract_features(df, decoder=decode_media, require_real=True).collect()}
     assert np.allclose(feats[1]["feature"], feats[2]["feature"], atol=1e-6)
+
+
+def test_aiff_and_au_decode_feature_parity_with_wav():
+    """AIFF (big-endian PCM, 80-bit-float rate) and AU (int16/mu-law/
+    float32) decode the same PCM to the same features as WAV; mu-law
+    round-trips within companding error; refusals are loud."""
+    import struct
+
+    from railgun_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_audio,
+        decode_wav,
+    )
+
+    rate, n = 8000, 800
+    left = _sine(n, 440, rate, 12000)
+    right = _sine(n, 220, rate, 8000)
+    inter = np.empty(2 * n, dtype=">i2")
+    inter[0::2], inter[1::2] = left, right
+
+    # reference WAV
+    le = inter.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(le)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(le)) + le)
+    ref = decode_wav(wav)
+
+    # AIFF: COMM with the rate as an 80-bit extended float
+    exp = 16383 + 63
+    mant = rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    f80 = struct.pack(">HII", exp, mant >> 32, mant & 0xFFFFFFFF)
+    comm = struct.pack(">hIh", 2, n, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + inter.tobytes()
+    aiff = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd)) + b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    a = decode_aiff(aiff)
+    assert (a["sample_rate"], a["n_channels"], a["n_samples"]) == (rate, 2, n)
+    assert np.allclose(a["feature"], ref["feature"], atol=1e-12)
+    assert np.allclose(decode_audio(aiff)["feature"], ref["feature"], atol=1e-12)
+
+    # AU int16 BE
+    au = (b".snd" + struct.pack(">IIIII", 24, len(inter.tobytes()), 3, rate, 2)
+          + inter.tobytes())
+    u = decode_au(au)
+    assert np.allclose(u["feature"], ref["feature"], atol=1e-12)
+    assert np.allclose(decode_audio(au)["feature"], ref["feature"], atol=1e-12)
+
+    # AU mu-law: compress mono with the standard G.711 formula, decode,
+    # compare to the float signal within companding error
+    mono = ((left + right) / 2).astype("int64")
+    BIAS, CLIP = 0x84, 32635
+    mu = []
+    for s in mono:
+        sign = 0x80 if s < 0 else 0
+        s = min(abs(int(s)), CLIP) + BIAS
+        e = 7
+        for exp_i in range(7, -1, -1):
+            if s & (0x4000 >> (7 - exp_i)):
+                e = exp_i
+                break
+        m = (s >> (e + 3)) & 0x0F
+        mu.append(~(sign | (e << 4) | m) & 0xFF)
+    aum = (b".snd" + struct.pack(">IIIII", 24, len(mu), 1, rate, 1) + bytes(mu))
+    m = decode_au(aum)
+    x = mono.astype("float64") / 32768.0
+    got = m["feature"]
+    assert abs(got[0] - np.sqrt((x**2).mean())) < 0.01  # rms within companding err
+
+    with pytest.raises(ValueError, match="not an AIFF"):
+        decode_aiff(wav)
+    with pytest.raises(ValueError, match="truncated AIFF"):
+        decode_aiff(aiff[:-100])
+    with pytest.raises(ValueError, match="truncated AU"):
+        decode_au(au[:-5])
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, rate, 1) + b"\x00" * 4)

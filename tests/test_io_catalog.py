@@ -1333,3 +1333,94 @@ def test_decode_media_mixed_kinds_and_hardening(spark):
         decode_y4m(b"YUV4MPEG2 W2 H2 C444alpha\n" + b"FRAME\n" + b"\x00" * 16)
     with _pytest.raises(ValueError, match="kind"):
         decode_media(b"x", "hologram")
+
+
+def _gif_bytes(idx, palette, interlace=False, local_table=False, min_code=None):
+    """Test GIF writer over the library's LZW encoder: (h, w) index
+    array + (n, 3) palette, optional interlacing and local color table."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.geo.serving import _lzw_encode
+
+    h, w = idx.shape
+    n = len(palette)
+    size_field = max(0, (int(n - 1)).bit_length() - 1)
+    table_n = 2 << size_field
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * (3 * (table_n - n))
+    mc = min_code if min_code is not None else max(2, size_field + 1)
+
+    rows = idx
+    if interlace:
+        order = []
+        for y0, dy in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(y0, h, dy))
+        rows = idx[np.array(order)]
+    lzw = _lzw_encode([int(v) for v in rows.reshape(-1)], mc)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])  # no global table
+    else:
+        out += bytes([0x80 | size_field, 0, 0]) + pal
+    # a graphic-control extension to exercise block skipping
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x40 if interlace else 0) | (0x80 | size_field if local_table else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    if local_table:
+        out += pal
+    out += bytes([mc])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_real_gif_decode(spark):
+    """decode_image handles GIF: palette resolution, interlacing, local
+    color tables, extension skipping — pixel-pinned against the source
+    indices; truncations and bad indices refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_gif,
+        decode_image,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(29)
+    palette = rng.randint(0, 256, size=(11, 3), dtype=np.uint8)
+    idx = rng.randint(0, 11, size=(13, 9), dtype=np.uint8)
+    expect = palette[idx].astype("float64")
+
+    for kwargs in ({}, {"interlace": True}, {"local_table": True},
+                   {"interlace": True, "local_table": True}, {"min_code": 8}):
+        got = _decode_gif(_gif_bytes(idx, palette, **kwargs))
+        assert np.array_equal(got, expect), kwargs
+
+    gif = _gif_bytes(idx, palette)
+    d = decode_image(gif, "image")
+    assert (d["width"], d["height"]) == (9, 13)
+    assert abs(d["feature"][3] - expect.mean()) < 1e-9
+
+    df = spark.createDataFrame([(3, "image", bytearray(gif), {})], MEDIA_SCHEMA)
+    row = extract_features(df, decoder=decode_image, require_real=True).collect()[0]
+    assert np.allclose(row["feature"], d["feature"], atol=1e-4)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_gif(gif[:-8])
+    with _pytest.raises(ValueError, match="no image"):
+        _decode_gif(gif[:13] + bytes(gif[13 : 13 + 3 * 16]) + b"\x3b")
+    # an index pointing past the palette is refused, not wrapped
+    small = np.zeros((4, 4), dtype=np.uint8)
+    small[0, 0] = 3
+    with _pytest.raises(ValueError, match="color table"):
+        _decode_gif(_gif_bytes(small, palette[:2], min_code=2))
