@@ -929,12 +929,106 @@ def decode_y4m(content: bytes) -> dict:
     }
 
 
+def decode_avi_mjpeg(content: bytes) -> dict:
+    """Motion-JPEG AVI -> the decode_y4m result shape: RIFF 'AVI ' with
+    an avih header (frame period/dims) and a movi LIST whose '..dc'/
+    '..db' chunks each hold one JPEG frame, decoded through the
+    library's own T.81 decoder (operators/jpeg.py) — a COMPRESSED
+    library-free video path next to raw Y4M. The same 8-dim luma
+    feature (first-four frame means, mean/std, motion proxy) so video
+    features are comparable across containers. Truncation and
+    non-MJPEG streams are refused."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.operators.jpeg import decode_jpeg
+
+    b = bytes(content or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int):
+        nonlocal avih
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            csize = struct.unpack_from("<I", b, i + 4)[0]
+            if i + 8 + csize > hi:
+                raise ValueError(f"truncated AVI {cid!r} chunk")
+            if cid == b"LIST":
+                walk(i + 12, i + 8 + csize)  # skip the 4-byte list type
+            elif cid == b"avih":
+                avih = struct.unpack_from("<IIIIIIIIII", b, i + 8)
+            elif cid[2:4] in (b"dc", b"db") and csize:
+                frames.append(b[i + 8 : i + 8 + csize])
+            i += 8 + csize + (csize & 1)
+
+    riff_size = struct.unpack_from("<I", b, 4)[0]
+    if 8 + riff_size > len(b):
+        raise ValueError("truncated AVI RIFF payload")
+    walk(12, 8 + riff_size)
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    if not frames:
+        raise ValueError("AVI with zero video frames")
+    us_per_frame, _, _, _, n_frames_hdr, _, _, _, width, height = avih
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+
+    lumas = []
+    for k, fr in enumerate(frames):
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError(
+                f"AVI frame {k} is not JPEG (only MJPEG AVIs decode "
+                "library-free; other codecs need a decoder)"
+            )
+        rgb = decode_jpeg(fr)
+        lumas.append(
+            (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+            .reshape(-1)
+        )
+        if (width and rgb.shape[1] != width) or (height and rgb.shape[0] != height):
+            raise ValueError(
+                f"AVI frame {k} is {rgb.shape[1]}x{rgb.shape[0]}, header "
+                f"says {width}x{height}"
+            )
+    means = [float(x.mean()) for x in lumas]
+    deltas = [
+        float(np.abs(lumas[k + 1] - lumas[k]).mean()) for k in range(len(lumas) - 1)
+    ]
+    feature = (means[:4] + [0.0] * (4 - len(means[:4]))) + [
+        float(np.mean(means)),
+        float(np.std(means)),
+        float(np.mean(deltas)) if deltas else 0.0,
+        0.0,
+    ]
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(lumas),
+        "fps": fps,
+        "feature": feature,
+    }
+
+
+def decode_video(content: bytes) -> dict:
+    """Video container dispatch by magic: YUV4MPEG2 raw planes or
+    Motion-JPEG AVI — same result shape."""
+    b = bytes(content or b"")
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_avi_mjpeg(b)
+    return decode_y4m(b)
+
+
 def extract_video_features(
     df: DataFrame, decoder: Callable[[bytes], dict] | None = None
 ) -> DataFrame:
     """Video rows (MEDIA_SCHEMA, kind='video') -> VIDEO_FEATURE_SCHEMA via
     mapInPandas; default decoder is the real Y4M decode_y4m."""
-    fn = decoder or decode_y4m
+    fn = decoder or decode_video
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1158,6 +1252,6 @@ def decode_media(content: bytes, kind: str) -> dict:
         d = decode_audio(content)
         return {"width": 0, "height": 0, "feature": d["feature"]}
     if kind == "video":
-        d = decode_y4m(content)
+        d = decode_video(content)
         return {"width": d["width"], "height": d["height"], "feature": d["feature"]}
     raise ValueError(f"unknown media kind {kind!r}")

@@ -591,3 +591,50 @@ def test_progressive_truncated_scan_refused():
     # cut mid-way through the final AC scan's entropy data
     with pytest.raises(ValueError, match="truncated|missing EOI"):
         decode_jpeg(prog[: len(prog) - 30])
+
+
+def test_mjpeg_avi_decode():
+    """Motion-JPEG AVI: RIFF walking, avih dims/fps, per-frame decode
+    through the library's own JPEG codec, Y4M-shaped luma features;
+    non-JPEG frames and truncations refused."""
+    import struct
+
+    from railgun_spark.operators.jpeg import encode_gray_jpeg
+    from railgun_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_video,
+    )
+
+    rng = np.random.RandomState(61)
+    w, h, n_frames = 16, 8, 5
+    grays = [rng.randint(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n_frames)]
+    jpgs = [encode_gray_jpeg(g) for g in grays]
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpgs))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    d = decode_avi_mjpeg(avi)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
+    assert abs(d["fps"] - 25.0) < 1e-9
+    # luma of a grayscale JPEG ~= the source gray (unit quant table)
+    for k in range(4):
+        assert abs(d["feature"][k] - grays[k].mean()) < 2.0
+    assert decode_video(avi)["feature"] == d["feature"]
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi_mjpeg(avi[:-30])
+    # a non-JPEG frame is refused with the codec hint
+    bad_movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00\x01raw-dib"))
+    bad_body = b"AVI " + hdrl + bad_movi
+    bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
+    with pytest.raises(ValueError, match="not JPEG"):
+        decode_avi_mjpeg(bad)
