@@ -4,13 +4,14 @@ typed metadata, processed via Arrow-batched mapInPandas.
 Beyond-reference component for training-data pipelines. The Spark-side
 plumbing (schemas, batch iteration, partition behavior) is real and tested;
 media decoding is pluggable behind `decoder=` hooks: `decode_media`
-(dispatching to decode_image / decode_wav / decode_y4m) REALLY decodes
-the library-free formats — PPM P6, uncompressed BMP, full PNG, JPEG
-(baseline + progressive, operators/jpeg.py) for images; PCM/float WAV
-and FLAC (operators/flac.py) for audio; YUV4MPEG2 for video — pure
-stdlib+numpy, golden-tested,
-truncation refused everywhere; codec-bound formats (MP3/AAC/H.264;
-ffmpeg absent from this container) default to a deterministic fake for
+(dispatching to decode_image / decode_audio / decode_video) REALLY
+decodes the library-free formats — images: PPM P6, uncompressed BMP,
+full PNG, GIF, JPEG (baseline + progressive, operators/jpeg.py);
+audio: PCM/float WAV, FLAC (operators/flac.py), AIFF, Sun AU (incl.
+G.711 mu-law); video: YUV4MPEG2 and Motion-JPEG AVI — pure
+stdlib+numpy, golden- and property-tested, truncation refused
+everywhere; remaining codec-bound formats (MP3/AAC/H.264; ffmpeg
+absent from this container) default to a deterministic fake for
 pipeline-shape tests or raise NotImplementedError when
 `require_real=True` without a decoder.
 
@@ -75,7 +76,8 @@ def extract_features(
     if require_real and decoder is None:
         raise NotImplementedError(
             "real media decoding needs a decoder: pass decoder=decode_media "
-            "for the library-free formats (PPM/BMP/PNG/JPEG, WAV/FLAC, Y4M), "
+            "for the library-free formats (PPM/BMP/PNG/GIF/JPEG, "
+            "WAV/FLAC/AIFF/AU, Y4M/MJPEG-AVI), "
             "or a torchaudio/ffmpeg-backed callable (not present in this "
             "container) for compressed audio/video codecs"
         )
@@ -719,7 +721,10 @@ def decode_wav(content: bytes) -> dict:
 
     b = bytes(content or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload (compressed audio needs a codec library)")
+        raise ValueError(
+            "not a RIFF/WAVE payload (decode_audio dispatches WAV/FLAC/AIFF/AU; "
+            "MP3/AAC need a codec library)"
+        )
     i, n = 12, len(b)
     fmt = None
     data = None
@@ -814,8 +819,9 @@ def extract_audio_features(
 # REAL video decoding for the library-free format: YUV4MPEG2 (.y4m) is
 # raw YUV planes behind ASCII headers — struct-free parsing + numpy.
 # Completes the modality matrix: every modality has one honestly-decoded
-# library-free format (image: PPM/BMP, audio: WAV, video: Y4M); anything
-# compressed still needs a codec library through the decoder hooks.
+# library-free formats per modality (image: PPM/BMP/PNG/GIF/JPEG,
+# audio: WAV/FLAC/AIFF/AU, video: Y4M/MJPEG-AVI); anything else still
+# needs a codec library through the decoder hooks.
 # --------------------------------------------------------------------------
 VIDEO_FEATURE_SCHEMA = T.StructType(
     [
@@ -848,7 +854,10 @@ def _parse_y4m_header(b: bytes) -> tuple[int, int, float, int, int, int]:
     Shared by decode_y4m and sample_frames_y4m so validation cannot
     drift between them."""
     if not b.startswith(b"YUV4MPEG2"):
-        raise ValueError("not a YUV4MPEG2 payload (compressed video needs a codec library)")
+        raise ValueError(
+        "not a YUV4MPEG2 payload (decode_video dispatches Y4M and MJPEG-AVI; "
+        "other codecs need a codec library)"
+    )
     nl = b.index(b"\n")
     w = h = None
     fps = 0.0
@@ -1055,7 +1064,7 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
     frame's luma plane inside mapInPandas and emits
     (media_id, frame_idx, luma_mean) — the working counterpart of the
     metadata-driven frame_sample stub. Only sampled planes are touched
-    per batch; compressed video still needs a codec library."""
+    per batch; codecs beyond Y4M/MJPEG-AVI need a codec library."""
     import numpy as np
 
     schema = "media_id: long, frame_idx: int, luma_mean: double"
@@ -1240,8 +1249,8 @@ def decode_audio(content: bytes) -> dict:
 
 def decode_media(content: bytes, kind: str) -> dict:
     """Kind-dispatching REAL decoder for the library-free formats of all
-    three modalities (image: PPM/BMP/PNG/JPEG, audio: WAV/FLAC, video:
-    Y4M), shaped for extract_features' image-centric FEATURE_SCHEMA:
+    three modalities (image: PPM/BMP/PNG/GIF/JPEG, audio:
+    WAV/FLAC/AIFF/AU, video: Y4M/MJPEG-AVI), shaped for extract_features' image-centric FEATURE_SCHEMA:
     audio rows report width/height 0 and carry the 8-dim signal feature;
     video rows carry the luma feature with real dims. Mixed-kind media
     frames run end-to-end with require_real=True; codec-bound payloads
