@@ -1334,14 +1334,16 @@ def assign_clusters_batch(
 
 # --------------------------------------------------------------------------
 # Embedding LSH recall canary — the vector-modality twin of
-# dedup.lsh_recall_report. Ground truth comes from a blocked brute-force
-# matmul against the broadcast normalized matrix (the canary is meant for
-# a SAMPLED slice at 100 TB — full brute force is the point here, it is
-# what certifies the banded gate); the banded pipeline's verified pairs
-# left-join against it and the miss count IS the sign-LSH false-negative
-# set. Band-config drift shows as a recall drop instead of silent dup
-# leakage — this canary is what caught r7's 4x4 config at recall 0.516
-# and certifies the current geometry at its own default threshold.
+# dedup.lsh_recall_report. Ground truth is the lossless blocked-matmul
+# pair set (exact_cosine_candidate_pairs + the shared Catalyst fold —
+# the same certified machinery as embedding_neardup_exact_pairs, fully
+# distributed: no driver-broadcast matrix, so the canary itself is
+# scale-shaped); banding's misses are exactly the true pairs that share
+# NO sign-LSH band, tested map-side per pair over the two signatures.
+# One matmul pass serves both legs. Band-config drift shows as a recall
+# drop instead of silent dup leakage — this canary is what caught r7's
+# 4x4 config at recall 0.516 and certifies the current geometry at its
+# own default threshold.
 # --------------------------------------------------------------------------
 @query(
     # r8 rotation: promoted to the driver gate — this canary is what
@@ -1349,67 +1351,54 @@ def assign_clusters_batch(
     # default threshold, vs 0.516 for the r7 config it caught)
     "embedding_lsh_recall_report",
     oracle=None,  # assigned below: composes the shared ndpairs CTE chain
-    doc=f"Measured sign-LSH recall at cos >= {NEAR_DUP_COS}: brute-force "
-    "matmul ground truth vs the banded pipeline's verified pairs; "
-    "n_missed is the false-negative set. Run on sampled slices in "
-    f"production. The {NEAR_DUP_BANDS}x{NEAR_DUP_BAND_BITS}-bit S-curve "
+    doc=f"Measured sign-LSH recall at cos >= {NEAR_DUP_COS}: blocked-matmul "
+    "ground truth vs band-colliding pairs; n_missed is the sign-LSH "
+    "false-negative set. "
+    f"The {NEAR_DUP_BANDS}x{NEAR_DUP_BAND_BITS}-bit S-curve "
     f"predicts 0.990 recall at cos {NEAR_DUP_COS} "
     "(1-(1-(1-acos(c)/pi)^bits)^bands); measured 0.9891 at sf0.1.",
     tags=("similarity", "dedup", "reporting"),
 )
 def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
     ).select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
-    # the whole normalized matrix broadcasts (canary scale: n x dim
-    # doubles — 2.5 MB at sf0.1; sample upstream for bigger slices)
-    rows = sorted(emb_n.collect(), key=lambda r: r["vec_id"])
-    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
-    M = np.array([r["vn"] for r in rows], dtype="float64")
-    # BLAS pairwise summation differs from the engines' sequential fold
-    # in the low bits, so numpy only PRE-FILTERS with slack around the
-    # round-6 boundary; every surviving candidate is then decided by the
-    # same Catalyst fold expression ndpairs and the DuckDB oracle use —
-    # boundary pairs classify identically across all three computations
-    tau_loose = NEAR_DUP_COS - 1e-5
-
-    def exact_candidates(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["vec_id"].to_numpy()
-            Vb = np.vstack(pdf["vn"].to_numpy()).astype("float64")
-            S = Vb @ M.T
-            mask = (S >= tau_loose) & (bids[:, None] < ids[None, :])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame({"vec_a": bids[ii], "vec_b": ids[jj]})
-
-    cand = emb_n.mapInPandas(exact_candidates, "vec_a: long, vec_b: long")
+    sig = emb.select(
+        "vec_id",
+        lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS).alias("sig"),
+    )
+    n = emb_n.count()
+    n_blocks = max(1, math.ceil(n / EXACT_BLOCK_ROWS))
+    cand = exact_cosine_candidate_pairs(emb_n, NEAR_DUP_COS, n_blocks)
     a = emb_n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("__vna"))
     b = emb_n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("__vnb"))
+    sa = sig.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("__siga"))
+    sb = sig.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("__sigb"))
+    shares_band = F.exists(
+        F.zip_with("__siga", "__sigb", lambda p, q: p == q), lambda eq: eq
+    )
     exact = (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .filter(F.round(dot(F.col("__vna"), F.col("__vnb")), 6) >= NEAR_DUP_COS)
-        .select("vec_a", "vec_b")
+        .join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn("__hit", shares_band)
     )
-    lsh = (
-        embedding_near_dup_pairs(spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .withColumn("__hit", F.lit(1))
-    )
-    hit = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
-    n = F.count(F.lit(1))
-    return exact.join(lsh, ["vec_a", "vec_b"], "left").agg(
-        n.alias("n_exact_pairs"),
+    hit = F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+    n_pairs = F.count(F.lit(1))
+    return exact.agg(
+        n_pairs.alias("n_exact_pairs"),
         F.coalesce(hit, F.lit(0)).alias("n_lsh_pairs"),
         F.coalesce(
-            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+            F.sum(F.when(~F.col("__hit"), 1).otherwise(0)), F.lit(0)
         ).alias("n_missed"),
-        F.when(n > 0, F.round(hit * F.lit(1.0) / n, 4)).alias("recall"),
+        F.when(n_pairs > 0, F.round(hit * F.lit(1.0) / n_pairs, 4)).alias("recall"),
     )
 
 
