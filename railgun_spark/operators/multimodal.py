@@ -295,11 +295,14 @@ def decode_image(content: bytes, kind: str) -> dict:
         rgb = decode_jpeg(b)
     elif b[:6] in (b"GIF87a", b"GIF89a"):
         rgb = _decode_gif(b)
+    elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        rgb = _decode_tiff(b)
     else:
         raise ValueError(
             "unsupported image codec (library-free decode covers PPM P6, "
-            "uncompressed BMP, PNG, GIF, and baseline+progressive JPEG; "
-            "other formats need a codec library via decoder=)"
+            "uncompressed BMP, PNG, GIF, TIFF (none/PackBits), and "
+            "baseline+progressive JPEG; other formats need a codec "
+            "library via decoder=)"
         )
     h, w = rgb.shape[0], rgb.shape[1]
     gray = rgb.mean(axis=2)
@@ -454,6 +457,130 @@ def _decode_gif(b: bytes):
         else:
             raise ValueError(f"bad GIF block marker 0x{marker:02x}")
     raise ValueError("GIF contains no image")
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits RLE (spec section 9): n in 0..127 -> copy n+1
+    literal bytes; n in -127..-1 -> repeat next byte 1-n times; -128 is
+    a no-op. Refuses output over- or under-run."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("truncated TIFF PackBits literal run")
+            out += chunk
+            i += n + 1
+        elif n > 128:  # replicate next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated TIFF PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF PackBits decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _decode_tiff(b: bytes):
+    """Baseline TIFF (both byte orders): first IFD, 8-bit grayscale or
+    RGB(A), strip layout, compression none (1) or PackBits (32773).
+    Tiled, LZW/JPEG-compressed, palette, and sub-8-bit TIFFs raise —
+    the usual fail-closed discipline."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] == b"II\x2a\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def tag_values(pos):
+        tag, ttype, count = struct.unpack_from(e + "HHI", b, pos)
+        if ttype not in type_size:
+            return tag, None  # rational/ascii tags are irrelevant here
+        total = type_size[ttype] * count
+        off = pos + 8 if total <= 4 else struct.unpack_from(e + "I", b, pos + 8)[0]
+        if off + total > len(b):
+            raise ValueError(f"truncated TIFF tag {tag}")
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return tag, list(struct.unpack_from(e + fmt * count, b, off))
+
+    tags = {}
+    for t in range(n_tags):
+        pos = ifd_off + 2 + 12 * t
+        if pos + 12 > len(b):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, vals = tag_values(pos)
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("zero-dimension TIFF")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(x != 8 for x in bits):
+        raise ValueError(f"only 8-bit TIFF samples supported ({bits})")
+    if spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF samples/pixel {spp}")
+    comp = one(259, 1)
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (none and PackBits decode "
+            "library-free; LZW/JPEG tiles need a codec library)"
+        )
+    photometric = one(262, 1)
+    if photometric == 3:
+        raise ValueError("palette TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported (strip layout only)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError(f"truncated TIFF strip {si}")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = n_rows * row_bytes
+        chunk = b[off : off + cnt]
+        raw += _packbits_decode(chunk, expected) if comp == 32773 else chunk
+    if len(raw) < h * row_bytes:
+        raise ValueError(f"truncated TIFF raster: {len(raw)} < {h * row_bytes}")
+    px = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        g = 255 - px if photometric == 0 else px  # WhiteIsZero inverts
+        rgb = np.repeat(g, 3, axis=2)
+    else:
+        rgb = px[:, :, :3]  # drop alpha
+    return rgb.astype("float64")
 
 
 def _decode_ppm_p6(b: bytes):

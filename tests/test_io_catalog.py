@@ -1424,3 +1424,159 @@ def test_real_gif_decode(spark):
     small[0, 0] = 3
     with _pytest.raises(ValueError, match="color table"):
         _decode_gif(_gif_bytes(small, palette[:2], min_code=2))
+
+
+def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
+                photometric=None):
+    """Test TIFF writer: (h, w) gray or (h, w, 3) RGB uint8, strip
+    layout, optional PackBits compression, either byte order. Layout is
+    deterministic: header, IFD, extra value arrays (bits / counts /
+    offsets, in that order), then strip data."""
+    import struct
+
+    import numpy as np
+
+    e = "<" if little else ">"
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, spp = arr.shape
+    rows_per_strip = rows_per_strip or h
+    photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
+
+    def packbits_encode(row_bytes):
+        out = bytearray()
+        i = 0
+        while i < len(row_bytes):
+            run = 1
+            while (i + run < len(row_bytes) and run < 128
+                   and row_bytes[i + run] == row_bytes[i]):
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, row_bytes[i]])
+                i += run
+            else:
+                lit = i
+                while (i < len(row_bytes)
+                       and (i + 2 >= len(row_bytes)
+                            or not (row_bytes[i] == row_bytes[i + 1] == row_bytes[i + 2]))
+                       and i - lit < 128):
+                    i += 1
+                out += bytes([i - lit - 1]) + row_bytes[lit:i]
+        return bytes(out)
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        chunk = arr[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(packbits_encode(chunk) if packbits else chunk)
+    n_strips = len(strips)
+
+    n_tags = 9
+    ifd_off = 8
+    extras_off = ifd_off + 2 + 12 * n_tags + 4
+    # extras, fixed order: bits (spp SHORTs if > 2 values), counts and
+    # offsets (LONG arrays if > 1 strip)
+    bits_off = extras_off
+    bits_extra = spp * 2 if spp > 2 else 0
+    counts_off = bits_off + bits_extra
+    counts_extra = 4 * n_strips if n_strips > 1 else 0
+    offsets_off = counts_off + counts_extra
+    offsets_extra = 4 * n_strips if n_strips > 1 else 0
+    data_off = offsets_off + offsets_extra
+
+    strip_offs = []
+    cur = data_off
+    for sdata in strips:
+        strip_offs.append(cur)
+        cur += len(sdata)
+
+    def tag(tid, ttype, values, extra_off_val):
+        fmt = {3: "H", 4: "I"}[ttype]
+        size = {3: 2, 4: 4}[ttype] * len(values)
+        head = struct.pack(e + "HHI", tid, ttype, len(values))
+        if size <= 4:
+            inline = struct.pack(e + fmt * len(values), *values)
+            return head + inline + b"\x00" * (4 - size), b""
+        payload = struct.pack(e + fmt * len(values), *values)
+        return head + struct.pack(e + "I", extra_off_val), payload
+
+    parts = [
+        tag(256, 3, [w], 0),
+        tag(257, 3, [h], 0),
+        tag(258, 3, [8] * spp, bits_off),
+        tag(259, 3, [32773 if packbits else 1], 0),
+        tag(262, 3, [photometric], 0),
+        tag(273, 4, strip_offs, offsets_off),
+        tag(277, 3, [spp], 0),
+        tag(278, 3, [rows_per_strip], 0),
+    ]
+    # reorder extras payloads to the declared layout: bits, counts, offsets
+    tag_bytes = b"".join(p[0] for p in parts)
+    extras = parts[2][1]  # bits
+    counts_part = tag(279, 4, [len(sdata) for sdata in strips], counts_off)
+    # 279 must sit in ascending-ish tag order for realism; rebuild with it
+    parts = parts[:6] + [counts_part] + parts[6:]
+    assert len(parts) == n_tags
+    tag_bytes = b"".join(p[0] for p in parts)
+    extras = parts[2][1] + counts_part[1] + parts[5][1]
+    ifd = struct.pack(e + "H", n_tags) + tag_bytes + struct.pack(e + "I", 0)
+    header = (b"II\x2a\x00" if little else b"MM\x00\x2a") + struct.pack(e + "I", ifd_off)
+    out = bytearray(header + ifd + extras)
+    assert len(out) == data_off, (len(out), data_off)
+    for sdata in strips:
+        out += sdata
+    return bytes(out)
+
+
+def test_real_tiff_decode(spark):
+    """decode_image handles strip TIFF: both byte orders, gray (incl.
+    WhiteIsZero inversion), RGB, PackBits, multi-strip; tiled/LZW and
+    truncations refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        _decode_tiff,
+        _packbits_decode,
+        decode_image,
+    )
+
+    rng = np.random.RandomState(31)
+    rgb = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+
+    for little in (True, False):
+        assert np.array_equal(_decode_tiff(_tiff_bytes(rgb, little=little)),
+                              rgb.astype("float64"))
+        got = _decode_tiff(_tiff_bytes(gray, little=little))
+        assert np.array_equal(got, np.repeat(gray[:, :, None], 3, 2))
+    # WhiteIsZero inverts
+    got = _decode_tiff(_tiff_bytes(gray, photometric=0))
+    assert np.array_equal(got, np.repeat((255 - gray)[:, :, None], 3, 2))
+    # PackBits + multi-strip (with a run-heavy image to exercise repeats)
+    runs = np.repeat(rng.randint(0, 256, size=(8, 3), dtype=np.uint8), 5, axis=1)
+    for pb in (False, True):
+        got = _decode_tiff(_tiff_bytes(runs, packbits=pb, rows_per_strip=3))
+        assert np.array_equal(got, np.repeat(runs[:, :, None], 3, 2)), pb
+    got = _decode_tiff(_tiff_bytes(rgb, packbits=True, rows_per_strip=4))
+    assert np.array_equal(got, rgb.astype("float64"))
+
+    d = decode_image(_tiff_bytes(rgb), "image")
+    assert (d["width"], d["height"]) == (7, 11)
+    assert abs(d["feature"][3] - rgb.astype("float64").mean(axis=2).mean()) < 1e-9
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_tiff(_tiff_bytes(rgb)[:-10])
+    with _pytest.raises(ValueError, match="compression"):
+        bad = bytearray(_tiff_bytes(rgb))
+        # tag 259 value: find and set to 5 (LZW)
+        tiff = _tiff_bytes(rgb)
+        import struct as _s
+        for t in range(9):
+            pos = 8 + 2 + 12 * t
+            tid = _s.unpack_from("<H", tiff, pos)[0]
+            if tid == 259:
+                bad[pos + 8] = 5
+        _decode_tiff(bytes(bad))
+    # PackBits under-run refused
+    with _pytest.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\x02abc", 10)
