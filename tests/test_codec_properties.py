@@ -17,8 +17,10 @@ from railgun_spark.operators.jpeg import decode_jpeg, encode_gray_jpeg
 from railgun_spark.operators.multimodal import (
     _decode_gif,
     _decode_png,
+    _decode_tiff,
     decode_aiff,
     decode_au,
+    decode_avi_mjpeg,
     decode_wav,
     decode_y4m,
 )
@@ -133,13 +135,15 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
     rng = np.random.RandomState(seed)
     blobs = [payload]
     for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 ",
-                  b"GIF89a", b"fLaC", b"FORM1234AIFF", b".snd"):
+                  b"GIF89a", b"fLaC", b"FORM1234AIFF", b".snd",
+                  b"II\x2a\x00", b"MM\x00\x2a", b"RIFF1234AVI "):
         blobs.append(magic + payload)
     # a syntactically plausible but corrupt RIFF/WAVE head
     blobs.append(b"RIFF" + bytes([payload[0] if payload else 0, 0, 0, 0]) + b"WAVE" + payload)
     for blob in blobs:
         for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m,
-                   _decode_gif, decode_flac, decode_aiff, decode_au):
+                   _decode_gif, decode_flac, decode_aiff, decode_au,
+                   _decode_tiff, decode_avi_mjpeg):
             try:
                 fn(blob)
             except ValueError:
@@ -157,6 +161,9 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
                     or (fn is decode_flac and blob[:4] == b"fLaC")
                     or (fn is decode_aiff and blob[:4] == b"FORM")
                     or (fn is decode_au and blob[:4] == b".snd")
+                    or (fn is _decode_tiff
+                        and blob[:4] in (b"II\x2a\x00", b"MM\x00\x2a"))
+                    or (fn is decode_avi_mjpeg and blob[:4] == b"RIFF")
                 )
                 assert magic_ok, f"{fn.__name__} decoded garbage without magic"
 
