@@ -27,7 +27,9 @@ Measured (sf0.1 = 100k events, local[32], 2026-08-14):
   tiles_data_z4          cold 0.82s  warm median 0.116s  (75 KB GeoJSON)
   tiles_data_z8          cold 0.16s  warm median 0.087s
   tiles_data_extent_miss              median 0.001s  (no data touched)
-  tiles_mask_z4          cold 1.03s  warm median 0.221s  (PNG)
+  tiles_mask_z4          cold 1.03s  warm median 0.223s  (PNG)
+  tiles_mask_gif         warm median 0.250s  (GIF87a, from-scratch LZW)
+  tiles_mask_jpg         warm median 0.193s  (grayscale baseline JPEG)
 Warm-path latency is the catalog-cache + tile-filter + render cost; the
 cold hit pays the one-time parquet scan into the cache.
 """
@@ -93,6 +95,8 @@ def main() -> None:
         "tiles_data_z8": "/layers/events/tiles/data/8/128/88.json?limit=500",
         "tiles_data_extent_miss": "/layers/events_clipped/tiles/data/10/0/0.json",
         "tiles_mask_z4": "/layers/events/tiles/mask/4/8/5.png?zoom=8",
+        "tiles_mask_gif": "/layers/events/tiles/mask/4/8/5.gif?zoom=8",
+        "tiles_mask_jpg": "/layers/events/tiles/mask/4/8/5.jpg?zoom=8",
     }
 
     out: dict[str, dict] = {}
