@@ -285,6 +285,8 @@ def decode_image(content: bytes, kind: str) -> dict:
     b = bytes(content or b"")
     if b[:2] == b"P6":
         rgb = _decode_ppm_p6(b)
+    elif b[:2] in (b"P4", b"P5"):
+        rgb = _decode_pnm_gray(b)
     elif b[:2] == b"BM":
         rgb = _decode_bmp(b)
     elif b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -457,6 +459,55 @@ def _decode_gif(b: bytes):
         else:
             raise ValueError(f"bad GIF block marker 0x{marker:02x}")
     raise ValueError("GIF contains no image")
+
+
+def _pnm_header(b: bytes, n_fields: int):
+    """Shared netpbm header tokenizer ('#' comments allowed): returns
+    (fields, raster_offset) — the PPM P6 parser's discipline."""
+    tokens, i, n = [], 2, len(b)
+    while len(tokens) < n_fields:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < n and not b[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(b[start:i]))
+    return tokens, i + 1  # one whitespace byte separates header and raster
+
+
+def _decode_pnm_gray(b: bytes):
+    """Binary PGM (P5: 8-bit gray) and PBM (P4: packed 1-bit bitmap,
+    1 = black per spec) -> RGB raster; completes the netpbm family
+    next to PPM P6."""
+    import numpy as np
+
+    if b[:2] == b"P5":
+        (w, h, maxval), off = _pnm_header(b, 3)
+        if maxval > 255:
+            raise ValueError("16-bit PGM not supported")
+        need = w * h
+        raster = b[off : off + need]
+        if len(raster) < need:
+            raise ValueError(f"truncated PGM raster: {len(raster)} < {need}")
+        g = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    else:  # P4
+        (w, h), off = _pnm_header(b, 2)
+        row_bytes = (w + 7) // 8
+        need = row_bytes * h
+        raster = b[off : off + need]
+        if len(raster) < need:
+            raise ValueError(f"truncated PBM raster: {len(raster)} < {need}")
+        bits = np.unpackbits(
+            np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes), axis=1
+        )[:, :w]
+        g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+    return np.repeat(g[:, :, None], 3, axis=2).astype("float64")
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:

@@ -1580,3 +1580,33 @@ def test_real_tiff_decode(spark):
     # PackBits under-run refused
     with _pytest.raises(ValueError, match="PackBits"):
         _packbits_decode(b"\x02abc", 10)
+
+
+def test_real_pgm_pbm_decode():
+    """PGM (P5) and PBM (P4, packed bits, 1=black) complete the netpbm
+    family; header comments, non-multiple-of-8 widths, truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(41)
+    g = rng.randint(0, 256, size=(5, 11), dtype=np.uint8)
+    pgm = b"P5\n# c\n11 5\n255\n" + g.tobytes()
+    d = decode_image(pgm, "image")
+    assert (d["width"], d["height"]) == (11, 5)
+    assert abs(d["feature"][3] - g.mean()) < 1e-9
+
+    bits = rng.randint(0, 2, size=(4, 11), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)  # pads rows to whole bytes
+    pbm = b"P4\n11 4\n" + packed.tobytes()
+    d = decode_image(pbm, "image")
+    assert (d["width"], d["height"]) == (11, 4)
+    assert abs(d["feature"][3] - ((1 - bits) * 255).mean()) < 1e-9
+
+    with _pytest.raises(ValueError, match="truncated PGM"):
+        decode_image(pgm[:-10], "image")
+    with _pytest.raises(ValueError, match="truncated PBM"):
+        decode_image(pbm[:-2], "image")
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8, "image")
