@@ -455,6 +455,36 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_media_features(args) -> int:
+    """Decode a parquet of binary media rows (media_id/kind/content[/meta])
+    through the library-free codec layer (images: PPM/PGM/PBM/BMP/PNG/GIF/
+    TIFF/JPEG; audio: WAV/FLAC/AIFF/AU; video: Y4M/MJPEG-AVI) and write
+    the feature frame; one Arrow hop, no codec libraries."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.multimodal import decode_media, extract_features
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_media")
+    df = spark.read.parquet(args.input)
+    missing = {"media_id", "kind", "content"} - set(df.columns)
+    if missing:
+        print(f"input is missing required columns: {sorted(missing)}", file=sys.stderr)
+        return 2
+    if "meta" not in df.columns:
+        df = df.withColumn("meta", F.create_map().cast("map<string,string>"))
+    df = df.select("media_id", "kind", "content", "meta")
+    feats = extract_features(df, decoder=decode_media, require_real=True)
+    feats.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    counts = {
+        r["kind"]: r["n"]
+        for r in out.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({"n_media": out.count(), "by_kind": counts}))
+    return 0
+
+
 def cmd_tokenize(args) -> int:
     """BPE tokenization pipeline: train merges on the corpus (or load a
     saved merge list), encode every document at vocab-sized cost
@@ -770,6 +800,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--username", default=None, help="authenticate username")
     p.add_argument("--password", default=None, help="authenticate password")
     p.set_defaults(fn=cmd_client)
+
+    p = sub.add_parser(
+        "media-features",
+        help="decode binary media parquet (images/audio/video) into the "
+        "feature frame via the library-free codecs",
+    )
+    p.add_argument("--input", required=True, help="parquet with media_id/kind/content")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_media_features)
 
     p = sub.add_parser(
         "tokenize",

@@ -460,3 +460,55 @@ def test_stats_embedding_lsh_recall_section(spark, capsys, tmp_path):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert "embedding_lsh_recall" not in out and "source_quality" in out
+
+
+def test_media_features_subcommand(spark, capsys, tmp_path):
+    """media-features decodes a mixed media parquet (PNG image + FLAC
+    audio + MJPEG-AVI video) through the real codecs end-to-end."""
+    import struct
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_flac import encode_flac
+    from test_io_catalog import _png_bytes
+
+    from railgun_spark.operators.jpeg import encode_gray_jpeg
+
+    rng = np.random.RandomState(67)
+    png = _png_bytes(rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8))
+    t = np.arange(500)
+    flac = encode_flac([[int(v) for v in
+                         np.round(9000 * np.sin(2 * np.pi * 300 * t / 8000))]])
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    jpgs = [encode_gray_jpeg(rng.randint(0, 256, size=(8, 8), dtype=np.uint8))
+            for _ in range(2)]
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 2, 0, 1, 0, 8, 8)
+    body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+            + chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpgs)))
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(flac)),
+         (3, "video", bytearray(avi))],
+        "media_id: long, kind: string, content: binary",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "feats")
+    rc = main(["media-features", "--input", src, "--output", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"n_media": 3, "by_kind": {"image": 1, "audio": 1, "video": 1}}
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["width"] == 5 and rows[1]["height"] == 6
+    assert all(len(r["feature"]) == 8 for r in rows.values())
+
+    # missing columns is a usage error
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "media_id: long").write.parquet(bad)
+    assert main(["media-features", "--input", bad, "--output", str(tmp_path / "x")]) == 2
