@@ -187,3 +187,89 @@ def test_decoders_reject_deep_truncations_of_valid_streams():
         for cut in range(1, len(blob), 7):
             with pytest.raises(ValueError):
                 fn(blob[:cut])
+
+
+def test_decode_media_dispatches_entire_codec_matrix():
+    """One mixed batch containing every supported format routes through
+    decode_media's magic dispatch: images PPM/PGM/PBM/BMP/PNG/GIF/TIFF/
+    JPEG(baseline+progressive), audio WAV/FLAC/AIFF/AU, video Y4M/AVI —
+    every row decodes to an 8-dim feature without a codec library."""
+    import struct
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_flac import encode_flac
+    from test_io_catalog import _gif_bytes, _png_bytes, _tiff_bytes
+    from test_jpeg import _spectral_scans, encode_jpeg
+
+    from railgun_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(71)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    bits = rng.randint(0, 2, size=(8, 8), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(8, 8), dtype=np.uint8)
+
+    def bmp(arr):
+        h, w, _ = arr.shape
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            row[:, ::-1].tobytes() + b"\x00" * (stride - w * 3) for row in arr[::-1]
+        )
+        return (struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                              2835, 2835, 0, 0) + raster)
+
+    samples = np.round(8000 * np.sin(2 * np.pi * 440 * np.arange(400) / 8000)).astype("int64")
+    le = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(le)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(le)) + le)
+    exp = 16383 + 63
+    mant = 8000
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">hIh", 1, 400, 16) + struct.pack(">HII", exp, mant >> 32, mant & 0xFFFFFFFF)
+    ssnd = struct.pack(">II", 0, 0) + samples.astype(">i2").tobytes()
+    aiff = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd)) + b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    au = b".snd" + struct.pack(">IIIII", 24, len(le), 3, 8000, 1) + samples.astype(">i2").tobytes()
+
+    y = rng.randint(0, 256, size=(2, 8 * 8), dtype=np.uint8)
+    y4m = b"YUV4MPEG2 W8 H8 F25:1 C420\n" + b"".join(
+        b"FRAME\n" + y[k].tobytes() + bytes(32) for k in range(2)
+    )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 8, 8)
+    avi_body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+                + chunk(b"LIST", b"movi" + chunk(b"00dc", encode_gray_jpeg(gray))))
+    avi = b"RIFF" + struct.pack("<I", len(avi_body)) + avi_body
+
+    matrix = {
+        "ppm": ("image", b"P6\n8 8\n255\n" + img.tobytes()),
+        "pgm": ("image", b"P5\n8 8\n255\n" + gray.tobytes()),
+        "pbm": ("image", b"P4\n8 8\n" + np.packbits(bits, axis=1).tobytes()),
+        "bmp": ("image", bmp(img)),
+        "png": ("image", _png_bytes(img, [0, 1, 2, 3, 4])),
+        "gif": ("image", _gif_bytes(idx, pal)),
+        "tiff": ("image", _tiff_bytes(img, packbits=True)),
+        "jpeg": ("image", encode_jpeg(img)),
+        "jpeg_prog": ("image", encode_jpeg(img, scans=_spectral_scans(3))),
+        "wav": ("audio", wav),
+        "flac": ("audio", encode_flac([[int(v) for v in samples]])),
+        "aiff": ("audio", aiff),
+        "au": ("audio", au),
+        "y4m": ("video", y4m),
+        "avi": ("video", avi),
+    }
+    for name, (kind, blob) in matrix.items():
+        d = decode_media(blob, kind)
+        assert len(d["feature"]) == 8, name
+        assert all(np.isfinite(v) for v in d["feature"]), name
