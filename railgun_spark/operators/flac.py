@@ -158,6 +158,10 @@ def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
         samples = np.array([bits.read_signed(bps) for _ in range(blocksize)], dtype="int64")
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8
         order = stype - 8
+        if order >= blocksize:
+            raise ValueError(
+                f"FLAC fixed predictor order {order} >= blocksize {blocksize}"
+            )
         warm = [bits.read_signed(bps) for _ in range(order)]
         resid = _read_residuals(bits, blocksize, order)
         samples = np.empty(blocksize, dtype="int64")
@@ -170,6 +174,10 @@ def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
             samples[i] = resid[i - order] + pred
     elif stype >= 32:  # LPC, order = stype - 31
         order = stype - 31
+        if order >= blocksize:
+            raise ValueError(
+                f"FLAC LPC order {order} >= blocksize {blocksize}"
+            )
         warm = [bits.read_signed(bps) for _ in range(order)]
         precision = bits.read(4)
         if precision == 15:

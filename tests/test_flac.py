@@ -415,3 +415,78 @@ def test_aiff_and_au_decode_feature_parity_with_wav():
         decode_au(au[:-5])
     with pytest.raises(ValueError, match="unsupported AU encoding"):
         decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, rate, 1) + b"\x00" * 4)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 256),
+    stereo=st.booleans(),
+    kind_pick=st.integers(0, 6),
+    blocksize=st.sampled_from([0, 64, 192]),
+    rice_k=st.integers(10, 14),
+    part_order=st.integers(0, 2),
+    mode_pick=st.integers(0, 3),
+)
+def test_flac_roundtrip_property(seed, n, stereo, kind_pick, blocksize,
+                                 rice_k, part_order, mode_pick):
+    """Randomized FLAC round-trips: any subframe type, rice parameter,
+    partition order, blocksize split, and channel mode must decode to
+    the exact samples (checked through feature equality with a verbatim
+    encoding of the same signal, which is bit-exact by construction).
+    rice_k stays >= 10: uncorrelated samples under a fixed predictor
+    leave residuals ~12x the amplitude, and the pure-Python unary coder
+    costs residual>>k bits per sample. Earlier sweeps of this property
+    caught the decoder surfacing numpy's negative-dimension error for
+    order >= blocksize instead of a clean refusal."""
+    rng = np.random.RandomState(seed)
+    kinds = ["verbatim", "constant", ("fixed", 0), ("fixed", 1), ("fixed", 2),
+             ("fixed", 3), ("fixed", 4)]
+    kind = kinds[kind_pick]
+    bs = blocksize or None
+    # the frame sizes this stream will actually contain
+    frame_sizes = ([bs] * (n // bs) + ([n % bs] if n % bs else [])) if bs else [n]
+    min_frame = min(frame_sizes)
+    if isinstance(kind, tuple) and kind[1] >= min_frame:
+        kind = "verbatim"  # spec: predictor order must be < blocksize
+    if kind == "constant":
+        x = np.full(n, int(rng.randint(-3000, 3000)), dtype="int64")
+    else:
+        x = rng.randint(-3000, 3000, size=n).astype("int64")
+    channels = [list(x)]
+    ch_mode = "independent"
+    if stereo:
+        if kind == "constant":
+            y = np.full(n, int(rng.randint(-3000, 3000)), dtype="int64")
+        else:
+            y = rng.randint(-3000, 3000, size=n).astype("int64")
+        channels.append(list(y))
+        ch_mode = ["independent", "left_side", "right_side", "mid_side"][mode_pick]
+    order = kind[1] if isinstance(kind, tuple) else 0
+    # rice partitions must divide EVERY frame size with room for warmup
+    while part_order and any(
+        f % (1 << part_order) or (f >> part_order) <= order for f in frame_sizes
+    ):
+        part_order -= 1
+    kinds_list = [kind] * len(channels)
+    enc = encode_flac(channels, blocksize=bs, kinds=kinds_list,
+                      ch_mode=ch_mode, rice_k=rice_k, part_order=part_order)
+    got = decode_flac(enc)
+    ref = decode_flac(encode_flac(channels, blocksize=bs, ch_mode="independent"))
+    assert got["n_samples"] == ref["n_samples"] == n
+    assert got["feature"] == ref["feature"]
+
+
+def test_flac_order_ge_blocksize_refused():
+    """Pinned from the property sweep: a fixed-predictor subframe whose
+    order >= blocksize must be refused cleanly, not surface numpy's
+    negative-dimension error."""
+    import pytest as _pytest
+
+    enc = encode_flac([[5]], kinds=[("fixed", 1)])  # order 1, blocksize 1
+    with _pytest.raises(ValueError, match="order"):
+        decode_flac(enc)
