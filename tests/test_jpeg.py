@@ -638,3 +638,45 @@ def test_mjpeg_avi_decode():
     bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
     with pytest.raises(ValueError, match="not JPEG"):
         decode_avi_mjpeg(bad)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    split=st.integers(1, 62),
+    ladder=st.sampled_from([(0,), (1, 0), (2, 1, 0)]),
+    sampling=st.sampled_from([(1, 1), (2, 2)]),
+    restart=st.sampled_from([0, 2]),
+    qstep=st.sampled_from([1, 4, 16]),
+)
+def test_progressive_random_scan_scripts(seed, split, ladder, sampling,
+                                         restart, qstep):
+    """Random progressive scan scripts — spectral band split at any
+    coefficient, successive-approximation ladders down to Al=0, both
+    samplings, restart intervals, coarse/fine quant — must reconstruct
+    EXACTLY the baseline decode of the same image."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    q = np.full(64, qstep, dtype="int32")
+
+    scans = []
+    first_al = ladder[0]
+    scans.append(([0, 1, 2], 0, 0, 0, first_al))  # DC first
+    for ci in range(3):  # AC first scans, band split at `split`
+        scans.append(([ci], 1, split, 0, first_al))
+        if split < 63:
+            scans.append(([ci], split + 1, 63, 0, first_al))
+    for prev_al, al in zip(ladder, ladder[1:]):  # refinement ladder
+        scans.append(([0, 1, 2], 0, 0, prev_al, al))
+        for ci in range(3):
+            scans.append(([ci], 1, 63, prev_al, al))
+
+    base = decode_jpeg(encode_jpeg(img, qtab=q, sampling=sampling,
+                                   restart_interval=restart))
+    prog = decode_jpeg(encode_jpeg(img, qtab=q, sampling=sampling,
+                                   restart_interval=restart, scans=scans))
+    assert np.array_equal(base, prog)
