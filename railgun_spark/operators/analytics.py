@@ -755,3 +755,128 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_key_rows") * F.lit(1.0) * F.col("n_keys") / F.col("n_rows"), 4
         ).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase cadence: per-customer gaps between consecutive orders
+# (lag window PARTITIONED by customer — never global), summarized as
+# exact nearest-rank percentiles of the gap-in-days distribution. The
+# distribution aggregate is gap-count-sized; the only corpus-scale
+# shuffle is the per-customer window partition.
+# --------------------------------------------------------------------------
+@extra_query(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    ranked AS (
+      SELECT gap_days, row_number() OVER (ORDER BY gap_days) AS rn,
+             count(*) OVER () AS n
+      FROM g
+    )
+    SELECT count(*)::BIGINT AS n_gaps,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.50) AS BIGINT))
+                    THEN gap_days END) AS p50_days,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.90) AS BIGINT))
+                    THEN gap_days END) AS p90_days,
+           max(gap_days) AS max_days
+    FROM ranked
+    """,
+    doc="Per-customer consecutive-order gaps (customer-partitioned lag) "
+    "-> exact nearest-rank p50/p90/max of the gap distribution; the "
+    "global rank runs over gap VALUES via sort|rank on a count-bounded "
+    "frame.",
+    tags=("analytics", "window", "events"),
+)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.datediff("o_orderdate", "__prev").alias("gap_days"))
+    )
+    # exact nearest-rank percentiles: distinct-value frequencies (bounded
+    # by the day-gap value space) + cumulative counts — no global
+    # row_number over all gaps
+    freq = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.withColumn("cum", F.sum("c").over(wv))
+    total = gaps.count()
+
+    def pick(q):
+        import math
+
+        # smallest value whose cumulative count reaches ceil(n*q)
+        rank = max(1, math.ceil(total * q))
+        return F.min(F.when(F.col("cum") >= rank, F.col("gap_days")))
+
+    return cum.agg(
+        F.lit(total).alias("n_gaps"),
+        pick(0.50).alias("p50_days"),
+        pick(0.90).alias("p90_days"),
+        F.max("gap_days").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier concentration (HHI): per-nation Herfindahl index of supplier
+# revenue shares — the procurement-risk metric. Two aggregates: revenue
+# per (nation, supplier), then sum of squared shares per nation; the
+# nation dim broadcasts.
+# --------------------------------------------------------------------------
+@extra_query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT n_name, s_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT n_name, sum(rev) AS trev, count(*) AS n_suppliers FROM sup_rev GROUP BY 1
+    )
+    SELECT s.n_name, t.n_suppliers::BIGINT AS n_suppliers,
+           round(sum((s.rev / t.trev) * (s.rev / t.trev)), 6) AS hhi
+    FROM sup_rev s JOIN tot t USING (n_name)
+    GROUP BY s.n_name, t.n_suppliers
+    ORDER BY s.n_name
+    """,
+    doc="Per-nation Herfindahl index of supplier revenue shares: one "
+    "(nation, supplier) aggregate, one nation-level share-square sum; "
+    "broadcast nation dim, suppkey shuffle only.",
+    tags=("analytics", "agg", "join"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    sup_rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    tot = sup_rev.groupBy("n_name").agg(
+        F.sum("rev").alias("trev"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rev") / F.col("trev")
+    return (
+        sup_rev.join(tot, "n_name")
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .orderBy("n_name")
+    )

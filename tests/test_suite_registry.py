@@ -106,6 +106,8 @@ EXPECTED_EXTRA = {
     "customer_order_distribution",  # Q13: left-join zero-bucket histogram
     "brand_quantity_revenue",  # Q19: OR-of-ANDs as post-join filter
     "dormant_customer_balances",  # Q22: scalar-avg filter + left_anti
+    "repeat_purchase_interval",  # customer-partitioned gap percentiles
+    "supplier_concentration_hhi",  # per-nation supplier-share HHI
 }
 
 

@@ -47,6 +47,7 @@ ALLOW_GLOBAL_WINDOW = {
     "daily_revenue_gapfill",  # date spine (bounded calendar days)
     "vocab_coverage_curve",  # vocab-sized word-count aggregate
     "token_length_histogram",  # power-of-two bucket frame (<64 rows)
+    "repeat_purchase_interval",  # distinct gap-day values (calendar-bounded)
 }
 
 
