@@ -159,7 +159,12 @@ def main():
     # harness timeout would blank ALL numbers. Complete iterations are
     # dropped instead: after each full pass, stop if the next one would
     # plausibly overrun — min-of-fewer-iters beats no JSON line at all.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "480"))
+    # The BENCH_ALL sweep gets a larger default: at 126+ queries the 480 s
+    # curated budget truncated it to 2 iterations, making the recorded
+    # median the max of two runs (r8 verdict finding) — round-over-round
+    # comparisons then chased ~1.2x machine-load noise instead of code.
+    default_budget = "900" if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1" else "480"
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", default_budget))
     t_start = time.time()
     iters_done = 0
     for _ in range(iters):  # interleave iterations so drift hits all queries alike

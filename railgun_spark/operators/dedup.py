@@ -1645,6 +1645,68 @@ def dedup_cluster_survivors_exact(spark: SparkSession, sf_dir: str) -> DataFrame
 #     is the batch's own size).
 # --------------------------------------------------------------------------
 _BACKUP_SUFFIX = ".compact_backup"
+_LOCK_SUFFIX = ".compact.lock"
+_LOCK_STALE_S = 3600.0  # a compaction pass at index scale is minutes, not hours
+
+
+def _acquire_compact_lock(local: str) -> str:
+    """O_EXCL lockfile serializing compactors on one index: two concurrent
+    `compact_index` runs would otherwise interleave the tmp-dir double
+    rename (the second's rename(live->backup) fails mid-swap, or worse, a
+    racing `_recover_index` restores the backup between the winner's two
+    renames and aborts it). The lock carries {pid, ts}; a lock whose
+    holder pid is dead or whose timestamp exceeds the staleness TTL is
+    broken once and re-acquired — a compactor SIGKILLed mid-pass must not
+    wedge the index forever. The read-check-unlink break has the usual
+    ABA window (a fresh lock recreated between read and unlink could be
+    broken) — acceptable: it requires a second compactor to appear inside
+    that microsecond window on an index whose contract is 'one maintenance
+    process', and the loser of the subsequent O_EXCL still fails loudly."""
+    import json
+    import os
+    import time
+
+    lock = local.rstrip("/") + _LOCK_SUFFIX
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, json.dumps(
+                    {"pid": os.getpid(), "ts": time.time()}
+                ).encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            if attempt:  # the break below already ran once
+                break
+            try:
+                with open(lock) as f:
+                    info = json.load(f)
+                pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
+            except (OSError, ValueError):
+                pid, ts = -1, 0.0  # unreadable/corrupt lock: treat as stale
+            stale = (time.time() - ts) > _LOCK_STALE_S
+            if not stale and pid > 0:
+                try:
+                    os.kill(pid, 0)  # signal 0: existence probe only
+                except ProcessLookupError:
+                    stale = True
+                except PermissionError:
+                    pass  # exists, owned by someone else: live
+            if not stale:
+                raise RuntimeError(
+                    f"index compaction already in progress (lock {lock!r} "
+                    f"held by live pid {pid}); one compactor per index"
+                ) from None
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # holder finished between read and unlink: retry wins
+    raise RuntimeError(
+        f"could not acquire compaction lock {lock!r} after breaking a "
+        f"stale holder — another compactor grabbed it first"
+    )
 
 
 def _local_index_path(index_path: str) -> str:
@@ -1967,44 +2029,49 @@ def compact_index(spark: SparkSession, index_path: str, n_files: int | None = No
     answers are never lost. Readers racing the swap see the old or new
     listing, both of which answer membership identically.
 
-    Single-compactor assumption: readers in OTHER PROCESSES are unsafe
-    during the swap window — a concurrent `_read_index_or_none` that runs
-    its own `_recover_index` between rename(live->backup) and
-    rename(tmp->live) would restore the backup and make the second rename
-    fail, aborting the compaction (index still valid, work lost). Within
-    one driver process the window is safe (the swap is not preempted by
-    another thread's recovery of the SAME paths only if compaction is the
-    sole writer — which this module assumes throughout: one maintenance
-    process owns the index). Cross-process coordination (lock file, or
-    compacting into a versioned dir + atomic pointer) is the operational
-    pattern when multiple drivers share an index."""
+    Concurrent compactors are serialized by an O_EXCL lockfile
+    (`_acquire_compact_lock`): without it, a second compactor's (or a
+    concurrent `_read_index_or_none`'s `_recover_index`) running between
+    rename(live->backup) and rename(tmp->live) would restore the backup
+    and make the second rename fail, aborting the compaction (index still
+    valid, work lost). A lock whose holder is dead or older than the
+    staleness TTL is broken, so a SIGKILLed compactor cannot wedge the
+    index. Readers never take the lock — they see the old or new listing
+    across the swap, both of which answer membership identically."""
     import os
     import shutil
     import stat
     import tempfile
 
     local = _local_index_path(index_path)
-    _recover_index(local)
     if n_files is not None and n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
-    idx = spark.read.parquet(local)
-    parts = n_files if n_files is not None else max(1, idx.rdd.getNumPartitions() // 8)
-    src_mode = stat.S_IMODE(os.stat(local).st_mode)
-    parent = os.path.dirname(os.path.abspath(local.rstrip("/")))
-    tmp = tempfile.mkdtemp(prefix=".idx_compact_", dir=parent)
+    lock = _acquire_compact_lock(local)
     try:
-        # Eager: this job scans the live index and writes tmp before any
-        # rename touches the live path.
-        idx.distinct().repartition(parts).write.mode("overwrite").parquet(tmp)
-        os.chmod(tmp, src_mode)  # Spark's overwrite recreated tmp with umask perms
-        n = spark.read.parquet(tmp).count()
-        backup = local.rstrip("/") + _BACKUP_SUFFIX
-        if os.path.exists(backup):
+        _recover_index(local)
+        idx = spark.read.parquet(local)
+        parts = n_files if n_files is not None else max(1, idx.rdd.getNumPartitions() // 8)
+        src_mode = stat.S_IMODE(os.stat(local).st_mode)
+        parent = os.path.dirname(os.path.abspath(local.rstrip("/")))
+        tmp = tempfile.mkdtemp(prefix=".idx_compact_", dir=parent)
+        try:
+            # Eager: this job scans the live index and writes tmp before any
+            # rename touches the live path.
+            idx.distinct().repartition(parts).write.mode("overwrite").parquet(tmp)
+            os.chmod(tmp, src_mode)  # Spark's overwrite recreated tmp with umask perms
+            n = spark.read.parquet(tmp).count()
+            backup = local.rstrip("/") + _BACKUP_SUFFIX
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            os.rename(local, backup)
+            os.rename(tmp, local)
             shutil.rmtree(backup)
-        os.rename(local, backup)
-        os.rename(tmp, local)
-        shutil.rmtree(backup)
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass  # a stale-break by a waiting compactor already removed it
     return n

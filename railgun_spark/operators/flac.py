@@ -152,6 +152,13 @@ def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if bits.read(1):  # wasted-bits flag: unary count-1
         wasted = bits.unary() + 1
         bps -= wasted
+        if bps <= 0:
+            # a crafted stream can claim more wasted bits than the sample
+            # size; without this guard read_signed(<=0) surfaces a
+            # misleading 'negative shift count' instead of a refusal
+            raise ValueError(
+                f"FLAC wasted bits ({wasted}) exceed sample size"
+            )
     if stype == 0:  # CONSTANT
         samples = np.full(blocksize, bits.read_signed(bps), dtype="int64")
     elif stype == 1:  # VERBATIM

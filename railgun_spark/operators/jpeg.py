@@ -187,7 +187,7 @@ def _refine_nonzero(reader, coef, k, al):
         coef[k] += (1 << al) if coef[k] > 0 else -(1 << al)
 
 
-def _decode_ac_first(reader, table, state, coef, ss, se, al):
+def _decode_ac_first(reader, table, state, coef, ss, se, al, progressive):
     if state.eobrun > 0:
         state.eobrun -= 1
         return
@@ -199,8 +199,16 @@ def _decode_ac_first(reader, table, state, coef, ss, se, al):
             if r == 15:  # ZRL
                 k += 16
                 continue
-            # EOBn: run of 2^r + extra end-of-band blocks (baseline's
-            # plain EOB is the r=0 case: run of exactly one, this block)
+            # EOBn (run of 2^r + extra end-of-band blocks) exists only in
+            # progressive scans; in sequential baseline the sole legal
+            # s==0 codes are EOB (r==0) and ZRL (r==15) — spec F.1.2.2 vs
+            # G.1.2.2. JPEG has no frame CRC, so accepting 0<r<15 here
+            # would decode corrupt baseline data to garbage coefficients
+            # instead of refusing.
+            if r and not progressive:
+                raise ValueError(
+                    f"EOBn symbol (r={r}) in a sequential JPEG scan"
+                )
             state.eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
             return
         k += r
@@ -252,7 +260,7 @@ def _decode_ac_refine(reader, table, state, coef, ss, se, al):
 
 def _process_scan(
     intervals, scan_comps, ss, se, ah, al, restart_interval,
-    comps, geom, coef, huff_dc, huff_ac,
+    comps, geom, coef, huff_dc, huff_ac, progressive,
 ):
     """Decode one scan's entropy-coded intervals into the coefficient
     store. Ns>1 scans interleave over MCUs (hs*vs blocks per component);
@@ -289,7 +297,9 @@ def _process_scan(
             if ac_id not in huff_ac:
                 raise ValueError(f"JPEG references undefined AC table {ac_id}")
             if ah == 0:
-                _decode_ac_first(reader, huff_ac[ac_id], state, blk, band_lo, se, al)
+                _decode_ac_first(
+                    reader, huff_ac[ac_id], state, blk, band_lo, se, al, progressive
+                )
             else:
                 _decode_ac_refine(reader, huff_ac[ac_id], state, blk, band_lo, se, al)
 
@@ -438,7 +448,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             intervals, i_next = _destuff_and_split(b, i + 2 + seg_len)
             _process_scan(
                 intervals, scan_comps, ss, se, ah, al, restart_interval,
-                comps, geom, coef, huff_dc, huff_ac,
+                comps, geom, coef, huff_dc, huff_ac, progressive,
             )
             saw_scan = True
             i = i_next

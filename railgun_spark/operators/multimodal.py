@@ -388,7 +388,9 @@ def _decode_gif(b: bytes):
 
     if len(b) < 13:
         raise ValueError("truncated GIF header")
-    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    if not sw or not sh:
+        raise ValueError("zero-dimension GIF logical screen")
     i = 13
     gct = None
     if packed & 0x80:
@@ -453,7 +455,28 @@ def _decode_gif(b: bytes):
                         out[y] = rows[r]
                         r += 1
                 idx = out.reshape(-1)
-            return table[idx.reshape(h, w)].astype("float64")
+            frame = table[idx.reshape(h, w)].astype("float64")
+            if (left, top, w, h) == (0, 0, sw, sh):
+                return frame
+            # a first frame smaller than the logical screen is positioned
+            # at (left, top) on the sw x sh canvas; features are over the
+            # positioned canvas, not the bare sub-image. Background color
+            # per the header's index (black when it points outside the
+            # global table or no global table exists — 89a leaves the
+            # background undefined then).
+            if left + w > sw or top + h > sh:
+                raise ValueError(
+                    f"GIF image {w}x{h}@({left},{top}) exceeds the "
+                    f"{sw}x{sh} logical screen"
+                )
+            if gct is not None and bg < len(gct):
+                canvas = np.tile(
+                    gct[bg].astype("float64"), (sh, sw, 1)
+                )
+            else:
+                canvas = np.zeros((sh, sw, 3), dtype="float64")
+            canvas[top : top + h, left : left + w] = frame
+            return canvas
         elif marker == 0x3B:  # trailer before any image
             break
         else:

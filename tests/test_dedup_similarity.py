@@ -361,6 +361,59 @@ def test_compact_index_crash_recovery(spark, tmp_path):
     assert os.path.isdir(idx) and not os.path.exists(idx + _BACKUP_SUFFIX)
 
 
+def test_compact_index_concurrent_lock(spark, tmp_path):
+    """Two compactors cannot interleave the double-rename swap: the second
+    fails loudly while the lock is held by a LIVE pid; a lock left by a
+    dead pid or older than the staleness TTL is broken and compaction
+    proceeds; the lock is gone after success (and after failure)."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from railgun_spark.operators.dedup import (
+        _LOCK_SUFFIX,
+        _acquire_compact_lock,
+        compact_index,
+    )
+
+    idx = _seed_index(spark, tmp_path)
+    lock = idx + _LOCK_SUFFIX
+
+    # live holder (this very process) -> second compactor refuses, index intact
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+    with _pytest.raises(RuntimeError, match="already in progress"):
+        compact_index(spark, idx, n_files=1)
+    assert os.path.exists(lock) and spark.read.parquet(idx).count() == 2
+    os.unlink(lock)
+
+    # dead holder -> stale, broken, compaction succeeds, lock removed
+    with open(lock, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": time.time()}, f)
+    assert compact_index(spark, idx, n_files=1) == 2
+    assert not os.path.exists(lock)
+
+    # live pid but expired timestamp -> stale (a wedged compactor must not
+    # hold the index hostage past the TTL)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time() - 7200}, f)
+    assert compact_index(spark, idx, n_files=1) == 2
+    assert not os.path.exists(lock)
+
+    # corrupt lock payload -> stale
+    with open(lock, "w") as f:
+        f.write("not json")
+    assert compact_index(spark, idx, n_files=1) == 2
+    assert not os.path.exists(lock)
+
+    # direct acquire/release round-trip leaves no residue
+    got = _acquire_compact_lock(idx)
+    assert got == lock and os.path.exists(lock)
+    os.unlink(lock)
+
+
 def test_compact_index_preserves_dir_mode_and_same_fs_tmp(spark, tmp_path):
     import os
     import stat

@@ -298,6 +298,10 @@ def test_flac_refusals():
     hdr_bad[fs + 5] ^= 0xFF
     with pytest.raises(ValueError):
         decode_flac(bytes(hdr_bad))
+    # wasted-bits count >= sample size: clear refusal, not a numpy/python
+    # shift error from bps dropping to <= 0
+    with pytest.raises(ValueError, match="wasted bits"):
+        decode_flac(encode_flac([[0] * 64], kinds=["constant"], wasted=16))
 
 
 def test_flac_through_arrow_audio_pipeline(spark):

@@ -1335,9 +1335,12 @@ def test_decode_media_mixed_kinds_and_hardening(spark):
         decode_media(b"x", "hologram")
 
 
-def _gif_bytes(idx, palette, interlace=False, local_table=False, min_code=None):
+def _gif_bytes(idx, palette, interlace=False, local_table=False, min_code=None,
+               left=0, top=0, screen=None, bg=0):
     """Test GIF writer over the library's LZW encoder: (h, w) index
-    array + (n, 3) palette, optional interlacing and local color table."""
+    array + (n, 3) palette, optional interlacing and local color table,
+    optional sub-canvas placement (left/top offsets on a larger logical
+    screen with a background-color index)."""
     import struct
 
     import numpy as np
@@ -1362,16 +1365,17 @@ def _gif_bytes(idx, palette, interlace=False, local_table=False, min_code=None):
         rows = idx[np.array(order)]
     lzw = _lzw_encode([int(v) for v in rows.reshape(-1)], mc)
 
+    sw, sh = screen if screen is not None else (w, h)
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h)
+    out += struct.pack("<HH", sw, sh)
     if local_table:
-        out += bytes([0x00, 0, 0])  # no global table
+        out += bytes([0x00, bg, 0])  # no global table
     else:
-        out += bytes([0x80 | size_field, 0, 0]) + pal
+        out += bytes([0x80 | size_field, bg, 0]) + pal
     # a graphic-control extension to exercise block skipping
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     ipacked = (0x40 if interlace else 0) | (0x80 | size_field if local_table else 0)
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + bytes([ipacked])
     if local_table:
         out += pal
     out += bytes([mc])
@@ -1424,6 +1428,41 @@ def test_real_gif_decode(spark):
     small[0, 0] = 3
     with _pytest.raises(ValueError, match="color table"):
         _decode_gif(_gif_bytes(small, palette[:2], min_code=2))
+
+
+def test_gif_sub_canvas_placement():
+    """A first frame smaller than the logical screen is composited at its
+    (left, top) offset onto a background-filled sw x sh canvas — features
+    cover the positioned canvas, not the bare sub-image. Out-of-canvas
+    placement is refused."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import _decode_gif
+
+    rng = np.random.RandomState(31)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(5, 7), dtype=np.uint8)
+
+    got = _decode_gif(_gif_bytes(idx, palette, left=3, top=2, screen=(16, 10), bg=5))
+    assert got.shape == (10, 16, 3)
+    expect = np.tile(palette[5].astype("float64"), (10, 16, 1))
+    expect[2:7, 3:10] = palette[idx].astype("float64")
+    assert np.array_equal(got, expect)
+
+    # no global color table (local only) -> background is black
+    got = _decode_gif(
+        _gif_bytes(idx, palette, local_table=True, left=1, top=1, screen=(9, 8))
+    )
+    assert got.shape == (8, 9, 3)
+    assert np.array_equal(got[0, 0], np.zeros(3))
+    assert np.array_equal(got[1:6, 1:8], palette[idx].astype("float64"))
+
+    # sub-image spilling past the logical screen is malformed
+    with _pytest.raises(ValueError, match="logical screen"):
+        _decode_gif(_gif_bytes(idx, palette, left=12, top=0, screen=(16, 10)))
+    with _pytest.raises(ValueError, match="zero-dimension GIF logical"):
+        _decode_gif(_gif_bytes(idx, palette, screen=(0, 10)))
 
 
 def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,

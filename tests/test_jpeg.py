@@ -474,6 +474,43 @@ def test_refusals():
         decode_jpeg(bytes(bad))
 
 
+def test_eobn_refused_in_sequential_scan():
+    """EOBn symbols (s==0, 0<r<15) are spec-defined only for progressive
+    scans (G.1.2.2); a sequential baseline scan emitting one is corrupt
+    data and must refuse, not decode garbage (baseline has no CRC)."""
+    from railgun_spark.operators.jpeg import _ScanState, _decode_ac_first
+
+    class _Tbl:
+        def __init__(self, syms):
+            self.syms = list(syms)
+
+        def decode(self, reader):
+            return self.syms.pop(0)
+
+    class _Rdr:
+        def bits(self, n):
+            return 0
+
+        def bit(self):
+            return 0
+
+    coef = [0] * 64
+    # EOB2 (rs=0x20): legal in progressive — sets an end-of-band run
+    st = _ScanState(1)
+    _decode_ac_first(_Rdr(), _Tbl([0x20]), st, coef, 1, 63, 0, progressive=True)
+    assert st.eobrun == (1 << 2) - 1
+    # the same symbol in a sequential scan is refused
+    with pytest.raises(ValueError, match="EOBn.*sequential"):
+        _decode_ac_first(
+            _Rdr(), _Tbl([0x20]), _ScanState(1), [0] * 64, 1, 63, 0,
+            progressive=False,
+        )
+    # plain EOB (rs=0x00) stays legal in sequential scans
+    st = _ScanState(1)
+    _decode_ac_first(_Rdr(), _Tbl([0x00]), st, [0] * 64, 1, 63, 0, progressive=False)
+    assert st.eobrun == 0
+
+
 def test_decode_image_dispatch_and_pipeline(spark):
     """JPEG routes through decode_image and the Arrow pipeline with
     require_real=True, features matching the direct decode."""
