@@ -1243,3 +1243,207 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+# --------------------------------------------------------------------------
+# Minimum-cost-supplier (TPC-H Q2 shape): the classic correlated-scalar-
+# subquery decorrelation. The reference engine has no joins or subqueries
+# (SURVEY.md §2.4) — this is engine-superset coverage of the decorrelation
+# pattern: the correlated `cost = (SELECT min(cost) ... WHERE same part)`
+# becomes a per-part aggregate joined back as an equi-join. The testdata
+# star schema has no partsupp table, so the part<->supplier bridge is
+# derived from lineitem (min observed unit price per (part, supplier) —
+# one fact shuffle), exactly the argmin-decorrelation physical shape.
+# --------------------------------------------------------------------------
+@extra_query(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), f AS (
+      SELECT pk, sk, cost, s_acctbal, s_name, n_name
+      FROM ps
+        JOIN supplier ON s_suppkey = sk
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        JOIN part     ON p_partkey = pk
+      WHERE r_name = 'ASIA' AND p_size <= 15 AND p_type = 'ECONOMY'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(cost, 2) AS supply_cost
+    FROM f
+      JOIN part ON p_partkey = f.pk
+    WHERE cost = (SELECT min(f2.cost) FROM f f2 WHERE f2.pk = f.pk)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (no partsupp in the testdata; lineitem-derived "
+    "supply cost): correlated per-part min decorrelated into a groupBy + "
+    "broadcast join-back; all dims broadcast; ONE fact shuffle on "
+    "(partkey, suppkey).",
+    tags=("join", "subquery", "decorrelation"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    # one shuffle: the (part, supplier) bridge with its min unit price
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    # all dims broadcast: the filters prune BEFORE the per-part min so the
+    # correlated aggregate only sees region-eligible suppliers of eligible
+    # parts (Q2's subquery scoping)
+    f = (
+        ps.join(F.broadcast(sup), ps.sk == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), ps.pk == F.col("p_partkey"))
+        .select("pk", "cost", "s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+    # decorrelation: per-part min as a tiny aggregate broadcast back — the
+    # equality is over identical doubles on both sides, so tie membership
+    # is engine-deterministic
+    mins = f.groupBy(F.col("pk").alias("mpk")).agg(F.min("cost").alias("mc"))
+    return (
+        f.join(F.broadcast(mins), (f.pk == F.col("mpk")) & (f.cost == F.col("mc")))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("cost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-quantity-order revenue (TPC-H Q17 shape): the second classic
+# decorrelation — a correlated per-part AVERAGE broadcast back into the
+# fact filter (`l_quantity < 0.2 * avg(l_quantity) for the same part`).
+# --------------------------------------------------------------------------
+@extra_query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+    ), a AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem JOIN b ON p_partkey = l_partkey
+      GROUP BY 1
+    )
+    SELECT count(*) AS n_small,
+           round(sum(l_extendedprice) / 7.0, 0) AS avg_yearly
+    FROM lineitem JOIN a ON pk = l_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: per-part avg(l_quantity) decorrelated into a "
+    "brand-pruned aggregate broadcast back into the fact filter. "
+    "l_quantity is integral in the testdata, so the avg is an exact "
+    "rational and the 0.2*avg comparison is engine-deterministic; the "
+    "final float sum is round(.., 0) per the Q10 discipline.",
+    tags=("join", "subquery", "decorrelation", "agg"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brand = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # brand prune FIRST (broadcast): the per-part aggregate only shuffles
+    # the ~5% of the fact that can qualify
+    branded = li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    # the avg table is brand-sized — broadcast it back into the fact
+    # filter instead of re-shuffling the fact
+    return (
+        branded.join(F.broadcast(avg_qty), branded.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 0).alias("avg_yearly"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dominant-shipper suppliers (TPC-H Q20 shape): the nested-EXISTS chain
+# (supplier IN (... part IN (...) HAVING sum > correlated sum)) lowered to
+# a semi-join ladder. Without partsupp.ps_availqty, "excess availability"
+# becomes "shipped the majority of a part's volume in the window" — the
+# same correlated-HAVING-over-correlated-total physical shape.
+# --------------------------------------------------------------------------
+@extra_query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH fl AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT pk, sum(qty) AS total_qty FROM fl GROUP BY 1
+    )
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT sk FROM fl JOIN tot USING (pk) WHERE qty > 0.5 * total_qty
+      )
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: nested EXISTS chain as a semi-join ladder — "
+    "name-filtered parts broadcast into the date-pruned fact, one "
+    "(part, supplier) shuffle, per-part totals derived from that same "
+    "aggregate (no second fact pass), majority filter, then LEFT SEMI "
+    "into supplier with nation/region broadcast. Integral quantities "
+    "keep the 0.5*total comparison exact.",
+    tags=("join", "subquery", "semi", "decorrelation"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    fl = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # per-part totals fold the SAME aggregate — map-side-combinable and
+    # tiny; broadcast back for the majority test
+    tot = fl.groupBy(F.col("pk").alias("tpk")).agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        fl.join(F.broadcast(tot), fl.pk == F.col("tpk"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("sk")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == dominant.sk, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )

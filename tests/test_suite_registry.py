@@ -108,6 +108,10 @@ EXPECTED_EXTRA = {
     "dormant_customer_balances",  # Q22: scalar-avg filter + left_anti
     "repeat_purchase_interval",  # customer-partitioned gap percentiles
     "supplier_concentration_hhi",  # per-nation supplier-share HHI
+    # round-9: the classic correlated-subquery decorrelation trio
+    "min_cost_supplier",  # Q2: correlated per-part min -> argmin join-back
+    "small_quantity_revenue",  # Q17: per-part avg broadcast into fact filter
+    "dominant_part_suppliers",  # Q20: nested EXISTS -> semi-join ladder
 }
 
 
