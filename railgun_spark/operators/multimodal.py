@@ -8,12 +8,13 @@ media decoding is pluggable behind `decoder=` hooks: `decode_media`
 decodes the library-free formats — images: PPM P6, uncompressed BMP,
 full PNG, GIF, JPEG (baseline + progressive, operators/jpeg.py);
 audio: PCM/float WAV, FLAC (operators/flac.py), AIFF, Sun AU (incl.
-G.711 mu-law); video: YUV4MPEG2 and Motion-JPEG AVI — pure
-stdlib+numpy, golden- and property-tested, truncation refused
-everywhere; remaining codec-bound formats (MP3/AAC/H.264; ffmpeg
-absent from this container) default to a deterministic fake for
-pipeline-shape tests or raise NotImplementedError when
-`require_real=True` without a decoder.
+G.711 mu-law), MPEG-1 Layer III (operators/mp3.py, certified-table
+streams — see that module's honest-scope notes); video: YUV4MPEG2 and
+Motion-JPEG AVI — pure stdlib+numpy, golden- and property-tested,
+truncation refused everywhere; remaining codec-bound formats
+(AAC/H.264; ffmpeg absent from this container) default to a
+deterministic fake for pipeline-shape tests or raise
+NotImplementedError when `require_real=True` without a decoder.
 
 Scale design: binary payloads ride in parquet binary columns (or are
 referenced by uri and loaded inside the batch fn), metadata stays columnar
@@ -897,8 +898,9 @@ def _decode_png(b: bytes):
 # --------------------------------------------------------------------------
 # REAL audio decoding for the library-free format: RIFF/WAVE PCM needs
 # only struct + numpy. 16-bit PCM (format 1) and 32-bit IEEE float
-# (format 3) are covered; compressed codecs (MP3/AAC/Opus) still need a
-# library through the same hook.
+# (format 3) are covered; MP3 decodes from scratch in operators/mp3.py;
+# remaining compressed codecs (AAC/Opus) still need a library through
+# the same hook.
 # --------------------------------------------------------------------------
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
@@ -923,8 +925,8 @@ def decode_wav(content: bytes) -> dict:
     b = bytes(content or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(
-            "not a RIFF/WAVE payload (decode_audio dispatches WAV/FLAC/AIFF/AU; "
-            "MP3/AAC need a codec library)"
+            "not a RIFF/WAVE payload (decode_audio dispatches "
+            "WAV/FLAC/AIFF/AU/MP3; AAC needs a codec library)"
         )
     i, n = 12, len(b)
     fmt = None
@@ -1434,8 +1436,9 @@ def decode_au(content: bytes) -> dict:
 
 def decode_audio(content: bytes) -> dict:
     """Audio container dispatch by magic: RIFF/WAVE PCM, FLAC
-    (operators/flac.py, from-scratch), AIFF, or Sun AU — all return the
-    same result shape."""
+    (operators/flac.py, from-scratch), AIFF, Sun AU, or MPEG-1 Layer III
+    (operators/mp3.py, from-scratch — certified-table streams; see that
+    module's scope notes) — all return the same result shape."""
     b = bytes(content or b"")
     if b[:4] == b"fLaC":
         from railgun_spark.operators.flac import decode_flac
@@ -1445,13 +1448,23 @@ def decode_audio(content: bytes) -> dict:
         return decode_aiff(b)
     if b[:4] == b".snd":
         return decode_au(b)
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE6) == 0xE2
+    ):
+        # MP3 frame sync (11 bits) with layer bits 01 (Layer III), any
+        # MPEG version — version gating happens inside decode_mp3 so
+        # MPEG-2 payloads refuse with the precise reason
+        from railgun_spark.operators.mp3 import decode_mp3
+
+        return decode_mp3(b)
     return decode_wav(b)
 
 
 def decode_media(content: bytes, kind: str) -> dict:
     """Kind-dispatching REAL decoder for the library-free formats of all
     three modalities (image: PPM/BMP/PNG/GIF/JPEG, audio:
-    WAV/FLAC/AIFF/AU, video: Y4M/MJPEG-AVI), shaped for extract_features' image-centric FEATURE_SCHEMA:
+    WAV/FLAC/AIFF/AU/MP3, video: Y4M/MJPEG-AVI), shaped for
+    extract_features' image-centric FEATURE_SCHEMA:
     audio rows report width/height 0 and carry the 8-dim signal feature;
     video rows carry the luma feature with real dims. Mixed-kind media
     frames run end-to-end with require_real=True; codec-bound payloads

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 from railgun_spark.geo.serving import _lzw_encode
 from railgun_spark.operators.flac import decode_flac
 from railgun_spark.operators.jpeg import decode_jpeg, encode_gray_jpeg
+from railgun_spark.operators.mp3 import decode_mp3
 from railgun_spark.operators.multimodal import (
     _decode_gif,
     _decode_png,
@@ -136,14 +137,15 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
     blobs = [payload]
     for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 ",
                   b"GIF89a", b"fLaC", b"FORM1234AIFF", b".snd",
-                  b"II\x2a\x00", b"MM\x00\x2a", b"RIFF1234AVI "):
+                  b"II\x2a\x00", b"MM\x00\x2a", b"RIFF1234AVI ",
+                  b"\xff\xfa", b"ID3\x03\x00\x00\x00\x00\x00\x00"):
         blobs.append(magic + payload)
     # a syntactically plausible but corrupt RIFF/WAVE head
     blobs.append(b"RIFF" + bytes([payload[0] if payload else 0, 0, 0, 0]) + b"WAVE" + payload)
     for blob in blobs:
         for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m,
                    _decode_gif, decode_flac, decode_aiff, decode_au,
-                   _decode_tiff, decode_avi_mjpeg):
+                   _decode_tiff, decode_avi_mjpeg, decode_mp3):
             try:
                 fn(blob)
             except ValueError:
@@ -164,6 +166,8 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
                     or (fn is _decode_tiff
                         and blob[:4] in (b"II\x2a\x00", b"MM\x00\x2a"))
                     or (fn is decode_avi_mjpeg and blob[:4] == b"RIFF")
+                    or (fn is decode_mp3 and len(blob) >= 2
+                        and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0)
                 )
                 assert magic_ok, f"{fn.__name__} decoded garbage without magic"
 
@@ -189,11 +193,21 @@ def test_decoders_reject_deep_truncations_of_valid_streams():
                 fn(blob[:cut])
 
 
+def _mp3_blob():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_mp3 import _sine_spec, encode_mp3
+
+    return encode_mp3([_sine_spec(4, 6, 11)] * 2)
+
+
 def test_decode_media_dispatches_entire_codec_matrix():
     """One mixed batch containing every supported format routes through
     decode_media's magic dispatch: images PPM/PGM/PBM/BMP/PNG/GIF/TIFF/
-    JPEG(baseline+progressive), audio WAV/FLAC/AIFF/AU, video Y4M/AVI —
-    every row decodes to an 8-dim feature without a codec library."""
+    JPEG(baseline+progressive), audio WAV/FLAC/AIFF/AU/MP3, video
+    Y4M/AVI — every row decodes to an 8-dim feature without a codec
+    library."""
     import struct
     import sys
 
@@ -268,6 +282,7 @@ def test_decode_media_dispatches_entire_codec_matrix():
         "au": ("audio", au),
         "y4m": ("video", y4m),
         "avi": ("video", avi),
+        "mp3": ("audio", _mp3_blob()),
     }
     for name, (kind, blob) in matrix.items():
         d = decode_media(blob, kind)
