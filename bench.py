@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "embedding_lsh_recall_report",
     "nation_trade_volume_by_year",
     "market_share_by_year",
+    # round-9: the decorrelation trio + the real-MP3 decode gate (Arrow
+    # pipeline cost is decode-bound — it must stay visible in the bench)
+    "min_cost_supplier",
+    "small_quantity_revenue",
+    "dominant_part_suppliers",
+    "multimodal_mp3_features",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

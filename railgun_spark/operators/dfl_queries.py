@@ -72,7 +72,7 @@ def dfl_sort_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(ev, "map(@, '@value') | sort(@, '@value', true) | limit(@, 10)")
 
 
-@query(
+@extra_query(
     "dfl_stream_null_drop",
     oracle="""
     SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) AS chars,

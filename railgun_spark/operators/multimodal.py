@@ -208,6 +208,62 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           44100 AS sample_rate,
+           CAST(1152 * (1 + doc_id % 2) AS BIGINT) AS n_samples,
+           CAST(2.0 AS DOUBLE) AS gain_ratio
+    FROM documents
+    WHERE doc_id % 19 = 0
+    ORDER BY media_id
+    """,
+    doc="REAL MP3 decode through the Arrow pipeline: per document a "
+    "tone stream is synthesized by the from-scratch spec encoder "
+    "(operators/mp3_encode.py) with doc_id-derived band/bin/amplitude, "
+    "decoded TWICE by the full Layer III decoder at global_gains 4 "
+    "apart. n_samples gates frame/granule accounting; gain_ratio gates "
+    "the requantization exponent through the whole linear chain — "
+    "scaling by 2^((210-206)/4) = 2 is IEEE-exact end-to-end, so the "
+    "ratio is exactly 2.0 iff the decode is right. Scale: one Arrow hop, "
+    "one decode pair per row, no shuffle.",
+    tags=("multimodal", "mp3", "pandas-udf"),
+)
+def multimodal_mp3_features(spark, sf_dir: str) -> DataFrame:
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id")
+    )
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("gain_ratio", T.DoubleType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from railgun_spark.operators.mp3 import decode_mp3
+        from railgun_spark.operators.mp3_encode import encode_mp3_tone
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sb, k, q = 1 + d % 20, d % 18, 3 + d % 12
+                n_gr = 2 * (1 + d % 2)
+                lo = decode_mp3(encode_mp3_tone(sb, k, q, n_gr, global_gain=206))
+                hi = decode_mp3(encode_mp3_tone(sb, k, q, n_gr, global_gain=210))
+                rows.append((d, hi["sample_rate"], hi["n_samples"],
+                             hi["feature"][0] / lo["feature"][0]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_samples", "gain_ratio"]
+            )
+
+    return docs.mapInPandas(batches, schema).orderBy("media_id")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT media_id, CAST(frame_idx AS INT) AS frame_idx

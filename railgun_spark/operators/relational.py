@@ -589,7 +589,7 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 # --------------------------------------------------------------------------
 # Grouping sets / rollup (engine superset; reference has none, SURVEY §2.3).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "rollup_orders",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

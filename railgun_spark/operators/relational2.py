@@ -61,7 +61,7 @@ def semi_join_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Correlated scalar subquery over an aggregate (TPC-H Q17 shape).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "below_avg_quantity_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
@@ -1255,7 +1255,7 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived from lineitem (min observed unit price per (part, supplier) —
 # one fact shuffle), exactly the argmin-decorrelation physical shape.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "min_cost_supplier",
     oracle="""
     WITH ps AS (
@@ -1330,7 +1330,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorrelation — a correlated per-part AVERAGE broadcast back into the
 # fact filter (`l_quantity < 0.2 * avg(l_quantity) for the same part`).
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "small_quantity_revenue",
     oracle="""
     WITH b AS (
@@ -1384,7 +1384,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes "shipped the majority of a part's volume in the window" — the
 # same correlated-HAVING-over-correlated-total physical shape.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "dominant_part_suppliers",
     oracle="""
     WITH fl AS (

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from railgun_spark.sources.tables import load_events
-from railgun_spark.suite import query
+from railgun_spark.suite import extra_query, query
 
 
 def windowed_counts(df: DataFrame, window: str = "1 day") -> DataFrame:
@@ -57,7 +57,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, "1 day").orderBy("win_start", "event_type")
 
 
-@query(
+@extra_query(
     "sliding_window_active_users",
     oracle="""
     WITH wins AS (

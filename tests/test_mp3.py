@@ -25,151 +25,10 @@ from railgun_spark.operators.mp3 import (
 )
 
 
-# --------------------------------------------------------------------------
-# Bit writer + from-scratch Layer III frame encoder
-# --------------------------------------------------------------------------
-class _BitW:
-    def __init__(self):
-        self.bits = []
-
-    def write(self, v: int, n: int):
-        for k in range(n - 1, -1, -1):
-            self.bits.append((v >> k) & 1)
-
-    def pad_to_byte(self):
-        while len(self.bits) % 8:
-            self.bits.append(0)
-
-    def bytes(self) -> bytes:
-        self.pad_to_byte()
-        out = bytearray()
-        for i in range(0, len(self.bits), 8):
-            b = 0
-            for bit in self.bits[i:i + 8]:
-                b = (b << 1) | bit
-            out.append(b)
-        return bytes(out)
-
-
-def _encode_map(tid: int):
-    xlen, hlens, codes = _HUFF_RAW[tid]
-    return xlen, {divmod(i, xlen): (hlens[i], codes[i])
-                  for i in range(xlen * xlen)}
-
-
-_SR_IDX = {44100: 0, 48000: 1, 32000: 2}
-_BR_IDX = {128000: 9, 160000: 10, 192000: 11, 256000: 13, 320000: 14}
-
-
-def _write_granule(spec, table=13, global_gain=210,
-                   block_type=0, subblock_gain=(0, 0, 0)):
-    """Side-info fields + main-data bits for one granule of one channel.
-    Returns (side_bits_list, part2_3_length). scalefac_compress=0 with
-    all-zero scalefactors -> zero part2 bits; count1 region empty (the
-    part2_3 budget ends exactly after big_values)."""
-    spec = [int(v) for v in spec]
-    assert len(spec) == 576 and all(abs(v) <= 15 for v in spec)
-    nz = 0
-    for i, v in enumerate(spec):
-        if v:
-            nz = i + 1
-    big_values = (nz + 1) // 2
-    xlen, emap = _encode_map(table)
-
-    mw = _BitW()
-    for p in range(big_values):
-        x, y = spec[2 * p], spec[2 * p + 1]
-        h, c = emap[(abs(x), abs(y))]
-        mw.write(c, h)
-        if x:
-            mw.write(1 if x < 0 else 0, 1)
-        if y:
-            mw.write(1 if y < 0 else 0, 1)
-    part23 = len(mw.bits)
-
-    sw = _BitW()
-    sw.write(part23, 12)
-    sw.write(big_values, 9)
-    sw.write(global_gain, 8)
-    sw.write(0, 4)  # scalefac_compress 0 -> slen 0/0
-    if block_type:
-        sw.write(1, 1)  # window_switching
-        sw.write(block_type, 2)
-        sw.write(0, 1)  # mixed_block
-        for _ in range(2):
-            sw.write(table, 5)
-        for g in subblock_gain:
-            sw.write(g, 3)
-    else:
-        sw.write(0, 1)
-        for _ in range(3):
-            sw.write(table, 5)
-        sw.write(8, 4)   # region0_count
-        sw.write(12, 3)  # region1_count -> region2 boundary = 576
-    sw.write(0, 1)  # preflag
-    sw.write(0, 1)  # scalefac_scale
-    sw.write(1, 1)  # count1table_select B (fixed 4-bit codes)
-    return sw.bits, mw.bits
-
-
-def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
-               mode=3, mode_ext=0, table=13, global_gain=210,
-               block_types=None):
-    """Spec test encoder: granule_specs is a list of per-granule spectra —
-    mono: one 576-array per granule; stereo: (left, right) pairs. Frames
-    carry two granules; an odd count is zero-padded. main_data_begin is
-    always 0 and every frame's main data fits its own frame (stuffing
-    padded), so the bit reservoir stays empty."""
-    n_channels = 1 if mode == 3 else 2
-    specs = list(granule_specs)
-    if len(specs) % 2:
-        if n_channels == 1:
-            specs.append(np.zeros(576))
-        else:
-            specs.append((np.zeros(576), np.zeros(576)))
-    frame_len = 144 * bitrate // sample_rate  # padding bit 0
-    side_len = 17 if n_channels == 1 else 32
-    out = bytearray()
-    for f in range(0, len(specs), 2):
-        hdr = _BitW()
-        hdr.write(0x7FF, 11)
-        hdr.write(3, 2)   # MPEG-1
-        hdr.write(1, 2)   # Layer III
-        hdr.write(1, 1)   # no CRC
-        hdr.write(_BR_IDX[bitrate], 4)
-        hdr.write(_SR_IDX[sample_rate], 2)
-        hdr.write(0, 1)   # padding
-        hdr.write(0, 1)   # private
-        hdr.write(mode, 2)
-        hdr.write(mode_ext, 2)
-        hdr.write(0, 4)   # copyright/original/emphasis
-
-        side = _BitW()
-        side.write(0, 9)  # main_data_begin
-        side.write(0, 5 if n_channels == 1 else 3)  # private_bits
-        for _ch in range(n_channels):
-            side.write(0, 4)  # scfsi
-        main = _BitW()
-        for gr in range(2):
-            g = specs[f + gr]
-            chans = [g] if n_channels == 1 else list(g)
-            for ch in range(n_channels):
-                bt = 0
-                if block_types is not None:
-                    bt = block_types[f + gr]
-                sbits, mbits = _write_granule(
-                    chans[ch], table=table,
-                    global_gain=global_gain, block_type=bt,
-                )
-                side.bits.extend(sbits)
-                main.bits.extend(mbits)
-        sbytes = side.bytes()
-        assert len(sbytes) == side_len, (len(sbytes), side_len)
-        mbytes = main.bytes()
-        room = frame_len - 4 - side_len
-        assert len(mbytes) <= room, "granule data overflows the frame"
-        out += hdr.bytes() + sbytes + mbytes + b"\x00" * (room - len(mbytes))
-    return bytes(out)
+# The from-scratch spec encoder lives in the package
+# (railgun_spark/operators/mp3_encode.py) — it also feeds the
+# driver-gated multimodal_mp3_features suite query.
+from railgun_spark.operators.mp3_encode import encode_mp3  # noqa: E402
 
 
 def _sine_spec(sb: int, k: int, q: int) -> np.ndarray:

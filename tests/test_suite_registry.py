@@ -108,10 +108,13 @@ EXPECTED_EXTRA = {
     "dormant_customer_balances",  # Q22: scalar-avg filter + left_anti
     "repeat_purchase_interval",  # customer-partitioned gap percentiles
     "supplier_concentration_hhi",  # per-nation supplier-share HHI
-    # round-9: the classic correlated-subquery decorrelation trio
-    "min_cost_supplier",  # Q2: correlated per-part min -> argmin join-back
-    "small_quantity_revenue",  # Q17: per-part avg broadcast into fact filter
-    "dominant_part_suppliers",  # Q20: nested EXISTS -> semi-join ladder
+    # round-9 rotation: the decorrelation trio (Q2/Q17/Q20) and the MP3
+    # decode gate promoted to the driver REGISTRY; these four demoted
+    # (capabilities stay certified by REGISTRY siblings)
+    "rollup_orders",  # grouping sets: cube_lineitem_flags certifies
+    "below_avg_quantity_revenue",  # scalar-avg subquery: Q17 shape certifies
+    "sliding_window_active_users",  # tumbling + session windows certify
+    "dfl_stream_null_drop",  # DFL pipeline: dfl_filter_hist certifies
 }
 
 
