@@ -127,6 +127,7 @@ def _ensure_loaded() -> None:
         reporting,
         similarity,
         text,
+        tpch_extra,
     )
     from railgun_spark.geo import tiles  # noqa: F401
     from railgun_spark.streaming import joins, windows  # noqa: F401

@@ -115,6 +115,12 @@ EXPECTED_EXTRA = {
     "below_avg_quantity_revenue",  # scalar-avg subquery: Q17 shape certifies
     "sliding_window_active_users",  # tumbling + session windows certify
     "dfl_stream_null_drop",  # DFL pipeline: dfl_filter_hist certifies
+    # round-9: classic TPC-H physical-shape completions (tpch_extra.py)
+    "shipping_priority_topk",  # Q3: pruned 3-way join -> composite top-k
+    "local_supplier_volume",  # Q5: cyclic c_nation = s_nation constraint
+    "forecast_revenue_change",  # Q6: pure scan-filter-agg pushdown
+    "priority_class_lines",  # Q12: two-class conditional agg over join
+    "top_supplier_by_revenue",  # Q15: argmax-of-aggregate decorrelation
 }
 
 
