@@ -3,13 +3,16 @@ ISO/IEC 11172-3 spec, no codec library (none exists in this container).
 
 Scope (all honestly enforced, never silently approximated):
 - MPEG-1 Layer III, 32/44.1/48 kHz, mono / stereo / joint-stereo with
-  MS ("mid/side") processing; CBR and VBR frame sequences; the bit
-  reservoir (``main_data_begin``); long blocks, short blocks and the
-  block-switch window types 1 and 3; ID3v2 prefix and ID3v1 suffix skip.
+  MS ("mid/side") AND intensity-stereo processing (long blocks; the
+  is_pos == 7 off-switch honored per band); CBR and VBR frame
+  sequences; the bit reservoir (``main_data_begin``); long blocks,
+  short blocks and the block-switch window types 1 and 3; CRC-16
+  verification of protected frames; ID3v2 prefix and ID3v1 suffix skip.
 - REFUSED with a clear error (fail-closed, the codec-matrix discipline
   of ``operators/jpeg.py`` / ``operators/flac.py``): MPEG-2/2.5 (LSF),
-  Layers I/II, free-format bitrate, intensity stereo, mixed blocks, and
-  any frame selecting a Huffman table outside the certified set below.
+  Layers I/II, free-format bitrate, intensity stereo on short blocks,
+  mixed blocks, and any frame selecting a Huffman table outside the
+  certified set below.
 
 Huffman tables: ISO 11172-3 Table B.7 defines 34 code tables. The
 certified subset shipped here — tables 0,1,2,3,5,6,7,8,9,10,12,13 plus
@@ -473,6 +476,39 @@ def _decode_spectrum(bits: _Bits, g: _Granule, sample_rate: int,
 # --------------------------------------------------------------------------
 # Requantization (§2.4.3.4), reordering, stereo, alias reduction
 # --------------------------------------------------------------------------
+def _intensity_stereo(left: np.ndarray, right: np.ndarray, rzero: int,
+                      sfac_right, ms: bool, sample_rate: int):
+    """§2.4.3.4.9.3 intensity stereo for long blocks: bands at or above
+    the right channel's zero boundary carry a position (the right
+    channel's scalefactor) instead of samples; the LEFT channel's values
+    split L/R by ratio tan(is_pos * pi/12). is_pos == 7 switches the band
+    back to normal stereo (MS there when the MS bit is also set).
+    Returns new (left, right)."""
+    widths = _SFB_LONG[sample_rate]
+    starts = np.concatenate(([0], np.cumsum(widths)))
+    inv_sqrt2 = 2.0 ** -0.5
+    out_l, out_r = left.copy(), right.copy()
+    for sfb, w in enumerate(widths):
+        lo, hi = int(starts[sfb]), int(starts[sfb + 1])
+        if lo < rzero:
+            # below the intensity bound: normal stereo (MS when on)
+            if ms:
+                m, s = left[lo:hi], right[lo:hi]
+                out_l[lo:hi] = (m + s) * inv_sqrt2
+                out_r[lo:hi] = (m - s) * inv_sqrt2
+            continue
+        is_pos = int(sfac_right[sfb]) if sfb < len(sfac_right) else 0
+        if is_pos == 7:  # illegal position: band is not intensity-coded
+            if ms:
+                m, s = left[lo:hi], right[lo:hi]
+                out_l[lo:hi] = (m + s) * inv_sqrt2
+                out_r[lo:hi] = (m - s) * inv_sqrt2
+            continue
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        out_l[lo:hi] = left[lo:hi] * (ratio / (1.0 + ratio))
+        out_r[lo:hi] = left[lo:hi] * (1.0 / (1.0 + ratio))
+    return out_l, out_r
+
 def _requantize(is_: np.ndarray, g: _Granule, sfac_long, sfac_short,
                 sample_rate: int) -> np.ndarray:
     mag = np.abs(is_).astype(np.float64) ** (4.0 / 3.0)
@@ -614,6 +650,18 @@ def _synthesize(S: np.ndarray, V: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Stream-level decode
 # --------------------------------------------------------------------------
+def _crc16_mpeg(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0xFFFF,
+    MSB-first, no reflection — the §2.4.3.1 error-check variant."""
+    crc = 0xFFFF
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
 def _skip_id3(b: bytes) -> int:
     """ID3v2 prefix: 'ID3' + version(2) + flags + syncsafe length."""
     if b[:3] != b"ID3" or len(b) < 10:
@@ -628,9 +676,18 @@ def _skip_id3(b: bytes) -> int:
 
 def decode_mp3(content: bytes) -> dict:
     """MPEG-1 Layer III bytes -> the shared audio result shape
-    (sample_rate, n_channels, n_samples, duration_s, 8-dim feature).
-    Fail-closed: every reserved, unsupported, truncated, or
-    uncertified-table condition raises ValueError."""
+    (sample_rate, n_channels, n_samples, duration_s, 8-dim feature over
+    the channel-mean signal). Fail-closed: every reserved, unsupported,
+    truncated, or uncertified-table condition raises ValueError."""
+    x, sample_rate, n_channels = _decode_stream(content)
+    from railgun_spark.operators.multimodal import _audio_result
+
+    return _audio_result(x.mean(axis=1), sample_rate, n_channels)
+
+
+def _decode_stream(content: bytes):
+    """Full decode returning ((n_samples, n_channels) PCM, rate,
+    channels) — the channel-resolved form the stereo tests pin."""
     b = bytes(content or b"")
     i = _skip_id3(b)
     end = len(b)
@@ -659,18 +716,26 @@ def decode_mp3(content: bytes) -> dict:
             first = False
         elif sr != sample_rate or (1 if mode == 3 else 2) != n_channels:
             raise ValueError("MP3 sample rate / channel mode changed mid-stream")
-        if mode == 1 and (mode_ext & 0x1):
-            raise ValueError("MP3 intensity stereo not supported")
         if i + frame_len > end:
             raise ValueError(
                 f"truncated MP3 frame: {end - i} of {frame_len} bytes"
             )
         off = i + 4
         if protection:
-            off += 2  # CRC-16 over header+side info; presence parsed, not verified
+            off += 2
         side_len = 17 if n_channels == 1 else 32
         if off + side_len > i + frame_len:
             raise ValueError("MP3 frame too short for side info")
+        if protection:
+            # CRC-16 (poly 0x8005, init 0xFFFF) over header bytes 2-3 +
+            # the side info — §2.4.3.1 error check
+            stored = struct.unpack_from(">H", b, i + 4)[0]
+            calc = _crc16_mpeg(b[i + 2:i + 4] + b[off:off + side_len])
+            if stored != calc:
+                raise ValueError(
+                    f"MP3 CRC mismatch: stored {stored:#06x}, "
+                    f"computed {calc:#06x}"
+                )
         main_data_begin, scfsi, granules = _parse_side_info(
             b[off:off + side_len], n_channels
         )
@@ -686,8 +751,10 @@ def decode_mp3(content: bytes) -> dict:
         data = bytes(reservoir)
         bits = _Bits(data, start * 8)
         ms = mode == 1 and (mode_ext & 0x2)
+        intensity = mode == 1 and (mode_ext & 0x1)
         for gr in range(2):
             xs = []
+            right_is = right_sfl = None
             for ch in range(n_channels):
                 g = granules[gr][ch]
                 p23_end = bits.pos + g.part2_3_length
@@ -699,8 +766,21 @@ def decode_mp3(content: bytes) -> dict:
                 xr = _requantize(is_, g, sfl, sfs, sample_rate)
                 if g.window_switching and g.block_type == 2:
                     xr = _reorder_short(xr, sample_rate)
+                if ch == 1:
+                    right_is, right_sfl = is_, sfl
                 xs.append(xr)
-            if ms:
+            if intensity:
+                g_r = granules[gr][1]
+                if g_r.window_switching and g_r.block_type == 2:
+                    raise ValueError(
+                        "MP3 intensity stereo with short blocks not supported"
+                    )
+                nz = np.nonzero(right_is)[0]
+                rzero = int(nz[-1]) + 1 if len(nz) else 0
+                xs = list(_intensity_stereo(
+                    xs[0], xs[1], rzero, right_sfl, bool(ms), sample_rate
+                ))
+            elif ms:
                 m, s = xs
                 inv_sqrt2 = 2.0 ** -0.5
                 xs = [(m + s) * inv_sqrt2, (m - s) * inv_sqrt2]
@@ -722,11 +802,4 @@ def decode_mp3(content: bytes) -> dict:
 
     if first:
         raise ValueError("MP3 stream contains no frames")
-    x = np.concatenate(pcm, axis=0)
-    if n_channels > 1:
-        x = x.mean(axis=1)
-    else:
-        x = x[:, 0]
-    from railgun_spark.operators.multimodal import _audio_result
-
-    return _audio_result(x, sample_rate, n_channels)
+    return np.concatenate(pcm, axis=0), sample_rate, n_channels

@@ -49,11 +49,13 @@ _BR_IDX = {128000: 9, 160000: 10, 192000: 11, 256000: 13, 320000: 14}
 
 
 def _write_granule(spec, table=13, global_gain=210,
-                   block_type=0, subblock_gain=(0, 0, 0)):
+                   block_type=0, subblock_gain=(0, 0, 0), scalefacs=None):
     """Side-info bits + main-data bits for one granule of one channel.
-    scalefac_compress=0 with all-zero scalefactors -> zero part2 bits;
-    the part2_3 budget ends exactly after big_values so the count1
-    region is empty."""
+    Default scalefac_compress=0 (slen 0/0) writes zero part2 bits; an
+    explicit ``scalefacs`` (21 long-block values, sfb 0-10 <= 15 and
+    11-20 <= 7) uses compress index 15 (slen 4/3) — the intensity tests
+    need real scalefactor bits carrying is_pos. The part2_3 budget ends
+    exactly after big_values so the count1 region is empty."""
     spec = [int(v) for v in spec]
     if len(spec) != 576 or any(abs(v) > 15 for v in spec):
         raise ValueError("encoder spectra must be 576 values with |q| <= 15")
@@ -65,6 +67,17 @@ def _write_granule(spec, table=13, global_gain=210,
     xlen, emap = _encode_map(table)
 
     mw = _BitW()
+    if scalefacs is not None:
+        if block_type:
+            raise ValueError("explicit scalefacs are long-block only here")
+        sf = [int(v) for v in scalefacs]
+        if len(sf) != 21 or any(not 0 <= v <= 15 for v in sf[:11]) \
+                or any(not 0 <= v <= 7 for v in sf[11:]):
+            raise ValueError("scalefacs: 21 values, sfb0-10 <=15, 11-20 <=7")
+        for v in sf[:11]:
+            mw.write(v, 4)
+        for v in sf[11:]:
+            mw.write(v, 3)
     for p in range(big_values):
         x, y = spec[2 * p], spec[2 * p + 1]
         h, c = emap[(abs(x), abs(y))]
@@ -79,7 +92,7 @@ def _write_granule(spec, table=13, global_gain=210,
     sw.write(part23, 12)
     sw.write(big_values, 9)
     sw.write(global_gain, 8)
-    sw.write(0, 4)  # scalefac_compress 0 -> slen 0/0
+    sw.write(0 if scalefacs is None else 15, 4)  # scalefac_compress
     if block_type:
         sw.write(1, 1)  # window_switching
         sw.write(block_type, 2)
@@ -102,17 +115,25 @@ def _write_granule(spec, table=13, global_gain=210,
 
 def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                mode=3, mode_ext=0, table=13, global_gain=210,
-               block_types=None):
+               block_types=None, crc=False, scalefacs=None):
     """granule_specs: per-granule spectra — mono: one 576-array per
     granule; stereo: (left, right) pairs. Frames carry two granules; an
-    odd count is zero-padded."""
+    odd count is zero-padded. ``crc=True`` sets the protection bit and
+    writes the §2.4.3.1 CRC-16 over header bytes 2-3 + side info.
+    ``scalefacs`` parallels granule_specs (each element None, or a
+    21-list for mono / a (left, right) pair of None-or-21-list for
+    stereo) — used to carry intensity positions."""
     n_channels = 1 if mode == 3 else 2
     specs = list(granule_specs)
+    sfs = list(scalefacs) if scalefacs is not None else [None] * len(specs)
+    if len(sfs) != len(specs):
+        raise ValueError("scalefacs must parallel granule_specs")
     if len(specs) % 2:
         if n_channels == 1:
             specs.append(np.zeros(576))
         else:
             specs.append((np.zeros(576), np.zeros(576)))
+        sfs.append(None)
     frame_len = 144 * bitrate // sample_rate  # padding bit 0
     side_len = 17 if n_channels == 1 else 32
     out = bytearray()
@@ -121,7 +142,7 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
         hdr.write(0x7FF, 11)
         hdr.write(3, 2)   # MPEG-1
         hdr.write(1, 2)   # Layer III
-        hdr.write(1, 1)   # no CRC
+        hdr.write(0 if crc else 1, 1)  # protection bit: 0 -> CRC present
         hdr.write(_BR_IDX[bitrate], 4)
         hdr.write(_SR_IDX[sample_rate], 2)
         hdr.write(0, 1)   # padding
@@ -138,7 +159,11 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
         main = _BitW()
         for gr in range(2):
             g = specs[f + gr]
+            gsf = sfs[f + gr]
             chans = [g] if n_channels == 1 else list(g)
+            chan_sfs = [gsf] if n_channels == 1 else (
+                list(gsf) if gsf is not None else [None, None]
+            )
             for ch in range(n_channels):
                 bt = 0
                 if block_types is not None:
@@ -146,15 +171,23 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                 sbits, mbits = _write_granule(
                     chans[ch], table=table,
                     global_gain=global_gain, block_type=bt,
+                    scalefacs=chan_sfs[ch],
                 )
                 side.bits.extend(sbits)
                 main.bits.extend(mbits)
         sbytes = side.bytes()
         assert len(sbytes) == side_len, (len(sbytes), side_len)
         mbytes = main.bytes()
-        room = frame_len - 4 - side_len
+        hbytes = hdr.bytes()
+        crc_bytes = b""
+        if crc:
+            from railgun_spark.operators.mp3 import _crc16_mpeg
+
+            crc_bytes = _crc16_mpeg(hbytes[2:4] + sbytes).to_bytes(2, "big")
+        room = frame_len - 4 - len(crc_bytes) - side_len
         assert len(mbytes) <= room, "granule data overflows the frame"
-        out += hdr.bytes() + sbytes + mbytes + b"\x00" * (room - len(mbytes))
+        out += (hbytes + crc_bytes + sbytes + mbytes
+                + b"\x00" * (room - len(mbytes)))
     return bytes(out)
 
 

@@ -246,6 +246,76 @@ def test_sine_features_match_wav_of_same_pcm():
         assert a == pytest.approx(b, rel=1e-5, abs=1e-7)
 
 
+def test_intensity_stereo():
+    """Joint stereo with intensity: bands at/above the right channel's
+    zero boundary split the LEFT channel's values by
+    ratio = tan(is_pos*pi/12); is_pos==7 turns the band off; bands below
+    the bound stay normal stereo (or MS when both bits set). Channel-
+    resolved PCM is pinned against per-band expectations."""
+    from railgun_spark.operators.mp3 import _decode_stream
+
+    # left: lines in sfb4 ([16,20)) and sfb13 ([90,110)); right: one line
+    # at sample 5 (sfb1) -> rzero = 6, intensity from sfb2 upward
+    left = np.zeros(576, dtype=np.int64)
+    left[17] = 12   # sfb4: is_pos = 3 -> ratio 1 -> L = R = xr/2
+    left[95] = 12   # sfb13: is_pos = 6 -> ratio inf -> all L
+    right = np.zeros(576, dtype=np.int64)
+    right[5] = 12   # below the bound: normal stereo
+    sf_r = [0] * 21
+    sf_r[4] = 3
+    sf_r[13] = 6
+    blob = encode_mp3([(left, right)] * 4, mode=1, mode_ext=1,
+                      scalefacs=[(None, sf_r)] * 4)
+    x, sr, nch = _decode_stream(blob)
+    assert (sr, nch) == (44100, 2)
+
+    # isolate each band's contribution by decoding single-line monos
+    def mono(spec):
+        xm, _, _ = _decode_stream(encode_mp3([spec] * 4))
+        return xm[:, 0]
+
+    m17 = mono(np.where(np.arange(576) == 17, 12, 0))
+    m95 = mono(np.where(np.arange(576) == 95, 12, 0))
+    m5 = mono(np.where(np.arange(576) == 5, 12, 0))
+    # is_pos=3: exactly half the mono tone in each channel
+    # is_pos=6: tan(pi/2) -> ratio/(1+ratio) = 1 numerically -> all left
+    # sfb1 (below bound): left 0, right carries its own line
+    exp_l = 0.5 * m17 + 1.0 * m95
+    exp_r = 0.5 * m17 + m5
+    assert np.allclose(x[:, 0], exp_l, atol=1e-9)
+    assert np.allclose(x[:, 1], exp_r, atol=1e-9)
+
+    # is_pos == 7 switches the band OFF: with right zero there, all the
+    # energy stays in the left channel untouched
+    sf7 = [0] * 21
+    sf7[4] = 7
+    blob7 = encode_mp3([(left * 0 + np.where(np.arange(576) == 17, 12, 0),
+                         right * 0)] * 2,
+                       mode=1, mode_ext=1, scalefacs=[(None, sf7)] * 2)
+    x7, _, _ = _decode_stream(blob7)
+    assert np.allclose(x7[:, 0], m17[:len(x7)], atol=1e-9)
+    assert np.allclose(x7[:, 1], 0.0, atol=1e-12)
+
+    # intensity + short blocks refuses
+    with pytest.raises(ValueError, match="intensity.*short"):
+        decode_mp3(encode_mp3([(left, right)] * 2, mode=1, mode_ext=1,
+                              block_types=[2] * 2))
+
+
+def test_crc_protected_frames():
+    """protection-bit frames carry a CRC-16 over header bytes 2-3 + side
+    info; a valid stream decodes identically to its unprotected twin and
+    a corrupted side-info byte is caught by the check."""
+    specs = [_sine_spec(5, 5, 10)] * 2
+    plain = decode_mp3(encode_mp3(specs))
+    prot = encode_mp3(specs, crc=True)
+    assert decode_mp3(prot)["feature"] == plain["feature"]
+    bad = bytearray(prot)
+    bad[8] ^= 0x40  # inside side info (after 4 header + 2 crc bytes)
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_mp3(bytes(bad))
+
+
 # --------------------------------------------------------------------------
 # Refusals (fail-closed discipline)
 # --------------------------------------------------------------------------
@@ -278,10 +348,6 @@ def test_refusals():
     b2[2] = (b2[2] & ~0x0C) | 0x0C
     with pytest.raises(ValueError, match="sample-rate"):
         decode_mp3(bytes(b2))
-    # intensity stereo: mode joint (01), mode_ext bit 0
-    with pytest.raises(ValueError, match="intensity"):
-        decode_mp3(encode_mp3([(_sine_spec(2, 2, 7),) * 2] * 2,
-                              mode=1, mode_ext=1))
 
 
 def test_uncertified_table_refused_by_name():
