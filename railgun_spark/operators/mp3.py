@@ -515,25 +515,19 @@ def _requantize(is_: np.ndarray, g: _Granule, sfac_long, sfac_short,
     xr = np.sign(is_) * mag
     mult = 0.5 * (1 + g.scalefac_scale)  # scalefac_multiplier
     if g.window_switching and g.block_type == 2:
-        widths = _SFB_SHORT[sample_rate]
-        exp = np.zeros(576)
-        pos = 0
-        for sfb, w in enumerate(widths):
-            for win in range(3):
-                e = ((g.global_gain - 210 - 8 * g.subblock_gain[win]) / 4.0
-                     - mult * (sfac_short[sfb, win] if sfb < 12 else 0))
-                exp[pos:pos + w] = e
-                pos += w
+        widths = np.asarray(_SFB_SHORT[sample_rate])
+        sf = np.zeros((13, 3))
+        sf[:12] = sfac_short[:12]
+        # per (sfb, window) exponent, repeated to the 3w band-major layout
+        e = ((g.global_gain - 210 - 8.0 * np.asarray(g.subblock_gain))[None, :]
+             / 4.0 - mult * sf)  # (13, 3)
+        exp = np.repeat(e.reshape(-1), np.repeat(widths, 3))
         return xr * np.exp2(exp)
-    widths = _SFB_LONG[sample_rate]
-    exp = np.zeros(576)
-    pos = 0
-    for sfb, w in enumerate(widths):
-        e = ((g.global_gain - 210) / 4.0
-             - mult * (sfac_long[sfb] + g.preflag * _PRETAB[sfb]))
-        exp[pos:pos + w] = e
-        pos += w
-    return xr * np.exp2(exp)
+    widths = np.asarray(_SFB_LONG[sample_rate])
+    e = ((g.global_gain - 210) / 4.0
+         - mult * (np.asarray(sfac_long, dtype=np.float64)
+                   + g.preflag * np.asarray(_PRETAB)))
+    return xr * np.exp2(np.repeat(e, widths))
 
 
 def _reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
@@ -548,16 +542,20 @@ def _reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
     return out
 
 
+_ALIAS_BASES = np.arange(1, 32) * 18
+
+
 def _alias_reduce(xr: np.ndarray) -> np.ndarray:
-    """Butterflies across the 31 long-block subband boundaries (§2.4.3.4.8)."""
+    """Butterflies across the 31 long-block subband boundaries
+    (§2.4.3.4.8), vectorized over boundaries: each k's (lo, hi) index
+    sets are disjoint from every other k's, so the k-loop order is
+    immaterial and each step is one 31-wide gather/scatter."""
     out = xr.copy()
-    for sb in range(1, 32):
-        base = sb * 18
-        for k in range(8):
-            lo, hi = base - 1 - k, base + k
-            a, b = out[lo], out[hi]
-            out[lo] = a * _CS[k] - b * _CA[k]
-            out[hi] = b * _CS[k] + a * _CA[k]
+    for k in range(8):
+        lo, hi = _ALIAS_BASES - 1 - k, _ALIAS_BASES + k
+        a, b = out[lo], out[hi]
+        out[lo] = a * _CS[k] - b * _CA[k]
+        out[hi] = b * _CS[k] + a * _CA[k]
     return out
 
 
@@ -589,25 +587,20 @@ _WIN[3] = _w3
 _WIN_SHORT = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
 
 
-def _imdct_block(spec18: np.ndarray, block_type: int) -> np.ndarray:
-    """18 spectral lines of one subband -> 36 windowed time samples."""
-    if block_type == 2:
-        out = np.zeros(36)
-        for w in range(3):
-            y = _IMDCT_SHORT @ spec18[w::3]
-            out[6 + 6 * w: 18 + 6 * w] += y * _WIN_SHORT
-        return out
-    return (_IMDCT_LONG @ spec18) * _WIN[block_type]
-
-
 def _hybrid(xr: np.ndarray, block_type: int, overlap: np.ndarray) -> np.ndarray:
     """576 spectral samples -> (18, 32) time-slot matrix, updating the
-    per-subband 18-sample overlap store in place."""
-    S = np.empty((18, 32))
-    for sb in range(32):
-        z = _imdct_block(xr[sb * 18:(sb + 1) * 18], block_type)
-        S[:, sb] = z[:18] + overlap[:, sb]
-        overlap[:, sb] = z[18:]
+    per-subband 18-sample overlap store in place. All 32 subbands IMDCT
+    as one batched matmul."""
+    spec = xr.reshape(32, 18)
+    if block_type == 2:
+        z = np.zeros((32, 36))
+        for w in range(3):
+            y = spec[:, w::3] @ _IMDCT_SHORT.T  # (32, 12)
+            z[:, 6 + 6 * w:18 + 6 * w] += y * _WIN_SHORT
+    else:
+        z = (spec @ _IMDCT_LONG.T) * _WIN[block_type]  # (32, 36)
+    S = z[:, :18].T + overlap
+    overlap[:] = z[:, 18:].T
     # frequency inversion: odd time samples of odd subbands
     S[1::2, 1::2] *= -1.0
     return S
@@ -637,14 +630,32 @@ _U_IDX = np.concatenate([
 
 
 def _synthesize(S: np.ndarray, V: np.ndarray) -> np.ndarray:
-    """(T, 32) subband slots -> (T*32,) PCM, updating FIFO V (1024,)."""
-    out = np.empty(S.shape[0] * 32)
-    for t in range(S.shape[0]):
-        V[64:] = V[:-64]
-        V[:64] = _SYNTH_N @ S[t]
-        W = V[_U_IDX] * _SYNTH_D
-        out[t * 32:(t + 1) * 32] = W.reshape(16, 32).sum(axis=0)
-    return out
+    """(T, 32) subband slots -> (T*32,) PCM, updating FIFO V (1024,).
+
+    Vectorized over slots: with A(t) = N @ S[t], the spec's per-slot
+    V-shift / U-select / window / 16-row fold is algebraically
+    out[t, j] = sum_{i=0..7} A(t-2i)[j]   * D[64i + j]
+              + sum_{i=0..7} A(t-2i-1)[32+j] * D[64i + 32 + j]
+    — an 8-tap strided convolution over the slot axis, computed here as
+    16 slice multiply-adds over ALL slots at once instead of a Python
+    loop per slot (the per-slot form was the decode hot spot). V keeps
+    the spec layout (block b = A(t_last - b)) so state interops with any
+    caller, including single-slot use."""
+    T = S.shape[0]
+    if T == 0:
+        return np.empty(0)
+    NS = S @ _SYNTH_N.T  # (T, 64): NS[t] = A(t)
+    # history A(-16)..A(-1) from V blocks 15..0, oldest first
+    hist = V.reshape(16, 64)[::-1]
+    padded = np.concatenate([hist, NS], axis=0)  # padded[16+s] = A(s)
+    out = np.zeros((T, 32))
+    for i in range(8):
+        out += padded[16 - 2 * i:16 - 2 * i + T, :32] \
+            * _SYNTH_D[64 * i:64 * i + 32]
+        out += padded[15 - 2 * i:15 - 2 * i + T, 32:] \
+            * _SYNTH_D[64 * i + 32:64 * i + 64]
+    V[:] = padded[len(padded) - 16:][::-1].reshape(-1)
+    return out.reshape(-1)
 
 
 # --------------------------------------------------------------------------

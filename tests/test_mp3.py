@@ -420,6 +420,65 @@ def test_decode_audio_dispatches_mp3():
     assert d2["feature"] == d["feature"]
 
 
+def test_mp3_roundtrip_property():
+    """Hypothesis sweep (the FLAC pattern): random sparse spectra through
+    encode -> decode must never raise, and two exact linearity invariants
+    of the whole chain must hold bit-for-bit — gain steps of 4 scale PCM
+    by exactly 2 (power-of-two scaling is IEEE-exact through every linear
+    stage) and negated spectra decode to negated PCM."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from railgun_spark.operators.mp3 import _decode_stream
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        density=st.integers(1, 40),
+        bt=st.sampled_from([0, 0, 0, 1, 2, 3]),
+        stereo=st.booleans(),
+        table=st.sampled_from([1, 2, 3, 5, 7, 9, 10, 12, 13]),
+        n_gr=st.integers(1, 4),
+    )
+    def run(seed, density, bt, stereo, table, n_gr):
+        rng = np.random.RandomState(seed)
+        xlen = {1: 2, 2: 3, 3: 3, 5: 4, 7: 6, 9: 6, 10: 8, 12: 8, 13: 16}[table]
+        vmax = xlen - 1
+
+        def spec():
+            s = np.zeros(576, dtype=np.int64)
+            idx = rng.choice(576, size=density, replace=False)
+            s[idx] = rng.randint(-vmax, vmax + 1, size=density)
+            return s
+
+        if stereo:
+            specs = [(spec(), spec()) for _ in range(n_gr)]
+            kw = dict(mode=0)
+        else:
+            specs = [spec() for _ in range(n_gr)]
+            kw = dict(mode=3)
+        bts = [bt] * (n_gr + n_gr % 2)
+        hi, sr, nch = _decode_stream(
+            encode_mp3(specs, table=table, block_types=bts,
+                       global_gain=210, **kw))
+        lo, _, _ = _decode_stream(
+            encode_mp3(specs, table=table, block_types=bts,
+                       global_gain=206, **kw))
+        assert hi.shape == lo.shape and sr == 44100
+        assert hi.shape[0] == 1152 * ((n_gr + 1) // 2)
+        assert np.array_equal(hi, 2.0 * lo)
+        if stereo:
+            neg_specs = [(-a, -b) for a, b in specs]
+        else:
+            neg_specs = [-s for s in specs]
+        neg, _, _ = _decode_stream(
+            encode_mp3(neg_specs, table=table, block_types=bts,
+                       global_gain=210, **kw))
+        assert np.array_equal(neg, -hi)
+
+    run()
+
+
 def test_mp3_through_arrow_pipeline(spark):
     from railgun_spark.operators.multimodal import (
         MEDIA_SCHEMA,
