@@ -48,8 +48,12 @@ _SR_IDX = {44100: 0, 48000: 1, 32000: 2}
 _BR_IDX = {128000: 9, 160000: 10, 192000: 11, 256000: 13, 320000: 14}
 
 
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
 def _write_granule(spec, table=13, global_gain=210,
-                   block_type=0, subblock_gain=(0, 0, 0), scalefacs=None):
+                   block_type=0, subblock_gain=(0, 0, 0), scalefacs=None,
+                   scalefac_scale=0, preflag=0, skip_groups=()):
     """Side-info bits + main-data bits for one granule of one channel.
     Default scalefac_compress=0 (slen 0/0) writes zero part2 bits; an
     explicit ``scalefacs`` (21 long-block values, sfb 0-10 <= 15 and
@@ -74,10 +78,16 @@ def _write_granule(spec, table=13, global_gain=210,
         if len(sf) != 21 or any(not 0 <= v <= 15 for v in sf[:11]) \
                 or any(not 0 <= v <= 7 for v in sf[11:]):
             raise ValueError("scalefacs: 21 values, sfb0-10 <=15, 11-20 <=7")
-        for v in sf[:11]:
-            mw.write(v, 4)
-        for v in sf[11:]:
-            mw.write(v, 3)
+        skipped = set()
+        for grp in skip_groups:  # scfsi: granule 1 omits these groups
+            lo, hi = _SCFSI_GROUPS[grp]
+            skipped.update(range(lo, hi))
+        for sfb, v in enumerate(sf[:11]):
+            if sfb not in skipped:
+                mw.write(v, 4)
+        for sfb, v in enumerate(sf[11:], start=11):
+            if sfb not in skipped:
+                mw.write(v, 3)
     for p in range(big_values):
         x, y = spec[2 * p], spec[2 * p + 1]
         h, c = emap[(abs(x), abs(y))]
@@ -107,23 +117,28 @@ def _write_granule(spec, table=13, global_gain=210,
             sw.write(table, 5)
         sw.write(8, 4)   # region0_count
         sw.write(12, 3)  # region1_count -> region2 boundary = 576
-    sw.write(0, 1)  # preflag
-    sw.write(0, 1)  # scalefac_scale
+    sw.write(1 if preflag else 0, 1)
+    sw.write(1 if scalefac_scale else 0, 1)
     sw.write(1, 1)  # count1table_select B (fixed 4-bit codes)
     return sw.bits, mw.bits
 
 
 def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                mode=3, mode_ext=0, table=13, global_gain=210,
-               block_types=None, crc=False, scalefacs=None):
+               block_types=None, crc=False, scalefacs=None,
+               scalefac_scale=0, preflag=0, scfsi=None):
     """granule_specs: per-granule spectra — mono: one 576-array per
     granule; stereo: (left, right) pairs. Frames carry two granules; an
     odd count is zero-padded. ``crc=True`` sets the protection bit and
     writes the §2.4.3.1 CRC-16 over header bytes 2-3 + side info.
     ``scalefacs`` parallels granule_specs (each element None, or a
     21-list for mono / a (left, right) pair of None-or-21-list for
-    stereo) — used to carry intensity positions."""
+    stereo) — used to carry intensity positions. ``scfsi`` is a 4-list
+    of 0/1 per scfsi band group (applied to every channel): granule 1
+    then OMITS scalefactor bits for the flagged groups and the decoder
+    must reuse granule 0's."""
     n_channels = 1 if mode == 3 else 2
+    scfsi = list(scfsi) if scfsi is not None else [0, 0, 0, 0]
     specs = list(granule_specs)
     sfs = list(scalefacs) if scalefacs is not None else [None] * len(specs)
     if len(sfs) != len(specs):
@@ -155,8 +170,10 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
         side.write(0, 9)  # main_data_begin
         side.write(0, 5 if n_channels == 1 else 3)  # private_bits
         for _ch in range(n_channels):
-            side.write(0, 4)  # scfsi
+            for bit in scfsi:
+                side.write(1 if bit else 0, 1)
         main = _BitW()
+        skip = tuple(i for i, bit in enumerate(scfsi) if bit)
         for gr in range(2):
             g = specs[f + gr]
             gsf = sfs[f + gr]
@@ -172,6 +189,8 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                     chans[ch], table=table,
                     global_gain=global_gain, block_type=bt,
                     scalefacs=chan_sfs[ch],
+                    scalefac_scale=scalefac_scale, preflag=preflag,
+                    skip_groups=skip if gr == 1 else (),
                 )
                 side.bits.extend(sbits)
                 main.bits.extend(mbits)

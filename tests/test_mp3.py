@@ -302,6 +302,50 @@ def test_intensity_stereo():
                               block_types=[2] * 2))
 
 
+def test_scalefac_scale_preflag_and_scfsi():
+    """The three side-info knobs the default encoder settings never
+    exercise: scalefac_scale doubles the per-band attenuation exponent,
+    preflag adds the pretab to it, and scfsi makes granule 1 reuse
+    granule 0's scalefactors for flagged band groups (its bits are
+    simply absent from the stream)."""
+    line = np.where(np.arange(576) == 17, 12, 0)  # sfb4 (44.1k long)
+    sf = [0] * 21
+    sf[4] = 2
+
+    base = decode_mp3(encode_mp3([line] * 2, scalefacs=[sf] * 2))
+    # scale 0: 2^(-0.5*2) = /2; scale 1: 2^(-1*2) = /4
+    plain = decode_mp3(encode_mp3([line] * 2))
+    assert base["feature"][0] == pytest.approx(plain["feature"][0] / 2, rel=1e-9)
+    scaled = decode_mp3(
+        encode_mp3([line] * 2, scalefacs=[sf] * 2, scalefac_scale=1)
+    )
+    assert scaled["feature"][0] == pytest.approx(plain["feature"][0] / 4, rel=1e-9)
+
+    # preflag: sfb17 has pretab 3 -> extra 2^(-0.5*3) with scale 0
+    starts = np.concatenate(([0], np.cumsum(_SFB_LONG[44100])))
+    hi_line = np.where(np.arange(576) == starts[17] + 1, 12, 0)
+    off = decode_mp3(encode_mp3([hi_line] * 2))
+    on = decode_mp3(encode_mp3([hi_line] * 2, preflag=1))
+    assert on["feature"][0] == pytest.approx(
+        off["feature"][0] * 2.0 ** -1.5, rel=1e-9
+    )
+
+    # scfsi: granule 1 omits groups 0 and 2; decode must equal the
+    # stream that spells the same scalefactors out in both granules
+    sf2 = [0] * 21
+    sf2[4], sf2[12] = 3, 2  # group 0 (sfb 0-5) and group 2 (sfb 11-15)
+    explicit = decode_mp3(encode_mp3([line] * 2, scalefacs=[sf2] * 2))
+    shared = decode_mp3(
+        encode_mp3([line] * 2, scalefacs=[sf2] * 2, scfsi=[1, 0, 1, 0])
+    )
+    assert shared["feature"] == explicit["feature"]
+    # the scfsi stream really is shorter (granule 1's group bits absent)
+    a = encode_mp3([line] * 8, scalefacs=[sf2] * 8)
+    b = encode_mp3([line] * 8, scalefacs=[sf2] * 8, scfsi=[1, 0, 1, 0])
+    assert len(a) == len(b)  # same frame length (stuffing differs) ...
+    assert a != b
+
+
 def test_crc_protected_frames():
     """protection-bit frames carry a CRC-16 over header bytes 2-3 + side
     info; a valid stream decodes identically to its unprotected twin and
