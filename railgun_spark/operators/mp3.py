@@ -1,5 +1,6 @@
-"""MPEG-1 Audio Layer III (MP3) decoder — from scratch against the public
-ISO/IEC 11172-3 spec, no codec library (none exists in this container).
+"""MPEG Audio Layer III (MP3) decoder — from scratch against the public
+ISO/IEC 11172-3 / 13818-3 specs, no codec library (none exists in this
+container).
 
 Scope (all honestly enforced, never silently approximated):
 - MPEG-1 Layer III, 32/44.1/48 kHz, mono / stereo / joint-stereo with
@@ -8,11 +9,18 @@ Scope (all honestly enforced, never silently approximated):
   sequences; the bit reservoir (``main_data_begin``); long blocks,
   short blocks and the block-switch window types 1 and 3; CRC-16
   verification of protected frames; ID3v2 prefix and ID3v1 suffix skip.
+- MPEG-2 LSF (ISO 13818-3) at 22.05/24 kHz: one 576-sample granule per
+  frame, 8-bit main_data_begin, 9-bit scalefac_compress with the LSF
+  partition/slen rule (preflag derived, no scfsi), same Huffman /
+  requantization / hybrid / synthesis machinery.
 - REFUSED with a clear error (fail-closed, the codec-matrix discipline
-  of ``operators/jpeg.py`` / ``operators/flac.py``): MPEG-2/2.5 (LSF),
-  Layers I/II, free-format bitrate, intensity stereo on short blocks,
-  mixed blocks, and any frame selecting a Huffman table outside the
-  certified set below.
+  of ``operators/jpeg.py`` / ``operators/flac.py``): MPEG-2.5,
+  MPEG-2 @ 16 kHz (its sfb-table transcription failed the offline
+  structural validation — widths must sum to 576/192 — so it refuses
+  by name instead of shipping a wrong band map), Layers I/II,
+  free-format bitrate, LSF intensity stereo, intensity stereo on short
+  blocks, mixed blocks, and any frame selecting a Huffman table outside
+  the certified set below.
 
 Huffman tables: ISO 11172-3 Table B.7 defines 34 code tables. The
 certified subset shipped here — tables 0,1,2,3,5,6,7,8,9,10,12,13 plus
@@ -52,23 +60,38 @@ import struct
 import numpy as np
 
 # --------------------------------------------------------------------------
-# Header-level constants (ISO 11172-3 §2.4.2.3)
+# Header-level constants (ISO 11172-3 §2.4.2.3; ISO 13818-3 for LSF)
 # --------------------------------------------------------------------------
 _BITRATES_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_BITRATES_KBPS_LSF = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 _SAMPLE_RATES = (44100, 48000, 32000)
+_SAMPLE_RATES_LSF = (22050, 24000, 16000)
 
-# Scalefactor-band widths, Table B.8 (MPEG-1). Each long table has 22
-# entries summing to 576; each short table 13 entries summing to 192.
+# Scalefactor-band widths: Table B.8 (MPEG-1) + the ISO 13818-3 Annex B
+# tables for the LSF rates whose transcription VALIDATES offline (each
+# long table must have 22 entries summing to 576, short 13 summing to
+# 192 — a strict structural check). The 16 kHz LSF table did not survive
+# that validation during transcription and the rate refuses by name in
+# _parse_header rather than shipping a wrong band map.
 _SFB_LONG = {
     44100: (4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42, 50, 54, 76, 158),
     48000: (4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34, 40, 46, 54, 54, 192),
     32000: (4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46, 56, 68, 84, 102, 26),
+    22050: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54),
+    24000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46, 54, 62, 70, 76, 36),
 }
 _SFB_SHORT = {
     44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
     48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
     32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+    22050: (4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18),
+    24000: (4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12),
 }
+
+for _sr, _w in _SFB_LONG.items():
+    assert len(_w) == 22 and sum(_w) == 576, _sr
+for _sr, _w in _SFB_SHORT.items():
+    assert len(_w) == 13 and sum(_w) == 192, _sr
 
 # Preemphasis table (§2.4.3.4) — one entry per long scalefactor band.
 _PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
@@ -272,17 +295,20 @@ class _Frame:
 
 def _parse_header(b: bytes, i: int) -> tuple:
     """Parse the 4-byte header at offset i; returns (sample_rate, bitrate,
-    mode, mode_ext, protection, frame_len) or raises with the refusal
-    reason (fail closed on every reserved/unsupported combination)."""
+    mode, mode_ext, protection, frame_len, lsf) or raises with the
+    refusal reason (fail closed on every reserved/unsupported
+    combination). lsf=True for MPEG-2 (ISO 13818-3) low-sampling-
+    frequency streams: one 576-sample granule per frame."""
     h = struct.unpack_from(">I", b, i)[0]
     if (h >> 21) & 0x7FF != 0x7FF:
         raise ValueError("lost MP3 frame sync")
     version = (h >> 19) & 0x3
     layer = (h >> 17) & 0x3
-    if version != 3:  # 3 = MPEG-1
-        raise ValueError(
-            "only MPEG-1 audio supported (MPEG-2/2.5 LSF refused)"
-        )
+    if version == 0:
+        raise ValueError("MPEG-2.5 (unofficial extension) not supported")
+    if version == 1:
+        raise ValueError("reserved MPEG version bits")
+    lsf = version == 2  # 2 = MPEG-2 LSF, 3 = MPEG-1
     if layer != 1:  # 1 = Layer III
         raise ValueError(f"only Layer III supported (layer bits {layer:02b})")
     protection = not ((h >> 16) & 1)  # bit 0 -> CRC present
@@ -297,10 +323,21 @@ def _parse_header(b: bytes, i: int) -> tuple:
     padding = (h >> 9) & 1
     mode = (h >> 6) & 0x3  # 0 stereo, 1 joint, 2 dual, 3 mono
     mode_ext = (h >> 4) & 0x3
-    bitrate = _BITRATES_KBPS[br_idx] * 1000
-    sample_rate = _SAMPLE_RATES[sr_idx]
-    frame_len = 144 * bitrate // sample_rate + padding
-    return sample_rate, bitrate, mode, mode_ext, protection, frame_len
+    if lsf:
+        bitrate = _BITRATES_KBPS_LSF[br_idx] * 1000
+        sample_rate = _SAMPLE_RATES_LSF[sr_idx]
+        if sample_rate == 16000:
+            raise ValueError(
+                "MPEG-2 16 kHz refused: its scalefactor-band table "
+                "transcription did not survive offline validation "
+                "(22.05/24 kHz decode)"
+            )
+        frame_len = 72 * bitrate // sample_rate + padding
+    else:
+        bitrate = _BITRATES_KBPS[br_idx] * 1000
+        sample_rate = _SAMPLE_RATES[sr_idx]
+        frame_len = 144 * bitrate // sample_rate + padding
+    return sample_rate, bitrate, mode, mode_ext, protection, frame_len, lsf
 
 
 class _Granule:
@@ -356,6 +393,91 @@ def _parse_side_info(data: bytes, n_channels: int):
             chans.append(g)
         granules.append(chans)
     return main_data_begin, scfsi, granules
+
+
+def _parse_side_info_lsf(data: bytes, n_channels: int):
+    """ISO 13818-3 LSF side info: 9 bytes mono / 17 stereo — 8-bit
+    main_data_begin, 1/2 private bits, NO scfsi, ONE granule per frame,
+    9-bit scalefac_compress, and no preflag field (preflag derives from
+    the scalefac_compress partition rule)."""
+    bits = _Bits(data)
+    main_data_begin = bits.read(8)
+    bits.read(1 if n_channels == 1 else 2)  # private_bits
+    chans = []
+    for _ch in range(n_channels):
+        g = _Granule()
+        g.part2_3_length = bits.read(12)
+        g.big_values = bits.read(9)
+        if g.big_values > 288:
+            raise ValueError(f"MP3 big_values {g.big_values} > 288")
+        g.global_gain = bits.read(8)
+        g.scalefac_compress = bits.read(9)
+        g.window_switching = bits.read(1)
+        if g.window_switching:
+            g.block_type = bits.read(2)
+            if g.block_type == 0:
+                raise ValueError(
+                    "MP3 window_switching with block_type 0 is reserved"
+                )
+            g.mixed_block = bits.read(1)
+            if g.mixed_block:
+                raise ValueError("MP3 mixed blocks not supported")
+            g.table_select = [bits.read(5), bits.read(5)]
+            g.subblock_gain = [bits.read(3) for _ in range(3)]
+            g.region0_count = 7
+            g.region1_count = 20 - g.region0_count
+        else:
+            g.block_type = 0
+            g.mixed_block = 0
+            g.table_select = [bits.read(5), bits.read(5), bits.read(5)]
+            g.subblock_gain = [0, 0, 0]
+            g.region0_count = bits.read(4)
+            g.region1_count = bits.read(3)
+        g.preflag = 0  # set by the LSF scalefactor rule, not a stream bit
+        g.scalefac_scale = bits.read(1)
+        g.count1table_select = bits.read(1)
+        chans.append(g)
+    return main_data_begin, [chans]
+
+
+# LSF scalefactor partition rule (13818-3 §2.4.3.2, non-intensity
+# channels): scalefac_compress range -> (slen quadruple, per-partition
+# scalefactor counts, preflag). Counts sum to 21 long / 36 short slots.
+def _lsf_scalefac_layout(sfc: int, short: bool):
+    if sfc < 400:
+        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc & 0xF) >> 2, sfc & 3)
+        nr = (9, 9, 9, 9) if short else (6, 5, 5, 5)
+        preflag = 0
+    elif sfc < 500:
+        t = sfc - 400
+        slen = ((t >> 2) // 5, (t >> 2) % 5, t & 3, 0)
+        nr = (9, 9, 12, 6) if short else (6, 5, 7, 3)
+        preflag = 0
+    else:
+        t = sfc - 500
+        slen = (t // 3, t % 3, 0, 0)
+        nr = (18, 18, 0, 0) if short else (11, 10, 0, 0)
+        preflag = 1
+    return slen, nr, preflag
+
+
+def _read_scalefactors_lsf(bits: _Bits, g: _Granule):
+    """LSF scalefactors for one granule-channel; sets g.preflag per the
+    partition rule and returns (long21 | None, short13x3 | None)."""
+    short = bool(g.window_switching and g.block_type == 2)
+    slen, nr, g.preflag = _lsf_scalefac_layout(g.scalefac_compress, short)
+    vals = []
+    for count, sl in zip(nr, slen):
+        for _ in range(count):
+            vals.append(bits.read(sl) if sl else 0)
+    if short:
+        sfac = np.zeros((13, 3), dtype=np.int32)
+        for slot in range(36):
+            sfac[slot // 3, slot % 3] = vals[slot]
+        return None, sfac
+    sfac = np.zeros(22, dtype=np.int32)
+    sfac[:21] = vals
+    return sfac, None
 
 
 # --------------------------------------------------------------------------
@@ -716,16 +838,19 @@ def _decode_stream(content: bytes):
     prev_long = None
     first = True
 
+    lsf = None
     while i + 4 <= end:
-        sr, _br, mode, mode_ext, protection, frame_len = _parse_header(b, i)
+        sr, _br, mode, mode_ext, protection, frame_len, f_lsf = _parse_header(b, i)
         if first:
             sample_rate = sr
+            lsf = f_lsf
             n_channels = 1 if mode == 3 else 2
             overlap = [np.zeros((18, 32)) for _ in range(n_channels)]
             fifo = [np.zeros(1024) for _ in range(n_channels)]
             prev_long = [None] * n_channels
             first = False
-        elif sr != sample_rate or (1 if mode == 3 else 2) != n_channels:
+        elif (sr != sample_rate or (1 if mode == 3 else 2) != n_channels
+              or f_lsf != lsf):
             raise ValueError("MP3 sample rate / channel mode changed mid-stream")
         if i + frame_len > end:
             raise ValueError(
@@ -734,7 +859,10 @@ def _decode_stream(content: bytes):
         off = i + 4
         if protection:
             off += 2
-        side_len = 17 if n_channels == 1 else 32
+        if lsf:
+            side_len = 9 if n_channels == 1 else 17
+        else:
+            side_len = 17 if n_channels == 1 else 32
         if off + side_len > i + frame_len:
             raise ValueError("MP3 frame too short for side info")
         if protection:
@@ -747,9 +875,15 @@ def _decode_stream(content: bytes):
                     f"MP3 CRC mismatch: stored {stored:#06x}, "
                     f"computed {calc:#06x}"
                 )
-        main_data_begin, scfsi, granules = _parse_side_info(
-            b[off:off + side_len], n_channels
-        )
+        if lsf:
+            main_data_begin, granules = _parse_side_info_lsf(
+                b[off:off + side_len], n_channels
+            )
+            scfsi = [[0, 0, 0, 0]] * n_channels
+        else:
+            main_data_begin, scfsi, granules = _parse_side_info(
+                b[off:off + side_len], n_channels
+            )
         main = b[off + side_len: i + frame_len]
         if main_data_begin > len(reservoir):
             raise ValueError(
@@ -763,14 +897,21 @@ def _decode_stream(content: bytes):
         bits = _Bits(data, start * 8)
         ms = mode == 1 and (mode_ext & 0x2)
         intensity = mode == 1 and (mode_ext & 0x1)
-        for gr in range(2):
+        if lsf and intensity:
+            raise ValueError(
+                "MPEG-2 LSF intensity stereo not supported"
+            )
+        for gr in range(len(granules)):
             xs = []
             right_is = right_sfl = None
             for ch in range(n_channels):
                 g = granules[gr][ch]
                 p23_end = bits.pos + g.part2_3_length
-                sfl, sfs = _read_scalefactors(bits, g, gr, scfsi[ch],
-                                              prev_long[ch])
+                if lsf:
+                    sfl, sfs = _read_scalefactors_lsf(bits, g)
+                else:
+                    sfl, sfs = _read_scalefactors(bits, g, gr, scfsi[ch],
+                                                  prev_long[ch])
                 if sfl is not None:
                     prev_long[ch] = sfl
                 is_ = _decode_spectrum(bits, g, sample_rate, p23_end)

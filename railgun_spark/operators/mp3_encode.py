@@ -53,7 +53,7 @@ _SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
 
 def _write_granule(spec, table=13, global_gain=210,
                    block_type=0, subblock_gain=(0, 0, 0), scalefacs=None,
-                   scalefac_scale=0, preflag=0, skip_groups=()):
+                   scalefac_scale=0, preflag=0, skip_groups=(), lsf=False):
     """Side-info bits + main-data bits for one granule of one channel.
     Default scalefac_compress=0 (slen 0/0) writes zero part2 bits; an
     explicit ``scalefacs`` (21 long-block values, sfb 0-10 <= 15 and
@@ -71,7 +71,15 @@ def _write_granule(spec, table=13, global_gain=210,
     xlen, emap = _encode_map(table)
 
     mw = _BitW()
-    if scalefacs is not None:
+    if scalefacs is not None and lsf:
+        if block_type:
+            raise ValueError("explicit scalefacs are long-block only here")
+        sf = [int(v) for v in scalefacs]
+        if len(sf) != 21 or any(not 0 <= v <= 3 for v in sf):
+            raise ValueError("LSF scalefacs: 21 values in 0..3 (slen 2/2/2/2)")
+        for v in sf:  # partition rule for sfc=202: slens (2,2,2,2)
+            mw.write(v, 2)
+    elif scalefacs is not None:
         if block_type:
             raise ValueError("explicit scalefacs are long-block only here")
         sf = [int(v) for v in scalefacs]
@@ -102,7 +110,10 @@ def _write_granule(spec, table=13, global_gain=210,
     sw.write(part23, 12)
     sw.write(big_values, 9)
     sw.write(global_gain, 8)
-    sw.write(0 if scalefacs is None else 15, 4)  # scalefac_compress
+    if lsf:
+        sw.write(0 if scalefacs is None else 202, 9)  # LSF scalefac_compress
+    else:
+        sw.write(0 if scalefacs is None else 15, 4)  # scalefac_compress
     if block_type:
         sw.write(1, 1)  # window_switching
         sw.write(block_type, 2)
@@ -117,16 +128,21 @@ def _write_granule(spec, table=13, global_gain=210,
             sw.write(table, 5)
         sw.write(8, 4)   # region0_count
         sw.write(12, 3)  # region1_count -> region2 boundary = 576
-    sw.write(1 if preflag else 0, 1)
+    if not lsf:  # LSF has no preflag bit (derived from the sfc rule)
+        sw.write(1 if preflag else 0, 1)
     sw.write(1 if scalefac_scale else 0, 1)
     sw.write(1, 1)  # count1table_select B (fixed 4-bit codes)
     return sw.bits, mw.bits
 
 
+_SR_IDX_LSF = {22050: 0, 24000: 1, 16000: 2}
+_BR_IDX_LSF = {64000: 8, 80000: 9, 96000: 10, 128000: 12, 160000: 14}
+
+
 def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                mode=3, mode_ext=0, table=13, global_gain=210,
                block_types=None, crc=False, scalefacs=None,
-               scalefac_scale=0, preflag=0, scfsi=None):
+               scalefac_scale=0, preflag=0, scfsi=None, lsf=False):
     """granule_specs: per-granule spectra — mono: one 576-array per
     granule; stereo: (left, right) pairs. Frames carry two granules; an
     odd count is zero-padded. ``crc=True`` sets the protection bit and
@@ -136,30 +152,43 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
     stereo) — used to carry intensity positions. ``scfsi`` is a 4-list
     of 0/1 per scfsi band group (applied to every channel): granule 1
     then OMITS scalefactor bits for the flagged groups and the decoder
-    must reuse granule 0's."""
+    must reuse granule 0's. ``lsf=True`` writes MPEG-2 LSF frames
+    (ISO 13818-3): one 576-sample granule per frame, 8-bit
+    main_data_begin, no scfsi, 9-bit scalefac_compress (0, or 202 =
+    slens 2/2/2/2 when scalefacs given), no preflag bit."""
     n_channels = 1 if mode == 3 else 2
     scfsi = list(scfsi) if scfsi is not None else [0, 0, 0, 0]
     specs = list(granule_specs)
     sfs = list(scalefacs) if scalefacs is not None else [None] * len(specs)
     if len(sfs) != len(specs):
         raise ValueError("scalefacs must parallel granule_specs")
-    if len(specs) % 2:
+    gr_per_frame = 1 if lsf else 2
+    if lsf and (any(scfsi) or preflag):
+        raise ValueError("LSF frames have no scfsi or preflag bits")
+    if lsf and sample_rate == 44100:
+        sample_rate = 22050  # convenience: default rate's LSF twin
+    if not lsf and len(specs) % 2:
         if n_channels == 1:
             specs.append(np.zeros(576))
         else:
             specs.append((np.zeros(576), np.zeros(576)))
         sfs.append(None)
-    frame_len = 144 * bitrate // sample_rate  # padding bit 0
-    side_len = 17 if n_channels == 1 else 32
+    if lsf:
+        bitrate = 128000 if bitrate == 256000 else bitrate
+        frame_len = 72 * bitrate // sample_rate  # padding bit 0
+        side_len = 9 if n_channels == 1 else 17
+    else:
+        frame_len = 144 * bitrate // sample_rate  # padding bit 0
+        side_len = 17 if n_channels == 1 else 32
     out = bytearray()
-    for f in range(0, len(specs), 2):
+    for f in range(0, len(specs), gr_per_frame):
         hdr = _BitW()
         hdr.write(0x7FF, 11)
-        hdr.write(3, 2)   # MPEG-1
+        hdr.write(2 if lsf else 3, 2)   # MPEG-2 LSF / MPEG-1
         hdr.write(1, 2)   # Layer III
         hdr.write(0 if crc else 1, 1)  # protection bit: 0 -> CRC present
-        hdr.write(_BR_IDX[bitrate], 4)
-        hdr.write(_SR_IDX[sample_rate], 2)
+        hdr.write((_BR_IDX_LSF if lsf else _BR_IDX)[bitrate], 4)
+        hdr.write((_SR_IDX_LSF if lsf else _SR_IDX)[sample_rate], 2)
         hdr.write(0, 1)   # padding
         hdr.write(0, 1)   # private
         hdr.write(mode, 2)
@@ -167,14 +196,18 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
         hdr.write(0, 4)   # copyright/original/emphasis
 
         side = _BitW()
-        side.write(0, 9)  # main_data_begin
-        side.write(0, 5 if n_channels == 1 else 3)  # private_bits
-        for _ch in range(n_channels):
-            for bit in scfsi:
-                side.write(1 if bit else 0, 1)
+        if lsf:
+            side.write(0, 8)  # main_data_begin
+            side.write(0, 1 if n_channels == 1 else 2)  # private_bits
+        else:
+            side.write(0, 9)  # main_data_begin
+            side.write(0, 5 if n_channels == 1 else 3)  # private_bits
+            for _ch in range(n_channels):
+                for bit in scfsi:
+                    side.write(1 if bit else 0, 1)
         main = _BitW()
         skip = tuple(i for i, bit in enumerate(scfsi) if bit)
-        for gr in range(2):
+        for gr in range(gr_per_frame):
             g = specs[f + gr]
             gsf = sfs[f + gr]
             chans = [g] if n_channels == 1 else list(g)
@@ -190,7 +223,7 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                     global_gain=global_gain, block_type=bt,
                     scalefacs=chan_sfs[ch],
                     scalefac_scale=scalefac_scale, preflag=preflag,
-                    skip_groups=skip if gr == 1 else (),
+                    skip_groups=skip if gr == 1 else (), lsf=lsf,
                 )
                 side.bits.extend(sbits)
                 main.bits.extend(mbits)

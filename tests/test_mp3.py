@@ -372,10 +372,18 @@ def test_refusals():
         decode_mp3(b"\x00\x00" + good)
     with pytest.raises(ValueError, match="truncated"):
         decode_mp3(good[:-100])
-    # MPEG-2 (version bits 10)
+    # version bits flipped to MPEG-2: LSF now decodes (test_lsf_decode),
+    # but an MPEG-1 frame REINTERPRETED as LSF is structurally
+    # inconsistent (halved frame length, different side-info layout) and
+    # must still fail closed
     b2 = bytearray(good)
     b2[1] = (b2[1] & ~0x18) | 0x10
-    with pytest.raises(ValueError, match="MPEG-1"):
+    with pytest.raises(ValueError):
+        decode_mp3(bytes(b2))
+    # reserved version bits (01)
+    b2 = bytearray(good)
+    b2[1] = (b2[1] & ~0x18) | 0x08
+    with pytest.raises(ValueError, match="reserved MPEG version"):
         decode_mp3(bytes(b2))
     # Layer II (layer bits 10)
     b2 = bytearray(good)
@@ -464,6 +472,76 @@ def test_decode_audio_dispatches_mp3():
     assert d2["feature"] == d["feature"]
 
 
+def test_lsf_decode():
+    """MPEG-2 LSF: one 576-sample granule per frame at 22.05/24 kHz,
+    8-bit main_data_begin, LSF scalefactor partitions — tone frequency
+    physics, exact gain linearity, the sfc=202 slen-(2,2,2,2)
+    attenuation rule, stereo/MS, and the named refusals."""
+    from railgun_spark.operators.mp3 import _decode_stream
+
+    # silence + accounting
+    d = decode_mp3(encode_mp3([np.zeros(576)] * 3, lsf=True))
+    assert d["sample_rate"] == 22050 and d["n_samples"] == 3 * 576
+    assert d["feature"][0] == pytest.approx(0.0, abs=1e-12)
+
+    # FFT tone physics at both LSF rates (same cell->frequency map)
+    for sr in (22050, 24000):
+        sb, k = 6, 4
+        blob = encode_mp3([_sine_spec(sb, k, 13)] * 10, lsf=True,
+                          sample_rate=sr)
+        x, got_sr, _ = _decode_stream(blob)
+        assert got_sr == sr and len(x) == 10 * 576
+        steady = x[1152:-576, 0]
+        spec = np.abs(np.fft.rfft(steady * np.hanning(len(steady))))
+        f_pred = (18 * sb + k + 0.5) * sr / 1152.0
+        f_peak = np.argmax(spec) * sr / len(steady)
+        assert abs(f_peak - f_pred) < 2.5 * sr / len(steady), (sr, f_pred, f_peak)
+
+    # exact gain linearity (gain step 4 = x2, IEEE-exact)
+    specs = [_sine_spec(5, 6, 9)] * 4
+    hi, _, _ = _decode_stream(encode_mp3(specs, lsf=True, global_gain=210))
+    lo, _, _ = _decode_stream(encode_mp3(specs, lsf=True, global_gain=206))
+    assert np.array_equal(hi, 2.0 * lo)
+
+    # LSF scalefactors: sfc=202 -> slens (2,2,2,2) over (6,5,5,5) long
+    # partitions; sf=2 in sfb2 (22.05k long widths are 6, so sample 17
+    # sits in band [12,18)) halves the band (scale 0 -> 2^-1)
+    line = np.where(np.arange(576) == 17, 12, 0)
+    sf = [0] * 21
+    sf[2] = 2
+    plain = decode_mp3(encode_mp3([line] * 2, lsf=True))
+    att = decode_mp3(encode_mp3([line] * 2, lsf=True, scalefacs=[sf] * 2))
+    assert att["feature"][0] == pytest.approx(plain["feature"][0] / 2, rel=1e-9)
+
+    # stereo + MS parity with the MPEG-1 semantics
+    l_s, r_s = _sine_spec(4, 3, 12), _sine_spec(9, 7, 12)
+    st = decode_mp3(encode_mp3([(l_s, r_s)] * 2, lsf=True, mode=0))
+    assert st["n_channels"] == 2 and st["n_samples"] == 2 * 576
+    ms = decode_mp3(encode_mp3([(l_s, r_s)] * 2, lsf=True, mode=1, mode_ext=2))
+    mono_m = decode_mp3(encode_mp3([l_s] * 2, lsf=True))
+    assert ms["feature"][0] == pytest.approx(
+        mono_m["feature"][0] / np.sqrt(2), rel=1e-6
+    )
+
+    # named refusals: 16 kHz band map, LSF intensity, MPEG-2.5
+    blob = bytearray(encode_mp3([_sine_spec(2, 2, 7)] * 2, lsf=True))
+    b16 = bytearray(blob)
+    b16[2] = (b16[2] & ~0x0C) | 0x08  # sr index 2 = 16 kHz
+    with pytest.raises(ValueError, match="16 kHz"):
+        decode_mp3(bytes(b16))
+    with pytest.raises(ValueError, match="LSF intensity"):
+        decode_mp3(encode_mp3([(l_s, r_s)] * 2, lsf=True, mode=1, mode_ext=1))
+    b25 = bytearray(blob)
+    b25[1] &= ~0x18  # version bits 00 = MPEG-2.5
+    with pytest.raises(ValueError, match="MPEG-2.5"):
+        decode_mp3(bytes(b25))
+    # a version flip mid-stream refuses
+    mixed = encode_mp3([_sine_spec(2, 2, 7)] * 2) \
+        + encode_mp3([_sine_spec(2, 2, 7)] * 1, lsf=True)
+    with pytest.raises(ValueError, match="changed mid-stream|frame sync|truncated"):
+        decode_mp3(mixed)
+
+
 def test_mp3_roundtrip_property():
     """Hypothesis sweep (the FLAC pattern): random sparse spectra through
     encode -> decode must never raise, and two exact linearity invariants
@@ -483,8 +561,9 @@ def test_mp3_roundtrip_property():
         stereo=st.booleans(),
         table=st.sampled_from([1, 2, 3, 5, 7, 9, 10, 12, 13]),
         n_gr=st.integers(1, 4),
+        lsf=st.booleans(),
     )
-    def run(seed, density, bt, stereo, table, n_gr):
+    def run(seed, density, bt, stereo, table, n_gr, lsf):
         rng = np.random.RandomState(seed)
         xlen = {1: 2, 2: 3, 3: 3, 5: 4, 7: 6, 9: 6, 10: 8, 12: 8, 13: 16}[table]
         vmax = xlen - 1
@@ -502,14 +581,16 @@ def test_mp3_roundtrip_property():
             specs = [spec() for _ in range(n_gr)]
             kw = dict(mode=3)
         bts = [bt] * (n_gr + n_gr % 2)
+        kw["lsf"] = lsf
         hi, sr, nch = _decode_stream(
             encode_mp3(specs, table=table, block_types=bts,
                        global_gain=210, **kw))
         lo, _, _ = _decode_stream(
             encode_mp3(specs, table=table, block_types=bts,
                        global_gain=206, **kw))
-        assert hi.shape == lo.shape and sr == 44100
-        assert hi.shape[0] == 1152 * ((n_gr + 1) // 2)
+        assert hi.shape == lo.shape and sr == (22050 if lsf else 44100)
+        assert hi.shape[0] == (576 * n_gr if lsf
+                               else 1152 * ((n_gr + 1) // 2))
         assert np.array_equal(hi, 2.0 * lo)
         if stereo:
             neg_specs = [(-a, -b) for a, b in specs]
@@ -518,7 +599,7 @@ def test_mp3_roundtrip_property():
         neg, _, _ = _decode_stream(
             encode_mp3(neg_specs, table=table, block_types=bts,
                        global_gain=210, **kw))
-        assert np.array_equal(neg, -hi)
+        assert np.array_equal(neg, -hi)  # holds for MPEG-1 and LSF alike
 
     run()
 
