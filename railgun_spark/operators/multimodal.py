@@ -1282,6 +1282,92 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     }
 
 
+def extract_avi_audio(content: bytes) -> dict:
+    """Audio track of an AVI container: the stream headers (strl LISTs,
+    in order) identify the 'auds' stream and its WAVEFORMATEX; that
+    stream's '{NN}wb' movi chunks concatenate into the audio payload —
+    PCM (tag 0x0001, 16-bit) decodes directly, MP3 (tag 0x0055) routes
+    through the from-scratch Layer III decoder. Everything else refuses
+    by format tag. Returns the shared audio result shape, so an AVI row
+    tagged kind='audio' yields the same features as a bare WAV/MP3 of
+    the same track."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    stream_types: list[bytes] = []  # fccType per strl, in stream order
+    stream_fmt: dict[int, tuple] = {}  # stream idx -> WAVEFORMATEX head
+    chunks: dict[int, list[bytes]] = {}
+
+    def walk(lo: int, hi: int, in_strl: bool = False):
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            csize = struct.unpack_from("<I", b, i + 4)[0]
+            if i + 8 + csize > hi:
+                raise ValueError(f"truncated AVI {cid!r} chunk")
+            if cid == b"LIST":
+                ltype = b[i + 8 : i + 12]
+                walk(i + 12, i + 8 + csize, in_strl=ltype == b"strl")
+            elif cid == b"strh" and in_strl:
+                stream_types.append(b[i + 8 : i + 12])
+            elif cid == b"strf" and in_strl and stream_types \
+                    and stream_types[-1] == b"auds":
+                if csize < 16:
+                    raise ValueError("truncated AVI WAVEFORMATEX")
+                stream_fmt[len(stream_types) - 1] = struct.unpack_from(
+                    "<HHIIHH", b, i + 8
+                )
+            elif cid[2:4] == b"wb" and cid[:2].isdigit() and csize:
+                chunks.setdefault(int(cid[:2]), []).append(
+                    b[i + 8 : i + 8 + csize]
+                )
+            i += 8 + csize + (csize & 1)
+
+    riff_size = struct.unpack_from("<I", b, 4)[0]
+    if 8 + riff_size > len(b):
+        raise ValueError("truncated AVI RIFF payload")
+    walk(12, 8 + riff_size)
+
+    auds = [k for k, t in enumerate(stream_types) if t == b"auds"]
+    if not auds:
+        raise ValueError("AVI has no audio stream")
+    idx = auds[0]
+    if idx not in stream_fmt:
+        raise ValueError("AVI audio stream missing its strf WAVEFORMATEX")
+    if not chunks.get(idx):
+        raise ValueError("AVI audio stream has no data chunks")
+    tag, n_channels, rate, _avg, _align, bits = stream_fmt[idx]
+    payload = b"".join(chunks[idx])
+    if tag == 0x0055:  # MPEG Layer III
+        from railgun_spark.operators.mp3 import decode_mp3
+
+        return decode_mp3(payload)
+    if tag == 0x0001:  # integer PCM
+        if bits != 16:
+            raise ValueError(
+                f"only 16-bit PCM AVI audio supported (bits={bits})"
+            )
+        if n_channels < 1 or rate < 1:
+            raise ValueError(
+                f"bad AVI audio format: channels={n_channels}, rate={rate}"
+            )
+        if len(payload) % (2 * n_channels):
+            raise ValueError("AVI PCM audio not a whole number of frames")
+        x = np.frombuffer(payload, dtype="<i2").astype("float64") / 32768.0
+        if n_channels > 1:
+            x = x.reshape(-1, n_channels).mean(axis=1)
+        return _audio_result(x, rate, n_channels)
+    raise ValueError(
+        f"unsupported AVI audio format tag {tag:#06x} "
+        "(0x0001 PCM and 0x0055 MP3 decode library-free)"
+    )
+
+
 def decode_video(content: bytes) -> dict:
     """Video container dispatch by magic: YUV4MPEG2 raw planes or
     Motion-JPEG AVI — same result shape."""
@@ -1504,6 +1590,9 @@ def decode_audio(content: bytes) -> dict:
         return decode_aiff(b)
     if b[:4] == b".snd":
         return decode_au(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # a container routed as AUDIO extracts its audio track (PCM/MP3)
+        return extract_avi_audio(b)
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE6) == 0xE2
     ):

@@ -288,3 +288,82 @@ def test_decode_media_dispatches_entire_codec_matrix():
         d = decode_media(blob, kind)
         assert len(d["feature"]) == 8, name
         assert all(np.isfinite(v) for v in d["feature"]), name
+
+
+def test_avi_audio_track_extraction():
+    """AVI containers routed as kind='audio' extract their 'auds' stream:
+    PCM tracks match the WAV decode of the same samples, MP3 tracks match
+    the direct Layer III decode, and non-audio / unknown-tag AVIs refuse."""
+    import struct
+
+    from railgun_spark.operators.jpeg import encode_gray_jpeg
+    from railgun_spark.operators.mp3 import decode_mp3
+    from railgun_spark.operators.mp3_encode import encode_mp3
+    from railgun_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        extract_avi_audio,
+    )
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def build_avi(audio_fmt=None, audio_payloads=(), with_video=True):
+        rng = np.random.RandomState(3)
+        gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+        avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 8, 8)
+        strls = b""
+        if with_video:
+            strls += chunk(b"LIST", b"strl"
+                           + chunk(b"strh", b"vids" + b"\x00" * 52)
+                           + chunk(b"strf", b"\x00" * 40))
+        if audio_fmt is not None:
+            strls += chunk(b"LIST", b"strl"
+                           + chunk(b"strh", b"auds" + b"\x00" * 52)
+                           + chunk(b"strf", audio_fmt))
+        movi = b"movi"
+        if with_video:
+            movi += chunk(b"00dc", encode_gray_jpeg(gray))
+        aidx = 1 if with_video else 0
+        for p in audio_payloads:
+            movi += chunk(f"{aidx:02d}wb".encode(), p)
+        body = (b"AVI " + chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strls)
+                + chunk(b"LIST", movi))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # PCM track, split across two movi chunks, stereo
+    t = np.arange(800)
+    pcm = np.round(9000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("<i2")
+    inter = np.empty(1600, dtype="<i2")
+    inter[0::2] = pcm
+    inter[1::2] = (-pcm).astype("<i2")
+    fmt_pcm = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    raw = inter.tobytes()
+    avi = build_avi(fmt_pcm, (raw[:700], raw[700:]))
+    got = extract_avi_audio(avi)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", len(raw)) + raw)
+    assert got["feature"] == decode_wav(wav)["feature"]
+    assert got["sample_rate"] == 8000 and got["n_channels"] == 2
+    assert decode_audio(avi)["feature"] == got["feature"]
+
+    # MP3 track (format tag 0x0055) routes through the Layer III decoder
+    spec = np.zeros(576, dtype=np.int64)
+    spec[5 * 18 + 4] = 11
+    mp3 = encode_mp3([spec] * 2)
+    fmt_mp3 = struct.pack("<HHIIHH", 0x0055, 1, 44100, 16000, 1, 0)
+    avi_mp3 = build_avi(fmt_mp3, (mp3[:500], mp3[500:]))
+    assert extract_avi_audio(avi_mp3)["feature"] == decode_mp3(mp3)["feature"]
+
+    # refusals
+    with pytest.raises(ValueError, match="no audio stream"):
+        extract_avi_audio(build_avi(None))
+    fmt_alaw = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    with pytest.raises(ValueError, match="format tag"):
+        extract_avi_audio(build_avi(fmt_alaw, (b"\x00" * 64,)))
+    with pytest.raises(ValueError, match="no data chunks"):
+        extract_avi_audio(build_avi(fmt_pcm, ()))
+    with pytest.raises(ValueError, match="WAVEFORMATEX"):
+        extract_avi_audio(build_avi(b"\x00" * 8, (b"\x00" * 4,)))
