@@ -998,15 +998,24 @@ def decode_wav(content: bytes) -> dict:
         body = b[i + 8 : i + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            # WAVE_FORMAT_EXTENSIBLE: the effective tag is the first two
+            # bytes of the SubFormat GUID at offset 24 (after cbSize)
+            if fmt[0] == 0xFFFE:
+                if csize < 26:
+                    raise ValueError("truncated WAVE extensible fmt chunk")
+                fmt = (struct.unpack_from("<H", body, 24)[0],) + fmt[1:]
         elif cid == b"data":
             data = body
         i += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if (audio_format, bits) not in ((1, 16), (3, 32)):
+    if (audio_format, bits) not in (
+        (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (6, 8), (7, 8)
+    ):
         raise ValueError(
-            f"only 16-bit PCM or 32-bit float WAVE (format={audio_format}, bits={bits})"
+            f"unsupported WAVE coding (format={audio_format}, bits={bits}; "
+            f"PCM 8/16/24/32, float32, A-law, mu-law decode library-free)"
         )
     if n_channels < 1 or sample_rate < 1:
         raise ValueError(f"bad WAVE fmt: channels={n_channels}, rate={sample_rate}")
@@ -1019,8 +1028,24 @@ def decode_wav(content: bytes) -> dict:
             f"truncated WAVE data chunk: {len(data)} bytes is not a "
             f"multiple of the {frame_bytes}-byte frame size"
         )
-    if audio_format == 1:
+    if audio_format == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype("float64") / 32768.0
+    elif audio_format == 1 and bits == 8:
+        # 8-bit WAVE PCM is UNSIGNED with a 128 midpoint
+        x = (np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (raw[:, 0].astype(np.int32)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | (raw[:, 2].astype(np.int32) << 16))
+        v -= (v & 0x800000) << 1  # sign-extend
+        x = v.astype("float64") / 8388608.0
+    elif audio_format == 1:  # 32-bit integer PCM
+        x = np.frombuffer(data, dtype="<i4").astype("float64") / 2147483648.0
+    elif audio_format == 6:  # G.711 A-law
+        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
+    elif audio_format == 7:  # G.711 mu-law
+        x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
     else:
         x = np.frombuffer(data, dtype="<f4").astype("float64")
     if n_channels > 1:
@@ -1521,6 +1546,19 @@ def decode_aiff(content: bytes) -> dict:
     if n_channels > 1:
         x = x.reshape(-1, n_channels).mean(axis=1)
     return _audio_result(x, int(round(rate)), n_channels)
+
+
+def _alaw_expand(a):
+    """G.711 A-law byte -> linear PCM in [-32256, 32256] (sign bit SET
+    means positive, per the toggled-even-bits convention)."""
+    import numpy as np
+
+    a = a.astype(np.uint8) ^ 0x55
+    seg = ((a & 0x70) >> 4).astype(np.int32)
+    base = (a & 0x0F).astype(np.int32) << 4
+    t = np.where(seg == 0, base + 8,
+                 (base + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t)
 
 
 def _mulaw_expand(u):

@@ -494,3 +494,84 @@ def test_flac_order_ge_blocksize_refused():
     enc = encode_flac([[5]], kinds=[("fixed", 1)])  # order 1, blocksize 1
     with _pytest.raises(ValueError, match="order"):
         decode_flac(enc)
+
+
+def test_wav_extended_codings():
+    """decode_wav's full real-world PCM family: 8-bit unsigned, 24-bit,
+    32-bit integer, A-law, mu-law, and WAVE_FORMAT_EXTENSIBLE — pinned
+    against the 16-bit decode of the same signal, an independent scalar
+    G.711 formula, and the AU decoder's mu-law path."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import (
+        _alaw_expand,
+        decode_au,
+        decode_wav,
+    )
+
+    def wav(fmt_tag, bits, payload, rate=8000, ch=1, ext=False):
+        if ext:
+            fmt = struct.pack("<HHIIHH", 0xFFFE, ch, rate,
+                              rate * (bits // 8) * ch, (bits // 8) * ch, bits)
+            fmt += struct.pack("<HH", 22, bits)  # cbSize, valid bits
+            fmt += struct.pack("<I", 0x3)  # channel mask
+            fmt += struct.pack("<H", fmt_tag) + b"\x00" * 14  # SubFormat GUID
+        else:
+            fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+                              rate * (bits // 8) * ch, (bits // 8) * ch, bits)
+        return (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(payload))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    s16 = np.round(12000 * np.sin(2 * np.pi * 440 * np.arange(500) / 8000)
+                   ).astype(np.int64)
+    ref = decode_wav(wav(1, 16, s16.astype("<i2").tobytes()))
+
+    # 24-bit = 16-bit << 8: identical in [-1, 1], features EXACTLY equal
+    v24 = (s16 << 8).astype(np.int32)
+    raw24 = bytearray()
+    for v in v24:
+        raw24 += int(v & 0xFFFFFF).to_bytes(3, "little")
+    assert decode_wav(wav(1, 24, bytes(raw24)))["feature"] == ref["feature"]
+
+    # 32-bit int = 16-bit << 16: exactly equal
+    assert decode_wav(
+        wav(1, 32, (s16 << 16).astype("<i4").tobytes())
+    )["feature"] == ref["feature"]
+
+    # 8-bit unsigned: quantized to 8 bits, features close but not equal
+    d8 = decode_wav(wav(1, 8, ((s16 >> 8) + 128).astype(np.uint8).tobytes()))
+    assert abs(d8["feature"][0] - ref["feature"][0]) < 0.01
+
+    # extensible header with a PCM SubFormat decodes identically
+    assert decode_wav(
+        wav(1, 16, s16.astype("<i2").tobytes(), ext=True)
+    )["feature"] == ref["feature"]
+
+    # mu-law: same payload through the AU decoder (encoding 1) must agree
+    ulaw = bytes(range(256)) * 2
+    d_wav = decode_wav(wav(7, 8, ulaw))
+    d_au = decode_au(b".snd" + struct.pack(">IIIII", 24, len(ulaw), 1, 8000, 1)
+                     + ulaw)
+    assert d_wav["feature"] == d_au["feature"]
+
+    # A-law: vectorized expander vs the independent scalar G.711 formula
+    for byte in (0x00, 0x55, 0x80, 0xD5, 0x2A, 0xFF, 0x13, 0xE9):
+        a = byte ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        expect = t if (a & 0x80) else -t
+        got = int(_alaw_expand(np.array([byte], dtype=np.uint8))[0])
+        assert got == expect, (byte, got, expect)
+    d_alaw = decode_wav(wav(6, 8, bytes(range(256)) * 2))
+    assert d_alaw["n_samples"] == 512 and d_alaw["feature"][1] <= 1.0
+
+    # ADPCM (format 2) refuses by tag
+    with pytest.raises(ValueError, match="unsupported WAVE coding"):
+        decode_wav(wav(2, 4, b"\x00" * 64))
