@@ -1504,7 +1504,7 @@ def _read_f80(b: bytes) -> float:
 
 def decode_aiff(content: bytes) -> dict:
     """AIFF (FORM/AIFF): COMM (channels, frames, bits, 80-bit-float
-    rate) + SSND big-endian PCM; 8/16-bit integer samples."""
+    rate) + SSND big-endian PCM; 8/16/24/32-bit integer samples."""
     import struct
 
     import numpy as np
@@ -1532,17 +1532,25 @@ def decode_aiff(content: bytes) -> dict:
     n_channels, n_frames, bits, rate = comm
     if n_channels < 1 or rate <= 0:
         raise ValueError(f"bad AIFF COMM: channels={n_channels}, rate={rate}")
-    if bits == 16:
-        dt, scale = ">i2", 32768.0
-    elif bits == 8:
-        dt, scale = "i1", 128.0
-    else:
-        raise ValueError(f"only 8/16-bit AIFF supported (bits={bits})")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"only 8/16/24/32-bit AIFF supported (bits={bits})")
     frame_bytes = (bits // 8) * n_channels
     need = n_frames * frame_bytes
     if len(data) < need:
         raise ValueError(f"truncated AIFF SSND: {len(data)} < {need} bytes")
-    x = np.frombuffer(data[:need], dtype=dt).astype("float64") / scale
+    if bits == 16:
+        x = np.frombuffer(data[:need], dtype=">i2").astype("float64") / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(data[:need], dtype="i1").astype("float64") / 128.0
+    elif bits == 32:
+        x = np.frombuffer(data[:need], dtype=">i4").astype("float64") / 2147483648.0
+    else:  # 24-bit big-endian
+        raw = np.frombuffer(data[:need], dtype=np.uint8).reshape(-1, 3)
+        v = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | raw[:, 2].astype(np.int32))
+        v -= (v & 0x800000) << 1
+        x = v.astype("float64") / 8388608.0
     if n_channels > 1:
         x = x.reshape(-1, n_channels).mean(axis=1)
     return _audio_result(x, int(round(rate)), n_channels)
@@ -1575,7 +1583,7 @@ def _mulaw_expand(u):
 
 def decode_au(content: bytes) -> dict:
     """Sun/NeXT AU (.snd): big-endian header, encodings 1 (G.711
-    mu-law), 2 (int8), 3 (int16 BE), 6 (float32 BE)."""
+    mu-law), 2/3/4/5 (int8/16/24/32 BE), 6 (float32 BE), 27 (A-law)."""
     import struct
 
     import numpy as np
@@ -1601,12 +1609,29 @@ def decode_au(content: bytes) -> dict:
         if len(data) % 2:
             raise ValueError("truncated AU 16-bit sample")
         x = np.frombuffer(data, dtype=">i2").astype("float64") / 32768.0
+    elif enc == 4:  # 24-bit big-endian
+        if len(data) % 3:
+            raise ValueError("truncated AU 24-bit sample")
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | raw[:, 2].astype(np.int32))
+        v -= (v & 0x800000) << 1
+        x = v.astype("float64") / 8388608.0
+    elif enc == 5:  # 32-bit big-endian
+        if len(data) % 4:
+            raise ValueError("truncated AU 32-bit sample")
+        x = np.frombuffer(data, dtype=">i4").astype("float64") / 2147483648.0
     elif enc == 6:
         if len(data) % 4:
             raise ValueError("truncated AU float sample")
         x = np.frombuffer(data, dtype=">f4").astype("float64")
+    elif enc == 27:  # G.711 A-law
+        x = _alaw_expand(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
     else:
-        raise ValueError(f"unsupported AU encoding {enc} (1/2/3/6 supported)")
+        raise ValueError(
+            f"unsupported AU encoding {enc} (1/2/3/4/5/6/27 supported)"
+        )
     if n_channels > 1:
         if len(x) % n_channels:
             raise ValueError("AU data not a whole number of frames")

@@ -417,8 +417,9 @@ def test_aiff_and_au_decode_feature_parity_with_wav():
         decode_aiff(aiff[:-100])
     with pytest.raises(ValueError, match="truncated AU"):
         decode_au(au[:-5])
+    # encoding 23 = G.721 ADPCM: genuinely codec-bound (27/A-law now decodes)
     with pytest.raises(ValueError, match="unsupported AU encoding"):
-        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, rate, 1) + b"\x00" * 4)
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 23, rate, 1) + b"\x00" * 4)
 
 
 from hypothesis import given, settings  # noqa: E402
@@ -575,3 +576,55 @@ def test_wav_extended_codings():
     # ADPCM (format 2) refuses by tag
     with pytest.raises(ValueError, match="unsupported WAVE coding"):
         decode_wav(wav(2, 4, b"\x00" * 64))
+
+
+def test_aiff_au_wide_sample_formats():
+    """AIFF 24/32-bit and AU 24/32-bit/A-law: shifted copies of a 16-bit
+    signal decode to EXACTLY the 16-bit features; the AU A-law path
+    matches the WAV A-law decode of the same payload."""
+    import struct
+
+    from railgun_spark.operators.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_wav,
+    )
+
+    s16 = _sine(400, 330, 8000, 11000)
+
+    def aiff(bits, payload, n):
+        exp = 16383 + 63
+        mant = 8000
+        while mant < (1 << 63):
+            mant <<= 1
+            exp -= 1
+        comm = struct.pack(">hIh", 1, n, bits) + struct.pack(
+            ">HII", exp, mant >> 32, mant & 0xFFFFFFFF)
+        ssnd = struct.pack(">II", 0, 0) + payload
+        return (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd))
+                + b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+
+    ref = decode_aiff(aiff(16, s16.astype(">i2").tobytes(), len(s16)))
+    raw24 = b"".join(int((v << 8) & 0xFFFFFF).to_bytes(3, "big") for v in s16)
+    assert decode_aiff(aiff(24, raw24, len(s16)))["feature"] == ref["feature"]
+    assert decode_aiff(
+        aiff(32, (s16 << 16).astype(">i4").tobytes(), len(s16))
+    )["feature"] == ref["feature"]
+
+    def au(enc, payload):
+        return (b".snd" + struct.pack(">IIIII", 24, len(payload), enc, 8000, 1)
+                + payload)
+
+    ref_au = decode_au(au(3, s16.astype(">i2").tobytes()))
+    assert decode_au(au(4, raw24))["feature"] == ref_au["feature"]
+    assert decode_au(
+        au(5, (s16 << 16).astype(">i4").tobytes())
+    )["feature"] == ref_au["feature"]
+    alaw = bytes(range(256)) * 2
+    wav_alaw = (b"RIFF" + struct.pack("<I", 36 + len(alaw)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 6, 1, 8000, 8000, 1, 8)
+                + b"data" + struct.pack("<I", len(alaw)) + alaw)
+    assert decode_au(au(27, alaw))["feature"] == decode_wav(wav_alaw)["feature"]
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        decode_au(au(11, b"\x00" * 8))
