@@ -744,13 +744,6 @@ _SYNTH_D = np.zeros(512)
 _SYNTH_D[:257] = np.asarray(D_HALF_X65536, dtype=np.float64) / 65536.0
 _SYNTH_D[257:] = -_SYNTH_D[255:0:-1]
 
-_U_IDX = np.concatenate([
-    np.concatenate((np.arange(i * 128, i * 128 + 32),
-                    np.arange(i * 128 + 96, i * 128 + 128)))
-    for i in range(8)
-])
-
-
 def _synthesize(S: np.ndarray, V: np.ndarray) -> np.ndarray:
     """(T, 32) subband slots -> (T*32,) PCM, updating FIFO V (1024,).
 
@@ -831,7 +824,6 @@ def _decode_stream(content: bytes):
 
     sample_rate = n_channels = None
     reservoir = bytearray()
-    gr_queue = []  # (granules, scfsi, main_start_bits) pending decode
     pcm = []
     overlap = None
     fifo = None
