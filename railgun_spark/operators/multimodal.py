@@ -194,7 +194,15 @@ _FEAT_SUM_SQL = " + ".join(
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
-    feats = extract_features(media_frame(spark, sf_dir))
+    # CPU-bound Python decode must not be bounded by input FILE SPLITS
+    # (one parquet file = one partition = one core doing all decoding):
+    # repartition the tiny metadata+payload rows to the session's
+    # parallelism before the Arrow hop — the shuffle is trivia next to
+    # the decode work it spreads across the cluster
+    media = media_frame(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         "kind",
@@ -234,6 +242,8 @@ def multimodal_mp3_features(spark, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % 19 == 0)
         .select("doc_id")
+        # decode-bound stage: spread across cores, not input file splits
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),
