@@ -62,6 +62,9 @@ PROBES = {
     "pricing_summary": "linear",
     "market_share_by_year": "linear",
     "min_cost_supplier": "linear",
+    # real MP3 decode through the Arrow hop: 10x documents = 10x streams;
+    # the repartitioned decode stage must track cores, not file splits
+    "multimodal_mp3_features": "linear",
 }
 RATIO_BOUND = {"linear": 13.0, "quadratic-arith": 130.0}
 
