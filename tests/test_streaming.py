@@ -558,3 +558,70 @@ def test_stream_ingest_refuses_nested_shard_dirs(spark, tmp_path):
             spark, str(src), schema, str(tmp_path / "i"), str(tmp_path / "c"),
             str(tmp_path / "ck"),
         )
+
+
+def test_stream_media_features_restart_idempotent(spark, tmp_path):
+    """Streaming media decode twin: two file batches (WAV + MP3 payloads)
+    drain through availableNow with a RESTART between them; the sink
+    matches the batch decode of the same rows exactly and re-running over
+    the processed checkpoint emits nothing new."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.operators.mp3_encode import encode_mp3_tone
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+    )
+    from railgun_spark.streaming.media import stream_media_features_availablenow
+
+    def wav_blob(freq):
+        s = np.round(9000 * np.sin(2 * np.pi * freq * np.arange(300) / 8000)
+                     ).astype("<i2").tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(s)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(s)) + s)
+
+    rows1 = [(1, "audio", bytearray(wav_blob(440)), {}),
+             (2, "audio", bytearray(encode_mp3_tone(5, 4, 11, 2)), {})]
+    rows2 = [(3, "audio", bytearray(wav_blob(220)), {}),
+             (4, "audio", bytearray(encode_mp3_tone(9, 2, 13, 4)), {})]
+
+    media_dir = str(tmp_path / "media")
+    sink = str(tmp_path / "feats")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows1, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(media_dir)
+
+    got1 = stream_media_features_availablenow(
+        spark, media_dir, sink, ckpt, decoder=decode_media, require_real=True
+    )
+    assert sorted(r["media_id"] for r in got1.collect()) == [1, 2]
+
+    # restart: second batch of files, same checkpoint — only new files
+    spark.createDataFrame(rows2, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(media_dir)
+    got2 = stream_media_features_availablenow(
+        spark, media_dir, sink, ckpt, decoder=decode_media, require_real=True
+    )
+    rows = got2.collect()
+    assert sorted(r["media_id"] for r in rows) == [1, 2, 3, 4]
+
+    # feature parity with the batch decode of the same rows
+    batch = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(
+            spark.createDataFrame(rows1 + rows2, MEDIA_SCHEMA),
+            decoder=decode_media, require_real=True,
+        ).collect()
+    }
+    for r in rows:
+        assert np.allclose(r["feature"], batch[r["media_id"]], atol=1e-6), r["media_id"]
+
+    # a third drain with no new files emits nothing
+    got3 = stream_media_features_availablenow(
+        spark, media_dir, sink, ckpt, decoder=decode_media, require_real=True
+    )
+    assert got3.count() == 4
