@@ -374,8 +374,10 @@ def _parse_side_info(data: bytes, n_channels: int):
                         "MP3 window_switching with block_type 0 is reserved"
                     )
                 g.mixed_block = bits.read(1)
-                if g.mixed_block:
-                    raise ValueError("MP3 mixed blocks not supported")
+                if g.mixed_block and g.block_type != 2:
+                    raise ValueError(
+                        "MP3 mixed_block_flag with non-short block_type"
+                    )
                 g.table_select = [bits.read(5), bits.read(5)]
                 g.subblock_gain = [bits.read(3) for _ in range(3)]
                 g.region0_count = 7  # implied: region1 starts at sample 36
@@ -421,7 +423,7 @@ def _parse_side_info_lsf(data: bytes, n_channels: int):
                 )
             g.mixed_block = bits.read(1)
             if g.mixed_block:
-                raise ValueError("MP3 mixed blocks not supported")
+                raise ValueError("MPEG-2 LSF mixed blocks not supported")
             g.table_select = [bits.read(5), bits.read(5)]
             g.subblock_gain = [bits.read(3) for _ in range(3)]
             g.region0_count = 7
@@ -490,6 +492,20 @@ def _read_scalefactors(bits: _Bits, g: _Granule, gr: int, scfsi_ch,
                        prev_long):
     slen1, slen2 = _SLEN1[g.scalefac_compress], _SLEN2[g.scalefac_compress]
     if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            # mixed: 8 long bands (the first 36 samples) with slen1, then
+            # short bands 3-5 (slen1) and 6-11 (slen2)
+            sfl = np.zeros(22, dtype=np.int32)
+            for sfb in range(8):
+                sfl[sfb] = bits.read(slen1)
+            sfac = np.zeros((13, 3), dtype=np.int32)
+            for sfb in range(3, 6):
+                for w in range(3):
+                    sfac[sfb, w] = bits.read(slen1)
+            for sfb in range(6, 12):
+                for w in range(3):
+                    sfac[sfb, w] = bits.read(slen2)
+            return sfl, sfac
         # 12 short bands x 3 windows; scfsi does not apply to short blocks
         sfac = np.zeros((13, 3), dtype=np.int32)
         for sfb in range(6):
@@ -644,6 +660,20 @@ def _requantize(is_: np.ndarray, g: _Granule, sfac_long, sfac_short,
         e = ((g.global_gain - 210 - 8.0 * np.asarray(g.subblock_gain))[None, :]
              / 4.0 - mult * sf)  # (13, 3)
         exp = np.repeat(e.reshape(-1), np.repeat(widths, 3))
+        if g.mixed_block:
+            # first 36 samples are LONG bands (0..7 sum to exactly 36 at
+            # every MPEG-1 rate): long exponents with preflag/pretab, no
+            # subblock gain; the short exponents above start at band 3
+            # whose first sample is also 36
+            widths_l = _SFB_LONG[sample_rate]
+            pos = 0
+            for sfb, w in enumerate(widths_l):
+                if pos >= 36:
+                    break
+                exp[pos:pos + w] = ((g.global_gain - 210) / 4.0
+                                    - mult * (sfac_long[sfb]
+                                              + g.preflag * _PRETAB[sfb]))
+                pos += w
         return xr * np.exp2(exp)
     widths = np.asarray(_SFB_LONG[sample_rate])
     e = ((g.global_gain - 210) / 4.0
@@ -652,12 +682,16 @@ def _requantize(is_: np.ndarray, g: _Granule, sfac_long, sfac_short,
     return xr * np.exp2(np.repeat(e, widths))
 
 
-def _reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
+def _reorder_short(xr: np.ndarray, sample_rate: int,
+                   start_band: int = 0) -> np.ndarray:
     """Short-block spectra arrive band-major (sfb, then window); the
-    hybrid filterbank wants window-interleaved order within each band."""
-    out = np.empty_like(xr)
-    pos = 0
-    for w in _SFB_SHORT[sample_rate]:
+    hybrid filterbank wants window-interleaved order within each band.
+    Mixed blocks reorder only from start_band (3: sample 36) — the long
+    head keeps natural order."""
+    widths = _SFB_SHORT[sample_rate]
+    out = xr.copy() if start_band else np.empty_like(xr)
+    pos = 3 * sum(widths[:start_band])
+    for w in widths[start_band:]:
         block = xr[pos:pos + 3 * w].reshape(3, w)
         out[pos:pos + 3 * w] = block.T.reshape(-1)
         pos += 3 * w
@@ -667,14 +701,17 @@ def _reorder_short(xr: np.ndarray, sample_rate: int) -> np.ndarray:
 _ALIAS_BASES = np.arange(1, 32) * 18
 
 
-def _alias_reduce(xr: np.ndarray) -> np.ndarray:
-    """Butterflies across the 31 long-block subband boundaries
+def _alias_reduce(xr: np.ndarray, n_bounds: int = 31) -> np.ndarray:
+    """Butterflies across the long-block subband boundaries
     (§2.4.3.4.8), vectorized over boundaries: each k's (lo, hi) index
     sets are disjoint from every other k's, so the k-loop order is
-    immaterial and each step is one 31-wide gather/scatter."""
+    immaterial and each step is one gather/scatter over the boundary
+    set. Pure long blocks use all 31 boundaries; mixed blocks only the
+    one between their two long subbands."""
     out = xr.copy()
+    bases = _ALIAS_BASES[:n_bounds]
     for k in range(8):
-        lo, hi = _ALIAS_BASES - 1 - k, _ALIAS_BASES + k
+        lo, hi = bases - 1 - k, bases + k
         a, b = out[lo], out[hi]
         out[lo] = a * _CS[k] - b * _CA[k]
         out[hi] = b * _CS[k] + a * _CA[k]
@@ -709,7 +746,8 @@ _WIN[3] = _w3
 _WIN_SHORT = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
 
 
-def _hybrid(xr: np.ndarray, block_type: int, overlap: np.ndarray) -> np.ndarray:
+def _hybrid(xr: np.ndarray, block_type: int, overlap: np.ndarray,
+            mixed: bool = False) -> np.ndarray:
     """576 spectral samples -> (18, 32) time-slot matrix, updating the
     per-subband 18-sample overlap store in place. All 32 subbands IMDCT
     as one batched matmul."""
@@ -719,6 +757,9 @@ def _hybrid(xr: np.ndarray, block_type: int, overlap: np.ndarray) -> np.ndarray:
         for w in range(3):
             y = spec[:, w::3] @ _IMDCT_SHORT.T  # (32, 12)
             z[:, 6 + 6 * w:18 + 6 * w] += y * _WIN_SHORT
+        if mixed:
+            # mixed: the two lowest subbands are LONG (normal window)
+            z[:2] = (spec[:2] @ _IMDCT_LONG.T) * _WIN[0]
     else:
         z = (spec @ _IMDCT_LONG.T) * _WIN[block_type]  # (32, 36)
     S = z[:, :18].T + overlap
@@ -904,12 +945,15 @@ def _decode_stream(content: bytes):
                 else:
                     sfl, sfs = _read_scalefactors(bits, g, gr, scfsi[ch],
                                                   prev_long[ch])
-                if sfl is not None:
+                if sfl is not None and not g.window_switching:
                     prev_long[ch] = sfl
                 is_ = _decode_spectrum(bits, g, sample_rate, p23_end)
                 xr = _requantize(is_, g, sfl, sfs, sample_rate)
                 if g.window_switching and g.block_type == 2:
-                    xr = _reorder_short(xr, sample_rate)
+                    xr = _reorder_short(
+                        xr, sample_rate,
+                        start_band=3 if g.mixed_block else 0,
+                    )
                 if ch == 1:
                     right_is, right_sfl = is_, sfl
                 xs.append(xr)
@@ -932,9 +976,13 @@ def _decode_stream(content: bytes):
             for ch in range(n_channels):
                 g = granules[gr][ch]
                 xr = xs[ch]
-                if not (g.window_switching and g.block_type == 2):
+                short = g.window_switching and g.block_type == 2
+                if not short:
                     xr = _alias_reduce(xr)
-                S = _hybrid(xr, g.block_type, overlap[ch])
+                elif g.mixed_block:
+                    xr = _alias_reduce(xr, n_bounds=1)
+                S = _hybrid(xr, g.block_type, overlap[ch],
+                            mixed=bool(short and g.mixed_block))
                 chans.append(_synthesize(S, fifo[ch]))
             pcm.append(np.stack(chans, axis=1) if n_channels == 2
                        else chans[0].reshape(-1, 1))

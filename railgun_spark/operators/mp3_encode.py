@@ -53,7 +53,8 @@ _SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
 
 def _write_granule(spec, table=13, global_gain=210,
                    block_type=0, subblock_gain=(0, 0, 0), scalefacs=None,
-                   scalefac_scale=0, preflag=0, skip_groups=(), lsf=False):
+                   scalefac_scale=0, preflag=0, skip_groups=(), lsf=False,
+                   mixed=False):
     """Side-info bits + main-data bits for one granule of one channel.
     Default scalefac_compress=0 (slen 0/0) writes zero part2 bits; an
     explicit ``scalefacs`` (21 long-block values, sfb 0-10 <= 15 and
@@ -117,7 +118,7 @@ def _write_granule(spec, table=13, global_gain=210,
     if block_type:
         sw.write(1, 1)  # window_switching
         sw.write(block_type, 2)
-        sw.write(0, 1)  # mixed_block
+        sw.write(1 if mixed else 0, 1)  # mixed_block
         for _ in range(2):
             sw.write(table, 5)
         for g in subblock_gain:
@@ -142,7 +143,8 @@ _BR_IDX_LSF = {64000: 8, 80000: 9, 96000: 10, 128000: 12, 160000: 14}
 def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                mode=3, mode_ext=0, table=13, global_gain=210,
                block_types=None, crc=False, scalefacs=None,
-               scalefac_scale=0, preflag=0, scfsi=None, lsf=False):
+               scalefac_scale=0, preflag=0, scfsi=None, lsf=False,
+               mixed=False):
     """granule_specs: per-granule spectra — mono: one 576-array per
     granule; stereo: (left, right) pairs. Frames carry two granules; an
     odd count is zero-padded. ``crc=True`` sets the protection bit and
@@ -224,6 +226,7 @@ def encode_mp3(granule_specs, sample_rate=44100, bitrate=256000,
                     scalefacs=chan_sfs[ch],
                     scalefac_scale=scalefac_scale, preflag=preflag,
                     skip_groups=skip if gr == 1 else (), lsf=lsf,
+                    mixed=mixed and bt == 2,
                 )
                 side.bits.extend(sbits)
                 main.bits.extend(mbits)
