@@ -13,14 +13,17 @@ Scope (all honestly enforced, never silently approximated):
   frame, 8-bit main_data_begin, 9-bit scalefac_compress with the LSF
   partition/slen rule (preflag derived, no scfsi), same Huffman /
   requantization / hybrid / synthesis machinery.
+- Mixed blocks (MPEG-1): two long subbands + short bands from sample
+  36, with the long/short scalefactor split, single alias boundary and
+  per-region windows.
 - REFUSED with a clear error (fail-closed, the codec-matrix discipline
   of ``operators/jpeg.py`` / ``operators/flac.py``): MPEG-2.5,
   MPEG-2 @ 16 kHz (its sfb-table transcription failed the offline
   structural validation — widths must sum to 576/192 — so it refuses
   by name instead of shipping a wrong band map), Layers I/II,
-  free-format bitrate, LSF intensity stereo, intensity stereo on short
-  blocks, mixed blocks, and any frame selecting a Huffman table outside
-  the certified set below.
+  free-format bitrate, LSF intensity stereo, LSF mixed blocks,
+  intensity stereo on short blocks, and any frame selecting a Huffman
+  table outside the certified set below.
 
 Huffman tables: ISO 11172-3 Table B.7 defines 34 code tables. The
 certified subset shipped here — tables 0,1,2,3,5,6,7,8,9,10,12,13 plus
