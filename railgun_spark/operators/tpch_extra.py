@@ -247,3 +247,150 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Product-type profit (TPC-H Q9 shape): a name-substring part filter
+# pruning the fact before a 4-dim join, grouped by (nation, order year).
+# --------------------------------------------------------------------------
+@extra_query(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (profit simplified to discounted revenue — no "
+    "partsupp cost column in the testdata): the LIKE-filtered part list "
+    "broadcasts into the fact FIRST so only ~13% of lineitem rides the "
+    "order join; supplier/nation broadcast; one fact shuffle for the "
+    "(nation, year) aggregate.",
+    tags=("join", "agg", "like"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+             .alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Important part stock (TPC-H Q11 shape): per-group value filtered
+# against a FRACTION OF THE GLOBAL TOTAL — the group-vs-global-scalar
+# HAVING pattern. The total is computed over the ROUNDED per-part values
+# (exact integer sum), so the threshold comparison is engine-exact.
+# --------------------------------------------------------------------------
+@extra_query(
+    "important_part_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             round(sum(l_extendedprice), 0) AS value
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT pk, value FROM val
+    WHERE value > 0.001 * (SELECT sum(value) FROM val)
+    ORDER BY value DESC, pk
+    LIMIT 50
+    """,
+    doc="TPC-H Q11 shape: nation-pruned per-part value aggregate, global "
+    "scalar threshold decorrelated into a 1-row broadcast; the scalar "
+    "sums ROUNDED group values (exact integers) so the > comparison "
+    "cannot drift between engines.",
+    tags=("join", "subquery", "having", "decorrelation"),
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == nat_sup.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.round(F.sum("l_extendedprice"), 0).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("pk", "value")
+        .orderBy(F.desc("value"), "pk")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Part-supplier variety (TPC-H Q16 shape): DISTINCT-supplier counts per
+# part attribute with a NOT-IN supplier exclusion lowered to left_anti.
+# --------------------------------------------------------------------------
+@extra_query(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'ECONOMY'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 40
+    """,
+    doc="TPC-H Q16 shape (negative-balance suppliers standing in for the "
+    "complaint-comment exclusion): NOT IN lowers to a broadcast "
+    "left_anti on the tiny exclusion list, attribute-filtered parts "
+    "broadcast into the fact, one shuffle for the distinct count.",
+    tags=("join", "anti", "distinct", "agg"),
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "ECONOMY") & F.col("p_size").isin(1, 14, 23, 45)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(40)
+    )

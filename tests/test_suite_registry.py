@@ -121,6 +121,9 @@ EXPECTED_EXTRA = {
     "forecast_revenue_change",  # Q6: pure scan-filter-agg pushdown
     "priority_class_lines",  # Q12: two-class conditional agg over join
     "top_supplier_by_revenue",  # Q15: argmax-of-aggregate decorrelation
+    "product_type_profit",  # Q9: LIKE-pruned 4-dim join by nation/year
+    "important_part_stock",  # Q11: group value vs global-total fraction
+    "part_supplier_variety",  # Q16: NOT IN -> anti + distinct counts
 }
 
 

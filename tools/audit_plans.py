@@ -31,6 +31,7 @@ ALLOW_NESTED_LOOP = {
     "agg_global_stats",  # single-row aggregate
     "key_skew_report_events",  # crossJoin of two single-row aggregates
     "dormant_customer_balances",  # scalar avg-balance broadcast to the filter
+    "important_part_stock",  # Q11: 1-row global-total broadcast to the filter
 }
 
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
