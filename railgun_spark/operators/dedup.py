@@ -1649,34 +1649,43 @@ _LOCK_SUFFIX = ".compact.lock"
 _LOCK_STALE_S = 3600.0  # a compaction pass at index scale is minutes, not hours
 
 
-def _acquire_compact_lock(local: str) -> str:
+def _acquire_compact_lock(local: str) -> "tuple[str, str]":
     """O_EXCL lockfile serializing compactors on one index: two concurrent
     `compact_index` runs would otherwise interleave the tmp-dir double
     rename (the second's rename(live->backup) fails mid-swap, or worse, a
     racing `_recover_index` restores the backup between the winner's two
-    renames and aborts it). The lock carries {pid, ts}; a lock whose
-    holder pid is dead or whose timestamp exceeds the staleness TTL is
-    broken once and re-acquired — a compactor SIGKILLed mid-pass must not
-    wedge the index forever. The read-check-unlink break has the usual
-    ABA window (a fresh lock recreated between read and unlink could be
-    broken) — acceptable: it requires a second compactor to appear inside
-    that microsecond window on an index whose contract is 'one maintenance
+    renames and aborts it). The lock carries {pid, ts, token}. Staleness
+    is decided by HOLDER LIVENESS first: a lock whose pid is provably
+    alive is never broken — not even past the TTL, because a compaction
+    legitimately running longer than the TTL is 'in progress', and
+    breaking it would recreate the exact double-rename race the lock
+    exists to prevent. The TTL is the fallback for locks whose liveness
+    is unknowable (missing/corrupt pid); a provably dead holder (a
+    compactor SIGKILLed mid-pass) is broken immediately so it cannot
+    wedge the index forever. Returns (lock_path, token); pair with
+    `_release_compact_lock` so only the acquisition that wrote the lock
+    can remove it. The read-check-unlink break has the usual ABA window
+    (a fresh lock recreated between read and unlink could be broken) —
+    acceptable: it requires a second compactor to appear inside that
+    microsecond window on an index whose contract is 'one maintenance
     process', and the loser of the subsequent O_EXCL still fails loudly."""
     import json
     import os
     import time
+    import uuid
 
     lock = local.rstrip("/") + _LOCK_SUFFIX
+    token = uuid.uuid4().hex
     for attempt in range(2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             try:
                 os.write(fd, json.dumps(
-                    {"pid": os.getpid(), "ts": time.time()}
+                    {"pid": os.getpid(), "ts": time.time(), "token": token}
                 ).encode())
             finally:
                 os.close(fd)
-            return lock
+            return lock, token
         except FileExistsError:
             if attempt:  # the break below already ran once
                 break
@@ -1685,19 +1694,26 @@ def _acquire_compact_lock(local: str) -> str:
                     info = json.load(f)
                 pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
             except (OSError, ValueError):
-                pid, ts = -1, 0.0  # unreadable/corrupt lock: treat as stale
-            stale = (time.time() - ts) > _LOCK_STALE_S
-            if not stale and pid > 0:
+                pid, ts = -1, 0.0  # unreadable/corrupt lock
+            alive = None  # unknown until probed
+            if pid > 0:
                 try:
                     os.kill(pid, 0)  # signal 0: existence probe only
+                    alive = True
                 except ProcessLookupError:
-                    stale = True
+                    alive = False
                 except PermissionError:
-                    pass  # exists, owned by someone else: live
+                    alive = True  # exists, owned by someone else: live
+            if alive is None:
+                # no usable pid: the TTL is the only signal left
+                stale = (time.time() - ts) > _LOCK_STALE_S
+            else:
+                stale = not alive
             if not stale:
                 raise RuntimeError(
                     f"index compaction already in progress (lock {lock!r} "
-                    f"held by live pid {pid}); one compactor per index"
+                    f"held by live pid {pid}, "
+                    f"age {time.time() - ts:.0f}s); one compactor per index"
                 ) from None
             try:
                 os.unlink(lock)
@@ -1707,6 +1723,30 @@ def _acquire_compact_lock(local: str) -> str:
         f"could not acquire compaction lock {lock!r} after breaking a "
         f"stale holder — another compactor grabbed it first"
     )
+
+
+def _release_compact_lock(lock: str, token: str) -> None:
+    """Unlink the lockfile only if it still carries OUR acquisition token.
+    If this compactor's lock was stale-broken (possible only via the
+    unknowable-liveness TTL path) and re-acquired by a waiting compactor,
+    an unconditional unlink would delete the successor's lock and admit a
+    third compactor mid-swap. A mismatched or unreadable lock is left
+    alone — it belongs to someone else now."""
+    import json
+    import os
+
+    try:
+        with open(lock) as f:
+            if json.load(f).get("token") != token:
+                return  # successor's lock: not ours to remove
+    except FileNotFoundError:
+        return
+    except (OSError, ValueError):
+        return  # unreadable: cannot prove ownership, leave it
+    try:
+        os.unlink(lock)
+    except FileNotFoundError:
+        pass  # raced with a stale-break: already gone
 
 
 def _local_index_path(index_path: str) -> str:
@@ -2046,7 +2086,7 @@ def compact_index(spark: SparkSession, index_path: str, n_files: int | None = No
     local = _local_index_path(index_path)
     if n_files is not None and n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
-    lock = _acquire_compact_lock(local)
+    lock, lock_token = _acquire_compact_lock(local)
     try:
         _recover_index(local)
         idx = spark.read.parquet(local)
@@ -2070,8 +2110,5 @@ def compact_index(spark: SparkSession, index_path: str, n_files: int | None = No
             shutil.rmtree(tmp, ignore_errors=True)
             raise
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass  # a stale-break by a waiting compactor already removed it
+        _release_compact_lock(lock, lock_token)
     return n

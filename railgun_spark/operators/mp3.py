@@ -638,7 +638,14 @@ def _intensity_stereo(left: np.ndarray, right: np.ndarray, rzero: int,
                 out_l[lo:hi] = (m + s) * inv_sqrt2
                 out_r[lo:hi] = (m - s) * inv_sqrt2
             continue
-        is_pos = int(sfac_right[sfb]) if sfb < len(sfac_right) else 0
+        if sfb >= 21:
+            # sfb 21 has no transmitted scalefactor (long layout carries
+            # bands 0..20); the spec/dist10 convention reuses band 20's
+            # intensity position for the uncoded top band rather than
+            # defaulting to position 0 (all energy to the right channel)
+            is_pos = int(sfac_right[20])
+        else:
+            is_pos = int(sfac_right[sfb])
         if is_pos == 7:  # illegal position: band is not intensity-coded
             if ms:
                 m, s = left[lo:hi], right[lo:hi]
@@ -948,7 +955,13 @@ def _decode_stream(content: bytes):
                 else:
                     sfl, sfs = _read_scalefactors(bits, g, gr, scfsi[ch],
                                                   prev_long[ch])
-                if sfl is not None and not g.window_switching:
+                if sfl is not None and not (
+                    g.window_switching and g.block_type == 2
+                ):
+                    # any granule that decoded the FULL long scalefactor
+                    # layout (normal windows AND start/stop block_type 1/3)
+                    # is a valid scfsi donor for granule 1; mixed blocks
+                    # only carry 8 long bands, so they don't qualify
                     prev_long[ch] = sfl
                 is_ = _decode_spectrum(bits, g, sample_rate, p23_end)
                 xr = _requantize(is_, g, sfl, sfs, sample_rate)

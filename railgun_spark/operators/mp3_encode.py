@@ -81,8 +81,11 @@ def _write_granule(spec, table=13, global_gain=210,
         for v in sf:  # partition rule for sfc=202: slens (2,2,2,2)
             mw.write(v, 2)
     elif scalefacs is not None:
-        if block_type:
-            raise ValueError("explicit scalefacs are long-block only here")
+        if block_type == 2:
+            raise ValueError(
+                "explicit scalefacs are long-LAYOUT only (block_type "
+                "0/1/3; short blocks use the 12x3 layout)"
+            )
         sf = [int(v) for v in scalefacs]
         if len(sf) != 21 or any(not 0 <= v <= 15 for v in sf[:11]) \
                 or any(not 0 <= v <= 7 for v in sf[11:]):

@@ -375,6 +375,7 @@ def test_compact_index_concurrent_lock(spark, tmp_path):
     from railgun_spark.operators.dedup import (
         _LOCK_SUFFIX,
         _acquire_compact_lock,
+        _release_compact_lock,
         compact_index,
     )
 
@@ -395,12 +396,28 @@ def test_compact_index_concurrent_lock(spark, tmp_path):
     assert compact_index(spark, idx, n_files=1) == 2
     assert not os.path.exists(lock)
 
-    # live pid but expired timestamp -> stale (a wedged compactor must not
-    # hold the index hostage past the TTL)
+    # live pid with an expired timestamp -> STILL held: liveness outranks
+    # the TTL (a compaction legitimately running past the TTL is in
+    # progress, and breaking it would recreate the double-rename race)
     with open(lock, "w") as f:
         json.dump({"pid": os.getpid(), "ts": time.time() - 7200}, f)
+    with _pytest.raises(RuntimeError, match="already in progress"):
+        compact_index(spark, idx, n_files=1)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+    # no usable pid + expired timestamp -> TTL fallback fires
+    with open(lock, "w") as f:
+        json.dump({"ts": time.time() - 7200}, f)
     assert compact_index(spark, idx, n_files=1) == 2
     assert not os.path.exists(lock)
+
+    # no usable pid + fresh timestamp -> conservatively held
+    with open(lock, "w") as f:
+        json.dump({"ts": time.time()}, f)
+    with _pytest.raises(RuntimeError, match="already in progress"):
+        compact_index(spark, idx, n_files=1)
+    os.unlink(lock)
 
     # corrupt lock payload -> stale
     with open(lock, "w") as f:
@@ -409,9 +426,46 @@ def test_compact_index_concurrent_lock(spark, tmp_path):
     assert not os.path.exists(lock)
 
     # direct acquire/release round-trip leaves no residue
-    got = _acquire_compact_lock(idx)
+    got, token = _acquire_compact_lock(idx)
     assert got == lock and os.path.exists(lock)
-    os.unlink(lock)
+    _release_compact_lock(lock, token)
+    assert not os.path.exists(lock)
+
+
+def test_release_compact_lock_is_token_checked(tmp_path):
+    """A compactor whose lock was stale-broken and re-acquired by a
+    successor must NOT delete the successor's lock on its way out: release
+    compares the acquisition token and leaves a mismatched lock alone."""
+    import json
+    import os
+
+    from railgun_spark.operators.dedup import (
+        _acquire_compact_lock,
+        _release_compact_lock,
+    )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    lock, token_a = _acquire_compact_lock(idx)
+
+    # simulate a stale-break + successor re-acquire: the lockfile now
+    # carries the successor's token
+    with open(lock) as f:
+        successor = json.load(f)
+    successor["token"] = "successor-token"
+    with open(lock, "w") as f:
+        json.dump(successor, f)
+
+    _release_compact_lock(lock, token_a)  # must be a no-op
+    assert os.path.exists(lock)
+    with open(lock) as f:
+        assert json.load(f)["token"] == "successor-token"
+
+    _release_compact_lock(lock, "successor-token")  # rightful owner
+    assert not os.path.exists(lock)
+
+    # releasing an already-gone lock is a no-op, not an error
+    _release_compact_lock(lock, "successor-token")
 
 
 def test_compact_index_preserves_dir_mode_and_same_fs_tmp(spark, tmp_path):

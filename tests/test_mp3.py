@@ -346,6 +346,59 @@ def test_scalefac_scale_preflag_and_scfsi():
     assert a != b
 
 
+def test_scfsi_reuses_start_stop_block_scalefactors():
+    """scfsi's granule-0 donor is ANY granule that decoded the full long
+    scalefactor layout — including window-switching start (block_type 1)
+    and stop (block_type 3) blocks, not just normal windows. A spec-legal
+    stream with granule 0 as a start/stop block and scfsi set must decode
+    (reusing granule 0's scalefactors), not raise."""
+    line = np.where(np.arange(576) == 17, 12, 0)  # sfb4 (44.1k long)
+    sf = [0] * 21
+    sf[4] = 3  # group 0 (sfb 0-5): the scfsi-flagged group
+    for bt0 in (1, 3):
+        explicit = decode_mp3(encode_mp3(
+            [line] * 2, block_types=[bt0, 0], scalefacs=[sf] * 2
+        ))
+        shared = decode_mp3(encode_mp3(
+            [line] * 2, block_types=[bt0, 0], scalefacs=[sf] * 2,
+            scfsi=[1, 0, 0, 0]
+        ))
+        assert shared["feature"] == explicit["feature"]
+    # a genuinely SHORT granule 0 still cannot donate
+    with pytest.raises(ValueError, match="scfsi set but granule 0 was short"):
+        decode_mp3(encode_mp3([line] * 2, block_types=[2, 0],
+                              scfsi=[1, 0, 0, 0]))
+
+
+def test_intensity_stereo_top_band_reuses_band20_position():
+    """sfb 21 carries no transmitted scalefactor (the long layout stops at
+    band 20); the spec/dist10 convention reuses band 20's intensity
+    position for the uncoded top band. With is_pos[20] = 3 (ratio 1), a
+    top-band line must split half/half — not default to position 0 and
+    send all its energy to the right channel."""
+    from railgun_spark.operators.mp3 import _decode_stream
+
+    starts = np.concatenate(([0], np.cumsum(_SFB_LONG[44100])))
+    top = int(starts[21]) + 2  # inside sfb21 ([418, 576))
+    left = np.where(np.arange(576) == top, 12, 0)
+    right = np.where(np.arange(576) == 5, 12, 0)  # rzero = 6
+    sf_r = [0] * 21
+    sf_r[20] = 3  # tan(3*pi/12) = 1 -> L = R = xr/2 for bands 20 AND 21
+    blob = encode_mp3([(left, right)] * 4, mode=1, mode_ext=1,
+                      scalefacs=[(None, sf_r)] * 4)
+    x, sr, nch = _decode_stream(blob)
+    assert (sr, nch) == (44100, 2)
+
+    def mono(spec):
+        xm, _, _ = _decode_stream(encode_mp3([spec] * 4))
+        return xm[:, 0]
+
+    m_top = mono(left)
+    m5 = mono(right)
+    assert np.allclose(x[:, 0], 0.5 * m_top, atol=1e-9)
+    assert np.allclose(x[:, 1], 0.5 * m_top + m5, atol=1e-9)
+
+
 def test_crc_protected_frames():
     """protection-bit frames carry a CRC-16 over header bytes 2-3 + side
     info; a valid stream decodes identically to its unprotected twin and
