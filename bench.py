@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "dominant_part_suppliers",
     "multimodal_mp3_features",
+    # round-11 gate rotation: the promoted TPC-H flagships are now
+    # driver-gated, so their sf0.1 times must stay visible here too
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "product_type_profit",
+    "important_part_stock",
+    "part_supplier_variety",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -1055,7 +1055,7 @@ def _minhash_oracle() -> str:
 # (or a corpus whose duplicates sit near the threshold, where the S-curve
 # is shallowest) shows up as a recall drop, not as silent dup leakage.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "lsh_recall_report",
     oracle=f"""
     WITH {minhash_pairs_ctes(0.5)},

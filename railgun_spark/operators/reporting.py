@@ -149,7 +149,7 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "cross_source_overlap",
     oracle="""
     WITH t AS (

@@ -433,7 +433,7 @@ def exact_cosine_candidate_pairs(
     )
 
 
-@query(
+@extra_query(
     # r8 rotation: promoted to the driver gate — the round's novel
     # lossless operator, certified directly (asof_join_forward demoted;
     # its backward sibling keeps that row certified)
@@ -946,7 +946,7 @@ def _pq_oracle() -> str:
     """
 
 
-@query(
+@extra_query(
     "ann_pq_topk",
     oracle=_pq_oracle(),
     doc=f"Product-quantization ANN: {PQ_M}x{PQ_DS}-dim subspaces, "
@@ -1345,7 +1345,7 @@ def assign_clusters_batch(
 # 4x4 config at recall 0.516 and certifies the current geometry at its
 # own default threshold.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     # r8 rotation: promoted to the driver gate — this canary is what
     # certifies the retuned 16x3-bit band geometry (recall 0.9891 at the
     # default threshold, vs 0.516 for the r7 config it caught)
@@ -1406,7 +1406,7 @@ def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuses _near_dup_ctes() exactly (the decorator literal cannot)
 from railgun_spark import suite as _suite  # noqa: E402
 
-_suite.REGISTRY["embedding_lsh_recall_report"].oracle = f"""
+_suite.EXTRA["embedding_lsh_recall_report"].oracle = f"""
     WITH {_near_dup_ctes()},
     exact AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -32,14 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from railgun_spark.suite import extra_query
+from railgun_spark.suite import extra_query, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-@extra_query(
+@query(
     "shipping_priority_topk",
     oracle="""
     SELECT l_orderkey,
@@ -79,7 +79,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "local_supplier_volume",
     oracle="""
     SELECT n_name,
@@ -253,7 +253,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product-type profit (TPC-H Q9 shape): a name-substring part filter
 # pruning the fact before a 4-dim join, grouped by (nation, order year).
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "product_type_profit",
     oracle="""
     SELECT n_name AS nation,
@@ -306,7 +306,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HAVING pattern. The total is computed over the ROUNDED per-part values
 # (exact integer sum), so the threshold comparison is engine-exact.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "important_part_stock",
     oracle="""
     WITH val AS (
@@ -357,7 +357,7 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Part-supplier variety (TPC-H Q16 shape): DISTINCT-supplier counts per
 # part attribute with a NOT-IN supplier exclusion lowered to left_anti.
 # --------------------------------------------------------------------------
-@extra_query(
+@query(
     "part_supplier_variety",
     oracle="""
     SELECT p_brand, p_size,
