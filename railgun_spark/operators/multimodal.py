@@ -54,6 +54,49 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# Below this estimated input size a LIGHT decode stage (byte arithmetic,
+# header sniffing) finishes faster on the scan partitions than the
+# spread-shuffle costs; real codecs (heavy=True) always spread.
+SPREAD_MIN_BYTES = 32 << 20
+
+
+def spread_for_decode(
+    df: DataFrame, heavy: bool = False, min_bytes: int = SPREAD_MIN_BYTES
+) -> DataFrame:
+    """Spread a Python-decode-bound frame across the session's cores.
+
+    CPU-bound Arrow decode stages must not be bounded by input FILE
+    SPLITS: a single small parquet file scans as ONE partition, so one
+    core would do all the decoding. Narrow inputs are repartitioned up
+    to ``defaultParallelism``. Three cases skip the shuffle:
+
+    - the frame already carries >= defaultParallelism partitions (any
+      real scan at 100 TB) — the exchange buys nothing;
+    - the frame is streaming — micro-batch parallelism follows the
+      ingest file splits (keep producer files sized to the cluster's
+      cores); a per-batch shuffle needs the shuffle service for no
+      stable benefit;
+    - ``heavy`` is False and Catalyst's size estimate is under
+      ``min_bytes`` — a light decode (byte arithmetic, header fields)
+      over a few MB is faster on one core than the round-trip shuffle.
+
+    ``heavy=True`` marks real-codec stages (JPEG/MP3/FLAC…): tens of
+    ms/row CPU dominates any shuffle at any size, so narrow inputs
+    always spread. Unknown stats (Catalyst's 8-EiB default) count as
+    big — the safe direction.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if not heavy:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if est < min_bytes:
+            return df
+    return df.repartition(target)
+
+
 def fake_decode(content: bytes, kind: str) -> dict:
     """Deterministic stand-in for a real media decoder: derives shape and an
     8-dim feature vector from the bytes themselves. Replaces PIL/ffmpeg in
@@ -194,14 +237,7 @@ _FEAT_SUM_SQL = " + ".join(
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
-    # CPU-bound Python decode must not be bounded by input FILE SPLITS
-    # (one parquet file = one partition = one core doing all decoding):
-    # repartition the tiny metadata+payload rows to the session's
-    # parallelism before the Arrow hop — the shuffle is trivia next to
-    # the decode work it spreads across the cluster
-    media = media_frame(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    media = spread_for_decode(media_frame(spark, sf_dir))
     feats = extract_features(media)
     return feats.select(
         "media_id",
@@ -238,12 +274,11 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mp3", "pandas-udf"),
 )
 def multimodal_mp3_features(spark, sf_dir: str) -> DataFrame:
-    docs = (
+    docs = spread_for_decode(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") % 19 == 0)
-        .select("doc_id")
-        # decode-bound stage: spread across cores, not input file splits
-        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id"),
+        heavy=True,  # real Layer III decode pairs: CPU dominates any size
     )
     schema = T.StructType([
         T.StructField("media_id", T.LongType()),

@@ -29,6 +29,7 @@ from railgun_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_SCHEMA,
     extract_features,
+    spread_for_decode,
 )
 
 
@@ -51,7 +52,11 @@ def stream_media_features_availablenow(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(media_dir)
     )
-    feats = extract_features(stream, decoder=decoder, require_real=require_real)
+    # shared decode-spread policy: no-op on streams (micro-batch
+    # parallelism follows ingest file splits), conditional on batch
+    feats = extract_features(
+        spread_for_decode(stream), decoder=decoder, require_real=require_real
+    )
     q = (
         feats.writeStream.format("parquet")
         .option("path", sink_dir)

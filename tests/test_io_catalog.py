@@ -302,6 +302,35 @@ def test_multimodal_feature_extraction(spark):
     assert [r["frame_idx"] for r in sampled] == [0, 10, 20]
 
 
+def test_spread_for_decode_conditional(spark):
+    """Decode-spread policy: a narrow frame (e.g. a single-file parquet
+    scan = 1 partition) is repartitioned to defaultParallelism so the
+    Python decode stage uses every core; a frame already at or above
+    that parallelism passes through IDENTICALLY — no extra Exchange in
+    the plan (the 100 TB scan path must not pay a pointless shuffle)."""
+    from railgun_spark.operators.multimodal import spread_for_decode
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(1000)
+    narrow = base.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+
+    # heavy (real-codec) decode: narrow input always spreads
+    assert spread_for_decode(narrow, heavy=True).rdd.getNumPartitions() == par
+
+    # light decode over a tiny input: the shuffle costs more than one
+    # core's decode — pass through identically
+    assert spread_for_decode(narrow) is narrow
+
+    # light decode over a "big" input (threshold forced to 0): spreads
+    assert spread_for_decode(narrow, min_bytes=0).rdd.getNumPartitions() == par
+
+    # already-parallel input: identity regardless of cost class
+    wide = base.repartition(par * 2)
+    assert spread_for_decode(wide, heavy=True) is wide
+    assert spread_for_decode(wide) is wide
+
+
 # ---------------- bucketed co-located join ----------------
 
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
