@@ -231,6 +231,7 @@ def cmd_stats(args) -> int:
     )
     from railgun_spark.session import get_spark
 
+    from railgun_spark.operators.multimodal import mp3_refusal_report
     from railgun_spark.operators.similarity import embedding_lsh_recall_report
 
     spark = get_spark("railgun_stats")
@@ -244,6 +245,10 @@ def cmd_stats(args) -> int:
         "span_dup_by_source": span_dup_by_source,
         "vocab_coverage": vocab_coverage_curve,
         "unigram_outliers": unigram_logprob_quality,
+        # decode coverage by refusal reason over the synthetic MP3 corpus;
+        # real media corpora call operators.multimodal.mp3_decode_coverage
+        # on their own (source, content) frame
+        "mp3_refusal_coverage": mp3_refusal_report,
     }
     wanted = args.sections.split(",") if args.sections else list(sections)
     if args.sections is None:
@@ -709,7 +714,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma list: source_quality, token_length_histogram, "
         "cross_source_overlap, containment_recall, lsh_recall, "
         "embedding_lsh_recall, "
-        "span_dup_by_source, vocab_coverage, unigram_outliers",
+        "span_dup_by_source, vocab_coverage, unigram_outliers, "
+        "mp3_refusal_coverage",
     )
     p.add_argument("--pretty", action="store_true")
     p.set_defaults(fn=cmd_stats)

@@ -1011,3 +1011,72 @@ def _decode_stream(content: bytes):
     if first:
         raise ValueError("MP3 stream contains no frames")
     return np.concatenate(pcm, axis=0), sample_rate, n_channels
+
+
+# --------------------------------------------------------------------------
+# Corpus-level refusal observability. Every refusal above is a loud
+# ValueError whose message names its cause; at corpus scale (a 100 TB
+# audio sweep) those surface one file at a time unless they aggregate.
+# classify_mp3_refusal maps the message to a STABLE reason code — the
+# codes are the contract for mp3_decode_coverage (operators/multimodal.py)
+# and the `stats` CLI section, pinned per-class by crafted streams in
+# tests/test_mp3.py. Co-located with the raise sites so message edits and
+# the classifier evolve together. Pattern mirrors errors.py: classify the
+# expected failure taxonomy, never swallow an unknown one silently —
+# unmatched messages land in 'other' and stay visible in the report.
+# --------------------------------------------------------------------------
+MP3_REFUSAL_REASONS = (
+    "uncertified_huffman_table",  # tables 11/15/16-31: transcription refused
+    "lsf_16khz",                  # MPEG-2 16 kHz sfb table refused
+    "unsupported_layer",          # Layer I / Layer II
+    "free_format",                # bitrate index 0
+    "mpeg25",                     # MPEG-2.5 unofficial extension
+    "reserved_header_bits",       # reserved version/sample-rate/bitrate idx
+    "bad_sync",                   # no 0xFFF sync at stream head
+    "truncated",                  # frame/tag/stream cut short, empty stream
+    "crc_mismatch",               # protection bit set, CRC-16 disagrees
+    "reservoir_underflow",        # main_data_begin reaches before stream
+    "unsupported_feature",        # LSF intensity / short-block intensity /
+                                  # LSF mixed blocks
+    "midstream_change",           # rate/mode/version flipped between frames
+    "corrupt_bitstream",          # structural violations inside frame data
+    "other",
+)
+
+_REFUSAL_PATTERNS = (
+    ("outside the certified set", "uncertified_huffman_table"),
+    ("16 kHz refused", "lsf_16khz"),
+    ("only Layer III", "unsupported_layer"),
+    ("free-format", "free_format"),
+    ("MPEG-2.5", "mpeg25"),
+    ("reserved MPEG version", "reserved_header_bits"),
+    ("reserved MP3 sample-rate", "reserved_header_bits"),
+    ("bad MP3 bitrate index", "reserved_header_bits"),
+    ("lost MP3 frame sync", "bad_sync"),
+    ("truncated MP3", "truncated"),
+    ("no frame header", "truncated"),
+    ("truncated ID3v2", "truncated"),
+    ("contains no frames", "truncated"),
+    ("CRC mismatch", "crc_mismatch"),
+    ("bit-reservoir underflow", "reservoir_underflow"),
+    ("intensity stereo", "unsupported_feature"),
+    ("LSF mixed blocks", "unsupported_feature"),
+    ("changed mid-stream", "midstream_change"),
+    # in-frame structural violations: decoded side info or spectrum data
+    # contradicts the spec's invariants
+    ("side info", "corrupt_bitstream"),
+    ("invalid per spec", "corrupt_bitstream"),
+    ("invalid MP3 huffman code", "corrupt_bitstream"),
+    ("big_values", "corrupt_bitstream"),
+    ("overran part2_3_length", "corrupt_bitstream"),
+    ("scfsi set but granule 0", "corrupt_bitstream"),
+)
+
+
+def classify_mp3_refusal(msg: str) -> str:
+    """Map a decode_mp3 ValueError message to its stable reason code
+    (one of MP3_REFUSAL_REASONS; unmatched -> 'other', never raises)."""
+    for pat, reason in _REFUSAL_PATTERNS:
+        if pat in msg:
+            return reason
+    return "other"

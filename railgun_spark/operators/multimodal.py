@@ -308,6 +308,191 @@ def multimodal_mp3_features(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(batches, schema).orderBy("media_id")
 
 
+# --------------------------------------------------------------------------
+# MP3 corpus-refusal observability. The decoder fails closed by NAME
+# (operators/mp3.py) — right per-file, useless per-corpus: a 100 TB audio
+# sweep must answer "what fraction of each source decodes, and why not"
+# as ONE aggregate, the way format coverage is a first-class catalog
+# surface in the reference router
+# (/root/reference/railgun/router/RailgunRouter.go:58). Coverage runs the
+# decode in the Arrow hop, counts (source, reason) MAP-SIDE inside each
+# partition (a Counter per partition, not a row per stream), and ships
+# only the tiny partial-count frame to one shuffle.
+# --------------------------------------------------------------------------
+_COVERAGE_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("reason", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+COVERAGE_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("reason", T.StringType()),
+    T.StructField("n_streams", T.LongType()),
+    T.StructField("permille", T.LongType()),
+])
+
+
+def mp3_decode_coverage(
+    df: DataFrame, content_col: str = "content", source_col: str = "source"
+) -> DataFrame:
+    """(source, mp3-bytes) frame -> per-(source, reason) decode coverage.
+
+    reason is 'decoded' or a stable code from
+    mp3.classify_mp3_refusal (MP3_REFUSAL_REASONS); permille =
+    floor(1000 * n / source_total), integer-exact in any engine. Decode
+    is the heavy leg and stays in one Arrow pass; the aggregate rides a
+    counts-only shuffle (map-side combined by the per-partition
+    Counter). The permille window partitions by source — never a global
+    single-partition window."""
+    from pyspark.sql import Window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        from railgun_spark.operators.mp3 import classify_mp3_refusal, decode_mp3
+
+        counts: Counter = Counter()
+        for pdf in it:
+            for src, content in zip(pdf[source_col], pdf[content_col]):
+                try:
+                    decode_mp3(content)
+                    reason = "decoded"
+                except ValueError as e:
+                    reason = classify_mp3_refusal(str(e))
+                counts[(src, reason)] += 1
+        yield pd.DataFrame(
+            [(s, r, n) for (s, r), n in counts.items()],
+            columns=["source", "reason", "n"],
+        )
+
+    partial = df.select(
+        F.col(source_col).alias("source"), F.col(content_col).alias("content")
+    ).mapInPandas(batches, _COVERAGE_PARTIAL_SCHEMA)
+    agg = partial.groupBy("source", "reason").agg(F.sum("n").alias("n_streams"))
+    per_source = F.sum("n_streams").over(Window.partitionBy("source"))
+    return (
+        agg.withColumn(
+            "permille",
+            F.floor(F.lit(1000) * F.col("n_streams") / per_source).cast("long"),
+        )
+        .orderBy("source", "reason")
+    )
+
+
+# doc_id-derived stream classes for the synthetic refusal corpus: class
+# index -> the reason code the decode MUST produce. Patches reuse the
+# byte/bit surgery pinned by tests/test_mp3.py::test_refusals /
+# test_uncertified_table_refused_by_name on the mono no-CRC layout
+# encode_mp3_tone emits.
+MP3_CRAFT_REASONS = (
+    "decoded",                    # 0: valid tone stream
+    "unsupported_layer",          # 1: layer bits -> Layer II
+    "free_format",                # 2: bitrate index 0
+    "lsf_16khz",                  # 3: version -> MPEG-2, sr index -> 16 kHz
+    "truncated",                  # 4: cut 100 bytes mid-frame
+    "uncertified_huffman_table",  # 5: gr0 table_select[0] -> 16
+    "bad_sync",                   # 6: two zero bytes before the sync word
+    "reserved_header_bits",       # 7: reserved MPEG version bits (01)
+)
+
+
+def _craft_mp3_stream(doc_id: int) -> bytes:
+    """Deterministic stream for doc_id: a real encoded tone, byte-patched
+    into refusal class (doc_id // 13) % 8."""
+    from railgun_spark.operators.mp3_encode import encode_mp3_tone
+
+    d = int(doc_id)
+    blob = bytearray(
+        encode_mp3_tone(1 + d % 20, d % 18, 3 + d % 12, 2 * (1 + d % 2))
+    )
+    cls = (d // 13) % 8
+    if cls == 1:
+        blob[1] = (blob[1] & ~0x06) | 0x04
+    elif cls == 2:
+        blob[2] &= 0x0F
+    elif cls == 3:
+        blob[1] = (blob[1] & ~0x18) | 0x10
+        blob[2] = (blob[2] & ~0x0C) | 0x08
+    elif cls == 4:
+        del blob[-100:]
+    elif cls == 5:
+        # mono, no CRC: side info starts at byte 4; table_select[0] of
+        # granule 0 sits 18+12+9+8+4+1 = 52 bits in
+        off_bits = 4 * 8 + 52
+        for j, bit in enumerate(f"{16:05b}"):
+            byte_i = (off_bits + j) // 8
+            bit_i = 7 - ((off_bits + j) % 8)
+            if bit == "1":
+                blob[byte_i] |= 1 << bit_i
+            else:
+                blob[byte_i] &= ~(1 << bit_i)
+    elif cls == 6:
+        blob[:0] = b"\x00\x00"
+    elif cls == 7:
+        blob[1] = (blob[1] & ~0x18) | 0x08
+    return bytes(blob)
+
+
+_REFUSAL_CASE_SQL = "CASE CAST((doc_id // 13) % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{r}'" for i, r in enumerate(MP3_CRAFT_REASONS)
+) + " END"
+
+
+@query(
+    "mp3_refusal_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, {_REFUSAL_CASE_SQL} AS reason
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    g AS (
+      SELECT source, reason, COUNT(*) AS n_streams
+      FROM s GROUP BY source, reason
+    )
+    SELECT source, reason, n_streams,
+           CAST((1000 * n_streams)
+                // SUM(n_streams) OVER (PARTITION BY source)
+                AS BIGINT) AS permille
+    FROM g
+    ORDER BY source, reason
+    """,
+    doc="Corpus decode-coverage report: per (source, refusal reason) "
+    "stream counts + per-source permille over a synthetic corpus that "
+    "embeds every major refusal class by doc_id arithmetic. The oracle "
+    "recomputes the EXPECTED class per doc in SQL, so the gate certifies "
+    "that real decodes of the crafted streams land in exactly the "
+    "predicted classes — a wrong refusal message, a decode that stops "
+    "failing closed, or a classifier drift all hash-mismatch.",
+    tags=("multimodal", "mp3", "observability", "pandas-udf"),
+)
+def mp3_refusal_report(spark, sf_dir: str) -> DataFrame:
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "source"),
+        heavy=True,  # every row encodes (and usually decodes) a real stream
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "content": [_craft_mp3_stream(d) for d in pdf["doc_id"]],
+                }
+            )
+
+    corpus = docs.mapInPandas(
+        synth,
+        T.StructType([
+            T.StructField("source", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    return mp3_decode_coverage(corpus)
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

@@ -168,7 +168,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
+    # r11 rotation: demoted to make gate room for mp3_refusal_report —
+    # word-level hist/top-k capability stays certified by hist_nested,
+    # window_topk_per_group, and the text token-stat rows
     "word_hist_topk",
     oracle="""
     SELECT word, count(*) AS n

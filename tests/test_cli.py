@@ -174,6 +174,24 @@ def test_stats_subcommand(spark, capsys):
     assert lr["n_exact_pairs"] == lr["n_lsh_pairs"] + lr["n_missed"]
     assert 0.0 <= lr["recall"] <= 1.0
 
+    # round-11: decode coverage by refusal reason (synthetic MP3 corpus)
+    rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
+               "--sections", "mp3_refusal_coverage"])
+    assert rc == 0
+    cov = json.loads(capsys.readouterr().out)["mp3_refusal_coverage"]
+    from railgun_spark.operators.mp3 import MP3_REFUSAL_REASONS
+
+    valid = set(MP3_REFUSAL_REASONS) | {"decoded"}
+    assert cov and all(r["reason"] in valid for r in cov)
+    by_source = {}
+    for r in cov:
+        assert r["n_streams"] > 0 and 0 <= r["permille"] <= 1000
+        by_source.setdefault(r["source"], []).append(r["permille"])
+    # permille shares per source sum to ~1000 (floor rounding loses <1
+    # per reason row)
+    for src, shares in by_source.items():
+        assert 1000 - len(shares) < sum(shares) <= 1000, src
+
 
 def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
     from pyspark.sql import Row

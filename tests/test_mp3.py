@@ -731,3 +731,101 @@ def test_mixed_blocks():
     with pytest.raises(ValueError, match="LSF mixed"):
         decode_mp3(encode_mp3([low] * 2, block_types=[2] * 2, mixed=True,
                               lsf=True))
+
+
+# ---------------------------------------------------------------------------
+# Corpus refusal observability: classifier codes + coverage aggregate
+# ---------------------------------------------------------------------------
+
+def test_refusal_classifier_pins_every_crafted_class():
+    """Each synthetic corpus class must land in EXACTLY its predicted
+    reason code — two full cycles so every class is exercised with two
+    different tone parameterizations."""
+    from railgun_spark.operators.mp3 import classify_mp3_refusal
+    from railgun_spark.operators.multimodal import (
+        MP3_CRAFT_REASONS,
+        _craft_mp3_stream,
+    )
+
+    for j in range(16):
+        d = 13 * j
+        want = MP3_CRAFT_REASONS[j % 8]
+        try:
+            decode_mp3(_craft_mp3_stream(d))
+            got = "decoded"
+        except ValueError as e:
+            got = classify_mp3_refusal(str(e))
+        assert got == want, f"doc_id={d}: want {want}, got {got}"
+
+
+def test_refusal_classifier_additional_reasons():
+    """Reason codes beyond the crafted-corpus classes, each via a real
+    decode failure (never by feeding the classifier a made-up string)."""
+    from railgun_spark.operators.mp3 import classify_mp3_refusal
+
+    def reason_of(blob):
+        with pytest.raises(ValueError) as ei:
+            decode_mp3(blob)
+        return classify_mp3_refusal(str(ei.value))
+
+    good = encode_mp3([_sine_spec(2, 2, 7)] * 2)
+
+    assert reason_of(b"") == "truncated"
+
+    # CRC mismatch: protected frame with a flipped CRC byte
+    prot = bytearray(encode_mp3([_sine_spec(2, 2, 7)] * 2, crc=True))
+    prot[4] ^= 0xFF
+    assert reason_of(bytes(prot)) == "crc_mismatch"
+
+    # reservoir underflow: first frame's main_data_begin forced to 5
+    res = bytearray(good)
+    res[4] = 0x02
+    res[5] |= 0x80
+    assert reason_of(bytes(res)) == "reservoir_underflow"
+
+    # MPEG-2.5: version bits 00
+    v25 = bytearray(good)
+    v25[1] &= ~0x18
+    assert reason_of(bytes(v25)) == "mpeg25"
+
+    # free-format / reserved sample rate map to their own codes
+    ff = bytearray(good)
+    ff[2] &= 0x0F
+    assert reason_of(bytes(ff)) == "free_format"
+    rs = bytearray(good)
+    rs[2] = (rs[2] & ~0x0C) | 0x0C
+    assert reason_of(bytes(rs)) == "reserved_header_bits"
+
+    # unknown text falls through to 'other' (never raises)
+    assert classify_mp3_refusal("entirely new failure mode") == "other"
+
+
+def test_mp3_decode_coverage_aggregate(spark):
+    """The coverage operator: per-(source, reason) counts + integer
+    permille shares over a two-source frame mixing decodes and
+    refusals."""
+    import pyspark.sql.types as T
+
+    from railgun_spark.operators.multimodal import mp3_decode_coverage
+
+    good = encode_mp3([_sine_spec(2, 2, 7)] * 2)
+    layer2 = bytearray(good)
+    layer2[1] = (layer2[1] & ~0x06) | 0x04
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    rows = (
+        [("a", bytearray(good))] * 3
+        + [("a", layer2)]
+        + [("b", bytearray(good[:-50]))] * 2
+    )
+    out = mp3_decode_coverage(spark.createDataFrame(rows, schema)).collect()
+    got = {(r["source"], r["reason"]): (r["n_streams"], r["permille"]) for r in out}
+    assert got == {
+        ("a", "decoded"): (3, 750),
+        ("a", "unsupported_layer"): (1, 250),
+        ("b", "truncated"): (2, 1000),
+    }
+    # ordered by (source, reason) for stable reporting
+    assert [(r["source"], r["reason"]) for r in out] == sorted(got)

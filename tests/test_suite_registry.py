@@ -124,6 +124,9 @@ EXPECTED_EXTRA = {
     # gate certifies the Q3/Q5/Q9/Q11/Q16 flagships directly (capabilities
     # stay certified by REGISTRY siblings + this local gate)
     "lsh_recall_report",  # canary runs both legs; dedup_minhash_lsh certifies
+    # round-11: demoted for mp3_refusal_report gate room; word hist/top-k
+    # stays certified by hist_nested + window_topk_per_group + text stats
+    "word_hist_topk",
     "embedding_lsh_recall_report",  # canary; embedding_near_dup_pairs certifies
     "embedding_neardup_exact_pairs",  # verify leg of embedding_near_dup_pairs
     "ann_pq_topk",  # ANN: ann_lsh_topk + ann_ivf_topk keep the gate row
