@@ -1647,28 +1647,70 @@ def dedup_cluster_survivors_exact(spark: SparkSession, sf_dir: str) -> DataFrame
 _BACKUP_SUFFIX = ".compact_backup"
 _LOCK_SUFFIX = ".compact.lock"
 _LOCK_STALE_S = 3600.0  # a compaction pass at index scale is minutes, not hours
+# Final backstop when holder identity can't be verified beyond "some
+# process with that pid exists" (no /proc, or a pre-identity lock format):
+# if the OS recycled a SIGKILLed compactor's pid into an unrelated
+# long-lived process, the lock still breaks after this cap instead of
+# wedging the index until manual intervention.
+_LOCK_HARD_CAP_S = 24 * 3600.0
+
+
+def _proc_identity(pid: int) -> "str | None":
+    """Stable identity for a live process: kernel boot id + the process
+    start time from /proc/<pid>/stat field 22 (clock ticks since boot).
+    A recycled pid gets a different start time, and a rebooted machine a
+    different boot id — so identity equality proves THE SAME process,
+    which a bare os.kill(pid, 0) existence probe cannot. None when /proc
+    is unavailable (non-Linux) or the process vanished mid-read."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) is parenthesized and may itself contain spaces
+        # or parens; fields 3+ start after the LAST ')'
+        start_ticks = int(stat.rsplit(b")", 1)[1].split()[19])
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+        return f"{boot_id}:{start_ticks}"
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _acquire_compact_lock(local: str) -> "tuple[str, str]":
-    """O_EXCL lockfile serializing compactors on one index: two concurrent
+    """Atomic lockfile serializing compactors on one index: two concurrent
     `compact_index` runs would otherwise interleave the tmp-dir double
     rename (the second's rename(live->backup) fails mid-swap, or worse, a
     racing `_recover_index` restores the backup between the winner's two
-    renames and aborts it). The lock carries {pid, ts, token}. Staleness
-    is decided by HOLDER LIVENESS first: a lock whose pid is provably
-    alive is never broken — not even past the TTL, because a compaction
-    legitimately running longer than the TTL is 'in progress', and
-    breaking it would recreate the exact double-rename race the lock
-    exists to prevent. The TTL is the fallback for locks whose liveness
-    is unknowable (missing/corrupt pid); a provably dead holder (a
-    compactor SIGKILLed mid-pass) is broken immediately so it cannot
-    wedge the index forever. Returns (lock_path, token); pair with
-    `_release_compact_lock` so only the acquisition that wrote the lock
-    can remove it. The read-check-unlink break has the usual ABA window
-    (a fresh lock recreated between read and unlink could be broken) —
-    acceptable: it requires a second compactor to appear inside that
-    microsecond window on an index whose contract is 'one maintenance
-    process', and the loser of the subsequent O_EXCL still fails loudly."""
+    renames and aborts it).
+
+    The lock carries {pid, ts, token, identity} and is created by
+    hardlinking a fully-written unique temp file into place — link(2) is
+    atomic and fails on an existing target like O_EXCL, but the lockfile
+    carries its COMPLETE payload from the instant it exists, so a reader
+    can never observe the empty window between an O_EXCL create and its
+    write (which would misread a freshly-created live lock as corrupt).
+    Filesystems without hardlinks fall back to O_EXCL + write.
+
+    Staleness is decided by HOLDER IDENTITY first: the payload records
+    the holder's (boot id, process start time) identity, and a lock is
+    treated as held only while a process with BOTH that pid and that
+    identity is alive — never broken even past the TTL, because a
+    compaction legitimately running long is 'in progress', and breaking
+    it would recreate the exact double-rename race the lock exists to
+    prevent. A pid that exists but with a DIFFERENT identity is a
+    recycled pid: the holder is provably dead, broken immediately. When
+    identity is unverifiable (no /proc, pre-identity lock format) a live
+    pid holds the lock up to the 24h hard cap — the pid-reuse backstop.
+    No usable pid at all -> the 1h TTL decides, measured from the payload
+    ts, or from the file's mtime when the payload is unreadable (a
+    corrupt lock younger than the TTL is NOT broken on sight).
+
+    Returns (lock_path, token); pair with `_release_compact_lock` so only
+    the acquisition that wrote the lock can remove it. The
+    read-check-unlink break has the usual ABA window (a fresh lock
+    recreated between read and unlink could be broken) — acceptable: it
+    requires a second compactor to appear inside that microsecond window
+    on an index whose contract is 'one maintenance process', and the
+    loser of the subsequent atomic create still fails loudly."""
     import json
     import os
     import time
@@ -1676,53 +1718,95 @@ def _acquire_compact_lock(local: str) -> "tuple[str, str]":
 
     lock = local.rstrip("/") + _LOCK_SUFFIX
     token = uuid.uuid4().hex
-    for attempt in range(2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    payload = json.dumps({
+        "pid": os.getpid(),
+        "ts": time.time(),
+        "token": token,
+        "identity": _proc_identity(os.getpid()),
+    }).encode()
+    tmp = f"{lock}.{os.getpid()}.{token[:8]}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    try:
+        for attempt in range(2):
             try:
-                os.write(fd, json.dumps(
-                    {"pid": os.getpid(), "ts": time.time(), "token": token}
-                ).encode())
-            finally:
-                os.close(fd)
-            return lock, token
-        except FileExistsError:
+                os.link(tmp, lock)  # atomic: fails if lock exists
+                return lock, token
+            except FileExistsError:
+                pass
+            except OSError:
+                # filesystem without hardlink support: O_EXCL fallback
+                # (reopens the tiny empty-payload window; better than no
+                # lock at all)
+                try:
+                    fd = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                    )
+                    try:
+                        os.write(fd, payload)
+                    finally:
+                        os.close(fd)
+                    return lock, token
+                except FileExistsError:
+                    pass
             if attempt:  # the break below already ran once
                 break
+            now = time.time()
+            held_identity = None
             try:
                 with open(lock) as f:
                     info = json.load(f)
                 pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
+                held_identity = info.get("identity")
+            except FileNotFoundError:
+                continue  # holder released between link and read: retry
             except (OSError, ValueError):
-                pid, ts = -1, 0.0  # unreadable/corrupt lock
-            alive = None  # unknown until probed
+                pid = -1  # unreadable/corrupt payload: age by file mtime
+                try:
+                    ts = os.stat(lock).st_mtime
+                except FileNotFoundError:
+                    continue
             if pid > 0:
                 try:
                     os.kill(pid, 0)  # signal 0: existence probe only
-                    alive = True
+                    exists = True
                 except ProcessLookupError:
-                    alive = False
+                    exists = False
                 except PermissionError:
-                    alive = True  # exists, owned by someone else: live
-            if alive is None:
-                # no usable pid: the TTL is the only signal left
-                stale = (time.time() - ts) > _LOCK_STALE_S
+                    exists = True  # exists, owned by someone else
+                if not exists:
+                    stale = True  # provably dead holder
+                else:
+                    current = _proc_identity(pid)
+                    if held_identity and current is not None:
+                        # identity-verified: same process -> held forever;
+                        # different -> the pid was recycled, holder is dead
+                        stale = current != held_identity
+                    else:
+                        # liveness beyond existence unverifiable: hard cap
+                        stale = (now - ts) > _LOCK_HARD_CAP_S
             else:
-                stale = not alive
+                # no usable pid: the TTL is the only signal left
+                stale = (now - ts) > _LOCK_STALE_S
             if not stale:
                 raise RuntimeError(
                     f"index compaction already in progress (lock {lock!r} "
                     f"held by live pid {pid}, "
-                    f"age {time.time() - ts:.0f}s); one compactor per index"
+                    f"age {now - ts:.0f}s); one compactor per index"
                 ) from None
             try:
                 os.unlink(lock)
             except FileNotFoundError:
                 pass  # holder finished between read and unlink: retry wins
-    raise RuntimeError(
-        f"could not acquire compaction lock {lock!r} after breaking a "
-        f"stale holder — another compactor grabbed it first"
-    )
+        raise RuntimeError(
+            f"could not acquire compaction lock {lock!r} after breaking a "
+            f"stale holder — another compactor grabbed it first"
+        )
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _release_compact_lock(lock: str, token: str) -> None:

@@ -419,17 +419,56 @@ def test_compact_index_concurrent_lock(spark, tmp_path):
         compact_index(spark, idx, n_files=1)
     os.unlink(lock)
 
-    # corrupt lock payload -> stale
+    # corrupt lock payload, FRESH mtime -> held: a reader can no longer
+    # break a just-created lock it happens to misread (the atomic-link
+    # create makes the empty window impossible from OUR writer, but a
+    # foreign/partial write must still age out by mtime, not on sight)
     with open(lock, "w") as f:
         f.write("not json")
+    with _pytest.raises(RuntimeError, match="already in progress"):
+        compact_index(spark, idx, n_files=1)
+    assert os.path.exists(lock)
+
+    # corrupt lock payload, mtime past the TTL -> stale, broken
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
     assert compact_index(spark, idx, n_files=1) == 2
     assert not os.path.exists(lock)
 
-    # direct acquire/release round-trip leaves no residue
+    # pid-recycling: a lock whose pid is ALIVE (this process) but whose
+    # recorded identity belongs to a different process incarnation is a
+    # SIGKILLed holder whose pid the OS reused — provably dead, broken
+    # immediately even with a fresh timestamp
+    from railgun_spark.operators.dedup import _proc_identity
+
+    if _proc_identity(os.getpid()) is not None:  # /proc available
+        with open(lock, "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time(),
+                       "identity": "other-boot:12345"}, f)
+        assert compact_index(spark, idx, n_files=1) == 2
+        assert not os.path.exists(lock)
+
+    # pre-identity lock format (live pid, no identity field): held under
+    # the 24h hard cap, broken past it — the backstop for pid reuse when
+    # identity can't be verified
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": time.time() - 25 * 3600}, f)
+    assert compact_index(spark, idx, n_files=1) == 2
+    assert not os.path.exists(lock)
+
+    # direct acquire/release round-trip leaves no residue (lockfile AND
+    # the link-source temp file)
     got, token = _acquire_compact_lock(idx)
     assert got == lock and os.path.exists(lock)
+    # the freshly-acquired lock carries its full payload from birth
+    with open(lock) as f:
+        info = json.load(f)
+    assert info["token"] == token and info["pid"] == os.getpid()
+    assert info.get("identity") == _proc_identity(os.getpid())
     _release_compact_lock(lock, token)
     assert not os.path.exists(lock)
+    leftovers = [p for p in os.listdir(os.path.dirname(lock))
+                 if p.endswith(".tmp")]
+    assert leftovers == []
 
 
 def test_release_compact_lock_is_token_checked(tmp_path):
