@@ -774,10 +774,21 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FORWARD as-of join — the direction twin of asof_join_orders_events
 # (pandas merge_asof direction='forward'): each order matched to the
 # EARLIEST FOLLOWING event of its user. Same union + single window
-# shuffle; the frame flips to (CURRENT ROW, UNBOUNDED FOLLOWING) with a
-# null-skipping first_value. Same-timestamp events sort before the order
-# row and therefore attach BACKWARD (documented tie policy, consistent
-# with the backward twin where same-ts events count as preceding).
+# shuffle. Same-timestamp events sort before the order row and therefore
+# attach BACKWARD (documented tie policy, consistent with the backward
+# twin where same-ts events count as preceding).
+#
+# Execution note (caught by the r11 full-registry sf1 sweep at x18.9):
+# the natural frame — first_value IGNORE NULLS over (CURRENT ROW,
+# UNBOUNDED FOLLOWING), which the SQL oracle still uses — is quadratic
+# per partition in Spark: UnboundedFollowingWindowFunctionFrame
+# re-aggregates the whole remaining frame for every row, O(n^2) on the
+# skewed 150-key uid space. The Spark side therefore flips the sort
+# DESCENDING and takes a null-skipping last() over (UNBOUNDED PRECEDING,
+# CURRENT ROW) — the running-aggregate frame Spark maintains
+# incrementally, O(n) — which selects the identical row: the frame is
+# the same "sorts at-or-after me ascending" set, and last-non-null in
+# descending frame order is the ascending-minimal event.
 # --------------------------------------------------------------------------
 @extra_query(
     # r8 rotation: demoted to EXTRA — the backward as-of
@@ -826,12 +837,16 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.unionByName(orders)
     w = (
         Window.partitionBy("uid")
-        .orderBy("ts", "is_order", F.coalesce("event_id", "o_orderkey"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.desc("ts"),
+            F.desc("is_order"),
+            F.desc(F.coalesce("event_id", "o_orderkey")),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.withColumn(
         "next_event_id",
-        F.first(
+        F.last(
             F.when(F.col("is_order") == 0, F.col("event_id")), ignorenulls=True
         ).over(w),
     )
