@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "product_type_profit",
     "important_part_stock",
     "part_supplier_variety",
+    # round-11 flagship: corpus decode-coverage observability (real MP3
+    # encode+decode per stream inside the Arrow hop)
+    "mp3_refusal_report",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return
