@@ -1,0 +1,142 @@
+"""Ingest-gate throughput GRID: docs/sec per (gate, index-size,
+batch-size) cell for the three admission gates —
+
+  content    exact content-hash anti-join (streaming/ingest.ingest_batch)
+  span       content gate + incremental exact-substring window-hash gate
+  embedding  sign-LSH band gate (ingest_embeddings_batch)
+
+tools/ingest_probe.py measures the end-to-end streaming drain (per-
+micro-batch overhead included); THIS grid isolates the per-batch gate
+cost and answers the scale question directly: admission cost must track
+BATCH size, not INDEX size — the bucketed index layout means the
+index-side leg of the anti-join is a co-located scan, not a reshuffle
+(BUCKETED_JOIN_PROBE_r09: 0 index-side exchanges), so a cell at 10x the
+index rows should run at the same docs/sec.
+
+Method per cell: populate an index to the target size ONCE per (gate,
+index-size) via the gate itself (untimed), copy it (cells must not see
+each other's appends), then time ONE ingest_batch of the target batch
+size end-to-end: anti-join(s) + sink write + index append(s). Batches
+come from sf0.1; index populations from the token-salted /
+sign-flipped sf1-probe dataset (zero content overlap with the batch by
+construction, minus the embedding set's unperturbed copy 0, which is
+dropped), so every cell measures the ADMIT path — the expensive one.
+
+Usage: python tools/ingest_grid.py [--out FILE]
+Env: SPARK_GRAFT_SF1_DIR (default /tmp/sf1_probe; built on demand).
+Prints one JSON line: {"metric": "ingest_grid", "cells": [
+  {"gate": g, "index_docs": I, "batch_docs": B, "sec": s,
+   "docs_per_sec": r, "admitted": n}, ...]}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+INDEX_SIZES = (0, 5_000, 50_000)
+BATCH_SIZES = (500, 2_500, 5_000)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from railgun_spark.session import get_spark
+    from railgun_spark.streaming.ingest import (
+        ingest_batch,
+        ingest_embeddings_batch,
+    )
+    from tools.sf1_probe import SHIFT, _build_sf1
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_probe")
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark("ingest_grid")
+    _build_sf1(spark, sf1_dir)
+
+    docs_batch_src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_index_src = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    emb_batch_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # copy 0 of the sf1 embeddings is the UNPERTURBED sf0.1 set — drop it
+    # so the batch vectors are novel to the index and take the admit path
+    emb_index_src = spark.read.parquet(f"{sf1_dir}/embeddings.parquet").filter(
+        F.col("vec_id") >= SHIFT
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_grid_")
+    cells = []
+
+    def run_gate(gate: str, index_src, batch_src, populate, time_batch,
+                 suffixes=("",)):
+        for idx_n in INDEX_SIZES:
+            base_idx = os.path.join(work, f"{gate}_idx_{idx_n}")
+            if idx_n > 0:
+                populate(index_src.limit(idx_n), base_idx)
+            for batch_n in BATCH_SIZES:
+                cell_dir = os.path.join(work, f"{gate}_{idx_n}_{batch_n}")
+                os.makedirs(cell_dir)
+                idx = os.path.join(cell_dir, "idx")
+                if idx_n > 0:
+                    for sfx in suffixes:  # content index (+ span sibling)
+                        shutil.copytree(base_idx + sfx, idx + sfx)
+                batch = batch_src.limit(batch_n).localCheckpoint()
+                batch.count()  # materialize outside the timed window
+                t0 = time.time()
+                admitted = time_batch(batch, idx, os.path.join(cell_dir, "sink"))
+                dt = time.time() - t0
+                cells.append({
+                    "gate": gate, "index_docs": idx_n, "batch_docs": batch_n,
+                    "sec": round(dt, 2),
+                    "docs_per_sec": round(batch_n / dt, 1),
+                    "admitted": admitted,
+                })
+                print(f"{gate:9s} idx={idx_n:6d} batch={batch_n:5d} "
+                      f"{dt:6.2f}s  {batch_n / dt:8.1f} docs/s "
+                      f"admitted={admitted}", flush=True)
+
+    # gate 1: exact content hash
+    run_gate(
+        "content", docs_index_src, docs_batch_src,
+        populate=lambda df, idx: ingest_batch(
+            df, idx, idx + "_popsink"),
+        time_batch=lambda b, idx, sink: ingest_batch(b, idx, sink),
+    )
+    # gate 2: content + span window hashes (two indexes; the span index
+    # is populated alongside by the same gate call)
+    run_gate(
+        "span", docs_index_src, docs_batch_src,
+        populate=lambda df, idx: ingest_batch(
+            df, idx, idx + "_popsink", span_index_path=idx + "_span"),
+        time_batch=lambda b, idx, sink: ingest_batch(
+            b, idx, sink, span_index_path=idx + "_span"),
+        suffixes=("", "_span"),
+    )
+    # gate 3: embedding sign-LSH bands
+    run_gate(
+        "embedding", emb_index_src, emb_batch_src,
+        populate=lambda df, idx: ingest_embeddings_batch(
+            df, idx, idx + "_popsink"),
+        time_batch=lambda b, idx, sink: ingest_embeddings_batch(b, idx, sink),
+    )
+
+    shutil.rmtree(work, ignore_errors=True)
+    payload = {"metric": "ingest_grid", "index_sizes": list(INDEX_SIZES),
+               "batch_sizes": list(BATCH_SIZES), "cells": cells}
+    line = json.dumps(payload)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
