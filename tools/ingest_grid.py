@@ -88,18 +88,21 @@ def main() -> int:
                     for sfx in suffixes:  # content index (+ span sibling)
                         shutil.copytree(base_idx + sfx, idx + sfx)
                 batch = batch_src.limit(batch_n).localCheckpoint()
-                batch.count()  # materialize outside the timed window
+                # materialize outside the timed window; rows can be fewer
+                # than requested (source smaller than the nominal size) —
+                # throughput must divide by the ACTUAL row count
+                rows = batch.count()
                 t0 = time.time()
                 admitted = time_batch(batch, idx, os.path.join(cell_dir, "sink"))
                 dt = time.time() - t0
                 cells.append({
-                    "gate": gate, "index_docs": idx_n, "batch_docs": batch_n,
+                    "gate": gate, "index_docs": idx_n, "batch_docs": rows,
                     "sec": round(dt, 2),
-                    "docs_per_sec": round(batch_n / dt, 1),
+                    "docs_per_sec": round(rows / dt, 1),
                     "admitted": admitted,
                 })
-                print(f"{gate:9s} idx={idx_n:6d} batch={batch_n:5d} "
-                      f"{dt:6.2f}s  {batch_n / dt:8.1f} docs/s "
+                print(f"{gate:9s} idx={idx_n:6d} batch={rows:5d} "
+                      f"{dt:6.2f}s  {rows / dt:8.1f} docs/s "
                       f"admitted={admitted}", flush=True)
 
     # gate 1: exact content hash
