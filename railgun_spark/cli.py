@@ -231,7 +231,10 @@ def cmd_stats(args) -> int:
     )
     from railgun_spark.session import get_spark
 
-    from railgun_spark.operators.multimodal import mp3_refusal_report
+    from railgun_spark.operators.multimodal import (
+        media_refusal_report,
+        mp3_refusal_report,
+    )
     from railgun_spark.operators.similarity import embedding_lsh_recall_report
 
     spark = get_spark("railgun_stats")
@@ -249,6 +252,8 @@ def cmd_stats(args) -> int:
         # real media corpora call operators.multimodal.mp3_decode_coverage
         # on their own (source, content) frame
         "mp3_refusal_coverage": mp3_refusal_report,
+        # decode coverage across the whole codec matrix (image/audio/video)
+        "media_refusal_coverage": media_refusal_report,
     }
     wanted = args.sections.split(",") if args.sections else list(sections)
     if args.sections is None:
@@ -715,7 +720,7 @@ def build_parser() -> argparse.ArgumentParser:
         "cross_source_overlap, containment_recall, lsh_recall, "
         "embedding_lsh_recall, "
         "span_dup_by_source, vocab_coverage, unigram_outliers, "
-        "mp3_refusal_coverage",
+        "mp3_refusal_coverage, media_refusal_coverage",
     )
     p.add_argument("--pretty", action="store_true")
     p.set_defaults(fn=cmd_stats)

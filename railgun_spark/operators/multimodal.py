@@ -397,6 +397,20 @@ MP3_CRAFT_REASONS = (
 )
 
 
+def _patch_table16(blob: bytearray) -> None:
+    """Point granule 0's table_select[0] of a mono no-CRC MPEG-1 frame at
+    uncertified Huffman table 16 (side info starts at byte 4;
+    table_select[0] sits 18+12+9+8+4+1 = 52 bits in)."""
+    off_bits = 4 * 8 + 52
+    for j, bit in enumerate(f"{16:05b}"):
+        byte_i = (off_bits + j) // 8
+        bit_i = 7 - ((off_bits + j) % 8)
+        if bit == "1":
+            blob[byte_i] |= 1 << bit_i
+        else:
+            blob[byte_i] &= ~(1 << bit_i)
+
+
 def _craft_mp3_stream(doc_id: int) -> bytes:
     """Deterministic stream for doc_id: a real encoded tone, byte-patched
     into refusal class (doc_id // 13) % 8."""
@@ -417,16 +431,7 @@ def _craft_mp3_stream(doc_id: int) -> bytes:
     elif cls == 4:
         del blob[-100:]
     elif cls == 5:
-        # mono, no CRC: side info starts at byte 4; table_select[0] of
-        # granule 0 sits 18+12+9+8+4+1 = 52 bits in
-        off_bits = 4 * 8 + 52
-        for j, bit in enumerate(f"{16:05b}"):
-            byte_i = (off_bits + j) // 8
-            bit_i = 7 - ((off_bits + j) % 8)
-            if bit == "1":
-                blob[byte_i] |= 1 << bit_i
-            else:
-                blob[byte_i] &= ~(1 << bit_i)
+        _patch_table16(blob)
     elif cls == 6:
         blob[:0] = b"\x00\x00"
     elif cls == 7:
@@ -491,6 +496,262 @@ def mp3_refusal_report(spark, sf_dir: str) -> DataFrame:
         ]),
     )
     return mp3_decode_coverage(corpus)
+
+
+# --------------------------------------------------------------------------
+# Generalized decode coverage across the WHOLE codec matrix (image:
+# PPM/BMP/PNG/GIF/TIFF/JPEG, audio: WAV/FLAC/AIFF/AU/MP3, video:
+# Y4M/MJPEG-AVI). Every decoder in this module fails closed with a named
+# ValueError; classify_media_refusal folds those names into a small
+# stable taxonomy so a mixed-modality 100 TB corpus gets ONE coverage
+# report: per (source, kind, reason) stream counts. MP3 messages keep
+# their fine-grained codes (classify_mp3_refusal); everything else maps
+# by message stem — the stems are this module's own raise-site
+# vocabulary ('truncated …', '… not supported', 'corrupt …', 'bad …'),
+# pinned by the crafted-class tests.
+# --------------------------------------------------------------------------
+MEDIA_REFUSAL_REASONS = (
+    "truncated",           # payload shorter than its headers declare
+    "unsupported_codec",   # container/magic outside the library-free set
+    "unsupported_feature", # known container, refused variant (16-bit PGM,
+                           # palette TIFF, arithmetic JPEG, ...)
+    "corrupt",             # structural violation inside the payload
+    "other",
+)
+
+
+def classify_media_refusal(kind: str, msg: str) -> str:
+    """Map a decode_media ValueError message to a stable reason code:
+    one of MP3_REFUSAL_REASONS (audio payloads whose message matches the
+    MP3 taxonomy) or MEDIA_REFUSAL_REASONS. Never raises."""
+    from railgun_spark.operators.mp3 import classify_mp3_refusal
+
+    if kind == "audio":
+        r = classify_mp3_refusal(msg)
+        if r != "other":
+            return r
+    m = msg.lower()
+    if ("needs a codec library" in m or "need a codec library" in m
+            or "unknown media kind" in m or "codecs need" in m):
+        return "unsupported_codec"
+    if "truncated" in m:
+        return "truncated"
+    if "not supported" in m or "unsupported" in m or "supported (" in m:
+        return "unsupported_feature"
+    if ("corrupt" in m or "bad " in m or "invalid" in m
+            or "zero-dimension" in m or "missing" in m
+            or "no color table" in m or "contains no image" in m
+            or "no frames" in m):
+        return "corrupt"
+    return "other"
+
+
+_MEDIA_COVERAGE_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("reason", T.StringType()),
+    T.StructField("n", T.LongType()),
+])
+
+MEDIA_COVERAGE_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("reason", T.StringType()),
+    T.StructField("n_streams", T.LongType()),
+    T.StructField("permille", T.LongType()),
+])
+
+
+def media_decode_coverage(
+    df: DataFrame,
+    content_col: str = "content",
+    kind_col: str = "kind",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, kind, media-bytes) frame -> per-(source, kind, reason)
+    decode coverage through the REAL decode_media dispatch. Same scale
+    shape as mp3_decode_coverage: decode in one Arrow pass, (source,
+    kind, reason) counted map-side per partition, counts-only shuffle,
+    permille window partitioned by source."""
+    from pyspark.sql import Window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for pdf in it:
+            for src, kind, content in zip(
+                pdf[source_col], pdf[kind_col], pdf[content_col]
+            ):
+                try:
+                    decode_media(content, kind)
+                    reason = "decoded"
+                except ValueError as e:
+                    reason = classify_media_refusal(kind, str(e))
+                counts[(src, kind, reason)] += 1
+        yield pd.DataFrame(
+            [(s, k, r, n) for (s, k, r), n in counts.items()],
+            columns=["source", "kind", "reason", "n"],
+        )
+
+    partial = df.select(
+        F.col(source_col).alias("source"),
+        F.col(kind_col).alias("kind"),
+        F.col(content_col).alias("content"),
+    ).mapInPandas(batches, _MEDIA_COVERAGE_PARTIAL_SCHEMA)
+    agg = partial.groupBy("source", "kind", "reason").agg(
+        F.sum("n").alias("n_streams")
+    )
+    per_source = F.sum("n_streams").over(Window.partitionBy("source"))
+    return (
+        agg.withColumn(
+            "permille",
+            F.floor(F.lit(1000) * F.col("n_streams") / per_source).cast("long"),
+        )
+        .orderBy("source", "kind", "reason")
+    )
+
+
+# doc_id-derived (kind, codec/class) table for the synthetic mixed-media
+# corpus: index -> (kind, expected reason). Decoded classes span all
+# three modalities and six containers; refusal classes exercise each
+# taxonomy bucket through a REAL decode failure.
+MEDIA_CRAFT_CLASSES = (
+    ("image", "decoded"),                    # 0: PPM P6
+    ("image", "decoded"),                    # 1: PNG (gray, from-scratch)
+    ("image", "decoded"),                    # 2: baseline JPEG (own encoder)
+    ("audio", "decoded"),                    # 3: RIFF/WAVE 16-bit PCM
+    ("audio", "decoded"),                    # 4: MP3 tone (own encoder)
+    ("video", "decoded"),                    # 5: Y4M C420
+    ("image", "unsupported_codec"),          # 6: WEBP magic
+    ("image", "truncated"),                  # 7: PNG cut mid-chunk
+    ("audio", "uncertified_huffman_table"),  # 8: MP3 table-16 patch
+    ("video", "truncated"),                  # 9: Y4M cut mid-frame
+)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
+    """Deterministic (kind, bytes) for doc_id, class (doc_id // 7) % 10
+    per MEDIA_CRAFT_CLASSES."""
+    import struct
+    import zlib
+
+    d = int(doc_id)
+    cls = (d // 7) % 10
+    if cls == 0:
+        return "image", b"P6\n4 4\n255\n" + bytes((d + i) % 256 for i in range(48))
+    if cls in (1, 7):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        raw = (b"\x00" + bytes([d % 256, (d + 1) % 256])
+               + b"\x00" + bytes([(d + 2) % 256, (d + 3) % 256]))
+        png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+        return "image", png if cls == 1 else png[:20]
+    if cls == 2:
+        import numpy as np
+
+        from railgun_spark.operators.jpeg import encode_gray_jpeg
+
+        return "image", encode_gray_jpeg(
+            np.full((8, 8), 16 + d % 224, dtype=np.uint8)
+        )
+    if cls == 3:
+        data = b"".join(
+            struct.pack("<h", ((d * 37 + i * 97) % 65536) - 32768)
+            for i in range(16)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return "audio", b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    if cls in (4, 8):
+        from railgun_spark.operators.mp3_encode import encode_mp3_tone
+
+        blob = bytearray(encode_mp3_tone(1 + d % 20, d % 18, 3 + d % 12))
+        if cls == 8:
+            _patch_table16(blob)
+        return "audio", bytes(blob)
+    if cls in (5, 9):
+        luma = bytes((d + i) % 256 for i in range(16))
+        y4m = b"YUV4MPEG2 W4 H4 F25:1\n" + b"FRAME\n" + luma + bytes(8)
+        return "video", y4m if cls == 5 else y4m[:-10]
+    return "image", b"RIFF\x10\x00\x00\x00WEBPVP8 "  # cls 6
+
+
+_MEDIA_KIND_CASE = "CASE CAST((doc_id // 7) % 10 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{k}'" for i, (k, _) in enumerate(MEDIA_CRAFT_CLASSES)
+) + " END"
+_MEDIA_REASON_CASE = "CASE CAST((doc_id // 7) % 10 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{r}'" for i, (_, r) in enumerate(MEDIA_CRAFT_CLASSES)
+) + " END"
+
+
+@extra_query(
+    "media_refusal_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             {_MEDIA_KIND_CASE} AS kind,
+             {_MEDIA_REASON_CASE} AS reason
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    g AS (
+      SELECT source, kind, reason, COUNT(*) AS n_streams
+      FROM s GROUP BY source, kind, reason
+    )
+    SELECT source, kind, reason, n_streams,
+           CAST((1000 * n_streams)
+                // SUM(n_streams) OVER (PARTITION BY source)
+                AS BIGINT) AS permille
+    FROM g
+    ORDER BY source, kind, reason
+    """,
+    doc="Whole-codec-matrix decode-coverage report: the mp3_refusal_report "
+    "pattern generalized through the decode_media dispatch over a "
+    "synthetic MIXED-MODALITY corpus (PPM/PNG/JPEG images, WAV/MP3 audio, "
+    "Y4M video, plus crafted per-taxonomy refusals). The oracle "
+    "recomputes each doc's expected (kind, reason) from doc_id "
+    "arithmetic, so real decodes across six containers must land in "
+    "exactly the predicted classes.",
+    tags=("multimodal", "observability", "pandas-udf"),
+)
+def media_refusal_report(spark, sf_dir: str) -> DataFrame:
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "source"),
+        heavy=True,  # every row encodes + decodes a real stream
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, blobs = [], []
+            for d in pdf["doc_id"]:
+                kind, blob = _craft_media_stream(d)
+                kinds.append(kind)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"source": pdf["source"], "kind": kinds, "content": blobs}
+            )
+
+    corpus = docs.mapInPandas(
+        synth,
+        T.StructType([
+            T.StructField("source", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    return media_decode_coverage(corpus)
 
 
 @query(

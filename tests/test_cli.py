@@ -192,6 +192,15 @@ def test_stats_subcommand(spark, capsys):
     for src, shares in by_source.items():
         assert 1000 - len(shares) < sum(shares) <= 1000, src
 
+    # round-11: whole-codec-matrix coverage section
+    rc = main(["stats", "--input-dir", "/root/testdata/sf0.001",
+               "--sections", "media_refusal_coverage"])
+    assert rc == 0
+    mcov = json.loads(capsys.readouterr().out)["media_refusal_coverage"]
+    assert mcov and {r["kind"] for r in mcov} <= {"image", "audio", "video"}
+    assert any(r["reason"] == "decoded" for r in mcov)
+    assert all(r["n_streams"] > 0 and 0 <= r["permille"] <= 1000 for r in mcov)
+
 
 def test_ingest_bucketed_table_mode(spark, capsys, tmp_path):
     from pyspark.sql import Row

@@ -829,3 +829,91 @@ def test_mp3_decode_coverage_aggregate(spark):
     }
     # ordered by (source, reason) for stable reporting
     assert [(r["source"], r["reason"]) for r in out] == sorted(got)
+
+
+def test_media_refusal_classifier_pins_every_crafted_class():
+    """Whole-codec-matrix classes: each (kind, expected-reason) row of
+    MEDIA_CRAFT_CLASSES must come out of a REAL decode_media call on its
+    crafted stream — two full cycles, two parameterizations per class."""
+    from railgun_spark.operators.multimodal import (
+        MEDIA_CRAFT_CLASSES,
+        _craft_media_stream,
+        classify_media_refusal,
+        decode_media,
+    )
+
+    for j in range(20):
+        d = 7 * j
+        want_kind, want_reason = MEDIA_CRAFT_CLASSES[j % 10]
+        kind, blob = _craft_media_stream(d)
+        assert kind == want_kind, f"doc_id={d}"
+        try:
+            decode_media(blob, kind)
+            got = "decoded"
+        except ValueError as e:
+            got = classify_media_refusal(kind, str(e))
+        assert got == want_reason, f"doc_id={d}: want {want_reason}, got {got}"
+
+
+def test_media_refusal_classifier_taxonomy():
+    """Taxonomy buckets via real decode failures across codecs."""
+    from railgun_spark.operators.multimodal import (
+        classify_media_refusal,
+        decode_media,
+    )
+
+    def reason_of(kind, blob):
+        with pytest.raises(ValueError) as ei:
+            decode_media(blob, kind)
+        return classify_media_refusal(kind, str(ei.value))
+
+    # unsupported container magic (image + audio dispatchers)
+    assert reason_of("image", b"RIFF\x10\x00\x00\x00WEBPVP8 ") == "unsupported_codec"
+    # 16-bit PGM: known container, refused variant
+    assert reason_of("image", b"P5\n2 2\n65535\n" + bytes(8)) == "unsupported_feature"
+    # GIF structural violation
+    assert reason_of("image", b"GIF87a" + bytes(20)) in ("corrupt", "truncated")
+    # WAV truncated data chunk (generic stem, not the MP3 taxonomy)
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 64) + bytes(4))
+    assert reason_of("audio", wav) == "truncated"
+    # audio message matching the MP3 taxonomy keeps its fine-grained code
+    # (a 4-byte sync+free-format header parses far enough to refuse by name)
+    assert reason_of("audio", b"\xff\xfb" + bytes(2)) == "free_format"
+    # and a sub-header MP3 payload classifies as truncated
+    assert reason_of("audio", b"\xff\xfb\x90") == "truncated"
+    assert classify_media_refusal("image", "entirely novel failure") == "other"
+
+
+def test_media_decode_coverage_aggregate(spark):
+    """Mixed-modality coverage frame: counts + permille per source."""
+    import pyspark.sql.types as T
+
+    from railgun_spark.operators.multimodal import (
+        _craft_media_stream,
+        media_decode_coverage,
+    )
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    rows = []
+    for d in (0, 7, 14, 21, 28, 35):  # classes 0-5: all decoded
+        kind, blob = _craft_media_stream(d)
+        rows.append(("a", kind, bytearray(blob)))
+    kind, blob = _craft_media_stream(49)  # class 7: image truncated
+    rows.append(("b", kind, bytearray(blob)))
+    out = media_decode_coverage(spark.createDataFrame(rows, schema)).collect()
+    got = {(r["source"], r["kind"], r["reason"]): (r["n_streams"], r["permille"])
+           for r in out}
+    assert got == {
+        ("a", "image", "decoded"): (3, 500),
+        ("a", "audio", "decoded"): (2, 333),
+        ("a", "video", "decoded"): (1, 166),
+        ("b", "image", "truncated"): (1, 1000),
+    }

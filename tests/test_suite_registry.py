@@ -127,6 +127,9 @@ EXPECTED_EXTRA = {
     # round-11: demoted for mp3_refusal_report gate room; word hist/top-k
     # stays certified by hist_nested + window_topk_per_group + text stats
     "word_hist_topk",
+    # round-11: whole-codec-matrix decode coverage (mp3_refusal_report's
+    # gate row certifies the coverage-operator pattern)
+    "media_refusal_report",
     "embedding_lsh_recall_report",  # canary; embedding_near_dup_pairs certifies
     "embedding_neardup_exact_pairs",  # verify leg of embedding_near_dup_pairs
     "ann_pq_topk",  # ANN: ann_lsh_topk + ann_ivf_topk keep the gate row

@@ -3,6 +3,8 @@ batch-size) cell for the three admission gates —
 
   content    exact content-hash anti-join (streaming/ingest.ingest_batch)
   span       content gate + incremental exact-substring window-hash gate
+  minhash    MinHash LSH band gate (dedup.near_dup_against_index +
+             append_bands_to_index, composed the way ingest_batch is)
   embedding  sign-LSH band gate (ingest_embeddings_batch)
 
 tools/ingest_probe.py measures the end-to-end streaming drain (per-
@@ -59,6 +61,9 @@ def main() -> int:
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    only_gates = None
+    if "--gates" in sys.argv:
+        only_gates = set(sys.argv[sys.argv.index("--gates") + 1].split(","))
     spark = get_spark("ingest_grid")
     _build_sf1(spark, sf1_dir)
 
@@ -76,6 +81,8 @@ def main() -> int:
 
     def run_gate(gate: str, index_src, batch_src, populate, time_batch,
                  suffixes=("",)):
+        if only_gates is not None and gate not in only_gates:
+            return
         for idx_n in INDEX_SIZES:
             base_idx = os.path.join(work, f"{gate}_idx_{idx_n}")
             if idx_n > 0:
@@ -122,7 +129,27 @@ def main() -> int:
             b, idx, sink, span_index_path=idx + "_span"),
         suffixes=("", "_span"),
     )
-    # gate 3: embedding sign-LSH bands
+    # gate 3: MinHash LSH band gate (same admit-commit shape as
+    # ingest_batch: anti-join survivors, write sink, append band keys)
+    def minhash_ingest(batch, idx, sink):
+        from railgun_spark.operators.dedup import (
+            append_bands_to_index,
+            near_dup_against_index,
+        )
+
+        survivors = near_dup_against_index(batch, idx).localCheckpoint()
+        n = survivors.count()
+        if n > 0:
+            survivors.write.mode("append").parquet(sink)
+            append_bands_to_index(survivors, idx)
+        return n
+
+    run_gate(
+        "minhash", docs_index_src, docs_batch_src,
+        populate=lambda df, idx: minhash_ingest(df, idx, idx + "_popsink"),
+        time_batch=minhash_ingest,
+    )
+    # gate 4: embedding sign-LSH bands
     run_gate(
         "embedding", emb_index_src, emb_batch_src,
         populate=lambda df, idx: ingest_embeddings_batch(
