@@ -90,7 +90,14 @@ def minhash_signature(sh: Column, num_hashes: int = NUM_HASHES) -> Column:
     """Array of `num_hashes` minhash values over a shingle-set column.
 
     One md5 per shingle (base hash), then cheap affine permutations —
-    16x fewer cryptographic hashes than a per-seed-md5 family."""
+    16x fewer cryptographic hashes than a per-seed-md5 family.
+
+    COST NOTE: as a single Column expression the `base` subtree is
+    INLINED into every array_min transform by Catalyst — the md5 runs
+    num_hashes times per shingle, interpreted. Fine for expression
+    contexts (small frames, tests); for data-path signature computation
+    use the exploded row form (`minhash_dup_pairs` / `_band_rows`):
+    one codegen'd md5 per shingle row + min-aggregates, ~16x cheaper."""
     base = F.transform(sh, lambda s: _hash60_str(s) % MERSENNE31)
 
     def perm(a: int, b: int):
@@ -2085,15 +2092,34 @@ def _band_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     that: without it, an empty shingle array yields a NULL-min signature
     whose concat_ws band keys DEGENERATE to '0'..'3' — every short doc
     would collide with every other short doc forever once one was
-    admitted to the index."""
+    admitted to the index.
+
+    Signatures use the exploded row form minhash_dup_pairs settled on —
+    one codegen'd md5 per shingle ROW, then NUM_HASHES cheap integer
+    min-aggregates — NOT the array-expression minhash_signature, whose
+    md5 base transform gets inlined into each of the 16 array_min
+    higher-order functions (16x the cryptographic work, interpreted
+    per-element). The r11 ingest grid caught the gap: 500 gate docs took
+    12 s through the array form vs <1 s through this one (identical
+    band keys — same hash family, same params)."""
     sh = shingles(F.col(text_col))
-    return (
+    tok = (
         df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
         .filter(F.size("__sh") > 0)
-        .select(
-            "__id",
-            F.explode(band_keys(minhash_signature(F.col("__sh")))).alias("band_key"),
-        )
+        .select("__id", F.explode("__sh").alias("__sg"))
+        .select("__id", (_hash60_str(F.col("__sg")) % MERSENNE31).alias("__h31"))
+    )
+    sig = tok.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h31") + F.lit(b)) % MERSENNE31).alias(f"__h{j}")
+            for j, (a, b) in enumerate(_affine_params())
+        ]
+    ).select(
+        "__id",
+        F.array(*[F.col(f"__h{j}") for j in range(NUM_HASHES)]).alias("__sig"),
+    )
+    return sig.select(
+        "__id", F.explode(band_keys(F.col("__sig"))).alias("band_key")
     )
 
 
@@ -2107,7 +2133,10 @@ def near_dup_against_index(
     against a smaller-id row of this batch. Commit survivors with
     `append_bands_to_index`."""
     spark = df.sparkSession
-    bands = _band_rows(df, text_col, id_col)
+    # three plan branches consume the bands (both intra-batch join sides
+    # + the index semi-join): materialize once instead of re-hashing the
+    # batch's shingles per branch
+    bands = _band_rows(df, text_col, id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     intra_hits = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("b.__id") < F.col("a.__id")))
