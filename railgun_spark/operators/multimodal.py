@@ -850,7 +850,7 @@ def decode_image(content: bytes, kind: str) -> dict:
     else:
         raise ValueError(
             "unsupported image codec (library-free decode covers PPM P6, "
-            "uncompressed BMP, PNG, GIF, TIFF (none/PackBits), and "
+            "uncompressed BMP, PNG, GIF, TIFF (none/LZW/PackBits), and "
             "baseline+progressive JPEG; other formats need a codec "
             "library via decoder=)"
         )
@@ -1081,6 +1081,76 @@ def _decode_pnm_gray(b: bytes):
     return np.repeat(g[:, :, None], 3, axis=2).astype("float64")
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing (GIF packs LSB-first —
+    the two dialects share the algorithm, not the bitstream), 9..12-bit
+    codes with EarlyChange (the code width bumps when the string table
+    reaches 2^w - 1 entries, one entry EARLIER than GIF), Clear = 256,
+    EndOfInformation = 257. Refuses truncation and out-of-range codes."""
+    CLEAR, EOI = 256, 257
+
+    def fresh_table() -> list:
+        return [bytes([x]) for x in range(256)] + [b"", b""]
+
+    out = bytearray()
+    table = fresh_table()
+    nbits = 9
+    prev = b""
+    have_prev = False
+    acc = acc_bits = 0
+    i, n = 0, len(data)
+    while True:
+        while acc_bits < nbits:
+            if i >= n:  # ran out of bits without EOI
+                raise ValueError(
+                    f"truncated TIFF LZW strip: {len(out)} of {expected} bytes"
+                )
+            acc = (acc << 8) | data[i]
+            i += 1
+            acc_bits += 8
+        code = (acc >> (acc_bits - nbits)) & ((1 << nbits) - 1)
+        acc_bits -= nbits
+        acc &= (1 << acc_bits) - 1
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = fresh_table()
+            nbits = 9
+            have_prev = False
+            continue
+        if not have_prev:
+            if code > 255:
+                raise ValueError(
+                    f"corrupt TIFF LZW stream (code {code} right after clear)"
+                )
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        have_prev = True
+        # EarlyChange width bump, minus one more for the decoder's
+        # one-append lag: the encoder assigns entry N as it EMITS code k,
+        # but this side only appends N when it reads code k+1 — so when
+        # our table holds 2^w - 2 entries the encoder (one ahead) has
+        # already crossed 2^w - 1 and switched widths for the next code
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ValueError(
+            f"truncated TIFF LZW strip: {len(out)} of {expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """TIFF PackBits RLE (spec section 9): n in 0..127 -> copy n+1
     literal bytes; n in -127..-1 -> repeat next byte 1-n times; -128 is
@@ -1111,9 +1181,10 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 def _decode_tiff(b: bytes):
     """Baseline TIFF (both byte orders): first IFD, 8-bit grayscale or
-    RGB(A), strip layout, compression none (1) or PackBits (32773).
-    Tiled, LZW/JPEG-compressed, palette, and sub-8-bit TIFFs raise —
-    the usual fail-closed discipline."""
+    RGB(A), strip layout, compression none (1), LZW (5, §13 MSB-first
+    with EarlyChange), or PackBits (32773), horizontal-differencing
+    predictor (§14). Tiled, JPEG-compressed, palette, and sub-8-bit
+    TIFFs raise — the usual fail-closed discipline."""
     import struct
 
     import numpy as np
@@ -1170,10 +1241,16 @@ def _decode_tiff(b: bytes):
     if spp not in (1, 3, 4):
         raise ValueError(f"unsupported TIFF samples/pixel {spp}")
     comp = one(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (none and PackBits decode "
-            "library-free; LZW/JPEG tiles need a codec library)"
+            f"unsupported TIFF compression {comp} (none, LZW, and PackBits "
+            "decode library-free; JPEG-in-TIFF needs a codec library)"
+        )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF predictor {predictor} (none and horizontal "
+            "differencing decode library-free)"
         )
     photometric = one(262, 1)
     if photometric == 3:
@@ -1193,10 +1270,20 @@ def _decode_tiff(b: bytes):
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
         expected = n_rows * row_bytes
         chunk = b[off : off + cnt]
-        raw += _packbits_decode(chunk, expected) if comp == 32773 else chunk
+        if comp == 32773:
+            raw += _packbits_decode(chunk, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(chunk, expected)
+        else:
+            raw += chunk
     if len(raw) < h * row_bytes:
         raise ValueError(f"truncated TIFF raster: {len(raw)} < {h * row_bytes}")
     px = np.frombuffer(bytes(raw[: h * row_bytes]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (§14): each sample stores the delta to
+        # the previous pixel's same channel; undo per row with a wrapping
+        # cumulative sum
+        px = np.cumsum(px.astype(np.uint64), axis=1).astype(np.uint8)
     if spp == 1:
         g = 255 - px if photometric == 0 else px  # WhiteIsZero inverts
         rgb = np.repeat(g, 3, axis=2)

@@ -1494,12 +1494,58 @@ def test_gif_sub_canvas_placement():
         _decode_gif(_gif_bytes(idx, palette, screen=(0, 10)))
 
 
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """From-scratch TIFF 6.0 §13 LZW encoder (golden pair for
+    _lzw_decode_tiff): MSB-first packing, EarlyChange width bumps (the
+    write width grows when the NEXT code to assign reaches 2^w - 1),
+    Clear emitted at start and when the table reaches code 4094."""
+    CLEAR, EOI = 256, 257
+    res = bytearray()
+    acc = accbits = 0
+
+    def put(code, nbits):
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            res.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+            acc &= (1 << accbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, nbits = 258, 9
+    put(CLEAR, nbits)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        if next_code == 4094:
+            put(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, nbits = 258, 9
+        w = bytes([ch])
+    if w:
+        put(table[w], nbits)
+    put(EOI, nbits)
+    if accbits:
+        res.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(res)
+
+
 def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
-                photometric=None):
+                photometric=None, lzw=False, predictor=1):
     """Test TIFF writer: (h, w) gray or (h, w, 3) RGB uint8, strip
-    layout, optional PackBits compression, either byte order. Layout is
-    deterministic: header, IFD, extra value arrays (bits / counts /
-    offsets, in that order), then strip data."""
+    layout, optional PackBits or LZW compression, optional horizontal
+    predictor, either byte order. Layout is deterministic: header, IFD,
+    extra value arrays (bits / counts / offsets, in that order), then
+    strip data."""
     import struct
 
     import numpy as np
@@ -1510,6 +1556,13 @@ def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
     h, w, spp = arr.shape
     rows_per_strip = rows_per_strip or h
     photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
+    if predictor == 2:
+        # horizontal differencing: store per-channel deltas along each row
+        prev = np.concatenate(
+            [np.zeros((h, 1, spp), dtype=np.uint8), arr[:, :-1, :]], axis=1
+        )
+        arr = (arr.astype(np.int64) - prev.astype(np.int64)) % 256
+        arr = arr.astype(np.uint8)
 
     def packbits_encode(row_bytes):
         out = bytearray()
@@ -1535,10 +1588,15 @@ def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
     strips = []
     for y0 in range(0, h, rows_per_strip):
         chunk = arr[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(packbits_encode(chunk) if packbits else chunk)
+        if packbits:
+            strips.append(packbits_encode(chunk))
+        elif lzw:
+            strips.append(_lzw_encode_tiff(chunk))
+        else:
+            strips.append(chunk)
     n_strips = len(strips)
 
-    n_tags = 9
+    n_tags = 9 + (1 if predictor == 2 else 0)
     ifd_off = 8
     extras_off = ifd_off + 2 + 12 * n_tags + 4
     # extras, fixed order: bits (spp SHORTs if > 2 values), counts and
@@ -1571,12 +1629,14 @@ def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
         tag(256, 3, [w], 0),
         tag(257, 3, [h], 0),
         tag(258, 3, [8] * spp, bits_off),
-        tag(259, 3, [32773 if packbits else 1], 0),
+        tag(259, 3, [32773 if packbits else (5 if lzw else 1)], 0),
         tag(262, 3, [photometric], 0),
         tag(273, 4, strip_offs, offsets_off),
         tag(277, 3, [spp], 0),
         tag(278, 3, [rows_per_strip], 0),
     ]
+    if predictor == 2:
+        parts.append(tag(317, 3, [2], 0))
     # reorder extras payloads to the declared layout: bits, counts, offsets
     tag_bytes = b"".join(p[0] for p in parts)
     extras = parts[2][1]  # bits
@@ -1597,8 +1657,8 @@ def _tiff_bytes(arr, little=True, packbits=False, rows_per_strip=None,
 
 def test_real_tiff_decode(spark):
     """decode_image handles strip TIFF: both byte orders, gray (incl.
-    WhiteIsZero inversion), RGB, PackBits, multi-strip; tiled/LZW and
-    truncations refused."""
+    WhiteIsZero inversion), RGB, PackBits, LZW (+ horizontal predictor),
+    multi-strip; tiled/JPEG-compressed and truncations refused."""
     import numpy as np
     import pytest as _pytest
 
@@ -1632,18 +1692,54 @@ def test_real_tiff_decode(spark):
     assert (d["width"], d["height"]) == (7, 11)
     assert abs(d["feature"][3] - rgb.astype("float64").mean(axis=2).mean()) < 1e-9
 
+    # LZW (§13): run-heavy + random images, gray + RGB, multi-strip, and
+    # the horizontal predictor (§14) — byte-exact round-trips through the
+    # from-scratch golden-pair encoder
+    from railgun_spark.operators.multimodal import _lzw_decode_tiff
+
+    for img in (rgb, gray, runs):
+        want = (np.repeat(img[:, :, None], 3, 2) if img.ndim == 2
+                else img).astype("float64")
+        assert np.array_equal(_decode_tiff(_tiff_bytes(img, lzw=True)), want)
+        assert np.array_equal(
+            _decode_tiff(_tiff_bytes(img, lzw=True, predictor=2)), want
+        )
+    got = _decode_tiff(_tiff_bytes(rgb, lzw=True, rows_per_strip=4))
+    assert np.array_equal(got, rgb.astype("float64"))
+    # gradient image: the predictor turns it into runs — both paths agree
+    grad = np.tile(np.arange(120, dtype=np.uint8), (16, 1))
+    assert np.array_equal(
+        _decode_tiff(_tiff_bytes(grad, lzw=True, predictor=2)),
+        np.repeat(grad[:, :, None], 3, 2),
+    )
+    # stress: ~23 KB of random bytes crosses every code width (9->12 bits,
+    # EarlyChange) AND the 4094-entry mid-stream Clear
+    big = rng.randint(0, 256, size=(64, 120, 3), dtype=np.uint8)
+    stream = _lzw_encode_tiff(big.tobytes())
+    assert _lzw_decode_tiff(stream, big.size) == big.tobytes()
+    assert np.array_equal(_decode_tiff(_tiff_bytes(big, lzw=True)),
+                          big.astype("float64"))
+
     with _pytest.raises(ValueError, match="truncated"):
         _decode_tiff(_tiff_bytes(rgb)[:-10])
+    # LZW refusals: truncated stream, out-of-range code
+    with _pytest.raises(ValueError, match="truncated TIFF LZW"):
+        _lzw_decode_tiff(stream[: len(stream) // 2], big.size)
+    with _pytest.raises(ValueError, match="corrupt TIFF LZW"):
+        # 9-bit code 300 right after the initial Clear (table has 258)
+        first = (256 << 9) | 300
+        _lzw_decode_tiff(bytes([first >> 10, (first >> 2) & 0xFF,
+                                (first & 3) << 6]), 4)
+    # JPEG-in-TIFF still refused by name
     with _pytest.raises(ValueError, match="compression"):
         bad = bytearray(_tiff_bytes(rgb))
-        # tag 259 value: find and set to 5 (LZW)
         tiff = _tiff_bytes(rgb)
         import struct as _s
         for t in range(9):
             pos = 8 + 2 + 12 * t
             tid = _s.unpack_from("<H", tiff, pos)[0]
             if tid == 259:
-                bad[pos + 8] = 5
+                bad[pos + 8] = 7  # TIFF-JPEG
         _decode_tiff(bytes(bad))
     # PackBits under-run refused
     with _pytest.raises(ValueError, match="PackBits"):
