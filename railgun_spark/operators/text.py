@@ -761,18 +761,26 @@ VOCAB_CURVE_KS = (10, 20, 50, 100)
     ORDER BY top_k
     """,
     doc="Token-coverage share of the top-K words (vocab-size sizing curve). "
-    "Rank/cumsum windows run over the vocab-sized word-count aggregate, "
-    "never the corpus.",
+    "Rank/cumsum windows run over a DISTRIBUTED top-max(K) of the "
+    "word-count aggregate (TakeOrdered) plus a plain-agg total — the "
+    "single-partition window sees at most 100 rows at any corpus size.",
     tags=("text", "vocab"),
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wc = _word_counts(spark, sf_dir)
-    # single-partition window is deliberate and safe: the frame is the
-    # vocabulary (post map-side-combine), not the corpus
+    # scale note (r11): the curve needs only cum(top-K) for K <= 100 and
+    # the grand total — so sort+limit the word counts FIRST (lowers to
+    # TakeOrderedAndProject: each partition ships its local top-K, the
+    # driver merges; distributed at any vocab size) and run the
+    # rank/cumsum window over that bounded 100-row frame. The previous
+    # plan windowed the ENTIRE vocabulary through one partition — fine at
+    # sf0.1, a wall at a 100 TB corpus's 1e9+ raw word forms.
+    kmax = max(VOCAB_CURVE_KS)
+    top = wc.orderBy(F.desc("c"), "w").limit(kmax)
     w = Window.orderBy(F.desc("c"), "w").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = wc.select(
+    ranked = top.select(
         F.row_number().over(w).alias("r"), F.sum("c").over(w).alias("cum")
     )
     agg = ranked.agg(
@@ -780,8 +788,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("r") <= k, F.col("cum"))).alias(f"c{k}")
             for k in VOCAB_CURVE_KS
         ],
-        F.max("cum").alias("t"),
-    )
+    ).crossJoin(F.broadcast(wc.agg(F.sum("c").alias("t"))))
     return agg.select(
         F.explode(
             F.array(
