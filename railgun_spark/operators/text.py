@@ -783,12 +783,25 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.select(
         F.row_number().over(w).alias("r"), F.sum("c").over(w).alias("cum")
     )
-    agg = ranked.agg(
-        *[
-            F.max(F.when(F.col("r") <= k, F.col("cum"))).alias(f"c{k}")
-            for k in VOCAB_CURVE_KS
-        ],
-    ).crossJoin(F.broadcast(wc.agg(F.sum("c").alias("t"))))
+    # attach the 1-row grand total JOIN-FREE: a constant-key equi-join
+    # constant-folds back into a BroadcastNestedLoopJoin (the audit's
+    # red-flag category), so instead union the two 1-row aggregates and
+    # collapse them with one final max-aggregate
+    agg = (
+        ranked.agg(
+            *[
+                F.max(F.when(F.col("r") <= k, F.col("cum"))).alias(f"c{k}")
+                for k in VOCAB_CURVE_KS
+            ],
+        )
+        .unionByName(
+            wc.agg(F.sum("c").alias("t")), allowMissingColumns=True
+        )
+        .agg(
+            *[F.max(f"c{k}").alias(f"c{k}") for k in VOCAB_CURVE_KS],
+            F.max("t").alias("t"),
+        )
+    )
     return agg.select(
         F.explode(
             F.array(
