@@ -811,7 +811,8 @@ def multimodal_kind_stats(spark, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # REAL image decoding for the library-free formats. PIL/ffmpeg are absent
 # from this container, but binary PPM (P6), uncompressed 24/32-bit BMP,
-# non-interlaced PNG (stdlib zlib inflate + per-scanline unfilter), and
+# PNG — all color types/depths, sequential and Adam7 (stdlib zlib
+# inflate + per-scanline unfilter) — and
 # JPEG — baseline AND progressive (from-scratch T.81 huffman + IDCT in operators/jpeg.py)
 # need nothing beyond stdlib + numpy — so for those formats
 # `extract_features(df, decoder=decode_media, require_real=True)` is a
