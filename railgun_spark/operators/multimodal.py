@@ -1323,10 +1323,55 @@ def _decode_ppm_p6(b: bytes):
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype("float64")
 
 
+def _bmp_rle8(b: bytes, data_off: int, w: int, h: int):
+    """BI_RLE8 (bottom-up by spec): (n, v) runs; escapes 0,0 end-of-line /
+    0,1 end-of-bitmap / 0,2,dx,dy delta / 0,n>=3 literal run padded to a
+    word boundary. Returns the (h, w) palette-index raster in image
+    (top-down) row order; overruns and truncation refuse."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    i, x, y = data_off, 0, 0
+    n_b = len(b)
+    while True:
+        if i + 2 > n_b:
+            raise ValueError("truncated BMP RLE8 stream")
+        n, v = b[i], b[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("corrupt BMP RLE8: run past row/raster end")
+            idx[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 2 > n_b:
+                raise ValueError("truncated BMP RLE8 delta")
+            x += b[i]
+            y += b[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("corrupt BMP RLE8: delta past raster end")
+        else:  # literal run of v bytes, word-aligned
+            if i + v > n_b:
+                raise ValueError("truncated BMP RLE8 literal run")
+            if y >= h or x + v > w:
+                raise ValueError("corrupt BMP RLE8: literal past row/raster end")
+            idx[y, x : x + v] = np.frombuffer(b, np.uint8, count=v, offset=i)
+            x += v
+            i += v + (v & 1)
+    return idx[::-1]  # RLE8 rasters are always bottom-up
+
+
 def _decode_bmp(b: bytes):
-    """Uncompressed (BI_RGB) 24/32-bit BMP: BITMAPINFOHEADER, rows padded
-    to 4 bytes, bottom-up unless height is negative; pixels are BGR(A).
-    One vectorized frombuffer/reshape — no per-row Python loop."""
+    """BMP via BITMAPINFOHEADER: uncompressed (BI_RGB) 24/32-bit BGR(A),
+    8-bit palette, and RLE8-compressed 8-bit palette; rows padded to 4
+    bytes, bottom-up unless height is negative. Uncompressed paths are
+    one vectorized frombuffer/reshape — no per-row Python loop; RLE8
+    decodes runs then resolves the palette in one take()."""
     import struct
 
     import numpy as np
@@ -1334,13 +1379,44 @@ def _decode_bmp(b: bytes):
     if len(b) < 54:
         raise ValueError(f"truncated BMP header ({len(b)} bytes)")
     data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     compression = struct.unpack_from("<I", b, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
-        raise ValueError(f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={compression})")
+    clr_used = struct.unpack_from("<I", b, 46)[0] if hdr_size >= 40 else 0
     top_down = h < 0
     h = abs(h)
+
+    if bpp == 8 and compression in (0, 1):
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(b):
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(
+            b, np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRx -> RGB
+        if compression == 1:  # BI_RLE8
+            if top_down:
+                raise ValueError("corrupt BMP: RLE8 cannot be top-down")
+            idx = _bmp_rle8(b, data_off, w, h)
+        else:
+            stride = (w + 3) & ~3
+            if data_off + h * stride > len(b):
+                raise ValueError("truncated BMP raster")
+            idx = np.frombuffer(
+                b, np.uint8, count=h * stride, offset=data_off
+            ).reshape(h, stride)[:, :w]
+            if not top_down:
+                idx = idx[::-1]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("corrupt BMP: palette index out of range")
+        return pal[idx].astype("float64")
+
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit, 8-bit palette, and RLE8 BMP "
+            f"(bpp={bpp}, comp={compression})"
+        )
     bypp = bpp // 8
     stride = (w * bypp + 3) & ~3
     if data_off + h * stride > len(b):

@@ -1774,3 +1774,96 @@ def test_real_pgm_pbm_decode():
         decode_image(pbm[:-2], "image")
     with _pytest.raises(ValueError, match="16-bit"):
         decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8, "image")
+
+
+def test_real_bmp_palette_and_rle8():
+    """8-bit palette BMPs: uncompressed (both row orders) and RLE8
+    (encoded runs, literal runs with word padding, end-of-line /
+    end-of-bitmap escapes, delta skips land on zero-filled cells) decode
+    to the palette-resolved RGB; truncation, top-down RLE, and
+    out-of-range palette indexes refuse."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import _decode_bmp
+
+    rng = np.random.RandomState(11)
+    h, w = 5, 7
+    n_colors = 16
+    pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)  # RGB
+    idx = rng.randint(0, n_colors, size=(h, w), dtype=np.uint8)
+    idx[2, :4] = 9  # a real run for RLE
+
+    def header(data_len, comp, data_off):
+        return struct.pack(
+            "<2sIHHI", b"BM", data_off + data_len, 0, 0, data_off
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, comp, data_len, 2835, 2835,
+            n_colors, 0,
+        ) + b"".join(bytes([r[2], r[1], r[0], 0]) for r in pal)  # BGRx
+
+    data_off = 14 + 40 + 4 * n_colors
+
+    # uncompressed 8-bit, bottom-up
+    stride = (w + 3) & ~3
+    raster = b"".join(
+        row.tobytes() + b"\x00" * (stride - w) for row in idx[::-1]
+    )
+    bmp = header(len(raster), 0, data_off) + raster
+    assert np.array_equal(_decode_bmp(bmp), pal[idx].astype("float64"))
+
+    # RLE8: encode each bottom-up row as (1, v) pairs with one real run,
+    # a literal run (word-padded), EOL escapes, EOB at the end
+    def rle_row(row):
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            run = 1
+            while i + run < len(row) and run < 255 and row[i + run] == row[i]:
+                run += 1
+            if run >= 2:
+                out += bytes([run, row[i]])
+                i += run
+            else:
+                j = i + 1
+                while j < len(row) and (j + 1 >= len(row) or row[j] != row[j + 1]):
+                    j += 1
+                lit = row[i:j]
+                if len(lit) >= 3:
+                    out += bytes([0, len(lit)]) + lit.tobytes()
+                    if len(lit) & 1:
+                        out += b"\x00"
+                else:
+                    for v in lit:
+                        out += bytes([1, v])
+                i = j
+        return bytes(out)
+
+    rle = b"".join(rle_row(r) + b"\x00\x00" for r in idx[::-1]) + b"\x00\x01"
+    bmp_rle = header(len(rle), 1, data_off) + rle
+    assert np.array_equal(_decode_bmp(bmp_rle), pal[idx].astype("float64"))
+
+    # delta escape: skip cells stay index 0 (spec: unassigned -> 0)
+    delta = bytes([2, 5]) + b"\x00\x02" + bytes([3, 1]) + bytes([2, 7]) + b"\x00\x01"
+    bmp_delta = header(len(delta), 1, data_off) + delta
+    got = _decode_bmp(bmp_delta)
+    want_idx = np.zeros((h, w), dtype=np.uint8)
+    want_idx[h - 1, :2] = 5          # bottom row, first run
+    want_idx[h - 2, 5:7] = 7         # after delta dx=3 dy=1
+    assert np.array_equal(got, pal[want_idx].astype("float64"))
+
+    # refusals
+    with _pytest.raises(ValueError, match="truncated BMP RLE8"):
+        _decode_bmp(bmp_rle[:-3])
+    with _pytest.raises(ValueError, match="top-down"):
+        hh = bytearray(bmp_rle)
+        struct.pack_into("<i", hh, 22, -h)
+        _decode_bmp(bytes(hh))
+    with _pytest.raises(ValueError, match="palette index"):
+        bad = bytearray(bmp)
+        bad[data_off] = n_colors + 3  # index past the color table
+        _decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="color table"):
+        _decode_bmp(bmp[: data_off - 8])
