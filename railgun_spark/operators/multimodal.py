@@ -627,6 +627,8 @@ MEDIA_CRAFT_CLASSES = (
     ("image", "truncated"),                  # 7: PNG cut mid-chunk
     ("audio", "uncertified_huffman_table"),  # 8: MP3 table-16 patch
     ("video", "truncated"),                  # 9: Y4M cut mid-frame
+    ("image", "decoded"),                    # 10: 8-bit palette BMP
+    ("image", "decoded"),                    # 11: GIF87a (geo mask encoder)
 )
 
 
@@ -639,13 +641,13 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
-    """Deterministic (kind, bytes) for doc_id, class (doc_id // 7) % 10
-    per MEDIA_CRAFT_CLASSES."""
+    """Deterministic (kind, bytes) for doc_id, class
+    (doc_id // 7) % len(MEDIA_CRAFT_CLASSES) per that table."""
     import struct
     import zlib
 
     d = int(doc_id)
-    cls = (d // 7) % 10
+    cls = (d // 7) % len(MEDIA_CRAFT_CLASSES)
     if cls == 0:
         return "image", b"P6\n4 4\n255\n" + bytes((d + i) % 256 for i in range(48))
     if cls in (1, 7):
@@ -684,13 +686,31 @@ def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
         luma = bytes((d + i) % 256 for i in range(16))
         y4m = b"YUV4MPEG2 W4 H4 F25:1\n" + b"FRAME\n" + luma + bytes(8)
         return "video", y4m if cls == 5 else y4m[:-10]
+    if cls == 10:
+        # 8-bit palette BMP, bottom-up, 4 colors, 4x4
+        pal = [((d + 17 * c) % 256, (d + 31 * c) % 256, (d + 47 * c) % 256)
+               for c in range(4)]
+        idx_rows = [bytes((d + y + x) % 4 for x in range(4)) for y in range(4)]
+        data_off = 14 + 40 + 4 * 4
+        raster = b"".join(row for row in reversed(idx_rows))  # w=4: no pad
+        header = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0,
+                             data_off)
+        header += struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0,
+                              len(raster), 2835, 2835, 4, 0)
+        header += b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+        return "image", header + raster
+    if cls == 11:
+        from railgun_spark.geo.serving import grid_to_gif
+
+        grid = [[(d + y + x) % 2 for x in range(4)] for y in range(4)]
+        return "image", grid_to_gif(grid, size=4)
     return "image", b"RIFF\x10\x00\x00\x00WEBPVP8 "  # cls 6
 
 
-_MEDIA_KIND_CASE = "CASE CAST((doc_id // 7) % 10 AS INT) " + " ".join(
+_MEDIA_KIND_CASE = f"CASE CAST((doc_id // 7) % {len(MEDIA_CRAFT_CLASSES)} AS INT) " + " ".join(
     f"WHEN {i} THEN '{k}'" for i, (k, _) in enumerate(MEDIA_CRAFT_CLASSES)
 ) + " END"
-_MEDIA_REASON_CASE = "CASE CAST((doc_id // 7) % 10 AS INT) " + " ".join(
+_MEDIA_REASON_CASE = f"CASE CAST((doc_id // 7) % {len(MEDIA_CRAFT_CLASSES)} AS INT) " + " ".join(
     f"WHEN {i} THEN '{r}'" for i, (_, r) in enumerate(MEDIA_CRAFT_CLASSES)
 ) + " END"
 

@@ -16,9 +16,12 @@ from railgun_spark.operators.flac import decode_flac
 from railgun_spark.operators.jpeg import decode_jpeg, encode_gray_jpeg
 from railgun_spark.operators.mp3 import decode_mp3
 from railgun_spark.operators.multimodal import (
+    _bmp_rle8,
+    _decode_bmp,
     _decode_gif,
     _decode_png,
     _decode_tiff,
+    _lzw_decode_tiff,
     decode_aiff,
     decode_au,
     decode_avi_mjpeg,
@@ -138,14 +141,22 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
     for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"YUV4MPEG2 ",
                   b"GIF89a", b"fLaC", b"FORM1234AIFF", b".snd",
                   b"II\x2a\x00", b"MM\x00\x2a", b"RIFF1234AVI ",
-                  b"\xff\xfa", b"ID3\x03\x00\x00\x00\x00\x00\x00"):
+                  b"\xff\xfa", b"ID3\x03\x00\x00\x00\x00\x00\x00", b"BM"):
         blobs.append(magic + payload)
     # a syntactically plausible but corrupt RIFF/WAVE head
     blobs.append(b"RIFF" + bytes([payload[0] if payload else 0, 0, 0, 0]) + b"WAVE" + payload)
+    # the inner compression decoders must fail closed too (reachable only
+    # through well-formed containers, so the outer loop rarely hits them)
+    for inner, args in ((_lzw_decode_tiff, (payload, 64)),
+                        (_bmp_rle8, (payload, 0, 8, 8))):
+        try:
+            inner(*args)
+        except ValueError:
+            pass
     for blob in blobs:
         for fn in (_decode_png, decode_jpeg, decode_wav, decode_y4m,
                    _decode_gif, decode_flac, decode_aiff, decode_au,
-                   _decode_tiff, decode_avi_mjpeg, decode_mp3):
+                   _decode_tiff, _decode_bmp, decode_avi_mjpeg, decode_mp3):
             try:
                 fn(blob)
             except ValueError:
@@ -165,6 +176,7 @@ def test_decoders_fail_closed_on_garbage(payload, seed):
                     or (fn is decode_au and blob[:4] == b".snd")
                     or (fn is _decode_tiff
                         and blob[:4] in (b"II\x2a\x00", b"MM\x00\x2a"))
+                    or (fn is _decode_bmp and blob[:2] == b"BM")
                     or (fn is decode_avi_mjpeg and blob[:4] == b"RIFF")
                     or (fn is decode_mp3 and len(blob) >= 2
                         and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0)

@@ -842,9 +842,10 @@ def test_media_refusal_classifier_pins_every_crafted_class():
         decode_media,
     )
 
-    for j in range(20):
+    n_cls = len(MEDIA_CRAFT_CLASSES)
+    for j in range(2 * n_cls):
         d = 7 * j
-        want_kind, want_reason = MEDIA_CRAFT_CLASSES[j % 10]
+        want_kind, want_reason = MEDIA_CRAFT_CLASSES[j % n_cls]
         kind, blob = _craft_media_stream(d)
         assert kind == want_kind, f"doc_id={d}"
         try:
