@@ -856,6 +856,8 @@ def decode_image(content: bytes, kind: str) -> dict:
         rgb = _decode_ppm_p6(b)
     elif b[:2] in (b"P4", b"P5"):
         rgb = _decode_pnm_gray(b)
+    elif b[:2] in (b"P1", b"P2", b"P3"):
+        rgb = _decode_pnm_ascii(b)
     elif b[:2] == b"BM":
         rgb = _decode_bmp(b)
     elif b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -1081,8 +1083,16 @@ def _decode_pnm_gray(b: bytes):
 
     if b[:2] == b"P5":
         (w, h, maxval), off = _pnm_header(b, 3)
-        if maxval > 255:
-            raise ValueError("16-bit PGM not supported")
+        if not 0 < maxval < 65536:
+            raise ValueError(f"bad PGM maxval {maxval}")
+        if maxval > 255:  # 2-byte big-endian samples, scaled into 0..255
+            need = w * h * 2
+            raster = b[off : off + need]
+            if len(raster) < need:
+                raise ValueError(f"truncated PGM raster: {len(raster)} < {need}")
+            g16 = np.frombuffer(raster, dtype=">u2").reshape(h, w)
+            g = g16 * (255.0 / maxval)
+            return np.repeat(g[:, :, None], 3, axis=2).astype("float64")
         need = w * h
         raster = b[off : off + need]
         if len(raster) < need:
@@ -1100,6 +1110,58 @@ def _decode_pnm_gray(b: bytes):
         )[:, :w]
         g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
     return np.repeat(g[:, :, None], 3, axis=2).astype("float64")
+
+
+def _decode_pnm_ascii(b: bytes):
+    """ASCII netpbm: P1 bitmap (1 = black; digits may abut per spec),
+    P2 gray and P3 RGB (maxval-scaled into 0..255); '#' comments allowed
+    anywhere in the token stream. Completes the netpbm family next to
+    the binary P4/P5/P6 decoders."""
+    import numpy as np
+
+    kind = b[:2]
+    # strip comments, then the rest is a whitespace-separated token stream
+    body = bytearray()
+    i, n = 2, len(b)
+    while i < n:
+        if b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            body += b[i : i + 1]
+            i += 1
+    toks = bytes(body).split()
+    if kind == b"P1":
+        if len(toks) < 2:
+            raise ValueError("truncated P1 header")
+        w, h = int(toks[0]), int(toks[1])
+        digits = b"".join(toks[2:])
+        if len(digits) < w * h:
+            raise ValueError(f"truncated P1 raster: {len(digits)} < {w * h}")
+        bits = np.frombuffer(digits[: w * h], dtype=np.uint8) - ord("0")
+        if bits.min(initial=0) < 0 or bits.max(initial=0) > 1:
+            raise ValueError("corrupt P1 raster: non-binary digit")
+        g = ((1 - bits) * 255).astype(np.uint8).reshape(h, w)  # 1 = black
+        return np.repeat(g[:, :, None], 3, axis=2).astype("float64")
+    ch = 1 if kind == b"P2" else 3
+    if len(toks) < 3:
+        raise ValueError(f"truncated {kind.decode()} header")
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if not 0 < maxval < 65536:
+        raise ValueError(f"bad {kind.decode()} maxval {maxval}")
+    need = w * h * ch
+    vals = toks[3 : 3 + need]
+    if len(vals) < need:
+        raise ValueError(
+            f"truncated {kind.decode()} raster: {len(vals)} < {need}"
+        )
+    px = np.array([int(v) for v in vals], dtype="float64")
+    if px.min(initial=0) < 0 or px.max(initial=0) > maxval:
+        raise ValueError(f"corrupt {kind.decode()} raster: sample > maxval")
+    px = (px * (255.0 / maxval)).reshape(h, w, ch)
+    if ch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
 
 
 def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
@@ -1334,8 +1396,15 @@ def _decode_ppm_p6(b: bytes):
         tokens.append(int(b[start:i]))
     i += 1  # exactly one whitespace byte separates header from raster
     w, h, maxval = tokens
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM maxval {maxval}")
+    if maxval > 255:  # 2-byte big-endian samples, scaled into 0..255
+        need = w * h * 6
+        raster = b[i : i + need]
+        if len(raster) < need:
+            raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+        px = np.frombuffer(raster, dtype=">u2").reshape(h, w, 3)
+        return px * (255.0 / maxval)
     need = w * h * 3
     raster = b[i : i + need]
     if len(raster) < need:

@@ -1772,8 +1772,10 @@ def test_real_pgm_pbm_decode():
         decode_image(pgm[:-10], "image")
     with _pytest.raises(ValueError, match="truncated PBM"):
         decode_image(pbm[:-2], "image")
-    with _pytest.raises(ValueError, match="16-bit"):
-        decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8, "image")
+    # 16-bit PGM decodes since r11 (test_real_netpbm_ascii_and_16bit);
+    # an impossible maxval still refuses
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P5\n2 2\n70000\n" + b"\x00" * 8, "image")
 
 
 def test_real_bmp_palette_and_rle8():
@@ -1867,3 +1869,60 @@ def test_real_bmp_palette_and_rle8():
         _decode_bmp(bytes(bad))
     with _pytest.raises(ValueError, match="color table"):
         _decode_bmp(bmp[: data_off - 8])
+
+
+def test_real_netpbm_ascii_and_16bit():
+    """Completes netpbm: ASCII P1 (abutting digits + comments), P2/P3
+    (maxval scaling), and 16-bit binary P5/P6 (big-endian samples scaled
+    into 0..255); truncation and out-of-maxval samples refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import decode_image
+
+    # P1: digits may abut; 1 = black
+    p1 = b"P1\n# comment\n4 2\n0110\n1 0 0 1\n"
+    got = decode_image(p1, "image")
+    bits = np.array([[0, 1, 1, 0], [1, 0, 0, 1]])
+    assert got["width"] == 4 and got["height"] == 2
+    # feature[3] is the gray mean: 1=black -> 0, 0=white -> 255
+    assert abs(got["feature"][3] - ((1 - bits) * 255).mean()) < 1e-9
+
+    # P2 with maxval 15: values scale by 255/15 = 17
+    vals = [[0, 5, 15], [10, 1, 7]]
+    p2 = ("P2\n3 2\n15\n" + "\n".join(" ".join(map(str, r)) for r in vals)).encode()
+    got = decode_image(p2, "image")
+    assert abs(got["feature"][3] - np.array(vals).mean() * 17.0) < 1e-9
+
+    # P3 RGB roundtrip at maxval 255 (identity scaling)
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    p3 = ("P3\n3 2\n255\n"
+          + " ".join(str(v) for v in img.flatten())).encode()
+    got = decode_image(p3, "image")
+    assert abs(got["feature"][0] - img[:, :, 0].mean()) < 1e-9
+    assert abs(got["feature"][2] - img[:, :, 2].mean()) < 1e-9
+
+    # 16-bit P5: big-endian, scaled by 255/65535
+    g16 = rng.randint(0, 65536, size=(2, 4), dtype=np.uint16)
+    p5 = b"P5\n4 2\n65535\n" + g16.astype(">u2").tobytes()
+    got = decode_image(p5, "image")
+    assert abs(got["feature"][3] - g16.mean() * (255.0 / 65535.0)) < 1e-6
+
+    # 16-bit P6
+    c16 = rng.randint(0, 65536, size=(2, 2, 3), dtype=np.uint16)
+    p6 = b"P6\n2 2\n65535\n" + c16.astype(">u2").tobytes()
+    got = decode_image(p6, "image")
+    assert abs(got["feature"][1] - c16[:, :, 1].mean() * (255.0 / 65535.0)) < 1e-6
+
+    # refusals
+    with _pytest.raises(ValueError, match="truncated P1"):
+        decode_image(b"P1\n4 2\n0110\n", "image")
+    with _pytest.raises(ValueError, match="truncated P3"):
+        decode_image(b"P3\n3 2\n255\n1 2 3\n", "image")
+    with _pytest.raises(ValueError, match="sample > maxval"):
+        decode_image(b"P2\n2 1\n15\n3 99\n", "image")
+    with _pytest.raises(ValueError, match="truncated PGM"):
+        decode_image(b"P5\n4 2\n65535\n" + bytes(5), "image")
+    with _pytest.raises(ValueError, match="non-binary"):
+        decode_image(b"P1\n2 1\n07\n", "image")
