@@ -536,7 +536,8 @@ def classify_media_refusal(kind: str, msg: str) -> str:
         return "unsupported_codec"
     if "truncated" in m:
         return "truncated"
-    if "not supported" in m or "unsupported" in m or "supported (" in m:
+    if ("not supported" in m or "unsupported" in m or "supported (" in m
+            or m.startswith("only ")):
         return "unsupported_feature"
     if ("corrupt" in m or "bad " in m or "invalid" in m
             or "zero-dimension" in m or "missing" in m

@@ -870,8 +870,13 @@ def test_media_refusal_classifier_taxonomy():
 
     # unsupported container magic (image + audio dispatchers)
     assert reason_of("image", b"RIFF\x10\x00\x00\x00WEBPVP8 ") == "unsupported_codec"
-    # 16-bit PGM: known container, refused variant
-    assert reason_of("image", b"P5\n2 2\n65535\n" + bytes(8)) == "unsupported_feature"
+    # 4-bit BMP: known container, refused variant (16-bit PGM decodes
+    # since the r11 netpbm completion)
+    import struct as _st
+    bmp4 = (_st.pack("<2sIHHI", b"BM", 62, 0, 0, 62)
+            + _st.pack("<IiiHHIIiiII", 40, 2, 2, 1, 4, 0, 8, 0, 0, 0, 0)
+            + bytes(16))
+    assert reason_of("image", bmp4) == "unsupported_feature"
     # GIF structural violation
     assert reason_of("image", b"GIF87a" + bytes(20)) in ("corrupt", "truncated")
     # WAV truncated data chunk (generic stem, not the MP3 taxonomy)
