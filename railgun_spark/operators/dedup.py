@@ -2131,7 +2131,17 @@ def near_dup_against_index(
 ) -> DataFrame:
     """Rows of `df` with no LSH band collision against the index nor
     against a smaller-id row of this batch. Commit survivors with
-    `append_bands_to_index`."""
+    `append_bands_to_index`.
+
+    Fault-tolerance tradeoff: the eager localCheckpoint below stores the
+    band blocks on executors WITHOUT lineage — an executor loss mid-job
+    makes this batch unrecoverable and the caller must re-run it. That is
+    the right trade for the single-JVM ingest gate (batches are small,
+    re-running one is cheap, and checkpoint dodges a triple re-hash of the
+    shingles). On a multi-node cluster where executor loss is routine,
+    swap for `persist(StorageLevel.MEMORY_AND_DISK)` + a count() kick:
+    recoverable via lineage at the cost of keeping the shingle re-hash
+    plan alive."""
     spark = df.sparkSession
     # three plan branches consume the bands (both intra-batch join sides
     # + the index semi-join): materialize once instead of re-hashing the

@@ -340,7 +340,8 @@ def mp3_decode_coverage(
 
     reason is 'decoded' or a stable code from
     mp3.classify_mp3_refusal (MP3_REFUSAL_REASONS); permille =
-    floor(1000 * n / source_total), integer-exact in any engine. Decode
+    (1000 * n) div source_total as exact long/long integer division
+    (matching SQL `//` — no double-rounding drift at any total). Decode
     is the heavy leg and stays in one Arrow pass; the aggregate rides a
     counts-only shuffle (map-side combined by the per-partition
     Counter). The permille window partitions by source — never a global
@@ -370,12 +371,17 @@ def mp3_decode_coverage(
         F.col(source_col).alias("source"), F.col(content_col).alias("content")
     ).mapInPandas(batches, _COVERAGE_PARTIAL_SCHEMA)
     agg = partial.groupBy("source", "reason").agg(F.sum("n").alias("n_streams"))
-    per_source = F.sum("n_streams").over(Window.partitionBy("source"))
+    # exact long/long `div` (not float /+floor): double rounding can cross
+    # the floor boundary once per-source totals approach ~2^52/1000, and the
+    # DuckDB oracle computes with exact integer division
     return (
         agg.withColumn(
-            "permille",
-            F.floor(F.lit(1000) * F.col("n_streams") / per_source).cast("long"),
+            "per_source", F.sum("n_streams").over(Window.partitionBy("source"))
         )
+        .withColumn(
+            "permille", F.expr("(1000 * n_streams) div per_source").cast("long")
+        )
+        .drop("per_source")
         .orderBy("source", "reason")
     )
 
@@ -603,12 +609,16 @@ def media_decode_coverage(
     agg = partial.groupBy("source", "kind", "reason").agg(
         F.sum("n").alias("n_streams")
     )
-    per_source = F.sum("n_streams").over(Window.partitionBy("source"))
+    # exact long/long `div` — see mp3_decode_coverage for why float
+    # floor(1000*n/total) is not integer-exact at extreme totals
     return (
         agg.withColumn(
-            "permille",
-            F.floor(F.lit(1000) * F.col("n_streams") / per_source).cast("long"),
+            "per_source", F.sum("n_streams").over(Window.partitionBy("source"))
         )
+        .withColumn(
+            "permille", F.expr("(1000 * n_streams) div per_source").cast("long")
+        )
+        .drop("per_source")
         .orderBy("source", "kind", "reason")
     )
 
@@ -716,7 +726,9 @@ _MEDIA_REASON_CASE = f"CASE CAST((doc_id // 7) % {len(MEDIA_CRAFT_CLASSES)} AS I
 ) + " END"
 
 
-@extra_query(
+@query(
+    # r12 rotation: promoted into the driver gate — the full codec-matrix
+    # decode-coverage report is the r11 headline capability.
     "media_refusal_report",
     oracle=f"""
     WITH s AS (
@@ -1227,12 +1239,32 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
         if len(table) >= (1 << nbits) - 2 and nbits < 12:
             nbits += 1
         if len(out) >= expected:
+            # fail closed on inflation, mirroring _packbits_decode: an
+            # entry that crosses the declared strip size, or trailing data
+            # codes where EOI belongs, mean the strip encodes MORE than it
+            # declares — refuse rather than silently truncate
+            if len(out) > expected:
+                raise ValueError(
+                    f"corrupt TIFF LZW strip: overlong "
+                    f"({len(out)} > {expected} bytes)"
+                )
+            if acc_bits + 8 * (n - i) >= nbits:
+                while acc_bits < nbits:
+                    acc = (acc << 8) | data[i]
+                    i += 1
+                    acc_bits += 8
+                tail = (acc >> (acc_bits - nbits)) & ((1 << nbits) - 1)
+                if tail != EOI:
+                    raise ValueError(
+                        "corrupt TIFF LZW strip: overlong (data after "
+                        "declared strip size, missing EOI)"
+                    )
             break
     if len(out) < expected:
         raise ValueError(
             f"truncated TIFF LZW strip: {len(out)} of {expected} bytes"
         )
-    return bytes(out[:expected])
+    return bytes(out)
 
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
@@ -1476,6 +1508,8 @@ def _decode_bmp(b: bytes):
     clr_used = struct.unpack_from("<I", b, 46)[0] if hdr_size >= 40 else 0
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"corrupt BMP: non-positive dimensions {w}x{h}")
 
     if bpp == 8 and compression in (0, 1):
         n_colors = clr_used or 256

@@ -286,7 +286,10 @@ def hist_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # hist(@, 'k1', 'k2') — nested histogram (osm.sh:130).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
+    # r12 rotation: demoted to EXTRA — multi-key groupBy capability stays
+    # driver-certified by the DFL hist path (dfl_filter_hist) and the
+    # rotated-in flagships take the slots.
     "hist_nested",
     oracle="""
     SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -512,7 +515,10 @@ def sort_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Set operations over datasets (engine superset of §2.7's array sets).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
+    # r12 rotation: demoted to EXTRA — INTERSECT/set capability remains
+    # covered by the DFL set-literal paths; slot freed for
+    # media_refusal_report.
     "set_ops_datasets",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer

@@ -790,10 +790,10 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same "sorts at-or-after me ascending" set, and last-non-null in
 # descending frame order is the ascending-minimal event.
 # --------------------------------------------------------------------------
-@extra_query(
-    # r8 rotation: demoted to EXTRA — the backward as-of
-    # (asof_join_orders_events) keeps §2.4's as-of row driver-certified;
-    # the freed slot certifies the round's novel lossless cosine join
+@query(
+    # r12 rotation: promoted back into the driver gate — the r11 O(n)
+    # descending-running-frame rewrite deserves driver-oracle
+    # certification, not just EXTRA.
     "asof_join_forward",
     oracle="""
     WITH ev AS (

@@ -1744,6 +1744,13 @@ def test_real_tiff_decode(spark):
     # PackBits under-run refused
     with _pytest.raises(ValueError, match="PackBits"):
         _packbits_decode(b"\x02abc", 10)
+    # overlong strip refused (fail closed, not silent truncation): both the
+    # trailing-data-codes-where-EOI-belongs shape and the entry that
+    # crosses the declared strip size
+    with _pytest.raises(ValueError, match="overlong"):
+        _lzw_decode_tiff(_lzw_encode_tiff(b"x" * 20), 10)
+    with _pytest.raises(ValueError, match="overlong"):
+        _lzw_decode_tiff(_lzw_encode_tiff(b"ab" * 10), 19)
 
 
 def test_real_pgm_pbm_decode():
@@ -1869,6 +1876,17 @@ def test_real_bmp_palette_and_rle8():
         _decode_bmp(bytes(bad))
     with _pytest.raises(ValueError, match="color table"):
         _decode_bmp(bmp[: data_off - 8])
+    # crafted non-positive dimensions refuse with the 'corrupt BMP' stem
+    # (not a numpy 'negative dimensions' ValueError that would bucket as
+    # 'other' in classify_media_refusal)
+    with _pytest.raises(ValueError, match="non-positive dimensions"):
+        neg = bytearray(bmp)
+        struct.pack_into("<i", neg, 18, -w)
+        _decode_bmp(bytes(neg))
+    with _pytest.raises(ValueError, match="non-positive dimensions"):
+        zero = bytearray(bmp)
+        struct.pack_into("<i", zero, 22, 0)
+        _decode_bmp(bytes(zero))
 
 
 def test_real_netpbm_ascii_and_16bit():

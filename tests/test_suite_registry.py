@@ -100,7 +100,6 @@ EXPECTED_EXTRA = {
     "nation_trade_volume_by_year",  # Q7: bidirectional nation-pair trade by year
     "knn_brute_force",  # exact-cosine baseline: ANN gate keeps lsh/ivf/pq
     "dedup_containment",  # df-capped blocker: dedup_containment_exact certifies
-    "asof_join_forward",  # forward as-of: the backward sibling certifies 2.4
     "large_volume_orders",  # Q18: HAVING-threshold keys join back for detail
     "returned_item_customers",  # Q10: returns-quarter lost-revenue top-k
     "customer_order_distribution",  # Q13: left-join zero-bucket histogram
@@ -127,13 +126,16 @@ EXPECTED_EXTRA = {
     # round-11: demoted for mp3_refusal_report gate room; word hist/top-k
     # stays certified by hist_nested + window_topk_per_group + text stats
     "word_hist_topk",
-    # round-11: whole-codec-matrix decode coverage (mp3_refusal_report's
-    # gate row certifies the coverage-operator pattern)
-    "media_refusal_report",
     "embedding_lsh_recall_report",  # canary; embedding_near_dup_pairs certifies
     "embedding_neardup_exact_pairs",  # verify leg of embedding_near_dup_pairs
     "ann_pq_topk",  # ANN: ann_lsh_topk + ann_ivf_topk keep the gate row
     "cross_source_overlap",  # shingle overlap: dedup_ngram_jaccard certifies
+    # round-12 rotation: media_refusal_report (full codec-matrix coverage)
+    # and asof_join_forward (O(n) frame rewrite) promoted to the driver
+    # gate; these two demoted (capabilities stay certified by REGISTRY
+    # siblings + this local gate)
+    "hist_nested",  # multi-key groupBy: dfl_filter_hist certifies
+    "set_ops_datasets",  # INTERSECT/set ops: DFL set literals certify
 }
 
 
