@@ -7,6 +7,15 @@ scanned for 100-TB red flags:
 - BatchEvalPython: row-at-a-time Python UDF in the plan — never acceptable
   (ArrowEvalPython / MapInPandas, the Arrow-batched forms, are fine).
 - InMemoryTableScan on the data path (cache leaks into suite queries).
+- Quadratic window frames: any frame whose upper bound is
+  unboundedfollowing with a lower bound OTHER than unboundedpreceding
+  executes as UnboundedFollowingWindowFunctionFrame, which re-aggregates
+  the remaining frame FOR EVERY ROW — O(n^2) per partition (cost
+  asof_join_forward x18.9 at sf1 in r11). The full-partition
+  (unboundedpreceding, unboundedfollowing) frame is the O(n)
+  UnboundedWindowFunctionFrame and stays allowed. Rewrite offenders as
+  the descending-sort running mirror over
+  (unboundedPreceding, currentRow).
 
 Usage: python tools/audit_plans.py [query ...]; exits 1 on violations.
 """
@@ -14,6 +23,7 @@ Usage: python tools/audit_plans.py [query ...]; exits 1 on violations.
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -51,6 +61,40 @@ ALLOW_GLOBAL_WINDOW = {
     "repeat_purchase_interval",  # distinct gap-day values (calendar-bounded)
 }
 
+# Frames whose upper bound is unboundedfollowing but lower bound is NOT
+# unboundedpreceding run as the O(n^2)-per-partition
+# UnboundedFollowingWindowFunctionFrame. Allowed only where the window's
+# input partition is provably tiny by construction (none today — every
+# prior use was rewritten to the descending running mirror).
+ALLOW_UNBOUNDED_FOLLOWING: set[str] = set()
+
+# NB: literal ", " separators (Spark's formatted output is stable); a \s*
+# there would backtrack past the negative lookahead and match the benign
+# full-partition frame too
+_QUAD_FRAME_RE = re.compile(
+    r"specifiedwindowframe\(\w+Frame, (?!unboundedpreceding\$)[^,]*,"
+    r" unboundedfollowing\$\(\)\)"
+)
+
+
+def flags_for(name: str, plan: str) -> list[str]:
+    """All red flags present in one query's formatted plan (allowlists
+    applied) — split out so tests can plant a bad plan shape directly."""
+    flags = [f for f in RED_FLAGS if f in plan]
+    if "BroadcastNestedLoopJoin" in flags and name in ALLOW_NESTED_LOOP:
+        flags.remove("BroadcastNestedLoopJoin")
+    if "CartesianProduct" in flags and name in ALLOW_NESTED_LOOP:
+        flags.remove("CartesianProduct")
+    if (
+        "Window" in plan
+        and "SinglePartition" in plan
+        and name not in ALLOW_GLOBAL_WINDOW
+    ):
+        flags.append("WindowOverSinglePartition")
+    if _QUAD_FRAME_RE.search(plan) and name not in ALLOW_UNBOUNDED_FOLLOWING:
+        flags.append("QuadraticWindowFrame")
+    return flags
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -80,17 +124,7 @@ def main() -> int:
             print(f"ERROR {name}: {ex}")
             bad += 1
             continue
-        flags = [f for f in RED_FLAGS if f in plan]
-        if "BroadcastNestedLoopJoin" in flags and name in ALLOW_NESTED_LOOP:
-            flags.remove("BroadcastNestedLoopJoin")
-        if "CartesianProduct" in flags and name in ALLOW_NESTED_LOOP:
-            flags.remove("CartesianProduct")
-        if (
-            "Window" in plan
-            and "SinglePartition" in plan
-            and name not in ALLOW_GLOBAL_WINDOW
-        ):
-            flags.append("WindowOverSinglePartition")
+        flags = flags_for(name, plan)
         n_exchanges = plan.count("Exchange")
         if flags:
             print(f"FLAG {name}: {flags} (exchanges={n_exchanges})")
