@@ -1086,11 +1086,17 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     init_rows = emb.filter(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
     c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
     a = assign_clusters(emb, c0).select("vec_id", "e", "cluster")
-    # normalize ONCE per vector (n norm computations, not n^2: the norm of
-    # every vector was being recomputed inside every pair's cosine), then a
-    # pair costs a single dot product, computed once via the named column
-    # (sim in both filter and project was evaluated twice) — 19.5 s ->
-    # ~3 s at sf0.1, oracle mirrored to the identical expression shape
+    return _pairs_within_clusters(a)
+
+
+def _pairs_within_clusters(a: DataFrame) -> DataFrame:
+    """Shared SemDeDup tail: (vec_id, e, cluster) assignment frame ->
+    within-cluster cosine pairs >= SEMDEDUP_COS. Normalize ONCE per vector
+    (n norm computations, not n^2: the norm of every vector was being
+    recomputed inside every pair's cosine), then a pair costs a single dot
+    product, computed once via the named column (sim in both filter and
+    project was evaluated twice) — 19.5 s -> ~3 s at sf0.1, oracle
+    mirrored to the identical expression shape."""
     an = a.select(
         "cluster",
         "vec_id",
@@ -1101,8 +1107,8 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("e", lambda x: x / F.col("nrm")).alias("en"),
     ).localCheckpoint()  # pin: both join sides read this frame — without it
-    # the K-way argmin assignment (K interpreted distance folds per row)
-    # executes twice, and that, not the pair dots, dominates the plan
+    # the cluster assignment (K distance evaluations per row) executes
+    # twice, and that, not the pair dots, dominates the plan
     x = an.select("cluster", F.col("vec_id").alias("vec_a"), F.col("en").alias("ena"))
     y = an.select("cluster", F.col("vec_id").alias("vec_b"), F.col("en").alias("enb"))
     return (
@@ -1330,6 +1336,72 @@ def assign_clusters_batch(
         F.col("a.cluster").alias("cluster"),
         F.col("a.dist").alias("dist"),
     )
+
+
+SEMDEDUP_DOCS_PER_CLUSTER = 125  # the paper's scale knob: K = max(16,
+# n // 125) keeps expected cluster occupancy (hence within-cluster pair
+# work, sum cluster_size^2 ~ n^2/K) constant as the corpus grows
+
+
+@extra_query(
+    "semantic_dedup_scaled",
+    # The oracle recomputes the corpus-scaled K as a scalar subquery and
+    # mirrors assign_clusters_batch's BLAS distance expansion term-for-term
+    # (||x||^2 - 2<x,c> + ||c||^2, rounded to 6) instead of the K=16 leg's
+    # elementwise (x-c)^2 fold — each engine's summation shape matches the
+    # side it certifies.
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, e AS c FROM emb
+      WHERE vec_id < (SELECT GREATEST({SEMDEDUP_K},
+                        COUNT(*) // {SEMDEDUP_DOCS_PER_CLUSTER}) FROM emb)
+    ), d1 AS (
+      SELECT vec_id, e, cid,
+             round(list_dot_product(e, e) - 2 * list_dot_product(e, c)
+                   + list_dot_product(c, c), 6) AS dist
+      FROM emb CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT vec_id, e, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), a1n AS (
+      SELECT vec_id, cluster,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+      FROM a1
+    )
+    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round(list_dot_product(x.en, y.en), 6) AS cos_sim
+    FROM a1n x JOIN a1n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE round(list_dot_product(x.en, y.en), 6) >= {SEMDEDUP_COS}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="SemDeDup PRODUCTION path, oracle-certified: corpus-scaled K "
+    f"(max({SEMDEDUP_K}, n/{SEMDEDUP_DOCS_PER_CLUSTER})) through "
+    "assign_clusters_batch's Arrow-batched BLAS argmin — the fan-out "
+    "configuration SEMDEDUP_K_r11.json measured flat (K=160 at 10x "
+    "vectors: 2.8 s vs 43-52 s for the fixed-K certification legs). "
+    "Retires the 'probe-only' status of the scaled-K knob.",
+    tags=("similarity", "dedup", "pandas-udf"),
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", to_double(F.col("embedding")).alias("e")
+    )
+    n = emb.count()
+    k = max(SEMDEDUP_K, n // SEMDEDUP_DOCS_PER_CLUSTER)
+    c0 = {
+        int(r["vec_id"]): list(r["e"])
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    }
+    # single-file parquet = ONE input partition; the BLAS argmin is the
+    # CPU-heavy Python stage, so spread it across the executor cores first
+    spread = emb.repartition(spark.sparkContext.defaultParallelism)
+    a = assign_clusters_batch(spread, c0).select("vec_id", "e", "cluster")
+    return _pairs_within_clusters(a)
 
 
 # --------------------------------------------------------------------------

@@ -136,6 +136,9 @@ EXPECTED_EXTRA = {
     # siblings + this local gate)
     "hist_nested",  # multi-key groupBy: dfl_filter_hist certifies
     "set_ops_datasets",  # INTERSECT/set ops: DFL set literals certify
+    # round-12: SemDeDup production path (corpus-scaled K through the
+    # BLAS batch argmin) gets its own oracle — retires probe-only status
+    "semantic_dedup_scaled",
 }
 
 
