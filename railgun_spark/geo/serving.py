@@ -257,6 +257,59 @@ def grid_to_gif(grid: list[list[int]], size: int = 256) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames,
+    palette,
+    delays_cs=None,
+    disposals=None,
+    transparent=None,
+    screen=None,
+) -> bytes:
+    """GIF89a animation writer (from-scratch, public 89a spec): each
+    frame is ``(left, top, rows)`` with ``rows`` a list of palette-index
+    lists; one graphic-control extension per frame carries the delay
+    (centiseconds), disposal method, and optional transparent index
+    (scalar applied to every frame, or a per-frame list). Golden pair
+    for operators.multimodal.decode_gif_frames — tests round-trip
+    disposal/transparency compositing through the real decoder; also
+    the source of the crafted animated-GIF classes in the
+    media_refusal_report corpus."""
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    min_code = max(2, bits)
+    if screen is None:
+        sw = max(left + len(rows[0]) for left, _top, rows in frames)
+        sh = max(top + len(rows) for _left, top, rows in frames)
+    else:
+        sw, sh = screen
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # global table, bg index 0
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += bytes(3) * (size - n)  # pad the table to 2^bits entries
+    for k, (left, top, rows) in enumerate(frames):
+        delay = delays_cs[k] if delays_cs else 0
+        disp = disposals[k] if disposals else 0
+        tr = transparent[k] if isinstance(transparent, (list, tuple)) else transparent
+        gp = (disp & 0x07) << 2
+        if tr is not None:
+            gp |= 0x01
+        out += bytes([0x21, 0xF9, 4, gp]) + struct.pack("<H", delay)
+        out += bytes([tr or 0, 0])
+        h, w = len(rows), len(rows[0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        out += bytes([min_code])
+        lzw = _lzw_encode([int(v) for row in rows for v in row], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def grid_to_jpeg(grid: list[list[int]], size: int = 256) -> bytes:
     """Baseline JPEG of the mask grid — the reference's jpeg branch of
     img/RespondWithGrid.go:35-37, via the library's own grayscale

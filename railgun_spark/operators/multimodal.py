@@ -640,6 +640,11 @@ MEDIA_CRAFT_CLASSES = (
     ("video", "truncated"),                  # 9: Y4M cut mid-frame
     ("image", "decoded"),                    # 10: 8-bit palette BMP
     ("image", "decoded"),                    # 11: GIF87a (geo mask encoder)
+    ("video", "decoded"),                    # 12: animated GIF89a (GCE,
+                                             #     disposal 2, transparency)
+    ("video", "corrupt"),                    # 13: GIF89a reserved disposal
+    ("image", "decoded"),                    # 14: TIFF PackBits gray
+    ("image", "corrupt"),                    # 15: TIFF PackBits overlong
 )
 
 
@@ -715,6 +720,42 @@ def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
 
         grid = [[(d + y + x) % 2 for x in range(4)] for y in range(4)]
         return "image", grid_to_gif(grid, size=4)
+    if cls in (12, 13):
+        from railgun_spark.geo.serving import encode_gif_animation
+
+        pal = [((d + 10 * c) % 256, (d + 20 * c) % 256, (d + 30 * c) % 256)
+               for c in range(4)]
+        f0 = [[(d + x + y) % 4 for x in range(4)] for y in range(4)]
+        f1 = [[(d + 1 + x) % 4 for x in range(2)] for _y in range(2)]
+        blob = bytearray(encode_gif_animation(
+            [(0, 0, f0), (1, 1, f1)], pal,
+            delays_cs=[4, 6], disposals=[0, 2], transparent=0,
+            screen=(4, 4),
+        ))
+        if cls == 13:
+            # patch frame 0's GCE disposal bits to the reserved value 5:
+            # header 13 + 4-entry global table 12 -> GCE packed at +3
+            gp_off = 13 + 12 + 3
+            blob[gp_off] = (blob[gp_off] & ~0x1C) | (5 << 2)
+        return "video", bytes(blob)
+    if cls in (14, 15):
+        # minimal little-endian strip TIFF, 4x4 gray, PackBits; cls 15's
+        # strip inflates to 20 bytes against the declared 16 (overlong)
+        data = bytes((d + 7 * i) % 256 for i in range(16))
+        pb = (bytes([19]) + bytes(20)) if cls == 15 else (bytes([15]) + data)
+        strip_off = 8
+        ifd_off = strip_off + len(pb)
+
+        def tiff_tag(t: int, ttype: int, val: int) -> bytes:
+            return struct.pack("<HHII", t, ttype, 1, val)
+
+        ifd = struct.pack("<H", 5) + b"".join((
+            tiff_tag(256, 3, 4), tiff_tag(257, 3, 4),
+            tiff_tag(259, 3, 32773),
+            tiff_tag(273, 4, strip_off), tiff_tag(279, 4, len(pb)),
+        )) + struct.pack("<I", 0)
+        return "image", (b"II\x2a\x00" + struct.pack("<I", ifd_off)
+                         + pb + ifd)
     return "image", b"RIFF\x10\x00\x00\x00WEBPVP8 "  # cls 6
 
 
@@ -961,6 +1002,67 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, n_pixels: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _gif_read_image(b: bytes, i: int, gct):
+    """Parse one image block (descriptor at b[i] == 0x2C): local color
+    table, LZW data sub-blocks, interlace de-shuffle. Returns
+    (left, top, w, h, idx(h, w) uint8, table(n, 3) uint8, next_i).
+    Shared by the first-frame image decode and the animation walker so
+    raster parsing cannot drift between them."""
+    import struct
+
+    import numpy as np
+
+    if i + 10 > len(b):
+        raise ValueError("truncated GIF image descriptor")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i + 1)
+    i += 10
+    table = gct
+    if ipacked & 0x80:  # local color table
+        n = 2 << (ipacked & 0x07)
+        table = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8)
+        if len(table) < 3 * n:
+            raise ValueError("truncated GIF local color table")
+        table = table.reshape(n, 3)
+        i += 3 * n
+    if table is None:
+        raise ValueError("GIF image has no color table")
+    if not w or not h:
+        raise ValueError("zero-dimension GIF image")
+    if i >= len(b):
+        raise ValueError("truncated GIF image data")
+    min_code = b[i]
+    i += 1
+    if not (2 <= min_code <= 11):
+        raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+    lzw = bytearray()
+    while i < len(b) and b[i]:
+        n = b[i]
+        chunk = b[i + 1 : i + 1 + n]
+        if len(chunk) < n:
+            raise ValueError("truncated GIF data sub-block")
+        lzw += chunk
+        i += 1 + n
+    if i >= len(b):
+        raise ValueError("truncated GIF: missing block terminator")
+    i += 1  # consume the 0x00 block terminator
+    idx = _lzw_decode_gif(bytes(lzw), min_code, w * h)
+    if int(idx.max()) >= len(table):
+        raise ValueError(
+            f"corrupt GIF: pixel index {int(idx.max())} outside the "
+            f"{len(table)}-entry color table"
+        )
+    if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+        rows = idx.reshape(h, w)
+        out = np.empty((h, w), dtype=np.uint8)
+        r = 0
+        for y0, dy in _GIF_INTERLACE_PASSES:
+            for y in range(y0, h, dy):
+                out[y] = rows[r]
+                r += 1
+        idx = out.reshape(-1)
+    return left, top, w, h, idx.reshape(h, w), table, i
+
+
 def _decode_gif(b: bytes):
     """GIF87a/89a first image: global/local color table, optional
     interlacing, 89a extension blocks skipped (animation beyond the
@@ -992,54 +1094,8 @@ def _decode_gif(b: bytes):
                 i += 1 + b[i]
             i += 1
         elif marker == 0x2C:  # image descriptor
-            if i + 10 > len(b):
-                raise ValueError("truncated GIF image descriptor")
-            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i + 1)
-            i += 10
-            table = gct
-            if ipacked & 0x80:  # local color table
-                n = 2 << (ipacked & 0x07)
-                table = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8)
-                if len(table) < 3 * n:
-                    raise ValueError("truncated GIF local color table")
-                table = table.reshape(n, 3)
-                i += 3 * n
-            if table is None:
-                raise ValueError("GIF image has no color table")
-            if not w or not h:
-                raise ValueError("zero-dimension GIF image")
-            if i >= len(b):
-                raise ValueError("truncated GIF image data")
-            min_code = b[i]
-            i += 1
-            if not (2 <= min_code <= 11):
-                raise ValueError(f"bad GIF LZW minimum code size {min_code}")
-            lzw = bytearray()
-            while i < len(b) and b[i]:
-                n = b[i]
-                chunk = b[i + 1 : i + 1 + n]
-                if len(chunk) < n:
-                    raise ValueError("truncated GIF data sub-block")
-                lzw += chunk
-                i += 1 + n
-            if i >= len(b):
-                raise ValueError("truncated GIF: missing block terminator")
-            idx = _lzw_decode_gif(bytes(lzw), min_code, w * h)
-            if int(idx.max()) >= len(table):
-                raise ValueError(
-                    f"GIF pixel index {int(idx.max())} outside the "
-                    f"{len(table)}-entry color table"
-                )
-            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
-                rows = idx.reshape(h, w)
-                out = np.empty((h, w), dtype=np.uint8)
-                r = 0
-                for y0, dy in _GIF_INTERLACE_PASSES:
-                    for y in range(y0, h, dy):
-                        out[y] = rows[r]
-                        r += 1
-                idx = out.reshape(-1)
-            frame = table[idx.reshape(h, w)].astype("float64")
+            left, top, w, h, idx, table, i = _gif_read_image(b, i, gct)
+            frame = table[idx].astype("float64")
             if (left, top, w, h) == (0, 0, sw, sh):
                 return frame
             # a first frame smaller than the logical screen is positioned
@@ -1066,6 +1122,135 @@ def _decode_gif(b: bytes):
         else:
             raise ValueError(f"bad GIF block marker 0x{marker:02x}")
     raise ValueError("GIF contains no image")
+
+
+def decode_gif_frames(b: bytes):
+    """GIF89a animation decode: every frame composited onto the logical
+    screen per the spec's graphic-control semantics (89a Appendix,
+    public spec) — disposal 0/1 leave the canvas, 2 restores the frame
+    rect to the background color, 3 restores the pre-frame canvas;
+    transparent pixels (GCE transparency flag + index) never overwrite.
+    Returns (frames, delays_cs): a list of (sh, sw, 3) float64 canvases
+    (one snapshot per image block) and the per-frame GCE delays in
+    centiseconds (0 where no GCE preceded the image). Shares
+    _gif_read_image with the single-frame decoder so raster parsing
+    cannot drift. Truncation and structural violations refuse."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    if not sw or not sh:
+        raise ValueError("zero-dimension GIF logical screen")
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        i += 3 * n
+
+    if gct is not None and bg < len(gct):
+        background = gct[bg].astype("float64")
+    else:  # 89a leaves the background undefined without a global table
+        background = np.zeros(3, dtype="float64")
+    canvas = np.tile(background, (sh, sw, 1))
+
+    frames: list = []
+    delays: list[int] = []
+    # GCE state applies to the NEXT image block only
+    disposal, transparent_idx, delay_cs = 0, None, 0
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x21:  # extension
+            if i + 2 > len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[i + 1]
+            i += 2
+            if label == 0xF9:  # graphic control: one 4-byte sub-block
+                if i >= len(b) or b[i] != 4 or i + 5 > len(b):
+                    raise ValueError("corrupt GIF graphic-control block")
+                gpacked = b[i + 1]
+                delay_cs = struct.unpack_from("<H", b, i + 2)[0]
+                disposal = (gpacked >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"corrupt GIF: reserved disposal method {disposal}"
+                    )
+                transparent_idx = b[i + 4] if gpacked & 0x01 else None
+                i += 5
+            while i < len(b) and b[i]:  # skip remaining sub-blocks
+                i += 1 + b[i]
+            if i >= len(b):
+                raise ValueError("truncated GIF: missing block terminator")
+            i += 1
+        elif marker == 0x2C:  # image block -> one animation frame
+            left, top, w, h, idx, table, i = _gif_read_image(b, i, gct)
+            if left + w > sw or top + h > sh:
+                raise ValueError(
+                    f"GIF image {w}x{h}@({left},{top}) exceeds the "
+                    f"{sw}x{sh} logical screen"
+                )
+            prev = canvas.copy() if disposal == 3 else None
+            rect = canvas[top : top + h, left : left + w]
+            frame_rgb = table[idx].astype("float64")
+            if transparent_idx is not None:
+                opaque = idx != transparent_idx
+                rect[opaque] = frame_rgb[opaque]
+            else:
+                rect[:] = frame_rgb
+            frames.append(canvas.copy())
+            delays.append(delay_cs)
+            if disposal == 2:  # restore rect to background
+                canvas[top : top + h, left : left + w] = background
+            elif disposal == 3:  # restore to pre-frame canvas
+                canvas = prev
+            disposal, transparent_idx, delay_cs = 0, None, 0
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block marker 0x{marker:02x}")
+    if not frames:
+        raise ValueError("GIF animation contains no frames")
+    return frames, delays
+
+
+def decode_gif_animation(content: bytes) -> dict:
+    """Animated GIF -> the VIDEO_FEATURE_SCHEMA result shape
+    (width/height/n_frames/fps/feature), so decode_video can dispatch
+    GIF89a animations next to Y4M and MJPEG-AVI. fps derives from the
+    mean GCE delay (0.0 when every delay is 0 — an untimed animation);
+    the feature is the per-frame gray mean curve's (mean, std, first,
+    last) plus the first frame's quadrant means, matching the video
+    feature discipline."""
+    import numpy as np
+
+    frames, delays = decode_gif_frames(bytes(content or b""))
+    grays = [f.mean(axis=2) for f in frames]
+    means = np.array([g.mean() for g in grays], dtype="float64")
+    total_cs = sum(delays)
+    fps = (len(frames) * 100.0 / total_cs) if total_cs > 0 else 0.0
+    g0 = grays[0]
+    h, w = g0.shape
+    th, lw = (h + 1) // 2, (w + 1) // 2
+    feature = [
+        float(means.mean()),
+        float(means.std()),
+        float(means[0]),
+        float(means[-1]),
+        float(g0[:th, :lw].mean()),
+        float(g0[:th, w // 2 :].mean()),
+        float(g0[h // 2 :, :lw].mean()),
+        float(g0[h // 2 :, w // 2 :].mean()),
+    ]
+    return {
+        "width": int(w), "height": int(h), "n_frames": len(frames),
+        "fps": round(float(fps), 6), "feature": feature,
+    }
 
 
 def _pnm_header(b: bytes, n_fields: int):
@@ -1288,9 +1473,14 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
             out += bytes([data[i]]) * (257 - n)
             i += 1
         # n == 128: no-op
-    if len(out) != expected:
+    if len(out) < expected:
         raise ValueError(
-            f"TIFF PackBits decoded {len(out)} bytes, expected {expected}"
+            f"truncated TIFF PackBits strip: {len(out)} of {expected} bytes"
+        )
+    if len(out) > expected:
+        raise ValueError(
+            f"corrupt TIFF PackBits strip: overlong "
+            f"({len(out)} > {expected} bytes)"
         )
     return bytes(out)
 
@@ -2173,11 +2363,13 @@ def extract_avi_audio(content: bytes) -> dict:
 
 
 def decode_video(content: bytes) -> dict:
-    """Video container dispatch by magic: YUV4MPEG2 raw planes or
-    Motion-JPEG AVI — same result shape."""
+    """Video container dispatch by magic: YUV4MPEG2 raw planes,
+    Motion-JPEG AVI, or GIF89a animation — same result shape."""
     b = bytes(content or b"")
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return decode_avi_mjpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_animation(b)
     return decode_y4m(b)
 
 
@@ -2213,7 +2405,9 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
     frame's luma plane inside mapInPandas and emits
     (media_id, frame_idx, luma_mean) — the working counterpart of the
     metadata-driven frame_sample stub. Only sampled planes are touched
-    per batch; codecs beyond Y4M/MJPEG-AVI need a codec library."""
+    per batch (GIF animations composite every frame — disposal needs the
+    running canvas — but only sampled frames pay the stats); codecs
+    beyond Y4M/MJPEG-AVI/GIF need a codec library."""
     import numpy as np
 
     schema = "media_id: long, frame_idx: int, luma_mean: double"
@@ -2226,6 +2420,13 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
             mids, idxs, means = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content or b"")
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    frames, _delays = decode_gif_frames(b)
+                    for k in range(0, len(frames), every_n):
+                        mids.append(mid)
+                        idxs.append(k)
+                        means.append(float(frames[k].mean()))
+                    continue
                 _, _, _, luma, chroma, start = _parse_y4m_header(b)
                 for k, off in _y4m_frames(b, luma, chroma, start):
                     if k % every_n == 0:

@@ -1494,6 +1494,121 @@ def test_gif_sub_canvas_placement():
         _decode_gif(_gif_bytes(idx, palette, screen=(0, 10)))
 
 
+def test_gif89a_animation_decode():
+    """decode_gif_frames composites GIF89a animations per the spec's
+    graphic-control semantics: transparency never overwrites, disposal 2
+    restores the frame rect to background, disposal 3 restores the
+    pre-frame canvas; decode_video dispatches GIF and derives fps from
+    the GCE delays; refusals for reserved disposal / corrupt GCE / no
+    frames."""
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.geo.serving import encode_gif_animation, grid_to_gif
+    from railgun_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_video,
+    )
+
+    pal = [(10, 20, 30), (200, 50, 50), (50, 200, 50), (50, 50, 200)]
+    P = np.array(pal, dtype="float64")
+    f0 = [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 1, 1], [3, 3, 1, 1]]
+    f1 = [[0, 2], [2, 0]]  # index 0 transparent in this frame
+    f2 = [[3, 3], [3, 3]]
+    gif = encode_gif_animation(
+        [(0, 0, f0), (1, 1, f1), (2, 2, f2)], pal,
+        delays_cs=[5, 5, 10],
+        disposals=[1, 3, 0],          # keep, restore-to-previous, none
+        transparent=[None, 0, None],
+        screen=(4, 4),
+    )
+    frames, delays = decode_gif_frames(gif)
+    assert delays == [5, 5, 10]
+    want0 = P[np.array(f0)]
+    assert np.array_equal(frames[0], want0)
+    # frame 1: transparent index-0 cells leave frame-0 pixels visible
+    want1 = want0.copy()
+    want1[1, 2] = P[2]  # only the opaque (index 2) cells paint
+    want1[2, 1] = P[2]
+    assert np.array_equal(frames[1], want1)
+    # disposal 3 on frame 1 restored the canvas, so frame 2 paints on
+    # frame 0's pixels, not frame 1's
+    want2 = want0.copy()
+    want2[2:4, 2:4] = P[3]
+    assert np.array_equal(frames[2], want2)
+
+    # disposal 2 clears the rect to the background color (bg index 0)
+    gif2 = encode_gif_animation(
+        [(1, 1, f2), (0, 0, [[1]])], pal,
+        disposals=[2, 0], screen=(4, 4),
+    )
+    frames2, _ = decode_gif_frames(gif2)
+    bg = np.tile(P[0], (4, 4, 1))
+    want = bg.copy()
+    want[1:3, 1:3] = P[3]
+    assert np.array_equal(frames2[0], want)
+    want_after = bg.copy()  # rect restored to background...
+    want_after[0, 0] = P[1]  # ...then frame 1 paints one pixel
+    assert np.array_equal(frames2[1], want_after)
+
+    # decode_video dispatch + fps from delays: 3 frames / 20 cs = 15 fps
+    d = decode_video(gif)
+    assert (d["width"], d["height"], d["n_frames"]) == (4, 4, 3)
+    assert abs(d["fps"] - 15.0) < 1e-9
+    assert abs(d["feature"][2] - frames[0].mean()) < 1e-9
+
+    # the geo mask GIF87a output round-trips as a 1-frame animation
+    grid = [[1, 0], [0, 1]]
+    mframes, mdelays = decode_gif_frames(grid_to_gif(grid, size=2))
+    assert len(mframes) == 1 and mdelays == [0]
+    assert np.array_equal(
+        mframes[0][:, :, 0], np.array(grid, dtype="float64") * 255
+    )
+
+    # refusals
+    bad = bytearray(gif)
+    gp_off = 13 + 12 + 3  # header + 4-entry global table + GCE packed byte
+    bad[gp_off] = (bad[gp_off] & ~0x1C) | (5 << 2)
+    with _pytest.raises(ValueError, match="reserved disposal"):
+        decode_gif_frames(bytes(bad))
+    bad2 = bytearray(gif)
+    bad2[gp_off - 1] = 3  # GCE sub-block size must be 4
+    with _pytest.raises(ValueError, match="graphic-control"):
+        decode_gif_frames(bytes(bad2))
+    with _pytest.raises(ValueError, match="no frames"):
+        decode_gif_frames(gif[:13] + bytes(gif[13:25]) + b"\x3b")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif_frames(gif[:-8])
+
+
+def test_gif_animation_frame_sampling(spark):
+    """sample_frames_y4m's GIF branch: every_n sampling over composited
+    canvases, mixed with Y4M rows in the same batch."""
+    import numpy as np
+
+    from railgun_spark.geo.serving import encode_gif_animation
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames_y4m,
+    )
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    frames = [(0, 0, [[(k + x) % 2 for x in range(2)] for _ in range(2)])
+              for k in range(5)]
+    gif = encode_gif_animation(frames, pal, screen=(2, 2))
+    luma = bytes(range(16))
+    y4m = b"YUV4MPEG2 W4 H4 F25:1\n" + b"FRAME\n" + luma + bytes(8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(gif), {}), (2, "video", bytearray(y4m), {})],
+        MEDIA_SCHEMA,
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r["luma_mean"]
+            for r in sample_frames_y4m(df, every_n=2).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert abs(rows[(1, 0)] - 127.5) < 1e-9  # half white, half black
+    assert abs(rows[(2, 0)] - np.frombuffer(luma, np.uint8).mean()) < 1e-9
+
+
 def _lzw_encode_tiff(data: bytes) -> bytes:
     """From-scratch TIFF 6.0 §13 LZW encoder (golden pair for
     _lzw_decode_tiff): MSB-first packing, EarlyChange width bumps (the
