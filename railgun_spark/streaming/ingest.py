@@ -95,6 +95,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     batch_id: int | None = None,
     span_index_path: str | None = None,
+    minhash_index_path: str | None = None,
 ) -> int:
     """Gate one batch through the index: write survivors to the sink,
     commit their fingerprints. Returns the number admitted. Usable
@@ -107,21 +108,35 @@ def ingest_batch(
     content hash, so invisible to the exact gate — are rejected, and
     admitted docs commit their window hashes alongside their content
     hashes. Rejected docs commit NEITHER index entry, so an identical
-    retry is re-judged consistently."""
+    retry is re-judged consistently.
+
+    With `minhash_index_path`, survivors of the previous gates also pass
+    the MinHash LSH band gate (dedup.near_dup_against_index): near-dup
+    rewrites with a different hash AND different window spans are
+    rejected against the band history. Commit order is content ->
+    window -> band hashes, so every crash window between appends
+    degrades to lost COVERAGE for that one batch (the replay's exact
+    gate rejects the whole batch, later near-dups of its docs pass the
+    later gates), never to duplicate sink rows — the same documented
+    trade as the span gate's."""
     from railgun_spark.operators.dedup import (
+        append_bands_to_index,
         append_window_hashes_to_index,
+        near_dup_against_index,
         span_dup_against_index,
     )
 
-    if span_index_path is not None:
+    if span_index_path is not None or minhash_index_path is not None:
         from pyspark.sql.types import BinaryType
 
         if isinstance(batch_df.schema[text_col].dataType, BinaryType):
-            # the span gate word-splits text; an implicit binary->string
-            # cast would hash meaningless "words" from media bytes
+            # the span/minhash gates word-split text; an implicit
+            # binary->string cast would hash meaningless "words" from
+            # media bytes
             raise ValueError(
-                f"span_index_path requires a text column; {text_col!r} is "
-                "BINARY (only the exact content-hash gate is binary-safe)"
+                f"span/minhash index paths require a text column; "
+                f"{text_col!r} is BINARY (only the exact content-hash "
+                "gate is binary-safe)"
             )
     survivors = dedup_against_index(
         batch_df, index_path, text_col=text_col, id_col=id_col
@@ -131,12 +146,20 @@ def ingest_batch(
             survivors, span_index_path, text_col=text_col, id_col=id_col
         ).select(id_col)
         survivors = survivors.join(flagged, id_col, "left_anti").localCheckpoint()
+    if minhash_index_path is not None:
+        survivors = near_dup_against_index(
+            survivors, minhash_index_path, text_col=text_col, id_col=id_col
+        ).localCheckpoint()
     n = _write_sink(survivors.drop("__h"), sink_path, batch_id)
     if n > 0:
         append_to_index(survivors, index_path)
         if span_index_path is not None:
             append_window_hashes_to_index(
                 survivors, span_index_path, text_col=text_col, id_col=id_col
+            )
+        if minhash_index_path is not None:
+            append_bands_to_index(
+                survivors, minhash_index_path, text_col=text_col, id_col=id_col
             )
     return n
 
@@ -269,6 +292,7 @@ def stream_ingest_dedup_availablenow(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_index_path: str | None = None,
+    minhash_index_path: str | None = None,
 ) -> int:
     """Drain `source_dir` through the dedup gate (availableNow) and return
     the total number of admitted documents. `span_index_path` adds the
@@ -293,5 +317,6 @@ def stream_ingest_dedup_availablenow(
             batch_df, index_path, sink_path,
             text_col=text_col, id_col=id_col, batch_id=batch_id,
             span_index_path=span_index_path,
+            minhash_index_path=minhash_index_path,
         ),
     )

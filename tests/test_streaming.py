@@ -538,6 +538,164 @@ def test_stream_ingest_span_gate_and_replay_window(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 1
 
 
+def _soak_shards(n_shards: int):
+    """Deterministic shard stream with engineered duplicate structure:
+    per shard, 2 fresh 24-word docs + 1 fresh 9-word periodic doc, and
+    (from shard 2 on) one exact copy, one span composite (two 16-word
+    halves of earlier docs: 14/23 windows seen = 0.61 >= 0.5), and one
+    MinHash rotation of the previous short doc (identical 3-gram shingle
+    set -> guaranteed band hit; < 10 words -> no span windows, so only
+    the band gate can reject it). Returns (shards, fresh_texts)."""
+    def long_doc(i: int, j: int) -> str:
+        return " ".join(f"w{i}x{j}x{k}" for k in range(24))
+
+    def short_doc(i: int) -> str:
+        return " ".join([f"ma{i}", f"mb{i}", f"mc{i}"] * 3)
+
+    shards, fresh = [], []
+    next_id = 0
+    for i in range(n_shards):
+        rows = []
+
+        def add(text: str) -> None:
+            nonlocal next_id
+            rows.append((next_id, text))
+            next_id += 1
+
+        la, lb, s = long_doc(i, 0), long_doc(i, 1), short_doc(i)
+        for t in (la, lb, s):
+            add(t)
+            fresh.append(t)
+        if i >= 2:
+            add(long_doc(i - 1, 0))  # exact dup
+            a = long_doc(i - 2, 0).split()
+            b = long_doc(i - 1, 1).split()
+            add(" ".join(a[:16] + b[8:]))  # span composite
+            w = short_doc(i - 1).split()
+            add(" ".join(w[1:] + w[:1]))  # minhash rotation
+        shards.append(rows)
+    return shards, fresh
+
+
+@pytest.mark.slow
+def test_stream_ingest_soak_four_gates(spark, tmp_path):
+    """Ingest soak (slow, ~2 min): 24 availableNow micro-batches through
+    the content + span + MinHash-band gate chain with two injected
+    crash/replay windows at batch boundaries 8 (sink written, indexes
+    lost) and 16 (indexes committed, checkpoint lost). The admitted
+    content set must equal the batch-backfill ground truth (the same
+    shards through direct ingest_batch calls on fresh indexes), and
+    per-batch wall times must not grow with index size."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from railgun_spark.operators.dedup import dedup_against_index
+    from railgun_spark.streaming.ingest import (
+        _drain_availablenow,
+        _write_sink,
+        ingest_batch,
+    )
+
+    n_shards = 24
+    shards, fresh = _soak_shards(n_shards)
+    src = tmp_path / "arriving"
+    src.mkdir()
+    schema = "doc_id: long, text: string"
+
+    def ship(k: int) -> None:
+        stage = tmp_path / f"__s{k}"
+        spark.createDataFrame(shards[k], schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"shard{k:02d}.parquet"
+        shutil.move(part, str(dest))
+        # pin listing order = shard order (the file source sorts by mtime)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    idx = str(tmp_path / "idx")
+    span_idx = str(tmp_path / "span_idx")
+    mh_idx = str(tmp_path / "mh_idx")
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    walls: list[float] = []
+
+    def gate(batch_df, batch_id):
+        t0 = time.time()
+        n = ingest_batch(
+            batch_df, idx, sink, batch_id=batch_id,
+            span_index_path=span_idx, minhash_index_path=mh_idx,
+        )
+        walls.append(time.time() - t0)
+        return n
+
+    def drain():
+        return _drain_availablenow(
+            spark, str(src), spark.createDataFrame([], schema).schema,
+            ckpt, 1, gate,
+        )
+
+    admitted = 0
+    for k in range(8):
+        ship(k)
+    admitted += drain()  # batches 0..7
+
+    # CRASH WINDOW 1 at boundary 8: the crashed attempt wrote shard 8's
+    # survivors to partition ingest_batch=8 but died before ANY index
+    # append. The stream's replay of batch 8 must re-admit and overwrite
+    # the same partition — no duplicate sink rows.
+    ship(8)
+    batch8 = spark.read.parquet(str(src / "shard08.parquet"))
+    crashed = dedup_against_index(batch8, idx).drop("__h")
+    _write_sink(crashed, sink, batch_id=8)
+    for k in range(9, 16):
+        ship(k)
+    admitted += drain()  # batches 8..15 (8 is a replay)
+
+    # CRASH WINDOW 2 at boundary 16: the crashed attempt completed the
+    # sink write AND all three index appends but lost the checkpoint.
+    # The stream's replay re-gates to empty and must skip the write,
+    # leaving the already-written partition intact.
+    ship(16)
+    batch16 = spark.read.parquet(str(src / "shard16.parquet"))
+    n16 = ingest_batch(
+        batch16, idx, sink, batch_id=16,
+        span_index_path=span_idx, minhash_index_path=mh_idx,
+    )
+    assert n16 == 3
+    for k in range(17, n_shards):
+        ship(k)
+    admitted += drain()  # batches 16..23 (16 is a replay that admits 0)
+
+    assert len(walls) == n_shards
+    got = sorted(r["text"] for r in spark.read.parquet(sink).collect())
+    assert got == sorted(fresh)  # exactly one copy of every fresh doc
+    # window-2's replay admitted 0 through the stream, so the streamed
+    # count is fresh-total minus the 3 the crashed attempt committed
+    assert admitted == len(fresh) - 3
+
+    # batch-backfill ground truth: same shards, direct ingest_batch
+    b_idx, b_span, b_mh = (str(tmp_path / p) for p in ("bi", "bs", "bm"))
+    b_sink = str(tmp_path / "b_corpus")
+    for k in range(n_shards):
+        ingest_batch(
+            spark.createDataFrame(shards[k], schema), b_idx, b_sink,
+            batch_id=None, span_index_path=b_span, minhash_index_path=b_mh,
+        )
+    backfill = sorted(r["text"] for r in spark.read.parquet(b_sink).collect())
+    assert got == backfill
+
+    # no growth with index size: the last third must stay within 3x the
+    # first third (loose: absolute walls are scheduler-noise-dominated
+    # at this scale; real growth would be monotone and larger)
+    print("SOAK_WALLS " + " ".join(f"{w:.2f}" for w in walls))
+    first = sum(walls[:8]) / 8
+    last = sum(walls[-8:]) / 8
+    assert last <= 3 * first, (first, last, walls)
+
+
 def test_stream_ingest_refuses_nested_shard_dirs(spark, tmp_path):
     """A source dir holding parquet only inside shard DIRECTORIES would
     silently drain zero batches — the scaffold must refuse loudly."""
