@@ -828,6 +828,87 @@ def media_refusal_report(spark, sf_dir: str) -> DataFrame:
     return media_decode_coverage(corpus)
 
 
+@extra_query(
+    "gif_animation_report",
+    # Each crafted animation's frame count and solid-gray frame values
+    # derive from doc_id arithmetic, so the oracle predicts the decoded
+    # per-source totals without decoding anything: a REAL
+    # encode->decode->composite round-trip on every row must land on
+    # exactly these integers.
+    oracle="""
+    WITH s AS (
+      SELECT source, doc_id AS d, 2 + CAST(doc_id % 3 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 5 = 0
+    ), fr AS (
+      SELECT source, d, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS k
+      FROM s
+    ), lum AS (
+      SELECT source, d, n_frames,
+             SUM((d * 13 + 40 * ((d + k) % 4)) % 256) AS total_luma
+      FROM fr GROUP BY source, d, n_frames
+    )
+    SELECT source, count(*) AS n_streams,
+           SUM(n_frames)::BIGINT AS sum_frames,
+           SUM(total_luma)::BIGINT AS sum_luma
+    FROM lum GROUP BY source ORDER BY source
+    """,
+    doc="Animated-GIF decode certification: every row encodes a crafted "
+    "GIF89a animation (2-4 solid-gray frames, doc_id-derived palette) "
+    "with the library's own encoder, decodes it through "
+    "decode_gif_frames' compositing walker, and reports per-source "
+    "stream/frame/luma totals the oracle recomputes from doc_id "
+    "arithmetic. Map-side Arrow pass; only (source, 2 ints) shuffle.",
+    tags=("multimodal", "pandas-udf"),
+)
+def gif_animation_report(spark, sf_dir: str) -> DataFrame:
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "source"),
+        heavy=True,  # every row encodes + decodes a real animation
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from railgun_spark.geo.serving import encode_gif_animation
+
+        for pdf in it:
+            rows = []
+            for d, src in zip(pdf["doc_id"], pdf["source"]):
+                d = int(d)
+                n = 2 + d % 3
+                pal = [((d * 13 + 40 * c) % 256,) * 3 for c in range(4)]
+                frames = [
+                    (0, 0, [[(d + k) % 4] * 4 for _ in range(4)])
+                    for k in range(n)
+                ]
+                blob = encode_gif_animation(
+                    frames, pal, delays_cs=[5] * n, screen=(4, 4)
+                )
+                decoded, _delays = decode_gif_frames(blob)
+                rows.append((
+                    src,
+                    len(decoded),
+                    int(sum(int(round(f.mean())) for f in decoded)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["source", "n_frames", "total_luma"]
+            )
+
+    per = docs.mapInPandas(
+        batches, "source: string, n_frames: int, total_luma: long"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_streams"),
+            F.sum("n_frames").cast("long").alias("sum_frames"),
+            F.sum("total_luma").alias("sum_luma"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

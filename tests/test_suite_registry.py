@@ -139,6 +139,9 @@ EXPECTED_EXTRA = {
     # round-12: SemDeDup production path (corpus-scaled K through the
     # BLAS batch argmin) gets its own oracle — retires probe-only status
     "semantic_dedup_scaled",
+    # round-12: GIF89a animation decoder certified end-to-end (crafted
+    # animations, doc_id-predicted frame/luma totals)
+    "gif_animation_report",
 }
 
 
