@@ -2272,22 +2272,13 @@ def decode_y4m(content: bytes) -> dict:
     }
 
 
-def decode_avi_mjpeg(content: bytes) -> dict:
-    """Motion-JPEG AVI -> the decode_y4m result shape: RIFF 'AVI ' with
-    an avih header (frame period/dims) and a movi LIST whose '..dc'/
-    '..db' chunks each hold one JPEG frame, decoded through the
-    library's own T.81 decoder (operators/jpeg.py) — a COMPRESSED
-    library-free video path next to raw Y4M. The same 8-dim luma
-    feature (first-four frame means, mean/std, motion proxy) so video
-    features are comparable across containers. Truncation and
-    non-MJPEG streams are refused."""
+def _avi_jpeg_frames(b: bytes):
+    """RIFF walk shared by the full decode and the frame sampler:
+    returns (avih tuple, list of per-frame chunk bytes) WITHOUT decoding
+    any JPEG — samplers decode only the frames they keep. Truncation and
+    structural violations refuse."""
     import struct
 
-    import numpy as np
-
-    from railgun_spark.operators.jpeg import decode_jpeg
-
-    b = bytes(content or b"")
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
 
@@ -2318,6 +2309,26 @@ def decode_avi_mjpeg(content: bytes) -> dict:
         raise ValueError("AVI missing avih header")
     if not frames:
         raise ValueError("AVI with zero video frames")
+    return avih, frames
+
+
+def decode_avi_mjpeg(content: bytes) -> dict:
+    """Motion-JPEG AVI -> the decode_y4m result shape: RIFF 'AVI ' with
+    an avih header (frame period/dims) and a movi LIST whose '..dc'/
+    '..db' chunks each hold one JPEG frame, decoded through the
+    library's own T.81 decoder (operators/jpeg.py) — a COMPRESSED
+    library-free video path next to raw Y4M. The same 8-dim luma
+    feature (first-four frame means, mean/std, motion proxy) so video
+    features are comparable across containers. Truncation and
+    non-MJPEG streams are refused."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.operators.jpeg import decode_jpeg
+
+    b = bytes(content or b"")
+    avih, frames = _avi_jpeg_frames(b)
     us_per_frame, _, _, _, n_frames_hdr, _, _, _, width, height = avih
     fps = 1e6 / us_per_frame if us_per_frame else 0.0
 
@@ -2487,13 +2498,16 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
     (media_id, frame_idx, luma_mean) — the working counterpart of the
     metadata-driven frame_sample stub. Only sampled planes are touched
     per batch (GIF animations composite every frame — disposal needs the
-    running canvas — but only sampled frames pay the stats); codecs
-    beyond Y4M/MJPEG-AVI/GIF need a codec library."""
+    running canvas — but only sampled frames pay the stats; MJPEG-AVI
+    walks the RIFF index and JPEG-decodes ONLY the sampled frames);
+    codecs beyond Y4M/MJPEG-AVI/GIF need a codec library."""
     import numpy as np
 
     schema = "media_id: long, frame_idx: int, luma_mean: double"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from railgun_spark.operators.jpeg import decode_jpeg
+
         for pdf in it:
             pdf = pdf[pdf["kind"] == "video"]
             if pdf.empty:
@@ -2507,6 +2521,22 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
                         mids.append(mid)
                         idxs.append(k)
                         means.append(float(frames[k].mean()))
+                    continue
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    _avih, chunks = _avi_jpeg_frames(b)
+                    for k in range(0, len(chunks), every_n):
+                        if chunks[k][:2] != b"\xff\xd8":
+                            raise ValueError(
+                                f"AVI frame {k} is not JPEG (only MJPEG "
+                                "AVIs decode library-free; other codecs "
+                                "need a decoder)"
+                            )
+                        rgb = decode_jpeg(chunks[k])
+                        luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                                + 0.114 * rgb[:, :, 2])
+                        mids.append(mid)
+                        idxs.append(k)
+                        means.append(float(luma.mean()))
                     continue
                 _, _, _, luma, chroma, start = _parse_y4m_header(b)
                 for k, off in _y4m_frames(b, luma, chroma, start):

@@ -675,6 +675,24 @@ def test_mjpeg_avi_decode():
     bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
     with pytest.raises(ValueError, match="not JPEG"):
         decode_avi_mjpeg(bad)
+    return avi, grays
+
+
+def test_mjpeg_avi_frame_sampling(spark):
+    """sample_frames_y4m's AVI branch: only every_n-th chunk is
+    JPEG-decoded; luma means track the source grays."""
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames_y4m,
+    )
+
+    avi, grays = test_mjpeg_avi_decode()
+    df = spark.createDataFrame([(9, "video", bytearray(avi), {})], MEDIA_SCHEMA)
+    rows = {r["frame_idx"]: r["luma_mean"]
+            for r in sample_frames_y4m(df, every_n=2).collect()}
+    assert set(rows) == {0, 2, 4}
+    for k in rows:
+        assert abs(rows[k] - grays[k].mean()) < 2.0
 
 
 from hypothesis import given, settings  # noqa: E402
