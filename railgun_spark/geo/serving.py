@@ -264,6 +264,7 @@ def encode_gif_animation(
     disposals=None,
     transparent=None,
     screen=None,
+    interlace=False,
 ) -> bytes:
     """GIF89a animation writer (from-scratch, public 89a spec): each
     frame is ``(left, top, rows)`` with ``rows`` a list of palette-index
@@ -299,7 +300,14 @@ def encode_gif_animation(
         out += bytes([0x21, 0xF9, 4, gp]) + struct.pack("<H", delay)
         out += bytes([tr or 0, 0])
         h, w = len(rows), len(rows[0])
-        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        if interlace:
+            # store rows in the spec's 4-pass order; the descriptor flag
+            # tells the decoder to de-shuffle
+            order = [y for y0, dy in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for y in range(y0, h, dy)]
+            rows = [rows[y] for y in order]
+        out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x40 if interlace else 0x00])
         out += bytes([min_code])
         lzw = _lzw_encode([int(v) for row in rows for v in row], min_code)
         for i in range(0, len(lzw), 255):

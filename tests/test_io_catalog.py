@@ -1565,6 +1565,18 @@ def test_gif89a_animation_decode():
         mframes[0][:, :, 0], np.array(grid, dtype="float64") * 255
     )
 
+    # interlaced frames inside an animation de-shuffle through the shared
+    # image reader: pixel-identical to the sequential encoding
+    gif_i = encode_gif_animation(
+        [(0, 0, f0), (1, 1, f1), (2, 2, f2)], pal,
+        delays_cs=[5, 5, 10], disposals=[1, 3, 0],
+        transparent=[None, 0, None], screen=(4, 4), interlace=True,
+    )
+    frames_i, delays_i = decode_gif_frames(gif_i)
+    assert delays_i == delays
+    for a, b in zip(frames_i, frames):
+        assert np.array_equal(a, b)
+
     # refusals
     bad = bytearray(gif)
     gp_off = 13 + 12 + 3  # header + 4-entry global table + GCE packed byte
