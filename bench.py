@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     # round-11 flagship: corpus decode-coverage observability (real MP3
     # encode+decode per stream inside the Arrow hop)
     "mp3_refusal_report",
+    # round-12 flagships: whole-codec-matrix coverage (now driver-gated),
+    # the SemDeDup production path (corpus-scaled K through the BLAS
+    # batch argmin), and the animated-GIF decode certification
+    "media_refusal_report",
+    "semantic_dedup_scaled",
+    "gif_animation_report",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return
