@@ -645,7 +645,41 @@ MEDIA_CRAFT_CLASSES = (
     ("video", "corrupt"),                    # 13: GIF89a reserved disposal
     ("image", "decoded"),                    # 14: TIFF PackBits gray
     ("image", "corrupt"),                    # 15: TIFF PackBits overlong
+    ("audio", "decoded"),                    # 16: AIFF int16 mono
+    ("audio", "decoded"),                    # 17: AU int16 BE mono
+    ("audio", "decoded"),                    # 18: FLAC verbatim mono
+    ("audio", "truncated"),                  # 19: FLAC cut mid-frame
+    ("video", "decoded"),                    # 20: MJPEG AVI (own JPEG enc)
 )
+
+
+def _flac_verbatim_mono(samples, rate: int = 8000) -> bytes:
+    """Minimal spec-correct FLAC for the crafted corpus: STREAMINFO +
+    one fixed-blocksize frame of a single 16-bit VERBATIM subframe —
+    every field after the 144-bit STREAMINFO prefix is byte-aligned, so
+    no bit writer is needed. CRCs reuse the decoder module's pinned
+    polynomials (tests/test_flac.py pins them against standard check
+    values, so encoder and decoder cannot drift together)."""
+    import struct
+
+    from railgun_spark.operators.flac import _crc8, _crc16
+
+    n = len(samples)
+    v = 0
+    for val, bits in ((n, 16), (n, 16), (0, 24), (0, 24),
+                      (rate, 20), (0, 3), (15, 5), (n, 36)):
+        v = (v << bits) | val
+    body = v.to_bytes(18, "big") + bytes(16)  # md5 zeros (unchecked)
+    out = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    # sync(14) 0x3FFE + reserved + fixed-strategy = FF F8; blocksize
+    # code 7 (16-bit follows) + rate-from-streaminfo = 70; mono +
+    # 16-bit-sample code 4 + reserved = 08; frame number 0
+    hdr = bytes([0xFF, 0xF8, 0x70, 0x08, 0x00]) + struct.pack(">H", n - 1)
+    hdr += bytes([_crc8(hdr)])
+    sub = bytes([0x02])  # VERBATIM subframe, no wasted bits
+    sub += b"".join(struct.pack(">h", int(s)) for s in samples)
+    frame = hdr + sub
+    return out + frame + _crc16(frame).to_bytes(2, "big")
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -756,6 +790,55 @@ def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
         )) + struct.pack("<I", 0)
         return "image", (b"II\x2a\x00" + struct.pack("<I", ifd_off)
                          + pb + ifd)
+    if cls == 16:
+        # AIFF: COMM (80-bit extended rate) + SSND, int16 BE mono
+        rate, n = 8000, 16
+        pcm = b"".join(struct.pack(">h", ((d * 41 + i * 89) % 65536) - 32768)
+                       for i in range(n))
+        exp, mant = 16383 + 63, rate
+        while mant < (1 << 63):
+            mant <<= 1
+            exp -= 1
+        f80 = struct.pack(">HII", exp, mant >> 32, mant & 0xFFFFFFFF)
+        comm = struct.pack(">hIh", 1, n, 16) + f80
+        ssnd = struct.pack(">II", 0, 0) + pcm
+        return "audio", (b"FORM"
+                         + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd))
+                         + b"AIFF" + b"COMM" + struct.pack(">I", len(comm))
+                         + comm + b"SSND" + struct.pack(">I", len(ssnd))
+                         + ssnd)
+    if cls == 17:
+        # AU: .snd header, encoding 3 = int16 BE, mono
+        pcm = b"".join(struct.pack(">h", ((d * 53 + i * 71) % 65536) - 32768)
+                       for i in range(16))
+        return "audio", (b".snd"
+                         + struct.pack(">IIIII", 24, len(pcm), 3, 8000, 1)
+                         + pcm)
+    if cls in (18, 19):
+        flac = _flac_verbatim_mono(
+            [((d * 29 + i * 97) % 65536) - 32768 for i in range(16)]
+        )
+        return "audio", flac if cls == 18 else flac[:-12]  # cut mid-frame
+    if cls == 20:
+        import numpy as np
+
+        from railgun_spark.operators.jpeg import encode_gray_jpeg
+
+        jpgs = [encode_gray_jpeg(
+                    np.full((8, 8), (d + 60 * k) % 256, dtype=np.uint8))
+                for k in range(2)]
+
+        def riff_chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, 2, 0, 1, 0, 8, 8)
+        hdrl = riff_chunk(b"LIST", b"hdrl" + riff_chunk(b"avih", avih))
+        movi = riff_chunk(
+            b"LIST", b"movi" + b"".join(riff_chunk(b"00dc", j) for j in jpgs)
+        )
+        body = b"AVI " + hdrl + movi
+        return "video", b"RIFF" + struct.pack("<I", len(body)) + body
     return "image", b"RIFF\x10\x00\x00\x00WEBPVP8 "  # cls 6
 
 
