@@ -696,6 +696,96 @@ def test_stream_ingest_soak_four_gates(spark, tmp_path):
     assert last <= 3 * first, (first, last, walls)
 
 
+@pytest.mark.slow
+def test_stream_ingest_soak_embedding_gate(spark, tmp_path):
+    """Embedding-gate soak (the fourth ingest gate): 12 availableNow
+    micro-batches of vector shards with engineered exact-repeat
+    conflicts and one injected crash/replay window at batch boundary 6
+    (sink partition written, band commit lost -> replay re-admits and
+    overwrites). Admitted vector set must equal the batch-backfill
+    ground truth through ingest_embeddings_batch on a fresh index."""
+    import glob
+    import os
+    import shutil
+
+    from railgun_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_dedup_against_index,
+    )
+    from railgun_spark.streaming.ingest import (
+        _write_sink,
+        ingest_embeddings_batch,
+        stream_ingest_embeddings_availablenow,
+    )
+
+    def vec(vid: int) -> list:
+        return [1.0 if (vid * 7 + d * 13) % 5 < 2 else -1.0
+                for d in range(EMB_DIM)]
+
+    n_shards = 12
+    shards = []
+    next_id = 0
+    for i in range(n_shards):
+        rows = []
+        for _ in range(3):  # fresh sign patterns
+            rows.append((next_id, vec(next_id)))
+            next_id += 1
+        if i >= 1:  # exact copy of the previous shard's first vector
+            prev = shards[i - 1][0]
+            rows.append((next_id, list(prev[1])))
+            next_id += 1
+        shards.append(rows)
+
+    schema = "vec_id: long, embedding: array<float>"
+    src = tmp_path / "arriving"
+    src.mkdir()
+
+    def ship(k: int) -> None:
+        stage = tmp_path / f"__e{k}"
+        spark.createDataFrame(shards[k], schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"shard{k:02d}.parquet"
+        shutil.move(part, str(dest))
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    idx, sink, ckpt = (str(tmp_path / p) for p in ("bands", "vecs", "ck"))
+    sdf_schema = spark.createDataFrame([], schema).schema
+
+    def drain():
+        return stream_ingest_embeddings_availablenow(
+            spark, str(src), sdf_schema,
+            index_path=idx, sink_path=sink, checkpoint_dir=ckpt,
+        )
+
+    for k in range(6):
+        ship(k)
+    admitted = drain()  # batches 0..5
+
+    # crash window at boundary 6: survivors written, band commit lost
+    ship(6)
+    batch6 = spark.read.parquet(str(src / "shard06.parquet"))
+    crashed = embedding_dedup_against_index(batch6, idx, dim=EMB_DIM)
+    _write_sink(crashed, sink, batch_id=6)
+    for k in range(7, n_shards):
+        ship(k)
+    admitted += drain()  # batches 6..11 (6 is a replay)
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(sink).collect())
+    assert admitted == len(got)  # replay re-admitted, no duplicates
+
+    # batch-backfill ground truth on a fresh index
+    b_idx, b_sink = str(tmp_path / "b_bands"), str(tmp_path / "b_vecs")
+    for k in range(n_shards):
+        ingest_embeddings_batch(
+            spark.createDataFrame(shards[k], schema), b_idx, b_sink,
+            batch_id=None, dim=EMB_DIM,
+        )
+    want = sorted(r["vec_id"] for r in spark.read.parquet(b_sink).collect())
+    assert got == want
+
+
 def test_stream_ingest_refuses_nested_shard_dirs(spark, tmp_path):
     """A source dir holding parquet only inside shard DIRECTORIES would
     silently drain zero batches — the scaffold must refuse loudly."""
