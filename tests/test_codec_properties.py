@@ -379,3 +379,66 @@ def test_avi_audio_track_extraction():
         extract_avi_audio(build_avi(fmt_pcm, ()))
     with pytest.raises(ValueError, match="WAVEFORMATEX"):
         extract_avi_audio(build_avi(b"\x00" * 8, (b"\x00" * 4,)))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 5),
+    n_colors=st.sampled_from([2, 4, 8, 16]),
+    interlace=st.booleans(),
+    use_transparency=st.booleans(),
+)
+def test_gif_animation_compositing_property(seed, n_frames, n_colors,
+                                            interlace, use_transparency):
+    """Random GIF89a animations (random frame rects, disposal methods,
+    optional transparency, optional interlace) round-trip through
+    encode_gif_animation -> decode_gif_frames to EXACTLY the canvases a
+    straightforward numpy reference compositor produces — pinning the
+    disposal/transparency semantics independently of the decoder's own
+    code path."""
+    from railgun_spark.geo.serving import encode_gif_animation
+    from railgun_spark.operators.multimodal import decode_gif_frames
+
+    rng = np.random.RandomState(seed)
+    sw, sh = int(rng.randint(3, 10)), int(rng.randint(3, 10))
+    pal = rng.randint(0, 256, size=(n_colors, 3))
+    pal_l = [tuple(int(x) for x in c) for c in pal]
+    frames, disposals, transparents = [], [], []
+    for _ in range(n_frames):
+        w = int(rng.randint(1, sw + 1))
+        h = int(rng.randint(1, sh + 1))
+        left = int(rng.randint(0, sw - w + 1))
+        top = int(rng.randint(0, sh - h + 1))
+        rows = rng.randint(0, n_colors, size=(h, w))
+        frames.append((left, top, [[int(v) for v in r] for r in rows]))
+        disposals.append(int(rng.randint(0, 4)))
+        transparents.append(int(rng.randint(0, n_colors))
+                            if use_transparency else None)
+    gif = encode_gif_animation(
+        frames, pal_l, disposals=disposals, transparent=transparents,
+        screen=(sw, sh), interlace=interlace,
+    )
+    got, _delays = decode_gif_frames(gif)
+
+    # independent reference compositor (background = palette[0]: the
+    # header's bg index is 0 and a global table is always present)
+    P = pal.astype("float64")
+    canvas = np.tile(P[0], (sh, sw, 1))
+    want = []
+    for (left, top, rows), disp, tr in zip(frames, disposals, transparents):
+        idx = np.array(rows, dtype=np.int64)
+        h, w = idx.shape
+        prev = canvas.copy()
+        rect = canvas[top : top + h, left : left + w]
+        paint = P[idx]
+        mask = np.ones_like(idx, dtype=bool) if tr is None else idx != tr
+        rect[mask] = paint[mask]
+        want.append(canvas.copy())
+        if disp == 2:
+            canvas[top : top + h, left : left + w] = P[0]
+        elif disp == 3:
+            canvas = prev
+    assert len(got) == n_frames
+    for g, e in zip(got, want):
+        assert np.array_equal(g, e)
