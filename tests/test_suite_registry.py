@@ -142,6 +142,9 @@ EXPECTED_EXTRA = {
     # round-12: GIF89a animation decoder certified end-to-end (crafted
     # animations, doc_id-predicted frame/luma totals)
     "gif_animation_report",
+    # round-12: real resize path (decode -> bilinear -> PNG re-encode ->
+    # decode) certified on doc_id-predicted solid colors
+    "multimodal_resize_report",
 }
 
 
