@@ -156,6 +156,20 @@ def main() -> int:
             df, idx, idx + "_popsink"),
         time_batch=lambda b, idx, sink: ingest_embeddings_batch(b, idx, sink),
     )
+    # composite: the first-class three-text-gate chain (content -> span
+    # -> MinHash bands) through one ingest_batch call — the configuration
+    # the r12 streaming soak drives; its cost should track the sum of
+    # the individual text gates, flat across index size
+    run_gate(
+        "composite", docs_index_src, docs_batch_src,
+        populate=lambda df, idx: ingest_batch(
+            df, idx, idx + "_popsink",
+            span_index_path=idx + "_span", minhash_index_path=idx + "_mh"),
+        time_batch=lambda b, idx, sink: ingest_batch(
+            b, idx, sink,
+            span_index_path=idx + "_span", minhash_index_path=idx + "_mh"),
+        suffixes=("", "_span", "_mh"),
+    )
 
     shutil.rmtree(work, ignore_errors=True)
     payload = {"metric": "ingest_grid", "index_sizes": list(INDEX_SIZES),
