@@ -1143,6 +1143,83 @@ def multimodal_resize_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@extra_query(
+    "audio_resample_report",
+    # Constant-amplitude sources make the resample pipeline
+    # integer-predictable: linear interpolation of a constant signal is
+    # the same constant at any rate, and amplitudes k/128 sit exactly on
+    # the 16-bit grid (k*256/32768), so decode -> resample -> WAV
+    # re-encode -> decode recovers k exactly.
+    oracle="""
+    SELECT source, count(*) AS n_clips,
+           SUM((doc_id % 201) - 100)::BIGINT AS sum_k,
+           (count(*) * 32)::BIGINT AS sum_samples
+    FROM documents WHERE doc_id % 11 = 0
+    GROUP BY source ORDER BY source
+    """,
+    doc="REAL audio-resample certification: per row, craft a 16-sample "
+    "8 kHz PCM WAV of doc_id-derived constant amplitude k/128, run "
+    "resample_audio to 16 kHz (decode -> linear interp -> 16-bit "
+    "re-encode), decode the OUTPUT WAV, and aggregate recovered k and "
+    "sample counts per source against the oracle's arithmetic.",
+    tags=("multimodal", "pandas-udf"),
+)
+def audio_resample_report(spark, sf_dir: str) -> DataFrame:
+    import struct
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "source"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, src in zip(pdf["doc_id"], pdf["source"]):
+                k = int(d) % 201 - 100
+                data = struct.pack("<h", k * 256) * 16
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt))
+                        + fmt + b"data" + struct.pack("<I", len(data))
+                        + data)
+                wav = b"RIFF" + struct.pack("<I", len(body)) + body
+                rows.append((int(d), "audio", wav, {"src": src}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    resampled = resample_audio(media, 16000)
+
+    def measure(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                d = decode_wav(bytes(content))
+                assert d["sample_rate"] == 16000
+                rows.append((
+                    meta["src"],
+                    int(round(d["feature"][3] * 128)),  # mean -> k
+                    int(d["n_samples"]),
+                ))
+            yield pd.DataFrame(rows, columns=["source", "k", "n_samples"])
+
+    per = resampled.mapInPandas(
+        measure, "source: string, k: long, n_samples: long"
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("k").alias("sum_k"),
+            F.sum("n_samples").alias("sum_samples"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""
@@ -2259,10 +2336,12 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_wav(content: bytes) -> dict:
-    """RIFF/WAVE PCM -> sample_rate, n_channels, n_samples, duration, and
-    an 8-dim feature: [rms, peak, zero-crossing rate, mean, rms of four
-    equal time segments] over the channel-averaged signal in [-1, 1]."""
+def _wav_pcm(content: bytes):
+    """RIFF/WAVE front half shared by decode_wav and the resampler:
+    validates the container and returns (x, sample_rate, n_channels)
+    with x an (n_frames, n_channels) float64 array in [-1, 1] —
+    channels NOT yet averaged, so channel-preserving transforms can
+    consume it."""
     import struct
 
     import numpy as np
@@ -2337,11 +2416,20 @@ def decode_wav(content: bytes) -> dict:
         x = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)).astype("float64") / 32768.0
     else:
         x = np.frombuffer(data, dtype="<f4").astype("float64")
-    if n_channels > 1:
-        x = x.reshape(-1, n_channels).mean(axis=1)
-    n_samples = len(x)
-    if n_samples == 0:
+    if len(x) == 0:
         raise ValueError("empty WAVE data chunk")
+    return x.reshape(-1, n_channels), int(sample_rate), int(n_channels)
+
+
+def decode_wav(content: bytes) -> dict:
+    """RIFF/WAVE PCM -> sample_rate, n_channels, n_samples, duration, and
+    an 8-dim feature: [rms, peak, zero-crossing rate, mean, rms of four
+    equal time segments] over the channel-averaged signal in [-1, 1]."""
+    import numpy as np
+
+    frames, sample_rate, n_channels = _wav_pcm(content)
+    x = frames.mean(axis=1) if n_channels > 1 else frames.reshape(-1)
+    n_samples = len(x)
     rms = float(np.sqrt((x**2).mean()))
     zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n_samples > 1 else 0.0
     # array_split never drops samples; sub-4-sample clips get 0.0 for the
@@ -2357,6 +2445,86 @@ def decode_wav(content: bytes) -> dict:
         "duration_s": n_samples / sample_rate,
         "feature": [rms, float(np.abs(x).max()), zcr, float(x.mean())] + seg_rms,
     }
+
+
+def _encode_wav_pcm16(frames, sample_rate: int) -> bytes:
+    """16-bit PCM RIFF/WAVE of an (n, ch) float array in [-1, 1] —
+    quantized as round(x * 32768) clipped to int16, the inverse of the
+    decoder's v / 32768 mapping, so values on the 1/32768 grid (every
+    decoded 16-bit sample) round-trip bit-exactly."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(frames, dtype="float64")
+    n, ch = a.shape
+    pcm = np.clip(np.rint(a * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16
+    )
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _resample_linear(frames, src_rate: int, dst_rate: int):
+    """Channel-preserving linear-interpolation resample of an (n, ch)
+    float signal (sample-index convention: output sample j sits at
+    source position j * src/dst, edges clamped). The standard cheap
+    rate-normalization a training pipeline applies before feature
+    extraction; band-limited (sinc) resampling slots behind the same
+    signature when a DSP library is available."""
+    import numpy as np
+
+    n = frames.shape[0]
+    n_out = max(1, int(round(n * dst_rate / src_rate)))
+    pos = np.arange(n_out, dtype="float64") * (src_rate / dst_rate)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = np.clip(pos - i0, 0.0, 1.0)[:, None]
+    return frames[i0] * (1 - frac) + frames[i1] * frac
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample over MEDIA_SCHEMA rows: PCM WAV decodes to
+    its full (n, ch) signal, linear-interpolates to `target_rate`, and
+    re-encodes as 16-bit PCM WAV in one Arrow pass — rows keep
+    MEDIA_SCHEMA with meta recording the source rate, so resample
+    stages compose with extract_audio_features downstream. Non-audio
+    rows pass through; compressed audio containers (FLAC/MP3/...)
+    refuse loudly — transcode upstream or decode to features directly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents, metas = [], []
+            for kind, content, meta in zip(
+                pdf["kind"], pdf["content"], pdf["meta"]
+            ):
+                if kind != "audio":
+                    contents.append(content)
+                    metas.append(meta)
+                    continue
+                b = bytes(content or b"")
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(
+                        "resample_audio takes PCM WAV; compressed audio "
+                        "(FLAC/MP3/AIFF/AU) needs a transcode upstream or "
+                        "decode_audio for features"
+                    )
+                frames, rate, _ch = _wav_pcm(b)
+                out = _resample_linear(frames, rate, target_rate)
+                contents.append(_encode_wav_pcm16(out, target_rate))
+                m = dict(meta or {})
+                m.update({"src_rate": str(rate),
+                          "resample_rate": str(target_rate)})
+                metas.append(m)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "content": contents, "meta": metas,
+            })
+
+    return df.mapInPandas(batches, df.schema)
 
 
 def extract_audio_features(

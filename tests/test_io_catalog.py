@@ -1676,6 +1676,75 @@ def test_resize_images_real(spark):
         ).collect()
 
 
+def test_resample_audio_real(spark):
+    """resample_audio decodes WAV PCM, linear-interpolates, re-encodes
+    16-bit WAV: exact on constants and on-grid ramps at integer factors;
+    stereo channels preserved independently; compressed audio refused;
+    non-audio rows pass through."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _encode_wav_pcm16,
+        _resample_linear,
+        _wav_pcm,
+        decode_wav,
+        resample_audio,
+    )
+
+    # kernel: constants stay constant; 2x upsample of a ramp hits the
+    # midpoints exactly (linear interp of a linear signal)
+    const = np.full((10, 1), 0.25)
+    assert np.allclose(_resample_linear(const, 8000, 12345), 0.25)
+    ramp = (np.arange(8, dtype="float64") / 16).reshape(-1, 1)
+    up = _resample_linear(ramp, 8000, 16000)
+    assert len(up) == 16
+    # even outputs land on source samples; odd outputs are midpoints
+    # (the final odd position clamps to the last sample)
+    assert np.allclose(up[0::2].reshape(-1), ramp.reshape(-1))
+    mids = (ramp[1:].reshape(-1) + ramp[:-1].reshape(-1)) / 2
+    assert np.allclose(up[1::2][:-1].reshape(-1), mids)
+    assert up[-1, 0] == ramp[-1, 0]
+
+    # stereo: channels resample independently (L = -R stays L = -R)
+    st = np.stack([np.linspace(-0.5, 0.5, 20), -np.linspace(-0.5, 0.5, 20)], 1)
+    got = _resample_linear(st, 8000, 4000)
+    assert np.allclose(got[:, 0], -got[:, 1])
+
+    # end-to-end through Spark: constant mono WAV doubles its samples
+    data = struct.pack("<h", 64 * 256) * 16  # amplitude 64/128 on-grid
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rows = [(1, "audio", bytearray(wav), {"a": "b"}),
+            (2, "video", bytearray(b"\x07"), {})]
+    out = {r["media_id"]: r
+           for r in resample_audio(
+               spark.createDataFrame(rows, MEDIA_SCHEMA), 16000).collect()}
+    assert bytes(out[2]["content"]) == b"\x07"
+    d = decode_wav(bytes(out[1]["content"]))
+    assert (d["sample_rate"], d["n_samples"]) == (16000, 32)
+    assert abs(d["feature"][3] - 64 / 128) < 1e-12  # mean exact
+    assert out[1]["meta"] == {"a": "b", "src_rate": "8000",
+                              "resample_rate": "16000"}
+    # 16-bit encode round-trips on-grid values bit-exactly
+    frames, rate, ch = _wav_pcm(_encode_wav_pcm16(
+        _wav_pcm(wav)[0], 8000))
+    assert np.array_equal(frames, _wav_pcm(wav)[0])
+
+    # compressed audio refused loudly
+    with _pytest.raises(Exception):
+        resample_audio(
+            spark.createDataFrame(
+                [(9, "audio", bytearray(b"fLaC\x00"), {})], MEDIA_SCHEMA
+            ), 16000,
+        ).collect()
+
+
 def _lzw_encode_tiff(data: bytes) -> bytes:
     """From-scratch TIFF 6.0 §13 LZW encoder (golden pair for
     _lzw_decode_tiff): MSB-first packing, EarlyChange width bumps (the

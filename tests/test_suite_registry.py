@@ -145,6 +145,9 @@ EXPECTED_EXTRA = {
     # round-12: real resize path (decode -> bilinear -> PNG re-encode ->
     # decode) certified on doc_id-predicted solid colors
     "multimodal_resize_report",
+    # round-12: real audio resample (WAV decode -> linear interp ->
+    # 16-bit re-encode) certified on constant-amplitude arithmetic
+    "audio_resample_report",
 }
 
 
