@@ -33,14 +33,48 @@ from pyspark.sql import functions as F  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 SHIFT = 10**8
 
-# the five steepest non-quadratic curves from SF1_ALL_r11.json
+# the five steepest non-quadratic curves from SF1_ALL_r11.json, plus the
+# SemDeDup production path (corpus-scaled K: the third point exercises
+# K=640 over 80k vectors through the BLAS batch argmin)
 QUERIES = (
     "revenue_percentiles",       # x6.75 at 10x
     "conditional_agg_priority",  # x7.14
     "session_window_counts",     # x4.80
     "sessionize_events",         # x4.59
     "asof_join_orders_events",   # x4.97
+    "semantic_dedup_scaled",     # production knob, K grows with corpus
 )
+EMB_QUERIES = {"semantic_dedup_scaled"}  # need the embeddings table
+
+
+def build_embeddings(spark, out_dir: str, k: int) -> None:
+    """embeddings at k copies of sf0.1 with the sf1_probe sign-flip
+    perturbation (cross-copy cosine pushed below every threshold)."""
+    marker = os.path.join(out_dir, f"_SF_EMB_K{k}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+
+    def emb_copy(df, i):
+        if i == 0:
+            flipped = F.col("embedding")
+        else:
+            flipped = F.transform(
+                "embedding",
+                lambda x, idx: F.when((idx * 7 + i * 13) % 5 == 0, -x).otherwise(x),
+            )
+        return df.select(
+            (F.col("vec_id") + i * SHIFT).alias("vec_id"),
+            flipped.alias("embedding"), "label",
+        )
+
+    out = emb_copy(emb, 0)
+    for i in range(1, k):
+        out = out.unionByName(emb_copy(emb, i))
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write("{}")
 
 
 def build_tables(spark, out_dir: str, k: int) -> None:
@@ -115,8 +149,12 @@ def main() -> None:
     d1 = os.path.join(base, "sf4probe_k10")
     d4 = os.path.join(base, "sf4probe_k40")
     spark = get_spark("sf4_probe")
-    build_tables(spark, d1, 10)
-    build_tables(spark, d4, 40)
+    if any(n not in EMB_QUERIES for n in names):
+        build_tables(spark, d1, 10)
+        build_tables(spark, d4, 40)
+    if any(n in EMB_QUERIES for n in names):
+        build_embeddings(spark, d1, 10)
+        build_embeddings(spark, d4, 40)
 
     results = {}
     verdicts = []
