@@ -726,6 +726,8 @@ MEDIA_CRAFT_CLASSES = (
     ("audio", "decoded"),                    # 18: FLAC verbatim mono
     ("audio", "truncated"),                  # 19: FLAC cut mid-frame
     ("video", "decoded"),                    # 20: MJPEG AVI (own JPEG enc)
+    ("video", "unsupported_codec"),          # 21: AVI with a non-JPEG
+                                             #     (raw DIB) video stream
 )
 
 
@@ -895,7 +897,7 @@ def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
             [((d * 29 + i * 97) % 65536) - 32768 for i in range(16)]
         )
         return "audio", flac if cls == 18 else flac[:-12]  # cut mid-frame
-    if cls == 20:
+    if cls in (20, 21):
         import numpy as np
 
         from railgun_spark.operators.jpeg import encode_gray_jpeg
@@ -903,6 +905,8 @@ def _craft_media_stream(doc_id: int) -> "tuple[str, bytes]":
         jpgs = [encode_gray_jpeg(
                     np.full((8, 8), (d + 60 * k) % 256, dtype=np.uint8))
                 for k in range(2)]
+        if cls == 21:  # a raw-DIB frame: known container, refused codec
+            jpgs[1] = bytes([d % 256]) * 32
 
         def riff_chunk(cid: bytes, body: bytes) -> bytes:
             pad = b"\x00" if len(body) & 1 else b""
@@ -2743,8 +2747,8 @@ def decode_avi_mjpeg(content: bytes) -> dict:
     for k, fr in enumerate(frames):
         if fr[:2] != b"\xff\xd8":
             raise ValueError(
-                f"AVI frame {k} is not JPEG (only MJPEG AVIs decode "
-                "library-free; other codecs need a decoder)"
+                f"only MJPEG AVIs decode library-free (frame {k} is "
+                "not JPEG; other codecs need a decoder)"
             )
         rgb = decode_jpeg(fr)
         lumas.append(
@@ -2934,8 +2938,8 @@ def sample_frames_y4m(df: DataFrame, every_n: int = 10) -> DataFrame:
                     for k in range(0, len(chunks), every_n):
                         if chunks[k][:2] != b"\xff\xd8":
                             raise ValueError(
-                                f"AVI frame {k} is not JPEG (only MJPEG "
-                                "AVIs decode library-free; other codecs "
+                                f"only MJPEG AVIs decode library-free "
+                                f"(frame {k} is not JPEG; other codecs "
                                 "need a decoder)"
                             )
                         rgb = decode_jpeg(chunks[k])
