@@ -164,7 +164,7 @@ def geo_bbox_filter(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "geo_bbox_agg",
     oracle=f"""
     WITH pts AS (

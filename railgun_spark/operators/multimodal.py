@@ -991,7 +991,7 @@ def media_refusal_report(spark, sf_dir: str) -> DataFrame:
     return media_decode_coverage(corpus)
 
 
-@extra_query(
+@query(
     "gif_animation_report",
     # Each crafted animation's frame count and solid-gray frame values
     # derive from doc_id arithmetic, so the oracle predicts the decoded
@@ -1072,7 +1072,7 @@ def gif_animation_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "multimodal_resize_report",
     # Solid-color sources make the resize pipeline integer-predictable:
     # bilinear resampling of a constant raster is the same constant, so
@@ -1147,7 +1147,7 @@ def multimodal_resize_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "audio_resample_report",
     # Constant-amplitude sources make the resample pipeline
     # integer-predictable: linear interpolation of a constant signal is

@@ -1345,7 +1345,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decorrelation — a correlated per-part AVERAGE broadcast back into the
 # fact filter (`l_quantity < 0.2 * avg(l_quantity) for the same part`).
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "small_quantity_revenue",
     oracle="""
     WITH b AS (
@@ -1399,7 +1399,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # becomes "shipped the majority of a part's volume in the window" — the
 # same correlated-HAVING-over-correlated-total physical shape.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
     "dominant_part_suppliers",
     oracle="""
     WITH fl AS (

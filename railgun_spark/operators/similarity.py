@@ -1343,7 +1343,7 @@ SEMDEDUP_DOCS_PER_CLUSTER = 125  # the paper's scale knob: K = max(16,
 # work, sum cluster_size^2 ~ n^2/K) constant as the corpus grows
 
 
-@extra_query(
+@query(
     "semantic_dedup_scaled",
     # The oracle recomputes the corpus-scaled K as a scalar subquery and
     # mirrors assign_clusters_batch's BLAS distance expansion term-for-term

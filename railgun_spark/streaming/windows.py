@@ -38,7 +38,7 @@ def windowed_counts(df: DataFrame, window: str = "1 day") -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "tumbling_window_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,

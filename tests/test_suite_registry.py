@@ -136,18 +136,14 @@ EXPECTED_EXTRA = {
     # siblings + this local gate)
     "hist_nested",  # multi-key groupBy: dfl_filter_hist certifies
     "set_ops_datasets",  # INTERSECT/set ops: DFL set literals certify
-    # round-12: SemDeDup production path (corpus-scaled K through the
-    # BLAS batch argmin) gets its own oracle — retires probe-only status
-    "semantic_dedup_scaled",
-    # round-12: GIF89a animation decoder certified end-to-end (crafted
-    # animations, doc_id-predicted frame/luma totals)
-    "gif_animation_report",
-    # round-12: real resize path (decode -> bilinear -> PNG re-encode ->
-    # decode) certified on doc_id-predicted solid colors
-    "multimodal_resize_report",
-    # round-12: real audio resample (WAV decode -> linear interp ->
-    # 16-bit re-encode) certified on constant-amplitude arithmetic
-    "audio_resample_report",
+    # round-13 rotation: the four r12 flagships (semantic_dedup_scaled,
+    # gif_animation_report, multimodal_resize_report, audio_resample_report)
+    # promoted to the driver gate; these four capability-twins demoted
+    # (each has a REGISTRY sibling certifying the same physical shape)
+    "geo_bbox_agg",  # bbox agg: geo_tile_hist + geo_bbox_filter certify
+    "tumbling_window_counts",  # event-time windows: session_window_counts certifies
+    "small_quantity_revenue",  # Q17 decorrelation: min_cost_supplier (Q2) certifies
+    "dominant_part_suppliers",  # Q20 semi-ladder: part_supplier_variety (Q16) certifies
 }
 
 
