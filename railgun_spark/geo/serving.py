@@ -276,6 +276,20 @@ def encode_gif_animation(
     the source of the crafted animated-GIF classes in the
     media_refusal_report corpus."""
     n = len(palette)
+    # fail on the PRODUCING side: an empty frame would IndexError in the
+    # screen computation below, and an out-of-table index would encode a
+    # GIF the paired decoder rejects as 'pixel index outside the color
+    # table' — masking an encode-time bug as input corruption
+    for k, (_left, _top, rows) in enumerate(frames):
+        if not rows or not rows[0]:
+            raise ValueError(f"GIF frame {k} is empty (no rows/columns)")
+        for row in rows:
+            for v in row:
+                if not 0 <= int(v) < n:
+                    raise ValueError(
+                        f"GIF frame {k} palette index {v} outside the "
+                        f"{n}-entry color table"
+                    )
     bits = max(1, (n - 1).bit_length())
     size = 1 << bits
     min_code = max(2, bits)

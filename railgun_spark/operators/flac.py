@@ -213,10 +213,11 @@ _BLOCKSIZE_CODES = {1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
                     **{n: 256 << (n - 8) for n in range(8, 16)}}
 
 
-def decode_flac(content: bytes) -> dict:
-    """FLAC bytes -> the decode_wav result shape: sample_rate,
-    n_channels, n_samples, duration_s, and the shared 8-dim audio
-    feature over the channel-averaged signal in [-1, 1]."""
+def decode_flac_pcm(content: bytes):
+    """FLAC bytes -> ((n, ch) float64 frames in [-1, 1], sample_rate) —
+    the channel-preserving full-signal decode behind decode_flac, so
+    transforms like resample_audio can consume FLAC without the
+    feature-extraction mono collapse."""
     b = bytes(content or b"")
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
@@ -333,10 +334,19 @@ def decode_flac(content: bytes) -> dict:
     if total_samples:
         channels = [c[:total_samples] for c in channels]
     x = np.stack(channels).astype("float64") / float(1 << (bps_stream - 1))
-    mono = x.mean(axis=0)
-    n_samples = len(mono)
-    if n_samples == 0:
+    if x.shape[1] == 0:
         raise ValueError("empty FLAC stream")
+    return x.T, int(sample_rate)
+
+
+def decode_flac(content: bytes) -> dict:
+    """FLAC bytes -> the decode_wav result shape: sample_rate,
+    n_channels, n_samples, duration_s, and the shared 8-dim audio
+    feature over the channel-averaged signal in [-1, 1]."""
+    frames, sample_rate = decode_flac_pcm(content)
+    n_channels = frames.shape[1]
+    mono = frames.mean(axis=1)
+    n_samples = len(mono)
     rms = float(np.sqrt((mono**2).mean()))
     zcr = (
         float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())

@@ -1834,17 +1834,28 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
                     f"corrupt TIFF LZW strip: overlong "
                     f"({len(out)} > {expected} bytes)"
                 )
-            if acc_bits + 8 * (n - i) >= nbits:
-                while acc_bits < nbits:
+            # spec-legal tails: any number of Clear codes may precede EOI
+            # (each resets the code width to 9), and EOI itself may be
+            # omitted when fewer than tail_bits padding bits remain —
+            # only a DATA code past the declared size means overlong
+            tail_bits = nbits
+            while acc_bits + 8 * (n - i) >= tail_bits:
+                while acc_bits < tail_bits:
                     acc = (acc << 8) | data[i]
                     i += 1
                     acc_bits += 8
-                tail = (acc >> (acc_bits - nbits)) & ((1 << nbits) - 1)
-                if tail != EOI:
-                    raise ValueError(
-                        "corrupt TIFF LZW strip: overlong (data after "
-                        "declared strip size, missing EOI)"
-                    )
+                tail = (acc >> (acc_bits - tail_bits)) & ((1 << tail_bits) - 1)
+                acc_bits -= tail_bits
+                acc &= (1 << acc_bits) - 1
+                if tail == EOI:
+                    break
+                if tail == CLEAR:
+                    tail_bits = 9
+                    continue
+                raise ValueError(
+                    "corrupt TIFF LZW strip: overlong (data after "
+                    "declared strip size, missing EOI)"
+                )
             break
     if len(out) < expected:
         raise ValueError(
@@ -2490,14 +2501,35 @@ def _resample_linear(frames, src_rate: int, dst_rate: int):
     return frames[i0] * (1 - frac) + frames[i1] * frac
 
 
+def _audio_pcm_frames(b: bytes):
+    """Container dispatch by magic -> ((n, ch) float64 frames in [-1, 1],
+    sample_rate) for every format the module decodes losslessly to PCM
+    (WAV incl. G.711/float32, FLAC, AIFF, AU). Codec-bound payloads
+    (MP3, non-PCM AVI tracks, unknown magics) raise — callers decide
+    whether that is a per-row refusal or a hard error."""
+    if b[:4] == b"fLaC":
+        from railgun_spark.operators.flac import decode_flac_pcm
+
+        return decode_flac_pcm(b)
+    if b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        return _aiff_pcm(b)
+    if b[:4] == b".snd":
+        return _au_pcm(b)
+    frames, rate, _ch = _wav_pcm(b)  # refuses non-RIFF with the dispatch list
+    return frames, rate
+
+
 def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
-    """REAL audio resample over MEDIA_SCHEMA rows: PCM WAV decodes to
-    its full (n, ch) signal, linear-interpolates to `target_rate`, and
-    re-encodes as 16-bit PCM WAV in one Arrow pass — rows keep
-    MEDIA_SCHEMA with meta recording the source rate, so resample
-    stages compose with extract_audio_features downstream. Non-audio
-    rows pass through; compressed audio containers (FLAC/MP3/...)
-    refuse loudly — transcode upstream or decode to features directly."""
+    """REAL audio resample over MEDIA_SCHEMA rows: any PCM-decodable
+    container (WAV/FLAC/AIFF/AU) decodes to its full (n, ch) signal,
+    linear-interpolates to `target_rate`, and re-encodes as 16-bit PCM
+    WAV in one Arrow pass — rows keep MEDIA_SCHEMA with meta recording
+    the source rate, so resample stages compose with
+    extract_audio_features downstream. Non-audio rows pass through;
+    codec-bound payloads (MP3, corrupt streams) record a per-row
+    refusal (meta['resample_refused'], content passed through) per the
+    decode-coverage discipline, so one bad clip in a mixed corpus
+    cannot kill the stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2510,13 +2542,14 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
                     metas.append(meta)
                     continue
                 b = bytes(content or b"")
-                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                    raise ValueError(
-                        "resample_audio takes PCM WAV; compressed audio "
-                        "(FLAC/MP3/AIFF/AU) needs a transcode upstream or "
-                        "decode_audio for features"
-                    )
-                frames, rate, _ch = _wav_pcm(b)
+                try:
+                    frames, rate = _audio_pcm_frames(b)
+                except ValueError as exc:
+                    m = dict(meta or {})
+                    m["resample_refused"] = str(exc)
+                    contents.append(content)
+                    metas.append(m)
+                    continue
                 out = _resample_linear(frames, rate, target_rate)
                 contents.append(_encode_wav_pcm16(out, target_rate))
                 m = dict(meta or {})
@@ -3004,9 +3037,10 @@ def _read_f80(b: bytes) -> float:
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 
-def decode_aiff(content: bytes) -> dict:
-    """AIFF (FORM/AIFF): COMM (channels, frames, bits, 80-bit-float
-    rate) + SSND big-endian PCM; 8/16/24/32-bit integer samples."""
+def _aiff_pcm(content: bytes):
+    """AIFF front half shared by decode_aiff and resample_audio:
+    validates the container and returns ((n, ch) float64 frames in
+    [-1, 1], sample_rate) — channels NOT yet averaged."""
     import struct
 
     import numpy as np
@@ -3053,9 +3087,15 @@ def decode_aiff(content: bytes) -> dict:
              | raw[:, 2].astype(np.int32))
         v -= (v & 0x800000) << 1
         x = v.astype("float64") / 8388608.0
-    if n_channels > 1:
-        x = x.reshape(-1, n_channels).mean(axis=1)
-    return _audio_result(x, int(round(rate)), n_channels)
+    return x.reshape(-1, n_channels), int(round(rate))
+
+
+def decode_aiff(content: bytes) -> dict:
+    """AIFF (FORM/AIFF): COMM (channels, frames, bits, 80-bit-float
+    rate) + SSND big-endian PCM; 8/16/24/32-bit integer samples."""
+    frames, rate = _aiff_pcm(content)
+    n_channels = frames.shape[1]
+    return _audio_result(frames.mean(axis=1), rate, n_channels)
 
 
 def _alaw_expand(a):
@@ -3083,9 +3123,10 @@ def _mulaw_expand(u):
     return np.where(sign, -x, x)
 
 
-def decode_au(content: bytes) -> dict:
-    """Sun/NeXT AU (.snd): big-endian header, encodings 1 (G.711
-    mu-law), 2/3/4/5 (int8/16/24/32 BE), 6 (float32 BE), 27 (A-law)."""
+def _au_pcm(content: bytes):
+    """AU front half shared by decode_au and resample_audio: validates
+    the header/encoding and returns ((n, ch) float64 frames in [-1, 1],
+    sample_rate) — channels NOT yet averaged."""
     import struct
 
     import numpy as np
@@ -3134,11 +3175,17 @@ def decode_au(content: bytes) -> dict:
         raise ValueError(
             f"unsupported AU encoding {enc} (1/2/3/4/5/6/27 supported)"
         )
-    if n_channels > 1:
-        if len(x) % n_channels:
-            raise ValueError("AU data not a whole number of frames")
-        x = x.reshape(-1, n_channels).mean(axis=1)
-    return _audio_result(x, rate, n_channels)
+    if n_channels > 1 and len(x) % n_channels:
+        raise ValueError("AU data not a whole number of frames")
+    return x.reshape(-1, n_channels), int(rate)
+
+
+def decode_au(content: bytes) -> dict:
+    """Sun/NeXT AU (.snd): big-endian header, encodings 1 (G.711
+    mu-law), 2/3/4/5 (int8/16/24/32 BE), 6 (float32 BE), 27 (A-law)."""
+    frames, rate = _au_pcm(content)
+    n_channels = frames.shape[1]
+    return _audio_result(frames.mean(axis=1), rate, n_channels)
 
 
 def decode_audio(content: bytes) -> dict:

@@ -68,6 +68,34 @@ def test_linear_window_frames_not_flagged(spark):
     assert "QuadraticWindowFrame" not in flags
 
 
+def test_quadratic_frame_composite_lower_bound():
+    """A lower-bound EXPRESSION containing commas (cast/coalesce in the
+    formatted plan) must still match — [^,]* silently let it escape
+    (ADVICE r12); and the tempered dot must not cross a frame boundary
+    into a benign full-partition frame later on the same line."""
+    flagged = (
+        "specifiedwindowframe(RangeFrame, "
+        "coalesce(cast(ts#5 as bigint), 0), unboundedfollowing$())"
+    )
+    assert "QuadraticWindowFrame" in flags_for("planted_composite", flagged)
+
+    # two frames on one line: a benign bounded frame followed by a benign
+    # full-partition frame — the lazy match must NOT bridge them
+    benign_pair = (
+        "specifiedwindowframe(RowFrame, currentrow$(), currentrow$()), "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())"
+    )
+    assert "QuadraticWindowFrame" not in flags_for("planted_pair", benign_pair)
+
+    # but a REAL quadratic frame second on the line still flags
+    bad_pair = (
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()), "
+        "specifiedwindowframe(RowFrame, currentrow$(), unboundedfollowing$())"
+    )
+    assert "QuadraticWindowFrame" in flags_for("planted_badpair", bad_pair)
+
+
 def test_single_partition_window_flagged(spark):
     """The pre-existing global-window red flag still fires (and respects
     its allowlist only by name)."""

@@ -1736,13 +1736,76 @@ def test_resample_audio_real(spark):
         _wav_pcm(wav)[0], 8000))
     assert np.array_equal(frames, _wav_pcm(wav)[0])
 
-    # compressed audio refused loudly
-    with _pytest.raises(Exception):
-        resample_audio(
-            spark.createDataFrame(
-                [(9, "audio", bytearray(b"fLaC\x00"), {})], MEDIA_SCHEMA
-            ), 16000,
-        ).collect()
+    # codec-bound / corrupt payloads refuse PER ROW (meta records the
+    # reason, content passes through) instead of killing the stage —
+    # one bad clip in a mixed corpus must not abort the job
+    mixed = [(9, "audio", bytearray(b"fLaC\x00"), {}),  # truncated FLAC
+             (10, "audio", bytearray(wav), {})]  # good WAV, same batch
+    got = {r["media_id"]: r
+           for r in resample_audio(
+               spark.createDataFrame(mixed, MEDIA_SCHEMA), 16000).collect()}
+    assert bytes(got[9]["content"]) == b"fLaC\x00"  # passthrough
+    assert "resample_refused" in got[9]["meta"]
+    assert got[10]["meta"]["resample_rate"] == "16000"  # sibling resampled
+    d2 = decode_wav(bytes(got[10]["content"]))
+    assert (d2["sample_rate"], d2["n_samples"]) == (16000, 32)
+
+
+def test_resample_audio_dispatches_all_pcm_containers(spark):
+    """resample_audio decodes FLAC/AIFF/AU through the module's own PCM
+    decoders (not just RIFF/WAVE): the same constant signal in all four
+    containers resamples to identical 16 kHz WAV bytes (ADVICE r12)."""
+    import struct
+
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _flac_verbatim_mono,
+        decode_wav,
+        resample_audio,
+    )
+
+    rate, n, k = 8000, 16, 64  # amplitude k/128 sits on the 16-bit grid
+    pcm16 = np.full(n, k * 256, dtype="int64")
+
+    data = struct.pack("<h", k * 256) * n
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+
+    flac = _flac_verbatim_mono(pcm16.tolist(), rate)
+
+    be = pcm16.astype(">i2").tobytes()
+    exp, mant = 16383 + 63, rate
+    while mant < (1 << 63):
+        mant <<= 1
+        exp -= 1
+    f80 = struct.pack(">HII", exp, mant >> 32, mant & 0xFFFFFFFF)
+    comm = struct.pack(">hIh", 1, n, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + be
+    aiff = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd))
+            + b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+
+    au = b".snd" + struct.pack(">IIIII", 24, len(be), 3, rate, 1) + be
+
+    rows = [(1, "audio", bytearray(wav), {}),
+            (2, "audio", bytearray(flac), {}),
+            (3, "audio", bytearray(aiff), {}),
+            (4, "audio", bytearray(au), {})]
+    out = {r["media_id"]: r
+           for r in resample_audio(
+               spark.createDataFrame(rows, MEDIA_SCHEMA), 16000).collect()}
+    ref = bytes(out[1]["content"])
+    for mid in (2, 3, 4):
+        assert out[mid]["meta"] == {"src_rate": "8000",
+                                    "resample_rate": "16000"}, mid
+        assert bytes(out[mid]["content"]) == ref, mid
+    d = decode_wav(ref)
+    assert (d["sample_rate"], d["n_samples"]) == (16000, 32)
+    assert abs(d["feature"][3] - k / 128) < 1e-12
 
 
 def _lzw_encode_tiff(data: bytes) -> bytes:
@@ -2002,6 +2065,68 @@ def test_real_tiff_decode(spark):
         _lzw_decode_tiff(_lzw_encode_tiff(b"x" * 20), 10)
     with _pytest.raises(ValueError, match="overlong"):
         _lzw_decode_tiff(_lzw_encode_tiff(b"ab" * 10), 19)
+
+
+def test_lzw_tiff_spec_legal_tails():
+    """Spec-legal strip tails are NOT corrupt (ADVICE r12): a ClearCode
+    (or several) between the last data code and EOI, and an omitted EOI
+    when fewer than nbits padding bits remain; a trailing DATA code
+    still refuses as overlong."""
+    import pytest as _pytest
+
+    from railgun_spark.operators.multimodal import _lzw_decode_tiff
+
+    def pack(codes, widths):
+        acc = accbits = 0
+        out = bytearray()
+        for code, w in zip(codes, widths):
+            acc = (acc << w) | code
+            accbits += w
+            while accbits >= 8:
+                out.append((acc >> (accbits - 8)) & 0xFF)
+                accbits -= 8
+                acc &= (1 << accbits) - 1
+        if accbits:
+            out.append((acc << (8 - accbits)) & 0xFF)
+        return bytes(out)
+
+    # Clear, 'A', EOI — the baseline
+    assert _lzw_decode_tiff(pack([256, 65, 257], [9, 9, 9]), 1) == b"A"
+    # Clear, 'A', Clear, EOI — encoder emits a Clear in tail position
+    assert _lzw_decode_tiff(pack([256, 65, 256, 257], [9] * 4), 1) == b"A"
+    # two tail Clears before EOI
+    assert _lzw_decode_tiff(pack([256, 65, 256, 256, 257], [9] * 5), 1) == b"A"
+    # omitted EOI: Clear, 'A' = 18 bits -> 3 bytes, 6 padding bits < 9
+    assert _lzw_decode_tiff(pack([256, 65], [9, 9]), 1) == b"A"
+    # Clear then omitted EOI: 27 bits -> 4 bytes, 5 padding bits < 9
+    assert _lzw_decode_tiff(pack([256, 65, 256], [9] * 3), 1) == b"A"
+    # a DATA code in tail position is still overlong
+    with _pytest.raises(ValueError, match="overlong"):
+        _lzw_decode_tiff(pack([256, 65, 66, 257], [9] * 4), 1)
+    # and a data code after a tail Clear too (width reset to 9)
+    with _pytest.raises(ValueError, match="overlong"):
+        _lzw_decode_tiff(pack([256, 65, 256, 66, 257], [9] * 5), 1)
+
+
+def test_encode_gif_animation_validates_inputs():
+    """encode_gif_animation fails on the PRODUCING side for empty frames
+    and out-of-table palette indices (ADVICE r12) instead of emitting a
+    GIF its paired decoder rejects as input corruption."""
+    import pytest as _pytest
+
+    from railgun_spark.geo.serving import encode_gif_animation
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    with _pytest.raises(ValueError, match="empty"):
+        encode_gif_animation([(0, 0, [])], pal)
+    with _pytest.raises(ValueError, match="empty"):
+        encode_gif_animation([(0, 0, [[]])], pal)
+    with _pytest.raises(ValueError, match="outside"):
+        encode_gif_animation([(0, 0, [[0, 2]])], pal)
+    with _pytest.raises(ValueError, match="outside"):
+        encode_gif_animation([(0, 0, [[0, 0]]), (0, 0, [[-1]])], pal)
+    # the valid boundary index still encodes
+    assert encode_gif_animation([(0, 0, [[0, 1]])], pal)[:6] == b"GIF89a"
 
 
 def test_real_pgm_pbm_decode():

@@ -70,10 +70,14 @@ ALLOW_UNBOUNDED_FOLLOWING: set[str] = set()
 
 # NB: literal ", " separators (Spark's formatted output is stable); a \s*
 # there would backtrack past the negative lookahead and match the benign
-# full-partition frame too
+# full-partition frame too. The lower bound is matched by a TEMPERED dot
+# (anything that does not start a new frame spec) so composite bound
+# expressions containing commas — cast(...), coalesce(a, b) — still
+# match, while a benign (unboundedpreceding, unboundedfollowing) frame
+# later on the same line cannot be reached across a frame boundary.
 _QUAD_FRAME_RE = re.compile(
-    r"specifiedwindowframe\(\w+Frame, (?!unboundedpreceding\$)[^,]*,"
-    r" unboundedfollowing\$\(\)\)"
+    r"specifiedwindowframe\(\w+Frame, (?!unboundedpreceding\$)"
+    r"(?:(?!specifiedwindowframe\().)*?, unboundedfollowing\$\(\)\)"
 )
 
 
