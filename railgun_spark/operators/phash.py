@@ -1,0 +1,384 @@
+"""Perceptual-hash image dedup — the image-modality member of the dedup
+family (the reference engine has no media dedup; this is part of the
+LLM-training-pipeline superset alongside operators/dedup.py and the
+embedding gates in operators/similarity.py).
+
+dHash/aHash are the standard production primitives for crawled-image
+near-dup detection: decode -> grayscale -> tiny bilinear downsample ->
+64 threshold bits. Two images that differ by re-encoding, mild
+recompression, or small uniform edits land within a few Hamming bits;
+unrelated images land ~32 apart. The decode+hash stage is ONE
+Arrow-batched mapInPandas pass over MEDIA_SCHEMA rows (the same batch
+shape as extract_features / resize_images), and everything downstream is
+integer Column algebra:
+
+- Pairing is pigeonhole-blocked exactly like dedup_simhash: split the
+  64-bit hash into PHASH_BANDS disjoint 16-bit chunks; any pair with
+  hamming <= PHASH_BANDS - 1 agrees on at least one chunk, so an
+  equi-join on (chunk_idx, chunk_value) yields a LOSSLESS candidate
+  superset — no all-pairs join anywhere, candidate cost tracks true
+  near-dup density.
+- The ingest gate persists (band_idx << 16 | chunk) longs to an
+  append-only parquet index (8 bytes/row, PHASH_BANDS rows per admitted
+  image — the layout of dedup.append_bands_to_index), so a continuously
+  arriving image corpus dedups against ALL history without rescanning
+  pixels: one semi-join on a uniform integer key, bucketable at PB scale.
+
+At 100 TB of images the expensive stage is decode; it is map-only and
+scales with input splits (spread_for_decode). The hash index stays ~32
+bytes per admitted image regardless of image size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from railgun_spark.suite import extra_query
+
+PHASH_BITS = 64
+PHASH_BANDS = 4  # pigeonhole: lossless candidates for hamming <= 3
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = PHASH_BANDS - 1
+
+
+def _gray(raster):
+    """(h, w, 3) float RGB -> (h, w, 1) gray by channel mean (the same
+    gray convention as decode_image's feature[3])."""
+    return raster.mean(axis=2, keepdims=True)
+
+
+def dhash64(raster) -> int:
+    """Difference hash: gray -> 9x8 bilinear -> bit (y*8 + x) set iff
+    g[y, x+1] > g[y, x]. Bit 63 corresponds to the bottom-right
+    comparison; the value therefore ranges over all 64 bits (callers
+    that need sign-safe cross-engine arithmetic should keep crafted
+    inputs under 2^63, as the oracle query below does)."""
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import _resize_bilinear
+
+    g = _resize_bilinear(_gray(raster), 9, 8)[:, :, 0]
+    bits = g[:, 1:] > g[:, :-1]  # (8, 8)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64).reshape(8, 8)
+    )
+    return int(np.sum(np.where(bits, weights, np.uint64(0)), dtype=np.uint64))
+
+
+def ahash64(raster) -> int:
+    """Average hash: gray -> 8x8 bilinear -> bit (y*8 + x) set iff the
+    cell exceeds the 64-cell mean."""
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import _resize_bilinear
+
+    g = _resize_bilinear(_gray(raster), 8, 8)[:, :, 0]
+    bits = g > g.mean()
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64).reshape(8, 8)
+    )
+    return int(np.sum(np.where(bits, weights, np.uint64(0)), dtype=np.uint64))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("refused", T.StringType()),
+    ]
+)
+
+
+def image_perceptual_hashes(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """MEDIA_SCHEMA image rows -> (media_id, dhash, ahash, refused) in one
+    Arrow pass. Non-image rows are dropped; codec-bound payloads record a
+    per-row refusal (hashes NULL) per the decode-coverage discipline —
+    one bad image in a crawled batch must not kill the stage. Python-side
+    ints are masked into signed-64 two's complement so the LongType
+    column round-trips bit patterns exactly."""
+    from railgun_spark.operators.multimodal import decode_image_raster
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            ids, dhs, ahs, refs = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                ids.append(int(mid))
+                try:
+                    raster = decode_image_raster(bytes(content or b""))
+                except ValueError as exc:
+                    dhs.append(None)
+                    ahs.append(None)
+                    refs.append(str(exc))
+                    continue
+                d, a = dhash64(raster), ahash64(raster)
+                dhs.append(d - (1 << 64) if d >= (1 << 63) else d)
+                ahs.append(a - (1 << 64) if a >= (1 << 63) else a)
+                refs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(dhs, dtype="Int64"),
+                 "ahash": pd.array(ahs, dtype="Int64"), "refused": refs}
+            )
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_chunks(hash_col: Column) -> Column:
+    """The PHASH_BANDS disjoint 16-bit chunks of a 64-bit hash column —
+    shiftright carries the sign bit into chunk 3's high bits for
+    negative hashes, so mask AFTER the shift (0xFFFF) keeps every chunk
+    in [0, 2^16)."""
+    return F.array(
+        *[
+            F.shiftright(hash_col, i * PHASH_BAND_BITS).bitwiseAND(F.lit(0xFFFF))
+            for i in range(PHASH_BANDS)
+        ]
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within `max_hamming` bits —
+    pigeonhole-blocked (equi-join on one of PHASH_BANDS chunks), so the
+    candidate set is a LOSSLESS superset for max_hamming <= PHASH_BANDS-1
+    and the plan never goes all-pairs. Refused rows (NULL hash) never
+    pair."""
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
+            f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
+        )
+    ex = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(phash_chunks(F.col(hash_col))).alias("ci", "cv"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest gate: the image twin of dedup.near_dup_against_index.
+# The index stores one LONG per (band, admitted image): key = band_idx <<
+# 16 | chunk. A new image is rejected if ANY of its band keys collides
+# with the index (collision alone rejects — the standard recall/cost
+# trade for ingestion gates) or with a lower-id image in the same batch.
+# Decode-refused rows pass through (they can never match) and are NOT
+# indexed. Geometry rows are tagged (bits) so an index built under a
+# different chunking refuses loudly instead of silently admitting dups.
+# --------------------------------------------------------------------------
+def _phash_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(__id, band_key) — PHASH_BANDS longs per decodable image row."""
+    hashes = image_perceptual_hashes(df, id_col=id_col).filter(
+        F.col("refused").isNull()
+    )
+    keys = F.transform(
+        phash_chunks(F.col("dhash")),
+        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+    )
+    return hashes.select(
+        F.col("media_id").alias("__id"), F.explode(keys).alias("band_key")
+    )
+
+
+def image_dedup_against_index(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> DataFrame:
+    """Rows of `df` with no perceptual-hash band collision against the
+    index nor against a smaller-id row of this batch (non-image and
+    decode-refused rows always survive). Commit survivors with
+    `append_image_bands_to_index`."""
+    from railgun_spark.operators.dedup import _read_index_or_none
+
+    spark = df.sparkSession
+    # three plan branches consume the bands (both intra-batch sides + the
+    # index semi-join): materialize once instead of re-decoding per branch
+    bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    drops = intra_hits
+    seen = _read_index_or_none(spark, index_path, merge_schema=True)
+    if seen is not None:
+        if "bits" not in seen.columns:
+            raise ValueError(
+                f"image band index {index_path} carries no geometry tag; "
+                f"rebuild it under the current {PHASH_BANDS}x"
+                f"{PHASH_BAND_BITS}-bit chunking"
+            )
+        foreign = seen.filter(
+            F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
+        ).limit(1)
+        if foreign.count():
+            raise ValueError(
+                f"image band index {index_path} contains rows from a "
+                f"different chunking geometry; rebuild it under the "
+                f"current {PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
+            )
+        index_hits = bands.join(
+            seen.select("band_key"), "band_key", "left_semi"
+        ).select("__id")
+        drops = drops.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_image_bands_to_index(
+    survivors: DataFrame, index_path: str, id_col: str = "media_id"
+) -> None:
+    """Append the survivors' band keys (recomputed map-only; the index
+    grows PHASH_BANDS longs per admitted image)."""
+    _phash_band_rows(survivors, id_col=id_col).select(
+        "band_key", F.lit(PHASH_BAND_BITS).alias("bits")
+    ).write.mode("append").parquet(index_path)
+
+
+# --------------------------------------------------------------------------
+# Oracle-gated certification: crafted images whose dHash is PREDICTED by
+# doc_id arithmetic. Each sampled doc_id maps to (group g, variant v);
+# a 60-bit target hash h = md5_60(g) XOR pert(g, v) is painted into an
+# 18x16 grayscale PGM as pixel-DOUBLED columns whose adjacent-step signs
+# encode h's bits — the pixel-center bilinear 2x downsample averages each
+# duplicated pair back to the 9x8 base grid EXACTLY, so
+# decode -> resize -> dhash must recover h bit-for-bit. Variants 0/1/2
+# sit within hamming 1..3 of each other (near-dups the banded join must
+# find losslessly); variant 3 flips 16 bits (must be excluded).
+# --------------------------------------------------------------------------
+PHASH_SAMPLE_MOD = 7
+
+
+def _phash_target(g: int, v: int) -> int:
+    """The crafted 60-bit dHash for (group, variant) — Python twin of the
+    oracle's md5/xor arithmetic (shared 60-bit hash: first 15 md5 hex
+    chars, the suite's cross-engine basis)."""
+    import hashlib
+
+    base = int(hashlib.md5(str(g).encode()).hexdigest()[:15], 16)
+    if v == 1:
+        pert = 1 << (g % 60)
+    elif v == 2:
+        pert = (1 << ((g + 13) % 60)) | (1 << ((g + 29) % 60))
+    elif v == 3:
+        pert = 0xFFFF << (g % 44)
+    else:
+        pert = 0
+    return base ^ pert
+
+
+def _phash_pgm(h: int) -> bytes:
+    """18x16 8-bit PGM whose 9x8 bilinear downsample dHashes to exactly
+    `h`: base column 128, each rightward step +-1 by the corresponding
+    bit of h, rows/cols pixel-doubled (values stay in 120..136)."""
+    rows = []
+    for y in range(8):
+        vals = [128]
+        for x in range(8):
+            bit = (h >> (y * 8 + x)) & 1
+            vals.append(vals[-1] + (1 if bit else -1))
+        doubled = [v for v in vals for _ in range(2)]
+        rows.append(bytes(doubled))
+        rows.append(bytes(doubled))
+    return b"P5\n18 16\n255\n" + b"".join(rows)
+
+
+@extra_query(
+    "image_phash_pairs",
+    # The oracle recomputes each crafted image's dHash from doc_id
+    # arithmetic (shared 60-bit md5 basis XOR the variant perturbation)
+    # and keeps the semantic all-pairs hamming <= 3 definition; the Spark
+    # side must recover the same integers through a REAL
+    # craft -> PGM decode -> bilinear resize -> dhash -> banded-join
+    # pipeline, certifying every stage including losslessness of the
+    # pigeonhole blocking.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {PHASH_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {PHASH_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {PHASH_SAMPLE_MOD} = 0
+    ), h AS (
+      SELECT doc_id,
+             xor(
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::UBIGINT
+                    AS BIGINT),
+               CASE v
+                 WHEN 1 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 WHEN 2 THEN (CAST(1 AS BIGINT) << ((g + 13) % 60))
+                           | (CAST(1 AS BIGINT) << ((g + 29) % 60))
+                 WHEN 3 THEN (CAST(65535 AS BIGINT) << (g % 44))
+                 ELSE 0
+               END
+             ) AS dh
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.dh, b.dh)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= {PHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+    doc="Image perceptual-hash near-dup certification: crafted PGMs whose "
+    "9x8 bilinear downsample dHashes to a doc_id-predicted 60-bit value; "
+    "the banded (pigeonhole, lossless for hamming <= 3) pair join must "
+    "match the oracle's all-pairs definition exactly. One Arrow decode "
+    "pass; pairing is integer Column algebra on 16-bit chunk keys.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % PHASH_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // PHASH_SAMPLE_MOD
+                h = _phash_target(m // 4, m % 4)
+                rows.append((d, "image", _phash_pgm(h), {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    hashes = image_perceptual_hashes(media)
+    return phash_near_dup_pairs(hashes).orderBy("id_a", "id_b")

@@ -196,6 +196,64 @@ def ingest_embeddings_batch(
     return n
 
 
+def ingest_images_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    id_col: str = "media_id",
+    batch_id: int | None = None,
+) -> int:
+    """Image-modality twin of `ingest_batch`: gate one MEDIA_SCHEMA batch
+    of images through the perceptual-hash band index
+    (phash.image_dedup_against_index — dHash over the REAL decode, banded
+    by 16-bit chunks), write survivors, commit their bands. Same
+    exactly-once-per-near-dup-class discipline and the same crash-window
+    degradation as the other gates: a crash between sink write and index
+    append replays to the identical survivor set (overwriting the same
+    partition); a crash after the append replays to an empty batch that
+    skips the write. Decode-refused rows always survive and are never
+    indexed (they can never band-collide). The index grows PHASH_BANDS
+    longs per admitted image."""
+    from railgun_spark.operators.phash import (
+        append_image_bands_to_index,
+        image_dedup_against_index,
+    )
+
+    survivors = image_dedup_against_index(
+        batch_df, index_path, id_col=id_col
+    ).localCheckpoint()
+    n = _write_sink(survivors, sink_path, batch_id)
+    if n > 0:
+        append_image_bands_to_index(survivors, index_path, id_col=id_col)
+    return n
+
+
+def stream_ingest_images_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    id_col: str = "media_id",
+) -> int:
+    """Drain `source_dir` of MEDIA_SCHEMA image shards through the
+    perceptual-hash band gate (availableNow); returns total images
+    admitted."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        MEDIA_SCHEMA,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_images_batch(
+            batch_df, index_path, sink_path, id_col=id_col, batch_id=batch_id
+        ),
+    )
+
+
 def _drain_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -122,6 +122,7 @@ def _ensure_loaded() -> None:
         graph,
         multimodal,
         packing,
+        phash,
         relational,
         relational2,
         reporting,

@@ -1,0 +1,266 @@
+"""Image perceptual-hash dedup: kernels, the Arrow hash pass, the
+lossless banded pair join, and the incremental ingest gate (batch +
+streaming with crash-replay windows) — the image-modality member of the
+dedup family (operators/phash.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+from railgun_spark.operators.phash import (
+    PHASH_BANDS,
+    PHASH_MAX_HAMMING,
+    _phash_pgm,
+    _phash_target,
+    ahash64,
+    dhash64,
+    image_dedup_against_index,
+    image_perceptual_hashes,
+    phash_near_dup_pairs,
+)
+
+
+def _rng(seed=7):
+    return np.random.RandomState(seed)
+
+
+def test_dhash_ahash_kernels():
+    """Determinism, invariance to pixel doubling (the resize collapses
+    it exactly), sensitivity ordering: tiny edit -> small hamming,
+    unrelated image -> large hamming."""
+    rng = _rng()
+    img = rng.randint(0, 256, size=(32, 48, 3)).astype("float64")
+    assert dhash64(img) == dhash64(img.copy())
+    assert ahash64(img) == ahash64(img.copy())
+
+    # pixel-doubling an image already ON the hash grid (9x8 / 8x8) is
+    # exact: the 2x downsample averages each duplicated pair back
+    on_grid_d = rng.randint(0, 256, size=(8, 9, 3)).astype("float64")
+    assert dhash64(np.repeat(np.repeat(on_grid_d, 2, 0), 2, 1)) == dhash64(on_grid_d)
+    on_grid_a = rng.randint(0, 256, size=(8, 8, 3)).astype("float64")
+    assert ahash64(np.repeat(np.repeat(on_grid_a, 2, 0), 2, 1)) == ahash64(on_grid_a)
+
+    # a small local edit moves few bits; an unrelated image moves many
+    edited = img.copy()
+    edited[:2, :2] = 255.0
+    other = rng.randint(0, 256, size=(32, 48, 3)).astype("float64")
+    d0, d1, d2 = dhash64(img), dhash64(edited), dhash64(other)
+    assert bin(d0 ^ d1).count("1") < bin(d0 ^ d2).count("1")
+
+    # crafted PGM encodes an arbitrary 60-bit target exactly
+    for g, v in ((0, 0), (3, 1), (11, 2), (29, 3)):
+        h = _phash_target(g, v)
+        from railgun_spark.operators.multimodal import decode_image_raster
+
+        assert dhash64(decode_image_raster(_phash_pgm(h))) == h
+
+    # ahash: half-bright image sets exactly half the bits
+    half = np.zeros((16, 16, 3))
+    half[:8] = 255.0
+    assert bin(ahash64(half)).count("1") == 32
+
+
+def test_image_perceptual_hashes_refusal_and_kinds(spark):
+    """Non-image rows drop; codec-bound payloads record a per-row refusal
+    (NULL hashes) without killing the stage; good rows hash."""
+    pgm = _phash_pgm(_phash_target(1, 0))
+    rows = [
+        (1, "image", bytearray(pgm), {}),
+        (2, "image", bytearray(b"not an image"), {}),
+        (3, "audio", bytearray(b"RIFF"), {}),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in image_perceptual_hashes(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # audio row dropped
+    assert got[1]["refused"] is None
+    assert got[1]["dhash"] == _phash_target(1, 0)
+    assert got[2]["dhash"] is None and got[2]["ahash"] is None
+    assert "unsupported image codec" in got[2]["refused"]
+
+
+def test_phash_pairs_lossless_vs_brute_force(spark):
+    """The banded join must equal the brute-force hamming <= 3 definition
+    on an adversarial hash set (perturbations at band boundaries, sign
+    bit set, duplicate hashes)."""
+    rng = _rng(13)
+    hashes = []
+    base_vals = [int(rng.randint(0, 1 << 62)) for _ in range(12)]
+    base_vals.append((1 << 63) - 1)  # all-ones-below-sign
+    base_vals.append(-(1 << 63))  # sign bit only (negative long)
+    i = 0
+    for b in base_vals:
+        hashes.append((i, b)); i += 1
+        hashes.append((i, b ^ (1 << 15))); i += 1  # flip at a band boundary
+        hashes.append((i, b ^ (1 << 16) ^ (1 << 47) ^ 1)); i += 1  # 3 bits
+        hashes.append((i, b ^ 0xFF))  # 8 bits: out of range
+        i += 1
+    # mask into signed-64 so createDataFrame accepts them as LongType
+    rows = [(mid, h - (1 << 64) if h >= (1 << 63) else h, None, None)
+            for mid, h in hashes]
+    df = spark.createDataFrame(
+        rows, "media_id: long, dhash: long, ahash: long, refused: string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df).collect()
+    )
+    vals = {mid: h & ((1 << 64) - 1) for mid, h in hashes}
+    want = sorted(
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= PHASH_MAX_HAMMING
+    )
+    assert got == want and len(want) >= len(base_vals)
+
+    with pytest.raises(ValueError, match="lossless"):
+        phash_near_dup_pairs(df, max_hamming=PHASH_BANDS)
+
+
+def _media_rows(ids_and_hashes):
+    return [
+        (mid, "image", bytearray(_phash_pgm(h)), {}) for mid, h in ids_and_hashes
+    ]
+
+
+def test_image_dedup_against_index_gate(spark, tmp_path):
+    """Intra-batch greedy-by-id rejection, index rejection across
+    batches, refused rows always surviving, and the geometry guard."""
+    from railgun_spark.operators.phash import append_image_bands_to_index
+
+    idx = str(tmp_path / "phash_bands")
+    h_a = _phash_target(5, 0)
+    h_a1 = h_a ^ (1 << 7)  # hamming 1 from h_a
+    h_b = _phash_target(99, 0)  # unrelated
+
+    batch1 = spark.createDataFrame(
+        _media_rows([(1, h_a), (2, h_a1), (3, h_b)]), MEDIA_SCHEMA
+    )
+    s1 = image_dedup_against_index(batch1, idx)
+    assert sorted(r["media_id"] for r in s1.collect()) == [1, 3]  # 2 intra-rejected
+    append_image_bands_to_index(s1, idx)
+
+    # second batch: near-dup of an admitted image rejects; new one admits;
+    # a decode-refused row survives and is not indexed
+    h_c = _phash_target(7, 3)
+    batch2 = spark.createDataFrame(
+        _media_rows([(10, h_a ^ 1), (11, h_c)])
+        + [(12, "image", bytearray(b"JUNK"), {})],
+        MEDIA_SCHEMA,
+    )
+    s2 = image_dedup_against_index(batch2, idx)
+    assert sorted(r["media_id"] for r in s2.collect()) == [11, 12]
+    append_image_bands_to_index(s2, idx)
+    bands = spark.read.parquet(idx)
+    n_imgs = 3  # ids 1, 3, 11 indexed; 12 contributed nothing
+    assert bands.count() == PHASH_BANDS * n_imgs
+
+    # geometry guard: an index without the bits tag refuses loudly
+    legacy = str(tmp_path / "legacy_bands")
+    spark.createDataFrame([(1,)], "band_key: long").write.parquet(legacy)
+    with pytest.raises(ValueError, match="geometry"):
+        image_dedup_against_index(batch1, legacy).collect()
+    # and a foreign chunk width too
+    foreign = str(tmp_path / "foreign_bands")
+    spark.createDataFrame([(1, 8)], "band_key: long, bits: int").write.parquet(
+        foreign
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        image_dedup_against_index(batch1, foreign).collect()
+
+
+def test_stream_ingest_images_gate_with_replay_windows(spark, tmp_path):
+    """MEDIA shards streamed one-per-micro-batch admit exactly one image
+    per perceptual near-dup class; a crash window BETWEEN sink write and
+    index append replays to the identical survivor set (partition
+    overwritten once), and a full restart against the same index admits
+    nothing — the ingest_batch crash discipline on the image gate."""
+    import shutil
+
+    from railgun_spark.streaming.ingest import (
+        _write_sink,
+        ingest_images_batch,
+        stream_ingest_images_availablenow,
+    )
+
+    h0, h1 = _phash_target(0, 0), _phash_target(50, 0)
+    shards = [
+        _media_rows([(1, h0), (2, h0 ^ 1)]),  # one class: admit 1
+        _media_rows([(10, h1), (11, h0 ^ 2)]),  # admit 10; 11 vs index
+        _media_rows([(20, h1 ^ (1 << 30))]),  # near-dup of 10: admit 0
+    ]
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.move(
+            str(next(stage.glob("part-*.parquet"))), str(src / f"s{i}.parquet")
+        )
+
+    idx, sink = str(tmp_path / "bands"), str(tmp_path / "imgs")
+
+    # CRASH WINDOW: a crashed attempt at batch 0 wrote the sink partition
+    # but died before the index append — simulate it directly, then let
+    # the stream replay batch 0 from scratch.
+    crashed = image_dedup_against_index(
+        spark.createDataFrame(shards[0], MEDIA_SCHEMA), idx
+    )
+    _write_sink(crashed, sink, batch_id=0)
+
+    admitted = stream_ingest_images_availablenow(
+        spark, str(src), index_path=idx, sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert admitted == 2  # ids 1 and 10
+    got = spark.read.option("basePath", sink).parquet(sink)
+    assert sorted(r["media_id"] for r in got.collect()) == [1, 10]
+
+    # full restart over the same shards + index: everything already admitted
+    admitted2 = stream_ingest_images_availablenow(
+        spark, str(src), index_path=idx, sink_path=str(tmp_path / "imgs2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert admitted2 == 0
+
+    # CRASH WINDOW (b): index committed but checkpoint lost — a direct
+    # replay of an already-committed batch admits 0 and must NOT clobber
+    # the written partition
+    n = ingest_images_batch(
+        spark.createDataFrame(shards[0], MEDIA_SCHEMA), idx, sink, batch_id=0
+    )
+    assert n == 0
+    still = spark.read.option("basePath", sink).parquet(sink)
+    assert sorted(r["media_id"] for r in still.collect()) == [1, 10]
+
+
+def test_image_phash_pairs_local_shape(spark, sf_dir):
+    """The oracle-gated query at sf0.001: groups of variants 0/1/2 pair
+    (hamming 1/2/3), variant 3 never appears, banding stays lossless."""
+    from railgun_spark import suite
+
+    suite._ensure_loaded()
+    rows = suite.EXTRA["image_phash_pairs"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["hamming"] <= PHASH_MAX_HAMMING for r in rows)
+    v3_ids = {
+        r["id_a"] for r in rows if (r["id_a"] // 7) % 4 == 3
+    } | {r["id_b"] for r in rows if (r["id_b"] // 7) % 4 == 3}
+    assert not v3_ids
+    # within-group hamming values are exactly the crafted 1/2/3
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    for (a, b), ham in by_pair.items():
+        if a // 28 == b // 28:
+            va, vb = (a // 7) % 4, (b // 7) % 4
+            want = {frozenset((0, 1)): 1, frozenset((0, 2)): 2,
+                    frozenset((1, 2)): 3}[frozenset((va, vb))]
+            assert ham == want, (a, b)

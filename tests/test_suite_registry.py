@@ -144,6 +144,9 @@ EXPECTED_EXTRA = {
     "tumbling_window_counts",  # event-time windows: session_window_counts certifies
     "small_quantity_revenue",  # Q17 decorrelation: min_cost_supplier (Q2) certifies
     "dominant_part_suppliers",  # Q20 semi-ladder: part_supplier_variety (Q16) certifies
+    # round-13: image perceptual-hash dedup (dHash over real decode +
+    # pigeonhole-banded pair join, lossless for hamming <= 3)
+    "image_phash_pairs",
 }
 
 
