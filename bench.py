@@ -64,7 +64,12 @@ BENCH_QUERIES = [
     "stream_interval_join_attribution",
     # round-6 additions
     "ann_pq_topk",
-    "dedup_containment",
+    # "dedup_containment" dropped from the curated slate in r13: the
+    # df-capped blocker is strictly dominated by dedup_containment_exact
+    # (lossless AND ~2x faster at every measured blow-up) and was the
+    # slowest curated query (6.2 s). The capped blocker stays in the
+    # library + EXTRA oracle gate as the documented bounded-fan-out
+    # pattern; the full sweep (SPARK_GRAFT_BENCH_ALL=1) still times it.
     "cross_source_overlap",
     # round-7: the previously-unbenched heavyweights (EXTRA registry) — a
     # perf regression in an unbenched query is invisible, so every iterative
@@ -115,6 +120,9 @@ BENCH_QUERIES = [
     "media_refusal_report",
     "semantic_dedup_scaled",
     "gif_animation_report",
+    # round-13 flagship: image perceptual-hash near-dup (real decode ->
+    # bilinear -> dHash inside the Arrow hop, banded pair join)
+    "image_phash_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -644,6 +644,46 @@ MEDIA_COVERAGE_SCHEMA = T.StructType([
     T.StructField("permille", T.LongType()),
 ])
 
+MEDIA_STATUS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("reason", T.StringType()),
+])
+
+
+def media_decode_status(
+    df: DataFrame,
+    content_col: str = "content",
+    kind_col: str = "kind",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-ROW decode status through the REAL decode_media dispatch —
+    the stateless row form of media_decode_coverage (which pre-aggregates
+    map-side). Because it is a pure mapInPandas it lifts unchanged onto a
+    streaming DataFrame, so the streaming media path can exercise the
+    full codec matrix per micro-batch (see
+    streaming/media.stream_media_decode_status_availablenow)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            reasons = []
+            for kind, content in zip(pdf[kind_col], pdf[content_col]):
+                try:
+                    decode_media(content, kind)
+                    reasons.append("decoded")
+                except ValueError as e:
+                    reasons.append(classify_media_refusal(kind, str(e)))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "kind": pdf[kind_col],
+                 "reason": reasons}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.col(kind_col).alias(kind_col),
+        F.col(content_col).alias(content_col),
+    ).mapInPandas(batches, MEDIA_STATUS_SCHEMA)
+
 
 def media_decode_coverage(
     df: DataFrame,

@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from railgun_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     MEDIA_SCHEMA,
+    MEDIA_STATUS_SCHEMA,
     extract_features,
+    media_decode_status,
     spread_for_decode,
 )
 
@@ -67,3 +69,38 @@ def stream_media_features_availablenow(
     )
     q.awaitTermination()
     return spark.read.schema(FEATURE_SCHEMA).parquet(sink_dir)
+
+
+def stream_media_decode_status_availablenow(
+    spark: SparkSession,
+    media_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of the decode-coverage path over the FULL codec
+    matrix: drain every unprocessed media parquet file (availableNow)
+    through the per-row ``media_decode_status`` pass — refusal classes
+    included, since a refusal is a recorded row here, not an exception —
+    and append (media_id, kind, reason) to ``sink_dir``. The batch
+    coverage report (``media_decode_coverage``) is a deterministic
+    aggregation of exactly these rows, so stream and batch provably
+    classify the same corpus identically (the test pins per-row equality
+    over the whole crafted 22-class corpus, animated GIF89a and
+    MJPEG-AVI included). Restart-safe via checkpointed file progress."""
+    stream = (
+        spark.readStream.schema(MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(media_dir)
+    )
+    status = media_decode_status(spread_for_decode(stream))
+    q = (
+        status.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(MEDIA_STATUS_SCHEMA).parquet(sink_dir)

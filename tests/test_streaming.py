@@ -873,3 +873,71 @@ def test_stream_media_features_restart_idempotent(spark, tmp_path):
         spark, media_dir, sink, ckpt, decoder=decode_media, require_real=True
     )
     assert got3.count() == 4
+
+
+def test_stream_media_decode_status_full_codec_matrix(spark, tmp_path):
+    """Streaming twin over the WHOLE 22-class crafted corpus (animated
+    GIF89a and MJPEG-AVI included): two file batches drain with a restart
+    between them, the streamed per-row statuses equal the batch
+    media_decode_status of the same rows, and every class lands on its
+    MEDIA_CRAFT_CLASSES expected reason — refusal classes stream as
+    recorded rows, not exceptions."""
+    from railgun_spark.operators.multimodal import (
+        MEDIA_CRAFT_CLASSES,
+        MEDIA_SCHEMA,
+        _craft_media_stream,
+        media_decode_status,
+    )
+    from railgun_spark.streaming.media import (
+        stream_media_decode_status_availablenow,
+    )
+
+    n_cls = len(MEDIA_CRAFT_CLASSES)
+    assert n_cls == 22
+    # doc_id 7*i -> class i; the second copy (7*(i+n_cls)) re-exercises
+    # each class with different doc_id-derived parameters
+    all_rows = []
+    for i in range(2 * n_cls):
+        d = 7 * i
+        kind, blob = _craft_media_stream(d)
+        all_rows.append((d, kind, bytearray(blob), {}))
+    rows1, rows2 = all_rows[:n_cls], all_rows[n_cls:]
+
+    media_dir = str(tmp_path / "media")
+    sink = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows1, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(media_dir)
+    got1 = stream_media_decode_status_availablenow(spark, media_dir, sink, ckpt)
+    assert got1.count() == n_cls
+
+    # restart over the second half of the corpus, same checkpoint
+    spark.createDataFrame(rows2, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(media_dir)
+    streamed = {
+        r["media_id"]: (r["kind"], r["reason"])
+        for r in stream_media_decode_status_availablenow(
+            spark, media_dir, sink, ckpt
+        ).collect()
+    }
+    assert len(streamed) == 2 * n_cls
+
+    # per-row twin equality with the batch pass over the same rows
+    batch = {
+        r["media_id"]: (r["kind"], r["reason"])
+        for r in media_decode_status(
+            spark.createDataFrame(all_rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert streamed == batch
+
+    # and every class classifies as the craft table predicts — pinning
+    # GIF89a animation (12), MJPEG-AVI (20), and the AVI refusal (21)
+    # through the STREAMING path
+    for i in range(2 * n_cls):
+        want = MEDIA_CRAFT_CLASSES[i % n_cls]
+        assert streamed[7 * i] == want, (i, streamed[7 * i], want)
+
+    # a third drain with no new files emits nothing new
+    again = stream_media_decode_status_availablenow(spark, media_dir, sink, ckpt)
+    assert again.count() == 2 * n_cls
