@@ -46,6 +46,49 @@ INDEX_SIZES = (0, 5_000, 50_000)
 BATCH_SIZES = (500, 2_500, 5_000)
 
 
+def _salted_doc_copies(spark, sf_dir: str, n_copies: int):
+    """An index SOURCE bigger than the sf1 probe: n_copies token-salted
+    copies of the sf0.1 documents (every token prefixed g<i> — zero
+    token/shingle/window overlap across copies AND vs the unsalted batch
+    docs, so every populated doc takes the admit path and the timed batch
+    is never span/band-rejected). Used for the 500k index column."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))).alias("i"),
+    )
+    tag = F.concat(F.lit("g"), F.col("i").cast("string"))
+    salted = F.array_join(
+        F.transform(F.split("text", " "), lambda t: F.concat(tag, t)), " "
+    )
+    return docs.select(
+        (F.col("doc_id") + F.col("i") * F.lit(10_000_000)).alias("doc_id"),
+        salted.alias("text"),
+    ).repartition(64)
+
+
+def _populate_direct(df, idx: str, span: bool, minhash: bool) -> None:
+    """Populate indexes via the gate's own APPEND paths (what ingest_batch
+    commits when every doc is admitted — guaranteed here by the salting),
+    skipping the anti-join: at 500k populate docs the join adds minutes
+    without changing the committed index contents."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.dedup import (
+        _batch_unique,
+        append_bands_to_index,
+        append_to_index,
+        append_window_hashes_to_index,
+    )
+
+    append_to_index(_batch_unique(df, "text", "doc_id"), idx)
+    if span:
+        append_window_hashes_to_index(df, idx + "_span")
+    if minhash:
+        append_bands_to_index(df, idx + "_mh")
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -56,6 +99,7 @@ def main() -> int:
     )
     from tools.sf1_probe import SHIFT, _build_sf1
 
+    global INDEX_SIZES, BATCH_SIZES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_probe")
     out_path = None
@@ -64,6 +108,14 @@ def main() -> int:
     only_gates = None
     if "--gates" in sys.argv:
         only_gates = set(sys.argv[sys.argv.index("--gates") + 1].split(","))
+    if "--index-sizes" in sys.argv:
+        INDEX_SIZES = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--index-sizes") + 1].split(",")
+        )
+    if "--batches" in sys.argv:
+        BATCH_SIZES = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--batches") + 1].split(",")
+        )
     spark = get_spark("ingest_grid")
     _build_sf1(spark, sf1_dir)
 
@@ -80,12 +132,18 @@ def main() -> int:
     cells = []
 
     def run_gate(gate: str, index_src, batch_src, populate, time_batch,
-                 suffixes=("",)):
+                 suffixes=("",), big_populate=None):
         if only_gates is not None and gate not in only_gates:
             return
         for idx_n in INDEX_SIZES:
             base_idx = os.path.join(work, f"{gate}_idx_{idx_n}")
-            if idx_n > 0:
+            if idx_n > 5_000 and big_populate is not None:
+                # big cells: synthesize a salted source and commit via the
+                # gate's own append paths (identical index contents to a
+                # gate populate over all-admitted docs, minus the
+                # untimed anti-join minutes)
+                big_populate(idx_n, base_idx)
+            elif idx_n > 0:
                 populate(index_src.limit(idx_n), base_idx)
             for batch_n in BATCH_SIZES:
                 cell_dir = os.path.join(work, f"{gate}_{idx_n}_{batch_n}")
@@ -160,6 +218,11 @@ def main() -> int:
     # -> MinHash bands) through one ingest_batch call — the configuration
     # the r12 streaming soak drives; its cost should track the sum of
     # the individual text gates, flat across index size
+    def composite_big_populate(idx_n: int, base_idx: str) -> None:
+        n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
+        src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
+        _populate_direct(src, base_idx, span=True, minhash=True)
+
     run_gate(
         "composite", docs_index_src, docs_batch_src,
         populate=lambda df, idx: ingest_batch(
@@ -169,6 +232,7 @@ def main() -> int:
             b, idx, sink,
             span_index_path=idx + "_span", minhash_index_path=idx + "_mh"),
         suffixes=("", "_span", "_mh"),
+        big_populate=composite_big_populate,
     )
 
     shutil.rmtree(work, ignore_errors=True)
