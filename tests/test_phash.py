@@ -264,3 +264,118 @@ def test_image_phash_pairs_local_shape(spark, sf_dir):
             want = {frozenset((0, 1)): 1, frozenset((0, 2)): 2,
                     frozenset((1, 2)): 3}[frozenset((va, vb))]
             assert ham == want, (a, b)
+
+
+def test_stream_ingest_soak_image_gate(spark, tmp_path):
+    """Image-gate soak (slow, ~1 min): 16 availableNow micro-batches
+    through the perceptual-hash band gate with two injected crash/replay
+    windows at batch boundaries 6 (sink written, index lost) and 11
+    (index committed, checkpoint lost). The admitted content set must
+    equal the batch-backfill ground truth, and per-batch walls must not
+    grow with index size."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from railgun_spark.streaming.ingest import (
+        _drain_availablenow,
+        _write_sink,
+        ingest_images_batch,
+    )
+
+    n_shards = 16
+
+    def fresh_hash(k: int, j: int) -> int:
+        return _phash_target(1000 + k * 2 + j, 0)
+
+    def shard_rows(k: int):
+        rows = _media_rows(
+            [(100 * k + j, fresh_hash(k, j)) for j in (0, 1)]
+        )
+        # intra-shard near-dup of this shard's first fresh image (higher
+        # id -> greedy intra-batch rejection)
+        rows += _media_rows([(100 * k + 60, fresh_hash(k, 0) ^ (1 << ((k + 5) % 60)))])
+        if k > 0:  # near-dup of the PREVIOUS shard's admitted image
+            rows += _media_rows([(100 * k + 50, fresh_hash(k - 1, 0) ^ (1 << (k % 60)))])
+        return rows
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+
+    def ship(k: int) -> None:
+        stage = tmp_path / f"__s{k}"
+        spark.createDataFrame(shard_rows(k), MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"shard{k:02d}.parquet"
+        shutil.move(part, str(dest))
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    idx, sink, ckpt = (str(tmp_path / p) for p in ("idx", "imgs", "ckpt"))
+    walls: list[float] = []
+
+    def gate(batch_df, batch_id):
+        t0 = time.time()
+        n = ingest_images_batch(batch_df, idx, sink, batch_id=batch_id)
+        walls.append(time.time() - t0)
+        return n
+
+    def drain():
+        return _drain_availablenow(
+            spark, str(src), MEDIA_SCHEMA, ckpt, 1, gate
+        )
+
+    admitted = 0
+    for k in range(6):
+        ship(k)
+    admitted += drain()  # batches 0..5
+
+    # CRASH WINDOW 1 at boundary 6: sink partition written, index lost
+    ship(6)
+    crashed = image_dedup_against_index(
+        spark.read.parquet(str(src / "shard06.parquet")), idx
+    )
+    _write_sink(crashed, sink, batch_id=6)
+    for k in range(7, 11):
+        ship(k)
+    admitted += drain()  # batches 6..10 (6 is a replay)
+
+    # CRASH WINDOW 2 at boundary 11: index committed, checkpoint lost
+    ship(11)
+    n11 = ingest_images_batch(
+        spark.read.parquet(str(src / "shard11.parquet")), idx, sink, batch_id=11
+    )
+    assert n11 == 2
+    for k in range(12, n_shards):
+        ship(k)
+    admitted += drain()  # batches 11..15 (11 replays to 0)
+
+    assert len(walls) == n_shards
+    got = sorted(
+        bytes(r["content"]) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        bytes(_phash_pgm(fresh_hash(k, j)))
+        for k in range(n_shards) for j in (0, 1)
+    )
+    assert got == want  # exactly one copy per near-dup class
+    assert admitted == 2 * n_shards - 2  # window-2's replay admitted 0
+
+    # batch-backfill ground truth: same shards, direct gate calls
+    b_idx, b_sink = str(tmp_path / "b_idx"), str(tmp_path / "b_imgs")
+    for k in range(n_shards):
+        ingest_images_batch(
+            spark.createDataFrame(shard_rows(k), MEDIA_SCHEMA), b_idx, b_sink,
+            batch_id=None,
+        )
+    backfill = sorted(
+        bytes(r["content"]) for r in spark.read.parquet(b_sink).collect()
+    )
+    assert got == backfill
+
+    print("IMAGE_SOAK_WALLS " + " ".join(f"{w:.2f}" for w in walls))
+    first = sum(walls[:5]) / 5
+    last = sum(walls[-5:]) / 5
+    assert last <= 3 * first, (first, last, walls)
