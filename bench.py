@@ -120,9 +120,10 @@ BENCH_QUERIES = [
     "media_refusal_report",
     "semantic_dedup_scaled",
     "gif_animation_report",
-    # round-13 flagship: image perceptual-hash near-dup (real decode ->
-    # bilinear -> dHash inside the Arrow hop, banded pair join)
+    # round-13 flagships: image + video perceptual-hash near-dup (real
+    # decode -> bilinear -> dHash inside the Arrow hop, banded pair joins)
     "image_phash_pairs",
+    "video_phash_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -298,10 +298,11 @@ def _phash_target(g: int, v: int) -> int:
     return base ^ pert
 
 
-def _phash_pgm(h: int) -> bytes:
-    """18x16 8-bit PGM whose 9x8 bilinear downsample dHashes to exactly
-    `h`: base column 128, each rightward step +-1 by the corresponding
-    bit of h, rows/cols pixel-doubled (values stay in 120..136)."""
+def _phash_luma(h: int) -> bytes:
+    """The 18x16 8-bit luma raster whose 9x8 bilinear downsample dHashes
+    to exactly `h`: base column 128, each rightward step +-1 by the
+    corresponding bit of h, rows/cols pixel-doubled (values stay in
+    120..136). Shared by the PGM (image) and Y4M (video) crafts."""
     rows = []
     for y in range(8):
         vals = [128]
@@ -311,7 +312,22 @@ def _phash_pgm(h: int) -> bytes:
         doubled = [v for v in vals for _ in range(2)]
         rows.append(bytes(doubled))
         rows.append(bytes(doubled))
-    return b"P5\n18 16\n255\n" + b"".join(rows)
+    return b"".join(rows)
+
+
+def _phash_pgm(h: int) -> bytes:
+    """18x16 PGM of the _phash_luma grid."""
+    return b"P5\n18 16\n255\n" + _phash_luma(h)
+
+
+def _phash_y4m(frame_hashes) -> bytes:
+    """18x16 C420 YUV4MPEG2 stream with one _phash_luma frame per target
+    hash (chroma planes neutral 128) — the video twin of _phash_pgm."""
+    head = b"YUV4MPEG2 W18 H16 F25:1 Ip A1:1 C420\n"
+    chroma = bytes([128]) * (9 * 8 * 2)
+    return head + b"".join(
+        b"FRAME\n" + _phash_luma(h) + chroma for h in frame_hashes
+    )
 
 
 @extra_query(
@@ -382,3 +398,254 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, MEDIA_SCHEMA)
     hashes = image_perceptual_hashes(media)
     return phash_near_dup_pairs(hashes).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Video perceptual hashing: per-sampled-frame dHash signatures. Two
+# videos are near-dups when most temporally-aligned sampled frames sit
+# within a few Hamming bits — re-encodes, container changes, and mild
+# recompression keep frame dHashes close, while different footage lands
+# ~32 bits apart per frame. Pairing stays pigeonhole-banded PER FRAME:
+# any matching frame (hamming <= PHASH_MAX_HAMMING) guarantees a
+# (frame_idx, chunk) collision, so candidate pairs are a lossless
+# superset whenever at least one frame matches — far weaker than the
+# min_match_frac filter needs. Decode cost is sample-proportional: the
+# AVI walk JPEG-decodes ONLY sampled frames, GIF composites (disposal
+# needs the running canvas) but hashes only sampled snapshots.
+# --------------------------------------------------------------------------
+VIDEO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+        T.StructField("refused", T.StringType()),
+    ]
+)
+
+
+def video_perceptual_hashes(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """MEDIA_SCHEMA video rows -> (media_id, frame_idx, fhash, refused):
+    dHash of every `every_n`-th frame's raster in one Arrow pass
+    (Y4M luma plane directly; GIF composited canvas; MJPEG-AVI via the
+    library's JPEG decoder). Codec-bound payloads record ONE refusal row
+    (frame_idx/fhash NULL) per the decode-coverage discipline."""
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import (
+        _avi_jpeg_frames,
+        _parse_y4m_header,
+        _y4m_frames,
+        decode_gif_frames,
+    )
+
+    def frame_rasters(b: bytes):
+        from railgun_spark.operators.jpeg import decode_jpeg
+
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            frames, _delays = decode_gif_frames(b)
+            for k in range(0, len(frames), every_n):
+                yield k, frames[k]
+            return
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            _avih, chunks = _avi_jpeg_frames(b)
+            for k in range(0, len(chunks), every_n):
+                if chunks[k][:2] != b"\xff\xd8":
+                    raise ValueError(
+                        f"only MJPEG AVIs decode library-free (frame {k} "
+                        "is not JPEG; other codecs need a decoder)"
+                    )
+                yield k, decode_jpeg(chunks[k])
+            return
+        w, h, _fps, luma, chroma, start = _parse_y4m_header(b)
+        for k, off in _y4m_frames(b, luma, chroma, start):
+            if k % every_n == 0:
+                plane = np.frombuffer(
+                    b, dtype=np.uint8, count=luma, offset=off
+                ).astype("float64").reshape(h, w, 1)
+                yield k, plane
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "video"]
+            if pdf.empty:
+                continue
+            mids, idxs, fhs, refs = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                mid = int(mid)
+                try:
+                    for k, raster in frame_rasters(bytes(content or b"")):
+                        h = dhash64(raster)
+                        mids.append(mid)
+                        idxs.append(k)
+                        fhs.append(h - (1 << 64) if h >= (1 << 63) else h)
+                        refs.append(None)
+                except ValueError as exc:
+                    mids.append(mid)
+                    idxs.append(None)
+                    fhs.append(None)
+                    refs.append(str(exc))
+            yield pd.DataFrame(
+                {"media_id": mids,
+                 "frame_idx": pd.array(idxs, dtype="Int32"),
+                 "fhash": pd.array(fhs, dtype="Int64"),
+                 "refused": refs}
+            )
+
+    return df.mapInPandas(batches, VIDEO_PHASH_SCHEMA)
+
+
+VIDEO_MATCH_FRAC = 0.8
+
+
+def video_phash_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """(id_a, id_b, n_match, n_frames) for video pairs where at least
+    `min_match_frac` of temporally-aligned sampled frames sit within
+    `max_hamming` bits (n_frames = the LARGER signature, so a clip
+    matching a strict subset of a longer video does not qualify).
+    Candidates band-join on (frame_idx, chunk) — lossless per matching
+    frame by pigeonhole, never all-pairs."""
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
+            f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
+        )
+    fh = frame_hashes.filter(F.col("fhash").isNotNull()).select(
+        F.col("media_id").alias("__id"), "frame_idx", F.col("fhash").alias("__h")
+    )
+    n_frames = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    ex = fh.select(
+        "__id", "frame_idx", "__h",
+        F.posexplode(phash_chunks(F.col("__h"))).alias("ci", "cv"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    matched = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.frame_idx").alias("fi"),
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    na = n_frames.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = n_frames.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    nf = F.greatest(F.col("__na"), F.col("__nb"))
+    return (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("n_match") >= F.ceil(F.lit(min_match_frac) * nf))
+        .select("id_a", "id_b", "n_match", nf.alias("n_frames"))
+    )
+
+
+VIDEO_PHASH_SAMPLE_MOD = 13
+
+
+@extra_query(
+    "video_phash_pairs",
+    # The oracle recomputes each crafted Y4M's per-frame dHashes from
+    # doc_id arithmetic (md5 of "g:f" XOR the variant perturbation) and
+    # keeps the semantic all-pairs frame-aligned definition; the Spark
+    # side recovers the same integers through a REAL
+    # craft -> Y4M parse -> luma -> bilinear -> dhash -> per-frame banded
+    # join -> match-fraction filter pipeline.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {VIDEO_PHASH_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {VIDEO_PHASH_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {VIDEO_PHASH_SAMPLE_MOD} = 0
+    ), fr AS (
+      SELECT doc_id, g, v, unnest(generate_series(0, 1 + (g % 3))) AS f
+      FROM s
+    ), h AS (
+      SELECT doc_id, f,
+             xor(
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                     CAST(f AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+               CASE v
+                 WHEN 1 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 WHEN 2 THEN (CAST(1 AS BIGINT) << ((g + 13) % 60))
+                           | (CAST(1 AS BIGINT) << ((g + 29) % 60))
+                 WHEN 3 THEN (CAST(65535 AS BIGINT) << (g % 44))
+                 ELSE 0
+               END
+             ) AS fh
+      FROM fr
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match
+      FROM h a JOIN h b ON a.f = b.f AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_MAX_HAMMING}
+      GROUP BY 1, 2
+    ), n AS (SELECT doc_id, count(*) AS nf FROM h GROUP BY 1)
+    SELECT id_a, id_b, n_match,
+           greatest(na.nf, nb.nf) AS n_frames
+    FROM m JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE n_match >= CEIL({VIDEO_MATCH_FRAC} * greatest(na.nf, nb.nf))
+    ORDER BY id_a, id_b
+    """,
+    doc="Video perceptual-hash near-dup certification: crafted Y4M C420 "
+    "streams (2-4 frames, doc_id-derived per-frame luma grids) whose "
+    "sampled-frame dHashes the oracle predicts exactly; the per-frame "
+    "banded join + temporal match-fraction filter must reproduce the "
+    "all-pairs definition. One Arrow decode pass; pairing is integer "
+    "Column algebra on (frame_idx, 16-bit chunk) keys.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % VIDEO_PHASH_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def frame_target(g: int, f: int, v: int) -> int:
+        base = int(hashlib.md5(f"{g}:{f}".encode()).hexdigest()[:15], 16)
+        if v == 1:
+            pert = 1 << (g % 60)
+        elif v == 2:
+            pert = (1 << ((g + 13) % 60)) | (1 << ((g + 29) % 60))
+        elif v == 3:
+            pert = 0xFFFF << (g % 44)
+        else:
+            pert = 0
+        return base ^ pert
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // VIDEO_PHASH_SAMPLE_MOD
+                g, v = m // 4, m % 4
+                n_fr = 2 + g % 3
+                y4m = _phash_y4m([frame_target(g, f, v) for f in range(n_fr)])
+                rows.append((d, "video", y4m, {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    fh = video_perceptual_hashes(media, every_n=1)
+    return video_phash_near_dup_pairs(fh).orderBy("id_a", "id_b")

@@ -379,3 +379,83 @@ def test_stream_ingest_soak_image_gate(spark, tmp_path):
     first = sum(walls[:5]) / 5
     last = sum(walls[-5:]) / 5
     assert last <= 3 * first, (first, last, walls)
+
+
+def test_video_perceptual_hashes_containers_and_refusal(spark):
+    """Per-frame dHashes recover crafted targets through Y4M AND GIF89a
+    containers; a codec-bound video records ONE refusal row; every_n
+    samples only every n-th frame."""
+    from railgun_spark.geo.serving import encode_gif_animation
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        video_perceptual_hashes,
+    )
+
+    targets = [_phash_target(200 + f, 0) for f in range(4)]
+    y4m = _phash_y4m(targets)
+
+    # GIF twin: full-frame solid-gray animations have exactly-known
+    # canvases, so their dHashes are computable from the decoded frames
+    pal = [(g, g, g) for g in (40, 90, 140, 190)]
+    frames = [(0, 0, [[k] * 18 for _ in range(16)]) for k in range(4)]
+    gif = encode_gif_animation(frames, pal)
+
+    rows = [
+        (1, "video", bytearray(y4m), {}),
+        (2, "video", bytearray(gif), {}),
+        (3, "video", bytearray(b"RIFF....AVI JUNK"), {}),
+        (4, "image", bytearray(b"P5\n1 1\n255\nx"), {}),  # non-video drops
+    ]
+    got = video_perceptual_hashes(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), every_n=1
+    ).collect()
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == {1, 2, 3}
+
+    y_rows = sorted(by_vid[1], key=lambda r: r["frame_idx"])
+    assert [r["fhash"] for r in y_rows] == targets
+    assert all(r["refused"] is None for r in y_rows)
+
+    # solid frames -> dHash 0 (no rightward step is ever positive)
+    g_rows = sorted(by_vid[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in g_rows] == [0, 1, 2, 3]
+    assert all(r["fhash"] == 0 for r in g_rows)
+
+    (ref,) = by_vid[3]
+    assert ref["fhash"] is None and ref["refused"] is not None
+
+    # every_n=2 keeps frames 0 and 2 only
+    sampled = video_perceptual_hashes(
+        spark.createDataFrame(rows[:1], MEDIA_SCHEMA), every_n=2
+    ).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
+
+
+def test_video_phash_pairs_semantics(spark):
+    """Frame-aligned match fraction: identical-per-frame videos pair;
+    a video matching on only 1 of 3 frames does not; a SHORT clip inside
+    a longer video does not (n_frames = the larger signature)."""
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        video_perceptual_hashes,
+        video_phash_near_dup_pairs,
+    )
+
+    base = [_phash_target(300 + f, 0) for f in range(3)]
+    near = [h ^ (1 << ((7 * f + 3) % 60)) for f, h in enumerate(base)]  # 1 bit/frame
+    one_frame = [base[0], _phash_target(900, 0), _phash_target(901, 0)]
+    clip = base[:1]  # 1-of-3 prefix
+    rows = [
+        (1, "video", bytearray(_phash_y4m(base)), {}),
+        (2, "video", bytearray(_phash_y4m(near)), {}),
+        (3, "video", bytearray(_phash_y4m(one_frame)), {}),
+        (4, "video", bytearray(_phash_y4m(clip)), {}),
+    ]
+    fh = video_perceptual_hashes(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), every_n=1
+    )
+    got = {(r["id_a"], r["id_b"]): (r["n_match"], r["n_frames"])
+           for r in video_phash_near_dup_pairs(fh).collect()}
+    assert got == {(1, 2): (3, 3)}

@@ -147,6 +147,9 @@ EXPECTED_EXTRA = {
     # round-13: image perceptual-hash dedup (dHash over real decode +
     # pigeonhole-banded pair join, lossless for hamming <= 3)
     "image_phash_pairs",
+    # round-13: video near-dup via per-sampled-frame dHash signatures
+    # (frame-aligned banded join + temporal match-fraction filter)
+    "video_phash_pairs",
 }
 
 
