@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     # decode -> bilinear -> dHash inside the Arrow hop, banded pair joins)
     "image_phash_pairs",
     "video_phash_pairs",
+    "audio_phash_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

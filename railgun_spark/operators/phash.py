@@ -649,3 +649,170 @@ def video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, MEDIA_SCHEMA)
     fh = video_perceptual_hashes(media, every_n=1)
     return video_phash_near_dup_pairs(fh).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Audio perceptual fingerprints: the audio member of the perceptual
+# family (Haitsma-Kastner-style, radically simplified for a library-free
+# engine): mono signal -> 72 equal time windows (8 groups of 9) -> RMS
+# energy per window -> bit (y*8 + x) set iff group y's window x+1 is
+# LOUDER than window x. Re-encodes and level-preserving transcodes keep
+# the energy envelope, hence the delta signs; different audio flips
+# ~half the bits. Same downstream algebra as images: the 64-bit
+# fingerprint feeds phash_near_dup_pairs / the band-index machinery
+# unchanged (hash_col='fhash').
+# --------------------------------------------------------------------------
+AUDIO_PHASH_WINDOWS = 72  # 8 groups x 9 windows -> 64 delta bits
+
+
+def audio_fingerprint64(x) -> int:
+    """1-D mono float signal -> 64 energy-delta bits. Grouped like the
+    image dHash rows (9 windows -> 8 deltas per group) so crafted
+    amplitude staircases stay within a +-8-step range per group."""
+    import numpy as np
+
+    segs = np.array_split(np.asarray(x, dtype="float64"), AUDIO_PHASH_WINDOWS)
+    rms = [float(np.sqrt((s**2).mean())) if len(s) else 0.0 for s in segs]
+    bits = 0
+    for y in range(8):
+        for k in range(8):
+            if rms[9 * y + k + 1] > rms[9 * y + k]:
+                bits |= 1 << (y * 8 + k)
+    return bits
+
+
+AUDIO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fhash", T.LongType()),
+        T.StructField("refused", T.StringType()),
+    ]
+)
+
+
+def audio_perceptual_hashes(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """MEDIA_SCHEMA audio rows -> (media_id, fhash, refused) in one Arrow
+    pass, decoding through the shared PCM dispatch (WAV/FLAC/AIFF/AU all
+    fingerprint identically for the same signal); codec-bound payloads
+    (MP3) record a per-row refusal."""
+    from railgun_spark.operators.multimodal import _audio_pcm_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            ids, fhs, refs = [], [], []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                ids.append(int(mid))
+                try:
+                    frames, _rate = _audio_pcm_frames(bytes(content or b""))
+                except ValueError as exc:
+                    fhs.append(None)
+                    refs.append(str(exc))
+                    continue
+                h = audio_fingerprint64(frames.mean(axis=1))
+                fhs.append(h - (1 << 64) if h >= (1 << 63) else h)
+                refs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "fhash": pd.array(fhs, dtype="Int64"),
+                 "refused": refs}
+            )
+
+    return df.mapInPandas(batches, AUDIO_PHASH_SCHEMA)
+
+
+AUDIO_PHASH_SAMPLE_MOD = 19
+_AUDIO_SEG_SAMPLES = 32  # per window; amplitudes k/128 sit on the 16-bit grid
+
+
+def _phash_wav(h: int) -> bytes:
+    """16-bit PCM WAV whose audio_fingerprint64 is exactly `h`: 8 groups
+    of 9 constant-amplitude windows, base 64/128, each step +-1/128 by
+    the corresponding bit (constant-window RMS is the exact amplitude,
+    so every delta comparison is integer-exact)."""
+    import struct
+
+    amps = []
+    for y in range(8):
+        vals = [64]
+        for k in range(8):
+            bit = (h >> (y * 8 + k)) & 1
+            vals.append(vals[-1] + (1 if bit else -1))
+        amps += vals
+    pcm = b"".join(
+        struct.pack("<h", a * 256) * _AUDIO_SEG_SAMPLES for a in amps
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+@extra_query(
+    "audio_phash_pairs",
+    # Same certification scheme as the image/video members: the oracle
+    # recomputes each crafted clip's fingerprint from doc_id arithmetic
+    # (shared 60-bit md5 XOR the variant perturbation) and keeps the
+    # all-pairs hamming <= 3 definition; Spark must recover the integers
+    # through a REAL craft -> PCM decode -> windowed-RMS -> delta-sign ->
+    # banded-join pipeline.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {AUDIO_PHASH_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {AUDIO_PHASH_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {AUDIO_PHASH_SAMPLE_MOD} = 0
+    ), h AS (
+      SELECT doc_id,
+             xor(
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::UBIGINT
+                    AS BIGINT),
+               CASE v
+                 WHEN 1 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 WHEN 2 THEN (CAST(1 AS BIGINT) << ((g + 13) % 60))
+                           | (CAST(1 AS BIGINT) << ((g + 29) % 60))
+                 WHEN 3 THEN (CAST(65535 AS BIGINT) << (g % 44))
+                 ELSE 0
+               END
+             ) AS fh
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fh, b.fh)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+    doc="Audio perceptual-fingerprint near-dup certification: crafted "
+    "constant-amplitude staircase WAVs whose 72-window energy-delta "
+    "fingerprint equals a doc_id-predicted 60-bit value; the banded "
+    "(pigeonhole, lossless for hamming <= 3) pair join must match the "
+    "oracle's all-pairs definition exactly.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % AUDIO_PHASH_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // AUDIO_PHASH_SAMPLE_MOD
+                h = _phash_target(m // 4, m % 4)
+                rows.append((d, "audio", _phash_wav(h), {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    hashes = audio_perceptual_hashes(media)
+    return phash_near_dup_pairs(hashes, hash_col="fhash").orderBy("id_a", "id_b")

@@ -459,3 +459,51 @@ def test_video_phash_pairs_semantics(spark):
     got = {(r["id_a"], r["id_b"]): (r["n_match"], r["n_frames"])
            for r in video_phash_near_dup_pairs(fh).collect()}
     assert got == {(1, 2): (3, 3)}
+
+
+def test_audio_fingerprint_kernel_and_containers(spark):
+    """The 72-window energy-delta fingerprint recovers crafted targets
+    bit-exactly; the SAME signal fingerprints identically through WAV and
+    FLAC containers; MP3 records a per-row refusal; level-preserving
+    16-bit re-encode keeps the fingerprint."""
+    import struct
+
+    from railgun_spark.operators.multimodal import (
+        _audio_pcm_frames,
+        _encode_wav_pcm16,
+        _flac_verbatim_mono,
+    )
+    from railgun_spark.operators.phash import (
+        _phash_wav,
+        audio_fingerprint64,
+        audio_perceptual_hashes,
+    )
+
+    for g, v in ((0, 0), (4, 1), (9, 2), (21, 3)):
+        h = _phash_target(g, v)
+        frames, rate = _audio_pcm_frames(_phash_wav(h))
+        assert rate == 8000
+        assert audio_fingerprint64(frames.mean(axis=1)) == h
+
+    # container invariance: identical PCM through FLAC
+    h = _phash_target(77, 0)
+    wav = _phash_wav(h)
+    frames, _ = _audio_pcm_frames(wav)
+    pcm16 = [int(round(x * 32768)) for x in frames[:, 0]]
+    flac = _flac_verbatim_mono(pcm16, 8000)
+    rows = [
+        (1, "audio", bytearray(wav), {}),
+        (2, "audio", bytearray(flac), {}),
+        (3, "audio", bytearray(b"ID3\x04\x00"), {}),  # MP3: refusal
+        (4, "video", bytearray(b"x"), {}),  # non-audio drops
+    ]
+    got = {r["media_id"]: r for r in audio_perceptual_hashes(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["fhash"] == got[2]["fhash"] == h
+    assert got[3]["fhash"] is None and got[3]["refused"] is not None
+
+    # 16-bit re-encode round-trip (the resample_audio output path)
+    frames2, _ = _audio_pcm_frames(_encode_wav_pcm16(frames, 8000))
+    assert audio_fingerprint64(frames2.mean(axis=1)) == h

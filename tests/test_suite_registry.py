@@ -150,6 +150,9 @@ EXPECTED_EXTRA = {
     # round-13: video near-dup via per-sampled-frame dHash signatures
     # (frame-aligned banded join + temporal match-fraction filter)
     "video_phash_pairs",
+    # round-13: audio near-dup via 72-window energy-delta fingerprints
+    # (decodes through the shared WAV/FLAC/AIFF/AU PCM dispatch)
+    "audio_phash_pairs",
 }
 
 
