@@ -165,6 +165,31 @@ def cmd_ingest(args) -> int:
     if args.span_index and args.bucketed_table:
         print("--span-index is not supported with --bucketed-table", file=sys.stderr)
         return 2
+    if args.modality == "image":
+        # perceptual-hash band gate over MEDIA_SCHEMA image shards
+        if args.bucketed_table or args.span_index:
+            print("--modality image supports --index gating only", file=sys.stderr)
+            return 2
+        from railgun_spark.streaming.ingest import (
+            ingest_images_batch,
+            stream_ingest_images_availablenow,
+        )
+
+        spark = get_spark("railgun_ingest")
+        if args.stream:
+            admitted = stream_ingest_images_availablenow(
+                spark, args.input_dir,
+                index_path=args.index, sink_path=args.sink,
+                checkpoint_dir=args.checkpoint or args.sink.rstrip("/") + "_checkpoint",
+                id_col=args.id_col,
+            )
+        else:
+            admitted = ingest_images_batch(
+                spark.read.parquet(args.input_dir), args.index, args.sink,
+                id_col=args.id_col,
+            )
+        print(json.dumps({"admitted": admitted}))
+        return 0
     spark = get_spark("railgun_ingest")
     if args.bucketed_table:
         from railgun_spark.operators.dedup import (
@@ -706,6 +731,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--span-index", default=None,
         help="window-hash index path: also reject docs assembled mostly "
         "from 10-word spans already in history (batch or --stream)",
+    )
+    p.add_argument(
+        "--modality", choices=("text", "image"), default="text",
+        help="image: gate MEDIA_SCHEMA shards through the perceptual-hash "
+        "band index (dHash over the real decoders) instead of the text "
+        "content-hash gate; default id column stays --id-col "
+        "(use --id-col media_id for MEDIA_SCHEMA shards)",
     )
     p.set_defaults(fn=cmd_ingest)
 

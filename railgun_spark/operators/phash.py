@@ -816,3 +816,78 @@ def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, MEDIA_SCHEMA)
     hashes = audio_perceptual_hashes(media)
     return phash_near_dup_pairs(hashes, hash_col="fhash").orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Bucketed image band index: the PB-scale layout (dedup.bucketize_index's
+# image twin). A parquet band index re-shuffles on every batch's
+# semi-join; a table bucketed by band_key has HashPartitioning(band_key)
+# as its native layout, so the gate's index side scans in place — only
+# the (small) incoming batch shuffles into the bucket scheme.
+# --------------------------------------------------------------------------
+def bucketize_image_index(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Materialize a parquet image band index as a managed table bucketed
+    by band_key (one-time migration; thereafter append with
+    `append_image_bands_to_bucketed_index`). Refuses an index built under
+    a different chunk geometry. Returns the distinct row count."""
+    from railgun_spark.operators.dedup import _local_index_path, _recover_index
+
+    local = _local_index_path(index_path)
+    _recover_index(local)
+    idx = spark.read.option("mergeSchema", "true").parquet(local)
+    if "bits" not in idx.columns:
+        raise ValueError(
+            f"image band index {index_path} carries no geometry tag; "
+            f"rebuild it under the current {PHASH_BANDS}x"
+            f"{PHASH_BAND_BITS}-bit chunking"
+        )
+    if idx.filter(
+        F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
+    ).limit(1).count():
+        raise ValueError(
+            f"image band index {index_path} contains rows from a different "
+            f"chunking geometry; rebuild it under the current "
+            f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
+        )
+    distinct = idx.select("band_key", "bits").distinct()
+    distinct.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, "band_key"
+    ).saveAsTable(table)
+    return spark.table(table).count()
+
+
+def image_dedup_against_bucketed_index(
+    df: DataFrame, table: str, id_col: str = "media_id"
+) -> DataFrame:
+    """`image_dedup_against_index` against a bucketed band table: same
+    admitted set, but the index side of the semi-join scans in place
+    (no Exchange) — verify with .explain()."""
+    spark = df.sparkSession
+    bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    seen = spark.table(table)
+    index_hits = bands.join(
+        seen.select("band_key"), "band_key", "left_semi"
+    ).select("__id")
+    drops = intra_hits.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_image_bands_to_bucketed_index(
+    survivors: DataFrame, table: str, id_col: str = "media_id"
+) -> None:
+    """Append survivors' band keys preserving the table's bucket spec."""
+    _phash_band_rows(survivors, id_col=id_col).select(
+        "band_key", F.lit(PHASH_BAND_BITS).alias("bits")
+    ).write.mode("append").insertInto(table)

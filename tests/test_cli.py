@@ -133,6 +133,40 @@ def test_ingest_subcommand(spark, capsys, tmp_path):
     assert spark.read.parquet(sink).count() == 2
 
 
+def test_ingest_image_modality(spark, capsys, tmp_path):
+    """--modality image gates MEDIA_SCHEMA shards through the
+    perceptual-hash band index: near-dup images reject, restarts admit
+    nothing new."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+    from railgun_spark.operators.phash import _phash_pgm, _phash_target
+
+    h = _phash_target(3, 0)
+    b1 = tmp_path / "m1"
+    rows = [(1, "image", bytearray(_phash_pgm(h)), {}),
+            (2, "image", bytearray(_phash_pgm(h ^ 1)), {}),  # near-dup of 1
+            (3, "image", bytearray(_phash_pgm(_phash_target(9, 3))), {})]
+    spark.createDataFrame(rows, MEDIA_SCHEMA).write.parquet(str(b1))
+    idx, sink = str(tmp_path / "pidx"), str(tmp_path / "imgs")
+    rc = main(["ingest", "--modality", "image", "--id-col", "media_id",
+               "--input-dir", str(b1), "--index", idx, "--sink", sink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 2}
+
+    # second batch: a near-dup of an admitted image
+    b2 = tmp_path / "m2"
+    spark.createDataFrame(
+        [(9, "image", bytearray(_phash_pgm(h ^ 2)), {})], MEDIA_SCHEMA
+    ).write.parquet(str(b2))
+    rc = main(["ingest", "--modality", "image", "--id-col", "media_id",
+               "--input-dir", str(b2), "--index", idx, "--sink", sink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 0}
+
+    # usage guards: span/bucketed gating is text-only
+    assert main(["ingest", "--modality", "image", "--input-dir", str(b1),
+                 "--index", idx, "--sink", sink, "--span-index", "x"]) == 2
+
+
 def test_stats_subcommand(spark, capsys):
     rc = main(
         [

@@ -507,3 +507,59 @@ def test_audio_fingerprint_kernel_and_containers(spark):
     # 16-bit re-encode round-trip (the resample_audio output path)
     frames2, _ = _audio_pcm_frames(_encode_wav_pcm16(frames, 8000))
     assert audio_fingerprint64(frames2.mean(axis=1)) == h
+
+
+def test_bucketed_image_index_same_result_fewer_shuffles(spark, tmp_path):
+    """The bucketed image band table must admit exactly the same rows as
+    the parquet index, with FEWER exchanges in the gate plan (the index
+    side scans in place thanks to its bucket layout); geometry-guarded."""
+    from railgun_spark.operators.phash import (
+        append_image_bands_to_bucketed_index,
+        append_image_bands_to_index,
+        bucketize_image_index,
+        image_dedup_against_bucketed_index,
+    )
+
+    idx = str(tmp_path / "pb")
+    h = _phash_target(42, 0)
+    b1 = spark.createDataFrame(
+        _media_rows([(1, h), (2, _phash_target(77, 3))]), MEDIA_SCHEMA
+    )
+    s1 = image_dedup_against_index(b1, idx)
+    append_image_bands_to_index(s1, idx)
+
+    table = "phash_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert bucketize_image_index(spark, idx, table, n_buckets=8) == 2 * PHASH_BANDS
+
+    b2 = spark.createDataFrame(
+        _media_rows([(10, h ^ 1), (11, _phash_target(500, 0))]), MEDIA_SCHEMA
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_parquet = image_dedup_against_index(b2, idx)
+        via_table = image_dedup_against_bucketed_index(b2, table)
+        assert sorted(r["media_id"] for r in via_table.collect()) == \
+               sorted(r["media_id"] for r in via_parquet.collect()) == [11]
+
+        plan_table = via_table._jdf.queryExecution().executedPlan().toString()
+        plan_parquet = via_parquet._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_table
+        assert plan_table.count("Exchange") < plan_parquet.count("Exchange")
+
+        # appends preserve the bucket spec and stay visible to the gate
+        append_image_bands_to_bucketed_index(via_table, table)
+        b3 = spark.createDataFrame(
+            _media_rows([(20, _phash_target(500, 0) ^ 4)]), MEDIA_SCHEMA
+        )
+        assert image_dedup_against_bucketed_index(b3, table).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # geometry guard at bucketize time
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame([(1,)], "band_key: long").write.parquet(legacy)
+    with pytest.raises(ValueError, match="geometry"):
+        bucketize_image_index(spark, legacy, "phash_bucketed_guard")
