@@ -1259,7 +1259,7 @@ def simhash_fingerprints(docs_with_shingles: DataFrame, bits: int = SIMHASH_BITS
 SIMHASH_CHUNKS = ((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
 
 
-@query(
+@extra_query(
     "dedup_simhash",
     oracle=_simhash_oracle(),
     doc=f"{SIMHASH_BITS}-bit SimHash; near-dup = hamming <= {HAMMING_MAX} within "

@@ -526,7 +526,7 @@ _REFUSAL_CASE_SQL = "CASE CAST((doc_id // 13) % 8 AS INT) " + " ".join(
 ) + " END"
 
 
-@query(
+@extra_query(
     "mp3_refusal_report",
     oracle=f"""
     WITH s AS (
@@ -1264,7 +1264,7 @@ def audio_resample_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "multimodal_frame_sample",
     oracle="""
     SELECT media_id, CAST(frame_idx AS INT) AS frame_idx

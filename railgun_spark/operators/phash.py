@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from railgun_spark.suite import extra_query
+from railgun_spark.suite import extra_query, query
 
 PHASH_BITS = 64
 PHASH_BANDS = 4  # pigeonhole: lossless candidates for hamming <= 3
@@ -330,7 +330,7 @@ def _phash_y4m(frame_hashes) -> bytes:
     )
 
 
-@extra_query(
+@query(
     "image_phash_pairs",
     # The oracle recomputes each crafted image's dHash from doc_id
     # arithmetic (shared 60-bit md5 basis XOR the variant perturbation)
@@ -557,7 +557,7 @@ def video_phash_near_dup_pairs(
 VIDEO_PHASH_SAMPLE_MOD = 13
 
 
-@extra_query(
+@query(
     "video_phash_pairs",
     # The oracle recomputes each crafted Y4M's per-frame dHashes from
     # doc_id arithmetic (md5 of "g:f" XOR the variant perturbation) and
@@ -749,7 +749,7 @@ def _phash_wav(h: int) -> bytes:
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
 
 
-@extra_query(
+@query(
     "audio_phash_pairs",
     # Same certification scheme as the image/video members: the oracle
     # recomputes each crafted clip's fingerprint from doc_id arithmetic

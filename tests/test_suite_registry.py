@@ -144,15 +144,13 @@ EXPECTED_EXTRA = {
     "tumbling_window_counts",  # event-time windows: session_window_counts certifies
     "small_quantity_revenue",  # Q17 decorrelation: min_cost_supplier (Q2) certifies
     "dominant_part_suppliers",  # Q20 semi-ladder: part_supplier_variety (Q16) certifies
-    # round-13: image perceptual-hash dedup (dHash over real decode +
-    # pigeonhole-banded pair join, lossless for hamming <= 3)
-    "image_phash_pairs",
-    # round-13: video near-dup via per-sampled-frame dHash signatures
-    # (frame-aligned banded join + temporal match-fraction filter)
-    "video_phash_pairs",
-    # round-13: audio near-dup via 72-window energy-delta fingerprints
-    # (decodes through the shared WAV/FLAC/AIFF/AU PCM dispatch)
-    "audio_phash_pairs",
+    # round-13 second rotation: the three perceptual-dedup flagships
+    # (image_phash_pairs, video_phash_pairs, audio_phash_pairs) promoted
+    # to the driver gate; these three demoted (capabilities stay
+    # certified by REGISTRY siblings + this local gate)
+    "dedup_simhash",  # pigeonhole-banded hamming join: image_phash_pairs certifies
+    "mp3_refusal_report",  # media_refusal_report's 22-class corpus supersets it
+    "multimodal_frame_sample",  # sampled-frame decode: video_phash_pairs + gif_animation_report certify
 }
 
 
