@@ -366,11 +366,13 @@ def _phash_y4m(frame_hashes) -> bytes:
     WHERE bit_count(xor(a.dh, b.dh)) <= {PHASH_MAX_HAMMING}
     ORDER BY id_a, id_b
     """,
-    doc="Image perceptual-hash near-dup certification: crafted PGMs whose "
-    "9x8 bilinear downsample dHashes to a doc_id-predicted 60-bit value; "
-    "the banded (pigeonhole, lossless for hamming <= 3) pair join must "
-    "match the oracle's all-pairs definition exactly. One Arrow decode "
-    "pass; pairing is integer Column algebra on 16-bit chunk keys.",
+    doc="Image perceptual-hash near-dup certification, CONTAINER-MIXED: "
+    "the same doc_id-predicted luma grid ships as PGM (v0/v3), PNG (v1), "
+    "or GIF89a (v2) per variant, so the oracle match also certifies that "
+    "dHash is container-invariant across three real decoders. The banded "
+    "(pigeonhole, lossless for hamming <= 3) pair join must match the "
+    "all-pairs definition exactly; pairing is integer Column algebra on "
+    "16-bit chunk keys.",
     tags=("multimodal", "dedup", "pandas-udf"),
 )
 def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,13 +386,32 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from railgun_spark.geo.serving import encode_gif_animation
+        from railgun_spark.operators.multimodal import _encode_png_rgb
+
+        def pack(h: int, v: int) -> bytes:
+            if v == 1:  # PNG container, identical raster
+                luma = np.frombuffer(_phash_luma(h), dtype=np.uint8)
+                rgb = np.repeat(luma.reshape(16, 18)[:, :, None], 3, 2)
+                return _encode_png_rgb(rgb.astype("float64"))
+            if v == 2:  # single-frame GIF89a, grayscale palette
+                luma = np.frombuffer(_phash_luma(h), dtype=np.uint8).reshape(16, 18)
+                vals = sorted({int(x) for x in luma.reshape(-1)})
+                pal = [(x, x, x) for x in vals]
+                lut = {x: i for i, x in enumerate(vals)}
+                rows = [[lut[int(x)] for x in row] for row in luma]
+                return encode_gif_animation([(0, 0, rows)], pal)
+            return _phash_pgm(h)
+
         for pdf in it:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
                 m = d // PHASH_SAMPLE_MOD
-                h = _phash_target(m // 4, m % 4)
-                rows.append((d, "image", _phash_pgm(h), {}))
+                g, v = m // 4, m % 4
+                rows.append((d, "image", pack(_phash_target(g, v), v), {}))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
