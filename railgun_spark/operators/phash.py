@@ -18,11 +18,18 @@ integer Column algebra:
   equi-join on (chunk_idx, chunk_value) yields a LOSSLESS candidate
   superset — no all-pairs join anywhere, candidate cost tracks true
   near-dup density.
-- The ingest gate persists (band_idx << 16 | chunk) longs to an
-  append-only parquet index (8 bytes/row, PHASH_BANDS rows per admitted
-  image — the layout of dedup.append_bands_to_index), so a continuously
-  arriving image corpus dedups against ALL history without rescanning
-  pixels: one semi-join on a uniform integer key, bucketable at PB scale.
+- The ingest gate persists (band_idx << 16 | chunk, dhash) rows to an
+  append-only parquet index (16 bytes/row, PHASH_BANDS rows per admitted
+  image), so a continuously arriving image corpus dedups against ALL
+  history without rescanning pixels. Unlike the text MinHash gate
+  (whose band keys carry enough entropy that collision alone can
+  reject), 16-bit chunks saturate: at 50k admitted images ~
+  all 65536 values of every band are occupied and collision-alone would
+  false-reject nearly everything. The gate therefore treats a band
+  collision as a CANDIDATE only and rejects on a verified
+  hamming <= PHASH_MAX_HAMMING against the stored hash — exact
+  (lossless by pigeonhole AND no false rejects), still one equi-join on
+  a uniform integer key, bucketable at PB scale.
 
 At 100 TB of images the expensive stage is decode; it is map-only and
 scales with input splits (spread_for_decode). The hash index stays ~32
@@ -185,17 +192,23 @@ def phash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
-# Incremental ingest gate: the image twin of dedup.near_dup_against_index.
-# The index stores one LONG per (band, admitted image): key = band_idx <<
-# 16 | chunk. A new image is rejected if ANY of its band keys collides
-# with the index (collision alone rejects — the standard recall/cost
-# trade for ingestion gates) or with a lower-id image in the same batch.
-# Decode-refused rows pass through (they can never match) and are NOT
-# indexed. Geometry rows are tagged (bits) so an index built under a
-# different chunking refuses loudly instead of silently admitting dups.
+# Incremental ingest gate: the image twin of dedup.near_dup_against_index,
+# with one crucial difference. The index stores (band_key = band_idx <<
+# 16 | chunk, dhash) per (band, admitted image). A 16-bit chunk space
+# SATURATES (by ~50k admitted images nearly every value of every band is
+# occupied), so — unlike the high-entropy text MinHash band keys —
+# collision alone CANNOT reject: it would false-reject ~everything (the
+# r13 ingest grid measured 89% false rejects at a 50k index before this
+# verify step existed). A band collision is therefore only the candidate
+# probe; rejection requires bit_count(xor) <= PHASH_MAX_HAMMING against
+# the stored hash — exact near-dup semantics (lossless by pigeonhole AND
+# zero false rejects), matching phash_near_dup_pairs. Decode-refused
+# rows pass through (they can never match) and are NOT indexed. Geometry
+# rows are tagged (bits) so an index built under a different chunking —
+# or the pre-verify layout without the dhash column — refuses loudly.
 # --------------------------------------------------------------------------
 def _phash_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """(__id, band_key) — PHASH_BANDS longs per decodable image row."""
+    """(__id, band_key, __h) — PHASH_BANDS rows per decodable image."""
     hashes = image_perceptual_hashes(df, id_col=id_col).filter(
         F.col("refused").isNull()
     )
@@ -204,65 +217,88 @@ def _phash_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
     )
     return hashes.select(
-        F.col("media_id").alias("__id"), F.explode(keys).alias("band_key")
-    )
+        F.col("media_id").alias("__id"),
+        F.col("dhash").alias("__h"),
+        F.explode(keys).alias("band_key"),
+    ).select("__id", "band_key", "__h")
 
 
 def image_dedup_against_index(
     df: DataFrame, index_path: str, id_col: str = "media_id"
 ) -> DataFrame:
-    """Rows of `df` with no perceptual-hash band collision against the
-    index nor against a smaller-id row of this batch (non-image and
-    decode-refused rows always survive). Commit survivors with
+    """Rows of `df` with no VERIFIED perceptual near-dup (band-candidate
+    + hamming <= PHASH_MAX_HAMMING) against the index nor against a
+    smaller-id row of this batch (non-image and decode-refused rows
+    always survive). Commit survivors with
     `append_image_bands_to_index`."""
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
     # three plan branches consume the bands (both intra-batch sides + the
-    # index semi-join): materialize once instead of re-decoding per branch
+    # index join): materialize once instead of re-decoding per branch
     bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_hits = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("b.__id") < F.col("a.__id")),
         )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
         .select(F.col("a.__id").alias("__id"))
         .distinct()
     )
     drops = intra_hits
     seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
-        if "bits" not in seen.columns:
-            raise ValueError(
-                f"image band index {index_path} carries no geometry tag; "
-                f"rebuild it under the current {PHASH_BANDS}x"
-                f"{PHASH_BAND_BITS}-bit chunking"
+        _check_index_geometry(seen, index_path)
+        ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+        index_hits = (
+            bands.join(
+                seen.select(
+                    "band_key", F.col("dhash").alias("__ih")
+                ),
+                "band_key",
             )
-        foreign = seen.filter(
-            F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
-        ).limit(1)
-        if foreign.count():
-            raise ValueError(
-                f"image band index {index_path} contains rows from a "
-                f"different chunking geometry; rebuild it under the "
-                f"current {PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
-            )
-        index_hits = bands.join(
-            seen.select("band_key"), "band_key", "left_semi"
-        ).select("__id")
+            .filter(ham_idx <= PHASH_MAX_HAMMING)
+            .select("__id")
+        )
         drops = drops.union(index_hits).distinct()
     return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def _check_index_geometry(seen: DataFrame, where: str) -> None:
+    """Fail closed on an index from another chunking geometry or the
+    pre-verify layout (no stored hash): its rows cannot be verified
+    against this session's signatures, and treating them as history
+    would silently admit (or falsely reject) duplicates."""
+    if "bits" not in seen.columns or "dhash" not in seen.columns:
+        raise ValueError(
+            f"image band index {where} predates the verified-hamming "
+            f"geometry (band_key, dhash, bits); rebuild it under the "
+            f"current {PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
+        )
+    foreign = seen.filter(
+        F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
+    ).limit(1)
+    if foreign.count():
+        raise ValueError(
+            f"image band index {where} contains rows from a different "
+            f"chunking geometry; rebuild it under the current "
+            f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
+        )
 
 
 def append_image_bands_to_index(
     survivors: DataFrame, index_path: str, id_col: str = "media_id"
 ) -> None:
-    """Append the survivors' band keys (recomputed map-only; the index
-    grows PHASH_BANDS longs per admitted image)."""
+    """Append the survivors' (band_key, dhash) rows (recomputed map-only;
+    the index grows PHASH_BANDS 16-byte rows per admitted image)."""
     _phash_band_rows(survivors, id_col=id_col).select(
-        "band_key", F.lit(PHASH_BAND_BITS).alias("bits")
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
     ).write.mode("append").parquet(index_path)
 
 
@@ -858,21 +894,8 @@ def bucketize_image_index(
     local = _local_index_path(index_path)
     _recover_index(local)
     idx = spark.read.option("mergeSchema", "true").parquet(local)
-    if "bits" not in idx.columns:
-        raise ValueError(
-            f"image band index {index_path} carries no geometry tag; "
-            f"rebuild it under the current {PHASH_BANDS}x"
-            f"{PHASH_BAND_BITS}-bit chunking"
-        )
-    if idx.filter(
-        F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
-    ).limit(1).count():
-        raise ValueError(
-            f"image band index {index_path} contains rows from a different "
-            f"chunking geometry; rebuild it under the current "
-            f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
-        )
-    distinct = idx.select("band_key", "bits").distinct()
+    _check_index_geometry(idx, index_path)
+    distinct = idx.select("band_key", "dhash", "bits").distinct()
     distinct.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, "band_key"
     ).saveAsTable(table)
@@ -888,19 +911,24 @@ def image_dedup_against_bucketed_index(
     spark = df.sparkSession
     bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_hits = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("b.__id") < F.col("a.__id")),
         )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
         .select(F.col("a.__id").alias("__id"))
         .distinct()
     )
     seen = spark.table(table)
-    index_hits = bands.join(
-        seen.select("band_key"), "band_key", "left_semi"
-    ).select("__id")
+    ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+    index_hits = (
+        bands.join(seen.select("band_key", F.col("dhash").alias("__ih")), "band_key")
+        .filter(ham_idx <= PHASH_MAX_HAMMING)
+        .select("__id")
+    )
     drops = intra_hits.union(index_hits).distinct()
     return df.join(drops, df[id_col] == drops["__id"], "left_anti")
 
@@ -908,7 +936,10 @@ def image_dedup_against_bucketed_index(
 def append_image_bands_to_bucketed_index(
     survivors: DataFrame, table: str, id_col: str = "media_id"
 ) -> None:
-    """Append survivors' band keys preserving the table's bucket spec."""
+    """Append survivors' (band_key, dhash) rows preserving the table's
+    bucket spec."""
     _phash_band_rows(survivors, id_col=id_col).select(
-        "band_key", F.lit(PHASH_BAND_BITS).alias("bits")
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
     ).write.mode("append").insertInto(table)

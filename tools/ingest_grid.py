@@ -218,6 +218,50 @@ def main() -> int:
     # -> MinHash bands) through one ingest_batch call — the configuration
     # the r12 streaming soak drives; its cost should track the sum of
     # the individual text gates, flat across index size
+    # gate 5 (r13): image perceptual-hash band gate — crafted PGMs whose
+    # dHash is a 60-bit md5 of the id, so index and batch images are
+    # pairwise non-colliding by construction and every cell measures the
+    # ADMIT path (decode + band semi-join + append)
+    def _media_frame(ids_df, salt: str):
+        import hashlib
+
+        import pandas as pd
+
+        from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+        from railgun_spark.operators.phash import _phash_pgm
+
+        def synth(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    h = int(hashlib.md5(f"{salt}:{mid}".encode()).hexdigest()[:15], 16)
+                    rows.append((mid, "image", _phash_pgm(h), {}))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content", "meta"]
+                )
+
+        return spread_for_decode(ids_df, heavy=True).mapInPandas(synth, MEDIA_SCHEMA)
+
+    img_index_src = _media_frame(
+        spark.range(60_000).select((F.col("id") + 1_000_000_000).alias("media_id")),
+        "idx",
+    )
+    img_batch_src = _media_frame(
+        spark.range(5_000).select(F.col("id").alias("media_id")), "batch"
+    )
+
+    def image_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_images_batch
+
+        return ingest_images_batch(batch, idx, sink)
+
+    run_gate(
+        "image", img_index_src, img_batch_src,
+        populate=lambda df, idx: image_ingest(df, idx, idx + "_popsink"),
+        time_batch=image_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
