@@ -165,26 +165,29 @@ def cmd_ingest(args) -> int:
     if args.span_index and args.bucketed_table:
         print("--span-index is not supported with --bucketed-table", file=sys.stderr)
         return 2
-    if args.modality == "image":
-        # perceptual-hash band gate over MEDIA_SCHEMA image shards
+    if args.modality in ("image", "audio"):
+        # perceptual-hash / fingerprint band gate over MEDIA_SCHEMA shards
         if args.bucketed_table or args.span_index:
-            print("--modality image supports --index gating only", file=sys.stderr)
+            print(f"--modality {args.modality} supports --index gating only",
+                  file=sys.stderr)
             return 2
-        from railgun_spark.streaming.ingest import (
-            ingest_images_batch,
-            stream_ingest_images_availablenow,
-        )
+        from railgun_spark.streaming import ingest as _ing
 
+        batch_fn = (_ing.ingest_images_batch if args.modality == "image"
+                    else _ing.ingest_audio_batch)
+        stream_fn = (_ing.stream_ingest_images_availablenow
+                     if args.modality == "image"
+                     else _ing.stream_ingest_audio_availablenow)
         spark = get_spark("railgun_ingest")
         if args.stream:
-            admitted = stream_ingest_images_availablenow(
+            admitted = stream_fn(
                 spark, args.input_dir,
                 index_path=args.index, sink_path=args.sink,
                 checkpoint_dir=args.checkpoint or args.sink.rstrip("/") + "_checkpoint",
                 id_col=args.id_col,
             )
         else:
-            admitted = ingest_images_batch(
+            admitted = batch_fn(
                 spark.read.parquet(args.input_dir), args.index, args.sink,
                 id_col=args.id_col,
             )
@@ -733,11 +736,11 @@ def build_parser() -> argparse.ArgumentParser:
         "from 10-word spans already in history (batch or --stream)",
     )
     p.add_argument(
-        "--modality", choices=("text", "image"), default="text",
-        help="image: gate MEDIA_SCHEMA shards through the perceptual-hash "
-        "band index (dHash over the real decoders) instead of the text "
-        "content-hash gate; default id column stays --id-col "
-        "(use --id-col media_id for MEDIA_SCHEMA shards)",
+        "--modality", choices=("text", "image", "audio"), default="text",
+        help="image/audio: gate MEDIA_SCHEMA shards through the "
+        "perceptual-hash (dHash) / energy-delta fingerprint band index "
+        "instead of the text content-hash gate; use --id-col media_id "
+        "for MEDIA_SCHEMA shards and a separate index path per modality",
     )
     p.set_defaults(fn=cmd_ingest)
 

@@ -207,36 +207,48 @@ def phash_near_dup_pairs(
 # rows are tagged (bits) so an index built under a different chunking —
 # or the pre-verify layout without the dhash column — refuses loudly.
 # --------------------------------------------------------------------------
+def _band_rows_of(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """(media_id, <hash_col>) -> (__id, band_key, __h): PHASH_BANDS rows
+    per hashed row. Shared by the image and audio gates — both are
+    64-bit perceptual hashes feeding the identical chunk algebra."""
+    keys = F.transform(
+        phash_chunks(F.col(hash_col)),
+        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+    )
+    return hashes.select(
+        F.col("media_id").alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(keys).alias("band_key"),
+    ).select("__id", "band_key", "__h")
+
+
 def _phash_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """(__id, band_key, __h) — PHASH_BANDS rows per decodable image."""
     hashes = image_perceptual_hashes(df, id_col=id_col).filter(
         F.col("refused").isNull()
     )
-    keys = F.transform(
-        phash_chunks(F.col("dhash")),
-        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+    return _band_rows_of(hashes, "dhash")
+
+
+def _audio_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(__id, band_key, __h) — PHASH_BANDS rows per decodable audio clip
+    (72-window energy-delta fingerprints)."""
+    hashes = audio_perceptual_hashes(df, id_col=id_col).filter(
+        F.col("refused").isNull()
     )
-    return hashes.select(
-        F.col("media_id").alias("__id"),
-        F.col("dhash").alias("__h"),
-        F.explode(keys).alias("band_key"),
-    ).select("__id", "band_key", "__h")
+    return _band_rows_of(hashes, "fhash")
 
 
-def image_dedup_against_index(
-    df: DataFrame, index_path: str, id_col: str = "media_id"
+def _verified_gate(
+    df: DataFrame, bands: DataFrame, index_path: str, modality: str,
+    id_col: str,
 ) -> DataFrame:
-    """Rows of `df` with no VERIFIED perceptual near-dup (band-candidate
-    + hamming <= PHASH_MAX_HAMMING) against the index nor against a
-    smaller-id row of this batch (non-image and decode-refused rows
-    always survive). Commit survivors with
-    `append_image_bands_to_index`."""
+    """Shared verified-hamming gate body: drop rows of `df` whose bands
+    candidate-collide AND verify within PHASH_MAX_HAMMING against a
+    smaller-id batch row or the persisted index."""
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    # three plan branches consume the bands (both intra-batch sides + the
-    # index join): materialize once instead of re-decoding per branch
-    bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_hits = (
@@ -252,13 +264,11 @@ def image_dedup_against_index(
     drops = intra_hits
     seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
-        _check_index_geometry(seen, index_path)
+        _check_index_geometry(seen, index_path, modality)
         ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
         index_hits = (
             bands.join(
-                seen.select(
-                    "band_key", F.col("dhash").alias("__ih")
-                ),
+                seen.select("band_key", F.col("dhash").alias("__ih")),
                 "band_key",
             )
             .filter(ham_idx <= PHASH_MAX_HAMMING)
@@ -268,15 +278,42 @@ def image_dedup_against_index(
     return df.join(drops, df[id_col] == drops["__id"], "left_anti")
 
 
-def _check_index_geometry(seen: DataFrame, where: str) -> None:
-    """Fail closed on an index from another chunking geometry or the
-    pre-verify layout (no stored hash): its rows cannot be verified
-    against this session's signatures, and treating them as history
-    would silently admit (or falsely reject) duplicates."""
-    if "bits" not in seen.columns or "dhash" not in seen.columns:
+def image_dedup_against_index(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> DataFrame:
+    """Rows of `df` with no VERIFIED perceptual near-dup (band-candidate
+    + hamming <= PHASH_MAX_HAMMING) against the index nor against a
+    smaller-id row of this batch (non-image and decode-refused rows
+    always survive). Commit survivors with
+    `append_image_bands_to_index`."""
+    # three plan branches consume the bands (both intra-batch sides + the
+    # index join): materialize once instead of re-decoding per branch
+    bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
+    return _verified_gate(df, bands, index_path, "image", id_col)
+
+
+def audio_dedup_against_index(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> DataFrame:
+    """Audio twin of `image_dedup_against_index`: energy-delta
+    fingerprints through the same verified-hamming band gate. Use a
+    SEPARATE index path per modality — the modality tag refuses a mixed
+    index loudly. Commit survivors with `append_audio_bands_to_index`."""
+    bands = _audio_band_rows(df, id_col=id_col).localCheckpoint()
+    return _verified_gate(df, bands, index_path, "audio", id_col)
+
+
+def _check_index_geometry(seen: DataFrame, where: str, modality: str) -> None:
+    """Fail closed on an index from another chunking geometry, the
+    pre-verify layout (no stored hash), or another MODALITY: its rows
+    cannot be verified against this session's signatures, and treating
+    them as history would silently admit (or falsely reject)
+    duplicates."""
+    cols = set(seen.columns)
+    if not {"bits", "dhash", "mod"} <= cols:
         raise ValueError(
-            f"image band index {where} predates the verified-hamming "
-            f"geometry (band_key, dhash, bits); rebuild it under the "
+            f"perceptual band index {where} predates the verified-hamming "
+            f"geometry (band_key, dhash, bits, mod); rebuild it under the "
             f"current {PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
         )
     foreign = seen.filter(
@@ -284,22 +321,43 @@ def _check_index_geometry(seen: DataFrame, where: str) -> None:
     ).limit(1)
     if foreign.count():
         raise ValueError(
-            f"image band index {where} contains rows from a different "
+            f"perceptual band index {where} contains rows from a different "
             f"chunking geometry; rebuild it under the current "
             f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
         )
+    mixed = seen.filter(
+        F.col("mod").isNull() | (F.col("mod") != modality)
+    ).limit(1)
+    if mixed.count():
+        raise ValueError(
+            f"perceptual band index {where} holds fingerprints of another "
+            f"modality (expected {modality!r}); image/audio gates must not "
+            "share an index path — their hashes live in unrelated spaces"
+        )
+
+
+def _append_bands(bands: DataFrame, index_path: str, modality: str) -> None:
+    bands.select(
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit(modality).alias("mod"),
+    ).write.mode("append").parquet(index_path)
 
 
 def append_image_bands_to_index(
     survivors: DataFrame, index_path: str, id_col: str = "media_id"
 ) -> None:
     """Append the survivors' (band_key, dhash) rows (recomputed map-only;
-    the index grows PHASH_BANDS 16-byte rows per admitted image)."""
-    _phash_band_rows(survivors, id_col=id_col).select(
-        "band_key",
-        F.col("__h").alias("dhash"),
-        F.lit(PHASH_BAND_BITS).alias("bits"),
-    ).write.mode("append").parquet(index_path)
+    the index grows PHASH_BANDS ~17-byte rows per admitted image)."""
+    _append_bands(_phash_band_rows(survivors, id_col=id_col), index_path, "image")
+
+
+def append_audio_bands_to_index(
+    survivors: DataFrame, index_path: str, id_col: str = "media_id"
+) -> None:
+    """Audio twin of `append_image_bands_to_index`."""
+    _append_bands(_audio_band_rows(survivors, id_col=id_col), index_path, "audio")
 
 
 # --------------------------------------------------------------------------
@@ -894,8 +952,8 @@ def bucketize_image_index(
     local = _local_index_path(index_path)
     _recover_index(local)
     idx = spark.read.option("mergeSchema", "true").parquet(local)
-    _check_index_geometry(idx, index_path)
-    distinct = idx.select("band_key", "dhash", "bits").distinct()
+    _check_index_geometry(idx, index_path, "image")
+    distinct = idx.select("band_key", "dhash", "bits", "mod").distinct()
     distinct.write.mode("overwrite").format("parquet").bucketBy(
         n_buckets, "band_key"
     ).saveAsTable(table)
@@ -942,4 +1000,5 @@ def append_image_bands_to_bucketed_index(
         "band_key",
         F.col("__h").alias("dhash"),
         F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("image").alias("mod"),
     ).write.mode("append").insertInto(table)

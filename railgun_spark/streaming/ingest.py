@@ -228,6 +228,59 @@ def ingest_images_batch(
     return n
 
 
+def ingest_audio_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    id_col: str = "media_id",
+    batch_id: int | None = None,
+) -> int:
+    """Audio twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
+    of clips through the energy-delta fingerprint band index
+    (phash.audio_dedup_against_index — verified hamming, zero false
+    rejects), write survivors, commit their bands. Same crash-window
+    degradation as every other gate. Decode-refused rows (MP3) always
+    survive and are never indexed. Use a separate index path from the
+    image gate — the modality tag refuses a mixed index loudly."""
+    from railgun_spark.operators.phash import (
+        append_audio_bands_to_index,
+        audio_dedup_against_index,
+    )
+
+    survivors = audio_dedup_against_index(
+        batch_df, index_path, id_col=id_col
+    ).localCheckpoint()
+    n = _write_sink(survivors, sink_path, batch_id)
+    if n > 0:
+        append_audio_bands_to_index(survivors, index_path, id_col=id_col)
+    return n
+
+
+def stream_ingest_audio_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    id_col: str = "media_id",
+) -> int:
+    """Drain `source_dir` of MEDIA_SCHEMA audio shards through the
+    fingerprint band gate (availableNow); returns total clips admitted."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        MEDIA_SCHEMA,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_audio_batch(
+            batch_df, index_path, sink_path, id_col=id_col, batch_id=batch_id
+        ),
+    )
+
+
 def stream_ingest_images_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -166,6 +166,21 @@ def test_ingest_image_modality(spark, capsys, tmp_path):
     assert main(["ingest", "--modality", "image", "--input-dir", str(b1),
                  "--index", idx, "--sink", sink, "--span-index", "x"]) == 2
 
+    # audio modality routes to the fingerprint gate
+    from railgun_spark.operators.phash import _phash_wav
+
+    b3 = tmp_path / "a1"
+    spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav(_phash_target(5, 0))), {}),
+         (2, "audio", bytearray(_phash_wav(_phash_target(5, 0) ^ 1)), {})],
+        MEDIA_SCHEMA,
+    ).write.parquet(str(b3))
+    rc = main(["ingest", "--modality", "audio", "--id-col", "media_id",
+               "--input-dir", str(b3), "--index", str(tmp_path / "aidx"),
+               "--sink", str(tmp_path / "clips")])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+
 
 def test_stats_subcommand(spark, capsys):
     rc = main(

@@ -563,3 +563,83 @@ def test_bucketed_image_index_same_result_fewer_shuffles(spark, tmp_path):
     spark.createDataFrame([(1,)], "band_key: long").write.parquet(legacy)
     with pytest.raises(ValueError, match="geometry"):
         bucketize_image_index(spark, legacy, "phash_bucketed_guard")
+
+
+def test_audio_gate_and_modality_guard(spark, tmp_path):
+    """The audio fingerprint gate rejects verified near-dups only (no
+    band-saturation false rejects), MP3 refusals survive unindexed, and
+    an image-modality index refuses loudly when passed to the audio
+    gate (and vice versa)."""
+    from railgun_spark.operators.phash import (
+        _phash_wav,
+        append_audio_bands_to_index,
+        append_image_bands_to_index,
+        audio_dedup_against_index,
+    )
+
+    idx = str(tmp_path / "audio_bands")
+    h = _phash_target(7, 0)
+    b1 = spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav(h)), {}),
+         (2, "audio", bytearray(_phash_wav(h ^ 2)), {}),  # intra near-dup
+         (3, "audio", bytearray(_phash_wav(_phash_target(60, 3))), {}),
+         (4, "audio", bytearray(b"ID3\x04"), {})],  # MP3: refusal survives
+        MEDIA_SCHEMA,
+    )
+    s1 = audio_dedup_against_index(b1, idx)
+    assert sorted(r["media_id"] for r in s1.collect()) == [1, 3, 4]
+    append_audio_bands_to_index(s1, idx)
+    assert spark.read.parquet(idx).count() == 2 * 4  # clip 4 not indexed
+
+    b2 = spark.createDataFrame(
+        [(10, "audio", bytearray(_phash_wav(h ^ 4)), {}),  # vs index
+         (11, "audio", bytearray(_phash_wav(_phash_target(61, 0))), {})],
+        MEDIA_SCHEMA,
+    )
+    s2 = audio_dedup_against_index(b2, idx)
+    assert sorted(r["media_id"] for r in s2.collect()) == [11]
+
+    # modality guard both ways
+    img_idx = str(tmp_path / "img_bands")
+    imgs = spark.createDataFrame(
+        _media_rows([(50, _phash_target(80, 0))]), MEDIA_SCHEMA
+    )
+    append_image_bands_to_index(image_dedup_against_index(imgs, img_idx), img_idx)
+    with pytest.raises(ValueError, match="modality"):
+        audio_dedup_against_index(b2, img_idx).collect()
+    with pytest.raises(ValueError, match="modality"):
+        image_dedup_against_index(imgs, idx).collect()
+
+
+def test_ingest_audio_batch_and_stream(spark, tmp_path):
+    """ingest_audio_batch admits one clip per fingerprint near-dup class;
+    the streaming drain over the same index admits nothing new; the
+    batch replay after a committed index skips the write."""
+    import shutil
+
+    from railgun_spark.operators.phash import _phash_wav
+    from railgun_spark.streaming.ingest import (
+        ingest_audio_batch,
+        stream_ingest_audio_availablenow,
+    )
+
+    h = _phash_target(33, 0)
+    rows = [(1, "audio", bytearray(_phash_wav(h)), {}),
+            (2, "audio", bytearray(_phash_wav(h ^ 1)), {}),
+            (3, "audio", bytearray(_phash_wav(_phash_target(44, 0))), {})]
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "clips")
+    n = ingest_audio_batch(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), idx, sink, batch_id=0
+    )
+    assert n == 2
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(str(stage))
+    shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / "s0.parquet"))
+    admitted = stream_ingest_audio_availablenow(
+        spark, str(src), index_path=idx, sink_path=str(tmp_path / "clips2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert admitted == 0  # everything already in the index
