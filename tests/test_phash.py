@@ -643,3 +643,32 @@ def test_ingest_audio_batch_and_stream(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert admitted == 0  # everything already in the index
+
+
+def test_phash_index_compaction_preserves_gate(spark, tmp_path):
+    """dedup.compact_index folds replay-duplicated perceptual band rows
+    (multi-column layout: band_key, dhash, bits, mod) without changing
+    gate decisions."""
+    from railgun_spark.operators.dedup import compact_index
+    from railgun_spark.operators.phash import append_image_bands_to_index
+
+    idx = str(tmp_path / "bands")
+    h = _phash_target(11, 0)
+    batch = spark.createDataFrame(_media_rows([(1, h)]), MEDIA_SCHEMA)
+    s = image_dedup_against_index(batch, idx)
+    append_image_bands_to_index(s, idx)
+    append_image_bands_to_index(s, idx)  # replayed append: physical dups
+    assert spark.read.parquet(idx).count() == 2 * PHASH_BANDS
+
+    assert compact_index(spark, idx) == PHASH_BANDS  # distinct rows only
+    compacted = spark.read.parquet(idx)
+    assert compacted.count() == PHASH_BANDS
+    assert set(compacted.columns) == {"band_key", "dhash", "bits", "mod"}
+
+    # gate decisions unchanged after the rewrite
+    probe = spark.createDataFrame(
+        _media_rows([(9, h ^ 1), (10, _phash_target(90, 0))]), MEDIA_SCHEMA
+    )
+    assert sorted(
+        r["media_id"] for r in image_dedup_against_index(probe, idx).collect()
+    ) == [10]
