@@ -165,7 +165,7 @@ def cmd_ingest(args) -> int:
     if args.span_index and args.bucketed_table:
         print("--span-index is not supported with --bucketed-table", file=sys.stderr)
         return 2
-    if args.modality in ("image", "audio"):
+    if args.modality in ("image", "audio", "video"):
         # perceptual-hash / fingerprint band gate over MEDIA_SCHEMA shards
         if args.bucketed_table or args.span_index:
             print(f"--modality {args.modality} supports --index gating only",
@@ -173,11 +173,14 @@ def cmd_ingest(args) -> int:
             return 2
         from railgun_spark.streaming import ingest as _ing
 
-        batch_fn = (_ing.ingest_images_batch if args.modality == "image"
-                    else _ing.ingest_audio_batch)
-        stream_fn = (_ing.stream_ingest_images_availablenow
-                     if args.modality == "image"
-                     else _ing.stream_ingest_audio_availablenow)
+        batch_fn, stream_fn = {
+            "image": (_ing.ingest_images_batch,
+                      _ing.stream_ingest_images_availablenow),
+            "audio": (_ing.ingest_audio_batch,
+                      _ing.stream_ingest_audio_availablenow),
+            "video": (_ing.ingest_videos_batch,
+                      _ing.stream_ingest_videos_availablenow),
+        }[args.modality]
         spark = get_spark("railgun_ingest")
         if args.stream:
             admitted = stream_fn(
@@ -736,11 +739,13 @@ def build_parser() -> argparse.ArgumentParser:
         "from 10-word spans already in history (batch or --stream)",
     )
     p.add_argument(
-        "--modality", choices=("text", "image", "audio"), default="text",
-        help="image/audio: gate MEDIA_SCHEMA shards through the "
-        "perceptual-hash (dHash) / energy-delta fingerprint band index "
-        "instead of the text content-hash gate; use --id-col media_id "
-        "for MEDIA_SCHEMA shards and a separate index path per modality",
+        "--modality", choices=("text", "image", "audio", "video"),
+        default="text",
+        help="image/audio/video: gate MEDIA_SCHEMA shards through the "
+        "perceptual-hash (dHash) / energy-delta fingerprint / per-frame "
+        "signature band index instead of the text content-hash gate; "
+        "use --id-col media_id for MEDIA_SCHEMA shards and a separate "
+        "index path per modality",
     )
     p.set_defaults(fn=cmd_ingest)
 

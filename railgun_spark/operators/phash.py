@@ -1002,3 +1002,136 @@ def append_image_bands_to_bucketed_index(
         F.lit(PHASH_BAND_BITS).alias("bits"),
         F.lit("image").alias("mod"),
     ).write.mode("append").insertInto(table)
+
+
+# --------------------------------------------------------------------------
+# Video ingest gate: completes gate symmetry across every modality
+# (text content/span/MinHash, embeddings, image, audio, video). The
+# index stores (vid, n_frames, frame_idx, band_key, dhash, bits,
+# mod='video') — PHASH_BANDS rows per SAMPLED frame. A new video joins
+# on (frame_idx, band_key) (temporally-aligned candidates), verifies
+# hamming per frame, counts verified frames per (new, indexed) video
+# pair, and rejects when the match fraction clears VIDEO_MATCH_FRAC of
+# the LARGER signature — the same semantics as
+# video_phash_near_dup_pairs, incremental.
+# --------------------------------------------------------------------------
+def _video_band_rows(
+    df: DataFrame, every_n: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """(__id, __n, frame_idx, band_key, __h) — PHASH_BANDS rows per
+    sampled frame, with the video's sampled-frame count denormalized on
+    every row (the match-fraction denominator)."""
+    fh = video_perceptual_hashes(df, every_n=every_n, id_col=id_col).filter(
+        F.col("fhash").isNotNull()
+    )
+    n = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("__n"))
+    keys = F.transform(
+        phash_chunks(F.col("fhash")),
+        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+    )
+    return (
+        fh.join(n, "media_id")
+        .select(
+            F.col("media_id").alias("__id"),
+            "__n",
+            "frame_idx",
+            F.col("fhash").alias("__h"),
+            F.explode(keys).alias("band_key"),
+        )
+        .select("__id", "__n", "frame_idx", "band_key", "__h")
+    )
+
+
+def _video_pair_rejects(cand: DataFrame, min_match_frac: float) -> DataFrame:
+    """(new_id, old_id, frame_idx, n_new, n_old) verified-candidate frame
+    rows -> the new ids whose match count clears the fraction of the
+    LARGER signature."""
+    nf = F.greatest(F.col("n_new"), F.col("n_old"))
+    return (
+        cand.distinct()
+        .groupBy("new_id", "old_id", "n_new", "n_old")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= F.ceil(F.lit(min_match_frac) * nf))
+        .select(F.col("new_id").alias("__id"))
+        .distinct()
+    )
+
+
+def video_dedup_against_index(
+    df: DataFrame,
+    index_path: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """Rows of `df` that are not a VERIFIED video near-dup (frame-aligned
+    band candidates, per-frame hamming <= PHASH_MAX_HAMMING, match
+    fraction >= min_match_frac of the larger signature) of the index nor
+    of a smaller-id video in this batch. Non-video and decode-refused
+    rows always survive. Commit with `append_video_bands_to_index`.
+    `every_n` must match the value the index was built with — the frame
+    alignment is on SAMPLED indexes."""
+    from railgun_spark.operators.dedup import _read_index_or_none
+
+    spark = df.sparkSession
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
+            F.col("a.frame_idx").alias("frame_idx"),
+            F.col("a.__n").alias("n_new"), F.col("b.__n").alias("n_old"),
+        )
+    )
+    drops = _video_pair_rejects(intra_cand, min_match_frac)
+    seen = _read_index_or_none(spark, index_path, merge_schema=True)
+    if seen is not None:
+        _check_index_geometry(seen, index_path, "video")
+        ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+        idx_cand = (
+            bands.join(
+                seen.select(
+                    F.col("vid").alias("old_id"),
+                    F.col("n_frames").alias("n_old"),
+                    "frame_idx",
+                    "band_key",
+                    F.col("dhash").alias("__ih"),
+                ),
+                ["frame_idx", "band_key"],
+            )
+            .filter(ham_idx <= PHASH_MAX_HAMMING)
+            .select(
+                F.col("__id").alias("new_id"), "old_id", "frame_idx",
+                F.col("__n").alias("n_new"), "n_old",
+            )
+        )
+        drops = drops.union(_video_pair_rejects(idx_cand, min_match_frac)).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_video_bands_to_index(
+    survivors: DataFrame,
+    index_path: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+) -> None:
+    """Append the survivors' per-frame band rows (recomputed map-only;
+    the index grows PHASH_BANDS rows per SAMPLED frame per admitted
+    video)."""
+    _video_band_rows(survivors, every_n=every_n, id_col=id_col).select(
+        F.col("__id").alias("vid"),
+        F.col("__n").alias("n_frames"),
+        "frame_idx",
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("video").alias("mod"),
+    ).write.mode("append").parquet(index_path)

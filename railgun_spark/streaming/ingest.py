@@ -281,6 +281,63 @@ def stream_ingest_audio_availablenow(
     )
 
 
+def ingest_videos_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    id_col: str = "media_id",
+    batch_id: int | None = None,
+    every_n: int = 10,
+) -> int:
+    """Video twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
+    through the per-sampled-frame signature index
+    (phash.video_dedup_against_index — frame-aligned candidates, verified
+    per-frame hamming, match-fraction rejection). Same crash-window
+    discipline; decode-refused rows always survive and are never
+    indexed. `every_n` must stay constant for one index's lifetime."""
+    from railgun_spark.operators.phash import (
+        append_video_bands_to_index,
+        video_dedup_against_index,
+    )
+
+    survivors = video_dedup_against_index(
+        batch_df, index_path, every_n=every_n, id_col=id_col
+    ).localCheckpoint()
+    n = _write_sink(survivors, sink_path, batch_id)
+    if n > 0:
+        append_video_bands_to_index(
+            survivors, index_path, every_n=every_n, id_col=id_col
+        )
+    return n
+
+
+def stream_ingest_videos_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    id_col: str = "media_id",
+    every_n: int = 10,
+) -> int:
+    """Drain `source_dir` of MEDIA_SCHEMA video shards through the
+    frame-signature gate (availableNow); returns total videos admitted."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        MEDIA_SCHEMA,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_videos_batch(
+            batch_df, index_path, sink_path,
+            id_col=id_col, batch_id=batch_id, every_n=every_n,
+        ),
+    )
+
+
 def stream_ingest_images_availablenow(
     spark: SparkSession,
     source_dir: str,

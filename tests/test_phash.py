@@ -672,3 +672,77 @@ def test_phash_index_compaction_preserves_gate(spark, tmp_path):
     assert sorted(
         r["media_id"] for r in image_dedup_against_index(probe, idx).collect()
     ) == [10]
+
+
+def test_video_gate_and_ingest(spark, tmp_path):
+    """Video ingest gate: frame-aligned verified rejection with the match
+    fraction (a 1-of-3-frame match survives; a full near-dup rejects;
+    a short clip inside a longer video survives), refusals pass through,
+    modality guard fires on a wrong-modality index, streaming drain over
+    a committed index admits nothing."""
+    import shutil
+
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        append_video_bands_to_index,
+        video_dedup_against_index,
+    )
+    from railgun_spark.streaming.ingest import (
+        ingest_videos_batch,
+        stream_ingest_videos_availablenow,
+    )
+
+    base = [_phash_target(400 + f, 0) for f in range(3)]
+    near = [h ^ (1 << (5 * f + 2)) for f, h in enumerate(base)]
+    one_frame = [base[0], _phash_target(950, 0), _phash_target(951, 0)]
+    clip = base[:1]
+    b1 = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {}),
+         (2, "video", bytearray(_phash_y4m(near)), {}),  # intra reject
+         (3, "video", bytearray(_phash_y4m(one_frame)), {}),  # 1/3: survives
+         (4, "video", bytearray(b"RIFF....AVI JUNK"), {})],  # refusal survives
+        MEDIA_SCHEMA,
+    )
+    idx, sink = str(tmp_path / "vidx"), str(tmp_path / "vids")
+    n = ingest_videos_batch(
+        spark.createDataFrame(b1.collect(), MEDIA_SCHEMA), idx, sink,
+        batch_id=0, every_n=1,
+    )
+    assert n == 3  # 1, 3, 4 admitted; 2 rejected intra-batch
+
+    # second batch: near-dup of an ADMITTED video rejects; the short
+    # clip (1 of 3 aligned frames) survives the fraction filter
+    b2 = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m([h ^ 8 for h in base])), {}),
+         (11, "video", bytearray(_phash_y4m(clip)), {})],
+        MEDIA_SCHEMA,
+    )
+    s2 = video_dedup_against_index(b2, idx, every_n=1)
+    assert sorted(r["media_id"] for r in s2.collect()) == [11]
+    append_video_bands_to_index(s2, idx, every_n=1)
+
+    # modality guard: the video gate refuses an image index
+    img_idx = str(tmp_path / "iidx")
+    imgs = spark.createDataFrame(
+        _media_rows([(50, _phash_target(85, 0))]), MEDIA_SCHEMA
+    )
+    from railgun_spark.operators.phash import append_image_bands_to_index
+
+    append_image_bands_to_index(image_dedup_against_index(imgs, img_idx), img_idx)
+    with pytest.raises(ValueError, match="modality"):
+        video_dedup_against_index(b2, img_idx, every_n=1).collect()
+
+    # streaming drain over the committed index: everything already seen
+    src = tmp_path / "arriving"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(20, "video", bytearray(_phash_y4m([h ^ 16 for h in base])), {})],
+        MEDIA_SCHEMA,
+    ).coalesce(1).write.parquet(str(stage))
+    shutil.move(str(next(stage.glob("part-*.parquet"))), str(src / "s0.parquet"))
+    admitted = stream_ingest_videos_availablenow(
+        spark, str(src), index_path=idx, sink_path=str(tmp_path / "vids2"),
+        checkpoint_dir=str(tmp_path / "ckpt"), every_n=1,
+    )
+    assert admitted == 0
