@@ -262,6 +262,48 @@ def main() -> int:
         time_batch=image_ingest,
     )
 
+    # gate 6 (r13): audio fingerprint band gate — crafted staircase WAVs
+    # whose energy-delta fingerprint is a 60-bit md5 of the id
+    def _audio_frame(ids_df, salt: str):
+        import hashlib
+
+        import pandas as pd
+
+        from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+        from railgun_spark.operators.phash import _phash_wav
+
+        def synth(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    h = int(hashlib.md5(f"{salt}:{mid}".encode()).hexdigest()[:15], 16)
+                    rows.append((mid, "audio", _phash_wav(h), {}))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content", "meta"]
+                )
+
+        return spread_for_decode(ids_df, heavy=True).mapInPandas(synth, MEDIA_SCHEMA)
+
+    def audio_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_audio_batch
+
+        return ingest_audio_batch(batch, idx, sink)
+
+    run_gate(
+        "audio",
+        _audio_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 2_000_000_000).alias("media_id")
+            ),
+            "aidx",
+        ),
+        _audio_frame(spark.range(5_000).select(F.col("id").alias("media_id")),
+                     "abatch"),
+        populate=lambda df, idx: audio_ingest(df, idx, idx + "_popsink"),
+        time_batch=audio_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
