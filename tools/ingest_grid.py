@@ -304,6 +304,52 @@ def main() -> int:
         time_batch=audio_ingest,
     )
 
+    # gate 7 (r13): video per-frame signature gate — crafted 3-frame Y4M
+    # streams whose frame hashes are 60-bit md5s of (id, frame)
+    def _video_frame(ids_df, salt: str):
+        import hashlib
+
+        import pandas as pd
+
+        from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+        from railgun_spark.operators.phash import _phash_y4m
+
+        def synth(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    hs = [
+                        int(hashlib.md5(f"{salt}:{mid}:{f}".encode())
+                            .hexdigest()[:15], 16)
+                        for f in range(3)
+                    ]
+                    rows.append((mid, "video", _phash_y4m(hs), {}))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content", "meta"]
+                )
+
+        return spread_for_decode(ids_df, heavy=True).mapInPandas(synth, MEDIA_SCHEMA)
+
+    def video_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_videos_batch
+
+        return ingest_videos_batch(batch, idx, sink, every_n=1)
+
+    run_gate(
+        "video",
+        _video_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 3_000_000_000).alias("media_id")
+            ),
+            "vidx",
+        ),
+        _video_frame(spark.range(5_000).select(F.col("id").alias("media_id")),
+                     "vbatch"),
+        populate=lambda df, idx: video_ingest(df, idx, idx + "_popsink"),
+        time_batch=video_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
