@@ -1025,9 +1025,19 @@ def _video_band_rows(
         F.col("fhash").isNotNull()
     )
     n = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("__n"))
+    # temporal alignment is ENCODED IN THE KEY (frame_idx in the high
+    # bits): every gate join is then a true single-key equi-join, which
+    # a table bucketed by band_key serves with an in-place scan — a
+    # two-key (frame_idx, band_key) join would defeat the bucketed
+    # strategy (and Catalyst folds a residual frame equality back into
+    # the join keys, so a filter can't preserve it either)
     keys = F.transform(
         phash_chunks(F.col("fhash")),
-        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+        lambda cv, ci: (
+            F.col("frame_idx").cast("bigint") * F.lit(1 << 18)
+            + ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)
+            + cv
+        ),
     )
     return (
         fh.join(n, "media_id")
@@ -1078,10 +1088,9 @@ def video_dedup_against_index(
     a, b = bands.alias("a"), bands.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_cand = (
-        a.join(
+        a.join(  # frame alignment is encoded in band_key
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.frame_idx") == F.col("b.frame_idx"))
             & (F.col("b.__id") < F.col("a.__id")),
         )
         .filter(ham_ab <= PHASH_MAX_HAMMING)
@@ -1101,11 +1110,10 @@ def video_dedup_against_index(
                 seen.select(
                     F.col("vid").alias("old_id"),
                     F.col("n_frames").alias("n_old"),
-                    "frame_idx",
                     "band_key",
                     F.col("dhash").alias("__ih"),
                 ),
-                ["frame_idx", "band_key"],
+                "band_key",
             )
             .filter(ham_idx <= PHASH_MAX_HAMMING)
             .select(
@@ -1135,3 +1143,159 @@ def append_video_bands_to_index(
         F.lit(PHASH_BAND_BITS).alias("bits"),
         F.lit("video").alias("mod"),
     ).write.mode("append").parquet(index_path)
+
+
+# --------------------------------------------------------------------------
+# Bucketed band tables for the audio and video gates (the image variant
+# above came first; these reuse the same layout discipline). Bucketing
+# on band_key satisfies the clustered distribution of every gate join —
+# including the video gate's (frame_idx, band_key) keys, since equal
+# band_key already co-locates the rows — so the index side scans in
+# place with no Exchange.
+# --------------------------------------------------------------------------
+def _bucketize_media_index(
+    spark: SparkSession, index_path: str, table: str, modality: str,
+    cols: list, n_buckets: int,
+) -> int:
+    from railgun_spark.operators.dedup import _local_index_path, _recover_index
+
+    local = _local_index_path(index_path)
+    _recover_index(local)
+    idx = spark.read.option("mergeSchema", "true").parquet(local)
+    _check_index_geometry(idx, index_path, modality)
+    idx.select(*cols).distinct().write.mode("overwrite").format(
+        "parquet"
+    ).bucketBy(n_buckets, "band_key").saveAsTable(table)
+    return spark.table(table).count()
+
+
+def bucketize_audio_index(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Audio twin of `bucketize_image_index`."""
+    return _bucketize_media_index(
+        spark, index_path, table, "audio",
+        ["band_key", "dhash", "bits", "mod"], n_buckets,
+    )
+
+
+def audio_dedup_against_bucketed_index(
+    df: DataFrame, table: str, id_col: str = "media_id"
+) -> DataFrame:
+    """`audio_dedup_against_index` against a bucketed band table: same
+    admitted set, index side scans in place (no Exchange)."""
+    spark = df.sparkSession
+    bands = _audio_band_rows(df, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    seen = spark.table(table)
+    ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+    index_hits = (
+        bands.join(seen.select("band_key", F.col("dhash").alias("__ih")), "band_key")
+        .filter(ham_idx <= PHASH_MAX_HAMMING)
+        .select("__id")
+    )
+    drops = intra_hits.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_audio_bands_to_bucketed_index(
+    survivors: DataFrame, table: str, id_col: str = "media_id"
+) -> None:
+    """Append survivors' fingerprints preserving the table's bucket spec."""
+    _audio_band_rows(survivors, id_col=id_col).select(
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("audio").alias("mod"),
+    ).write.mode("append").insertInto(table)
+
+
+def bucketize_video_index(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Video twin of `bucketize_image_index` — keeps the per-frame
+    signature columns (vid, n_frames, frame_idx)."""
+    return _bucketize_media_index(
+        spark, index_path, table, "video",
+        ["vid", "n_frames", "frame_idx", "band_key", "dhash", "bits", "mod"],
+        n_buckets,
+    )
+
+
+def video_dedup_against_bucketed_index(
+    df: DataFrame,
+    table: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """`video_dedup_against_index` against a bucketed band table: same
+    admitted set; frame alignment is encoded in band_key, so the join is
+    a true single-key equi-join and the table's
+    HashPartitioning(band_key) lets the index side scan in place."""
+    spark = df.sparkSession
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    intra_cand = (
+        a.join(  # frame alignment is encoded in band_key
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
+            F.col("a.frame_idx").alias("frame_idx"),
+            F.col("a.__n").alias("n_new"), F.col("b.__n").alias("n_old"),
+        )
+    )
+    drops = _video_pair_rejects(intra_cand, min_match_frac)
+    seen = spark.table(table)
+    ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+    idx_cand = (
+        bands.join(
+            seen.select(
+                F.col("vid").alias("old_id"),
+                F.col("n_frames").alias("n_old"),
+                "band_key",
+                F.col("dhash").alias("__ih"),
+            ),
+            "band_key",
+        )
+        .filter(ham_idx <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("__id").alias("new_id"), "old_id", "frame_idx",
+            F.col("__n").alias("n_new"), "n_old",
+        )
+    )
+    drops = drops.union(_video_pair_rejects(idx_cand, min_match_frac)).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_video_bands_to_bucketed_index(
+    survivors: DataFrame, table: str,
+    every_n: int = 10, id_col: str = "media_id",
+) -> None:
+    """Append survivors' per-frame rows preserving the table's bucket
+    spec."""
+    _video_band_rows(survivors, every_n=every_n, id_col=id_col).select(
+        F.col("__id").alias("vid"),
+        F.col("__n").alias("n_frames"),
+        "frame_idx",
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("video").alias("mod"),
+    ).write.mode("append").insertInto(table)

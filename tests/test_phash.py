@@ -746,3 +746,101 @@ def test_video_gate_and_ingest(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"), every_n=1,
     )
     assert admitted == 0
+
+
+def test_bucketed_audio_and_video_indexes(spark, tmp_path):
+    """The bucketed audio/video band tables admit exactly the parquet
+    gates' sets with fewer exchanges (index side scans in place —
+    including the video gate's (frame_idx, band_key) join, whose
+    clustered distribution HashPartitioning(band_key) satisfies)."""
+    from railgun_spark.operators.phash import (
+        _phash_wav,
+        _phash_y4m,
+        append_audio_bands_to_bucketed_index,
+        append_audio_bands_to_index,
+        append_video_bands_to_bucketed_index,
+        append_video_bands_to_index,
+        audio_dedup_against_bucketed_index,
+        audio_dedup_against_index,
+        bucketize_audio_index,
+        bucketize_video_index,
+        video_dedup_against_bucketed_index,
+        video_dedup_against_index,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # ---- audio ----
+        h = _phash_target(13, 0)
+        aidx = str(tmp_path / "aidx")
+        a1 = spark.createDataFrame(
+            [(1, "audio", bytearray(_phash_wav(h)), {}),
+             (2, "audio", bytearray(_phash_wav(_phash_target(70, 3))), {})],
+            MEDIA_SCHEMA,
+        )
+        append_audio_bands_to_index(audio_dedup_against_index(a1, aidx), aidx)
+        import shutil
+
+        atable = "phash_audio_bucketed_test"
+        spark.sql(f"DROP TABLE IF EXISTS {atable}")
+        shutil.rmtree(f"spark-warehouse/{atable}", ignore_errors=True)
+        assert bucketize_audio_index(spark, aidx, atable, n_buckets=8) == 2 * PHASH_BANDS
+        a2 = spark.createDataFrame(
+            [(10, "audio", bytearray(_phash_wav(h ^ 2)), {}),
+             (11, "audio", bytearray(_phash_wav(_phash_target(71, 0))), {})],
+            MEDIA_SCHEMA,
+        )
+        via_p = audio_dedup_against_index(a2, aidx)
+        via_t = audio_dedup_against_bucketed_index(a2, atable)
+        assert sorted(r["media_id"] for r in via_t.collect()) == \
+               sorted(r["media_id"] for r in via_p.collect()) == [11]
+        plan_t = via_t._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+        assert plan_t.count("Exchange") < via_p._jdf.queryExecution(
+        ).executedPlan().toString().count("Exchange")
+        append_audio_bands_to_bucketed_index(via_t, atable)
+        a3 = spark.createDataFrame(
+            [(20, "audio", bytearray(_phash_wav(_phash_target(71, 0) ^ 1)), {})],
+            MEDIA_SCHEMA,
+        )
+        assert audio_dedup_against_bucketed_index(a3, atable).count() == 0
+        spark.sql(f"DROP TABLE IF EXISTS {atable}")
+
+        # ---- video ----
+        base = [_phash_target(500 + f, 0) for f in range(3)]
+        vidx = str(tmp_path / "vidx")
+        v1 = spark.createDataFrame(
+            [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+        )
+        append_video_bands_to_index(
+            video_dedup_against_index(v1, vidx, every_n=1), vidx, every_n=1
+        )
+        vtable = "phash_video_bucketed_test"
+        spark.sql(f"DROP TABLE IF EXISTS {vtable}")
+        shutil.rmtree(f"spark-warehouse/{vtable}", ignore_errors=True)
+        assert bucketize_video_index(spark, vidx, vtable, n_buckets=8) == 3 * PHASH_BANDS
+        v2 = spark.createDataFrame(
+            [(10, "video", bytearray(_phash_y4m([x ^ 4 for x in base])), {}),
+             (11, "video", bytearray(
+                 _phash_y4m([_phash_target(600 + f, 0) for f in range(3)])), {})],
+            MEDIA_SCHEMA,
+        )
+        via_p = video_dedup_against_index(v2, vidx, every_n=1)
+        via_t = video_dedup_against_bucketed_index(v2, vtable, every_n=1)
+        assert sorted(r["media_id"] for r in via_t.collect()) == \
+               sorted(r["media_id"] for r in via_p.collect()) == [11]
+        plan_t = via_t._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+        assert plan_t.count("Exchange") < via_p._jdf.queryExecution(
+        ).executedPlan().toString().count("Exchange")
+        append_video_bands_to_bucketed_index(via_t, vtable, every_n=1)
+        v3 = spark.createDataFrame(
+            [(20, "video", bytearray(
+                _phash_y4m([_phash_target(600 + f, 0) ^ 8 for f in range(3)])), {})],
+            MEDIA_SCHEMA,
+        )
+        assert video_dedup_against_bucketed_index(v3, vtable, every_n=1).count() == 0
+        spark.sql(f"DROP TABLE IF EXISTS {vtable}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
