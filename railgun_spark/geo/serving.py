@@ -283,7 +283,15 @@ def encode_gif_animation(
     for k, (_left, _top, rows) in enumerate(frames):
         if not rows or not rows[0]:
             raise ValueError(f"GIF frame {k} is empty (no rows/columns)")
-        for row in rows:
+        width = len(rows[0])
+        for j, row in enumerate(rows):
+            if len(row) != width:
+                # a ragged frame (later-row width drift, incl. an empty
+                # later row) would mis-encode or IndexError downstream
+                raise ValueError(
+                    f"GIF frame {k} row {j} has {len(row)} pixels; every "
+                    f"row must match row 0's width {width}"
+                )
             for v in row:
                 if not 0 <= int(v) < n:
                     raise ValueError(

@@ -292,6 +292,29 @@ def image_dedup_against_index(
     return _verified_gate(df, bands, index_path, "image", id_col)
 
 
+def _survivor_bands(bands: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
+    """The band rows an append should commit for `survivors` — a
+    semi-join against the already-materialized batch bands, so the
+    ingest loop never decodes pixels twice."""
+    return bands.join(
+        survivors.select(F.col(id_col).alias("__id")), "__id", "semi"
+    )
+
+
+def image_gate_with_bands(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(survivors, survivor_band_rows) in ONE decode pass — the ingest
+    loop's shape: the band rows both feed the index append (via
+    `_append_bands`) and tell replay detection whether any GATE-ABLE row
+    survived (pass-through rows never band)."""
+    bands = _phash_band_rows(df, id_col=id_col).localCheckpoint()
+    survivors = _verified_gate(
+        df, bands, index_path, "image", id_col
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
 def audio_dedup_against_index(
     df: DataFrame, index_path: str, id_col: str = "media_id"
 ) -> DataFrame:
@@ -303,37 +326,70 @@ def audio_dedup_against_index(
     return _verified_gate(df, bands, index_path, "audio", id_col)
 
 
-def _check_index_geometry(seen: DataFrame, where: str, modality: str) -> None:
+def audio_gate_with_bands(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Audio twin of `image_gate_with_bands`."""
+    bands = _audio_band_rows(df, id_col=id_col).localCheckpoint()
+    survivors = _verified_gate(
+        df, bands, index_path, "audio", id_col
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
+# successful geometry validations, keyed by (index location, modality).
+# An index only ever GROWS with constant bits/mod values written by this
+# module's append helpers, so a once-valid index stays valid for the
+# session — re-scanning it per micro-batch (the pre-r14 behavior: two
+# full-index jobs per gate call) bought nothing. External writers that
+# corrupt a validated index mid-session are out of contract; clear this
+# set to force re-validation.
+_GEOMETRY_OK: set[tuple[str, str]] = set()
+
+
+def _check_index_geometry(
+    seen: DataFrame, where: str, modality: str,
+    hash_cols: tuple[str, ...] = ("dhash",),
+) -> None:
     """Fail closed on an index from another chunking geometry, the
     pre-verify layout (no stored hash), or another MODALITY: its rows
     cannot be verified against this session's signatures, and treating
     them as history would silently admit (or falsely reject)
-    duplicates."""
+    duplicates. One aggregation scan, memoized per (index, modality)
+    for the session (appends preserve geometry by construction)."""
+    memo_key = (str(where), modality)
+    if memo_key in _GEOMETRY_OK:
+        return
     cols = set(seen.columns)
-    if not {"bits", "dhash", "mod"} <= cols:
+    if not ({"bits", "mod"} | set(hash_cols)) <= cols:
         raise ValueError(
             f"perceptual band index {where} predates the verified-hamming "
-            f"geometry (band_key, dhash, bits, mod); rebuild it under the "
-            f"current {PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
+            f"geometry (band_key, {', '.join(hash_cols)}, bits, mod); "
+            f"rebuild it under the current "
+            f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
         )
-    foreign = seen.filter(
-        F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS)
-    ).limit(1)
-    if foreign.count():
+    bad = seen.select(
+        F.sum(
+            (F.col("bits").isNull() | (F.col("bits") != PHASH_BAND_BITS))
+            .cast("int")
+        ).alias("bad_bits"),
+        F.sum(
+            (F.col("mod").isNull() | (F.col("mod") != modality)).cast("int")
+        ).alias("bad_mod"),
+    ).first()
+    if bad["bad_bits"]:
         raise ValueError(
             f"perceptual band index {where} contains rows from a different "
             f"chunking geometry; rebuild it under the current "
             f"{PHASH_BANDS}x{PHASH_BAND_BITS}-bit chunking"
         )
-    mixed = seen.filter(
-        F.col("mod").isNull() | (F.col("mod") != modality)
-    ).limit(1)
-    if mixed.count():
+    if bad["bad_mod"]:
         raise ValueError(
             f"perceptual band index {where} holds fingerprints of another "
             f"modality (expected {modality!r}); image/audio gates must not "
             "share an index path — their hashes live in unrelated spaces"
         )
+    _GEOMETRY_OK.add(memo_key)
 
 
 def _append_bands(bands: DataFrame, index_path: str, modality: str) -> None:
@@ -1081,10 +1137,36 @@ def video_dedup_against_index(
     rows always survive. Commit with `append_video_bands_to_index`.
     `every_n` must match the value the index was built with — the frame
     alignment is on SAMPLED indexes."""
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    return _video_verified_gate(df, bands, index_path, id_col, min_match_frac)
+
+
+def video_gate_with_bands(
+    df: DataFrame,
+    index_path: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> tuple[DataFrame, DataFrame]:
+    """Video twin of `image_gate_with_bands` (survivor band rows keep the
+    per-frame columns `append_video_bands_to_index` persists)."""
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    survivors = _video_verified_gate(
+        df, bands, index_path, id_col, min_match_frac
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
+def _video_verified_gate(
+    df: DataFrame,
+    bands: DataFrame,
+    index_path: str,
+    id_col: str,
+    min_match_frac: float,
+) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_cand = (
@@ -1134,7 +1216,15 @@ def append_video_bands_to_index(
     """Append the survivors' per-frame band rows (recomputed map-only;
     the index grows PHASH_BANDS rows per SAMPLED frame per admitted
     video)."""
-    _video_band_rows(survivors, every_n=every_n, id_col=id_col).select(
+    _append_video_band_rows(
+        _video_band_rows(survivors, every_n=every_n, id_col=id_col), index_path
+    )
+
+
+def _append_video_band_rows(band_rows: DataFrame, index_path: str) -> None:
+    """Append already-computed video band rows (the ingest loop's path —
+    no second decode)."""
+    band_rows.select(
         F.col("__id").alias("vid"),
         F.col("__n").alias("n_frames"),
         "frame_idx",
@@ -1299,3 +1389,385 @@ def append_video_bands_to_bucketed_index(
         F.lit(PHASH_BAND_BITS).alias("bits"),
         F.lit("video").alias("mod"),
     ).write.mode("append").insertInto(table)
+
+
+# --------------------------------------------------------------------------
+# Wide geometry: 256-bit block dHash (r13 VERDICT #2 — scale headroom).
+# The 4x16-bit pigeonhole over a 64-bit hash carries a ~B*N^2/2^16
+# candidate term: flat at every measured scale, but at ~10^9 images per
+# index the saturated 16-bit chunks pour out a quadratic (small-constant)
+# candidate stream. The wide geometry quarters the per-band collision
+# probability's EFFECT where it matters: a candidate pair must agree on
+# one of 16 bands drawn from a 256-bit hash, and true near-dups (budget
+# hamming <= 15 ~ the same 3-per-64-bit relative tolerance) still
+# pigeonhole losslessly — while RANDOM pairs now need a 16-bit agreement
+# out of 4x more positions whose values are far less correlated (each
+# band sees a distinct 4-row strip of the image). Asymptotically the
+# candidate term is 16*N^2/2^16 per band-space — same order — but the
+# verify step compares 256 bits, so the false-verify rate drops by
+# 2^-192 and, decisively for scale, the hamming budget's RELATIVE
+# precision lets bands be dropped: any 4-of-16 band subset remains
+# lossless for hamming <= 3 (pigeonhole over the subset), so an operator
+# can trade recall window against candidate volume at runtime. The probe
+# (tools/phash_probe.py) records candidate/true-pair curves for both
+# geometries at x8-x32 blow-ups.
+#
+# Block dHash: gray -> 17x16 bilinear -> bit (y*16 + x) set iff
+# g[y, x+1] > g[y, x]; word w = bit // 64 covers rows 4w..4w+3. Same
+# decode, same Arrow pass shape, 4 longs per image.
+# --------------------------------------------------------------------------
+PHASH_WIDE_WORDS = 4
+PHASH_WIDE_BANDS = 16  # 16 bands x 16 bits over 256 bits
+PHASH_WIDE_MAX_HAMMING = PHASH_WIDE_BANDS - 1
+
+
+def block_dhash256(raster) -> list:
+    """Difference hash over a 17x16 grid -> 4 signed-64 words (word w =
+    rows 4w..4w+3, 16 comparison bits per row)."""
+    import numpy as np
+
+    from railgun_spark.operators.multimodal import _resize_bilinear
+
+    g = _resize_bilinear(_gray(raster), 17, 16)[:, :, 0]
+    bits = g[:, 1:] > g[:, :-1]  # (16, 16)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64).reshape(4, 16)
+    )
+    words = []
+    for w in range(PHASH_WIDE_WORDS):
+        v = int(np.sum(np.where(bits[4 * w : 4 * w + 4], weights, np.uint64(0)),
+                       dtype=np.uint64))
+        words.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return words
+
+
+PHASH_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("h0", T.LongType()),
+        T.StructField("h1", T.LongType()),
+        T.StructField("h2", T.LongType()),
+        T.StructField("h3", T.LongType()),
+        T.StructField("refused", T.StringType()),
+    ]
+)
+
+_WIDE_HASH_COLS = ("h0", "h1", "h2", "h3")
+
+
+def image_perceptual_hashes_wide(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """MEDIA_SCHEMA image rows -> (media_id, h0..h3, refused): the 256-bit
+    block dHash in one Arrow pass (same decode-coverage discipline as
+    image_perceptual_hashes)."""
+    from railgun_spark.operators.multimodal import decode_image_raster
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
+            if pdf.empty:
+                continue
+            out = {"media_id": [], "h0": [], "h1": [], "h2": [], "h3": [],
+                   "refused": []}
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                out["media_id"].append(int(mid))
+                try:
+                    raster = decode_image_raster(bytes(content or b""))
+                except ValueError as exc:
+                    for c in _WIDE_HASH_COLS:
+                        out[c].append(None)
+                    out["refused"].append(str(exc))
+                    continue
+                for c, v in zip(_WIDE_HASH_COLS, block_dhash256(raster)):
+                    out[c].append(v)
+                out["refused"].append(None)
+            yield pd.DataFrame(
+                {k: (pd.array(v, dtype="Int64") if k.startswith("h") else v)
+                 for k, v in out.items()}
+            )
+
+    return df.mapInPandas(batches, PHASH_WIDE_SCHEMA)
+
+
+def phash_wide_chunks(word_cols) -> Column:
+    """The 16 disjoint 16-bit chunks of a 256-bit hash held as 4 long
+    columns — chunk j comes from word j // 4."""
+    return F.array(
+        *[
+            F.shiftright(
+                word_cols[j // PHASH_BANDS], (j % PHASH_BANDS) * PHASH_BAND_BITS
+            ).bitwiseAND(F.lit(0xFFFF))
+            for j in range(PHASH_WIDE_BANDS)
+        ]
+    )
+
+
+def _wide_hamming(a: str, b: str) -> Column:
+    out = F.lit(0)
+    for c in _WIDE_HASH_COLS:
+        out = out + F.bit_count(F.col(f"{a}.{c}").bitwiseXOR(F.col(f"{b}.{c}")))
+    return out
+
+
+def phash_wide_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_WIDE_MAX_HAMMING,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within `max_hamming` of 256
+    bits — pigeonhole over 16 bands (lossless for hamming <= 15).
+    Refused rows never pair."""
+    if max_hamming > PHASH_WIDE_MAX_HAMMING:
+        raise ValueError(
+            f"pigeonhole blocking with {PHASH_WIDE_BANDS} bands is lossless "
+            f"only for hamming <= {PHASH_WIDE_MAX_HAMMING}; got {max_hamming}"
+        )
+    ok = hashes.filter(F.col("h0").isNotNull())
+    ex = ok.select(
+        F.col(id_col).alias("__id"),
+        *_WIDE_HASH_COLS,
+        F.posexplode(
+            phash_wide_chunks([F.col(c) for c in _WIDE_HASH_COLS])
+        ).alias("ci", "cv"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = _wide_hamming("a", "b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---- wide ingest gate: same verified-hamming discipline, 256-bit verify ----
+def _wide_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(__id, band_key, h0..h3) — PHASH_WIDE_BANDS rows per decodable
+    image (band_key = band_idx << 16 | chunk, band_idx 0..15)."""
+    hashes = image_perceptual_hashes_wide(df, id_col=id_col).filter(
+        F.col("refused").isNull()
+    )
+    keys = F.transform(
+        phash_wide_chunks([F.col(c) for c in _WIDE_HASH_COLS]),
+        lambda cv, ci: (ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)) + cv,
+    )
+    return hashes.select(
+        F.col("media_id").alias("__id"),
+        *_WIDE_HASH_COLS,
+        F.explode(keys).alias("band_key"),
+    ).select("__id", "band_key", *_WIDE_HASH_COLS)
+
+
+def image_wide_dedup_against_index(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> DataFrame:
+    """Wide-geometry twin of `image_dedup_against_index`: rejection
+    requires a verified 256-bit hamming <= PHASH_WIDE_MAX_HAMMING
+    against the stored words. Use a separate index path — the mod tag
+    ('image-wide') refuses a narrow index loudly."""
+    survivors, _bands = image_wide_gate_with_bands(df, index_path, id_col=id_col)
+    return survivors
+
+
+def image_wide_gate_with_bands(
+    df: DataFrame, index_path: str, id_col: str = "media_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(survivors, survivor_band_rows) for the wide gate — one decode
+    pass, same contract as `image_gate_with_bands`."""
+    from railgun_spark.operators.dedup import _read_index_or_none
+
+    spark = df.sparkSession
+    bands = _wide_band_rows(df, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(_wide_hamming("a", "b") <= PHASH_WIDE_MAX_HAMMING)
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    drops = intra_hits
+    seen = _read_index_or_none(spark, index_path, merge_schema=True)
+    if seen is not None:
+        _check_index_geometry(seen, index_path, "image-wide",
+                              hash_cols=_WIDE_HASH_COLS)
+        ham_idx = F.lit(0)
+        for c in _WIDE_HASH_COLS:
+            ham_idx = ham_idx + F.bit_count(
+                F.col(c).bitwiseXOR(F.col(f"__i{c}"))
+            )
+        index_hits = (
+            bands.join(
+                seen.select(
+                    "band_key",
+                    *[F.col(c).alias(f"__i{c}") for c in _WIDE_HASH_COLS],
+                ),
+                "band_key",
+            )
+            .filter(ham_idx <= PHASH_WIDE_MAX_HAMMING)
+            .select("__id")
+        )
+        drops = drops.union(index_hits).distinct()
+    survivors = df.join(
+        drops, df[id_col] == drops["__id"], "left_anti"
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
+def append_image_wide_bands_to_index(
+    survivors: DataFrame, index_path: str, id_col: str = "media_id"
+) -> None:
+    """Append the survivors' wide band rows (PHASH_WIDE_BANDS ~40-byte
+    rows per admitted image)."""
+    _append_wide_band_rows(_wide_band_rows(survivors, id_col=id_col), index_path)
+
+
+def _append_wide_band_rows(band_rows: DataFrame, index_path: str) -> None:
+    band_rows.select(
+        "band_key",
+        *_WIDE_HASH_COLS,
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("image-wide").alias("mod"),
+    ).write.mode("append").parquet(index_path)
+
+
+PHASH_WIDE_SAMPLE_MOD = 11
+
+
+def _phash_wide_target(g: int, v: int) -> list:
+    """The crafted 256-bit block dHash for (group, variant) as 4 words —
+    Python twin of the oracle's per-word md5/xor arithmetic. Word w's
+    base is md5('{g}:w{w}')[:15 hex] (60 bits; bits 60..63 of every word
+    are structurally zero on both engines)."""
+    import hashlib
+
+    words = []
+    for w in range(PHASH_WIDE_WORDS):
+        base = int(hashlib.md5(f"{g}:w{w}".encode()).hexdigest()[:15], 16)
+        if v == 1:
+            pert = 1 << ((g + 7 * w) % 60)
+        elif v == 2:
+            pert = (1 << ((g + 13 + 7 * w) % 60)) | (1 << ((g + 29 + 7 * w) % 60))
+        elif v == 3:
+            pert = 0xFFFF << (g % 44)
+        else:
+            pert = 0
+        words.append(base ^ pert)
+    return words
+
+
+def _phash_wide_luma(words) -> bytes:
+    """The 34x32 8-bit luma raster whose 17x16 bilinear downsample block-
+    dHashes to exactly `words`: per row a 17-value staircase (base 128,
+    steps +-1 by the word bits, range 112..144), rows/cols
+    pixel-doubled."""
+    rows = []
+    for y in range(16):
+        w, yy = y // 4, y % 4
+        vals = [128]
+        for x in range(16):
+            bit = (words[w] >> (yy * 16 + x)) & 1
+            vals.append(vals[-1] + (1 if bit else -1))
+        doubled = bytes(v for v in vals for _ in range(2))
+        rows.append(doubled)
+        rows.append(doubled)
+    return b"".join(rows)
+
+
+def _phash_wide_pgm(words) -> bytes:
+    """34x32 PGM of the _phash_wide_luma grid."""
+    return b"P5\n34 32\n255\n" + _phash_wide_luma(words)
+
+
+def _wide_word_sql(w: int) -> str:
+    """DuckDB expression for crafted word `w` of group g, variant v."""
+    base = (
+        f"CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':w{w}'), 1, 15))"
+        f"::UBIGINT AS BIGINT)"
+    )
+    pert = f"""CASE v
+        WHEN 1 THEN (CAST(1 AS BIGINT) << ((g + {7 * w}) % 60))
+        WHEN 2 THEN (CAST(1 AS BIGINT) << ((g + {13 + 7 * w}) % 60))
+                  | (CAST(1 AS BIGINT) << ((g + {29 + 7 * w}) % 60))
+        WHEN 3 THEN (CAST(65535 AS BIGINT) << (g % 44))
+        ELSE 0
+      END"""
+    return f"xor({base}, {pert}) AS h{w}"
+
+
+@query(
+    "image_phash_wide_pairs",
+    # Per-word oracle arithmetic (md5('{g}:w{w}') XOR the variant
+    # perturbation), all-pairs 256-bit hamming <= 15; the Spark side
+    # recovers the identical words through a REAL craft -> 34x32 PGM
+    # decode -> 17x16 bilinear -> block dHash -> 16-band pigeonhole join.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {PHASH_WIDE_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {PHASH_WIDE_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {PHASH_WIDE_SAMPLE_MOD} = 0
+    ), h AS (
+      SELECT doc_id, {_wide_word_sql(0)}, {_wide_word_sql(1)},
+             {_wide_word_sql(2)}, {_wide_word_sql(3)}
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
+         + CAST(bit_count(xor(a.h1, b.h1)) AS INTEGER)
+         + CAST(bit_count(xor(a.h2, b.h2)) AS INTEGER)
+         + CAST(bit_count(xor(a.h3, b.h3)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
+        + CAST(bit_count(xor(a.h1, b.h1)) AS INTEGER)
+        + CAST(bit_count(xor(a.h2, b.h2)) AS INTEGER)
+        + CAST(bit_count(xor(a.h3, b.h3)) AS INTEGER)
+        <= {PHASH_WIDE_MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+    doc="Wide-geometry (256-bit block dHash, 16x16-bit pigeonhole bands, "
+    "hamming <= 15) image near-dup certification: crafted 34x32 PGMs whose "
+    "17x16 downsample recovers four doc_id-predicted 60-bit words "
+    "bit-for-bit; the 16-band join must equal the all-pairs definition "
+    "(variants at hamming 4/8/12 pair; the 64-bit-flip variant never does). "
+    "The scale-headroom geometry of r13 VERDICT #2.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def image_phash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % PHASH_WIDE_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // PHASH_WIDE_SAMPLE_MOD
+                words = _phash_wide_target(m // 4, m % 4)
+                rows.append((d, "image", _phash_wide_pgm(words), {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    hashes = image_perceptual_hashes_wide(media)
+    return phash_wide_near_dup_pairs(hashes).orderBy("id_a", "id_b")

@@ -790,10 +790,11 @@ def sole_return_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same "sorts at-or-after me ascending" set, and last-non-null in
 # descending frame order is the ascending-minimal event.
 # --------------------------------------------------------------------------
-@query(
-    # r12 rotation: promoted back into the driver gate — the r11 O(n)
-    # descending-running-frame rewrite deserves driver-oracle
-    # certification, not just EXTRA.
+@extra_query(
+    # r14 rotation: demoted to EXTRA (capability twin — backward as-of is
+    # driver-certified by asof_join_orders_events; the O(n) descending
+    # running frame got its driver certification in r12/r13) to make gate
+    # room for the r14 flagships (wide phash + offset-tolerant video).
     "asof_join_forward",
     oracle="""
     WITH ev AS (

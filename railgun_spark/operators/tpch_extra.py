@@ -357,7 +357,10 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Part-supplier variety (TPC-H Q16 shape): DISTINCT-supplier counts per
 # part attribute with a NOT-IN supplier exclusion lowered to left_anti.
 # --------------------------------------------------------------------------
-@query(
+@extra_query(
+    # r14 rotation: demoted to EXTRA (one of nine TPC-H join+agg shapes in
+    # the gate; distinct-count + anti-join are both certified elsewhere)
+    # to make gate room for the r14 flagships.
     "part_supplier_variety",
     oracle="""
     SELECT p_brand, p_size,

@@ -63,6 +63,47 @@ def _write_sink(survivors: DataFrame, sink_path: str, batch_id: int | None) -> i
     return n
 
 
+def _partition_committed(sink_path: str, batch_id: int) -> bool:
+    """True iff the batch's sink partition holds a COMMITTED write (the
+    job-level _SUCCESS marker — a crash mid-write leaves the dir without
+    it, and the replay must then rewrite)."""
+    import os
+
+    return os.path.isfile(
+        os.path.join(sink_path, f"ingest_batch={batch_id}", "_SUCCESS")
+    )
+
+
+def _write_media_sink(
+    survivors: DataFrame, has_gateable: bool, sink_path: str, batch_id: int | None
+) -> int:
+    """Media-gate variant of `_write_sink`. Media batches carry
+    PASS-THROUGH rows (non-matching kind, decode-refused) that survive
+    every gate unconditionally, so — unlike the text/embedding gates —
+    a replay after the index append is NOT an empty batch: it is exactly
+    the pass-through rows. Overwriting the partition with them would
+    drop the previously admitted decodable rows from the sink while
+    their bands stay indexed (unrecoverable: they can never re-admit).
+
+    `has_gateable` = some survivor produced band rows (i.e. a decodable
+    row of the gated kind survived). The replay-after-append signature
+    is therefore `not has_gateable` AND the partition already committed:
+    every decodable row was rejected by its own index entries, and the
+    partition already holds the batch's full original survivor set —
+    skip the write. A FIRST write of an all-pass-through batch has no
+    committed partition yet and still writes normally."""
+    if batch_id is None:
+        return _write_sink(survivors, sink_path, batch_id)
+    if not has_gateable and _partition_committed(sink_path, batch_id):
+        return 0
+    n = survivors.count()
+    if n > 0:
+        survivors.write.mode("overwrite").parquet(
+            f"{sink_path}/ingest_batch={batch_id}"
+        )
+    return n
+
+
 def _reject_legacy_root_files(sink_path: str) -> None:
     """A sink written by the pre-partitioned backfill layout has part-files
     at the root; appending an ingest_batch=-1 partition NEXT to them would
@@ -205,26 +246,54 @@ def ingest_images_batch(
 ) -> int:
     """Image-modality twin of `ingest_batch`: gate one MEDIA_SCHEMA batch
     of images through the perceptual-hash band index
-    (phash.image_dedup_against_index — dHash over the REAL decode, banded
-    by 16-bit chunks), write survivors, commit their bands. Same
+    (phash.image_gate_with_bands — dHash over the REAL decode, banded by
+    16-bit chunks), write survivors, commit their bands. Same
     exactly-once-per-near-dup-class discipline and the same crash-window
     degradation as the other gates: a crash between sink write and index
     append replays to the identical survivor set (overwriting the same
-    partition); a crash after the append replays to an empty batch that
-    skips the write. Decode-refused rows always survive and are never
-    indexed (they can never band-collide). The index grows PHASH_BANDS
-    longs per admitted image."""
+    partition); a crash after the append replays to a batch whose only
+    survivors are PASS-THROUGH rows (non-image / decode-refused — they
+    survive every gate), which `_write_media_sink` detects (no survivor
+    band rows + partition already committed) and skips, so the admitted
+    decodable rows stay in the sink. Decode-refused rows always survive
+    and are never indexed (they can never band-collide). The index grows
+    PHASH_BANDS longs per admitted image; hashes are decoded ONCE per
+    batch (the append reuses the gate's band rows)."""
+    from railgun_spark.operators.phash import _append_bands, image_gate_with_bands
+
+    survivors, surv_bands = image_gate_with_bands(
+        batch_df, index_path, id_col=id_col
+    )
+    has_gateable = bool(surv_bands.limit(1).count())
+    n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
+    if has_gateable and n > 0:
+        _append_bands(surv_bands, index_path, "image")
+    return n
+
+
+def ingest_images_wide_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    id_col: str = "media_id",
+    batch_id: int | None = None,
+) -> int:
+    """Wide-geometry (256-bit block dHash) twin of `ingest_images_batch`
+    — the scale-headroom gate for ~10^9-image indexes. Same crash-window
+    discipline including the mixed-batch replay skip. Use a separate
+    index path — the 'image-wide' mod tag refuses a narrow index."""
     from railgun_spark.operators.phash import (
-        append_image_bands_to_index,
-        image_dedup_against_index,
+        _append_wide_band_rows,
+        image_wide_gate_with_bands,
     )
 
-    survivors = image_dedup_against_index(
+    survivors, surv_bands = image_wide_gate_with_bands(
         batch_df, index_path, id_col=id_col
-    ).localCheckpoint()
-    n = _write_sink(survivors, sink_path, batch_id)
-    if n > 0:
-        append_image_bands_to_index(survivors, index_path, id_col=id_col)
+    )
+    has_gateable = bool(surv_bands.limit(1).count())
+    n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
+    if has_gateable and n > 0:
+        _append_wide_band_rows(surv_bands, index_path)
     return n
 
 
@@ -237,22 +306,21 @@ def ingest_audio_batch(
 ) -> int:
     """Audio twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     of clips through the energy-delta fingerprint band index
-    (phash.audio_dedup_against_index — verified hamming, zero false
-    rejects), write survivors, commit their bands. Same crash-window
-    degradation as every other gate. Decode-refused rows (MP3) always
-    survive and are never indexed. Use a separate index path from the
-    image gate — the modality tag refuses a mixed index loudly."""
-    from railgun_spark.operators.phash import (
-        append_audio_bands_to_index,
-        audio_dedup_against_index,
-    )
+    (phash.audio_gate_with_bands — verified hamming, zero false rejects),
+    write survivors, commit their bands. Same crash-window discipline,
+    including the mixed-batch replay skip (`_write_media_sink`).
+    Decode-refused rows (MP3) always survive and are never indexed. Use
+    a separate index path from the image gate — the modality tag refuses
+    a mixed index loudly."""
+    from railgun_spark.operators.phash import _append_bands, audio_gate_with_bands
 
-    survivors = audio_dedup_against_index(
+    survivors, surv_bands = audio_gate_with_bands(
         batch_df, index_path, id_col=id_col
-    ).localCheckpoint()
-    n = _write_sink(survivors, sink_path, batch_id)
-    if n > 0:
-        append_audio_bands_to_index(survivors, index_path, id_col=id_col)
+    )
+    has_gateable = bool(surv_bands.limit(1).count())
+    n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
+    if has_gateable and n > 0:
+        _append_bands(surv_bands, index_path, "audio")
     return n
 
 
@@ -291,23 +359,24 @@ def ingest_videos_batch(
 ) -> int:
     """Video twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     through the per-sampled-frame signature index
-    (phash.video_dedup_against_index — frame-aligned candidates, verified
+    (phash.video_gate_with_bands — frame-aligned candidates, verified
     per-frame hamming, match-fraction rejection). Same crash-window
-    discipline; decode-refused rows always survive and are never
-    indexed. `every_n` must stay constant for one index's lifetime."""
+    discipline, including the mixed-batch replay skip
+    (`_write_media_sink`); decode-refused rows always survive and are
+    never indexed. `every_n` must stay constant for one index's
+    lifetime."""
     from railgun_spark.operators.phash import (
-        append_video_bands_to_index,
-        video_dedup_against_index,
+        _append_video_band_rows,
+        video_gate_with_bands,
     )
 
-    survivors = video_dedup_against_index(
+    survivors, surv_bands = video_gate_with_bands(
         batch_df, index_path, every_n=every_n, id_col=id_col
-    ).localCheckpoint()
-    n = _write_sink(survivors, sink_path, batch_id)
-    if n > 0:
-        append_video_bands_to_index(
-            survivors, index_path, every_n=every_n, id_col=id_col
-        )
+    )
+    has_gateable = bool(surv_bands.limit(1).count())
+    n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
+    if has_gateable and n > 0:
+        _append_video_band_rows(surv_bands, index_path)
     return n
 
 

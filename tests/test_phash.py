@@ -381,6 +381,67 @@ def test_stream_ingest_soak_image_gate(spark, tmp_path):
     assert last <= 3 * first, (first, last, walls)
 
 
+@pytest.mark.parametrize("modality", ["image", "audio", "video"])
+def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
+    """ADVICE r13 (medium): a batch holding BOTH decodable and
+    pass-through rows (decode-refused / non-matching kind), replayed
+    after the index append (checkpoint lost), must NOT overwrite the
+    sink partition with only the pass-through rows — the previously
+    admitted decodable rows must stay in the sink. A FIRST write of an
+    all-pass-through batch must still write normally."""
+    from railgun_spark.operators.phash import _phash_wav, _phash_y4m
+    from railgun_spark.streaming.ingest import (
+        ingest_audio_batch,
+        ingest_images_batch,
+        ingest_videos_batch,
+    )
+
+    h = _phash_target(123, 0)
+    if modality == "image":
+        payload, junk, other_kind = _phash_pgm(h), b"JUNK", "audio"
+        ingest = ingest_images_batch
+    elif modality == "audio":
+        payload, junk, other_kind = _phash_wav(h), b"ID3\x04", "video"
+        ingest = ingest_audio_batch
+    else:
+        payload, junk, other_kind = (
+            _phash_y4m([h, h ^ 1]), b"RIFF....AVI JUNK", "image",
+        )
+        ingest = lambda df, idx, sink, batch_id: ingest_videos_batch(  # noqa: E731
+            df, idx, sink, batch_id=batch_id, every_n=1
+        )
+
+    rows = [
+        (1, modality, bytearray(payload), {}),          # decodable: admits
+        (2, modality, bytearray(junk), {}),             # decode-refused
+        (3, other_kind, bytearray(b"\x00"), {}),        # non-matching kind
+    ]
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "sink")
+    batch = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert ingest(batch, idx, sink, batch_id=0) == 3
+
+    # replay of the SAME batch after the committed index append: the
+    # decodable row is rejected by its own bands; only pass-throughs
+    # survive re-gating — the write must be SKIPPED, not overwritten
+    assert ingest(batch, idx, sink, batch_id=0) == 0
+    got = sorted(
+        r["media_id"]
+        for r in spark.read.option("basePath", sink).parquet(sink).collect()
+    )
+    assert got == [1, 2, 3]  # decodable row 1 not lost
+
+    # first write of an all-pass-through batch still writes
+    only_pass = spark.createDataFrame(
+        [(10, modality, bytearray(junk), {})], MEDIA_SCHEMA
+    )
+    assert ingest(only_pass, idx, sink, batch_id=1) == 1
+    got2 = sorted(
+        r["media_id"]
+        for r in spark.read.option("basePath", sink).parquet(sink).collect()
+    )
+    assert got2 == [1, 2, 3, 10]
+
+
 def test_video_perceptual_hashes_containers_and_refusal(spark):
     """Per-frame dHashes recover crafted targets through Y4M AND GIF89a
     containers; a codec-bound video records ONE refusal row; every_n
@@ -844,3 +905,158 @@ def test_bucketed_audio_and_video_indexes(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {vtable}")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_wide_block_dhash_kernel_and_craft():
+    """block_dhash256 is deterministic, pixel-doubling-invariant on the
+    17x16 grid, and the crafted 34x32 PGM recovers all four predicted
+    words bit-for-bit across variants."""
+    from railgun_spark.operators.multimodal import decode_image_raster
+    from railgun_spark.operators.phash import (
+        _phash_wide_pgm,
+        _phash_wide_target,
+        block_dhash256,
+    )
+
+    rng = _rng(3)
+    img = rng.randint(0, 256, size=(48, 64, 3)).astype("float64")
+    assert block_dhash256(img) == block_dhash256(img.copy())
+    on_grid = rng.randint(0, 256, size=(16, 17, 3)).astype("float64")
+    assert block_dhash256(np.repeat(np.repeat(on_grid, 2, 0), 2, 1)) == \
+        block_dhash256(on_grid)
+
+    for g, v in ((0, 0), (4, 1), (12, 2), (33, 3)):
+        words = _phash_wide_target(g, v)
+        got = [
+            w & ((1 << 64) - 1)
+            for w in block_dhash256(decode_image_raster(_phash_wide_pgm(words)))
+        ]
+        assert got == words, (g, v)
+
+    # variant distances: 4 / 8 / 12 within the budget, v3 at 64 outside
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    t = {v: _phash_wide_target(9, v) for v in range(4)}
+    assert (ham(t[0], t[1]), ham(t[0], t[2]), ham(t[1], t[2])) == (4, 8, 12)
+    assert ham(t[0], t[3]) == 64
+
+
+def test_wide_pairs_lossless_vs_brute_force(spark):
+    """The 16-band pigeonhole join equals the brute-force 256-bit
+    hamming <= 15 definition on adversarial word sets (band-boundary
+    flips, sign bits, cross-word spreads)."""
+    from railgun_spark.operators.phash import (
+        PHASH_WIDE_BANDS,
+        PHASH_WIDE_MAX_HAMMING,
+        phash_wide_near_dup_pairs,
+    )
+
+    rng = _rng(29)
+    quads = []
+    for _ in range(8):
+        quads.append([int(rng.randint(0, 1 << 62)) for _ in range(4)])
+    quads.append([(1 << 63) - 1] * 4)
+    quads.append([-(1 << 63) & ((1 << 64) - 1)] * 4)  # sign bit each word
+    rows, vals, i = [], {}, 0
+
+    def add(ws):
+        nonlocal i
+        vals[i] = [w & ((1 << 64) - 1) for w in ws]
+        signed = [w - (1 << 64) if w >= (1 << 63) else w for w in vals[i]]
+        rows.append((i, *signed, None))
+        i += 1
+
+    for q in quads:
+        add(q)
+        add([q[0] ^ (1 << 15), q[1], q[2], q[3]])  # band boundary, 1 bit
+        # 15 bits spread across all words: still within budget
+        add([q[0] ^ 0x1F, q[1] ^ (0xF << 30), q[2] ^ (0x7 << 61), q[3] ^ 0x7])
+        add([q[0] ^ 0xFFFF, q[1] ^ 0xFF, q[2], q[3]])  # 24 bits: out
+
+    df = spark.createDataFrame(
+        rows, "media_id: long, h0: long, h1: long, h2: long, h3: long, refused: string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_wide_near_dup_pairs(df).collect()
+    )
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(vals[a], vals[b]))
+
+    want = sorted(
+        (a, b, ham(a, b))
+        for a in vals for b in vals
+        if a < b and ham(a, b) <= PHASH_WIDE_MAX_HAMMING
+    )
+    assert got == want and len(want) >= len(quads)
+
+    with pytest.raises(ValueError, match="lossless"):
+        phash_wide_near_dup_pairs(df, max_hamming=PHASH_WIDE_BANDS)
+
+
+def test_wide_gate_and_geometry_guard(spark, tmp_path):
+    """The wide gate rejects verified 256-bit near-dups only, refusals
+    pass through unindexed, replay after the append skips the write, and
+    narrow/wide indexes refuse each other loudly."""
+    from railgun_spark.operators.phash import (
+        _phash_wide_pgm,
+        _phash_wide_target,
+        append_image_bands_to_index,
+        append_image_wide_bands_to_index,
+        image_wide_dedup_against_index,
+    )
+    from railgun_spark.streaming.ingest import ingest_images_wide_batch
+
+    def wrows(ids_gv):
+        return [
+            (mid, "image", bytearray(_phash_wide_pgm(_phash_wide_target(g, v))), {})
+            for mid, g, v in ids_gv
+        ]
+
+    idx = str(tmp_path / "wide_bands")
+    b1 = spark.createDataFrame(
+        wrows([(1, 5, 0), (2, 5, 2), (3, 40, 0)])  # 2 is hamming-8 of 1
+        + [(4, "image", bytearray(b"JUNK"), {})][0:1],
+        MEDIA_SCHEMA,
+    )
+    s1 = image_wide_dedup_against_index(b1, idx)
+    assert sorted(r["media_id"] for r in s1.collect()) == [1, 3, 4]
+    append_image_wide_bands_to_index(s1, idx)
+    from railgun_spark.operators.phash import PHASH_WIDE_BANDS
+
+    assert spark.read.parquet(idx).count() == 2 * PHASH_WIDE_BANDS
+
+    # near-dup of an admitted image rejects; v3 (64 bits away) admits
+    b2 = spark.createDataFrame(
+        wrows([(10, 5, 1), (11, 40, 3)]), MEDIA_SCHEMA
+    )
+    s2 = image_wide_dedup_against_index(b2, idx)
+    assert sorted(r["media_id"] for r in s2.collect()) == [11]
+
+    # ingest twin: mixed-batch replay discipline holds for the wide gate
+    sink = str(tmp_path / "sink")
+    batch = spark.createDataFrame(
+        wrows([(20, 77, 0)]) + [(21, "image", bytearray(b"JUNK"), {})],
+        MEDIA_SCHEMA,
+    )
+    assert ingest_images_wide_batch(batch, idx, sink, batch_id=0) == 2
+    assert ingest_images_wide_batch(batch, idx, sink, batch_id=0) == 0
+    kept = sorted(
+        r["media_id"]
+        for r in spark.read.option("basePath", sink).parquet(sink).collect()
+    )
+    assert kept == [20, 21]
+
+    # modality guard both ways: narrow gate refuses a wide index and
+    # vice versa
+    imgs = spark.createDataFrame(_media_rows([(50, _phash_target(80, 0))]), MEDIA_SCHEMA)
+    # the wide index lacks the narrow layout's dhash column, so the narrow
+    # gate fails closed on geometry before it can reach the modality check
+    with pytest.raises(ValueError, match="geometry|modality"):
+        image_dedup_against_index(imgs, idx).collect()
+    narrow_idx = str(tmp_path / "narrow_bands")
+    append_image_bands_to_index(image_dedup_against_index(imgs, narrow_idx), narrow_idx)
+    with pytest.raises(ValueError, match="geometry|modality"):
+        image_wide_dedup_against_index(b2, narrow_idx).collect()
