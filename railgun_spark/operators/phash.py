@@ -1771,3 +1771,279 @@ def image_phash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synth, MEDIA_SCHEMA)
     hashes = image_perceptual_hashes_wide(media)
     return phash_wide_near_dup_pairs(hashes).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Offset-tolerant video near-dup (r13 VERDICT #3): frame-ALIGNED matching
+# (video_phash_near_dup_pairs) catches re-encodes but misses trimmed or
+# padded copies. The offset mode runs the classic temporal-alignment
+# vote: band-join WITHOUT frame_idx in the key, group candidates by
+# (id_a, id_b, frame_offset = a.frame_idx - b.frame_idx), and apply the
+# match fraction PER OFFSET against the SMALLER signature — so a clip
+# cut from a longer indexed video still rejects (the aligned mode's
+# larger-signature denominator deliberately does not). Still lossless:
+# every frame pair within the hamming budget shares a chunk by
+# pigeonhole, and the offset grouping only partitions those candidates.
+# Costs more than the aligned mode (candidates join across ALL frame
+# positions — sampled-frame counts multiply), which is why it is the
+# OPTIONAL second pass, not the default.
+# --------------------------------------------------------------------------
+def video_phash_near_dup_pairs_offset(
+    frame_hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """(id_a, id_b, frame_offset, n_match, n_small) for every pair and
+    offset where >= `min_match_frac` of the SMALLER signature's frames
+    match within `max_hamming` bits at that constant temporal shift.
+    A pair can qualify at multiple offsets (all are returned — the
+    caller picks or aggregates); refused rows never pair."""
+    if max_hamming > PHASH_MAX_HAMMING:
+        raise ValueError(
+            f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
+            f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
+        )
+    fh = frame_hashes.filter(F.col("fhash").isNotNull()).select(
+        F.col("media_id").alias("__id"), "frame_idx", F.col("fhash").alias("__h")
+    )
+    n_frames = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    ex = fh.select(
+        "__id", "frame_idx", "__h",
+        F.posexplode(phash_chunks(F.col("__h"))).alias("ci", "cv"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    matched = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("frame_offset"),
+            F.col("a.frame_idx").alias("fi"),
+        )
+        # (id_a, id_b, frame_offset, fi) names ONE frame pair — an offset
+        # fixes b's frame given a's — so distinct() dedups multi-chunk hits
+        .distinct()
+        .groupBy("id_a", "id_b", "frame_offset")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    na = n_frames.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = n_frames.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    n_small = F.least(F.col("__na"), F.col("__nb"))
+    return (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("n_match") >= F.ceil(F.lit(min_match_frac) * n_small))
+        .select("id_a", "id_b", "frame_offset", "n_match", n_small.alias("n_small"))
+    )
+
+
+# the gate's per-frame band keys encode frame_idx in bits >= 18; the
+# offset mode strips it back out to join across temporal positions
+_FRAME_KEY_SHIFT = 18
+_FRAME_KEY_MASK = (1 << _FRAME_KEY_SHIFT) - 1
+
+
+def _video_pair_rejects_offset(cand: DataFrame, min_match_frac: float) -> DataFrame:
+    """(new_id, old_id, off, fi, n_new, n_old) verified candidate frame
+    rows -> new ids where SOME offset's match count clears the fraction
+    of the SMALLER signature."""
+    nf = F.least(F.col("n_new"), F.col("n_old"))
+    return (
+        cand.distinct()
+        .groupBy("new_id", "old_id", "off", "n_new", "n_old")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= F.ceil(F.lit(min_match_frac) * nf))
+        .select(F.col("new_id").alias("__id"))
+        .distinct()
+    )
+
+
+def video_dedup_against_index_offset(
+    df: DataFrame,
+    index_path: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """Offset-tolerant twin of `video_dedup_against_index`: a new video
+    is rejected when ANY constant temporal shift aligns >= min_match_frac
+    of the SMALLER signature with an indexed (or smaller-id batch) video
+    within the hamming budget — so trimmed/padded re-uploads of indexed
+    footage are caught. Reads the SAME index layout (frame_idx is
+    decoded back out of the band key), so one index serves both modes;
+    the chunk-key join is a derived-key join (both sides shuffle — the
+    documented cost of the offset pass; the aligned gate stays the
+    bucketed-scan default)."""
+    from railgun_spark.operators.dedup import _read_index_or_none
+
+    spark = df.sparkSession
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    ck = F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK))
+    nb = bands.select(
+        "__id", "__n", "frame_idx", "__h", ck.alias("__ck")
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.__ck") == F.col("b.__ck"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
+            (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("off"),
+            F.col("a.frame_idx").alias("fi"),
+            F.col("a.__n").alias("n_new"), F.col("b.__n").alias("n_old"),
+        )
+    )
+    drops = _video_pair_rejects_offset(intra_cand, min_match_frac)
+    seen = _read_index_or_none(spark, index_path, merge_schema=True)
+    if seen is not None:
+        _check_index_geometry(seen, index_path, "video")
+        ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+        idx_side = seen.select(
+            F.col("vid").alias("old_id"),
+            F.col("n_frames").alias("n_old"),
+            F.shiftright(F.col("band_key"), _FRAME_KEY_SHIFT)
+            .cast("int").alias("__of"),
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("__ck"),
+            F.col("dhash").alias("__ih"),
+        )
+        idx_cand = (
+            nb.join(idx_side, "__ck")
+            .filter(ham_idx <= PHASH_MAX_HAMMING)
+            .select(
+                F.col("__id").alias("new_id"), "old_id",
+                (F.col("frame_idx") - F.col("__of")).alias("off"),
+                F.col("frame_idx").alias("fi"),
+                F.col("__n").alias("n_new"), "n_old",
+            )
+        )
+        drops = drops.union(
+            _video_pair_rejects_offset(idx_cand, min_match_frac)
+        ).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+VIDEO_OFFSET_SAMPLE_MOD = 23
+
+
+def _video_offset_frames(g: int, v: int) -> list:
+    """Crafted per-frame hash list for the offset-certification variants:
+    v0 = base (n = 3 + g%3 frames of md5('{g}:{f}')), v1 = front-trim 1,
+    v2 = front-trim 2 XOR one bit (still within the hamming budget),
+    v3 = front-trim 1 with the BACK half replaced by unrelated noise
+    (match fraction ~0.5 — must NOT qualify). Python twin of the
+    oracle's arithmetic."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = 3 + g % 3
+    if v == 0:
+        return [h(f"{g}:{f}") for f in range(n)]
+    if v == 1:
+        return [h(f"{g}:{f + 1}") for f in range(n - 1)]
+    if v == 2:
+        return [h(f"{g}:{f + 2}") ^ (1 << (g % 60)) for f in range(n - 2)]
+    half = -(-(n - 1) // 2)  # ceil((n-1)/2)
+    return [
+        h(f"{g}:{f + 1}") if f < half else h(f"{g}:z{f}")
+        for f in range(n - 1)
+    ]
+
+
+@query(
+    "video_phash_offset_pairs",
+    # The oracle recomputes every crafted frame hash from doc_id
+    # arithmetic and keeps the semantic all-pairs PER-OFFSET definition
+    # (group by a.f - b.f, fraction of the SMALLER signature); the Spark
+    # side recovers the same integers through the REAL craft -> Y4M ->
+    # dhash -> unaligned banded join -> offset vote pipeline.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {VIDEO_OFFSET_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {VIDEO_OFFSET_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {VIDEO_OFFSET_SAMPLE_MOD} = 0
+    ), fr AS (
+      SELECT doc_id, g, v,
+             unnest(generate_series(0,
+               (3 + g % 3) - 1 - (CASE v WHEN 0 THEN 0 WHEN 2 THEN 2
+                                         ELSE 1 END))) AS f
+      FROM s
+    ), h AS (
+      SELECT doc_id, f,
+        CASE
+          WHEN v = 3 AND f >= CAST(CEIL((3 + g % 3 - 1) / 2.0) AS BIGINT)
+          THEN CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':z' ||
+                     CAST(f AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+          ELSE xor(
+            CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                  CAST(f + (CASE v WHEN 1 THEN 1 WHEN 2 THEN 2
+                                   WHEN 3 THEN 1 ELSE 0 END)
+                  AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+            CASE WHEN v = 2 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 ELSE 0 END)
+        END AS fh
+      FROM fr
+    ), n AS (SELECT doc_id, count(*) AS nf FROM h GROUP BY 1),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(a.f - b.f AS INTEGER) AS frame_offset,
+             count(*) AS n_match
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_MAX_HAMMING}
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, frame_offset, n_match,
+           least(na.nf, nb.nf) AS n_small
+    FROM m JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE n_match >= CEIL({VIDEO_MATCH_FRAC} * least(na.nf, nb.nf))
+    ORDER BY id_a, id_b, frame_offset
+    """,
+    doc="Offset-tolerant video near-dup certification: crafted Y4M "
+    "variants are front-TRIMMED copies (by 1 and 2 frames, one carrying "
+    "an extra in-budget bit flip) plus a half-noise negative; the "
+    "unaligned banded join + per-offset temporal vote must reproduce the "
+    "all-pairs per-offset definition exactly — trimmed copies qualify at "
+    "their true shift, the half-noise variant at no shift.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % VIDEO_OFFSET_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // VIDEO_OFFSET_SAMPLE_MOD
+                y4m = _phash_y4m(_video_offset_frames(m // 4, m % 4))
+                rows.append((d, "video", y4m, {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    fh = video_perceptual_hashes(media, every_n=1)
+    return video_phash_near_dup_pairs_offset(fh).orderBy(
+        "id_a", "id_b", "frame_offset"
+    )

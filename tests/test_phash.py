@@ -1060,3 +1060,220 @@ def test_wide_gate_and_geometry_guard(spark, tmp_path):
     append_image_bands_to_index(image_dedup_against_index(imgs, narrow_idx), narrow_idx)
     with pytest.raises(ValueError, match="geometry|modality"):
         image_wide_dedup_against_index(b2, narrow_idx).collect()
+
+
+def test_video_offset_pairs_and_gate(spark, tmp_path):
+    """Offset-tolerant video matching: a front-trimmed copy qualifies at
+    its true shift (which the frame-ALIGNED mode misses), a half-noise
+    variant at no shift; the offset gate rejects a trimmed re-upload of
+    an indexed video against the SAME index the aligned gate writes."""
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        append_video_bands_to_index,
+        video_dedup_against_index,
+        video_dedup_against_index_offset,
+        video_perceptual_hashes,
+        video_phash_near_dup_pairs,
+        video_phash_near_dup_pairs_offset,
+    )
+
+    base = [_phash_target(700 + f, 0) for f in range(4)]
+    trimmed = [h ^ 1 for h in base[1:]]  # front-trim 1, 1 bit per frame
+    noise = [base[1], base[2]] + [_phash_target(980 + f, 0) for f in range(2)]
+    rows = [
+        (1, "video", bytearray(_phash_y4m(base)), {}),
+        (2, "video", bytearray(_phash_y4m(trimmed)), {}),
+        (3, "video", bytearray(_phash_y4m(noise)), {}),  # 2/4 at off -1: fails
+    ]
+    fh = video_perceptual_hashes(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), every_n=1
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["frame_offset"], r["n_match"], r["n_small"])
+        for r in video_phash_near_dup_pairs_offset(fh).collect()
+    }
+    # pair (1,2): video 1's frame f+1 matches video 2's frame f -> off +1,
+    # all 3 of the smaller signature's frames
+    assert got == {(1, 2): (1, 3, 3)}
+    # the aligned mode misses the trimmed copy entirely
+    assert video_phash_near_dup_pairs(fh).count() == 0
+
+    with pytest.raises(ValueError, match="lossless"):
+        video_phash_near_dup_pairs_offset(fh, max_hamming=PHASH_BANDS)
+
+    # gate: index video 1 through the ALIGNED gate's append, then an
+    # offset-gated batch must reject the trimmed re-upload and admit the
+    # half-noise clip; the aligned gate admits both (documented miss)
+    idx = str(tmp_path / "vidx")
+    b1 = spark.createDataFrame(rows[:1], MEDIA_SCHEMA)
+    s1 = video_dedup_against_index(b1, idx, every_n=1)
+    append_video_bands_to_index(s1, idx, every_n=1)
+    b2 = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m(trimmed)), {}),
+         (11, "video", bytearray(_phash_y4m(noise)), {}),
+         (12, "video", bytearray(b"RIFF....AVI JUNK"), {})],  # refusal survives
+        MEDIA_SCHEMA,
+    )
+    off_s = video_dedup_against_index_offset(b2, idx, every_n=1)
+    assert sorted(r["media_id"] for r in off_s.collect()) == [11, 12]
+    aligned_s = video_dedup_against_index(b2, idx, every_n=1)
+    assert sorted(r["media_id"] for r in aligned_s.collect()) == [10, 11, 12]
+
+    # intra-batch: a trimmed copy of a smaller-id batch video rejects
+    b3 = spark.createDataFrame(
+        [(20, "video", bytearray(_phash_y4m([_phash_target(880 + f, 0) for f in range(4)])), {}),
+         (21, "video", bytearray(_phash_y4m([_phash_target(881 + f, 0) ^ 2 for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    s3 = video_dedup_against_index_offset(b3, str(tmp_path / "fresh"), every_n=1)
+    assert sorted(r["media_id"] for r in s3.collect()) == [20]
+
+
+@pytest.mark.parametrize("modality", ["audio", "video"])
+def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
+    """Audio/video gate soak (slow, ~1-2 min each; r13 VERDICT #4 — the
+    image gate's injected-crash soak generalized): 12 availableNow
+    micro-batches with two crash/replay windows at batch boundaries 5
+    (sink written, index lost) and 8 (index committed, checkpoint lost).
+    Every shard carries a pass-through (decode-refused) row, so window
+    2's replay exercises the r14 mixed-batch discipline: the admitted
+    content set must still equal the batch-backfill ground truth, and
+    per-batch walls must not grow with index size."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from railgun_spark.operators.phash import _phash_wav, _phash_y4m
+    from railgun_spark.streaming.ingest import (
+        _drain_availablenow,
+        _write_sink,
+        ingest_audio_batch,
+        ingest_videos_batch,
+    )
+
+    n_shards = 12
+
+    def fresh_hash(k: int, j: int) -> int:
+        return _phash_target(3000 + k * 2 + j, 0)
+
+    if modality == "audio":
+        payload = lambda h: _phash_wav(h)  # noqa: E731
+        refuse = lambda k: b"ID3\x04" + bytes([k])  # noqa: E731
+
+        def ingest(df, batch_id):
+            return ingest_audio_batch(df, idx, sink, batch_id=batch_id)
+
+        def gate_direct(df, b_idx, b_sink):
+            return ingest_audio_batch(df, b_idx, b_sink, batch_id=None)
+    else:
+        payload = lambda h: _phash_y4m([h, h ^ 2])  # noqa: E731
+        refuse = lambda k: b"RIFF....AVI " + bytes([k])  # noqa: E731
+
+        def ingest(df, batch_id):
+            return ingest_videos_batch(df, idx, sink, batch_id=batch_id, every_n=1)
+
+        def gate_direct(df, b_idx, b_sink):
+            return ingest_videos_batch(df, b_idx, b_sink, batch_id=None, every_n=1)
+
+    def shard_rows(k: int):
+        rows = [
+            (100 * k + j, modality, bytearray(payload(fresh_hash(k, j))), {})
+            for j in (0, 1)
+        ]
+        # intra-shard near-dup (higher id -> greedy rejection)
+        rows.append((100 * k + 60, modality,
+                     bytearray(payload(fresh_hash(k, 0) ^ (1 << ((k + 5) % 60)))), {}))
+        if k > 0:  # near-dup of the PREVIOUS shard's admitted clip
+            rows.append((100 * k + 50, modality,
+                         bytearray(payload(fresh_hash(k - 1, 0) ^ (1 << (k % 60)))), {}))
+        rows.append((100 * k + 70, modality, bytearray(refuse(k)), {}))
+        return rows
+
+    src = tmp_path / "arriving"
+    src.mkdir()
+
+    def ship(k: int) -> None:
+        stage = tmp_path / f"__s{k}"
+        spark.createDataFrame(shard_rows(k), MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = src / f"shard{k:02d}.parquet"
+        shutil.move(part, str(dest))
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    idx, sink, ckpt = (str(tmp_path / p) for p in ("idx", "sink", "ckpt"))
+    walls: list[float] = []
+
+    def gate(batch_df, batch_id):
+        t0 = time.time()
+        n = ingest(batch_df, batch_id)
+        walls.append(time.time() - t0)
+        return n
+
+    def drain():
+        return _drain_availablenow(spark, str(src), MEDIA_SCHEMA, ckpt, 1, gate)
+
+    admitted = 0
+    for k in range(5):
+        ship(k)
+    admitted += drain()  # batches 0..4
+
+    # CRASH WINDOW 1 at boundary 5: sink partition written, index lost
+    ship(5)
+    if modality == "audio":
+        from railgun_spark.operators.phash import audio_dedup_against_index as g5
+        crashed = g5(spark.read.parquet(str(src / "shard05.parquet")), idx)
+    else:
+        from railgun_spark.operators.phash import video_dedup_against_index
+        crashed = video_dedup_against_index(
+            spark.read.parquet(str(src / "shard05.parquet")), idx, every_n=1
+        )
+    _write_sink(crashed, sink, batch_id=5)
+    for k in range(6, 8):
+        ship(k)
+    admitted += drain()  # batches 5..7 (5 is a replay)
+
+    # CRASH WINDOW 2 at boundary 8: index committed, checkpoint lost —
+    # the replay batch is MIXED (pass-through refusal + rejected
+    # decodables) and must not clobber the written partition
+    ship(8)
+    n8 = ingest(spark.read.parquet(str(src / "shard08.parquet")), 8)
+    assert n8 == 3  # 2 fresh + 1 refused pass-through
+    for k in range(9, n_shards):
+        ship(k)
+    admitted += drain()  # batches 8..11 (8 replays to 0)
+
+    assert len(walls) == n_shards
+    got = sorted(
+        bytes(r["content"]) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        [bytes(payload(fresh_hash(k, j))) for k in range(n_shards) for j in (0, 1)]
+        + [bytes(refuse(k)) for k in range(n_shards)]
+    )
+    assert got == want  # one copy per class + every pass-through row
+    # per drained batch: 2 fresh + 1 refusal admitted, except window-2's
+    # replay (0)
+    assert admitted == 3 * n_shards - 3
+
+    # batch-backfill ground truth: same shards, direct gate calls
+    b_idx, b_sink = str(tmp_path / "b_idx"), str(tmp_path / "b_sink")
+
+    def backfill_gate(df):
+        if modality == "audio":
+            return ingest_audio_batch(df, b_idx, b_sink, batch_id=None)
+        return ingest_videos_batch(df, b_idx, b_sink, batch_id=None, every_n=1)
+
+    for k in range(n_shards):
+        backfill_gate(spark.createDataFrame(shard_rows(k), MEDIA_SCHEMA))
+    backfill = sorted(
+        bytes(r["content"]) for r in spark.read.parquet(b_sink).collect()
+    )
+    assert got == backfill
+
+    print(f"{modality.upper()}_SOAK_WALLS " + " ".join(f"{w:.2f}" for w in walls))
+    first = sum(walls[:4]) / 4
+    last = sum(walls[-4:]) / 4
+    assert last <= 3 * first, (first, last, walls)
