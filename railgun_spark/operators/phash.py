@@ -1396,21 +1396,28 @@ def append_video_bands_to_bucketed_index(
 # The 4x16-bit pigeonhole over a 64-bit hash carries a ~B*N^2/2^16
 # candidate term: flat at every measured scale, but at ~10^9 images per
 # index the saturated 16-bit chunks pour out a quadratic (small-constant)
-# candidate stream. The wide geometry quarters the per-band collision
-# probability's EFFECT where it matters: a candidate pair must agree on
-# one of 16 bands drawn from a 256-bit hash, and true near-dups (budget
-# hamming <= 15 ~ the same 3-per-64-bit relative tolerance) still
-# pigeonhole losslessly — while RANDOM pairs now need a 16-bit agreement
-# out of 4x more positions whose values are far less correlated (each
-# band sees a distinct 4-row strip of the image). Asymptotically the
-# candidate term is 16*N^2/2^16 per band-space — same order — but the
-# verify step compares 256 bits, so the false-verify rate drops by
-# 2^-192 and, decisively for scale, the hamming budget's RELATIVE
-# precision lets bands be dropped: any 4-of-16 band subset remains
-# lossless for hamming <= 3 (pigeonhole over the subset), so an operator
-# can trade recall window against candidate volume at runtime. The probe
-# (tools/phash_probe.py) records candidate/true-pair curves for both
-# geometries at x8-x32 blow-ups.
+# candidate stream. The 256-bit hash buys headroom on two axes, and the
+# probe (tools/phash_probe.py, PHASH_CANDIDATE_PROBE_r14.json) separates
+# them honestly:
+#
+# - 16 bands x 16-bit keys (budget hamming <= 15 — the same 3-per-64-bit
+#   RELATIVE tolerance as the narrow geometry) does NOT reduce
+#   candidates: 16-bit keys saturate regardless of hash width, and 4x
+#   the bands means 4x the random collisions (measured: cand/true 93 ->
+#   2968 as N grows 20k -> 640k, vs the narrow 24 -> 743). Its value is
+#   the 256-bit verify (false-verify odds drop ~2^-192) and the wider
+#   budget for heavily re-encoded corpora.
+# - 8 bands x 32-bit keys over the SAME hash (budget <= 7) is the
+#   candidate-headroom geometry: random band collisions cost 2^-32 each,
+#   and measured candidates TRACK TRUE PAIRS at every blow-up
+#   (cand/true 1.00 -> 1.04 at 20k -> 640k while the 16-bit layouts grow
+#   ~N^2). At 10^9 images the expected random-candidate term is
+#   8*N^2/2/2^32 ~ 10^9 — linear in practice.
+#
+# Both bandings are lossless by pigeonhole for their budgets and share
+# the hash pass; phash_wide_near_dup_pairs takes n_bands (16 default, 8
+# coarse), and both are oracle-certified (image_phash_wide_pairs /
+# image_phash_wide_coarse_pairs).
 #
 # Block dHash: gray -> 17x16 bilinear -> bit (y*16 + x) set iff
 # g[y, x+1] > g[y, x]; word w = bit // 64 covers rows 4w..4w+3. Same
@@ -1490,17 +1497,24 @@ def image_perceptual_hashes_wide(
     return df.mapInPandas(batches, PHASH_WIDE_SCHEMA)
 
 
-def phash_wide_chunks(word_cols) -> Column:
-    """The 16 disjoint 16-bit chunks of a 256-bit hash held as 4 long
-    columns — chunk j comes from word j // 4."""
-    return F.array(
-        *[
-            F.shiftright(
-                word_cols[j // PHASH_BANDS], (j % PHASH_BANDS) * PHASH_BAND_BITS
-            ).bitwiseAND(F.lit(0xFFFF))
-            for j in range(PHASH_WIDE_BANDS)
-        ]
-    )
+def phash_wide_chunks(word_cols, n_bands: int = PHASH_WIDE_BANDS) -> Column:
+    """The `n_bands` disjoint chunks of a 256-bit hash held as 4 long
+    columns. n_bands=16 -> 16-bit chunks (max hamming budget 15, the
+    gate/index layout); n_bands=8 -> 32-bit chunks (budget 7 with 2^16x
+    the key entropy — the candidate-headroom geometry: random pairs
+    collide on a band with probability 2^-32 instead of 2^-16, so the
+    ~B*N^2/2^bits candidate term stays pair-tracking out to billions of
+    images)."""
+    if 256 % n_bands or 256 // n_bands > 64:
+        raise ValueError(f"n_bands must divide 256 into <=64-bit chunks: {n_bands}")
+    width = 256 // n_bands
+    mask = (1 << width) - 1
+    out = []
+    for j in range(n_bands):
+        bit0 = j * width
+        w, off = bit0 // 64, bit0 % 64
+        out.append(F.shiftright(word_cols[w], off).bitwiseAND(F.lit(mask)))
+    return F.array(*out)
 
 
 def _wide_hamming(a: str, b: str) -> Column:
@@ -1514,21 +1528,24 @@ def phash_wide_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = PHASH_WIDE_MAX_HAMMING,
     id_col: str = "media_id",
+    n_bands: int = PHASH_WIDE_BANDS,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for every pair within `max_hamming` of 256
-    bits — pigeonhole over 16 bands (lossless for hamming <= 15).
-    Refused rows never pair."""
-    if max_hamming > PHASH_WIDE_MAX_HAMMING:
+    bits — pigeonhole over `n_bands` bands (lossless for
+    hamming <= n_bands - 1). n_bands=8 trades the hamming budget down to
+    7 for 32-bit band keys whose candidate stream tracks true pairs, not
+    N^2 (tools/phash_probe.py measures both). Refused rows never pair."""
+    if max_hamming > n_bands - 1:
         raise ValueError(
-            f"pigeonhole blocking with {PHASH_WIDE_BANDS} bands is lossless "
-            f"only for hamming <= {PHASH_WIDE_MAX_HAMMING}; got {max_hamming}"
+            f"pigeonhole blocking with {n_bands} bands is lossless "
+            f"only for hamming <= {n_bands - 1}; got {max_hamming}"
         )
     ok = hashes.filter(F.col("h0").isNotNull())
     ex = ok.select(
         F.col(id_col).alias("__id"),
         *_WIDE_HASH_COLS,
         F.posexplode(
-            phash_wide_chunks([F.col(c) for c in _WIDE_HASH_COLS])
+            phash_wide_chunks([F.col(c) for c in _WIDE_HASH_COLS], n_bands)
         ).alias("ci", "cv"),
     )
     a, b = ex.alias("a"), ex.alias("b")
@@ -1747,6 +1764,13 @@ def _wide_word_sql(w: int) -> str:
     tags=("multimodal", "dedup", "pandas-udf"),
 )
 def image_phash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = image_perceptual_hashes_wide(_wide_craft_media(spark, sf_dir))
+    return phash_wide_near_dup_pairs(hashes).orderBy("id_a", "id_b")
+
+
+def _wide_craft_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_id-predicted 34x32 PGM corpus shared by the wide-pair
+    certification queries."""
     from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
 
     docs = spread_for_decode(
@@ -1768,9 +1792,50 @@ def image_phash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
-    hashes = image_perceptual_hashes_wide(media)
-    return phash_wide_near_dup_pairs(hashes).orderBy("id_a", "id_b")
+    return docs.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+@extra_query(
+    "image_phash_wide_coarse_pairs",
+    # Same crafted corpus and per-word arithmetic as image_phash_wide_pairs
+    # but the COARSE banding (8 bands x 32-bit keys, budget <= 7): only the
+    # hamming-4 variant pairs qualify; the hamming-8/12 pairs that the
+    # 16-band query returns sit just past the coarse budget — certifying
+    # the boundary and the coarse banding's losslessness in one oracle.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {PHASH_WIDE_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {PHASH_WIDE_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {PHASH_WIDE_SAMPLE_MOD} = 0
+    ), h AS (
+      SELECT doc_id, {_wide_word_sql(0)}, {_wide_word_sql(1)},
+             {_wide_word_sql(2)}, {_wide_word_sql(3)}
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
+         + CAST(bit_count(xor(a.h1, b.h1)) AS INTEGER)
+         + CAST(bit_count(xor(a.h2, b.h2)) AS INTEGER)
+         + CAST(bit_count(xor(a.h3, b.h3)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE CAST(bit_count(xor(a.h0, b.h0)) AS INTEGER)
+        + CAST(bit_count(xor(a.h1, b.h1)) AS INTEGER)
+        + CAST(bit_count(xor(a.h2, b.h2)) AS INTEGER)
+        + CAST(bit_count(xor(a.h3, b.h3)) AS INTEGER)
+        <= 7
+    ORDER BY id_a, id_b
+    """,
+    doc="Coarse-banded (8 bands x 32-bit keys, hamming <= 7) wide pair "
+    "join — the candidate-headroom geometry for ~10^9-image corpora; "
+    "must equal the all-pairs definition at its tighter budget.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def image_phash_wide_coarse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = image_perceptual_hashes_wide(_wide_craft_media(spark, sf_dir))
+    return phash_wide_near_dup_pairs(
+        hashes, max_hamming=7, n_bands=8
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

@@ -111,6 +111,8 @@ def main() -> int:
         "tiles_data_z4": lambda: get("/layers/events/tiles/data/4/8/5.json?limit=500"),
         "tiles_data_z8": lambda: get("/layers/events/tiles/data/8/128/88.json?limit=500"),
         "tiles_mask_z4": lambda: get("/layers/events/tiles/mask/4/8/5.png?zoom=8"),
+        "tiles_mask_gif": lambda: get("/layers/events/tiles/mask/4/8/5.gif?zoom=8"),
+        "tiles_mask_jpg": lambda: get("/layers/events/tiles/mask/4/8/5.jpg?zoom=8"),
         "exec_by_type": lambda: post("/services/by_type/exec.json",
                                      {"variables": {"etype": "click"}}),
     }
