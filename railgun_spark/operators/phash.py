@@ -1592,8 +1592,8 @@ def image_wide_dedup_against_index(
     requires a verified 256-bit hamming <= PHASH_WIDE_MAX_HAMMING
     against the stored words. Use a separate index path — the mod tag
     ('image-wide') refuses a narrow index loudly."""
-    survivors, _bands = image_wide_gate_with_bands(df, index_path, id_col=id_col)
-    return survivors
+    bands = _wide_band_rows(df, id_col=id_col).localCheckpoint()
+    return _wide_verified_gate(df, bands, index_path, id_col)
 
 
 def image_wide_gate_with_bands(
@@ -1601,10 +1601,19 @@ def image_wide_gate_with_bands(
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, survivor_band_rows) for the wide gate — one decode
     pass, same contract as `image_gate_with_bands`."""
+    bands = _wide_band_rows(df, id_col=id_col).localCheckpoint()
+    survivors = _wide_verified_gate(
+        df, bands, index_path, id_col
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
+def _wide_verified_gate(
+    df: DataFrame, bands: DataFrame, index_path: str, id_col: str
+) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    bands = _wide_band_rows(df, id_col=id_col).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     intra_hits = (
         a.join(
@@ -1638,10 +1647,7 @@ def image_wide_gate_with_bands(
             .select("__id")
         )
         drops = drops.union(index_hits).distinct()
-    survivors = df.join(
-        drops, df[id_col] == drops["__id"], "left_anti"
-    ).localCheckpoint()
-    return survivors, _survivor_bands(bands, survivors, id_col)
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
 
 
 def append_image_wide_bands_to_index(
@@ -2112,3 +2118,76 @@ def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_phash_near_dup_pairs_offset(fh).orderBy(
         "id_a", "id_b", "frame_offset"
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed wide band table — completes bucket-layout parity across every
+# media gate (narrow image / audio / video / wide image).
+# --------------------------------------------------------------------------
+def bucketize_image_wide_index(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Materialize a parquet WIDE image band index as a managed table
+    bucketed by band_key (then append with
+    `append_image_wide_bands_to_bucketed_index`). Refuses an index of
+    another geometry/modality. Returns the distinct row count."""
+    from railgun_spark.operators.dedup import _local_index_path, _recover_index
+
+    local = _local_index_path(index_path)
+    _recover_index(local)
+    idx = spark.read.option("mergeSchema", "true").parquet(local)
+    _check_index_geometry(idx, index_path, "image-wide", hash_cols=_WIDE_HASH_COLS)
+    idx.select("band_key", *_WIDE_HASH_COLS, "bits", "mod").distinct().write.mode(
+        "overwrite"
+    ).format("parquet").bucketBy(n_buckets, "band_key").saveAsTable(table)
+    return spark.table(table).count()
+
+
+def image_wide_dedup_against_bucketed_index(
+    df: DataFrame, table: str, id_col: str = "media_id"
+) -> DataFrame:
+    """`image_wide_dedup_against_index` against a bucketed band table:
+    same admitted set, index side scans in place (no Exchange)."""
+    spark = df.sparkSession
+    bands = _wide_band_rows(df, id_col=id_col).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_hits = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(_wide_hamming("a", "b") <= PHASH_WIDE_MAX_HAMMING)
+        .select(F.col("a.__id").alias("__id"))
+        .distinct()
+    )
+    seen = spark.table(table)
+    ham_idx = F.lit(0)
+    for c in _WIDE_HASH_COLS:
+        ham_idx = ham_idx + F.bit_count(F.col(c).bitwiseXOR(F.col(f"__i{c}")))
+    index_hits = (
+        bands.join(
+            seen.select(
+                "band_key",
+                *[F.col(c).alias(f"__i{c}") for c in _WIDE_HASH_COLS],
+            ),
+            "band_key",
+        )
+        .filter(ham_idx <= PHASH_WIDE_MAX_HAMMING)
+        .select("__id")
+    )
+    drops = intra_hits.union(index_hits).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_image_wide_bands_to_bucketed_index(
+    survivors: DataFrame, table: str, id_col: str = "media_id"
+) -> None:
+    """Append survivors' wide band rows preserving the table's bucket
+    spec."""
+    _wide_band_rows(survivors, id_col=id_col).select(
+        "band_key",
+        *_WIDE_HASH_COLS,
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("image-wide").alias("mod"),
+    ).write.mode("append").insertInto(table)

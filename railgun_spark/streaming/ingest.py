@@ -297,6 +297,32 @@ def ingest_images_wide_batch(
     return n
 
 
+def stream_ingest_images_wide_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    id_col: str = "media_id",
+) -> int:
+    """Drain `source_dir` of MEDIA_SCHEMA image shards through the WIDE
+    (256-bit block dHash) band gate (availableNow); returns total images
+    admitted."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return _drain_availablenow(
+        spark,
+        source_dir,
+        MEDIA_SCHEMA,
+        checkpoint_dir,
+        max_files_per_trigger,
+        lambda batch_df, batch_id: ingest_images_wide_batch(
+            batch_df, index_path, sink_path, id_col=id_col, batch_id=batch_id
+        ),
+    )
+
+
 def ingest_audio_batch(
     batch_df: DataFrame,
     index_path: str,

@@ -1277,3 +1277,91 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
     first = sum(walls[:4]) / 4
     last = sum(walls[-4:]) / 4
     assert last <= 3 * first, (first, last, walls)
+
+
+def test_wide_stream_and_bucketed_index(spark, tmp_path):
+    """The wide gate's streaming drain admits one image per 256-bit
+    near-dup class, and the bucketed wide band table admits exactly the
+    parquet gate's set with fewer exchanges (index side scans in
+    place)."""
+    import shutil
+
+    from railgun_spark.operators.phash import (
+        PHASH_WIDE_BANDS,
+        _phash_wide_pgm,
+        _phash_wide_target,
+        append_image_wide_bands_to_bucketed_index,
+        append_image_wide_bands_to_index,
+        bucketize_image_wide_index,
+        image_wide_dedup_against_bucketed_index,
+        image_wide_dedup_against_index,
+    )
+    from railgun_spark.streaming.ingest import (
+        stream_ingest_images_wide_availablenow,
+    )
+
+    def wrow(mid, g, v):
+        return (mid, "image",
+                bytearray(_phash_wide_pgm(_phash_wide_target(g, v))), {})
+
+    # streaming drain: shard 0 = base + its hamming-4 variant (one
+    # admits); shard 1 = near-dup of shard 0's admit + a fresh image
+    shards = [
+        [wrow(1, 11, 0), wrow(2, 11, 1)],
+        [wrow(10, 11, 2), wrow(11, 90, 0)],
+    ]
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.move(
+            str(next(stage.glob("part-*.parquet"))), str(src / f"s{i}.parquet")
+        )
+    idx, sink = str(tmp_path / "widx"), str(tmp_path / "wsink")
+    admitted = stream_ingest_images_wide_availablenow(
+        spark, str(src), index_path=idx, sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert admitted == 2  # ids 1 and 11
+    got = spark.read.option("basePath", sink).parquet(sink)
+    assert sorted(r["media_id"] for r in got.collect()) == [1, 11]
+
+    # bucketed table: same decisions, fewer exchanges
+    table = "phash_wide_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+    assert bucketize_image_wide_index(spark, idx, table, n_buckets=8) == \
+        2 * PHASH_WIDE_BANDS
+    probe = spark.createDataFrame(
+        [wrow(20, 90, 1), wrow(21, 500, 0)], MEDIA_SCHEMA
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_p = image_wide_dedup_against_index(probe, idx)
+        via_t = image_wide_dedup_against_bucketed_index(probe, table)
+        assert sorted(r["media_id"] for r in via_t.collect()) == \
+               sorted(r["media_id"] for r in via_p.collect()) == [21]
+        plan_t = via_t._jdf.queryExecution().executedPlan().toString()
+        plan_p = via_p._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+        assert plan_t.count("Exchange") < plan_p.count("Exchange")
+        # appends preserve the bucket spec and stay visible
+        append_image_wide_bands_to_bucketed_index(via_t, table)
+        probe2 = spark.createDataFrame([wrow(30, 500, 1)], MEDIA_SCHEMA)
+        assert image_wide_dedup_against_bucketed_index(probe2, table).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # geometry guard at bucketize time: a NARROW index refuses
+    narrow_idx = str(tmp_path / "nidx")
+    from railgun_spark.operators.phash import append_image_bands_to_index
+
+    imgs = spark.createDataFrame(_media_rows([(50, _phash_target(81, 0))]), MEDIA_SCHEMA)
+    append_image_bands_to_index(image_dedup_against_index(imgs, narrow_idx), narrow_idx)
+    with pytest.raises(ValueError, match="geometry|modality"):
+        bucketize_image_wide_index(spark, narrow_idx, "phash_wide_guard")

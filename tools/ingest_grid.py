@@ -262,6 +262,54 @@ def main() -> int:
         time_batch=image_ingest,
     )
 
+    # gate 5b (r14): WIDE 256-bit block-dHash gate — crafted 34x32 PGMs
+    # whose four words are per-word 60-bit md5 values of the id, so every
+    # cell measures the admit path under the 16-band verified gate
+    def _media_frame_wide(ids_df, salt: str):
+        import hashlib
+
+        import pandas as pd
+
+        from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+        from railgun_spark.operators.phash import _phash_wide_pgm
+
+        def synth(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    words = [
+                        int(hashlib.md5(
+                            f"{salt}:{mid}:w{w}".encode()
+                        ).hexdigest()[:15], 16)
+                        for w in range(4)
+                    ]
+                    rows.append((mid, "image", _phash_wide_pgm(words), {}))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content", "meta"]
+                )
+
+        return spread_for_decode(ids_df, heavy=True).mapInPandas(synth, MEDIA_SCHEMA)
+
+    imgw_index_src = _media_frame_wide(
+        spark.range(60_000).select((F.col("id") + 2_000_000_000).alias("media_id")),
+        "idx",
+    )
+    imgw_batch_src = _media_frame_wide(
+        spark.range(5_000).select(F.col("id").alias("media_id")), "batch"
+    )
+
+    def image_wide_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_images_wide_batch
+
+        return ingest_images_wide_batch(batch, idx, sink)
+
+    run_gate(
+        "image_wide", imgw_index_src, imgw_batch_src,
+        populate=lambda df, idx: image_wide_ingest(df, idx, idx + "_popsink"),
+        time_batch=image_wide_ingest,
+    )
+
     # gate 6 (r13): audio fingerprint band gate — crafted staircase WAVs
     # whose energy-delta fingerprint is a 60-bit md5 of the id
     def _audio_frame(ids_df, salt: str):
