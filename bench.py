@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "image_phash_pairs",
     "video_phash_pairs",
     "audio_phash_pairs",
+    # round-14 flagships: 256-bit block-dHash wide geometry and the
+    # offset-tolerant (trim-robust) video near-dup vote
+    "image_phash_wide_pairs",
+    "video_phash_offset_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

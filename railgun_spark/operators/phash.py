@@ -1147,11 +1147,16 @@ def video_gate_with_bands(
     every_n: int = 10,
     id_col: str = "media_id",
     min_match_frac: float = VIDEO_MATCH_FRAC,
+    offset_tolerant: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Video twin of `image_gate_with_bands` (survivor band rows keep the
-    per-frame columns `append_video_bands_to_index` persists)."""
+    per-frame columns `append_video_bands_to_index` persists). With
+    `offset_tolerant`, rejection uses the per-offset temporal vote
+    (trimmed/padded copies of history reject too) — the index layout and
+    appends are IDENTICAL, so a sink can switch modes batch to batch."""
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
-    survivors = _video_verified_gate(
+    gate = _video_verified_gate_offset if offset_tolerant else _video_verified_gate
+    survivors = gate(
         df, bands, index_path, id_col, min_match_frac
     ).localCheckpoint()
     return survivors, _survivor_bands(bands, survivors, id_col)
@@ -1952,10 +1957,20 @@ def video_dedup_against_index_offset(
     the chunk-key join is a derived-key join (both sides shuffle — the
     documented cost of the offset pass; the aligned gate stays the
     bucketed-scan default)."""
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    return _video_verified_gate_offset(df, bands, index_path, id_col, min_match_frac)
+
+
+def _video_verified_gate_offset(
+    df: DataFrame,
+    bands: DataFrame,
+    index_path: str,
+    id_col: str,
+    min_match_frac: float,
+) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
     ck = F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK))
     nb = bands.select(
         "__id", "__n", "frame_idx", "__h", ck.alias("__ck")

@@ -382,22 +382,26 @@ def ingest_videos_batch(
     id_col: str = "media_id",
     batch_id: int | None = None,
     every_n: int = 10,
+    offset_tolerant: bool = False,
 ) -> int:
     """Video twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     through the per-sampled-frame signature index
     (phash.video_gate_with_bands — frame-aligned candidates, verified
-    per-frame hamming, match-fraction rejection). Same crash-window
-    discipline, including the mixed-batch replay skip
-    (`_write_media_sink`); decode-refused rows always survive and are
-    never indexed. `every_n` must stay constant for one index's
-    lifetime."""
+    per-frame hamming, match-fraction rejection; with `offset_tolerant`
+    the per-offset temporal vote also rejects trimmed/padded copies of
+    indexed footage — same index layout, so the knob can change batch to
+    batch). Same crash-window discipline, including the mixed-batch
+    replay skip (`_write_media_sink`); decode-refused rows always
+    survive and are never indexed. `every_n` must stay constant for one
+    index's lifetime."""
     from railgun_spark.operators.phash import (
         _append_video_band_rows,
         video_gate_with_bands,
     )
 
     survivors, surv_bands = video_gate_with_bands(
-        batch_df, index_path, every_n=every_n, id_col=id_col
+        batch_df, index_path, every_n=every_n, id_col=id_col,
+        offset_tolerant=offset_tolerant,
     )
     has_gateable = bool(surv_bands.limit(1).count())
     n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
@@ -415,9 +419,12 @@ def stream_ingest_videos_availablenow(
     max_files_per_trigger: int = 1,
     id_col: str = "media_id",
     every_n: int = 10,
+    offset_tolerant: bool = False,
 ) -> int:
     """Drain `source_dir` of MEDIA_SCHEMA video shards through the
-    frame-signature gate (availableNow); returns total videos admitted."""
+    frame-signature gate (availableNow); returns total videos admitted.
+    `offset_tolerant` switches every micro-batch to the per-offset
+    temporal vote (trimmed copies reject too)."""
     from railgun_spark.operators.multimodal import MEDIA_SCHEMA
 
     return _drain_availablenow(
@@ -429,6 +436,7 @@ def stream_ingest_videos_availablenow(
         lambda batch_df, batch_id: ingest_videos_batch(
             batch_df, index_path, sink_path,
             id_col=id_col, batch_id=batch_id, every_n=every_n,
+            offset_tolerant=offset_tolerant,
         ),
     )
 

@@ -1365,3 +1365,53 @@ def test_wide_stream_and_bucketed_index(spark, tmp_path):
     append_image_bands_to_index(image_dedup_against_index(imgs, narrow_idx), narrow_idx)
     with pytest.raises(ValueError, match="geometry|modality"):
         bucketize_image_wide_index(spark, narrow_idx, "phash_wide_guard")
+
+
+def test_offset_tolerant_video_ingest(spark, tmp_path):
+    """ingest_videos_batch(offset_tolerant=True): a trimmed re-upload of
+    an ADMITTED video rejects in the next batch, the replay-after-append
+    discipline still holds, and the same index keeps serving the aligned
+    mode."""
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        video_dedup_against_index,
+    )
+    from railgun_spark.streaming.ingest import ingest_videos_batch
+
+    base = [_phash_target(810 + f, 0) for f in range(4)]
+    trimmed = [h ^ 4 for h in base[1:]]
+    idx, sink = str(tmp_path / "idx"), str(tmp_path / "sink")
+    b1 = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    )
+    assert ingest_videos_batch(
+        b1, idx, sink, batch_id=0, every_n=1, offset_tolerant=True
+    ) == 1
+
+    b2 = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m(trimmed)), {}),  # trim: reject
+         (11, "video", bytearray(
+             _phash_y4m([_phash_target(910 + f, 0) for f in range(3)])), {}),
+         (12, "video", bytearray(b"RIFF....AVI JUNK"), {})],  # pass-through
+        MEDIA_SCHEMA,
+    )
+    assert ingest_videos_batch(
+        b2, idx, sink, batch_id=1, every_n=1, offset_tolerant=True
+    ) == 2  # 11 + the refusal; 10 rejected at offset +1
+
+    # replay of batch 1 after its append: mixed-batch skip still holds
+    assert ingest_videos_batch(
+        b2, idx, sink, batch_id=1, every_n=1, offset_tolerant=True
+    ) == 0
+    kept = sorted(
+        r["media_id"]
+        for r in spark.read.option("basePath", sink).parquet(sink).collect()
+    )
+    assert kept == [1, 11, 12]
+
+    # the SAME index still serves the aligned mode
+    b3 = spark.createDataFrame(
+        [(20, "video", bytearray(_phash_y4m([h ^ 1 for h in base])), {})],
+        MEDIA_SCHEMA,
+    )
+    assert video_dedup_against_index(b3, idx, every_n=1).count() == 0

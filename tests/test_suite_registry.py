@@ -151,6 +151,12 @@ EXPECTED_EXTRA = {
     "dedup_simhash",  # pigeonhole-banded hamming join: image_phash_pairs certifies
     "mp3_refusal_report",  # media_refusal_report's 22-class corpus supersets it
     "multimodal_frame_sample",  # sampled-frame decode: video_phash_pairs + gif_animation_report certify
+    # round-14 rotation: image_phash_wide_pairs + video_phash_offset_pairs
+    # promoted to the driver gate; these two capability-twins demoted
+    "asof_join_forward",  # backward as-of: asof_join_orders_events certifies
+    "part_supplier_variety",  # Q16 distinct-count/anti-join: certified by siblings
+    # round-14 addition
+    "image_phash_wide_coarse_pairs",  # 8x32-bit coarse banding boundary oracle
 }
 
 
