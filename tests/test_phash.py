@@ -1415,3 +1415,64 @@ def test_offset_tolerant_video_ingest(spark, tmp_path):
         MEDIA_SCHEMA,
     )
     assert video_dedup_against_index(b3, idx, every_n=1).count() == 0
+
+
+def test_compaction_preserves_wide_and_video_indexes(spark, tmp_path):
+    """dedup.compact_index folds replay-duplicated rows of the WIDE
+    (band_key, h0..h3, bits, mod) and VIDEO (vid, n_frames, frame_idx,
+    band_key, dhash, bits, mod) layouts without changing gate
+    decisions."""
+    from railgun_spark.operators.dedup import compact_index
+    from railgun_spark.operators.phash import (
+        PHASH_WIDE_BANDS,
+        _phash_wide_pgm,
+        _phash_wide_target,
+        _phash_y4m,
+        append_image_wide_bands_to_index,
+        append_video_bands_to_index,
+        image_wide_dedup_against_index,
+        video_dedup_against_index,
+    )
+
+    # wide image index
+    widx = str(tmp_path / "widx")
+    wbatch = spark.createDataFrame(
+        [(1, "image", bytearray(_phash_wide_pgm(_phash_wide_target(3, 0))), {})],
+        MEDIA_SCHEMA,
+    )
+    ws = image_wide_dedup_against_index(wbatch, widx)
+    append_image_wide_bands_to_index(ws, widx)
+    append_image_wide_bands_to_index(ws, widx)  # replayed append
+    assert spark.read.parquet(widx).count() == 2 * PHASH_WIDE_BANDS
+    assert compact_index(spark, widx) == PHASH_WIDE_BANDS
+    probe = spark.createDataFrame(
+        [(9, "image", bytearray(_phash_wide_pgm(_phash_wide_target(3, 1))), {}),
+         (10, "image", bytearray(_phash_wide_pgm(_phash_wide_target(3, 3))), {})],
+        MEDIA_SCHEMA,
+    )
+    assert sorted(
+        r["media_id"]
+        for r in image_wide_dedup_against_index(probe, widx).collect()
+    ) == [10]
+
+    # video index (per-frame rows)
+    vidx = str(tmp_path / "vidx")
+    base = [_phash_target(860 + f, 0) for f in range(3)]
+    vbatch = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    )
+    vs = video_dedup_against_index(vbatch, vidx, every_n=1)
+    append_video_bands_to_index(vs, vidx, every_n=1)
+    append_video_bands_to_index(vs, vidx, every_n=1)
+    assert spark.read.parquet(vidx).count() == 2 * 3 * PHASH_BANDS
+    assert compact_index(spark, vidx) == 3 * PHASH_BANDS
+    vprobe = spark.createDataFrame(
+        [(9, "video", bytearray(_phash_y4m([h ^ 1 for h in base])), {}),
+         (10, "video", bytearray(
+             _phash_y4m([_phash_target(960 + f, 0) for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    assert sorted(
+        r["media_id"]
+        for r in video_dedup_against_index(vprobe, vidx, every_n=1).collect()
+    ) == [10]

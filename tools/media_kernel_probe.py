@@ -85,7 +85,10 @@ def main() -> int:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     from railgun_spark.operators.multimodal import resample_audio, resize_images
-    from railgun_spark.operators.phash import image_perceptual_hashes
+    from railgun_spark.operators.phash import (
+        image_perceptual_hashes,
+        image_perceptual_hashes_wide,
+    )
     from railgun_spark.session import get_spark
 
     spark = get_spark("media_kernel_probe")
@@ -108,11 +111,16 @@ def main() -> int:
             F.col("refused").isNull()
         ).count()
         cell["phash"] = {"wall_s": round(time.time() - t0, 3), "n": n_hashed}
+        t0 = time.time()
+        n_wide = image_perceptual_hashes_wide(media).filter(
+            F.col("refused").isNull()
+        ).count()
+        cell["phash_wide"] = {"wall_s": round(time.time() - t0, 3), "n": n_wide}
         results["scales"][str(scale)] = cell
         print(f"scale x{scale}: {json.dumps(cell)}", flush=True)
         media.unpersist()
 
-    for op in ("resize", "resample", "phash"):
+    for op in ("resize", "resample", "phash", "phash_wide"):
         w1 = results["scales"]["1"][op]["wall_s"]
         for s in SCALES[1:]:
             results[f"{op}_ratio_{s}x"] = round(
