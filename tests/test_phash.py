@@ -1129,30 +1129,36 @@ def test_video_offset_pairs_and_gate(spark, tmp_path):
     assert sorted(r["media_id"] for r in s3.collect()) == [20]
 
 
-@pytest.mark.parametrize("modality", ["audio", "video"])
+@pytest.mark.parametrize("modality", ["audio", "video", "image_wide"])
 def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
-    """Audio/video gate soak (slow, ~1-2 min each; r13 VERDICT #4 — the
-    image gate's injected-crash soak generalized): 12 availableNow
-    micro-batches with two crash/replay windows at batch boundaries 5
-    (sink written, index lost) and 8 (index committed, checkpoint lost).
-    Every shard carries a pass-through (decode-refused) row, so window
-    2's replay exercises the r14 mixed-batch discipline: the admitted
-    content set must still equal the batch-backfill ground truth, and
-    per-batch walls must not grow with index size."""
+    """Audio/video/wide-image gate soak (slow, ~1-2 min each; r13 VERDICT
+    #4 — the image gate's injected-crash soak generalized): 12
+    availableNow micro-batches with two crash/replay windows at batch
+    boundaries 5 (sink written, index lost) and 8 (index committed,
+    checkpoint lost). Every shard carries a pass-through (decode-refused)
+    row, so window 2's replay exercises the r14 mixed-batch discipline:
+    the admitted content set must still equal the batch-backfill ground
+    truth, and per-batch walls must not grow with index size."""
     import glob
     import os
     import shutil
     import time
 
-    from railgun_spark.operators.phash import _phash_wav, _phash_y4m
+    from railgun_spark.operators.phash import (
+        _phash_wav,
+        _phash_wide_pgm,
+        _phash_y4m,
+    )
     from railgun_spark.streaming.ingest import (
         _drain_availablenow,
         _write_sink,
         ingest_audio_batch,
+        ingest_images_wide_batch,
         ingest_videos_batch,
     )
 
     n_shards = 12
+    kind = "image" if modality == "image_wide" else modality
 
     def fresh_hash(k: int, j: int) -> int:
         return _phash_target(3000 + k * 2 + j, 0)
@@ -1166,7 +1172,7 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
 
         def gate_direct(df, b_idx, b_sink):
             return ingest_audio_batch(df, b_idx, b_sink, batch_id=None)
-    else:
+    elif modality == "video":
         payload = lambda h: _phash_y4m([h, h ^ 2])  # noqa: E731
         refuse = lambda k: b"RIFF....AVI " + bytes([k])  # noqa: E731
 
@@ -1175,19 +1181,28 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
 
         def gate_direct(df, b_idx, b_sink):
             return ingest_videos_batch(df, b_idx, b_sink, batch_id=None, every_n=1)
+    else:  # image_wide: 64-bit targets widen to 4 words (word 0 = h)
+        payload = lambda h: _phash_wide_pgm([h, h ^ 3, h ^ 5, h ^ 9])  # noqa: E731
+        refuse = lambda k: b"JUNK" + bytes([k])  # noqa: E731
+
+        def ingest(df, batch_id):
+            return ingest_images_wide_batch(df, idx, sink, batch_id=batch_id)
+
+        def gate_direct(df, b_idx, b_sink):
+            return ingest_images_wide_batch(df, b_idx, b_sink, batch_id=None)
 
     def shard_rows(k: int):
         rows = [
-            (100 * k + j, modality, bytearray(payload(fresh_hash(k, j))), {})
+            (100 * k + j, kind, bytearray(payload(fresh_hash(k, j))), {})
             for j in (0, 1)
         ]
         # intra-shard near-dup (higher id -> greedy rejection)
-        rows.append((100 * k + 60, modality,
+        rows.append((100 * k + 60, kind,
                      bytearray(payload(fresh_hash(k, 0) ^ (1 << ((k + 5) % 60)))), {}))
         if k > 0:  # near-dup of the PREVIOUS shard's admitted clip
-            rows.append((100 * k + 50, modality,
+            rows.append((100 * k + 50, kind,
                          bytearray(payload(fresh_hash(k - 1, 0) ^ (1 << (k % 60)))), {}))
-        rows.append((100 * k + 70, modality, bytearray(refuse(k)), {}))
+        rows.append((100 * k + 70, kind, bytearray(refuse(k)), {}))
         return rows
 
     src = tmp_path / "arriving"
@@ -1225,10 +1240,15 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
     if modality == "audio":
         from railgun_spark.operators.phash import audio_dedup_against_index as g5
         crashed = g5(spark.read.parquet(str(src / "shard05.parquet")), idx)
-    else:
+    elif modality == "video":
         from railgun_spark.operators.phash import video_dedup_against_index
         crashed = video_dedup_against_index(
             spark.read.parquet(str(src / "shard05.parquet")), idx, every_n=1
+        )
+    else:
+        from railgun_spark.operators.phash import image_wide_dedup_against_index
+        crashed = image_wide_dedup_against_index(
+            spark.read.parquet(str(src / "shard05.parquet")), idx
         )
     _write_sink(crashed, sink, batch_id=5)
     for k in range(6, 8):
@@ -1262,9 +1282,7 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
     b_idx, b_sink = str(tmp_path / "b_idx"), str(tmp_path / "b_sink")
 
     def backfill_gate(df):
-        if modality == "audio":
-            return ingest_audio_batch(df, b_idx, b_sink, batch_id=None)
-        return ingest_videos_batch(df, b_idx, b_sink, batch_id=None, every_n=1)
+        return gate_direct(df, b_idx, b_sink)
 
     for k in range(n_shards):
         backfill_gate(spark.createDataFrame(shard_rows(k), MEDIA_SCHEMA))

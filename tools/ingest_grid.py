@@ -398,6 +398,31 @@ def main() -> int:
         time_batch=video_ingest,
     )
 
+    # gate 7b (r14): the OFFSET-TOLERANT video gate over the identical
+    # index layout — times the per-offset temporal vote's derived-key
+    # join; crafted sources are pairwise non-matching, so every cell
+    # still measures the zero-false-reject admit path
+    def video_offset_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_videos_batch
+
+        return ingest_videos_batch(
+            batch, idx, sink, every_n=1, offset_tolerant=True
+        )
+
+    run_gate(
+        "video_offset",
+        _video_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 4_000_000_000).alias("media_id")
+            ),
+            "voidx",
+        ),
+        _video_frame(spark.range(5_000).select(F.col("id").alias("media_id")),
+                     "vobatch"),
+        populate=lambda df, idx: video_offset_ingest(df, idx, idx + "_popsink"),
+        time_batch=video_offset_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
