@@ -173,6 +173,13 @@ def cmd_ingest(args) -> int:
             return 2
         from railgun_spark.streaming import ingest as _ing
 
+        if args.wide and args.modality != "image":
+            print("--wide applies to --modality image only", file=sys.stderr)
+            return 2
+        if args.offset_tolerant and args.modality != "video":
+            print("--offset-tolerant applies to --modality video only",
+                  file=sys.stderr)
+            return 2
         batch_fn, stream_fn = {
             "image": (_ing.ingest_images_batch,
                       _ing.stream_ingest_images_availablenow),
@@ -181,6 +188,14 @@ def cmd_ingest(args) -> int:
             "video": (_ing.ingest_videos_batch,
                       _ing.stream_ingest_videos_availablenow),
         }[args.modality]
+        if args.wide:
+            batch_fn, stream_fn = (_ing.ingest_images_wide_batch,
+                                   _ing.stream_ingest_images_wide_availablenow)
+        extra = {}
+        if args.modality == "video":
+            extra["every_n"] = args.every_n
+            if args.offset_tolerant:
+                extra["offset_tolerant"] = True
         spark = get_spark("railgun_ingest")
         if args.stream:
             admitted = stream_fn(
@@ -188,11 +203,13 @@ def cmd_ingest(args) -> int:
                 index_path=args.index, sink_path=args.sink,
                 checkpoint_dir=args.checkpoint or args.sink.rstrip("/") + "_checkpoint",
                 id_col=args.id_col,
+                **extra,
             )
         else:
             admitted = batch_fn(
                 spark.read.parquet(args.input_dir), args.index, args.sink,
                 id_col=args.id_col,
+                **extra,
             )
         print(json.dumps({"admitted": admitted}))
         return 0
@@ -746,6 +763,21 @@ def build_parser() -> argparse.ArgumentParser:
         "signature band index instead of the text content-hash gate; "
         "use --id-col media_id for MEDIA_SCHEMA shards and a separate "
         "index path per modality",
+    )
+    p.add_argument(
+        "--wide", action="store_true",
+        help="with --modality image: gate through the 256-bit block-dHash "
+        "index (verified hamming <= 15; separate 'image-wide' index path)",
+    )
+    p.add_argument(
+        "--offset-tolerant", action="store_true",
+        help="with --modality video: also reject trimmed/padded copies via "
+        "the per-offset temporal vote (same index as the aligned gate)",
+    )
+    p.add_argument(
+        "--every-n", type=int, default=10,
+        help="with --modality video: hash every n-th frame (must stay "
+        "constant for one index's lifetime; default 10)",
     )
     p.set_defaults(fn=cmd_ingest)
 

@@ -588,3 +588,70 @@ def test_media_features_subcommand(spark, capsys, tmp_path):
     bad = str(tmp_path / "bad")
     spark.createDataFrame([(1,)], "media_id: long").write.parquet(bad)
     assert main(["media-features", "--input", bad, "--output", str(tmp_path / "x")]) == 2
+
+
+def test_ingest_wide_and_offset_flags(spark, capsys, tmp_path):
+    """--wide routes image shards through the 256-bit block-dHash gate;
+    --offset-tolerant routes videos through the per-offset vote; each
+    flag refuses the wrong modality."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+    from railgun_spark.operators.phash import (
+        _phash_target,
+        _phash_wide_pgm,
+        _phash_wide_target,
+        _phash_y4m,
+    )
+
+    # wide image gate: hamming-4 variant rejects in the second batch
+    b1 = tmp_path / "w1"
+    spark.createDataFrame(
+        [(1, "image", bytearray(_phash_wide_pgm(_phash_wide_target(6, 0))), {})],
+        MEDIA_SCHEMA,
+    ).write.parquet(str(b1))
+    widx, wsink = str(tmp_path / "widx"), str(tmp_path / "wsink")
+    rc = main(["ingest", "--modality", "image", "--wide", "--id-col",
+               "media_id", "--input-dir", str(b1), "--index", widx,
+               "--sink", wsink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+    b2 = tmp_path / "w2"
+    spark.createDataFrame(
+        [(9, "image", bytearray(_phash_wide_pgm(_phash_wide_target(6, 1))), {})],
+        MEDIA_SCHEMA,
+    ).write.parquet(str(b2))
+    rc = main(["ingest", "--modality", "image", "--wide", "--id-col",
+               "media_id", "--input-dir", str(b2), "--index", widx,
+               "--sink", wsink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 0}
+
+    # offset-tolerant video gate: trimmed copy rejects
+    base = [_phash_target(840 + f, 0) for f in range(4)]
+    v1 = tmp_path / "v1"
+    spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    ).write.parquet(str(v1))
+    vidx, vsink = str(tmp_path / "vidx"), str(tmp_path / "vsink")
+    rc = main(["ingest", "--modality", "video", "--offset-tolerant",
+               "--every-n", "1",
+               "--id-col", "media_id", "--input-dir", str(v1),
+               "--index", vidx, "--sink", vsink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+    v2 = tmp_path / "v2"
+    spark.createDataFrame(
+        [(9, "video", bytearray(_phash_y4m([h ^ 2 for h in base[1:]])), {})],
+        MEDIA_SCHEMA,
+    ).write.parquet(str(v2))
+    rc = main(["ingest", "--modality", "video", "--offset-tolerant",
+               "--every-n", "1",
+               "--id-col", "media_id", "--input-dir", str(v2),
+               "--index", vidx, "--sink", vsink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 0}
+
+    # wrong-modality guards
+    assert main(["ingest", "--modality", "video", "--wide", "--input-dir",
+                 str(v1), "--index", vidx, "--sink", vsink]) == 2
+    assert main(["ingest", "--modality", "image", "--offset-tolerant",
+                 "--input-dir", str(b1), "--index", widx, "--sink", wsink]) == 2
