@@ -2206,3 +2206,116 @@ def append_image_wide_bands_to_bucketed_index(
         F.lit(PHASH_BAND_BITS).alias("bits"),
         F.lit("image-wide").alias("mod"),
     ).write.mode("append").insertInto(table)
+
+
+# --------------------------------------------------------------------------
+# Bucketed OFFSET-mode video band table. The offset gate joins on the
+# DERIVED chunk key (band_key % 2^18), which a table bucketed by
+# band_key cannot serve in place — the index side re-shuffles every
+# batch. For a standing offset-mode deployment, materialize the chunk
+# key as its own column and bucket by IT: the offset gate's index side
+# then scans in place, the same discipline as every aligned gate.
+# --------------------------------------------------------------------------
+def bucketize_video_index_offset(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Materialize a parquet video band index as a managed table with the
+    frame-stripped chunk key as an explicit bucketed column (chunk_key =
+    band_key % 2^18; frame_idx stays as its own column). One-time
+    migration per offset-mode deployment; thereafter append with
+    `append_video_bands_to_bucketed_index_offset`. Returns the distinct
+    row count."""
+    from railgun_spark.operators.dedup import _local_index_path, _recover_index
+
+    local = _local_index_path(index_path)
+    _recover_index(local)
+    idx = spark.read.option("mergeSchema", "true").parquet(local)
+    _check_index_geometry(idx, index_path, "video")
+    (
+        idx.select(
+            "vid", "n_frames", "frame_idx",
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+            "dhash", "bits", "mod",
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "chunk_key")
+        .saveAsTable(table)
+    )
+    return spark.table(table).count()
+
+
+def video_dedup_against_bucketed_index_offset(
+    df: DataFrame,
+    table: str,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """`video_dedup_against_index_offset` against a chunk_key-bucketed
+    band table: same admitted set, index side scans in place (only the
+    small batch shuffles into the bucket scheme)."""
+    spark = df.sparkSession
+    bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    nb = bands.select(
+        "__id", "__n", "frame_idx", "__h",
+        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("b.__id") < F.col("a.__id")),
+        )
+        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
+            (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("off"),
+            F.col("a.frame_idx").alias("fi"),
+            F.col("a.__n").alias("n_new"), F.col("b.__n").alias("n_old"),
+        )
+    )
+    drops = _video_pair_rejects_offset(intra_cand, min_match_frac)
+    seen = spark.table(table)
+    ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
+    idx_cand = (
+        nb.join(
+            seen.select(
+                F.col("vid").alias("old_id"),
+                F.col("n_frames").alias("n_old"),
+                F.col("frame_idx").alias("__of"),
+                "chunk_key",
+                F.col("dhash").alias("__ih"),
+            ),
+            "chunk_key",
+        )
+        .filter(ham_idx <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("__id").alias("new_id"), "old_id",
+            (F.col("frame_idx") - F.col("__of")).alias("off"),
+            F.col("frame_idx").alias("fi"),
+            F.col("__n").alias("n_new"), "n_old",
+        )
+    )
+    drops = drops.union(_video_pair_rejects_offset(idx_cand, min_match_frac)).distinct()
+    return df.join(drops, df[id_col] == drops["__id"], "left_anti")
+
+
+def append_video_bands_to_bucketed_index_offset(
+    survivors: DataFrame, table: str,
+    every_n: int = 10, id_col: str = "media_id",
+) -> None:
+    """Append survivors' per-frame rows preserving the chunk_key bucket
+    spec."""
+    _video_band_rows(survivors, every_n=every_n, id_col=id_col).select(
+        F.col("__id").alias("vid"),
+        F.col("__n").alias("n_frames"),
+        "frame_idx",
+        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit("video").alias("mod"),
+    ).write.mode("append").insertInto(table)

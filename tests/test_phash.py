@@ -1494,3 +1494,66 @@ def test_compaction_preserves_wide_and_video_indexes(spark, tmp_path):
         r["media_id"]
         for r in video_dedup_against_index(vprobe, vidx, every_n=1).collect()
     ) == [10]
+
+
+def test_bucketed_offset_video_index(spark, tmp_path):
+    """The chunk_key-bucketed offset table admits exactly the parquet
+    offset gate's set with fewer exchanges (the derived-key join that
+    forces the parquet index to shuffle scans in place here)."""
+    import shutil
+
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        append_video_bands_to_bucketed_index_offset,
+        append_video_bands_to_index,
+        bucketize_video_index_offset,
+        video_dedup_against_bucketed_index_offset,
+        video_dedup_against_index,
+        video_dedup_against_index_offset,
+    )
+
+    base = [_phash_target(1100 + f, 0) for f in range(4)]
+    idx = str(tmp_path / "vidx")
+    v1 = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    )
+    append_video_bands_to_index(
+        video_dedup_against_index(v1, idx, every_n=1), idx, every_n=1
+    )
+
+    table = "phash_video_offset_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+    assert bucketize_video_index_offset(spark, idx, table, n_buckets=8) == \
+        4 * PHASH_BANDS
+
+    probe = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m([h ^ 2 for h in base[1:]])), {}),
+         (11, "video", bytearray(
+             _phash_y4m([_phash_target(1200 + f, 0) for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_p = video_dedup_against_index_offset(probe, idx, every_n=1)
+        via_t = video_dedup_against_bucketed_index_offset(probe, table, every_n=1)
+        assert sorted(r["media_id"] for r in via_t.collect()) == \
+               sorted(r["media_id"] for r in via_p.collect()) == [11]
+        plan_t = via_t._jdf.queryExecution().executedPlan().toString()
+        plan_p = via_p._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+        assert plan_t.count("Exchange") < plan_p.count("Exchange")
+        # appends preserve the bucket spec and stay visible
+        append_video_bands_to_bucketed_index_offset(via_t, table, every_n=1)
+        probe2 = spark.createDataFrame(
+            [(20, "video", bytearray(
+                _phash_y4m([_phash_target(1201 + f, 0) ^ 1 for f in range(2)])), {})],
+            MEDIA_SCHEMA,
+        )
+        assert video_dedup_against_bucketed_index_offset(
+            probe2, table, every_n=1
+        ).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
