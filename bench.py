@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     # offset-tolerant (trim-robust) video near-dup vote
     "image_phash_wide_pairs",
     "video_phash_offset_pairs",
+    # round-14 extension: offset-tolerant audio near-dup (chunked
+    # fingerprints, trim-robust per-offset vote)
+    "audio_phash_offset_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -728,7 +728,11 @@ def video_phash_near_dup_pairs(
 VIDEO_PHASH_SAMPLE_MOD = 13
 
 
-@query(
+# Demoted to EXTRA in the r14 extension rotation: the aligned pairs
+# query's capability (Y4M craft -> per-frame dHash -> banded join) is a
+# strict subset of the driver-gated video_phash_offset_pairs pipeline;
+# the aligned vote itself stays certified here via the local gate.
+@extra_query(
     "video_phash_pairs",
     # The oracle recomputes each crafted Y4M's per-frame dHashes from
     # doc_id arithmetic (md5 of "g:f" XOR the variant perturbation) and
@@ -1168,6 +1172,7 @@ def _video_verified_gate(
     index_path: str,
     id_col: str,
     min_match_frac: float,
+    modality: str = "video",
 ) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
@@ -1190,7 +1195,7 @@ def _video_verified_gate(
     drops = _video_pair_rejects(intra_cand, min_match_frac)
     seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
-        _check_index_geometry(seen, index_path, "video")
+        _check_index_geometry(seen, index_path, modality)
         ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
         idx_cand = (
             bands.join(
@@ -1226,7 +1231,9 @@ def append_video_bands_to_index(
     )
 
 
-def _append_video_band_rows(band_rows: DataFrame, index_path: str) -> None:
+def _append_video_band_rows(
+    band_rows: DataFrame, index_path: str, modality: str = "video"
+) -> None:
     """Append already-computed video band rows (the ingest loop's path —
     no second decode)."""
     band_rows.select(
@@ -1236,7 +1243,7 @@ def _append_video_band_rows(band_rows: DataFrame, index_path: str) -> None:
         "band_key",
         F.col("__h").alias("dhash"),
         F.lit(PHASH_BAND_BITS).alias("bits"),
-        F.lit("video").alias("mod"),
+        F.lit(modality).alias("mod"),
     ).write.mode("append").parquet(index_path)
 
 
@@ -1967,6 +1974,7 @@ def _video_verified_gate_offset(
     index_path: str,
     id_col: str,
     min_match_frac: float,
+    modality: str = "video",
 ) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
@@ -1994,7 +2002,7 @@ def _video_verified_gate_offset(
     drops = _video_pair_rejects_offset(intra_cand, min_match_frac)
     seen = _read_index_or_none(spark, index_path, merge_schema=True)
     if seen is not None:
-        _check_index_geometry(seen, index_path, "video")
+        _check_index_geometry(seen, index_path, modality)
         ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
         idx_side = seen.select(
             F.col("vid").alias("old_id"),
@@ -2319,3 +2327,326 @@ def append_video_bands_to_bucketed_index_offset(
         F.lit(PHASH_BAND_BITS).alias("bits"),
         F.lit("video").alias("mod"),
     ).write.mode("append").insertInto(table)
+
+
+# --------------------------------------------------------------------------
+# Chunked audio fingerprints — offset tolerance for the audio modality.
+# The global 72-window fingerprint (audio_fingerprint64 over the whole
+# clip) normalizes its window grid to the CLIP length, so a front-trim
+# shifts every window boundary and the copy escapes both the pairs query
+# and the gate — the exact gap the video offset mode closes for video
+# (reference behavior: railgun has no media dedup at all; this is the
+# engine-superset training-pipeline surface). Chunked mode fingerprints
+# FIXED-duration chunks instead: AUDIO_CHUNK_SAMPLES mono samples per
+# chunk, each hashed by the same 72-window energy-delta staircase, so a
+# front-trim by k whole chunks is a constant shift of the chunk sequence
+# and the video temporal-alignment vote applies VERBATIM — the band rows
+# keep the video shape (chunk_idx rides in the frame_idx slot, encoded
+# into band_key bits >= _FRAME_KEY_SHIFT) so one set of gate / bucket /
+# append functions serves both modalities, separated by mod='audio-chunk'.
+# Tolerance granularity is the chunk duration (2304 samples = 288 ms at
+# 8 kHz) — the documented trade vs sample-exact alignment, which no
+# banding scheme gives.
+# --------------------------------------------------------------------------
+AUDIO_CHUNK_SAMPLES = AUDIO_PHASH_WINDOWS * _AUDIO_SEG_SAMPLES  # 2304
+AUDIO_CHUNK_MATCH_FRAC = VIDEO_MATCH_FRAC
+AUDIO_CHUNK_MOD = "audio-chunk"
+
+AUDIO_CHUNK_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+        T.StructField("refused", T.StringType()),
+    ]
+)
+
+
+def audio_chunk_fingerprints(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """MEDIA_SCHEMA audio rows -> (media_id, chunk_idx, fhash, refused):
+    audio_fingerprint64 of every full AUDIO_CHUNK_SAMPLES-sample mono
+    chunk, one Arrow pass through the shared PCM dispatch. Codec-bound
+    payloads and clips shorter than one full chunk record ONE refusal
+    row (chunk_idx/fhash NULL); a trailing partial chunk is dropped —
+    chunk-local hashing is what buys trim tolerance, and a
+    length-normalized tail would break it."""
+    from railgun_spark.operators.multimodal import _audio_pcm_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            mids, idxs, fhs, refs = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf["content"]):
+                mid = int(mid)
+                try:
+                    frames, _rate = _audio_pcm_frames(bytes(content or b""))
+                except ValueError as exc:
+                    mids.append(mid)
+                    idxs.append(None)
+                    fhs.append(None)
+                    refs.append(str(exc))
+                    continue
+                mono = frames.mean(axis=1)
+                n_chunks = len(mono) // AUDIO_CHUNK_SAMPLES
+                if n_chunks == 0:
+                    mids.append(mid)
+                    idxs.append(None)
+                    fhs.append(None)
+                    refs.append(
+                        "audio shorter than one fingerprint chunk "
+                        f"({AUDIO_CHUNK_SAMPLES} samples)"
+                    )
+                    continue
+                for k in range(n_chunks):
+                    h = audio_fingerprint64(
+                        mono[k * AUDIO_CHUNK_SAMPLES:(k + 1) * AUDIO_CHUNK_SAMPLES]
+                    )
+                    mids.append(mid)
+                    idxs.append(k)
+                    fhs.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    refs.append(None)
+            yield pd.DataFrame(
+                {"media_id": mids,
+                 "chunk_idx": pd.array(idxs, dtype="Int32"),
+                 "fhash": pd.array(fhs, dtype="Int64"),
+                 "refused": refs}
+            )
+
+    return df.mapInPandas(batches, AUDIO_CHUNK_PHASH_SCHEMA)
+
+
+def audio_phash_near_dup_pairs_offset(
+    chunk_hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+) -> DataFrame:
+    """(id_a, id_b, chunk_offset, n_match, n_small) for audio pairs where
+    >= `min_match_frac` of the SMALLER signature's chunks match within
+    `max_hamming` bits at a constant chunk shift — the video offset vote
+    verbatim over chunk indexes (still lossless: every chunk pair within
+    the budget shares a 16-bit band by pigeonhole)."""
+    fh = chunk_hashes.select(
+        "media_id", F.col("chunk_idx").alias("frame_idx"), "fhash"
+    )
+    return video_phash_near_dup_pairs_offset(
+        fh, max_hamming, min_match_frac
+    ).withColumnRenamed("frame_offset", "chunk_offset")
+
+
+def _audio_chunk_band_rows(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(__id, __n, frame_idx, band_key, __h) — the video band-row shape
+    verbatim (chunk_idx in the frame_idx slot, encoded into band_key
+    bits >= _FRAME_KEY_SHIFT) so `_video_verified_gate` /
+    `_video_verified_gate_offset` and the bucketed layouts serve
+    audio-chunk indexes unchanged."""
+    fh = audio_chunk_fingerprints(df, id_col=id_col).filter(
+        F.col("fhash").isNotNull()
+    )
+    n = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("__n"))
+    keys = F.transform(
+        phash_chunks(F.col("fhash")),
+        lambda cv, ci: (
+            F.col("chunk_idx").cast("bigint") * F.lit(1 << _FRAME_KEY_SHIFT)
+            + ci.cast("bigint") * F.lit(1 << PHASH_BAND_BITS)
+            + cv
+        ),
+    )
+    return (
+        fh.join(n, "media_id")
+        .select(
+            F.col("media_id").alias("__id"),
+            "__n",
+            F.col("chunk_idx").alias("frame_idx"),
+            F.col("fhash").alias("__h"),
+            F.explode(keys).alias("band_key"),
+        )
+        .select("__id", "__n", "frame_idx", "band_key", "__h")
+    )
+
+
+def audio_chunk_dedup_against_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "media_id",
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+) -> DataFrame:
+    """Chunk-ALIGNED audio gate: a new clip is rejected when
+    >= min_match_frac of the LARGER signature's chunks match an indexed
+    (or smaller-id batch) clip at the SAME chunk position within the
+    hamming budget — catches re-encodes and level-preserving transcodes
+    of same-length audio; a trimmed copy needs the offset twin below.
+    Non-audio and decode-refused rows always survive. Commit survivors
+    with `append_audio_chunk_bands_to_index`. The index keeps the video
+    column layout (vid/n_frames/frame_idx) under mod='audio-chunk' —
+    never share a path with a video index."""
+    bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
+    return _video_verified_gate(
+        df, bands, index_path, id_col, min_match_frac, modality=AUDIO_CHUNK_MOD
+    )
+
+
+def audio_chunk_dedup_against_index_offset(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "media_id",
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+) -> DataFrame:
+    """Offset-tolerant twin of `audio_chunk_dedup_against_index`: a new
+    clip is rejected when ANY constant chunk shift aligns
+    >= min_match_frac of the SMALLER signature — trimmed/padded
+    re-uploads of indexed audio are caught. Reads the SAME index layout
+    (chunk_idx decoded back out of the band key), so one index serves
+    both modes; the chunk-key join is a derived-key join (both sides
+    shuffle — the documented cost of the offset pass, as for video)."""
+    bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
+    return _video_verified_gate_offset(
+        df, bands, index_path, id_col, min_match_frac, modality=AUDIO_CHUNK_MOD
+    )
+
+
+def audio_chunk_gate_with_bands(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "media_id",
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+    offset_tolerant: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Audio-chunk twin of `video_gate_with_bands` — one decode pass
+    yields both the survivors and the band rows an append commits."""
+    bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
+    gate = _video_verified_gate_offset if offset_tolerant else _video_verified_gate
+    survivors = gate(
+        df, bands, index_path, id_col, min_match_frac, modality=AUDIO_CHUNK_MOD
+    ).localCheckpoint()
+    return survivors, _survivor_bands(bands, survivors, id_col)
+
+
+def append_audio_chunk_bands_to_index(
+    survivors: DataFrame, index_path: str, id_col: str = "media_id"
+) -> None:
+    """Append the survivors' per-chunk band rows (recomputed map-only;
+    the index grows PHASH_BANDS rows per full chunk per admitted clip)."""
+    _append_video_band_rows(
+        _audio_chunk_band_rows(survivors, id_col=id_col),
+        index_path,
+        modality=AUDIO_CHUNK_MOD,
+    )
+
+
+def _phash_wav_chunks(hs: list) -> bytes:
+    """16-bit PCM WAV whose k-th AUDIO_CHUNK_SAMPLES-sample chunk
+    fingerprints to exactly hs[k]: the `_phash_wav` staircase PCM per
+    chunk, concatenated — chunk boundaries land exactly on the crafted
+    block boundaries, so every windowed RMS is the block's constant
+    amplitude."""
+    import struct
+
+    pcm_parts = []
+    for h in hs:
+        amps = []
+        for y in range(8):
+            vals = [64]
+            for k in range(8):
+                bit = (h >> (y * 8 + k)) & 1
+                vals.append(vals[-1] + (1 if bit else -1))
+            amps += vals
+        pcm_parts.append(
+            b"".join(struct.pack("<h", a * 256) * _AUDIO_SEG_SAMPLES for a in amps)
+        )
+    pcm = b"".join(pcm_parts)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+AUDIO_OFFSET_SAMPLE_MOD = 29
+
+
+@query(
+    "audio_phash_offset_pairs",
+    # Audio member of the offset-certification family: identical crafted
+    # arithmetic to video_phash_offset_pairs (base / front-trim-1 /
+    # front-trim-2 + in-budget bit / half-noise negative), shipped as
+    # REAL multi-chunk WAVs — Spark must recover the integers through a
+    # craft -> PCM decode -> per-chunk windowed-RMS -> delta-sign ->
+    # unaligned banded join -> per-offset vote pipeline.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {AUDIO_OFFSET_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {AUDIO_OFFSET_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {AUDIO_OFFSET_SAMPLE_MOD} = 0
+    ), fr AS (
+      SELECT doc_id, g, v,
+             unnest(generate_series(0,
+               (3 + g % 3) - 1 - (CASE v WHEN 0 THEN 0 WHEN 2 THEN 2
+                                         ELSE 1 END))) AS f
+      FROM s
+    ), h AS (
+      SELECT doc_id, f,
+        CASE
+          WHEN v = 3 AND f >= CAST(CEIL((3 + g % 3 - 1) / 2.0) AS BIGINT)
+          THEN CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':z' ||
+                     CAST(f AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+          ELSE xor(
+            CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                  CAST(f + (CASE v WHEN 1 THEN 1 WHEN 2 THEN 2
+                                   WHEN 3 THEN 1 ELSE 0 END)
+                  AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+            CASE WHEN v = 2 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 ELSE 0 END)
+        END AS fh
+      FROM fr
+    ), n AS (SELECT doc_id, count(*) AS nf FROM h GROUP BY 1),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(a.f - b.f AS INTEGER) AS chunk_offset,
+             count(*) AS n_match
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_MAX_HAMMING}
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, chunk_offset, n_match,
+           least(na.nf, nb.nf) AS n_small
+    FROM m JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE n_match >= CEIL({AUDIO_CHUNK_MATCH_FRAC} * least(na.nf, nb.nf))
+    ORDER BY id_a, id_b, chunk_offset
+    """,
+    doc="Offset-tolerant audio near-dup certification: crafted multi-chunk "
+    "staircase WAVs whose per-chunk 72-window energy-delta fingerprints "
+    "equal doc_id-predicted 60-bit values; variants are front-TRIMMED "
+    "copies (by 1 and 2 chunks, one carrying an extra in-budget bit flip) "
+    "plus a half-noise negative — the unaligned banded join + per-offset "
+    "vote must reproduce the all-pairs per-offset definition exactly.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def audio_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % AUDIO_OFFSET_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // AUDIO_OFFSET_SAMPLE_MOD
+                wav = _phash_wav_chunks(_video_offset_frames(m // 4, m % 4))
+                rows.append((d, "audio", wav, {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    ch = audio_chunk_fingerprints(media)
+    return audio_phash_near_dup_pairs_offset(ch).orderBy(
+        "id_a", "id_b", "chunk_offset"
+    )

@@ -1557,3 +1557,136 @@ def test_bucketed_offset_video_index(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_audio_chunk_fingerprints_kernel_and_refusals(spark):
+    """Chunked audio fingerprints: per-chunk crafted hashes recover
+    bit-for-bit, a trailing partial chunk is dropped, sub-chunk clips
+    and codec-bound payloads record one refusal row each."""
+    import struct
+
+    from railgun_spark.operators.phash import (
+        AUDIO_CHUNK_SAMPLES,
+        _phash_wav_chunks,
+        audio_chunk_fingerprints,
+    )
+
+    def wav_of_pcm(pcm: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+    hs = [_phash_target(500 + k, 0) for k in range(3)]
+    full = _phash_wav_chunks(hs)
+    # carve the raw PCM back out (header is 44 bytes) to craft the
+    # ragged variants
+    pcm = full[44:]
+    ragged = wav_of_pcm(pcm + pcm[: AUDIO_CHUNK_SAMPLES])  # +half chunk
+    short = wav_of_pcm(pcm[: AUDIO_CHUNK_SAMPLES])  # half a chunk
+    rows = [
+        (1, "audio", bytearray(full), {}),
+        (2, "audio", bytearray(ragged), {}),
+        (3, "audio", bytearray(short), {}),
+        (4, "audio", bytearray(b"ID3\x03\x00notdecodable"), {}),
+        (5, "image", bytearray(b"P5 1 1 255 \x00"), {}),  # non-audio: no row
+    ]
+    out = audio_chunk_fingerprints(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2, 3, 4}
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+    assert [r["fhash"] for r in sorted(by_id[1], key=lambda r: r["chunk_idx"])] == signed
+    # the ragged clip's full chunks hash identically; the tail is dropped
+    assert [r["fhash"] for r in sorted(by_id[2], key=lambda r: r["chunk_idx"])] == signed
+    assert len(by_id[3]) == 1 and by_id[3][0]["fhash"] is None
+    assert "shorter than one fingerprint chunk" in by_id[3][0]["refused"]
+    assert len(by_id[4]) == 1 and by_id[4][0]["refused"] is not None
+
+
+def test_audio_chunk_offset_pairs_and_gate(spark, tmp_path):
+    """Offset-tolerant audio matching: a front-trimmed copy qualifies at
+    its true chunk shift (which the GLOBAL whole-clip fingerprint
+    provably misses), a half-noise variant at no shift; the offset gate
+    rejects a trimmed re-upload of indexed audio against the SAME index
+    the aligned chunked gate writes."""
+    from railgun_spark.operators.phash import (
+        PHASH_MAX_HAMMING,
+        _phash_wav_chunks,
+        append_audio_chunk_bands_to_index,
+        audio_chunk_dedup_against_index,
+        audio_chunk_dedup_against_index_offset,
+        audio_chunk_fingerprints,
+        audio_fingerprint64,
+        audio_phash_near_dup_pairs_offset,
+    )
+    from railgun_spark.operators.multimodal import _audio_pcm_frames
+
+    base = [_phash_target(700 + f, 0) for f in range(4)]
+    trimmed = [h ^ 1 for h in base[1:]]  # front-trim 1 chunk, 1 bit per chunk
+    noise = [base[1], base[2]] + [_phash_target(980 + f, 0) for f in range(2)]
+    rows = [
+        (1, "audio", bytearray(_phash_wav_chunks(base)), {}),
+        (2, "audio", bytearray(_phash_wav_chunks(trimmed)), {}),
+        (3, "audio", bytearray(_phash_wav_chunks(noise)), {}),  # 2/4 at off -1
+    ]
+    ch = audio_chunk_fingerprints(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {
+        (r["id_a"], r["id_b"]): (r["chunk_offset"], r["n_match"], r["n_small"])
+        for r in audio_phash_near_dup_pairs_offset(ch).collect()
+    }
+    assert got == {(1, 2): (1, 3, 3)}
+
+    # the motivating gap, pinned: the GLOBAL fingerprint of the trimmed
+    # clip sits far outside the hamming budget (length-normalized
+    # windows all shift), so the whole-clip pairs/gate never catch it
+    gb = audio_fingerprint64(
+        _audio_pcm_frames(_phash_wav_chunks(base))[0].mean(axis=1))
+    gt = audio_fingerprint64(
+        _audio_pcm_frames(_phash_wav_chunks(trimmed))[0].mean(axis=1))
+    assert bin(gb ^ gt).count("1") > PHASH_MAX_HAMMING
+
+    with pytest.raises(ValueError, match="lossless"):
+        audio_phash_near_dup_pairs_offset(ch, max_hamming=PHASH_BANDS)
+
+    # gate: index clip 1 through the aligned chunked gate's append; an
+    # offset-gated batch must reject the trimmed re-upload and admit the
+    # half-noise clip; the aligned chunked gate admits both (documented
+    # miss — same-position chunks only)
+    idx = str(tmp_path / "acidx")
+    b1 = spark.createDataFrame(rows[:1], MEDIA_SCHEMA)
+    s1 = audio_chunk_dedup_against_index(b1, idx)
+    append_audio_chunk_bands_to_index(s1, idx)
+    b2 = spark.createDataFrame(
+        [(10, "audio", bytearray(_phash_wav_chunks(trimmed)), {}),
+         (11, "audio", bytearray(_phash_wav_chunks(noise)), {}),
+         (12, "audio", bytearray(b"ID3\x03\x00junk"), {})],  # refusal survives
+        MEDIA_SCHEMA,
+    )
+    off_s = audio_chunk_dedup_against_index_offset(b2, idx)
+    assert sorted(r["media_id"] for r in off_s.collect()) == [11, 12]
+    aligned_s = audio_chunk_dedup_against_index(b2, idx)
+    assert sorted(r["media_id"] for r in aligned_s.collect()) == [10, 11, 12]
+
+    # modality guard: the audio-chunk index must refuse a video gate read
+    from railgun_spark.operators.phash import video_dedup_against_index
+
+    vprobe = spark.createDataFrame(
+        [(20, "video", bytearray(b"YUV4MPEG2 junk"), {})], MEDIA_SCHEMA
+    )
+    with pytest.raises(ValueError, match="another modality"):
+        video_dedup_against_index(vprobe, idx, every_n=1).collect()
+
+    # intra-batch: a trimmed copy of a smaller-id batch clip rejects
+    b3 = spark.createDataFrame(
+        [(30, "audio", bytearray(_phash_wav_chunks(
+            [_phash_target(880 + f, 0) for f in range(4)])), {}),
+         (31, "audio", bytearray(_phash_wav_chunks(
+            [_phash_target(881 + f, 0) ^ 2 for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    s3 = audio_chunk_dedup_against_index_offset(b3, str(tmp_path / "fresh"))
+    assert sorted(r["media_id"] for r in s3.collect()) == [30]

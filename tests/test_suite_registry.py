@@ -157,6 +157,9 @@ EXPECTED_EXTRA = {
     "part_supplier_variety",  # Q16 distinct-count/anti-join: certified by siblings
     # round-14 addition
     "image_phash_wide_coarse_pairs",  # 8x32-bit coarse banding boundary oracle
+    # round-14 extension rotation: audio_phash_offset_pairs (chunked
+    # offset-tolerant audio near-dup) promoted to the driver gate
+    "video_phash_pairs",  # aligned video pairs: video_phash_offset_pairs' pipeline supersets the craft/decode/banding; the aligned vote stays certified here
 }
 
 
