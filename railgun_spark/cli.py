@@ -176,8 +176,15 @@ def cmd_ingest(args) -> int:
         if args.wide and args.modality != "image":
             print("--wide applies to --modality image only", file=sys.stderr)
             return 2
-        if args.offset_tolerant and args.modality != "video":
-            print("--offset-tolerant applies to --modality video only",
+        if args.offset_tolerant and args.modality not in ("video", "audio"):
+            print("--offset-tolerant applies to --modality video or audio only",
+                  file=sys.stderr)
+            return 2
+        if args.chunked and args.modality != "audio":
+            print("--chunked applies to --modality audio only", file=sys.stderr)
+            return 2
+        if args.offset_tolerant and args.modality == "audio" and not args.chunked:
+            print("--offset-tolerant audio ingest requires --chunked",
                   file=sys.stderr)
             return 2
         batch_fn, stream_fn = {
@@ -194,6 +201,10 @@ def cmd_ingest(args) -> int:
         extra = {}
         if args.modality == "video":
             extra["every_n"] = args.every_n
+            if args.offset_tolerant:
+                extra["offset_tolerant"] = True
+        if args.modality == "audio" and args.chunked:
+            extra["chunked"] = True
             if args.offset_tolerant:
                 extra["offset_tolerant"] = True
         spark = get_spark("railgun_ingest")
@@ -771,8 +782,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--offset-tolerant", action="store_true",
-        help="with --modality video: also reject trimmed/padded copies via "
-        "the per-offset temporal vote (same index as the aligned gate)",
+        help="with --modality video (or audio + --chunked): also reject "
+        "trimmed/padded copies via the per-offset vote (same index as the "
+        "aligned gate)",
+    )
+    p.add_argument(
+        "--chunked", action="store_true",
+        help="with --modality audio: gate through per-chunk fingerprints "
+        "(mod='audio-chunk' index layout — separate path from the "
+        "whole-clip gate; required for --offset-tolerant audio)",
     )
     p.add_argument(
         "--every-n", type=int, default=10,

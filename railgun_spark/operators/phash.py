@@ -1346,8 +1346,23 @@ def video_dedup_against_bucketed_index(
     admitted set; frame alignment is encoded in band_key, so the join is
     a true single-key equi-join and the table's
     HashPartitioning(band_key) lets the index side scan in place."""
-    spark = df.sparkSession
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    return _banded_dedup_against_bucketed_table(
+        df, bands, table, id_col, min_match_frac
+    )
+
+
+def _banded_dedup_against_bucketed_table(
+    df: DataFrame,
+    bands: DataFrame,
+    table: str,
+    id_col: str,
+    min_match_frac: float,
+) -> DataFrame:
+    """Position-aligned gate body over already-computed band rows in the
+    video shape (__id, __n, frame_idx, band_key, __h) — shared by the
+    video and audio-chunk bucketed gates."""
+    spark = df.sparkSession
     a, b = bands.alias("a"), bands.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_cand = (
@@ -2225,7 +2240,8 @@ def append_image_wide_bands_to_bucketed_index(
 # then scans in place, the same discipline as every aligned gate.
 # --------------------------------------------------------------------------
 def bucketize_video_index_offset(
-    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64,
+    modality: str = "video",
 ) -> int:
     """Materialize a parquet video band index as a managed table with the
     frame-stripped chunk key as an explicit bucketed column (chunk_key =
@@ -2238,7 +2254,7 @@ def bucketize_video_index_offset(
     local = _local_index_path(index_path)
     _recover_index(local)
     idx = spark.read.option("mergeSchema", "true").parquet(local)
-    _check_index_geometry(idx, index_path, "video")
+    _check_index_geometry(idx, index_path, modality)
     (
         idx.select(
             "vid", "n_frames", "frame_idx",
@@ -2264,8 +2280,23 @@ def video_dedup_against_bucketed_index_offset(
     """`video_dedup_against_index_offset` against a chunk_key-bucketed
     band table: same admitted set, index side scans in place (only the
     small batch shuffles into the bucket scheme)."""
-    spark = df.sparkSession
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
+    return _banded_dedup_against_bucketed_table_offset(
+        df, bands, table, id_col, min_match_frac
+    )
+
+
+def _banded_dedup_against_bucketed_table_offset(
+    df: DataFrame,
+    bands: DataFrame,
+    table: str,
+    id_col: str,
+    min_match_frac: float,
+) -> DataFrame:
+    """Per-offset vote gate body over already-computed band rows in the
+    video shape — shared by the video and audio-chunk bucketed offset
+    gates."""
+    spark = df.sparkSession
     nb = bands.select(
         "__id", "__n", "frame_idx", "__h",
         F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
@@ -2650,3 +2681,94 @@ def audio_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_phash_near_dup_pairs_offset(ch).orderBy(
         "id_a", "id_b", "chunk_offset"
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed band tables for the audio-chunk gates — layout parity with the
+# video gates (the band rows share the video shape, so the table layouts
+# and gate bodies are the same code): band_key-bucketed for the aligned
+# mode, chunk_key-bucketed for a standing offset-mode deployment.
+# --------------------------------------------------------------------------
+def bucketize_audio_chunk_index(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Audio-chunk twin of `bucketize_video_index` (same columns; chunk
+    position is encoded in band_key, so bucketing by band_key serves the
+    aligned gate's single-key join in place)."""
+    return _bucketize_media_index(
+        spark, index_path, table, AUDIO_CHUNK_MOD,
+        ["vid", "n_frames", "frame_idx", "band_key", "dhash", "bits", "mod"],
+        n_buckets,
+    )
+
+
+def audio_chunk_dedup_against_bucketed_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "media_id",
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+) -> DataFrame:
+    """`audio_chunk_dedup_against_index` against a bucketed band table:
+    same admitted set, index side scans in place."""
+    bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
+    return _banded_dedup_against_bucketed_table(
+        df, bands, table, id_col, min_match_frac
+    )
+
+
+def append_audio_chunk_bands_to_bucketed_index(
+    survivors: DataFrame, table: str, id_col: str = "media_id"
+) -> None:
+    """Append survivors' per-chunk rows preserving the table's bucket
+    spec."""
+    _audio_chunk_band_rows(survivors, id_col=id_col).select(
+        F.col("__id").alias("vid"),
+        F.col("__n").alias("n_frames"),
+        "frame_idx",
+        "band_key",
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit(AUDIO_CHUNK_MOD).alias("mod"),
+    ).write.mode("append").insertInto(table)
+
+
+def bucketize_audio_chunk_index_offset(
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+) -> int:
+    """Audio-chunk twin of `bucketize_video_index_offset`: materialize
+    the chunk-stripped key as an explicit bucketed column so the offset
+    gate's index side scans in place too."""
+    return bucketize_video_index_offset(
+        spark, index_path, table, n_buckets, modality=AUDIO_CHUNK_MOD
+    )
+
+
+def audio_chunk_dedup_against_bucketed_index_offset(
+    df: DataFrame,
+    table: str,
+    id_col: str = "media_id",
+    min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+) -> DataFrame:
+    """`audio_chunk_dedup_against_index_offset` against a
+    chunk_key-bucketed band table: same admitted set, index side scans
+    in place (only the small batch shuffles into the bucket scheme)."""
+    bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
+    return _banded_dedup_against_bucketed_table_offset(
+        df, bands, table, id_col, min_match_frac
+    )
+
+
+def append_audio_chunk_bands_to_bucketed_index_offset(
+    survivors: DataFrame, table: str, id_col: str = "media_id"
+) -> None:
+    """Append survivors' per-chunk rows preserving the chunk_key bucket
+    spec."""
+    _audio_chunk_band_rows(survivors, id_col=id_col).select(
+        F.col("__id").alias("vid"),
+        F.col("__n").alias("n_frames"),
+        "frame_idx",
+        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+        F.col("__h").alias("dhash"),
+        F.lit(PHASH_BAND_BITS).alias("bits"),
+        F.lit(AUDIO_CHUNK_MOD).alias("mod"),
+    ).write.mode("append").insertInto(table)

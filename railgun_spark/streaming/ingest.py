@@ -329,6 +329,8 @@ def ingest_audio_batch(
     sink_path: str,
     id_col: str = "media_id",
     batch_id: int | None = None,
+    chunked: bool = False,
+    offset_tolerant: bool = False,
 ) -> int:
     """Audio twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     of clips through the energy-delta fingerprint band index
@@ -337,16 +339,42 @@ def ingest_audio_batch(
     including the mixed-batch replay skip (`_write_media_sink`).
     Decode-refused rows (MP3) always survive and are never indexed. Use
     a separate index path from the image gate — the modality tag refuses
-    a mixed index loudly."""
-    from railgun_spark.operators.phash import _append_bands, audio_gate_with_bands
-
-    survivors, surv_bands = audio_gate_with_bands(
-        batch_df, index_path, id_col=id_col
+    a mixed index loudly. `chunked` switches to per-chunk fingerprints
+    (phash.audio_chunk_gate_with_bands, mod='audio-chunk' index layout —
+    must stay constant for one index's lifetime); `offset_tolerant`
+    additionally rejects trimmed/padded copies of indexed audio via the
+    per-offset vote and requires `chunked` (the whole-clip fingerprint
+    has no temporal axis to shift)."""
+    from railgun_spark.operators.phash import (
+        AUDIO_CHUNK_MOD,
+        _append_bands,
+        _append_video_band_rows,
+        audio_chunk_gate_with_bands,
+        audio_gate_with_bands,
     )
+
+    if offset_tolerant and not chunked:
+        raise ValueError(
+            "offset_tolerant audio ingest requires chunked=True — the "
+            "whole-clip fingerprint has no chunk axis to shift"
+        )
+    if chunked:
+        survivors, surv_bands = audio_chunk_gate_with_bands(
+            batch_df, index_path, id_col=id_col, offset_tolerant=offset_tolerant
+        )
+    else:
+        survivors, surv_bands = audio_gate_with_bands(
+            batch_df, index_path, id_col=id_col
+        )
     has_gateable = bool(surv_bands.limit(1).count())
     n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)
     if has_gateable and n > 0:
-        _append_bands(surv_bands, index_path, "audio")
+        if chunked:
+            _append_video_band_rows(
+                surv_bands, index_path, modality=AUDIO_CHUNK_MOD
+            )
+        else:
+            _append_bands(surv_bands, index_path, "audio")
     return n
 
 
@@ -358,9 +386,13 @@ def stream_ingest_audio_availablenow(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     id_col: str = "media_id",
+    chunked: bool = False,
+    offset_tolerant: bool = False,
 ) -> int:
     """Drain `source_dir` of MEDIA_SCHEMA audio shards through the
-    fingerprint band gate (availableNow); returns total clips admitted."""
+    fingerprint band gate (availableNow); returns total clips admitted.
+    `chunked`/`offset_tolerant` select the per-chunk (trim-robust)
+    fingerprint gate for every micro-batch."""
     from railgun_spark.operators.multimodal import MEDIA_SCHEMA
 
     return _drain_availablenow(
@@ -370,7 +402,8 @@ def stream_ingest_audio_availablenow(
         checkpoint_dir,
         max_files_per_trigger,
         lambda batch_df, batch_id: ingest_audio_batch(
-            batch_df, index_path, sink_path, id_col=id_col, batch_id=batch_id
+            batch_df, index_path, sink_path, id_col=id_col, batch_id=batch_id,
+            chunked=chunked, offset_tolerant=offset_tolerant,
         ),
     )
 

@@ -655,3 +655,50 @@ def test_ingest_wide_and_offset_flags(spark, capsys, tmp_path):
                  str(v1), "--index", vidx, "--sink", vsink]) == 2
     assert main(["ingest", "--modality", "image", "--offset-tolerant",
                  "--input-dir", str(b1), "--index", widx, "--sink", wsink]) == 2
+
+
+def test_ingest_chunked_audio_flags(spark, capsys, tmp_path):
+    """--chunked routes audio shards through the per-chunk fingerprint
+    gate; with --offset-tolerant a trimmed re-upload rejects; flag
+    guards refuse the wrong combinations."""
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA
+    from railgun_spark.operators.phash import _phash_target, _phash_wav_chunks
+
+    base = [_phash_target(860 + f, 0) for f in range(4)]
+    a1 = tmp_path / "a1"
+    spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav_chunks(base)), {})], MEDIA_SCHEMA
+    ).write.parquet(str(a1))
+    aidx, asink = str(tmp_path / "aidx"), str(tmp_path / "asink")
+    rc = main(["ingest", "--modality", "audio", "--chunked",
+               "--offset-tolerant", "--id-col", "media_id",
+               "--input-dir", str(a1), "--index", aidx, "--sink", asink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+    # trimmed re-upload (front-trim 1 chunk, 1 in-budget bit per chunk)
+    a2 = tmp_path / "a2"
+    spark.createDataFrame(
+        [(9, "audio", bytearray(_phash_wav_chunks([h ^ 1 for h in base[1:]])), {})],
+        MEDIA_SCHEMA,
+    ).write.parquet(str(a2))
+    rc = main(["ingest", "--modality", "audio", "--chunked",
+               "--offset-tolerant", "--id-col", "media_id",
+               "--input-dir", str(a2), "--index", aidx, "--sink", asink])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 0}
+    # without --offset-tolerant the aligned chunked gate admits the trim
+    # (documented miss) against a FRESH index
+    rc = main(["ingest", "--modality", "audio", "--chunked",
+               "--id-col", "media_id", "--input-dir", str(a2),
+               "--index", str(tmp_path / "aidx2"), "--sink",
+               str(tmp_path / "asink2")])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"admitted": 1}
+
+    # guards: --chunked is audio-only; offset-tolerant audio needs --chunked
+    assert main(["ingest", "--modality", "image", "--chunked",
+                 "--input-dir", str(a1), "--index", aidx,
+                 "--sink", asink]) == 2
+    assert main(["ingest", "--modality", "audio", "--offset-tolerant",
+                 "--input-dir", str(a1), "--index", aidx,
+                 "--sink", asink]) == 2

@@ -1129,7 +1129,9 @@ def test_video_offset_pairs_and_gate(spark, tmp_path):
     assert sorted(r["media_id"] for r in s3.collect()) == [20]
 
 
-@pytest.mark.parametrize("modality", ["audio", "video", "image_wide"])
+@pytest.mark.parametrize(
+    "modality", ["audio", "video", "image_wide", "audio_chunk"]
+)
 def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
     """Audio/video/wide-image gate soak (slow, ~1-2 min each; r13 VERDICT
     #4 — the image gate's injected-crash soak generalized): 12
@@ -1146,6 +1148,7 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
 
     from railgun_spark.operators.phash import (
         _phash_wav,
+        _phash_wav_chunks,
         _phash_wide_pgm,
         _phash_y4m,
     )
@@ -1158,12 +1161,28 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
     )
 
     n_shards = 12
-    kind = "image" if modality == "image_wide" else modality
+    kind = {"image_wide": "image", "audio_chunk": "audio"}.get(modality, modality)
 
     def fresh_hash(k: int, j: int) -> int:
         return _phash_target(3000 + k * 2 + j, 0)
 
-    if modality == "audio":
+    if modality == "audio_chunk":
+        # offset-tolerant chunked mode: two-chunk clips, trim-robust gate
+        payload = lambda h: _phash_wav_chunks([h, h ^ 2])  # noqa: E731
+        refuse = lambda k: b"ID3\x05" + bytes([k])  # noqa: E731
+
+        def ingest(df, batch_id):
+            return ingest_audio_batch(
+                df, idx, sink, batch_id=batch_id,
+                chunked=True, offset_tolerant=True,
+            )
+
+        def gate_direct(df, b_idx, b_sink):
+            return ingest_audio_batch(
+                df, b_idx, b_sink, batch_id=None,
+                chunked=True, offset_tolerant=True,
+            )
+    elif modality == "audio":
         payload = lambda h: _phash_wav(h)  # noqa: E731
         refuse = lambda k: b"ID3\x04" + bytes([k])  # noqa: E731
 
@@ -1237,7 +1256,12 @@ def test_stream_ingest_soak_media_gate(spark, tmp_path, modality):
 
     # CRASH WINDOW 1 at boundary 5: sink partition written, index lost
     ship(5)
-    if modality == "audio":
+    if modality == "audio_chunk":
+        from railgun_spark.operators.phash import (
+            audio_chunk_dedup_against_index_offset as g5c,
+        )
+        crashed = g5c(spark.read.parquet(str(src / "shard05.parquet")), idx)
+    elif modality == "audio":
         from railgun_spark.operators.phash import audio_dedup_against_index as g5
         crashed = g5(spark.read.parquet(str(src / "shard05.parquet")), idx)
     elif modality == "video":
@@ -1690,3 +1714,84 @@ def test_audio_chunk_offset_pairs_and_gate(spark, tmp_path):
     )
     s3 = audio_chunk_dedup_against_index_offset(b3, str(tmp_path / "fresh"))
     assert sorted(r["media_id"] for r in s3.collect()) == [30]
+
+
+def test_bucketed_audio_chunk_indexes(spark, tmp_path):
+    """Aligned (band_key-bucketed) and offset (chunk_key-bucketed)
+    audio-chunk tables admit exactly their parquet gates' sets with
+    fewer exchanges; appends preserve the bucket specs."""
+    import shutil
+
+    from railgun_spark.operators.phash import (
+        PHASH_BANDS,
+        _phash_wav_chunks,
+        append_audio_chunk_bands_to_bucketed_index_offset,
+        append_audio_chunk_bands_to_index,
+        audio_chunk_dedup_against_bucketed_index,
+        audio_chunk_dedup_against_bucketed_index_offset,
+        audio_chunk_dedup_against_index,
+        audio_chunk_dedup_against_index_offset,
+        bucketize_audio_chunk_index,
+        bucketize_audio_chunk_index_offset,
+    )
+
+    base = [_phash_target(1100 + f, 0) for f in range(4)]
+    idx = str(tmp_path / "acidx")
+    a1 = spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav_chunks(base)), {})], MEDIA_SCHEMA
+    )
+    append_audio_chunk_bands_to_index(
+        audio_chunk_dedup_against_index(a1, idx), idx
+    )
+
+    probe = spark.createDataFrame(
+        [(10, "audio", bytearray(_phash_wav_chunks([h ^ 2 for h in base[1:]])), {}),
+         (11, "audio", bytearray(
+             _phash_wav_chunks([_phash_target(1200 + f, 0) for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    aligned_probe = spark.createDataFrame(
+        [(12, "audio", bytearray(_phash_wav_chunks([h ^ 2 for h in base])), {})],
+        MEDIA_SCHEMA,
+    )
+    t_aligned = "phash_audio_chunk_bucketed_test"
+    t_offset = "phash_audio_chunk_offset_bucketed_test"
+    for t in (t_aligned, t_offset):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    assert bucketize_audio_chunk_index(spark, idx, t_aligned, n_buckets=8) == \
+        4 * PHASH_BANDS
+    assert bucketize_audio_chunk_index_offset(spark, idx, t_offset, n_buckets=8) == \
+        4 * PHASH_BANDS
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # aligned: same-position re-encode rejects; trimmed copy admits
+        al_p = audio_chunk_dedup_against_index(aligned_probe, idx)
+        al_t = audio_chunk_dedup_against_bucketed_index(aligned_probe, t_aligned)
+        assert al_p.count() == al_t.count() == 0
+        # offset: trimmed copy rejects, unrelated admits — parquet and
+        # bucketed agree; the bucketed plan scans in place
+        off_p = audio_chunk_dedup_against_index_offset(probe, idx)
+        off_t = audio_chunk_dedup_against_bucketed_index_offset(probe, t_offset)
+        assert sorted(r["media_id"] for r in off_t.collect()) == \
+               sorted(r["media_id"] for r in off_p.collect()) == [11]
+        plan_t = off_t._jdf.queryExecution().executedPlan().toString()
+        plan_p = off_p._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+        assert plan_t.count("Exchange") < plan_p.count("Exchange")
+        # appends preserve the bucket spec and stay visible
+        append_audio_chunk_bands_to_bucketed_index_offset(off_t, t_offset)
+        probe2 = spark.createDataFrame(
+            [(20, "audio", bytearray(_phash_wav_chunks(
+                [_phash_target(1201 + f, 0) ^ 1 for f in range(2)])), {})],
+            MEDIA_SCHEMA,
+        )
+        assert audio_chunk_dedup_against_bucketed_index_offset(
+            probe2, t_offset
+        ).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in (t_aligned, t_offset):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
