@@ -1795,3 +1795,38 @@ def test_bucketed_audio_chunk_indexes(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in (t_aligned, t_offset):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_audio_chunk_gain_and_container_invariance(spark):
+    """The chunked fingerprint inherits the energy-delta family's
+    invariances, per chunk: a constant-gain re-encode (0.5x, exact on
+    the 16-bit grid) preserves every chunk hash (RMS scales linearly, so
+    delta SIGNS are gain-invariant), and the same PCM through a FLAC
+    container fingerprints identically."""
+    import struct
+
+    from railgun_spark.operators.multimodal import _audio_pcm_frames, _flac_verbatim_mono
+    from railgun_spark.operators.phash import (
+        _phash_wav_chunks,
+        audio_chunk_fingerprints,
+    )
+
+    hs = [_phash_target(910 + k, 0) for k in range(3)]
+    wav = _phash_wav_chunks(hs)
+    frames, _ = _audio_pcm_frames(wav)
+    pcm16 = [int(round(x * 32768)) for x in frames[:, 0]]
+    halved = wav[:44] + b"".join(struct.pack("<h", v // 2) for v in pcm16)
+    flac = _flac_verbatim_mono(pcm16, 8000)
+    rows = [
+        (1, "audio", bytearray(wav), {}),
+        (2, "audio", bytearray(halved), {}),
+        (3, "audio", bytearray(flac), {}),
+    ]
+    out = audio_chunk_fingerprints(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], {})[r["chunk_idx"]] = r["fhash"]
+    signed = {k: h - (1 << 64) if h >= (1 << 63) else h for k, h in enumerate(hs)}
+    assert by_id[1] == by_id[2] == by_id[3] == signed

@@ -423,6 +423,59 @@ def main() -> int:
         time_batch=video_offset_ingest,
     )
 
+    # gate 8 (r14 extension): the OFFSET-TOLERANT chunked audio gate —
+    # crafted 3-chunk WAVs whose per-chunk fingerprints are 60-bit md5s
+    # of (id, chunk); pairwise non-matching, so every cell measures the
+    # zero-false-reject admit path of the per-offset vote
+    def _audio_chunk_frame(ids_df, salt: str):
+        import hashlib
+
+        import pandas as pd
+
+        from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+        from railgun_spark.operators.phash import _phash_wav_chunks
+
+        def synth(it):
+            for pdf in it:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    hs = [
+                        int(hashlib.md5(f"{salt}:{mid}:{c}".encode())
+                            .hexdigest()[:15], 16)
+                        for c in range(3)
+                    ]
+                    rows.append((mid, "audio", _phash_wav_chunks(hs), {}))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content", "meta"]
+                )
+
+        return spread_for_decode(ids_df, heavy=True).mapInPandas(synth, MEDIA_SCHEMA)
+
+    def audio_chunk_offset_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_audio_batch
+
+        return ingest_audio_batch(
+            batch, idx, sink, chunked=True, offset_tolerant=True
+        )
+
+    run_gate(
+        "audio_chunk_offset",
+        _audio_chunk_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 5_000_000_000).alias("media_id")
+            ),
+            "acidx",
+        ),
+        _audio_chunk_frame(
+            spark.range(5_000).select(F.col("id").alias("media_id")), "acbatch"
+        ),
+        populate=lambda df, idx: audio_chunk_offset_ingest(
+            df, idx, idx + "_popsink"
+        ),
+        time_batch=audio_chunk_offset_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)

@@ -65,6 +65,13 @@ PROBES = {
     # real MP3 decode through the Arrow hop: 10x documents = 10x streams;
     # the repartitioned decode stage must track cores, not file splits
     "multimodal_mp3_features": "linear",
+    # crafted-media certification pipelines: 10x doc_id keyspace = 10x
+    # clips; banded joins only pair within a variant family, so the
+    # pipelines are decode-bound linear
+    "image_phash_wide_pairs": "linear",
+    "image_phash_wide_coarse_pairs": "linear",
+    "video_phash_offset_pairs": "linear",
+    "audio_phash_offset_pairs": "linear",
 }
 RATIO_BOUND = {"linear": 13.0, "quadratic-arith": 130.0}
 
