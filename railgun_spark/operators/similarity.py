@@ -1496,3 +1496,202 @@ _suite.EXTRA["embedding_lsh_recall_report"].oracle = f"""
            END AS recall
     FROM exact e LEFT JOIN ndpairs p ON e.vec_a = p.vec_a AND e.vec_b = p.vec_b
     """
+
+
+# --------------------------------------------------------------------------
+# Persistent IVF index (r14 extension): the similarity-search twin of the
+# dedup gates' build-once/probe-many discipline. ann_ivf_topk above
+# computes assignment + probe + re-rank in one job; at corpus scale the
+# assignment pass (the expensive leg — one cosine per vector per
+# centroid) must be paid ONCE and amortized over every query batch.
+# build_ivf_index writes the assigned vectors PARTITIONED BY CENTROID
+# (parquet partitionBy('cid')), so a search probing `nprobe` inverted
+# lists is directory-level PARTITION PRUNING on the scan — the unprobed
+# (k - nprobe)/k of the corpus is never read, the exact analogue of
+# FAISS's inverted-list seek. Probe selection is pure Column algebra
+# over k literal centroids (no driver loop over queries), so one search
+# call serves an arbitrarily large query BATCH: probes explode to
+# (qid, cid) pairs, candidates join on cid, and a per-qid window takes
+# the top k — every stage distributed.
+# --------------------------------------------------------------------------
+def _centroid_rows(emb: DataFrame, k: int) -> list:
+    """Deterministic coarse quantizer: the k lowest-vec_id vectors
+    (ann_ivf_topk's convention — swap in kmeans_embeddings output for
+    trained centroids; the index layout is identical)."""
+    rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
+        .select("vec_id", "v")
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
+
+
+def _assign_cid(v: Column, cents: list) -> Column:
+    """Nearest-centroid cid as a Column: rounded-cosine argmax with the
+    lowest-cid tiebreak (array_position returns the FIRST max)."""
+    sims = F.array(*[F.round(cosine(v, _lit_vec(cv)), 6) for _, cv in cents])
+    cid_of = F.array(*[F.lit(cid) for cid, _ in cents])
+    return F.element_at(cid_of, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
+def build_ivf_index(
+    emb: DataFrame, index_path: str, k: int = IVF_K,
+    exclude_ids: tuple = (),
+    centroids: list | None = None,
+) -> int:
+    """Assign every vector (minus `exclude_ids`) to its nearest of the k
+    coarse centroids and write {index_path}/vecs partitioned by cid,
+    plus the centroids at {index_path}/centroids. Returns the number of
+    indexed vectors. `emb` needs (vec_id, label, v:array<double>).
+    `centroids` overrides the first-K quantizer with trained ones
+    ([(cid, vector)], e.g. from 2 Lloyd iterations via assign_clusters /
+    recompute_centroids) — the layout and search are identical."""
+    spark = emb.sparkSession
+    cents = sorted(centroids) if centroids is not None else _centroid_rows(emb, k)
+    base = emb
+    if exclude_ids:
+        base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    assigned = base.select(
+        "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{index_path}/vecs"
+    )
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return spark.read.parquet(f"{index_path}/vecs").count()
+
+
+def _probed_vecs(spark: SparkSession, index_path: str, cids: list) -> DataFrame:
+    """The probed inverted lists only: an isin over the cid PARTITION
+    column prunes unprobed directories at plan time (inputFiles shrinks
+    with nprobe — pinned by test)."""
+    return spark.read.parquet(f"{index_path}/vecs").filter(
+        F.col("cid").isin([int(c) for c in cids])
+    )
+
+
+def ann_ivf_search_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    nprobe: int = IVF_NPROBE,
+    topk: int = 10,
+) -> DataFrame:
+    """Batch ANN search against a build_ivf_index layout: for each query
+    row (qid, v) pick the `nprobe` nearest centroids (Column algebra
+    over the k stored centroids — no per-query driver work), scan ONLY
+    those partitions, exact-re-rank by rounded cosine, and return the
+    per-query top-`topk` as (qid, vec_id, label, cid, cos_sim, rnk).
+    Ties break on lowest vec_id / lowest cid, matching ann_ivf_topk."""
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    # per-query probe list: array of (sim desc, cid asc)-sorted structs,
+    # sliced to nprobe, exploded to (qid, cid) pairs carrying the query
+    # vector along for the re-rank leg
+    probe_structs = F.array(*[
+        F.struct(
+            (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6)).alias("negsim"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ])
+    probes = queries.select(
+        "qid",
+        F.col("v").alias("qv"),
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, nprobe)
+        ).alias("p"),
+    ).select("qid", "qv", F.col("p.cid").alias("cid"))
+    # static partition pruning: the union of probed cids is bounded by k
+    # (tiny), so one driver-side distinct keeps the scan pruned even
+    # without runtime DPP
+    probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    cand = _probed_vecs(spark, index_path, probed_cids).join(
+        F.broadcast(probes), "cid"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
+    )
+    return (
+        cand.select(
+            "qid", "vec_id", "label", "cid",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "vec_id", "label", "cid", "cos_sim", "rnk")
+    )
+
+
+IVF_INDEX_QUERY_IDS = (0, 9, 10)
+
+
+def _ivf_index_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    qids = ", ".join(str(q) for q in IVF_INDEX_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_K}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+    assign AS (
+      SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT q.qid, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos.format(a="qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT qid, vec_id, label, cid, cos_sim, rnk FROM (
+      SELECT p.qid, a.vec_id, a.label, a.cid,
+             {cos.format(a="a.v", b="p.qv")} AS cos_sim,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY {cos.format(a="a.v", b="p.qv")} DESC, a.vec_id, a.cid)
+               AS rnk
+      FROM assign a JOIN probes p USING (cid)
+    ) WHERE rnk <= 10
+    ORDER BY qid, rnk
+    """
+
+
+@extra_query(
+    "ann_ivf_index_topk",
+    oracle=_ivf_index_oracle(),
+    doc=f"Persistent-IVF ANN search: build a cid-partitioned index "
+    f"(coarse quantizer = vec_ids 1..{IVF_K}, held-out query ids "
+    f"{IVF_INDEX_QUERY_IDS}), then run a 3-query batch probing "
+    f"{IVF_NPROBE} inverted lists each with partition-pruned scans and "
+    "a per-query windowed top-10 — must match the all-in-one SQL "
+    "definition exactly.",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))
+    ).select(F.col("vec_id").alias("qid"), "v")
+    with tempfile.TemporaryDirectory(prefix="ivf_idx_") as d:
+        build_ivf_index(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        return ann_ivf_search_index(spark, queries, d).orderBy(
+            "qid", "rnk"
+        ).localCheckpoint()

@@ -1630,3 +1630,67 @@ def test_embedding_gate_does_not_saturate(spark, tmp_path):
     # while an exact re-ingest of an admitted vector still rejects
     dup = batch.filter("vec_id = 7").selectExpr("200 AS vec_id", "embedding")
     assert embedding_dedup_against_index(dup, idx).count() == 0
+
+
+def test_persistent_ivf_index_pruning_and_recall(spark, tmp_path):
+    """build_ivf_index writes cid-partitioned inverted lists; a search
+    probing fewer lists reads FEWER FILES (directory-level partition
+    pruning — the 100 TB seek path), and probing ALL k lists reproduces
+    the exact brute-force top-10 per query."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        _probed_vecs,
+        ann_ivf_search_index,
+        build_ivf_index,
+        cosine,
+        to_double,
+        _lit_vec,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    qids = (0, 9)
+    idx = str(tmp_path / "ivf")
+    n = build_ivf_index(emb, idx, exclude_ids=qids)
+    assert n == emb.count() - len(qids)
+
+    # partition pruning: the probed scan carries a PartitionFilters
+    # entry on cid (directory-level pruning) and plans strictly fewer
+    # scan partitions than the full-index read
+    two = _probed_vecs(spark, idx, [1, 2])
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
+    all_parts = _probed_vecs(
+        spark, idx, list(range(1, IVF_K + 1))
+    ).rdd.getNumPartitions()
+    assert two.rdd.getNumPartitions() < all_parts
+
+    queries = emb.filter(F.col("vec_id").isin(list(qids))).select(
+        F.col("vec_id").alias("qid"), "v"
+    )
+    # nprobe = k: the pruned search must equal exact brute force
+    got = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=5)
+    got_rows = {(r["qid"], r["rnk"]): (r["vec_id"], r["cos_sim"])
+                for r in got.collect()}
+    qvecs = {int(r["qid"]): list(r["v"]) for r in queries.collect()}
+    for qid, qv in qvecs.items():
+        brute = (
+            emb.filter(~F.col("vec_id").isin(list(qids)))
+            .select("vec_id", F.round(cosine(F.col("v"), _lit_vec(qv)), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(5)
+            .collect()
+        )
+        for i, r in enumerate(brute, start=1):
+            assert got_rows[(qid, i)] == (r["vec_id"], r["cos_sim"]), (qid, i)
+
+    # nprobe=1 returns <= topk rows per query, all from the probed list
+    one = ann_ivf_search_index(spark, queries, idx, nprobe=1, topk=5)
+    per_q = one.groupBy("qid").agg(
+        F.countDistinct("cid").alias("nc"), F.count("*").alias("n")
+    ).collect()
+    assert all(r["nc"] == 1 and r["n"] <= 5 for r in per_q)

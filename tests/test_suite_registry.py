@@ -160,6 +160,8 @@ EXPECTED_EXTRA = {
     # round-14 extension rotation: audio_phash_offset_pairs (chunked
     # offset-tolerant audio near-dup) promoted to the driver gate
     "video_phash_pairs",  # aligned video pairs: video_phash_offset_pairs' pipeline supersets the craft/decode/banding; the aligned vote stays certified here
+    # round-14 extension addition
+    "ann_ivf_index_topk",  # persistent cid-partitioned IVF: build + pruned batch search
 }
 
 
