@@ -1695,3 +1695,24 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ann_ivf_search_index(spark, queries, d).orderBy(
             "qid", "rnk"
         ).localCheckpoint()
+
+
+def append_to_ivf_index(new_vecs: DataFrame, index_path: str) -> int:
+    """Incrementally grow a build_ivf_index layout: assign `new_vecs`
+    (vec_id, label, v) with the STORED quantizer and append them to
+    their cid partitions (dynamic partitionBy append — only the touched
+    inverted lists gain files; the quantizer is immutable for the
+    index's lifetime, the same discipline as the dedup gates' band
+    geometry). Returns the number of vectors appended."""
+    spark = new_vecs.sparkSession
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    assigned = new_vecs.select(
+        "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
+    ).localCheckpoint()
+    assigned.write.mode("append").partitionBy("cid").parquet(
+        f"{index_path}/vecs"
+    )
+    return assigned.count()

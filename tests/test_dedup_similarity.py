@@ -1694,3 +1694,42 @@ def test_persistent_ivf_index_pruning_and_recall(spark, tmp_path):
         F.countDistinct("cid").alias("nc"), F.count("*").alias("n")
     ).collect()
     assert all(r["nc"] == 1 and r["n"] <= 5 for r in per_q)
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index assigns with the STORED quantizer: appended
+    vectors land in their cid partitions, become searchable, and an
+    identical-vector append ranks at cosine 1.0 for a matching query."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_search_index,
+        append_to_ivf_index,
+        build_ivf_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    idx = str(tmp_path / "ivf")
+    head = emb.filter(F.col("vec_id") < 200)
+    n0 = build_ivf_index(head, idx, exclude_ids=(0,))
+    assert n0 == head.count() - 1
+
+    # append the tail; a re-labeled copy of the held-out query vector
+    # rides along so the post-append search must surface it at cos 1.0
+    tail = emb.filter(F.col("vec_id") >= 200)
+    copy = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "label", "v"
+    )
+    n1 = append_to_ivf_index(tail.unionByName(copy), idx)
+    assert n1 == tail.count() + 1
+    assert spark.read.parquet(f"{idx}/vecs").count() == n0 + n1
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "v"
+    )
+    got = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=3).collect()
+    assert got[0]["vec_id"] == 9999 and got[0]["cos_sim"] == 1.0
