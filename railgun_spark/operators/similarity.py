@@ -1554,9 +1554,13 @@ def build_ivf_index(
     assigned = base.select(
         "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{index_path}/vecs"
-    )
+    # one shuffle keyed by cid so each inverted list lands in few files
+    # (a task per cid, not per (task, cid) — 32 upstream partitions would
+    # otherwise spray k files each); at production scale raise
+    # spark.sql.shuffle.partitions so hot lists split across tasks
+    assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/vecs")
     spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -1712,7 +1716,7 @@ def append_to_ivf_index(new_vecs: DataFrame, index_path: str) -> int:
     assigned = new_vecs.select(
         "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     ).localCheckpoint()
-    assigned.write.mode("append").partitionBy("cid").parquet(
-        f"{index_path}/vecs"
-    )
+    assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/vecs")
     return assigned.count()
