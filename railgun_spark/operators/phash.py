@@ -905,23 +905,9 @@ def _phash_wav(h: int) -> bytes:
     """16-bit PCM WAV whose audio_fingerprint64 is exactly `h`: 8 groups
     of 9 constant-amplitude windows, base 64/128, each step +-1/128 by
     the corresponding bit (constant-window RMS is the exact amplitude,
-    so every delta comparison is integer-exact)."""
-    import struct
-
-    amps = []
-    for y in range(8):
-        vals = [64]
-        for k in range(8):
-            bit = (h >> (y * 8 + k)) & 1
-            vals.append(vals[-1] + (1 if bit else -1))
-        amps += vals
-    pcm = b"".join(
-        struct.pack("<h", a * 256) * _AUDIO_SEG_SAMPLES for a in amps
-    )
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    so every delta comparison is integer-exact). One chunk of the
+    multi-chunk craft — byte-identical to _phash_wav_chunks([h])."""
+    return _phash_wav_chunks([h])
 
 
 @query(

@@ -1582,13 +1582,19 @@ def ann_ivf_search_index(
     index_path: str,
     nprobe: int = IVF_NPROBE,
     topk: int = 10,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Batch ANN search against a build_ivf_index layout: for each query
     row (qid, v) pick the `nprobe` nearest centroids (Column algebra
     over the k stored centroids — no per-query driver work), scan ONLY
     those partitions, exact-re-rank by rounded cosine, and return the
     per-query top-`topk` as (qid, vec_id, label, cid, cos_sim, rnk).
-    Ties break on lowest vec_id / lowest cid, matching ann_ivf_topk."""
+    Ties break on lowest vec_id / lowest cid, matching ann_ivf_topk.
+    `broadcast_probes` fits the usual shape (query batch << index) by
+    shipping the probes to the pruned scan with no index-side shuffle;
+    set it False when the query batch itself is cluster-scale and must
+    not be collected to one node (the join degrades to a shuffle on
+    cid — correctness identical)."""
     from pyspark.sql import Window
 
     cents = sorted(
@@ -1597,28 +1603,34 @@ def ann_ivf_search_index(
     )
     # per-query probe list: array of (sim desc, cid asc)-sorted structs,
     # sliced to nprobe, exploded to (qid, cid) pairs carrying the query
-    # vector along for the re-rank leg
-    probe_structs = F.array(*[
-        F.struct(
-            (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6)).alias("negsim"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, cv in cents
-    ])
+    # vector along for the re-rank leg; checkpointed so the probe pass
+    # over the query batch runs ONCE (the distinct-cid collect below and
+    # the candidate join would otherwise re-evaluate the whole lineage)
     probes = queries.select(
         "qid",
         F.col("v").alias("qv"),
         F.explode(
-            F.slice(F.array_sort(probe_structs), 1, nprobe)
+            F.slice(
+                F.array_sort(F.array(*[
+                    F.struct(
+                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
+                        .alias("negsim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in cents
+                ])),
+                1,
+                nprobe,
+            )
         ).alias("p"),
-    ).select("qid", "qv", F.col("p.cid").alias("cid"))
+    ).select("qid", "qv", F.col("p.cid").alias("cid")).localCheckpoint()
     # static partition pruning: the union of probed cids is bounded by k
     # (tiny), so one driver-side distinct keeps the scan pruned even
     # without runtime DPP
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
-    cand = _probed_vecs(spark, index_path, probed_cids).join(
-        F.broadcast(probes), "cid"
-    )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    cand = _probed_vecs(spark, index_path, probed_cids).join(probes, "cid")
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
     )
