@@ -86,6 +86,7 @@ def main() -> int:
 
     from railgun_spark.operators.multimodal import resample_audio, resize_images
     from railgun_spark.operators.phash import (
+        audio_chunk_fingerprints,
         image_perceptual_hashes,
         image_perceptual_hashes_wide,
     )
@@ -116,11 +117,18 @@ def main() -> int:
             F.col("refused").isNull()
         ).count()
         cell["phash_wide"] = {"wall_s": round(time.time() - t0, 3), "n": n_wide}
+        t0 = time.time()
+        n_chunks = audio_chunk_fingerprints(media).filter(
+            F.col("refused").isNull()
+        ).count()
+        cell["audio_chunk_fp"] = {
+            "wall_s": round(time.time() - t0, 3), "n_chunks": n_chunks,
+        }
         results["scales"][str(scale)] = cell
         print(f"scale x{scale}: {json.dumps(cell)}", flush=True)
         media.unpersist()
 
-    for op in ("resize", "resample", "phash", "phash_wide"):
+    for op in ("resize", "resample", "phash", "phash_wide", "audio_chunk_fp"):
         w1 = results["scales"]["1"][op]["wall_s"]
         for s in SCALES[1:]:
             results[f"{op}_ratio_{s}x"] = round(
