@@ -554,6 +554,74 @@ def cmd_media_features(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Persistent-IVF ANN over an embeddings parquet: `build` writes the
+    centroid-partitioned inverted lists, `append` grows them with the
+    stored quantizer, `search` runs a partition-pruned batch query and
+    writes the per-query top-k."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        ann_ivf_search_index,
+        append_to_ivf_index,
+        build_ivf_index,
+        to_double,
+    )
+    from railgun_spark.session import get_spark
+
+    spark = get_spark("railgun_ann")
+
+    def load_vecs(path: str, id_alias: str = "vec_id"):
+        df = spark.read.parquet(path)
+        missing = {args.id_col, args.vec_col} - set(df.columns)
+        if missing:
+            print(f"input is missing required columns: {sorted(missing)}",
+                  file=sys.stderr)
+            return None
+        label = (
+            F.col("label") if "label" in df.columns else F.lit(None).cast("int")
+        )
+        return df.select(
+            F.col(args.id_col).alias(id_alias),
+            label.alias("label"),
+            to_double(F.col(args.vec_col)).alias("v"),
+        )
+
+    if args.action == "build":
+        vecs = load_vecs(args.input)
+        if vecs is None:
+            return 2
+        n = build_ivf_index(vecs, args.index, k=args.k)
+        print(json.dumps({"indexed": n, "k": args.k}))
+        return 0
+    if args.action == "append":
+        vecs = load_vecs(args.input)
+        if vecs is None:
+            return 2
+        n = append_to_ivf_index(vecs, args.index)
+        print(json.dumps({"appended": n}))
+        return 0
+    # search
+    if not args.output:
+        print("ann search requires --output", file=sys.stderr)
+        return 2
+    queries = load_vecs(args.input, id_alias="qid")
+    if queries is None:
+        return 2
+    hits = ann_ivf_search_index(
+        spark, queries, args.index, nprobe=args.nprobe, topk=args.topk
+    )
+    hits.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    print(json.dumps({
+        "n_queries": out.select("qid").distinct().count(),
+        "n_hits": out.count(),
+        "nprobe": args.nprobe,
+        "topk": args.topk,
+    }))
+    return 0
+
+
 def cmd_tokenize(args) -> int:
     """BPE tokenization pipeline: train merges on the corpus (or load a
     saved merge list), encode every document at vocab-sized cost
@@ -924,6 +992,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser(
+        "ann",
+        help="persistent-IVF ANN: build/append centroid-partitioned "
+        "inverted lists, or run a partition-pruned batch search",
+    )
+    p.add_argument("action", choices=("build", "append", "search"))
+    p.add_argument("--input", required=True,
+                   help="embeddings parquet (build/append: vectors to index; "
+                   "search: query vectors)")
+    p.add_argument("--index", required=True, help="IVF index root path")
+    p.add_argument("--output", default=None,
+                   help="search: parquet for the per-query top-k")
+    p.add_argument("--k", type=int, default=8,
+                   help="build: number of coarse centroids (default 8)")
+    p.add_argument("--nprobe", type=int, default=2,
+                   help="search: inverted lists probed per query (default 2)")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--id-col", dest="id_col", default="vec_id")
+    p.add_argument("--vec-col", dest="vec_col", default="embedding")
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("functions", help="list DFL functions")
     p.add_argument("--pretty", action="store_true")

@@ -1515,14 +1515,18 @@ _suite.EXTRA["embedding_lsh_recall_report"].oracle = f"""
 # the top k — every stage distributed.
 # --------------------------------------------------------------------------
 def _centroid_rows(emb: DataFrame, k: int) -> list:
-    """Deterministic coarse quantizer: the k lowest-vec_id vectors
-    (ann_ivf_topk's convention — swap in kmeans_embeddings output for
-    trained centroids; the index layout is identical)."""
-    rows = (
-        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= k))
-        .select("vec_id", "v")
-        .collect()
-    )
+    """Deterministic coarse quantizer: the k lowest-vec_id vectors OF
+    THE GIVEN SET (ann_ivf_topk's first-K convention generalized to
+    arbitrary id ranges — swap in kmeans output for trained centroids;
+    the index layout is identical). Refuses loudly on fewer than k
+    vectors: an empty/short quantizer would silently build a degenerate
+    index."""
+    rows = emb.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"cannot build a {k}-centroid IVF quantizer from "
+            f"{len(rows)} vectors"
+        )
     return sorted((int(r["vec_id"]), [float(x) for x in r["v"]]) for r in rows)
 
 
@@ -1547,10 +1551,10 @@ def build_ivf_index(
     ([(cid, vector)], e.g. from 2 Lloyd iterations via assign_clusters /
     recompute_centroids) — the layout and search are identical."""
     spark = emb.sparkSession
-    cents = sorted(centroids) if centroids is not None else _centroid_rows(emb, k)
     base = emb
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
     assigned = base.select(
         "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     )

@@ -702,3 +702,44 @@ def test_ingest_chunked_audio_flags(spark, capsys, tmp_path):
     assert main(["ingest", "--modality", "audio", "--offset-tolerant",
                  "--input-dir", str(a1), "--index", aidx,
                  "--sink", asink]) == 2
+
+
+def test_ann_subcommand(spark, capsys, tmp_path):
+    """ann build/append/search end-to-end over a real embeddings parquet:
+    build indexes everything, append grows the lists with the stored
+    quantizer, search writes the per-query top-k and an appended exact
+    copy of the query vector ranks first at cosine 1.0."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx, out = str(tmp_path / "ivf"), str(tmp_path / "hits")
+
+    head = str(tmp_path / "head")
+    spark.read.parquet(src).filter("vec_id >= 20 AND vec_id < 200").write.parquet(head)
+    rc = main(["ann", "build", "--input", head, "--index", idx, "--k", "8"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"indexed": 180, "k": 8}
+
+    # append an exact copy of vec_id 0 under a new id
+    extra = str(tmp_path / "extra")
+    spark.read.parquet(src).filter("vec_id = 0").selectExpr(
+        "CAST(9999 AS BIGINT) AS vec_id", "label", "embedding"
+    ).write.parquet(extra)
+    rc = main(["ann", "append", "--input", extra, "--index", idx])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"appended": 1}
+
+    q = str(tmp_path / "q")
+    spark.read.parquet(src).filter("vec_id = 0").write.parquet(q)
+    rc = main(["ann", "search", "--input", q, "--index", idx,
+               "--output", out, "--nprobe", "8", "--topk", "5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"n_queries": 1, "n_hits": 5, "nprobe": 8, "topk": 5}
+    top = spark.read.parquet(out).orderBy("rnk").first()
+    assert top["vec_id"] == 9999 and top["cos_sim"] == 1.0
+
+    # guards: search without --output; missing vector column
+    assert main(["ann", "search", "--input", q, "--index", idx]) == 2
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "vec_id: long").write.parquet(bad)
+    assert main(["ann", "build", "--input", bad, "--index",
+                 str(tmp_path / "i2")]) == 2
