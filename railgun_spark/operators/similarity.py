@@ -1736,3 +1736,245 @@ def append_to_ivf_index(new_vecs: DataFrame, index_path: str) -> int:
         "cid"
     ).parquet(f"{index_path}/vecs")
     return assigned.count()
+
+
+# --------------------------------------------------------------------------
+# Persistent IVF-PQ index: the canonical billion-scale ANN layout — the
+# IVF index's centroid-partitioned inverted lists, but storing PQ CODES
+# (PQ_M bytes of codebook ids) instead of raw vectors, scored by
+# asymmetric distance (ADC) from per-query lookup tables. The scan leg
+# then reads ~(nprobe/k) of the corpus at ~code-width bytes per vector
+# (PQ_M ints here vs EMB_DIM doubles — a 16x row shrink at these
+# constants, 100x+ at production dims), and every stage stays Column
+# algebra: the per-query LUTs are built from the (tiny, literal)
+# codebooks ON the query rows, ride the probes join, and ADC is a fold
+# of element_at(lut_m, code_m) — no driver work per query, no raw
+# vectors read. Encoding and ADC semantics are exactly ann_pq_topk's
+# (first-min/lowest-j codes, rounded sub-distances, left-to-right sum);
+# the coarse quantizer and probe selection are exactly the IVF index's.
+# --------------------------------------------------------------------------
+def _pq_codebooks(base: DataFrame, ks: int) -> dict:
+    """cents[m] = [(j, subvector)] (ascending j, 1-based): sub-codebooks
+    from the ks lowest-vec_id vectors of the indexed set (the PQ first-K
+    convention generalized like _centroid_rows)."""
+    rows = _centroid_rows(base, ks)
+    return {
+        m: [(j, v[m * PQ_DS:(m + 1) * PQ_DS]) for j, (_, v) in enumerate(rows, 1)]
+        for m in range(PQ_M)
+    }
+
+
+def _pq_code_cols(v: Column, cents: dict) -> list:
+    """One 1-based code Column per subspace: first-min squared distance,
+    lowest-j tiebreak — ann_pq_topk's encoding verbatim."""
+    cols = []
+    for m in range(PQ_M):
+        sub = F.slice(v, m * PQ_DS + 1, PQ_DS)
+        dists = F.array(*[_sq_dist(sub, cv) for _, cv in cents[m]])
+        cols.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return cols
+
+
+def build_ivf_pq_index(
+    emb: DataFrame, index_path: str, k: int = IVF_K, ks: int = PQ_KS,
+    exclude_ids: tuple = (),
+) -> int:
+    """IVF-PQ build: assign every vector to its nearest coarse centroid
+    AND encode it to PQ codes in the same pass; the inverted lists store
+    (vec_id, label, codes) ONLY — raw vectors never land in the index.
+    Writes vecs/ (partitioned by cid), centroids/, and codebooks/."""
+    spark = emb.sparkSession
+    base = emb
+    if exclude_ids:
+        base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    cents = _centroid_rows(base, k)
+    books = _pq_codebooks(base, ks)
+    coded = base.select(
+        "vec_id", "label",
+        _assign_cid(F.col("v"), cents).alias("cid"),
+        F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+    )
+    coded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/vecs")
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [(m, j, cv) for m, entries in books.items() for j, cv in entries],
+        "m: int, j: int, cv: array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    return spark.read.parquet(f"{index_path}/vecs").count()
+
+
+def ann_ivf_pq_search_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    nprobe: int = IVF_NPROBE,
+    topk: int = 10,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Batch ADC search against a build_ivf_pq_index layout: per-query
+    probe selection as in ann_ivf_search_index, per-query LUTs (rounded
+    squared distance of each query subvector to each codeword) computed
+    as Columns on the query rows, and candidates scored from their codes
+    alone — (qid, vec_id, label, cid, adc_dist, rnk), ascending ADC with
+    lowest-vec_id/cid ties."""
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    books: dict = {}
+    for r in spark.read.parquet(f"{index_path}/codebooks").collect():
+        books.setdefault(int(r["m"]), []).append(
+            (int(r["j"]), [float(x) for x in r["cv"]])
+        )
+    books = {m: sorted(entries) for m, entries in books.items()}
+
+    luts = [
+        F.array(*[
+            _sq_dist(F.slice(F.col("v"), m * PQ_DS + 1, PQ_DS), cv)
+            for _, cv in books[m]
+        ]).alias(f"lut{m}")
+        for m in range(PQ_M)
+    ]
+    probes = queries.select(
+        "qid",
+        *luts,
+        F.explode(
+            F.slice(
+                F.array_sort(F.array(*[
+                    F.struct(
+                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
+                        .alias("negsim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in cents
+                ])),
+                1,
+                nprobe,
+            )
+        ).alias("p"),
+    ).select("qid", *[f"lut{m}" for m in range(PQ_M)],
+             F.col("p.cid").alias("cid")).localCheckpoint()
+    probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    cand = spark.read.parquet(f"{index_path}/vecs").filter(
+        F.col("cid").isin([int(c) for c in probed_cids])
+    ).join(probes, "cid")
+    adc = F.lit(0.0)
+    for m in range(PQ_M):
+        adc = adc + F.element_at(
+            F.col(f"lut{m}"), F.element_at(F.col("codes"), m + 1)
+        )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist"), F.col("vec_id"), F.col("cid")
+    )
+    return (
+        cand.select(
+            "qid", "vec_id", "label", "cid", F.round(adc, 6).alias("adc_dist")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("qid", "vec_id", "label", "cid", "adc_dist", "rnk")
+    )
+
+
+def _ivf_pq_index_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sqd = (
+        "round(list_aggregate(list_transform({a}, "
+        "(x, i) -> (x - {b}[i]) * (x - {b}[i])), 'sum'), 6)"
+    )
+    qids = ", ".join(str(q) for q in IVF_INDEX_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_K}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+    sub AS (
+      SELECT vec_id, label, m.range AS m,
+             v[m.range * {PQ_DS} + 1 : m.range * {PQ_DS} + {PQ_DS}] AS sv
+      FROM e, range(0, {PQ_M}) m
+    ),
+    book AS (SELECT vec_id AS j, m, sv AS bv FROM sub
+             WHERE vec_id BETWEEN 1 AND {PQ_KS}),
+    assign AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, b.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sqd.format(a="s.sv", b="b.bv")}, b.j) AS rn
+        FROM sub s JOIN book b ON s.m = b.m
+        WHERE s.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qs.vec_id AS qid, b.m, b.j,
+             {sqd.format(a="qs.sv", b="b.bv")} AS qd
+      FROM sub qs JOIN book b ON qs.m = b.m
+      WHERE qs.vec_id IN ({qids})
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos.format(a="qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT l.qid, cd.vec_id, round(sum(l.qd), 6) AS adc_dist
+      FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.j
+      GROUP BY l.qid, cd.vec_id
+    )
+    SELECT qid, vec_id, label, cid, adc_dist, rnk FROM (
+      SELECT p.qid, a.vec_id, a.label, a.cid, d.adc_dist,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY d.adc_dist, a.vec_id, a.cid) AS rnk
+      FROM assign a
+      JOIN probes p USING (cid)
+      JOIN adc d ON d.qid = p.qid AND d.vec_id = a.vec_id
+    ) WHERE rnk <= 10
+    ORDER BY qid, rnk
+    """
+
+
+@extra_query(
+    "ann_ivf_pq_index_topk",
+    oracle=_ivf_pq_index_oracle(),
+    doc=f"Persistent IVF-PQ ANN: codes-only inverted lists ({PQ_M} ints "
+    f"per vector), per-query ADC lookup tables as Column algebra, "
+    f"{IVF_NPROBE}-list probes over a {IVF_K}-centroid quantizer with "
+    f"held-out query ids {IVF_INDEX_QUERY_IDS} — the partition-pruned "
+    "build + batch search must match the all-in-one SQL definition "
+    "exactly.",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))
+    ).select(F.col("vec_id").alias("qid"), "v")
+    with tempfile.TemporaryDirectory(prefix="ivfpq_idx_") as d:
+        build_ivf_pq_index(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        return ann_ivf_pq_search_index(spark, queries, d).orderBy(
+            "qid", "rnk"
+        ).localCheckpoint()

@@ -1733,3 +1733,51 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     )
     got = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=3).collect()
     assert got[0]["vec_id"] == 9999 and got[0]["cos_sim"] == 1.0
+
+
+def test_persistent_ivf_pq_codes_only_storage(spark, tmp_path):
+    """The IVF-PQ inverted lists store codes ONLY (no raw vectors — the
+    storage shrink IS the point), stay partition-pruned, and a full-probe
+    ADC search ranks an exactly-encoded duplicate of an indexed vector
+    at the same ADC distance as that vector."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        PQ_M,
+        ann_ivf_pq_search_index,
+        build_ivf_pq_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    qids = (0, 9)
+    idx = str(tmp_path / "ivfpq")
+    n = build_ivf_pq_index(emb, idx, exclude_ids=qids)
+    assert n == emb.count() - len(qids)
+
+    vecs = spark.read.parquet(f"{idx}/vecs")
+    assert set(vecs.columns) == {"vec_id", "label", "codes", "cid"}
+    assert vecs.select(F.size("codes")).distinct().first()[0] == PQ_M
+
+    queries = emb.filter(F.col("vec_id").isin(list(qids))).select(
+        F.col("vec_id").alias("qid"), "v"
+    )
+    got = ann_ivf_pq_search_index(spark, queries, idx, nprobe=IVF_K, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert set(per_q) == set(qids)
+    for q, rs in per_q.items():
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+        # ADC ascending with the deterministic tiebreak
+        ordered = sorted(rs, key=lambda r: r["rnk"])
+        assert all(
+            (a["adc_dist"], a["vec_id"]) <= (b["adc_dist"], b["vec_id"])
+            for a, b in zip(ordered, ordered[1:])
+        )

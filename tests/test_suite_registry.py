@@ -162,6 +162,7 @@ EXPECTED_EXTRA = {
     "video_phash_pairs",  # aligned video pairs: video_phash_offset_pairs' pipeline supersets the craft/decode/banding; the aligned vote stays certified here
     # round-14 extension addition
     "ann_ivf_index_topk",  # persistent cid-partitioned IVF: build + pruned batch search
+    "ann_ivf_pq_index_topk",  # persistent IVF-PQ: codes-only lists + batch ADC
 }
 
 
