@@ -562,14 +562,20 @@ def cmd_ann(args) -> int:
     from pyspark.sql import functions as F
 
     from railgun_spark.operators.similarity import (
+        ann_ivf_pq_search_index,
         ann_ivf_search_index,
         append_to_ivf_index,
+        append_to_ivf_pq_index,
         build_ivf_index,
+        build_ivf_pq_index,
         to_double,
     )
     from railgun_spark.session import get_spark
 
     spark = get_spark("railgun_ann")
+    build_fn = build_ivf_pq_index if args.pq else build_ivf_index
+    append_fn = append_to_ivf_pq_index if args.pq else append_to_ivf_index
+    search_fn = ann_ivf_pq_search_index if args.pq else ann_ivf_search_index
 
     def load_vecs(path: str, id_alias: str = "vec_id"):
         df = spark.read.parquet(path)
@@ -591,14 +597,14 @@ def cmd_ann(args) -> int:
         vecs = load_vecs(args.input)
         if vecs is None:
             return 2
-        n = build_ivf_index(vecs, args.index, k=args.k)
-        print(json.dumps({"indexed": n, "k": args.k}))
+        n = build_fn(vecs, args.index, k=args.k)
+        print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq)}))
         return 0
     if args.action == "append":
         vecs = load_vecs(args.input)
         if vecs is None:
             return 2
-        n = append_to_ivf_index(vecs, args.index)
+        n = append_fn(vecs, args.index)
         print(json.dumps({"appended": n}))
         return 0
     # search
@@ -608,7 +614,7 @@ def cmd_ann(args) -> int:
     queries = load_vecs(args.input, id_alias="qid")
     if queries is None:
         return 2
-    hits = ann_ivf_search_index(
+    hits = search_fn(
         spark, queries, args.index, nprobe=args.nprobe, topk=args.topk
     )
     hits.write.mode("overwrite").parquet(args.output)
@@ -1012,6 +1018,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--id-col", dest="id_col", default="vec_id")
     p.add_argument("--vec-col", dest="vec_col", default="embedding")
+    p.add_argument("--pq", action="store_true",
+                   help="IVF-PQ layout: inverted lists store PQ codes only "
+                   "and search scores by ADC (build/append/search must all "
+                   "use the same flag for one index)")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("functions", help="list DFL functions")

@@ -1978,3 +1978,30 @@ def ann_ivf_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ann_ivf_pq_search_index(spark, queries, d).orderBy(
             "qid", "rnk"
         ).localCheckpoint()
+
+
+def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
+    """Incrementally grow a build_ivf_pq_index layout: assign AND encode
+    `new_vecs` with the STORED quantizer and codebooks (both immutable
+    for the index's lifetime) and append the codes to their cid
+    partitions. Returns the number of vectors appended."""
+    spark = new_vecs.sparkSession
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    books: dict = {}
+    for r in spark.read.parquet(f"{index_path}/codebooks").collect():
+        books.setdefault(int(r["m"]), []).append(
+            (int(r["j"]), [float(x) for x in r["cv"]])
+        )
+    books = {m: sorted(entries) for m, entries in books.items()}
+    coded = new_vecs.select(
+        "vec_id", "label",
+        _assign_cid(F.col("v"), cents).alias("cid"),
+        F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+    ).localCheckpoint()
+    coded.repartition(F.col("cid")).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{index_path}/vecs")
+    return coded.count()

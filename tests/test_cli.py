@@ -716,7 +716,8 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     spark.read.parquet(src).filter("vec_id >= 20 AND vec_id < 200").write.parquet(head)
     rc = main(["ann", "build", "--input", head, "--index", idx, "--k", "8"])
     assert rc == 0
-    assert json.loads(capsys.readouterr().out) == {"indexed": 180, "k": 8}
+    assert json.loads(capsys.readouterr().out) == {
+        "indexed": 180, "k": 8, "pq": False}
 
     # append an exact copy of vec_id 0 under a new id
     extra = str(tmp_path / "extra")
@@ -743,3 +744,36 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     spark.createDataFrame([(1,)], "vec_id: long").write.parquet(bad)
     assert main(["ann", "build", "--input", bad, "--index",
                  str(tmp_path / "i2")]) == 2
+
+
+def test_ann_pq_flag(spark, capsys, tmp_path):
+    """--pq builds/append/searches the codes-only IVF-PQ layout
+    end-to-end; the hits carry ADC distances ascending per query."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx, out = str(tmp_path / "ivfpq"), str(tmp_path / "hits")
+
+    head = str(tmp_path / "head")
+    spark.read.parquet(src).filter("vec_id < 200 AND vec_id <> 0").write.parquet(head)
+    rc = main(["ann", "build", "--pq", "--input", head, "--index", idx])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "indexed": 199, "k": 8, "pq": True}
+    assert "codes" in spark.read.parquet(f"{idx}/vecs").columns
+    assert "v" not in spark.read.parquet(f"{idx}/vecs").columns
+
+    extra = str(tmp_path / "extra")
+    spark.read.parquet(src).filter("vec_id >= 200 AND vec_id < 210").write.parquet(extra)
+    rc = main(["ann", "append", "--pq", "--input", extra, "--index", idx])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"appended": 10}
+
+    q = str(tmp_path / "q")
+    spark.read.parquet(src).filter("vec_id = 0").write.parquet(q)
+    rc = main(["ann", "search", "--pq", "--input", q, "--index", idx,
+               "--output", out, "--nprobe", "8", "--topk", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"n_queries": 1, "n_hits": 4, "nprobe": 8, "topk": 4}
+    rows = spark.read.parquet(out).orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
+    assert all(a["adc_dist"] <= b["adc_dist"] for a, b in zip(rows, rows[1:]))
