@@ -72,6 +72,11 @@ PROBES = {
     "image_phash_wide_coarse_pairs": "linear",
     "video_phash_offset_pairs": "linear",
     "audio_phash_offset_pairs": "linear",
+    # persistent ANN certifications: build (assignment/encoding is one
+    # map pass over 10x vectors against fixed-k literal centroids) +
+    # pruned batch search — linear end to end
+    "ann_ivf_index_topk": "linear",
+    "ann_ivf_pq_index_topk": "linear",
 }
 RATIO_BOUND = {"linear": 13.0, "quadratic-arith": 130.0}
 
