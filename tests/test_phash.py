@@ -1830,3 +1830,44 @@ def test_audio_chunk_gain_and_container_invariance(spark):
         by_id.setdefault(r["media_id"], {})[r["chunk_idx"]] = r["fhash"]
     signed = {k: h - (1 << 64) if h >= (1 << 63) else h for k, h in enumerate(hs)}
     assert by_id[1] == by_id[2] == by_id[3] == signed
+
+
+def test_compaction_preserves_audio_chunk_index(spark, tmp_path):
+    """dedup.compact_index folds replay-duplicated rows of the
+    audio-chunk layout (the video column set under mod='audio-chunk')
+    without changing either gate mode's decisions."""
+    from railgun_spark.operators.dedup import compact_index
+    from railgun_spark.operators.phash import (
+        PHASH_BANDS,
+        _phash_wav_chunks,
+        append_audio_chunk_bands_to_index,
+        audio_chunk_dedup_against_index,
+        audio_chunk_dedup_against_index_offset,
+    )
+
+    idx = str(tmp_path / "acidx")
+    base = [_phash_target(1300 + f, 0) for f in range(3)]
+    batch = spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav_chunks(base)), {})], MEDIA_SCHEMA
+    )
+    s = audio_chunk_dedup_against_index(batch, idx)
+    append_audio_chunk_bands_to_index(s, idx)
+    append_audio_chunk_bands_to_index(s, idx)  # replay duplicate
+    assert spark.read.parquet(idx).count() == 2 * 3 * PHASH_BANDS
+    assert compact_index(spark, idx) == 3 * PHASH_BANDS
+    probe = spark.createDataFrame(
+        [(9, "audio", bytearray(_phash_wav_chunks([h ^ 1 for h in base])), {}),
+         (10, "audio", bytearray(_phash_wav_chunks([h ^ 1 for h in base[1:]])), {}),
+         (11, "audio", bytearray(_phash_wav_chunks(
+             [_phash_target(1400 + f, 0) for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    # aligned rejects the same-length re-encode; offset also the trim
+    assert sorted(
+        r["media_id"]
+        for r in audio_chunk_dedup_against_index(probe, idx).collect()
+    ) == [10, 11]
+    assert sorted(
+        r["media_id"]
+        for r in audio_chunk_dedup_against_index_offset(probe, idx).collect()
+    ) == [11]
