@@ -381,7 +381,9 @@ def test_stream_ingest_soak_image_gate(spark, tmp_path):
     assert last <= 3 * first, (first, last, walls)
 
 
-@pytest.mark.parametrize("modality", ["image", "audio", "video"])
+@pytest.mark.parametrize(
+    "modality", ["image", "audio", "video", "audio_chunk"]
+)
 def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
     """ADVICE r13 (medium): a batch holding BOTH decodable and
     pass-through rows (decode-refused / non-matching kind), replayed
@@ -389,7 +391,11 @@ def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
     sink partition with only the pass-through rows — the previously
     admitted decodable rows must stay in the sink. A FIRST write of an
     all-pass-through batch must still write normally."""
-    from railgun_spark.operators.phash import _phash_wav, _phash_y4m
+    from railgun_spark.operators.phash import (
+        _phash_wav,
+        _phash_wav_chunks,
+        _phash_y4m,
+    )
     from railgun_spark.streaming.ingest import (
         ingest_audio_batch,
         ingest_images_batch,
@@ -397,12 +403,21 @@ def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
     )
 
     h = _phash_target(123, 0)
+    kind = "audio" if modality == "audio_chunk" else modality
     if modality == "image":
         payload, junk, other_kind = _phash_pgm(h), b"JUNK", "audio"
         ingest = ingest_images_batch
     elif modality == "audio":
         payload, junk, other_kind = _phash_wav(h), b"ID3\x04", "video"
         ingest = ingest_audio_batch
+    elif modality == "audio_chunk":
+        payload, junk, other_kind = (
+            _phash_wav_chunks([h, h ^ 1]), b"ID3\x05", "video",
+        )
+        ingest = lambda df, idx, sink, batch_id: ingest_audio_batch(  # noqa: E731
+            df, idx, sink, batch_id=batch_id,
+            chunked=True, offset_tolerant=True,
+        )
     else:
         payload, junk, other_kind = (
             _phash_y4m([h, h ^ 1]), b"RIFF....AVI JUNK", "image",
@@ -412,8 +427,8 @@ def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
         )
 
     rows = [
-        (1, modality, bytearray(payload), {}),          # decodable: admits
-        (2, modality, bytearray(junk), {}),             # decode-refused
+        (1, kind, bytearray(payload), {}),              # decodable: admits
+        (2, kind, bytearray(junk), {}),                 # decode-refused
         (3, other_kind, bytearray(b"\x00"), {}),        # non-matching kind
     ]
     idx, sink = str(tmp_path / "idx"), str(tmp_path / "sink")
@@ -432,7 +447,7 @@ def test_mixed_batch_replay_after_index_append(spark, tmp_path, modality):
 
     # first write of an all-pass-through batch still writes
     only_pass = spark.createDataFrame(
-        [(10, modality, bytearray(junk), {})], MEDIA_SCHEMA
+        [(10, kind, bytearray(junk), {})], MEDIA_SCHEMA
     )
     assert ingest(only_pass, idx, sink, batch_id=1) == 1
     got2 = sorted(
