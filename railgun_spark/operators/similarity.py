@@ -1643,6 +1643,11 @@ def ann_ivf_search_index(
             "qid", "vec_id", "label", "cid",
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+        # at-least-once appends (crash-replayed streaming batches) may
+        # duplicate index rows; identical candidates fold here so a
+        # vector never double-fills the top-k (compact_ivf_index
+        # reclaims the storage)
+        .distinct()
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topk)
         .select("qid", "vec_id", "label", "cid", "cos_sim", "rnk")
@@ -1878,6 +1883,7 @@ def ann_ivf_pq_search_index(
         cand.select(
             "qid", "vec_id", "label", "cid", F.round(adc, 6).alias("adc_dist")
         )
+        .distinct()  # duplicate-safe under at-least-once appends
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topk)
         .select("qid", "vec_id", "label", "cid", "adc_dist", "rnk")
@@ -2005,3 +2011,28 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
         "cid"
     ).parquet(f"{index_path}/vecs")
     return coded.count()
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
+    """Fold duplicate rows of an IVF / IVF-PQ vecs layout (at-least-once
+    appends: a crash between a streaming append and its checkpoint
+    replays the batch and double-appends it) and rewrite preserving the
+    cid partitioning. Returns the distinct row count. Search is already
+    duplicate-SAFE (candidates are distinct-ed before ranking);
+    compaction reclaims the storage and scan cost."""
+    import shutil
+    import tempfile
+
+    vecs = f"{index_path}/vecs"
+    distinct = spark.read.parquet(vecs).distinct().localCheckpoint()
+    n = distinct.count()
+    tmp = tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        distinct.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{tmp}/vecs")
+        shutil.rmtree(vecs)
+        shutil.move(f"{tmp}/vecs", vecs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n

@@ -624,3 +624,52 @@ def stream_ingest_dedup_availablenow(
             minhash_index_path=minhash_index_path,
         ),
     )
+
+
+def stream_append_ivf_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    pq: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Continual ANN-index maintenance: drain `source_dir` of embedding
+    shards (id/vec[/label] columns) and append every micro-batch to a
+    persistent IVF (or IVF-PQ with `pq`) index with its STORED quantizer
+    — the index must exist (build_ivf_[pq_]index). Appends are
+    AT-LEAST-ONCE: a crash between an append and its checkpoint replays
+    the batch and duplicates its rows; searches fold identical
+    candidates before ranking, and similarity.compact_ivf_index reclaims
+    the storage. Returns total vectors appended."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from railgun_spark.operators.similarity import (
+        append_to_ivf_index,
+        append_to_ivf_pq_index,
+        to_double,
+    )
+
+    append_fn = append_to_ivf_pq_index if pq else append_to_ivf_index
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> int:
+        vecs = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("label"),
+            to_double(F.col(vec_col)).alias("v"),
+        )
+        return append_fn(vecs, index_path)
+
+    return _drain_availablenow(
+        spark, source_dir, schema, checkpoint_dir, max_files_per_trigger, gate
+    )

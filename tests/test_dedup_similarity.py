@@ -1781,3 +1781,66 @@ def test_persistent_ivf_pq_codes_only_storage(spark, tmp_path):
             (a["adc_dist"], a["vec_id"]) <= (b["adc_dist"], b["vec_id"])
             for a, b in zip(ordered, ordered[1:])
         )
+
+
+def test_stream_append_ivf_and_duplicate_safety(spark, tmp_path):
+    """Continual ANN maintenance: the availableNow drain appends arriving
+    embedding shards with the stored quantizer; a crash-replayed
+    (double-appended) batch cannot double-fill any query's top-k
+    (candidates fold before ranking), and compact_ivf_index reclaims the
+    duplicate rows without changing results."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_search_index,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        to_double,
+    )
+    from railgun_spark.streaming.ingest import stream_append_ivf_availablenow
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = raw.select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+    idx = str(tmp_path / "ivf")
+    n0 = build_ivf_index(emb.filter("vec_id < 100"), idx, exclude_ids=(0,))
+
+    # two arriving shards as PLAIN part files
+    src = tmp_path / "arriving"
+    src.mkdir()
+    for i, pred in enumerate(
+        ("vec_id >= 100 AND vec_id < 300", "vec_id >= 300")
+    ):
+        stage = tmp_path / f"__s{i}"
+        raw.filter(pred).select("vec_id", "embedding", "label").coalesce(
+            1
+        ).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        shutil.move(part, str(src / f"shard{i}.parquet"))
+
+    n = stream_append_ivf_availablenow(
+        spark, str(src), idx, str(tmp_path / "ckpt")
+    )
+    assert n == raw.filter("vec_id >= 100").count()
+    assert spark.read.parquet(f"{idx}/vecs").count() == n0 + n
+
+    # crash-window replay: the last shard appends AGAIN
+    dup = emb.filter("vec_id >= 300")
+    append_to_ivf_index(dup, idx)
+    total_rows = spark.read.parquet(f"{idx}/vecs").count()
+    assert total_rows == n0 + n + dup.count()
+
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+    got = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=10).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 10 and len(set(ids)) == 10  # no double-fill
+
+    # compaction folds the duplicates; results unchanged
+    assert compact_ivf_index(spark, idx) == n0 + n
+    got2 = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=10).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got2] == \
+           [(r["vec_id"], r["cos_sim"]) for r in got]
