@@ -568,11 +568,19 @@ def cmd_ann(args) -> int:
         append_to_ivf_pq_index,
         build_ivf_index,
         build_ivf_pq_index,
+        compact_ivf_index,
         to_double,
     )
     from railgun_spark.session import get_spark
 
     spark = get_spark("railgun_ann")
+    if args.action == "compact":
+        n = compact_ivf_index(spark, args.index)
+        print(json.dumps({"rows": n}))
+        return 0
+    if not args.input:
+        print(f"ann {args.action} requires --input", file=sys.stderr)
+        return 2
     build_fn = build_ivf_pq_index if args.pq else build_ivf_index
     append_fn = append_to_ivf_pq_index if args.pq else append_to_ivf_index
     search_fn = ann_ivf_pq_search_index if args.pq else ann_ivf_search_index
@@ -1004,10 +1012,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="persistent-IVF ANN: build/append centroid-partitioned "
         "inverted lists, or run a partition-pruned batch search",
     )
-    p.add_argument("action", choices=("build", "append", "search"))
-    p.add_argument("--input", required=True,
+    p.add_argument("action", choices=("build", "append", "search", "compact"))
+    p.add_argument("--input", default=None,
                    help="embeddings parquet (build/append: vectors to index; "
-                   "search: query vectors)")
+                   "search: query vectors; unused for compact)")
     p.add_argument("--index", required=True, help="IVF index root path")
     p.add_argument("--output", default=None,
                    help="search: parquet for the per-query top-k")

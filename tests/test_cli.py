@@ -777,3 +777,31 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     rows = spark.read.parquet(out).orderBy("rnk").collect()
     assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
     assert all(a["adc_dist"] <= b["adc_dist"] for a, b in zip(rows, rows[1:]))
+
+
+def test_ann_compact_action(spark, capsys, tmp_path):
+    """ann compact folds replay-duplicated index rows in place; build
+    and append without --input refuse."""
+    from railgun_spark.operators.similarity import append_to_ivf_index, to_double
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ivf")
+    head = str(tmp_path / "head")
+    spark.read.parquet(src).filter("vec_id < 100").write.parquet(head)
+    assert main(["ann", "build", "--input", head, "--index", idx]) == 0
+    capsys.readouterr()
+
+    # inject a duplicate append (the crash-replay shape)
+    dup = spark.read.parquet(src).filter("vec_id >= 100 AND vec_id < 110").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    append_to_ivf_index(dup, idx)
+    append_to_ivf_index(dup, idx)
+    assert spark.read.parquet(f"{idx}/vecs").count() == 120
+
+    assert main(["ann", "compact", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out) == {"rows": 110}
+    assert spark.read.parquet(f"{idx}/vecs").count() == 110
+
+    assert main(["ann", "build", "--index", idx]) == 2
