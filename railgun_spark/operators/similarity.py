@@ -1571,10 +1571,25 @@ def build_ivf_index(
     return spark.read.parquet(f"{index_path}/vecs").count()
 
 
+def _recover_ivf(index_path: str) -> None:
+    """Restore a crashed compaction's backup before any vecs/ read (the
+    same discipline as dedup._read_index_or_none): if compact_ivf_index
+    died between its two renames, the live vecs/ is absent but the
+    backup holds the complete pre-compaction index. No-op on remote
+    schemes."""
+    from urllib.parse import urlparse
+
+    from railgun_spark.operators.dedup import _recover_index
+
+    if urlparse(index_path).scheme in ("", "file"):
+        _recover_index(_ivf_vecs_local(index_path))
+
+
 def _probed_vecs(spark: SparkSession, index_path: str, cids: list) -> DataFrame:
     """The probed inverted lists only: an isin over the cid PARTITION
     column prunes unprobed directories at plan time (inputFiles shrinks
     with nprobe — pinned by test)."""
+    _recover_ivf(index_path)
     return spark.read.parquet(f"{index_path}/vecs").filter(
         F.col("cid").isin([int(c) for c in cids])
     )
@@ -1722,25 +1737,67 @@ def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
 
 
+def _ivf_append_guard(index_path: str, expect_pq: bool):
+    """Shared preamble for both append functions: verify the stored
+    layout matches the rows this append writes (fail loudly on
+    mismatch), restore a crashed compaction's backup, and take the SAME
+    lock compaction takes so an append racing a compactor's double
+    rename fails loudly instead of writing into a directory about to be
+    renamed away. Returns (lock, token) for _release_compact_lock; on
+    remote schemes (s3/hdfs) returns (None, None) — locking and
+    driver-side recovery are local-filesystem concerns, remote appends
+    rely on the store's committer."""
+    from urllib.parse import urlparse
+
+    from railgun_spark.operators.dedup import (
+        _acquire_compact_lock,
+        _recover_index,
+    )
+
+    if urlparse(index_path).scheme not in ("", "file"):
+        return None, None
+    _check_ivf_layout(index_path, expect_pq)
+    vecs = _ivf_vecs_local(index_path)
+    lock, token = _acquire_compact_lock(vecs)
+    try:
+        _recover_index(vecs)
+    except Exception:
+        from railgun_spark.operators.dedup import _release_compact_lock
+
+        _release_compact_lock(lock, token)
+        raise
+    return lock, token
+
+
 def append_to_ivf_index(new_vecs: DataFrame, index_path: str) -> int:
     """Incrementally grow a build_ivf_index layout: assign `new_vecs`
     (vec_id, label, v) with the STORED quantizer and append them to
     their cid partitions (dynamic partitionBy append — only the touched
     inverted lists gain files; the quantizer is immutable for the
     index's lifetime, the same discipline as the dedup gates' band
-    geometry). Returns the number of vectors appended."""
+    geometry). Returns the number of vectors appended. Refuses a PQ
+    target layout (raw rows in a codes index would corrupt every
+    query's top-k) and holds the maintenance lock across the write so
+    an append cannot race a compaction swap."""
+    from railgun_spark.operators.dedup import _release_compact_lock
+
     spark = new_vecs.sparkSession
-    cents = sorted(
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in spark.read.parquet(f"{index_path}/centroids").collect()
-    )
-    assigned = new_vecs.select(
-        "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
-    ).localCheckpoint()
-    assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/vecs")
-    return assigned.count()
+    lock, token = _ivf_append_guard(index_path, expect_pq=False)
+    try:
+        cents = sorted(
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in spark.read.parquet(f"{index_path}/centroids").collect()
+        )
+        assigned = new_vecs.select(
+            "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
+        ).localCheckpoint()
+        assigned.repartition(F.col("cid")).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/vecs")
+        return assigned.count()
+    finally:
+        if lock is not None:
+            _release_compact_lock(lock, token)
 
 
 # --------------------------------------------------------------------------
@@ -1868,9 +1925,7 @@ def ann_ivf_pq_search_index(
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
     if broadcast_probes:
         probes = F.broadcast(probes)
-    cand = spark.read.parquet(f"{index_path}/vecs").filter(
-        F.col("cid").isin([int(c) for c in probed_cids])
-    ).join(probes, "cid")
+    cand = _probed_vecs(spark, index_path, probed_cids).join(probes, "cid")
     adc = F.lit(0.0)
     for m in range(PQ_M):
         adc = adc + F.element_at(
@@ -1990,27 +2045,78 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
     """Incrementally grow a build_ivf_pq_index layout: assign AND encode
     `new_vecs` with the STORED quantizer and codebooks (both immutable
     for the index's lifetime) and append the codes to their cid
-    partitions. Returns the number of vectors appended."""
+    partitions. Returns the number of vectors appended. Refuses a
+    raw-vector target layout (codes rows in a raw index would corrupt
+    every query's top-k) and holds the maintenance lock across the
+    write so an append cannot race a compaction swap."""
+    from railgun_spark.operators.dedup import _release_compact_lock
+
     spark = new_vecs.sparkSession
-    cents = sorted(
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in spark.read.parquet(f"{index_path}/centroids").collect()
-    )
-    books: dict = {}
-    for r in spark.read.parquet(f"{index_path}/codebooks").collect():
-        books.setdefault(int(r["m"]), []).append(
-            (int(r["j"]), [float(x) for x in r["cv"]])
+    lock, token = _ivf_append_guard(index_path, expect_pq=True)
+    try:
+        cents = sorted(
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in spark.read.parquet(f"{index_path}/centroids").collect()
         )
-    books = {m: sorted(entries) for m, entries in books.items()}
-    coded = new_vecs.select(
-        "vec_id", "label",
-        _assign_cid(F.col("v"), cents).alias("cid"),
-        F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
-    ).localCheckpoint()
-    coded.repartition(F.col("cid")).write.mode("append").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/vecs")
-    return coded.count()
+        books: dict = {}
+        for r in spark.read.parquet(f"{index_path}/codebooks").collect():
+            books.setdefault(int(r["m"]), []).append(
+                (int(r["j"]), [float(x) for x in r["cv"]])
+            )
+        books = {m: sorted(entries) for m, entries in books.items()}
+        coded = new_vecs.select(
+            "vec_id", "label",
+            _assign_cid(F.col("v"), cents).alias("cid"),
+            F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+        ).localCheckpoint()
+        coded.repartition(F.col("cid")).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/vecs")
+        return coded.count()
+    finally:
+        if lock is not None:
+            _release_compact_lock(lock, token)
+
+
+def _ivf_vecs_local(index_path: str) -> str:
+    """Local filesystem path of an index's vecs/ directory — the unit the
+    maintenance lock and the backup/recover swap operate on. Raises on
+    remote schemes (driver-side os.rename only makes sense locally; on
+    s3/hdfs, compaction is a job-committer concern — same contract as
+    dedup._local_index_path)."""
+    import os
+
+    from railgun_spark.operators.dedup import _local_index_path
+
+    return os.path.join(_local_index_path(index_path).rstrip("/"), "vecs")
+
+
+def _ivf_layout_is_pq(index_path: str) -> bool:
+    """True iff the index stores PQ codes: the codebooks/ directory is the
+    PQ marker (written only by build_ivf_pq_index). Used to fail loudly
+    on layout-mismatched appends — appending raw-vector rows into a PQ
+    index would 'succeed' and then sort null adc_dist FIRST in every
+    query's ascending top-k, silently corrupting results."""
+    import os
+
+    from railgun_spark.operators.dedup import _local_index_path
+
+    return os.path.isdir(
+        os.path.join(_local_index_path(index_path).rstrip("/"), "codebooks")
+    )
+
+
+def _check_ivf_layout(index_path: str, expect_pq: bool) -> None:
+    is_pq = _ivf_layout_is_pq(index_path)
+    if is_pq != expect_pq:
+        have = "IVF-PQ (codes-only)" if is_pq else "raw-vector IVF"
+        want = "IVF-PQ" if expect_pq else "raw-vector IVF"
+        raise ValueError(
+            f"index layout mismatch at {index_path!r}: the stored index is "
+            f"{have} but this append writes {want} rows — mixed rows would "
+            "read back as nulls and corrupt every query's top-k. Use the "
+            "matching append function (ann CLI: check the --pq flag)."
+        )
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
@@ -2019,20 +2125,51 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     replays the batch and double-appends it) and rewrite preserving the
     cid partitioning. Returns the distinct row count. Search is already
     duplicate-SAFE (candidates are distinct-ed before ranking);
-    compaction reclaims the storage and scan cost."""
+    compaction reclaims the storage and scan cost.
+
+    Durability and concurrency follow dedup.compact_index exactly: the
+    rewrite stages in a temp dir created as a SIBLING of the index (same
+    filesystem — every move is a true os.rename, never a copy+delete
+    window), swaps via rename(live->backup) / rename(tmp->live) /
+    rmtree(backup), and a crash at any point leaves the old index live
+    or the backup recoverable (`_recover_index`, run by every search and
+    append and by the next compaction). Compactors AND appenders are
+    serialized by the same O_EXCL-style lockfile, so a concurrent
+    append+compact fails loudly instead of racing the swap."""
+    import os
     import shutil
+    import stat
     import tempfile
 
-    vecs = f"{index_path}/vecs"
-    distinct = spark.read.parquet(vecs).distinct().localCheckpoint()
-    n = distinct.count()
-    tmp = tempfile.mkdtemp(prefix="ivf_compact_")
+    from railgun_spark.operators.dedup import (
+        _acquire_compact_lock,
+        _recover_index,
+        _release_compact_lock,
+    )
+
+    vecs = _ivf_vecs_local(index_path)
+    lock, lock_token = _acquire_compact_lock(vecs)
     try:
-        distinct.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(f"{tmp}/vecs")
-        shutil.rmtree(vecs)
-        shutil.move(f"{tmp}/vecs", vecs)
+        _recover_index(vecs)
+        distinct = spark.read.parquet(vecs).distinct().localCheckpoint()
+        n = distinct.count()
+        src_mode = stat.S_IMODE(os.stat(vecs).st_mode)
+        parent = os.path.dirname(os.path.abspath(vecs.rstrip("/")))
+        tmp = tempfile.mkdtemp(prefix=".ivf_compact_", dir=parent)
+        try:
+            distinct.repartition(F.col("cid")).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(tmp)
+            os.chmod(tmp, src_mode)
+            backup = vecs.rstrip("/") + ".compact_backup"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            os.rename(vecs, backup)
+            os.rename(tmp, vecs)
+            shutil.rmtree(backup)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _release_compact_lock(lock, lock_token)
     return n

@@ -1844,3 +1844,119 @@ def test_stream_append_ivf_and_duplicate_safety(spark, tmp_path):
     got2 = ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K, topk=10).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in got2] == \
            [(r["vec_id"], r["cos_sim"]) for r in got]
+
+
+def test_ivf_append_layout_mismatch_refusal(spark, tmp_path):
+    """Appends verify the target layout before writing: raw-vector rows
+    into a PQ index (null codes sort FIRST under ascending ADC) and
+    codes rows into a raw index both fail loudly, and the refused index
+    is byte-identical afterwards (nothing was written)."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        append_to_ivf_index,
+        append_to_ivf_pq_index,
+        build_ivf_index,
+        build_ivf_pq_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    head, tail = emb.filter("vec_id < 200"), emb.filter("vec_id >= 200")
+    raw_idx, pq_idx = str(tmp_path / "ivf"), str(tmp_path / "ivfpq")
+    build_ivf_index(head, raw_idx)
+    build_ivf_pq_index(head, pq_idx)
+
+    before_pq = sorted(glob.glob(f"{pq_idx}/vecs/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        append_to_ivf_index(tail, pq_idx)  # raw rows into a PQ index
+    assert sorted(glob.glob(f"{pq_idx}/vecs/**/*.parquet", recursive=True)) == before_pq
+
+    before_raw = sorted(glob.glob(f"{raw_idx}/vecs/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        append_to_ivf_pq_index(tail, raw_idx)  # codes rows into a raw index
+    assert sorted(glob.glob(f"{raw_idx}/vecs/**/*.parquet", recursive=True)) == before_raw
+
+
+def test_ivf_maintenance_lock_append_vs_compact(spark, tmp_path):
+    """One maintenance writer per index: while a compactor (simulated by
+    holding the lock) is mid-swap, a concurrent append fails loudly
+    instead of writing into a directory about to be renamed away — and
+    vice versa for a second compactor."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.dedup import (
+        _acquire_compact_lock,
+        _release_compact_lock,
+    )
+    from railgun_spark.operators.similarity import (
+        _ivf_vecs_local,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id < 200"), idx)
+
+    lock, token = _acquire_compact_lock(_ivf_vecs_local(idx))
+    try:
+        with pytest.raises(RuntimeError, match="compaction already in progress"):
+            append_to_ivf_index(emb.filter("vec_id >= 200"), idx)
+        with pytest.raises(RuntimeError, match="compaction already in progress"):
+            compact_ivf_index(spark, idx)
+    finally:
+        _release_compact_lock(lock, token)
+    # lock released -> both proceed
+    assert append_to_ivf_index(emb.filter("vec_id >= 200"), idx) > 0
+    assert compact_ivf_index(spark, idx) == emb.count()
+
+
+def test_ivf_compact_crash_recovery(spark, tmp_path):
+    """A compactor killed between its two renames leaves vecs/ absent and
+    the backup complete; the next search (and the next append/compact)
+    restores it, so top-k answers are never lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        _ivf_vecs_local,
+        ann_ivf_search_index,
+        build_ivf_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, exclude_ids=(0,))
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K).collect()
+    ]
+
+    # simulate the crash window: live vecs/ renamed to backup, tmp lost
+    vecs = _ivf_vecs_local(idx)
+    os.rename(vecs, vecs + ".compact_backup")
+    assert not os.path.exists(vecs)
+
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann_ivf_search_index(spark, queries, idx, nprobe=IVF_K).collect()
+    ]
+    assert got == want
+    assert os.path.exists(vecs) and not os.path.exists(vecs + ".compact_backup")
