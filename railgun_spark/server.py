@@ -11,6 +11,8 @@ Route parity with railgun/router/RailgunRouter.go:
   GET        /layers/{name}/tiles/mask/{z}/{x}/{y}.{png|gif|jpg} (:135)
   GET        /dfl/functions.{ext}            function catalog  (:65)
   GET        /gss/formats.{ext}              format list       (:58)
+  GET        /health.{ext}                   liveness          (:54, HealthHandler.go:20-33)
+  GET        /                               landing page      (:50, HomeHandler.go)
 
 Content negotiation by URL extension (json|yaml), as in
 util/SplitNameFormatCompression.go:14-106 / BaseHandler.go:206-228.
@@ -118,9 +120,12 @@ def _swagger_doc() -> dict:
         ("/dfl/functions.{ext}", "DFL function catalog"),
         ("/gss/formats.{ext}", "serialization format list"),
         ("/swagger.{ext}", "this document"),
+        ("/health.{ext}", "liveness: status, Spark session, catalog counts"),
     ):
         params = [name_param, ext_param] if "{name}" in path else [ext_param]
         paths[path] = {"get": {"description": desc, "parameters": params, "responses": ok}}
+    paths["/"] = {"get": {"description": "catalog landing page (HTML)",
+                          "parameters": [], "responses": ok}}
 
     definitions = {}
     for kind_name, kind in MODEL_TYPES.items():
@@ -326,6 +331,53 @@ def create_app(
         )
         body, mime = grid_to_image(grid, ext)
         return Response(body, mimetype=mime)
+
+    @app.route("/health.<ext>")
+    def health_route(ext):
+        """Liveness probe — HealthHandler.go:20-33 twin (RailgunRouter.go:54
+        registers it bearer-exempt). The reference returns {"status": "ok"};
+        we add catalog object counts and Spark session liveness so
+        orchestrators can distinguish 'process up' from 'engine usable',
+        still in any negotiated format."""
+        try:
+            spark_active = catalog.spark is not None and not (
+                catalog.spark.sparkContext._jsc is None
+            )
+        except Exception:
+            spark_active = False
+        counts = {
+            plural: len(catalog.list(MODEL_TYPES[kind_name]))
+            for plural, kind_name in _PLURAL_TO_KIND.items()
+        }
+        return _render(
+            {"status": "ok", "spark": spark_active, "catalog": counts}, ext
+        )
+
+    @app.route("/")
+    def home_route():
+        """Catalog landing page — HomeHandler.go twin (RailgunRouter.go:50).
+        The reference serves an OpenLayers map demo pulling CDN assets; a
+        headless engine serves a minimal self-contained HTML index of the
+        catalog and API routes instead (no external assets)."""
+        from flask import Response
+
+        rows = "".join(
+            f"<li><a href=\"/{plural}.json\">{plural}</a> "
+            f"({len(catalog.list(MODEL_TYPES[kind_name]))})</li>"
+            for plural, kind_name in _PLURAL_TO_KIND.items()
+        )
+        html = (
+            "<!doctype html><html lang=\"en\"><head><title>railgun_spark"
+            "</title></head><body><h1>railgun_spark</h1>"
+            "<p>PySpark-native catalog + query server.</p>"
+            f"<ul>{rows}</ul>"
+            "<p><a href=\"/swagger.json\">swagger</a> · "
+            "<a href=\"/health.json\">health</a> · "
+            "<a href=\"/dfl/functions.json\">functions</a> · "
+            "<a href=\"/gss/formats.json\">formats</a></p>"
+            "</body></html>"
+        )
+        return Response(html, mimetype="text/html")
 
     @app.route("/swagger.<ext>")
     def swagger_route(ext):

@@ -373,3 +373,52 @@ def test_datastore_delete_blocked_by_job_output(spark, tmp_path):
     cat.add(Job(name="j", service="s", output="sink"))
     with pytest.raises(DependencyError, match="sink"):
         cat.delete(DataStore, "sink")
+
+
+def test_server_health_route(app_client):
+    """HealthHandler twin (RailgunRouter.go:54): GET /health.{ext} in any
+    negotiated format, bearer-exempt, reporting status + Spark liveness +
+    catalog counts."""
+    body = app_client.get("/health.json").get_json()
+    assert body["status"] == "ok"
+    assert body["spark"] is True
+    assert body["catalog"]["datastores"] == 1
+    assert body["catalog"]["layers"] == 1
+    assert body["catalog"]["workflows"] == 0
+
+    import yaml
+
+    resp = app_client.get("/health.yaml")
+    assert resp.mimetype == "application/yaml"
+    assert yaml.safe_load(resp.data)["status"] == "ok"
+
+
+def test_server_health_bearer_exempt(spark, tmp_path):
+    """With auth enabled, /health.{ext} and / stay open (the reference
+    registers them outside the bearer-gated catalog routes)."""
+    pytest.importorskip("flask")
+    from railgun_spark.server import create_app
+
+    client = create_app(Catalog(spark), root_password="hunter2").test_client()
+    assert client.get("/health.json").status_code == 200
+    assert client.get("/").status_code == 200
+    # a mutating catalog route is still gated
+    assert client.post(
+        "/datastores.json", json={"name": "x", "uri": "/dev/null", "format": "jsonl"}
+    ).status_code == 401
+
+
+def test_server_home_route(app_client):
+    """HomeHandler twin (RailgunRouter.go:50): GET / serves a
+    self-contained HTML landing page linking the catalog collections."""
+    resp = app_client.get("/")
+    assert resp.status_code == 200 and resp.mimetype == "text/html"
+    html = resp.get_data(as_text=True)
+    assert "/layers.json" in html and "/swagger.json" in html
+    assert "http://" not in html and "https://" not in html  # no CDN assets
+
+
+def test_server_swagger_has_health_and_home(app_client):
+    doc = app_client.get("/swagger.json").get_json()
+    assert "/health.{ext}" in doc["paths"]
+    assert "/" in doc["paths"]
