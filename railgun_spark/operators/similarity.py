@@ -1840,17 +1840,37 @@ def _pq_code_cols(v: Column, cents: dict) -> list:
 def build_ivf_pq_index(
     emb: DataFrame, index_path: str, k: int = IVF_K, ks: int = PQ_KS,
     exclude_ids: tuple = (),
+    store_raw: bool = False,
+    centroids: list | None = None,
+    codebooks: dict | None = None,
 ) -> int:
     """IVF-PQ build: assign every vector to its nearest coarse centroid
     AND encode it to PQ codes in the same pass; the inverted lists store
     (vec_id, label, codes) ONLY — raw vectors never land in the index.
-    Writes vecs/ (partitioned by cid), centroids/, and codebooks/."""
+    Writes vecs/ (partitioned by cid), centroids/, and codebooks/.
+
+    `store_raw` additionally writes the raw vectors to raw/ under the
+    SAME cid partitioning — the FAISS-refine / DiskANN pattern: searches
+    still scan codes-width rows, but `ann_ivf_pq_search_index(rerank=R)`
+    can re-score the ADC shortlist against exact vectors read from ONLY
+    the probed partitions. Pure-ADC ranking caps recall at the
+    quantizer's resolution; the re-rank leg removes that cap at the cost
+    of R raw-row lookups per query.
+
+    `centroids` ([(cid, vector)]) and `codebooks` ({m: [(j, subvector)]},
+    ascending 1-based j) override the first-K quantizer/codebooks with
+    trained ones (Lloyd iterations / per-subspace kmeans) — the layout,
+    search, and stored-artifact contract are identical."""
     spark = emb.sparkSession
     base = emb
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
-    cents = _centroid_rows(base, k)
-    books = _pq_codebooks(base, ks)
+    cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
+    books = (
+        {m: sorted(entries) for m, entries in codebooks.items()}
+        if codebooks is not None
+        else _pq_codebooks(base, ks)
+    )
     coded = base.select(
         "vec_id", "label",
         _assign_cid(F.col("v"), cents).alias("cid"),
@@ -1859,6 +1879,12 @@ def build_ivf_pq_index(
     coded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{index_path}/vecs")
+    if store_raw:
+        base.select(
+            "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
+        ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/raw")
     spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -1876,13 +1902,25 @@ def ann_ivf_pq_search_index(
     nprobe: int = IVF_NPROBE,
     topk: int = 10,
     broadcast_probes: bool = True,
+    rerank: int = 0,
 ) -> DataFrame:
     """Batch ADC search against a build_ivf_pq_index layout: per-query
     probe selection as in ann_ivf_search_index, per-query LUTs (rounded
     squared distance of each query subvector to each codeword) computed
     as Columns on the query rows, and candidates scored from their codes
     alone — (qid, vec_id, label, cid, adc_dist, rnk), ascending ADC with
-    lowest-vec_id/cid ties."""
+    lowest-vec_id/cid ties.
+
+    `rerank=R` (requires a build with store_raw=True) keeps the ADC pass
+    as a SHORTLIST stage: the per-query ADC top-R survivors are re-scored
+    by exact cosine against the raw vectors read from only the probed
+    cid partitions, and the result is the exact-cosine top-`topk` —
+    (qid, vec_id, label, cid, cos_sim, rnk), descending cosine. Pure-ADC
+    ranking caps recall at the PQ quantizer's resolution (two distinct
+    vectors with the same codes are indistinguishable); the refine leg
+    costs R raw rows per query and removes that cap. The shortlist
+    (Q×R rows) broadcasts into the pruned raw scan — no index-side
+    shuffle, same discipline as the probes join."""
     from pyspark.sql import Window
 
     cents = sorted(
@@ -1934,14 +1972,48 @@ def ann_ivf_pq_search_index(
     w = Window.partitionBy("qid").orderBy(
         F.col("adc_dist"), F.col("vec_id"), F.col("cid")
     )
-    return (
-        cand.select(
-            "qid", "vec_id", "label", "cid", F.round(adc, 6).alias("adc_dist")
+    scored = cand.select(
+        "qid", "vec_id", "label", "cid", F.round(adc, 6).alias("adc_dist")
+    ).distinct()  # duplicate-safe under at-least-once appends
+    if not rerank:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select("qid", "vec_id", "label", "cid", "adc_dist", "rnk")
         )
-        .distinct()  # duplicate-safe under at-least-once appends
-        .withColumn("rnk", F.row_number().over(w))
+    import os
+
+    from railgun_spark.operators.dedup import _local_index_path
+
+    if not os.path.isdir(
+        os.path.join(_local_index_path(index_path).rstrip("/"), "raw")
+    ):
+        raise ValueError(
+            f"rerank={rerank} needs raw vectors: build the index with "
+            f"store_raw=True (no raw/ under {index_path!r})"
+        )
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= rerank)
+        .join(queries.select("qid", F.col("v").alias("qv")), "qid")
+        .select("qid", "vec_id", "label", "cid", "qv")
+    )
+    raw = spark.read.parquet(f"{index_path}/raw").filter(
+        F.col("cid").isin([int(c) for c in probed_cids])
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
+    )
+    return (
+        raw.join(F.broadcast(shortlist), ["cid", "vec_id", "label"])
+        .select(
+            "qid", "vec_id", "label", "cid",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .distinct()  # raw/ may carry at-least-once duplicate rows too
+        .withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= topk)
-        .select("qid", "vec_id", "label", "cid", "adc_dist", "rnk")
+        .select("qid", "vec_id", "label", "cid", "cos_sim", "rnk")
     )
 
 
@@ -2039,6 +2111,119 @@ def ann_ivf_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ann_ivf_pq_search_index(spark, queries, d).orderBy(
             "qid", "rnk"
         ).localCheckpoint()
+
+
+PQ_RERANK = 25  # ADC shortlist width for the exact-refine leg
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sqd = (
+        "round(list_aggregate(list_transform({a}, "
+        "(x, i) -> (x - {b}[i]) * (x - {b}[i])), 'sum'), 6)"
+    )
+    qids = ", ".join(str(q) for q in IVF_INDEX_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_K}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+    sub AS (
+      SELECT vec_id, label, m.range AS m,
+             v[m.range * {PQ_DS} + 1 : m.range * {PQ_DS} + {PQ_DS}] AS sv
+      FROM e, range(0, {PQ_M}) m
+    ),
+    book AS (SELECT vec_id AS j, m, sv AS bv FROM sub
+             WHERE vec_id BETWEEN 1 AND {PQ_KS}),
+    assign AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, b.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sqd.format(a="s.sv", b="b.bv")}, b.j) AS rn
+        FROM sub s JOIN book b ON s.m = b.m
+        WHERE s.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qs.vec_id AS qid, b.m, b.j,
+             {sqd.format(a="qs.sv", b="b.bv")} AS qd
+      FROM sub qs JOIN book b ON qs.m = b.m
+      WHERE qs.vec_id IN ({qids})
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos.format(a="qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT l.qid, cd.vec_id, round(sum(l.qd), 6) AS adc_dist
+      FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.j
+      GROUP BY l.qid, cd.vec_id
+    ),
+    shortlist AS (
+      SELECT qid, vec_id, cid FROM (
+        SELECT p.qid, a.vec_id, a.cid,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY d.adc_dist, a.vec_id, a.cid) AS arnk
+        FROM assign a
+        JOIN probes p USING (cid)
+        JOIN adc d ON d.qid = p.qid AND d.vec_id = a.vec_id
+      ) WHERE arnk <= {PQ_RERANK}
+    )
+    SELECT qid, vec_id, label, cid, cos_sim, rnk FROM (
+      SELECT s.qid, s.vec_id, e.label, s.cid,
+             {cos.format(a="e.v", b="q.qv")} AS cos_sim,
+             row_number() OVER (PARTITION BY s.qid
+               ORDER BY {cos.format(a="e.v", b="q.qv")} DESC, s.vec_id, s.cid)
+               AS rnk
+      FROM shortlist s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.qid = s.qid
+    ) WHERE rnk <= 10
+    ORDER BY qid, rnk
+    """
+
+
+@extra_query(
+    "ann_ivf_pq_rerank_topk",
+    oracle=_ivf_pq_rerank_oracle(),
+    doc=f"IVF-PQ with exact refine: ADC ranks a {PQ_RERANK}-deep "
+    f"shortlist per query, then the survivors re-score by exact cosine "
+    f"against raw vectors stored under the same cid partitioning "
+    "(store_raw=True) and read from only the probed partitions — the "
+    "FAISS-refine pattern that removes the PQ resolution cap on recall. "
+    "Must match the all-in-one SQL definition exactly.",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))
+    ).select(F.col("vec_id").alias("qid"), "v")
+    with tempfile.TemporaryDirectory(prefix="ivfpq_rr_") as d:
+        build_ivf_pq_index(
+            emb, d, exclude_ids=IVF_INDEX_QUERY_IDS, store_raw=True
+        )
+        return ann_ivf_pq_search_index(
+            spark, queries, d, rerank=PQ_RERANK
+        ).orderBy("qid", "rnk").localCheckpoint()
 
 
 def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:

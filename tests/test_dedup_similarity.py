@@ -1960,3 +1960,51 @@ def test_ivf_compact_crash_recovery(spark, tmp_path):
     ]
     assert got == want
     assert os.path.exists(vecs) and not os.path.exists(vecs + ".compact_backup")
+
+
+def test_ivf_pq_rerank_exact_refine(spark, tmp_path):
+    """store_raw=True writes raw/ under the same cid partitioning;
+    rerank=R re-scores the ADC shortlist by exact cosine — an exact
+    duplicate of the query vector ranks FIRST at cos 1.0 (pure ADC
+    cannot guarantee that: codes-equal vectors tie), the output schema
+    is the cosine one, and rerank without raw/ fails loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_pq_search_index,
+        build_ivf_pq_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    # plant an exact duplicate of held-out query vector 0 in the corpus
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9999).cast("long").alias("vec_id"), "label", "v"
+    )
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        emb.unionByName(dup), idx, exclude_ids=(0,), store_raw=True
+    )
+    assert os.path.isdir(f"{idx}/raw")
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+
+    got = ann_ivf_pq_search_index(
+        spark, queries, idx, nprobe=IVF_K, topk=5, rerank=25
+    )
+    assert got.columns == ["qid", "vec_id", "label", "cid", "cos_sim", "rnk"]
+    rows = sorted(got.collect(), key=lambda r: r["rnk"])
+    assert rows[0]["vec_id"] == 9999 and rows[0]["cos_sim"] == 1.0
+    # descending exact cosine throughout
+    assert all(a["cos_sim"] >= b["cos_sim"] for a, b in zip(rows, rows[1:]))
+
+    # no raw/ -> loud refusal
+    idx2 = str(tmp_path / "ivfpq_noraw")
+    build_ivf_pq_index(emb, idx2, exclude_ids=(0,))
+    with pytest.raises(ValueError, match="store_raw"):
+        ann_ivf_pq_search_index(spark, queries, idx2, rerank=25).collect()
