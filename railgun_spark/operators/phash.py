@@ -151,6 +151,28 @@ def phash_chunks(hash_col: Column) -> Column:
     )
 
 
+PHASH_COARSE_BANDS = 2  # pigeonhole: lossless candidates for hamming <= 1
+PHASH_COARSE_MAX_HAMMING = PHASH_COARSE_BANDS - 1
+
+
+def phash_chunks_coarse(hash_col: Column) -> Column:
+    """The 2 disjoint 32-bit chunks of a 64-bit hash column — the
+    candidate-headroom geometry for the OFFSET gates, whose
+    frame-stripped join key loses frame_idx entropy and saturates the
+    16-bit chunk space as the index grows (measured:
+    PHASH_OFFSET_PROBE). 32-bit keys push the random-collision knee out
+    by 2^16 at the documented trade of a tighter per-frame budget
+    (pigeonhole: lossless only for hamming <= 1; the temporal vote's
+    match fraction still tolerates whole frames missing). Same trade as
+    the image side's coarse 8x32 banding."""
+    return F.array(
+        *[
+            F.shiftright(hash_col, i * 32).bitwiseAND(F.lit(0xFFFFFFFF))
+            for i in range(PHASH_COARSE_BANDS)
+        ]
+    )
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
@@ -1876,24 +1898,36 @@ def video_phash_near_dup_pairs_offset(
     frame_hashes: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
     min_match_frac: float = VIDEO_MATCH_FRAC,
+    coarse: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, frame_offset, n_match, n_small) for every pair and
     offset where >= `min_match_frac` of the SMALLER signature's frames
     match within `max_hamming` bits at that constant temporal shift.
     A pair can qualify at multiple offsets (all are returned — the
-    caller picks or aggregates); refused rows never pair."""
-    if max_hamming > PHASH_MAX_HAMMING:
+    caller picks or aggregates); refused rows never pair.
+
+    `coarse` joins on the 2x32-bit chunk keys instead of 4x16: the
+    frame-stripped offset key saturates the 16-bit chunk space as the
+    corpus grows (PHASH_OFFSET_PROBE_r15: cand/true 64 -> 1773 at
+    20k -> 624k chunk rows, while coarse stays flat at ~8), at the
+    documented trade of a per-frame budget of hamming <= 1 (pigeonhole
+    over 2 bands; the temporal vote's fraction still tolerates whole
+    frames differing)."""
+    cap = PHASH_COARSE_MAX_HAMMING if coarse else PHASH_MAX_HAMMING
+    nbands = PHASH_COARSE_BANDS if coarse else PHASH_BANDS
+    if max_hamming > cap:
         raise ValueError(
-            f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
-            f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
+            f"pigeonhole blocking with {nbands} bands is lossless only "
+            f"for hamming <= {cap}; got {max_hamming}"
         )
+    chunk_fn = phash_chunks_coarse if coarse else phash_chunks
     fh = frame_hashes.filter(F.col("fhash").isNotNull()).select(
         F.col("media_id").alias("__id"), "frame_idx", F.col("fhash").alias("__h")
     )
     n_frames = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     ex = fh.select(
         "__id", "frame_idx", "__h",
-        F.posexplode(phash_chunks(F.col("__h"))).alias("ci", "cv"),
+        F.posexplode(chunk_fn(F.col("__h"))).alias("ci", "cv"),
     )
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
@@ -2142,6 +2176,92 @@ def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_phash_near_dup_pairs_offset(fh).orderBy(
         "id_a", "id_b", "frame_offset"
     )
+
+
+@extra_query(
+    "video_phash_offset_coarse_pairs",
+    # The coarse twin of video_phash_offset_pairs: identical crafted
+    # fixture and per-offset vote, but the join runs on the 2x32-bit
+    # chunk keys whose pigeonhole is lossless only for per-frame
+    # hamming <= 1 — so the oracle's all-pairs definition tightens its
+    # bit_count budget to 1 (the crafted variants stay within it: exact
+    # trims at 0 bits, the flipped trim at 1).
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (doc_id // {VIDEO_OFFSET_SAMPLE_MOD}) // 4 AS g,
+             (doc_id // {VIDEO_OFFSET_SAMPLE_MOD}) % 4 AS v
+      FROM documents WHERE doc_id % {VIDEO_OFFSET_SAMPLE_MOD} = 0
+    ), fr AS (
+      SELECT doc_id, g, v,
+             unnest(generate_series(0,
+               (3 + g % 3) - 1 - (CASE v WHEN 0 THEN 0 WHEN 2 THEN 2
+                                         ELSE 1 END))) AS f
+      FROM s
+    ), h AS (
+      SELECT doc_id, f,
+        CASE
+          WHEN v = 3 AND f >= CAST(CEIL((3 + g % 3 - 1) / 2.0) AS BIGINT)
+          THEN CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':z' ||
+                     CAST(f AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+          ELSE xor(
+            CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                  CAST(f + (CASE v WHEN 1 THEN 1 WHEN 2 THEN 2
+                                   WHEN 3 THEN 1 ELSE 0 END)
+                  AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+            CASE WHEN v = 2 THEN (CAST(1 AS BIGINT) << (g % 60))
+                 ELSE 0 END)
+        END AS fh
+      FROM fr
+    ), n AS (SELECT doc_id, count(*) AS nf FROM h GROUP BY 1),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(a.f - b.f AS INTEGER) AS frame_offset,
+             count(*) AS n_match
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_COARSE_MAX_HAMMING}
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, frame_offset, n_match,
+           least(na.nf, nb.nf) AS n_small
+    FROM m JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+    WHERE n_match >= CEIL({VIDEO_MATCH_FRAC} * least(na.nf, nb.nf))
+    ORDER BY id_a, id_b, frame_offset
+    """,
+    doc="Coarse (2x32-bit chunk key) offset-tolerant video near-dup: the "
+    "candidate-headroom geometry for large offset-mode indexes "
+    "(PHASH_OFFSET_PROBE_r15 — 16-bit keys saturate, 32-bit keys track "
+    "true pairs), lossless for per-frame hamming <= 1; must reproduce "
+    "the tightened all-pairs per-offset definition exactly.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def video_phash_offset_coarse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.operators.multimodal import MEDIA_SCHEMA, spread_for_decode
+
+    docs = spread_for_decode(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % VIDEO_OFFSET_SAMPLE_MOD == 0)
+        .select("doc_id"),
+        heavy=True,
+    )
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m = d // VIDEO_OFFSET_SAMPLE_MOD
+                y4m = _phash_y4m(_video_offset_frames(m // 4, m % 4))
+                rows.append((d, "video", y4m, {}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(synth, MEDIA_SCHEMA)
+    fh = video_perceptual_hashes(media, every_n=1)
+    return video_phash_near_dup_pairs_offset(
+        fh, max_hamming=PHASH_COARSE_MAX_HAMMING, coarse=True
+    ).orderBy("id_a", "id_b", "frame_offset")
 
 
 # --------------------------------------------------------------------------

@@ -1886,3 +1886,43 @@ def test_compaction_preserves_audio_chunk_index(spark, tmp_path):
         r["media_id"]
         for r in audio_chunk_dedup_against_index_offset(probe, idx).collect()
     ) == [11]
+
+
+def test_video_offset_coarse_pairs(spark):
+    """Coarse (2x32-key) offset matching: a 1-bit-per-frame trimmed copy
+    qualifies at its true shift (same result as the 4x16 join), a
+    2-bit-per-frame trim is OUTSIDE the coarse pigeonhole and must be
+    refused by the budget guard rather than silently missed."""
+    from railgun_spark.operators.phash import (
+        PHASH_COARSE_MAX_HAMMING,
+        _phash_y4m,
+        video_perceptual_hashes,
+        video_phash_near_dup_pairs_offset,
+    )
+
+    base = [_phash_target(760 + f, 0) for f in range(4)]
+    trimmed = [h ^ 1 for h in base[1:]]  # 1 bit per frame: within coarse budget
+    rows = [
+        (1, "video", bytearray(_phash_y4m(base)), {}),
+        (2, "video", bytearray(_phash_y4m(trimmed)), {}),
+    ]
+    fh = video_perceptual_hashes(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), every_n=1
+    )
+    fine = {
+        (r["id_a"], r["id_b"]): (r["frame_offset"], r["n_match"], r["n_small"])
+        for r in video_phash_near_dup_pairs_offset(
+            fh, max_hamming=1
+        ).collect()
+    }
+    coarse = {
+        (r["id_a"], r["id_b"]): (r["frame_offset"], r["n_match"], r["n_small"])
+        for r in video_phash_near_dup_pairs_offset(
+            fh, max_hamming=PHASH_COARSE_MAX_HAMMING, coarse=True
+        ).collect()
+    }
+    assert coarse == fine == {(1, 2): (1, 3, 3)}
+
+    # budget guard: coarse pigeonhole is lossless only for hamming <= 1
+    with pytest.raises(ValueError, match="lossless"):
+        video_phash_near_dup_pairs_offset(fh, max_hamming=2, coarse=True)
