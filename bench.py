@@ -153,8 +153,68 @@ def _prepare_end_to_end(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+# Search-only ANN rows (r14 VERDICT #4): the certification queries
+# ann_ivf_index_topk / ann_ivf_pq_index_topk BUILD their index inside the
+# timed query (three partitioned writes dominate), so the bench can't see
+# a search-leg regression. These entries build once per process into a
+# cached tempdir and time ONLY the batch search; the reported per-query
+# MIN comes from the post-build iterations (the first iteration pays the
+# build and never wins the min). The certification entries stay unchanged.
+_ANN_BENCH_INDEX_CACHE: dict = {}
+
+
+def _ann_bench_index(spark, sf_dir: str, pq: bool) -> str:
+    key = (sf_dir, pq)
+    if key not in _ANN_BENCH_INDEX_CACHE:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from railgun_spark.operators.similarity import (
+            IVF_INDEX_QUERY_IDS,
+            build_ivf_index,
+            build_ivf_pq_index,
+            to_double,
+        )
+
+        d = tempfile.mkdtemp(prefix="bench_ivfpq_" if pq else "bench_ivf_")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "label", to_double(F.col("embedding")).alias("v")
+        )
+        build = build_ivf_pq_index if pq else build_ivf_index
+        build(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        _ANN_BENCH_INDEX_CACHE[key] = d
+    return _ANN_BENCH_INDEX_CACHE[key]
+
+
+def _ann_search_only(spark, sf_dir: str, pq: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_INDEX_QUERY_IDS,
+        ann_ivf_pq_search_index,
+        ann_ivf_search_index,
+        to_double,
+    )
+
+    idx = _ann_bench_index(spark, sf_dir, pq)
+    queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    ).filter(F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))).select(
+        F.col("vec_id").alias("qid"), "v"
+    )
+    search = ann_ivf_pq_search_index if pq else ann_ivf_search_index
+    search(spark, queries, idx).collect()
+
+
 BENCH_SPECIAL = {
     "prepare_end_to_end": _prepare_end_to_end,
+    "ann_ivf_search_only": lambda spark, sf_dir: _ann_search_only(
+        spark, sf_dir, pq=False
+    ),
+    "ann_ivf_pq_search_only": lambda spark, sf_dir: _ann_search_only(
+        spark, sf_dir, pq=True
+    ),
 }
 
 # SPARK_GRAFT_BENCH_ALL=1 benches EVERY registered query (REGISTRY+EXTRA)
