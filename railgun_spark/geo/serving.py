@@ -169,31 +169,28 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     round-trip)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    acc = 0
-    nbits = 0
-    out = bytearray()
+    # (code, width) pairs accumulate and pack ONCE via numpy at the end
+    # (LSB-first) — the per-code Python bit loop held the GIL for the
+    # bulk of the encode under serve concurrency (SERVE_CONC_SF1_r14)
+    codes: list = []
+    widths: list = []
 
-    def emit(code, width):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    # encoder's own dictionary (code assignment order matches the
-    # decoder's entry construction order)
-    table = {(i,): i for i in range(clear)}
+    # encoder's dictionary keyed by (prefix_code << 8) | symbol — int
+    # keys instead of growing tuples: the hot loop does one int shift
+    # and one dict probe per pixel, never builds a sequence object. Code
+    # assignment order is unchanged (matches the decoder's entry
+    # construction order).
+    table: dict = {}
     nxt = eoi + 1
-    # simulated DECODER width state
+    # simulated DECODER width state (see docstring)
     dec_nxt = eoi + 1
     dec_width = min_code_size + 1
     first_data = True
 
     def emit_data(code):
         nonlocal dec_nxt, dec_width, first_data
-        emit(code, dec_width)
+        codes.append(code)
+        widths.append(dec_width)
         if first_data:
             first_data = False
         else:
@@ -203,46 +200,71 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
 
     def emit_clear():
         nonlocal table, nxt, dec_nxt, dec_width, first_data
-        emit(clear, dec_width)
-        table = {(i,): i for i in range(clear)}
+        codes.append(clear)
+        widths.append(dec_width)
+        table = {}
         nxt = eoi + 1
         dec_nxt = eoi + 1
         dec_width = min_code_size + 1
         first_data = True
 
-    emit(clear, dec_width)
-    buf = ()
+    codes.append(clear)
+    widths.append(dec_width)
+    buf = -1
     for px in indices:
-        cand = buf + (px,)
-        if cand in table:
-            buf = cand
+        if buf < 0:
+            buf = px
             continue
-        emit_data(table[buf])
-        table[cand] = nxt
+        key = (buf << 8) | px
+        c = table.get(key)
+        if c is not None:
+            buf = c
+            continue
+        emit_data(buf)
+        table[key] = nxt
         nxt += 1
         if nxt == 4096:
             emit_clear()
-        buf = (px,)
-    if buf:
-        emit_data(table[buf])
-    emit(eoi, dec_width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+        buf = px
+    if buf >= 0:
+        emit_data(buf)
+    codes.append(eoi)
+    widths.append(dec_width)
+
+    import numpy as np
+
+    cd = np.asarray(codes, dtype=np.uint32)
+    wd = np.asarray(widths, dtype=np.int64)
+    total = int(wd.sum())
+    # bit i of the stream = bit (i - start_of_its_code) of that code,
+    # LSB first; np.packbits(bitorder="little") then matches the GIF
+    # byte order exactly
+    pos_in_code = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(wd) - wd, wd
+    )
+    bits = (np.repeat(cd, wd) >> pos_in_code.astype(np.uint32)) & 1
+    return np.packbits(
+        bits.astype(np.uint8), bitorder="little"
+    ).tobytes()
 
 
 def grid_to_gif(grid: list[list[int]], size: int = 256) -> bytes:
     """GIF87a of the mask grid scaled to size x size — the reference's
     gif branch of img/RespondWithGrid.go:33-34, library-free (from-scratch
     LZW). Two-entry palette: background black, mask white."""
+    import numpy as np
+
     side = len(grid)
     scale = max(1, size // side)
     w = h = side * scale
-    indices = []
-    for gy in range(side):
-        row = [1 if grid[gy][gx] else 0 for gx in range(side) for _ in range(scale)]
-        for _ in range(scale):
-            indices.extend(row)
+    indices = (
+        (np.asarray(grid) != 0)
+        .astype(np.uint8)
+        .repeat(scale, 0)
+        .repeat(scale, 1)
+        .ravel()
+        .tolist()
+    )
     lzw = _lzw_encode(indices, 2)
     out = bytearray(b"GIF87a")
     out += struct.pack("<HH", w, h)

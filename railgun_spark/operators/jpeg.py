@@ -522,45 +522,59 @@ def encode_gray_jpeg(gray, qtab=None) -> bytes:
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
 
-    # forward DCT + quantize, zigzag order, all blocks row-major
-    zz_blocks = []
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            f = _M @ (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _M.T
-            zz_blocks.append(np.round(f.reshape(64)[_ZIGZAG] / q).astype("int64"))
+    # forward DCT + quantize, zigzag order, all blocks row-major — one
+    # batched einsum over (n_blocks, 8, 8) instead of a Python loop of
+    # tiny matmuls (the per-block loop held the GIL for most of the
+    # encode under serve concurrency)
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    f = np.einsum("ij,bjk,lk->bil", _M, blocks, _M, optimize=True)
+    zz_all = np.round(f.reshape(-1, 64)[:, _ZIGZAG] / q).astype("int64")
 
-    # token stream: (dc_cat, dc_extra) + [(rs, extra, nbits)...] per block
-    def extend_inv(v, cat):
-        return v if v >= 0 else v + (1 << cat) - 1
+    def cat_of(a):
+        """Vectorized _category: bit length of |a| (frexp exponent — exact
+        for integers, unlike floor(log2))."""
+        return np.where(a == 0, 0, np.frexp(np.abs(a))[1]).astype("int64")
 
-    tokens = []
-    pred = 0
+    # DC: category + extend_inv over the block-to-block differences
+    diffs = np.diff(zz_all[:, 0], prepend=np.int64(0))
+    dcats = cat_of(diffs)
+    dextras = np.where(
+        diffs >= 0, diffs, diffs + np.left_shift(np.int64(1), dcats) - 1
+    )
+
+    # AC: categories/extras vectorized; the run-length walk touches only
+    # the NONZERO coefficients of each block (mask tiles are piecewise
+    # constant — most blocks are a bare EOB)
+    ac = zz_all[:, 1:]
+    acats = cat_of(ac)
+    aextras = np.where(ac >= 0, ac, ac + np.left_shift(np.int64(1), acats) - 1)
+    nzmask = ac != 0
+
+    tokens = []  # per block: (dc_cat, dc_extra, [(rs, extra, nbits)...])
     dc_syms, ac_syms = [], []
-    for zz in zz_blocks:
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
-        cat = _category(diff)
+    for b in range(zz_all.shape[0]):
+        cat = int(dcats[b])
         dc_syms.append(cat)
         acs = []
-        run = 0
-        last = 63
-        while last > 0 and zz[last] == 0:
-            last -= 1
-        for k in range(1, last + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
+        ks = np.nonzero(nzmask[b])[0]
+        prev = -1
+        for k in ks:
+            run = int(k) - prev - 1
+            prev = int(k)
             while run > 15:
                 acs.append((0xF0, 0, 0))
                 run -= 16
-            s = _category(v)
-            acs.append(((run << 4) | s, extend_inv(v, s), s))
-            run = 0
-        if last < 63:
+            s = int(acats[b, k])
+            acs.append(((run << 4) | s, int(aextras[b, k]), s))
+        if prev < 62:
             acs.append((0x00, 0, 0))
         ac_syms += [a[0] for a in acs]
-        tokens.append(((cat, extend_inv(diff, cat)), acs))
+        tokens.append((cat, int(dextras[b]), acs))
 
     def build_table(symbols):
         syms = sorted(set(symbols)) or [0]
@@ -574,32 +588,36 @@ def encode_gray_jpeg(gray, qtab=None) -> bytes:
     dc_counts, dc_symbols, dc_codes = build_table(dc_syms)
     ac_counts, ac_symbols, ac_codes = build_table(ac_syms)
 
-    out_bits = bytearray()
-    acc = nbits = 0
-
-    def put(value, width):
-        nonlocal acc, nbits
-        for k in range(width - 1, -1, -1):
-            acc = (acc << 1) | ((value >> k) & 1)
-            nbits += 1
-            if nbits == 8:
-                out_bits.append(acc)
-                if acc == 0xFF:
-                    out_bits.append(0x00)
-                acc = nbits = 0
-
-    for (cat, extra), acs in tokens:
+    # entropy stream as (value, width) pairs, bit-packed ONCE via numpy
+    # (MSB-first), 1-padded to the byte boundary, 0xFF bytes stuffed —
+    # byte-identical to the former per-bit Python loop
+    vals, wids = [], []
+    for cat, extra, acs in tokens:
         L, c = dc_codes[cat]
-        put(c, L)
+        vals.append(c)
+        wids.append(L)
         if cat:
-            put(extra, cat)
+            vals.append(extra)
+            wids.append(cat)
         for rs, ev, en in acs:
             L, c = ac_codes[rs]
-            put(c, L)
+            vals.append(c)
+            wids.append(L)
             if en:
-                put(ev, en)
-    while nbits:
-        put(1, 1)  # pad final byte with 1-bits
+                vals.append(ev)
+                wids.append(en)
+    va = np.asarray(vals, dtype=np.uint32)
+    wa = np.asarray(wids, dtype=np.int64)
+    total = int(wa.sum())
+    pos_in = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(wa) - wa, wa)
+    shifts = (np.repeat(wa, wa) - 1 - pos_in).astype(np.uint32)
+    bits = ((np.repeat(va, wa) >> shifts) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    packed = np.packbits(bits)
+    stuff_at = np.nonzero(packed == 0xFF)[0]
+    out_bits = np.insert(packed, stuff_at + 1, np.uint8(0)).tobytes()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
