@@ -132,6 +132,13 @@ BENCH_QUERIES = [
     # round-14 extension: offset-tolerant audio near-dup (chunked
     # fingerprints, trim-robust per-offset vote)
     "audio_phash_offset_pairs",
+    # round-15 flagship: coarse 2x32 offset chunk banding (the measured
+    # candidate-headroom geometry — PHASH_OFFSET_PROBE_r15). The promoted
+    # ANN flagships (ann_ivf_index_topk / ann_ivf_pq_rerank_topk) build
+    # their index inside the query, so their curated-bench signal lives
+    # in the ann_*_search_only rows below; the full certification
+    # entries stay timed in the BENCH_ALL sweep.
+    "video_phash_offset_coarse_pairs",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

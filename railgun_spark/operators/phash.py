@@ -502,7 +502,10 @@ def _phash_y4m(frame_hashes) -> bytes:
     )
 
 
-@query(
+@extra_query(
+    # r15 rotation: demoted — the narrow 4x16 banded-pair join stays
+    # driver-certified by audio_phash_pairs (identical algebra) and the
+    # wide/coarse image entries; this exact twin stays EXTRA-certified
     "image_phash_pairs",
     # The oracle recomputes each crafted image's dHash from doc_id
     # arithmetic (shared 60-bit md5 basis XOR the variant perturbation)
@@ -2092,7 +2095,10 @@ def _video_offset_frames(g: int, v: int) -> list:
     ]
 
 
-@query(
+@extra_query(
+    # r15 rotation: demoted — the per-offset temporal vote stays
+    # driver-certified by audio_phash_offset_pairs (same vote, chunk
+    # modality) and the promoted coarse twin below
     "video_phash_offset_pairs",
     # The oracle recomputes every crafted frame hash from doc_id
     # arithmetic and keeps the semantic all-pairs PER-OFFSET definition
@@ -2178,7 +2184,8 @@ def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
+    # r15 flagship: driver-gated (the offset candidate-headroom geometry)
     "video_phash_offset_coarse_pairs",
     # The coarse twin of video_phash_offset_pairs: identical crafted
     # fixture and per-offset vote, but the join runs on the 2x32-bit

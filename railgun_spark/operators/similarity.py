@@ -659,7 +659,10 @@ def _ivf_oracle() -> str:
     """
 
 
-@query(
+@extra_query(
+    # r15 rotation: demoted — the in-memory IVF shape (quantizer,
+    # probe selection, re-rank, tiebreaks) is a strict subset of the
+    # now-driver-gated persistent ann_ivf_index_topk
     "ann_ivf_topk",
     oracle=_ivf_oracle(),
     doc=f"IVF ANN: {IVF_K} coarse centroids, map-only nearest-centroid "
@@ -1710,7 +1713,8 @@ def _ivf_index_oracle() -> str:
     """
 
 
-@extra_query(
+@query(
+    # r15 rotation: promoted to the driver gate (r14 flagship)
     "ann_ivf_index_topk",
     oracle=_ivf_index_oracle(),
     doc=f"Persistent-IVF ANN search: build a cid-partitioned index "
@@ -2197,7 +2201,8 @@ def _ivf_pq_rerank_oracle() -> str:
     """
 
 
-@extra_query(
+@query(
+    # r15 flagship: driver-gated
     "ann_ivf_pq_rerank_topk",
     oracle=_ivf_pq_rerank_oracle(),
     doc=f"IVF-PQ with exact refine: ADC ranks a {PQ_RERANK}-deep "
