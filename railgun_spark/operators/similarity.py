@@ -1575,17 +1575,20 @@ def build_ivf_index(
 
 
 def _recover_ivf(index_path: str) -> None:
-    """Restore a crashed compaction's backup before any vecs/ read (the
-    same discipline as dedup._read_index_or_none): if compact_ivf_index
-    died between its two renames, the live vecs/ is absent but the
-    backup holds the complete pre-compaction index. No-op on remote
-    schemes."""
+    """Restore a crashed compaction's backup before any vecs/ or raw/
+    read (the same discipline as dedup._read_index_or_none): if
+    compact_ivf_index died between its two renames, the live dir is
+    absent but the backup holds the complete pre-compaction layout.
+    No-op on remote schemes."""
+    import os
     from urllib.parse import urlparse
 
     from railgun_spark.operators.dedup import _recover_index
 
     if urlparse(index_path).scheme in ("", "file"):
-        _recover_index(_ivf_vecs_local(index_path))
+        vecs = _ivf_vecs_local(index_path)
+        _recover_index(vecs)
+        _recover_index(os.path.join(os.path.dirname(vecs.rstrip("/")), "raw"))
 
 
 def _probed_vecs(spark: SparkSession, index_path: str, cids: list) -> DataFrame:
@@ -1753,10 +1756,7 @@ def _ivf_append_guard(index_path: str, expect_pq: bool):
     rely on the store's committer."""
     from urllib.parse import urlparse
 
-    from railgun_spark.operators.dedup import (
-        _acquire_compact_lock,
-        _recover_index,
-    )
+    from railgun_spark.operators.dedup import _acquire_compact_lock
 
     if urlparse(index_path).scheme not in ("", "file"):
         return None, None
@@ -1764,7 +1764,7 @@ def _ivf_append_guard(index_path: str, expect_pq: bool):
     vecs = _ivf_vecs_local(index_path)
     lock, token = _acquire_compact_lock(vecs)
     try:
-        _recover_index(vecs)
+        _recover_ivf(index_path)
     except Exception:
         from railgun_spark.operators.dedup import _release_compact_lock
 
@@ -2254,15 +2254,32 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
                 (int(r["j"]), [float(x) for x in r["cv"]])
             )
         books = {m: sorted(entries) for m, entries in books.items()}
-        coded = new_vecs.select(
-            "vec_id", "label",
-            _assign_cid(F.col("v"), cents).alias("cid"),
-            F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+        assigned = new_vecs.select(
+            "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
         ).localCheckpoint()
+        coded = assigned.select(
+            "vec_id", "label", "cid",
+            F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+        )
         coded.repartition(F.col("cid")).write.mode("append").partitionBy(
             "cid"
         ).parquet(f"{index_path}/vecs")
-        return coded.count()
+        # a store_raw index must grow its refine store in the same append,
+        # or reranked top-k would silently drop every appended vector (the
+        # refine join finds no raw row for them)
+        import os
+
+        from railgun_spark.operators.dedup import _local_index_path
+
+        if os.path.isdir(
+            os.path.join(_local_index_path(index_path).rstrip("/"), "raw")
+        ):
+            assigned.select("vec_id", "label", "v", "cid").repartition(
+                F.col("cid")
+            ).write.mode("append").partitionBy("cid").parquet(
+                f"{index_path}/raw"
+            )
+        return assigned.count()
     finally:
         if lock is not None:
             _release_compact_lock(lock, token)
@@ -2338,28 +2355,35 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
     )
 
     vecs = _ivf_vecs_local(index_path)
+    raw = os.path.join(os.path.dirname(vecs.rstrip("/")), "raw")
     lock, lock_token = _acquire_compact_lock(vecs)
     try:
         _recover_index(vecs)
-        distinct = spark.read.parquet(vecs).distinct().localCheckpoint()
-        n = distinct.count()
-        src_mode = stat.S_IMODE(os.stat(vecs).st_mode)
-        parent = os.path.dirname(os.path.abspath(vecs.rstrip("/")))
-        tmp = tempfile.mkdtemp(prefix=".ivf_compact_", dir=parent)
-        try:
-            distinct.repartition(F.col("cid")).write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(tmp)
-            os.chmod(tmp, src_mode)
-            backup = vecs.rstrip("/") + ".compact_backup"
-            if os.path.exists(backup):
+        _recover_index(raw)
+        n = None
+        # a store_raw index folds its refine store in the same pass —
+        # both layouts accrete the same at-least-once duplicates
+        for live in ([vecs, raw] if os.path.isdir(raw) else [vecs]):
+            distinct = spark.read.parquet(live).distinct().localCheckpoint()
+            if n is None:
+                n = distinct.count()
+            src_mode = stat.S_IMODE(os.stat(live).st_mode)
+            parent = os.path.dirname(os.path.abspath(live.rstrip("/")))
+            tmp = tempfile.mkdtemp(prefix=".ivf_compact_", dir=parent)
+            try:
+                distinct.repartition(F.col("cid")).write.mode(
+                    "overwrite"
+                ).partitionBy("cid").parquet(tmp)
+                os.chmod(tmp, src_mode)
+                backup = live.rstrip("/") + ".compact_backup"
+                if os.path.exists(backup):
+                    shutil.rmtree(backup)
+                os.rename(live, backup)
+                os.rename(tmp, live)
                 shutil.rmtree(backup)
-            os.rename(vecs, backup)
-            os.rename(tmp, vecs)
-            shutil.rmtree(backup)
-        except Exception:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
+            except Exception:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
     finally:
         _release_compact_lock(lock, lock_token)
     return n

@@ -2008,3 +2008,57 @@ def test_ivf_pq_rerank_exact_refine(spark, tmp_path):
     build_ivf_pq_index(emb, idx2, exclude_ids=(0,))
     with pytest.raises(ValueError, match="store_raw"):
         ann_ivf_pq_search_index(spark, queries, idx2, rerank=25).collect()
+
+
+def test_ivf_pq_store_raw_append_and_compact(spark, tmp_path):
+    """A store_raw index grows BOTH layouts on append (a raw/ left stale
+    would silently drop every appended vector from reranked top-k), and
+    compaction folds duplicates in both — reranked results unchanged,
+    an appended exact duplicate still ranks first at cos 1.0."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_pq_search_index,
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_pq_index(
+        emb.filter("vec_id < 200"), idx, exclude_ids=(0,), store_raw=True
+    )
+    # append the tail + an exact duplicate of held-out query 0; append it
+    # TWICE (crash-replay) so both layouts carry duplicates
+    tail = emb.filter("vec_id >= 200")
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9999).cast("long").alias("vec_id"), "label", "v"
+    )
+    batch = tail.unionByName(dup)
+    append_to_ivf_pq_index(batch, idx)
+    append_to_ivf_pq_index(batch, idx)
+    n_vecs = spark.read.parquet(f"{idx}/vecs").count()
+    n_raw = spark.read.parquet(f"{idx}/raw").count()
+    assert n_vecs == n_raw  # raw grew with the appends
+
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+    got = ann_ivf_pq_search_index(
+        spark, queries, idx, nprobe=IVF_K, topk=10, rerank=25
+    ).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert ids[0] == 9999 and len(set(ids)) == 10  # appended vec found, no double-fill
+    assert got[0].__class__  # smoke
+
+    expect = emb.count()  # 199 indexed + 399 appended + 1 dup-of-0 = all ids once
+    assert compact_ivf_index(spark, idx) == expect
+    assert spark.read.parquet(f"{idx}/raw").count() == expect  # raw folded too
+    got2 = ann_ivf_pq_search_index(
+        spark, queries, idx, nprobe=IVF_K, topk=10, rerank=25
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in sorted(got2, key=lambda r: r["rnk"])] == \
+           [(r["vec_id"], r["cos_sim"]) for r in sorted(got, key=lambda r: r["rnk"])]
