@@ -605,8 +605,16 @@ def cmd_ann(args) -> int:
         vecs = load_vecs(args.input)
         if vecs is None:
             return 2
-        n = build_fn(vecs, args.index, k=args.k)
-        print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq)}))
+        if args.store_raw and not args.pq:
+            print("--store-raw only applies to --pq builds (a raw IVF "
+                  "index already stores exact vectors)", file=sys.stderr)
+            return 2
+        if args.pq:
+            n = build_fn(vecs, args.index, k=args.k, store_raw=args.store_raw)
+        else:
+            n = build_fn(vecs, args.index, k=args.k)
+        print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq),
+                          "store_raw": bool(args.store_raw)}))
         return 0
     if args.action == "append":
         vecs = load_vecs(args.input)
@@ -622,9 +630,19 @@ def cmd_ann(args) -> int:
     queries = load_vecs(args.input, id_alias="qid")
     if queries is None:
         return 2
-    hits = search_fn(
-        spark, queries, args.index, nprobe=args.nprobe, topk=args.topk
-    )
+    if args.rerank and not args.pq:
+        print("--rerank only applies to --pq searches (raw IVF already "
+              "ranks by exact cosine)", file=sys.stderr)
+        return 2
+    if args.rerank:
+        hits = search_fn(
+            spark, queries, args.index, nprobe=args.nprobe, topk=args.topk,
+            rerank=args.rerank,
+        )
+    else:
+        hits = search_fn(
+            spark, queries, args.index, nprobe=args.nprobe, topk=args.topk
+        )
     hits.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     print(json.dumps({
@@ -1030,6 +1048,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IVF-PQ layout: inverted lists store PQ codes only "
                    "and search scores by ADC (build/append/search must all "
                    "use the same flag for one index)")
+    p.add_argument("--store-raw", dest="store_raw", action="store_true",
+                   help="build --pq: also store raw vectors under the same "
+                   "cid partitioning so searches can --rerank (appends grow "
+                   "the raw store automatically; compact folds it)")
+    p.add_argument("--rerank", type=int, default=0,
+                   help="search --pq: re-score the ADC top-R shortlist by "
+                   "exact cosine against the stored raw vectors (needs a "
+                   "--store-raw build)")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("functions", help="list DFL functions")

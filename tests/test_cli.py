@@ -717,7 +717,7 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     rc = main(["ann", "build", "--input", head, "--index", idx, "--k", "8"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
-        "indexed": 180, "k": 8, "pq": False}
+        "indexed": 180, "k": 8, "pq": False, "store_raw": False}
 
     # append an exact copy of vec_id 0 under a new id
     extra = str(tmp_path / "extra")
@@ -757,7 +757,7 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     rc = main(["ann", "build", "--pq", "--input", head, "--index", idx])
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
-        "indexed": 199, "k": 8, "pq": True}
+        "indexed": 199, "k": 8, "pq": True, "store_raw": False}
     assert "codes" in spark.read.parquet(f"{idx}/vecs").columns
     assert "v" not in spark.read.parquet(f"{idx}/vecs").columns
 
@@ -805,3 +805,39 @@ def test_ann_compact_action(spark, capsys, tmp_path):
     assert spark.read.parquet(f"{idx}/vecs").count() == 110
 
     assert main(["ann", "build", "--index", idx]) == 2
+
+
+def test_ann_store_raw_and_rerank_flags(spark, capsys, tmp_path):
+    """ann build --pq --store-raw + search --pq --rerank end-to-end: the
+    refine leg re-scores the ADC shortlist by exact cosine (an exact
+    duplicate ranks first at cos 1.0); --rerank without --pq and
+    --store-raw without --pq are refused."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx, out = str(tmp_path / "ivfpq"), str(tmp_path / "hits")
+
+    body = str(tmp_path / "body")
+    df = spark.read.parquet(src)
+    dup = df.filter("vec_id = 0").selectExpr(
+        "CAST(9999 AS BIGINT) AS vec_id", "embedding", "label"
+    )
+    df.filter("vec_id > 0").unionByName(dup).write.parquet(body)
+    rc = main(["ann", "build", "--pq", "--store-raw",
+               "--input", body, "--index", idx, "--k", "8"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["store_raw"] is True
+
+    q = str(tmp_path / "q")
+    df.filter("vec_id = 0").write.parquet(q)
+    rc = main(["ann", "search", "--pq", "--rerank", "25", "--nprobe", "8",
+               "--input", q, "--index", idx, "--output", out])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_hits"] == 10
+    top = (
+        spark.read.parquet(out).orderBy("rnk").limit(1).collect()[0]
+    )
+    assert top["vec_id"] == 9999 and top["cos_sim"] == 1.0
+
+    assert main(["ann", "search", "--rerank", "25", "--input", q,
+                 "--index", idx, "--output", out]) == 2
+    assert main(["ann", "build", "--store-raw", "--input", body,
+                 "--index", str(tmp_path / "x")]) == 2
