@@ -77,6 +77,12 @@ PROBES = {
     # pruned batch search — linear end to end
     "ann_ivf_index_topk": "linear",
     "ann_ivf_pq_index_topk": "linear",
+    # r15: + store_raw write and an ADC-shortlisted exact refine (R
+    # rows per query against the pruned raw partitions) — still linear
+    "ann_ivf_pq_rerank_topk": "linear",
+    # r15: coarse 2x32 offset chunk banding — candidates track true
+    # pairs by construction (PHASH_OFFSET_PROBE_r15), decode-bound
+    "video_phash_offset_coarse_pairs": "linear",
 }
 RATIO_BOUND = {"linear": 13.0, "quadratic-arith": 130.0}
 
