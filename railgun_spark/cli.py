@@ -609,12 +609,19 @@ def cmd_ann(args) -> int:
             print("--store-raw only applies to --pq builds (a raw IVF "
                   "index already stores exact vectors)", file=sys.stderr)
             return 2
+        cents = None
+        if args.train_iters:
+            from railgun_spark.operators.similarity import train_ivf_centroids
+
+            cents = train_ivf_centroids(vecs, k=args.k, iters=args.train_iters)
         if args.pq:
-            n = build_fn(vecs, args.index, k=args.k, store_raw=args.store_raw)
+            n = build_fn(vecs, args.index, k=args.k,
+                         store_raw=args.store_raw, centroids=cents)
         else:
-            n = build_fn(vecs, args.index, k=args.k)
+            n = build_fn(vecs, args.index, k=args.k, centroids=cents)
         print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq),
-                          "store_raw": bool(args.store_raw)}))
+                          "store_raw": bool(args.store_raw),
+                          "train_iters": args.train_iters}))
         return 0
     if args.action == "append":
         vecs = load_vecs(args.input)
@@ -1052,6 +1059,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build --pq: also store raw vectors under the same "
                    "cid partitioning so searches can --rerank (appends grow "
                    "the raw store automatically; compact folds it)")
+    p.add_argument("--train-iters", dest="train_iters", type=int, default=0,
+                   help="build: Lloyd-train the coarse quantizer for N "
+                   "iterations before indexing (recall-efficient pruning "
+                   "on clustered data; default 0 = first-K quantizer)")
     p.add_argument("--rerank", type=int, default=0,
                    help="search --pq: re-score the ADC top-R shortlist by "
                    "exact cosine against the stored raw vectors (needs a "

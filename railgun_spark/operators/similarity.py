@@ -1591,6 +1591,24 @@ def _recover_ivf(index_path: str) -> None:
         _recover_index(os.path.join(os.path.dirname(vecs.rstrip("/")), "raw"))
 
 
+def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
+    """Lloyd-train a coarse quantizer from the first-K init: `iters`
+    rounds of map-only assignment (broadcast-literal centroids) + one
+    (cluster, pos) shuffle each. Returns [(cid, vector)] for
+    build_ivf_index / build_ivf_pq_index's `centroids` override. On
+    clustered data this is what turns IVF pruning into recall-efficient
+    pruning (ANN_RECALL_CLUSTERED_r15: recall@10 = 0.775 at 3.1% of
+    lists scanned vs ~= scanned-fraction untrained). A cluster that
+    empties mid-training keeps its previous centroid so the quantizer
+    stays k-wide. `emb` needs (vec_id, v)."""
+    base = emb.select("vec_id", F.col("v").alias("e"))
+    cents = dict(_centroid_rows(emb, k))
+    for _ in range(iters):
+        new = recompute_centroids(assign_clusters(base, cents))
+        cents = {cid: new.get(cid, cv) for cid, cv in cents.items()}
+    return sorted(cents.items())
+
+
 def _probed_vecs(spark: SparkSession, index_path: str, cids: list) -> DataFrame:
     """The probed inverted lists only: an isin over the cid PARTITION
     column prunes unprobed directories at plan time (inputFiles shrinks

@@ -717,7 +717,8 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     rc = main(["ann", "build", "--input", head, "--index", idx, "--k", "8"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
-        "indexed": 180, "k": 8, "pq": False, "store_raw": False}
+        "indexed": 180, "k": 8, "pq": False, "store_raw": False,
+        "train_iters": 0}
 
     # append an exact copy of vec_id 0 under a new id
     extra = str(tmp_path / "extra")
@@ -757,7 +758,8 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     rc = main(["ann", "build", "--pq", "--input", head, "--index", idx])
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
-        "indexed": 199, "k": 8, "pq": True, "store_raw": False}
+        "indexed": 199, "k": 8, "pq": True, "store_raw": False,
+        "train_iters": 0}
     assert "codes" in spark.read.parquet(f"{idx}/vecs").columns
     assert "v" not in spark.read.parquet(f"{idx}/vecs").columns
 
@@ -841,3 +843,32 @@ def test_ann_store_raw_and_rerank_flags(spark, capsys, tmp_path):
                  "--index", idx, "--output", out]) == 2
     assert main(["ann", "build", "--store-raw", "--input", body,
                  "--index", str(tmp_path / "x")]) == 2
+
+
+def test_ann_train_iters_flag(spark, capsys, tmp_path):
+    """ann build --train-iters N Lloyd-trains the coarse quantizer before
+    indexing: the stored centroids differ from the first-K init, the
+    index stays k-wide, and searches still return full top-k."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx, out = str(tmp_path / "ivf"), str(tmp_path / "hits")
+    rc = main(["ann", "build", "--input", src, "--index", idx,
+               "--k", "8", "--train-iters", "3"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["train_iters"] == 3
+
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    assert len(cents) == 8  # quantizer stays k-wide through training
+    first_k = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(src).filter("vec_id < 8").collect()
+    }
+    trained = {int(r["cid"]): [float(x) for x in r["cv"]] for r in cents}
+    assert set(trained) == set(first_k)  # cids keep the first-K ids
+    assert any(trained[c] != first_k[c] for c in trained)  # actually moved
+
+    q = str(tmp_path / "q")
+    spark.read.parquet(src).filter("vec_id = 0").write.parquet(q)
+    rc = main(["ann", "search", "--input", q, "--index", idx,
+               "--output", out, "--nprobe", "2"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_hits"] == 10
