@@ -1992,6 +1992,7 @@ def video_dedup_against_index_offset(
     every_n: int = 10,
     id_col: str = "media_id",
     min_match_frac: float = VIDEO_MATCH_FRAC,
+    coarse: bool = False,
 ) -> DataFrame:
     """Offset-tolerant twin of `video_dedup_against_index`: a new video
     is rejected when ANY constant temporal shift aligns >= min_match_frac
@@ -2001,9 +2002,34 @@ def video_dedup_against_index_offset(
     decoded back out of the band key), so one index serves both modes;
     the chunk-key join is a derived-key join (both sides shuffle — the
     documented cost of the offset pass; the aligned gate stays the
-    bucketed-scan default)."""
+    bucketed-scan default).
+
+    `coarse` joins on 2x32-bit chunk keys derived from the stored frame
+    hashes instead of the 16-bit band chunks — the candidate-headroom
+    mode for large indexes (PHASH_OFFSET_PROBE_r15: 16-bit offset keys'
+    cand/true grows 64 -> 1773 at 20k -> 624k chunk rows, coarse stays
+    ~8) at the documented per-frame hamming <= 1 budget. Same index, no
+    migration."""
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
-    return _video_verified_gate_offset(df, bands, index_path, id_col, min_match_frac)
+    return _video_verified_gate_offset(
+        df, bands, index_path, id_col, min_match_frac, coarse=coarse
+    )
+
+
+def _coarse_chunk_rows(frames: DataFrame, hash_col: str) -> DataFrame:
+    """Per-frame 2x32-bit chunk keys derived from the stored frame hash:
+    __ck = (chunk_index << 32) | chunk_value (disjoint from nothing —
+    it's a standalone key space). The input must already be ONE row per
+    frame (band rows dedupe to frames first, or every hit would count
+    PHASH_BANDS times)."""
+    return frames.select(
+        *frames.columns,
+        F.posexplode(phash_chunks_coarse(F.col(hash_col))).alias("__ci2", "__cv2"),
+    ).select(
+        *frames.columns,
+        (F.shiftleft(F.col("__ci2").cast("long"), 32)
+         .bitwiseOR(F.col("__cv2"))).alias("__ck"),
+    )
 
 
 def _video_verified_gate_offset(
@@ -2013,14 +2039,26 @@ def _video_verified_gate_offset(
     id_col: str,
     min_match_frac: float,
     modality: str = "video",
+    coarse: bool = False,
 ) -> DataFrame:
     from railgun_spark.operators.dedup import _read_index_or_none
 
     spark = df.sparkSession
-    ck = F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK))
-    nb = bands.select(
-        "__id", "__n", "frame_idx", "__h", ck.alias("__ck")
-    )
+    budget = PHASH_COARSE_MAX_HAMMING if coarse else PHASH_MAX_HAMMING
+    if coarse:
+        # the SAME index layout serves the coarse gate: both sides dedupe
+        # band rows back to frames and derive 2x32 chunk keys from the
+        # stored frame hash (PHASH_OFFSET_PROBE_r15 — the 16-bit chunk
+        # key's random-collision candidates grow ~N^2/2^16 while coarse
+        # tracks true pairs; trade: per-frame hamming budget <= 1)
+        nb = _coarse_chunk_rows(
+            bands.select("__id", "__n", "frame_idx", "__h").distinct(), "__h"
+        )
+    else:
+        ck = F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK))
+        nb = bands.select(
+            "__id", "__n", "frame_idx", "__h", ck.alias("__ck")
+        )
     a, b = nb.alias("a"), nb.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_cand = (
@@ -2029,7 +2067,7 @@ def _video_verified_gate_offset(
             (F.col("a.__ck") == F.col("b.__ck"))
             & (F.col("b.__id") < F.col("a.__id")),
         )
-        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .filter(ham_ab <= budget)
         .select(
             F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
             (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("off"),
@@ -2042,17 +2080,26 @@ def _video_verified_gate_offset(
     if seen is not None:
         _check_index_geometry(seen, index_path, modality)
         ham_idx = F.bit_count(F.col("__h").bitwiseXOR(F.col("__ih")))
-        idx_side = seen.select(
+        idx_frames = seen.select(
             F.col("vid").alias("old_id"),
             F.col("n_frames").alias("n_old"),
             F.shiftright(F.col("band_key"), _FRAME_KEY_SHIFT)
             .cast("int").alias("__of"),
-            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("__ck"),
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("__fk"),
             F.col("dhash").alias("__ih"),
         )
+        if coarse:
+            idx_side = _coarse_chunk_rows(
+                idx_frames.select("old_id", "n_old", "__of", "__ih").distinct(),
+                "__ih",
+            )
+        else:
+            idx_side = idx_frames.select(
+                "old_id", "n_old", "__of", "__ih", F.col("__fk").alias("__ck")
+            )
         idx_cand = (
             nb.join(idx_side, "__ck")
-            .filter(ham_idx <= PHASH_MAX_HAMMING)
+            .filter(ham_idx <= budget)
             .select(
                 F.col("__id").alias("new_id"), "old_id",
                 (F.col("frame_idx") - F.col("__of")).alias("off"),
@@ -2636,6 +2683,7 @@ def audio_chunk_dedup_against_index_offset(
     index_path: str,
     id_col: str = "media_id",
     min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+    coarse: bool = False,
 ) -> DataFrame:
     """Offset-tolerant twin of `audio_chunk_dedup_against_index`: a new
     clip is rejected when ANY constant chunk shift aligns
@@ -2643,10 +2691,13 @@ def audio_chunk_dedup_against_index_offset(
     re-uploads of indexed audio are caught. Reads the SAME index layout
     (chunk_idx decoded back out of the band key), so one index serves
     both modes; the chunk-key join is a derived-key join (both sides
-    shuffle — the documented cost of the offset pass, as for video)."""
+    shuffle — the documented cost of the offset pass, as for video).
+    `coarse` = the 2x32-key candidate-headroom mode (see
+    video_dedup_against_index_offset; per-chunk hamming <= 1)."""
     bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
     return _video_verified_gate_offset(
-        df, bands, index_path, id_col, min_match_frac, modality=AUDIO_CHUNK_MOD
+        df, bands, index_path, id_col, min_match_frac,
+        modality=AUDIO_CHUNK_MOD, coarse=coarse,
     )
 
 

@@ -1926,3 +1926,81 @@ def test_video_offset_coarse_pairs(spark):
     # budget guard: coarse pigeonhole is lossless only for hamming <= 1
     with pytest.raises(ValueError, match="lossless"):
         video_phash_near_dup_pairs_offset(fh, max_hamming=2, coarse=True)
+
+
+def test_video_offset_coarse_gate(spark, tmp_path):
+    """Coarse offset GATE reads the SAME index the aligned gate writes:
+    a 1-bit-per-frame trimmed re-upload of indexed footage rejects
+    through the 2x32 chunk-key join, the half-noise clip and refused
+    rows survive, and the intra-batch leg catches a trimmed smaller-id
+    copy — identical admitted sets to the fine offset gate for
+    in-budget inputs, with no index migration."""
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        append_video_bands_to_index,
+        video_dedup_against_index,
+        video_dedup_against_index_offset,
+    )
+
+    base = [_phash_target(840 + f, 0) for f in range(4)]
+    trimmed = [h ^ 1 for h in base[1:]]  # 1 bit per frame: within coarse budget
+    noise = [base[1], base[2]] + [_phash_target(990 + f, 0) for f in range(2)]
+    idx = str(tmp_path / "vidx")
+    b1 = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    )
+    s1 = video_dedup_against_index(b1, idx, every_n=1)
+    append_video_bands_to_index(s1, idx, every_n=1)
+
+    b2 = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m(trimmed)), {}),
+         (11, "video", bytearray(_phash_y4m(noise)), {}),
+         (12, "video", bytearray(b"RIFF....AVI JUNK"), {})],
+        MEDIA_SCHEMA,
+    )
+    coarse_s = video_dedup_against_index_offset(b2, idx, every_n=1, coarse=True)
+    assert sorted(r["media_id"] for r in coarse_s.collect()) == [11, 12]
+    fine_s = video_dedup_against_index_offset(b2, idx, every_n=1)
+    assert sorted(r["media_id"] for r in fine_s.collect()) == [11, 12]
+
+    # intra-batch: a 1-bit trimmed copy of a smaller-id batch video rejects
+    b3 = spark.createDataFrame(
+        [(20, "video",
+          bytearray(_phash_y4m([_phash_target(860 + f, 0) for f in range(4)])), {}),
+         (21, "video",
+          bytearray(_phash_y4m([_phash_target(861 + f, 0) ^ 4 for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    s3 = video_dedup_against_index_offset(
+        b3, str(tmp_path / "fresh"), every_n=1, coarse=True
+    )
+    assert sorted(r["media_id"] for r in s3.collect()) == [20]
+
+
+def test_audio_chunk_offset_coarse_gate(spark, tmp_path):
+    """Audio twin: the coarse offset gate rejects a chunk-shifted 1-bit
+    re-upload against the index the aligned chunk gate wrote."""
+    from railgun_spark.operators.phash import (
+        _phash_wav_chunks,
+        append_audio_chunk_bands_to_index,
+        audio_chunk_dedup_against_index,
+        audio_chunk_dedup_against_index_offset,
+    )
+
+    hs = [_phash_target(900 + k, 0) for k in range(4)]
+    idx = str(tmp_path / "aidx")
+    b1 = spark.createDataFrame(
+        [(1, "audio", bytearray(_phash_wav_chunks(hs)), {})], MEDIA_SCHEMA
+    )
+    s1 = audio_chunk_dedup_against_index(b1, idx)
+    append_audio_chunk_bands_to_index(s1, idx)
+
+    trimmed = [h ^ 8 for h in hs[1:]]  # chunk-shift 1, 1 bit per chunk
+    b2 = spark.createDataFrame(
+        [(10, "audio", bytearray(_phash_wav_chunks(trimmed)), {}),
+         (11, "audio", bytearray(_phash_wav_chunks(
+             [_phash_target(970 + k, 0) for k in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    got = audio_chunk_dedup_against_index_offset(b2, idx, coarse=True)
+    assert sorted(r["media_id"] for r in got.collect()) == [11]
