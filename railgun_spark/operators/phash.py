@@ -1163,17 +1163,30 @@ def video_gate_with_bands(
     id_col: str = "media_id",
     min_match_frac: float = VIDEO_MATCH_FRAC,
     offset_tolerant: bool = False,
+    coarse: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Video twin of `image_gate_with_bands` (survivor band rows keep the
     per-frame columns `append_video_bands_to_index` persists). With
     `offset_tolerant`, rejection uses the per-offset temporal vote
     (trimmed/padded copies of history reject too) — the index layout and
-    appends are IDENTICAL, so a sink can switch modes batch to batch."""
+    appends are IDENTICAL, so a sink can switch modes batch to batch.
+    `coarse` (offset mode only) joins on the 2x32 chunk keys — the
+    candidate-headroom geometry for large indexes, per-frame budget
+    hamming <= 1."""
+    if coarse and not offset_tolerant:
+        raise ValueError(
+            "coarse=True only applies to the offset-tolerant gate (the "
+            "aligned gate's band keys already carry frame alignment)"
+        )
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
-    gate = _video_verified_gate_offset if offset_tolerant else _video_verified_gate
-    survivors = gate(
-        df, bands, index_path, id_col, min_match_frac
-    ).localCheckpoint()
+    if offset_tolerant:
+        survivors = _video_verified_gate_offset(
+            df, bands, index_path, id_col, min_match_frac, coarse=coarse
+        ).localCheckpoint()
+    else:
+        survivors = _video_verified_gate(
+            df, bands, index_path, id_col, min_match_frac
+        ).localCheckpoint()
     return survivors, _survivor_bands(bands, survivors, id_col)
 
 
@@ -2707,14 +2720,27 @@ def audio_chunk_gate_with_bands(
     id_col: str = "media_id",
     min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
     offset_tolerant: bool = False,
+    coarse: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Audio-chunk twin of `video_gate_with_bands` — one decode pass
-    yields both the survivors and the band rows an append commits."""
+    yields both the survivors and the band rows an append commits.
+    `coarse` as in video_gate_with_bands (offset mode only)."""
+    if coarse and not offset_tolerant:
+        raise ValueError(
+            "coarse=True only applies to the offset-tolerant gate (the "
+            "aligned gate's band keys already carry chunk alignment)"
+        )
     bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
-    gate = _video_verified_gate_offset if offset_tolerant else _video_verified_gate
-    survivors = gate(
-        df, bands, index_path, id_col, min_match_frac, modality=AUDIO_CHUNK_MOD
-    ).localCheckpoint()
+    if offset_tolerant:
+        survivors = _video_verified_gate_offset(
+            df, bands, index_path, id_col, min_match_frac,
+            modality=AUDIO_CHUNK_MOD, coarse=coarse,
+        ).localCheckpoint()
+    else:
+        survivors = _video_verified_gate(
+            df, bands, index_path, id_col, min_match_frac,
+            modality=AUDIO_CHUNK_MOD,
+        ).localCheckpoint()
     return survivors, _survivor_bands(bands, survivors, id_col)
 
 

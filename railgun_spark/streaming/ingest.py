@@ -331,6 +331,7 @@ def ingest_audio_batch(
     batch_id: int | None = None,
     chunked: bool = False,
     offset_tolerant: bool = False,
+    coarse: bool = False,
 ) -> int:
     """Audio twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     of clips through the energy-delta fingerprint band index
@@ -360,7 +361,8 @@ def ingest_audio_batch(
         )
     if chunked:
         survivors, surv_bands = audio_chunk_gate_with_bands(
-            batch_df, index_path, id_col=id_col, offset_tolerant=offset_tolerant
+            batch_df, index_path, id_col=id_col,
+            offset_tolerant=offset_tolerant, coarse=coarse,
         )
     else:
         survivors, surv_bands = audio_gate_with_bands(
@@ -416,6 +418,7 @@ def ingest_videos_batch(
     batch_id: int | None = None,
     every_n: int = 10,
     offset_tolerant: bool = False,
+    coarse: bool = False,
 ) -> int:
     """Video twin of `ingest_images_batch`: gate one MEDIA_SCHEMA batch
     through the per-sampled-frame signature index
@@ -434,7 +437,7 @@ def ingest_videos_batch(
 
     survivors, surv_bands = video_gate_with_bands(
         batch_df, index_path, every_n=every_n, id_col=id_col,
-        offset_tolerant=offset_tolerant,
+        offset_tolerant=offset_tolerant, coarse=coarse,
     )
     has_gateable = bool(surv_bands.limit(1).count())
     n = _write_media_sink(survivors, has_gateable, sink_path, batch_id)

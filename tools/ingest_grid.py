@@ -423,6 +423,33 @@ def main() -> int:
         time_batch=video_offset_ingest,
     )
 
+    # gate 7c (r15): the COARSE offset video gate — 2x32 chunk keys
+    # derived from the stored frame hashes (the candidate-headroom mode
+    # for large offset indexes; PHASH_OFFSET_PROBE_r15); same index
+    # layout, so populate reuses the plain offset ingest
+    def video_offset_coarse_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_videos_batch
+
+        return ingest_videos_batch(
+            batch, idx, sink, every_n=1, offset_tolerant=True, coarse=True
+        )
+
+    run_gate(
+        "video_offset_coarse",
+        _video_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 5_000_000_000).alias("media_id")
+            ),
+            "vocidx",
+        ),
+        _video_frame(spark.range(5_000).select(F.col("id").alias("media_id")),
+                     "vocbatch"),
+        populate=lambda df, idx: video_offset_coarse_ingest(
+            df, idx, idx + "_popsink"
+        ),
+        time_batch=video_offset_coarse_ingest,
+    )
+
     # gate 8 (r14 extension): the OFFSET-TOLERANT chunked audio gate —
     # crafted 3-chunk WAVs whose per-chunk fingerprints are 60-bit md5s
     # of (id, chunk); pairwise non-matching, so every cell measures the
