@@ -249,7 +249,7 @@ def test_image_phash_pairs_local_shape(spark, sf_dir):
     from railgun_spark import suite
 
     suite._ensure_loaded()
-    rows = suite.REGISTRY["image_phash_pairs"].fn(spark, sf_dir).collect()
+    rows = suite.extra_specs()["image_phash_pairs"].fn(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["hamming"] <= PHASH_MAX_HAMMING for r in rows)
     v3_ids = {

@@ -160,9 +160,16 @@ EXPECTED_EXTRA = {
     # round-14 extension rotation: audio_phash_offset_pairs (chunked
     # offset-tolerant audio near-dup) promoted to the driver gate
     "video_phash_pairs",  # aligned video pairs: video_phash_offset_pairs' pipeline supersets the craft/decode/banding; the aligned vote stays certified here
-    # round-14 extension addition
-    "ann_ivf_index_topk",  # persistent cid-partitioned IVF: build + pruned batch search
+    # round-14 extension addition (ann_ivf_index_topk promoted to the
+    # driver gate in the r15 rotation)
     "ann_ivf_pq_index_topk",  # persistent IVF-PQ: codes-only lists + batch ADC
+    # round-15 rotation: ann_ivf_index_topk, ann_ivf_pq_rerank_topk, and
+    # video_phash_offset_coarse_pairs promoted to the driver gate; these
+    # three capability-twins demoted (shapes stay certified by REGISTRY
+    # siblings + this local gate)
+    "ann_ivf_topk",  # in-memory IVF: strict subset of ann_ivf_index_topk
+    "image_phash_pairs",  # narrow 4x16 banded pairs: audio_phash_pairs certifies the algebra
+    "video_phash_offset_pairs",  # fine offset vote: audio offset twin + coarse entry certify
 }
 
 
