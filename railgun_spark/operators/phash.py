@@ -2415,27 +2415,45 @@ def append_image_wide_bands_to_bucketed_index(
 def bucketize_video_index_offset(
     spark: SparkSession, index_path: str, table: str, n_buckets: int = 64,
     modality: str = "video",
+    coarse: bool = False,
 ) -> int:
     """Materialize a parquet video band index as a managed table with the
     frame-stripped chunk key as an explicit bucketed column (chunk_key =
     band_key % 2^18; frame_idx stays as its own column). One-time
     migration per offset-mode deployment; thereafter append with
     `append_video_bands_to_bucketed_index_offset`. Returns the distinct
-    row count."""
+    row count.
+
+    `coarse` buckets by the 2x32-bit chunk key derived from the stored
+    frame hash instead (2 rows per frame, bits=32 recorded so the gate
+    refuses a geometry-mismatched table) — the standing-deployment
+    layout for the coarse offset gate."""
     from railgun_spark.operators.dedup import _local_index_path, _recover_index
 
     local = _local_index_path(index_path)
     _recover_index(local)
     idx = spark.read.option("mergeSchema", "true").parquet(local)
     _check_index_geometry(idx, index_path, modality)
-    (
-        idx.select(
+    if coarse:
+        frames = idx.select("vid", "n_frames", "frame_idx", "dhash", "mod").distinct()
+        rows = frames.select(
+            "vid", "n_frames", "frame_idx",
+            F.posexplode(phash_chunks_coarse(F.col("dhash"))).alias("__ci2", "__cv2"),
+            "dhash", "mod",
+        ).select(
+            "vid", "n_frames", "frame_idx",
+            (F.shiftleft(F.col("__ci2").cast("long"), 32)
+             .bitwiseOR(F.col("__cv2"))).alias("chunk_key"),
+            "dhash", F.lit(32).alias("bits"), "mod",
+        )
+    else:
+        rows = idx.select(
             "vid", "n_frames", "frame_idx",
             F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
             "dhash", "bits", "mod",
-        )
-        .distinct()
-        .write.mode("overwrite")
+        ).distinct()
+    (
+        rows.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, "chunk_key")
         .saveAsTable(table)
@@ -2449,13 +2467,16 @@ def video_dedup_against_bucketed_index_offset(
     every_n: int = 10,
     id_col: str = "media_id",
     min_match_frac: float = VIDEO_MATCH_FRAC,
+    coarse: bool = False,
 ) -> DataFrame:
     """`video_dedup_against_index_offset` against a chunk_key-bucketed
     band table: same admitted set, index side scans in place (only the
-    small batch shuffles into the bucket scheme)."""
+    small batch shuffles into the bucket scheme). `coarse` = the 2x32
+    geometry against a bucketize_video_index_offset(coarse=True) table
+    (geometry mismatch refused loudly via the bits marker)."""
     bands = _video_band_rows(df, every_n=every_n, id_col=id_col).localCheckpoint()
     return _banded_dedup_against_bucketed_table_offset(
-        df, bands, table, id_col, min_match_frac
+        df, bands, table, id_col, min_match_frac, coarse=coarse
     )
 
 
@@ -2465,15 +2486,31 @@ def _banded_dedup_against_bucketed_table_offset(
     table: str,
     id_col: str,
     min_match_frac: float,
+    coarse: bool = False,
 ) -> DataFrame:
     """Per-offset vote gate body over already-computed band rows in the
     video shape — shared by the video and audio-chunk bucketed offset
-    gates."""
+    gates. `coarse` joins on the 2x32 chunk keys (table must be
+    bucketized with coarse=True; bits column is the geometry marker)."""
     spark = df.sparkSession
-    nb = bands.select(
-        "__id", "__n", "frame_idx", "__h",
-        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
-    )
+    want_bits = 32 if coarse else PHASH_BAND_BITS
+    probe = spark.table(table).select("bits").limit(1).collect()
+    if probe and int(probe[0]["bits"]) != want_bits:
+        raise ValueError(
+            f"bucketed table {table!r} carries {int(probe[0]['bits'])}-bit "
+            f"chunk keys but this gate joins on {want_bits}-bit keys — "
+            "rebuild the table with the matching bucketize_*(coarse=...) "
+            "geometry"
+        )
+    if coarse:
+        nb = _coarse_chunk_rows(
+            bands.select("__id", "__n", "frame_idx", "__h").distinct(), "__h"
+        ).withColumnRenamed("__ck", "chunk_key")
+    else:
+        nb = bands.select(
+            "__id", "__n", "frame_idx", "__h",
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+        )
     a, b = nb.alias("a"), nb.alias("b")
     ham_ab = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
     intra_cand = (
@@ -2482,7 +2519,8 @@ def _banded_dedup_against_bucketed_table_offset(
             (F.col("a.chunk_key") == F.col("b.chunk_key"))
             & (F.col("b.__id") < F.col("a.__id")),
         )
-        .filter(ham_ab <= PHASH_MAX_HAMMING)
+        .filter(ham_ab <= (PHASH_COARSE_MAX_HAMMING if coarse
+                           else PHASH_MAX_HAMMING))
         .select(
             F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"),
             (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("off"),
@@ -2504,7 +2542,8 @@ def _banded_dedup_against_bucketed_table_offset(
             ),
             "chunk_key",
         )
-        .filter(ham_idx <= PHASH_MAX_HAMMING)
+        .filter(ham_idx <= (PHASH_COARSE_MAX_HAMMING if coarse
+                            else PHASH_MAX_HAMMING))
         .select(
             F.col("__id").alias("new_id"), "old_id",
             (F.col("frame_idx") - F.col("__of")).alias("off"),
@@ -2516,21 +2555,43 @@ def _banded_dedup_against_bucketed_table_offset(
     return df.join(drops, df[id_col] == drops["__id"], "left_anti")
 
 
-def append_video_bands_to_bucketed_index_offset(
-    survivors: DataFrame, table: str,
-    every_n: int = 10, id_col: str = "media_id",
-) -> None:
-    """Append survivors' per-frame rows preserving the chunk_key bucket
-    spec."""
-    _video_band_rows(survivors, every_n=every_n, id_col=id_col).select(
+def _coarse_bucket_append_rows(bands: DataFrame, mod: str) -> DataFrame:
+    """Survivor band rows -> coarse (2x32-key) bucketed-table rows: one
+    frame row per band group, exploded to its 2 coarse chunk keys,
+    bits=32 geometry marker."""
+    frames = bands.select("__id", "__n", "frame_idx", "__h").distinct()
+    return _coarse_chunk_rows(frames, "__h").select(
         F.col("__id").alias("vid"),
         F.col("__n").alias("n_frames"),
         "frame_idx",
-        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+        F.col("__ck").alias("chunk_key"),
         F.col("__h").alias("dhash"),
-        F.lit(PHASH_BAND_BITS).alias("bits"),
-        F.lit("video").alias("mod"),
-    ).write.mode("append").insertInto(table)
+        F.lit(32).alias("bits"),
+        F.lit(mod).alias("mod"),
+    )
+
+
+def append_video_bands_to_bucketed_index_offset(
+    survivors: DataFrame, table: str,
+    every_n: int = 10, id_col: str = "media_id",
+    coarse: bool = False,
+) -> None:
+    """Append survivors' per-frame rows preserving the chunk_key bucket
+    spec (`coarse` writes the 2x32-key rows for a coarse table)."""
+    bands = _video_band_rows(survivors, every_n=every_n, id_col=id_col)
+    if coarse:
+        rows = _coarse_bucket_append_rows(bands, "video")
+    else:
+        rows = bands.select(
+            F.col("__id").alias("vid"),
+            F.col("__n").alias("n_frames"),
+            "frame_idx",
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+            F.col("__h").alias("dhash"),
+            F.lit(PHASH_BAND_BITS).alias("bits"),
+            F.lit("video").alias("mod"),
+        )
+    rows.write.mode("append").insertInto(table)
 
 
 # --------------------------------------------------------------------------
@@ -2923,13 +2984,15 @@ def append_audio_chunk_bands_to_bucketed_index(
 
 
 def bucketize_audio_chunk_index_offset(
-    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64
+    spark: SparkSession, index_path: str, table: str, n_buckets: int = 64,
+    coarse: bool = False,
 ) -> int:
     """Audio-chunk twin of `bucketize_video_index_offset`: materialize
     the chunk-stripped key as an explicit bucketed column so the offset
     gate's index side scans in place too."""
     return bucketize_video_index_offset(
-        spark, index_path, table, n_buckets, modality=AUDIO_CHUNK_MOD
+        spark, index_path, table, n_buckets, modality=AUDIO_CHUNK_MOD,
+        coarse=coarse,
     )
 
 
@@ -2938,27 +3001,35 @@ def audio_chunk_dedup_against_bucketed_index_offset(
     table: str,
     id_col: str = "media_id",
     min_match_frac: float = AUDIO_CHUNK_MATCH_FRAC,
+    coarse: bool = False,
 ) -> DataFrame:
     """`audio_chunk_dedup_against_index_offset` against a
     chunk_key-bucketed band table: same admitted set, index side scans
-    in place (only the small batch shuffles into the bucket scheme)."""
+    in place (only the small batch shuffles into the bucket scheme).
+    `coarse` as in video_dedup_against_bucketed_index_offset."""
     bands = _audio_chunk_band_rows(df, id_col=id_col).localCheckpoint()
     return _banded_dedup_against_bucketed_table_offset(
-        df, bands, table, id_col, min_match_frac
+        df, bands, table, id_col, min_match_frac, coarse=coarse
     )
 
 
 def append_audio_chunk_bands_to_bucketed_index_offset(
-    survivors: DataFrame, table: str, id_col: str = "media_id"
+    survivors: DataFrame, table: str, id_col: str = "media_id",
+    coarse: bool = False,
 ) -> None:
     """Append survivors' per-chunk rows preserving the chunk_key bucket
-    spec."""
-    _audio_chunk_band_rows(survivors, id_col=id_col).select(
-        F.col("__id").alias("vid"),
-        F.col("__n").alias("n_frames"),
-        "frame_idx",
-        F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
-        F.col("__h").alias("dhash"),
-        F.lit(PHASH_BAND_BITS).alias("bits"),
-        F.lit(AUDIO_CHUNK_MOD).alias("mod"),
-    ).write.mode("append").insertInto(table)
+    spec (`coarse` writes the 2x32-key rows for a coarse table)."""
+    bands = _audio_chunk_band_rows(survivors, id_col=id_col)
+    if coarse:
+        rows = _coarse_bucket_append_rows(bands, AUDIO_CHUNK_MOD)
+    else:
+        rows = bands.select(
+            F.col("__id").alias("vid"),
+            F.col("__n").alias("n_frames"),
+            "frame_idx",
+            F.col("band_key").bitwiseAND(F.lit(_FRAME_KEY_MASK)).alias("chunk_key"),
+            F.col("__h").alias("dhash"),
+            F.lit(PHASH_BAND_BITS).alias("bits"),
+            F.lit(AUDIO_CHUNK_MOD).alias("mod"),
+        )
+    rows.write.mode("append").insertInto(table)

@@ -2004,3 +2004,89 @@ def test_audio_chunk_offset_coarse_gate(spark, tmp_path):
     )
     got = audio_chunk_dedup_against_index_offset(b2, idx, coarse=True)
     assert sorted(r["media_id"] for r in got.collect()) == [11]
+
+
+def test_bucketed_coarse_offset_video_index(spark, tmp_path):
+    """The COARSE (2x32-key) bucketed offset table: admits exactly the
+    coarse parquet gate's set with the index side scanning in place, a
+    geometry-mismatched table is refused via the bits marker, and coarse
+    appends preserve the bucket spec."""
+    import shutil
+
+    from railgun_spark.operators.phash import (
+        _phash_y4m,
+        append_video_bands_to_bucketed_index_offset,
+        append_video_bands_to_index,
+        bucketize_video_index_offset,
+        video_dedup_against_bucketed_index_offset,
+        video_dedup_against_index,
+        video_dedup_against_index_offset,
+    )
+
+    base = [_phash_target(1300 + f, 0) for f in range(4)]
+    idx = str(tmp_path / "vidx")
+    v1 = spark.createDataFrame(
+        [(1, "video", bytearray(_phash_y4m(base)), {})], MEDIA_SCHEMA
+    )
+    append_video_bands_to_index(
+        video_dedup_against_index(v1, idx, every_n=1), idx, every_n=1
+    )
+
+    table = "phash_video_offset_coarse_bucketed_test"
+    fine_table = "phash_video_offset_fine_for_mismatch_test"
+    for t in (table, fine_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    # 2 coarse rows per frame (vs PHASH_BANDS=4 fine rows)
+    assert bucketize_video_index_offset(
+        spark, idx, table, n_buckets=8, coarse=True
+    ) == 4 * 2
+
+    probe = spark.createDataFrame(
+        [(10, "video", bytearray(_phash_y4m([h ^ 1 for h in base[1:]])), {}),
+         (11, "video", bytearray(
+             _phash_y4m([_phash_target(1400 + f, 0) for f in range(3)])), {})],
+        MEDIA_SCHEMA,
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        via_p = video_dedup_against_index_offset(
+            probe, idx, every_n=1, coarse=True
+        )
+        via_t = video_dedup_against_bucketed_index_offset(
+            probe, table, every_n=1, coarse=True
+        )
+        assert sorted(r["media_id"] for r in via_t.collect()) == \
+               sorted(r["media_id"] for r in via_p.collect()) == [11]
+        plan_t = via_t._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan_t
+
+        # geometry marker: a fine gate against the coarse table (and the
+        # reverse) fails loudly instead of silently missing pairs
+        with pytest.raises(ValueError, match="32-bit"):
+            video_dedup_against_bucketed_index_offset(
+                probe, table, every_n=1
+            ).collect()
+        bucketize_video_index_offset(spark, idx, fine_table, n_buckets=8)
+        with pytest.raises(ValueError, match="16-bit"):
+            video_dedup_against_bucketed_index_offset(
+                probe, fine_table, every_n=1, coarse=True
+            ).collect()
+
+        # coarse appends preserve the bucket spec and stay visible
+        append_video_bands_to_bucketed_index_offset(
+            via_t, table, every_n=1, coarse=True
+        )
+        probe2 = spark.createDataFrame(
+            [(20, "video", bytearray(
+                _phash_y4m([_phash_target(1401 + f, 0) ^ 1 for f in range(2)])), {})],
+            MEDIA_SCHEMA,
+        )
+        assert video_dedup_against_bucketed_index_offset(
+            probe2, table, every_n=1, coarse=True
+        ).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in (table, fine_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
