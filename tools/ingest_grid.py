@@ -503,6 +503,32 @@ def main() -> int:
         time_batch=audio_chunk_offset_ingest,
     )
 
+    # gate 8b (r15): the COARSE offset audio gate — 2x32 chunk keys
+    # (candidate-headroom mode); same index layout as gate 8
+    def audio_chunk_offset_coarse_ingest(batch, idx, sink):
+        from railgun_spark.streaming.ingest import ingest_audio_batch
+
+        return ingest_audio_batch(
+            batch, idx, sink, chunked=True, offset_tolerant=True, coarse=True
+        )
+
+    run_gate(
+        "audio_chunk_offset_coarse",
+        _audio_chunk_frame(
+            spark.range(60_000).select(
+                (F.col("id") + 6_000_000_000).alias("media_id")
+            ),
+            "aoc_idx",
+        ),
+        _audio_chunk_frame(
+            spark.range(5_000).select(F.col("id").alias("media_id")), "aoc_b"
+        ),
+        populate=lambda df, idx: audio_chunk_offset_coarse_ingest(
+            df, idx, idx + "_popsink"
+        ),
+        time_batch=audio_chunk_offset_coarse_ingest,
+    )
+
     def composite_big_populate(idx_n: int, base_idx: str) -> None:
         n_copies = -(-idx_n // 5000)  # sf0.1 has 5000 docs per salted copy
         src = _salted_doc_copies(spark, sf_dir, n_copies).limit(idx_n)
