@@ -184,7 +184,11 @@ def _ann_bench_index(spark, sf_dir: str, pq: bool) -> str:
             to_double,
         )
 
+        import atexit
+        import shutil
+
         d = tempfile.mkdtemp(prefix="bench_ivfpq_" if pq else "bench_ivf_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "label", to_double(F.col("embedding")).alias("v")
         )

@@ -2480,6 +2480,44 @@ def video_dedup_against_bucketed_index_offset(
     )
 
 
+def _check_bucketed_offset_bits(
+    spark: SparkSession, table: str, coarse: bool
+) -> None:
+    """Refuse a bucketed offset table whose stored chunk-key geometry
+    (bits marker column) doesn't match `coarse` — shared by the gates
+    AND the append functions, so a wrong-flag append can never write
+    16-bit keys into a 32-bit table (those rows would never join and
+    their duplicates would be silently admitted). Checks min==max, not
+    a limit(1) sample: a mixed-geometry table (only creatable by
+    writing around this API) is refused deterministically instead of
+    passing or failing depending on which file the sample reads. An
+    empty table passes — its first append establishes the geometry the
+    bucketize_* call intended."""
+    want_bits = 32 if coarse else PHASH_BAND_BITS
+    probe = (
+        spark.table(table)
+        .agg(F.min("bits").alias("lo"), F.max("bits").alias("hi"))
+        .collect()[0]
+    )
+    if probe["lo"] is None:
+        return
+    lo, hi = int(probe["lo"]), int(probe["hi"])
+    if lo != hi:
+        raise ValueError(
+            f"bucketed table {table!r} carries MIXED chunk-key geometries "
+            f"({lo}- and {hi}-bit rows) — it must be rebuilt with one "
+            "bucketize_*(coarse=...) geometry before any gate or append "
+            "can use it"
+        )
+    if lo != want_bits:
+        raise ValueError(
+            f"bucketed table {table!r} carries {lo}-bit chunk keys but "
+            f"this operation uses {want_bits}-bit keys — pass the "
+            "matching coarse= flag or rebuild the table with the "
+            "matching bucketize_*(coarse=...) geometry"
+        )
+
+
 def _banded_dedup_against_bucketed_table_offset(
     df: DataFrame,
     bands: DataFrame,
@@ -2493,15 +2531,7 @@ def _banded_dedup_against_bucketed_table_offset(
     gates. `coarse` joins on the 2x32 chunk keys (table must be
     bucketized with coarse=True; bits column is the geometry marker)."""
     spark = df.sparkSession
-    want_bits = 32 if coarse else PHASH_BAND_BITS
-    probe = spark.table(table).select("bits").limit(1).collect()
-    if probe and int(probe[0]["bits"]) != want_bits:
-        raise ValueError(
-            f"bucketed table {table!r} carries {int(probe[0]['bits'])}-bit "
-            f"chunk keys but this gate joins on {want_bits}-bit keys — "
-            "rebuild the table with the matching bucketize_*(coarse=...) "
-            "geometry"
-        )
+    _check_bucketed_offset_bits(spark, table, coarse)
     if coarse:
         nb = _coarse_chunk_rows(
             bands.select("__id", "__n", "frame_idx", "__h").distinct(), "__h"
@@ -2577,7 +2607,10 @@ def append_video_bands_to_bucketed_index_offset(
     coarse: bool = False,
 ) -> None:
     """Append survivors' per-frame rows preserving the chunk_key bucket
-    spec (`coarse` writes the 2x32-key rows for a coarse table)."""
+    spec (`coarse` writes the 2x32-key rows for a coarse table; the
+    stored bits geometry is verified first — a wrong-flag append would
+    write rows that never join, silently admitting their duplicates)."""
+    _check_bucketed_offset_bits(survivors.sparkSession, table, coarse)
     bands = _video_band_rows(survivors, every_n=every_n, id_col=id_col)
     if coarse:
         rows = _coarse_bucket_append_rows(bands, "video")
@@ -3018,7 +3051,9 @@ def append_audio_chunk_bands_to_bucketed_index_offset(
     coarse: bool = False,
 ) -> None:
     """Append survivors' per-chunk rows preserving the chunk_key bucket
-    spec (`coarse` writes the 2x32-key rows for a coarse table)."""
+    spec (`coarse` writes the 2x32-key rows for a coarse table; the
+    stored bits geometry is verified first, as in the video twin)."""
+    _check_bucketed_offset_bits(survivors.sparkSession, table, coarse)
     bands = _audio_chunk_band_rows(survivors, id_col=id_col)
     if coarse:
         rows = _coarse_bucket_append_rows(bands, AUDIO_CHUNK_MOD)

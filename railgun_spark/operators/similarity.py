@@ -2003,13 +2003,7 @@ def ann_ivf_pq_search_index(
             .filter(F.col("rnk") <= topk)
             .select("qid", "vec_id", "label", "cid", "adc_dist", "rnk")
         )
-    import os
-
-    from railgun_spark.operators.dedup import _local_index_path
-
-    if not os.path.isdir(
-        os.path.join(_local_index_path(index_path).rstrip("/"), "raw")
-    ):
+    if not _ivf_has_raw(spark, index_path):
         raise ValueError(
             f"rerank={rerank} needs raw vectors: build the index with "
             f"store_raw=True (no raw/ under {index_path!r})"
@@ -2285,13 +2279,7 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
         # a store_raw index must grow its refine store in the same append,
         # or reranked top-k would silently drop every appended vector (the
         # refine join finds no raw row for them)
-        import os
-
-        from railgun_spark.operators.dedup import _local_index_path
-
-        if os.path.isdir(
-            os.path.join(_local_index_path(index_path).rstrip("/"), "raw")
-        ):
+        if _ivf_has_raw(spark, index_path):
             assigned.select("vec_id", "label", "v", "cid").repartition(
                 F.col("cid")
             ).write.mode("append").partitionBy("cid").parquet(
@@ -2301,6 +2289,30 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
     finally:
         if lock is not None:
             _release_compact_lock(lock, token)
+
+
+def _ivf_has_raw(spark: SparkSession, index_path: str) -> bool:
+    """True iff the index carries a raw refine store (raw/ exists).
+    Local schemes probe the driver filesystem; remote schemes (s3/hdfs)
+    ask the Hadoop FileSystem instead — _local_index_path would raise on
+    them, which previously broke remote PQ appends AFTER the codes write
+    and made rerank unusable against a remote store_raw index even
+    though the raw/ read itself works (remote appends/reads rely on the
+    store's committer, per _ivf_append_guard's contract)."""
+    from urllib.parse import urlparse
+
+    if urlparse(index_path).scheme in ("", "file"):
+        import os
+
+        from railgun_spark.operators.dedup import _local_index_path
+
+        return os.path.isdir(
+            os.path.join(_local_index_path(index_path).rstrip("/"), "raw")
+        )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{index_path.rstrip('/')}/raw")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _ivf_vecs_local(index_path: str) -> str:

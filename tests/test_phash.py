@@ -2086,6 +2086,35 @@ def test_bucketed_coarse_offset_video_index(spark, tmp_path):
         assert video_dedup_against_bucketed_index_offset(
             probe2, table, every_n=1, coarse=True
         ).count() == 0
+
+        # APPENDS check the geometry too (ADVICE r15): a wrong-flag
+        # append would write rows that never join, silently admitting
+        # their duplicates — refused with nothing written
+        before = spark.table(table).count()
+        with pytest.raises(ValueError, match="32-bit"):
+            append_video_bands_to_bucketed_index_offset(
+                via_t, table, every_n=1
+            )
+        with pytest.raises(ValueError, match="16-bit"):
+            append_video_bands_to_bucketed_index_offset(
+                via_t, fine_table, every_n=1, coarse=True
+            )
+        assert spark.table(table).count() == before
+
+        # a MIXED-geometry table (only creatable by writing around the
+        # API) is refused deterministically — min/max probe, not a
+        # limit(1) sample that passes or fails by which file it reads
+        spark.table(fine_table).limit(1).write.mode("append").insertInto(
+            table
+        )
+        with pytest.raises(ValueError, match="MIXED"):
+            video_dedup_against_bucketed_index_offset(
+                probe2, table, every_n=1, coarse=True
+            ).collect()
+        with pytest.raises(ValueError, match="MIXED"):
+            append_video_bands_to_bucketed_index_offset(
+                via_t, table, every_n=1, coarse=True
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in (table, fine_table):
