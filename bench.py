@@ -139,6 +139,11 @@ BENCH_QUERIES = [
     # in the ann_*_search_only rows below; the full certification
     # entries stay timed in the BENCH_ALL sweep.
     "video_phash_offset_coarse_pairs",
+    # round-16 flagships: the production-shaped PQ geometry's Arrow
+    # encode/LUT kernels (build-inside certification entry) and the
+    # coarse offset default's recall canary
+    "ann_ivf_pq_wide_topk",
+    "video_offset_coarse_recall",
 ]
 
 # Non-DataFrame benchmarks: full pipelines that write to disk and return

@@ -294,6 +294,7 @@ def cmd_stats(args) -> int:
         media_refusal_report,
         mp3_refusal_report,
     )
+    from railgun_spark.operators.phash import video_offset_coarse_recall
     from railgun_spark.operators.similarity import embedding_lsh_recall_report
 
     spark = get_spark("railgun_stats")
@@ -304,6 +305,9 @@ def cmd_stats(args) -> int:
         "containment_recall": containment_recall_report,
         "lsh_recall": lsh_recall_report,
         "embedding_lsh_recall": embedding_lsh_recall_report,
+        # measured miss rate of the coarse (2x32) offset gate geometry
+        # vs the lossless fine join, by planted heavy-frame level
+        "video_offset_coarse_recall": video_offset_coarse_recall,
         "span_dup_by_source": span_dup_by_source,
         "vocab_coverage": vocab_coverage_curve,
         "unigram_outliers": unigram_logprob_quality,
@@ -609,19 +613,39 @@ def cmd_ann(args) -> int:
             print("--store-raw only applies to --pq builds (a raw IVF "
                   "index already stores exact vectors)", file=sys.stderr)
             return 2
+        if (args.pq_m or args.pq_ks or args.pq_train_iters) and not args.pq:
+            print("--pq-m/--pq-ks/--pq-train-iters only apply to --pq "
+                  "builds", file=sys.stderr)
+            return 2
         cents = None
         if args.train_iters:
             from railgun_spark.operators.similarity import train_ivf_centroids
 
             cents = train_ivf_centroids(vecs, k=args.k, iters=args.train_iters)
         if args.pq:
-            n = build_fn(vecs, args.index, k=args.k,
-                         store_raw=args.store_raw, centroids=cents)
+            from railgun_spark.operators.similarity import (
+                PQ_KS,
+                PQ_M,
+                train_pq_codebooks,
+            )
+
+            pq_m = args.pq_m or PQ_M
+            pq_ks = args.pq_ks or PQ_KS
+            books = None
+            if args.pq_train_iters:
+                books = train_pq_codebooks(
+                    vecs, m=pq_m, ks=pq_ks, iters=args.pq_train_iters
+                )
+            n = build_fn(vecs, args.index, k=args.k, ks=pq_ks, m=pq_m,
+                         store_raw=args.store_raw, centroids=cents,
+                         codebooks=books)
         else:
             n = build_fn(vecs, args.index, k=args.k, centroids=cents)
         print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq),
                           "store_raw": bool(args.store_raw),
-                          "train_iters": args.train_iters}))
+                          "train_iters": args.train_iters,
+                          "pq_m": args.pq_m, "pq_ks": args.pq_ks,
+                          "pq_train_iters": args.pq_train_iters}))
         return 0
     if args.action == "append":
         vecs = load_vecs(args.input)
@@ -1067,6 +1091,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="search --pq: re-score the ADC top-R shortlist by "
                    "exact cosine against the stored raw vectors (needs a "
                    "--store-raw build)")
+    p.add_argument("--pq-m", dest="pq_m", type=int, default=0,
+                   help="build --pq: subspaces per vector (default 4; a "
+                   "production build wants 8 — search/append derive the "
+                   "geometry from the stored codebooks)")
+    p.add_argument("--pq-ks", dest="pq_ks", type=int, default=0,
+                   help="build --pq: codewords per sub-codebook (default 4; "
+                   "a production build wants 256 = 8 bits/code)")
+    p.add_argument("--pq-train-iters", dest="pq_train_iters", type=int,
+                   default=0,
+                   help="build --pq: Lloyd-train each sub-codebook for N "
+                   "iterations (default 0 = first-Ks codewords; trained "
+                   "codebooks are what make ADC-only recall useful)")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("functions", help="list DFL functions")

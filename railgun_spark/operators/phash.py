@@ -935,7 +935,11 @@ def _phash_wav(h: int) -> bytes:
     return _phash_wav_chunks([h])
 
 
-@query(
+@extra_query(
+    # demoted r16: the narrow 4x16 banded-join algebra this certifies is
+    # also driver-gated via the wide/offset/coarse members; the full
+    # craft->PCM->RMS->delta-sign pipeline stays certified here and by
+    # audio_phash_offset_pairs in the gate
     "audio_phash_pairs",
     # Same certification scheme as the image/video members: the oracle
     # recomputes each crafted clip's fingerprint from doc_id arithmetic
@@ -2329,6 +2333,191 @@ def video_phash_offset_coarse_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return video_phash_near_dup_pairs_offset(
         fh, max_hamming=PHASH_COARSE_MAX_HAMMING, coarse=True
     ).orderBy("id_a", "id_b", "frame_offset")
+
+
+# --------------------------------------------------------------------------
+# Coarse-offset recall canary — the measured complement of the coarse
+# geometry's documented trade (phash.py PHASH_COARSE_BANDS: pigeonhole
+# lossless only for per-frame hamming <= 1; the temporal vote still
+# tolerates whole frames differing). The text and embedding modalities
+# already ship this pattern (dedup.lsh_recall_report,
+# similarity.embedding_lsh_recall_report); this closes the gap for the
+# coarse offset default so its miss rate is evidence, not prediction.
+# --------------------------------------------------------------------------
+VIDEO_COARSE_CANARY_MOD = 17
+_CANARY_N_FRAMES = 8  # originals; trimmed copies carry 7
+
+
+def _coarse_canary_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted corpus at the frame-hash level: per sampled doc_id, an
+    8-frame original (shared cross-engine 60-bit md5 hashes of
+    'g:frame') and a front-trimmed 7-frame copy whose frames are
+    perturbed by level g%3 — level 0: every frame 1 bit (within the
+    coarse budget); level 1: ONE heavy frame; level 2: THREE heavy
+    frames. Heavy frames flip 2-3 bits SPLIT across both 32-bit halves,
+    so they exceed the coarse per-frame budget while staying within the
+    fine join's hamming <= 3 — exactly the perturbation class the
+    coarse geometry trades away. The hash level is the right altitude:
+    the decode->dhash pipeline is certified by the *_phash_pairs
+    entries; recall here is purely a property of the join geometry."""
+    from railgun_spark.operators.dedup import _hash60_str
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % VIDEO_COARSE_CANARY_MOD == 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") / VIDEO_COARSE_CANARY_MOD).cast("long").alias("g"),
+        )
+    )
+
+    def base_hash(frame: Column) -> Column:
+        return _hash60_str(
+            F.concat(
+                F.col("g").cast("string"), F.lit(":"), frame.cast("string")
+            )
+        )
+
+    orig = docs.select(
+        F.col("doc_id").alias("media_id"), "g",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_CANARY_N_FRAMES - 1))
+        ).alias("frame_idx"),
+    ).select("media_id", "frame_idx", base_hash(F.col("frame_idx")).alias("fhash"))
+
+    lvl = F.col("g") % 3
+    n_heavy = F.when(lvl == 0, 0).when(lvl == 1, 1).otherwise(3)
+    # heavy = hamming 2 (even g) or 3 (odd g), always split across both
+    # 32-bit halves so the frame exceeds the coarse per-frame budget
+    heavy_mask = F.when(
+        F.col("g") % 2 == 1, F.lit((1 << 5) | (1 << 35) | (1 << 36))
+    ).otherwise(F.lit((1 << 5) | (1 << 35)))
+    light_mask = F.expr("shiftleft(cast(1 as bigint), cast(g % 30 as int))")
+    copy = docs.select(
+        (F.col("doc_id") + 1).alias("media_id"), "g",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_CANARY_N_FRAMES - 2))
+        ).alias("frame_idx"),
+    ).select(
+        "media_id", "frame_idx",
+        base_hash(F.col("frame_idx") + 1).bitwiseXOR(
+            F.when(F.col("frame_idx") < n_heavy, heavy_mask)
+            .otherwise(light_mask)
+            .cast("long")
+        ).alias("fhash"),
+    )
+    return orig.unionByName(copy)
+
+
+@query(
+    # r16 flagship: the coarse default's measured miss rate
+    "video_offset_coarse_recall",
+    # The oracle re-derives the planted hashes (shared 60-bit md5 XOR
+    # level masks) and keeps BOTH all-pairs per-offset vote definitions
+    # (hamming <= 3 for the lossless fine geometry = ground truth,
+    # hamming <= 1 for coarse); recall per level is their ratio. Both
+    # Spark joins are pigeonhole-lossless vs their budget, so the report
+    # is deterministic.
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, doc_id // {VIDEO_COARSE_CANARY_MOD} AS g
+      FROM documents WHERE doc_id % {VIDEO_COARSE_CANARY_MOD} = 0
+    ), lv AS (
+      SELECT doc_id, g, g % 3 AS level,
+             CASE g % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END AS nh,
+             2 + g % 2 AS hb
+      FROM s
+    ), oh AS (
+      SELECT doc_id AS vid, f,
+             CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+               CAST(f AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS fh
+      FROM (SELECT doc_id, g,
+              unnest(generate_series(0, {_CANARY_N_FRAMES - 1})) AS f
+            FROM lv)
+    ), ch AS (
+      SELECT doc_id + 1 AS vid, k AS f,
+             xor(
+               CAST(('0x' || substr(md5(CAST(g AS VARCHAR) || ':' ||
+                 CAST(k + 1 AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT),
+               CASE WHEN k < nh THEN
+                 ((CAST(1 AS BIGINT) << 5) | (CAST(1 AS BIGINT) << 35) |
+                  (CASE WHEN hb = 3 THEN (CAST(1 AS BIGINT) << 36)
+                        ELSE 0 END))
+               ELSE (CAST(1 AS BIGINT) << CAST(g % 30 AS INT)) END
+             ) AS fh
+      FROM (SELECT doc_id, g, nh, hb,
+              unnest(generate_series(0, {_CANARY_N_FRAMES - 2})) AS k
+            FROM lv)
+    ), h AS (SELECT * FROM oh UNION ALL SELECT * FROM ch),
+    n AS (SELECT vid, count(*) AS nf FROM h GROUP BY 1),
+    me AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, a.f - b.f AS off, count(*) AS nm
+      FROM h a JOIN h b ON a.vid < b.vid
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_MAX_HAMMING}
+      GROUP BY 1, 2, 3
+    ), pe AS (
+      SELECT DISTINCT id_a, id_b FROM me
+      JOIN n na ON na.vid = id_a JOIN n nb ON nb.vid = id_b
+      WHERE nm >= CEIL({VIDEO_MATCH_FRAC} * least(na.nf, nb.nf))
+    ), mc AS (
+      SELECT a.vid AS id_a, b.vid AS id_b, a.f - b.f AS off, count(*) AS nm
+      FROM h a JOIN h b ON a.vid < b.vid
+      WHERE bit_count(xor(a.fh, b.fh)) <= {PHASH_COARSE_MAX_HAMMING}
+      GROUP BY 1, 2, 3
+    ), pc AS (
+      SELECT DISTINCT id_a, id_b, 1 AS hit FROM mc
+      JOIN n na ON na.vid = id_a JOIN n nb ON nb.vid = id_b
+      WHERE nm >= CEIL({VIDEO_MATCH_FRAC} * least(na.nf, nb.nf))
+    )
+    SELECT CAST(lv.level AS INT) AS level,
+           CAST(lv.nh AS INT) AS n_heavy_frames,
+           count(*) AS n_exact_pairs,
+           CAST(coalesce(sum(pc.hit), 0) AS BIGINT) AS n_coarse_pairs,
+           round(coalesce(sum(pc.hit), 0) * 1.0 / count(*), 4) AS recall
+    FROM pe
+    JOIN lv ON lv.doc_id = pe.id_a
+    LEFT JOIN pc ON pc.id_a = pe.id_a AND pc.id_b = pe.id_b
+    GROUP BY 1, 2
+    ORDER BY level
+    """,
+    doc="Measured recall of the coarse (2x32) offset geometry vs the "
+    "lossless fine (4x16) offset join's ground truth, by planted "
+    "heavy-frame level: level 0 = all frames within the coarse budget "
+    "(recall 1.0), level 1 = one frame at hamming 2-3 (the vote "
+    "absorbs it), level 2 = three heavy frames (vote lost — the "
+    "documented trade, now a number). Runs per-corpus via "
+    "`railgun stats --sections video_offset_coarse_recall`.",
+    tags=("multimodal", "dedup", "canary"),
+)
+def video_offset_coarse_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fh = _coarse_canary_frame_hashes(spark, sf_dir)
+    exact = video_phash_near_dup_pairs_offset(
+        fh, max_hamming=PHASH_MAX_HAMMING
+    ).select("id_a", "id_b").distinct()
+    coarse = (
+        video_phash_near_dup_pairs_offset(
+            fh, max_hamming=PHASH_COARSE_MAX_HAMMING, coarse=True
+        )
+        .select("id_a", "id_b").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    g = (F.col("id_a") / VIDEO_COARSE_CANARY_MOD).cast("long")
+    lvl = (g % 3).cast("int")
+    n_heavy = (
+        F.when(lvl == 0, 0).when(lvl == 1, 1).otherwise(3).cast("int")
+    )
+    hit = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        exact.join(coarse, ["id_a", "id_b"], "left")
+        .select(lvl.alias("level"), n_heavy.alias("n_heavy_frames"), "__hit")
+        .groupBy("level", "n_heavy_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            hit.alias("n_coarse_pairs"),
+            F.round(hit * F.lit(1.0) / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .orderBy("level")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -171,7 +171,10 @@ def _lsh_oracle() -> str:
     """
 
 
-@query(
+@extra_query(
+    # demoted r16: the ANN gate window now holds IVF / IVF-PQ / rerank /
+    # wide-PQ persistent-index entries; the LSH bucket shape stays
+    # certified here and by emb_near_dup_pairs' banded sign-LSH
     "ann_lsh_topk",
     oracle=_lsh_oracle(),
     doc=f"ANN: {ANN_BITS}-bit hyperplane LSH bucket, exact re-rank within the "
@@ -1609,6 +1612,37 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
     return sorted(cents.items())
 
 
+def train_pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iters: int = 10,
+    tol: float = 1e-4,
+) -> dict:
+    """Lloyd-train per-subspace PQ codebooks from the first-K init, in
+    build_ivf_pq_index's `codebooks` shape ({m: [(j, subvector)]},
+    1-based ascending j). The DataFrame twin of `pq_train` (which reads
+    an sf_dir): each subspace runs the shared _kmeans_loop over the
+    SLICED frame — map-only assignment vs broadcast-literal codewords +
+    one ks*ds-row shuffle per iteration, so training cost is m
+    sequential passes regardless of corpus size. Codeword ids are
+    re-keyed to 1..ks by ascending init vec_id so codes stay 1-based
+    array positions. `emb` needs (vec_id, v)."""
+    base = emb.select("vec_id", F.col("v").alias("e"))
+    init_rows = _centroid_rows(emb, ks)
+    dim = len(init_rows[0][1])
+    ds = dim // m
+    books: dict = {}
+    for mm in range(m):
+        sub = base.select(
+            "vec_id", F.slice(F.col("e"), mm * ds + 1, ds).alias("e")
+        )
+        init = {vid: v[mm * ds:(mm + 1) * ds] for vid, v in init_rows}
+        trained = _kmeans_loop(sub, init, iters, tol)
+        books[mm] = [
+            (j, trained[vid])
+            for j, vid in enumerate(sorted(trained), 1)
+        ]
+    return books
+
+
 def _probed_vecs(spark: SparkSession, index_path: str, cids: list) -> DataFrame:
     """The probed inverted lists only: an isin over the cid PARTITION
     column prunes unprobed directories at plan time (inputFiles shrinks
@@ -1837,30 +1871,126 @@ def append_to_ivf_index(new_vecs: DataFrame, index_path: str) -> int:
 # (first-min/lowest-j codes, rounded sub-distances, left-to-right sum);
 # the coarse quantizer and probe selection are exactly the IVF index's.
 # --------------------------------------------------------------------------
-def _pq_codebooks(base: DataFrame, ks: int) -> dict:
+def _pq_codebooks(base: DataFrame, ks: int, m: int = PQ_M) -> dict:
     """cents[m] = [(j, subvector)] (ascending j, 1-based): sub-codebooks
     from the ks lowest-vec_id vectors of the indexed set (the PQ first-K
-    convention generalized like _centroid_rows)."""
+    convention generalized like _centroid_rows). `m` subspaces of
+    dim/m dims each — the geometry travels with the returned dict
+    (subspace count = keys, ds = subvector length), so every consumer
+    derives it from the stored artifact instead of module constants."""
     rows = _centroid_rows(base, ks)
+    ds = len(rows[0][1]) // m
     return {
-        m: [(j, v[m * PQ_DS:(m + 1) * PQ_DS]) for j, (_, v) in enumerate(rows, 1)]
-        for m in range(PQ_M)
+        mm: [(j, v[mm * ds:(mm + 1) * ds]) for j, (_, v) in enumerate(rows, 1)]
+        for mm in range(m)
     }
+
+
+def _pq_geometry(books: dict) -> tuple[list[int], int, int]:
+    """(ascending subspace ids, dims per subspace, codewords per
+    subspace) derived from a codebooks dict — search/append/encode work
+    for ANY (m, ks) build because the geometry rides the stored
+    codebooks, never a constant."""
+    ms = sorted(books)
+    ds = len(books[ms[0]][0][1])
+    return ms, ds, len(books[ms[0]])
+
+
+# Above this many (subspace, codeword) cells the Column encode/LUT path
+# (one zip_with/aggregate fold per codeword per subspace in a single
+# projection) stops being the right plan: expression-tree analysis and
+# codegen grow linearly in m*ks while an Arrow-batched numpy kernel does
+# the same math as one (rows x ks x ds) broadcast per subspace. 256 keeps
+# every oracle-gated geometry (4x16, 8x32) on the certified Column path.
+_PQ_COLUMN_PATH_MAX_CELLS = 256
 
 
 def _pq_code_cols(v: Column, cents: dict) -> list:
     """One 1-based code Column per subspace: first-min squared distance,
     lowest-j tiebreak — ann_pq_topk's encoding verbatim."""
+    ms, ds, _ = _pq_geometry(cents)
     cols = []
-    for m in range(PQ_M):
-        sub = F.slice(v, m * PQ_DS + 1, PQ_DS)
+    for m in ms:
+        sub = F.slice(v, m * ds + 1, ds)
         dists = F.array(*[_sq_dist(sub, cv) for _, cv in cents[m]])
         cols.append(F.array_position(dists, F.array_min(dists)).cast("int"))
     return cols
 
 
+def _pq_codes_pandas(books: dict):
+    """Arrow-batched PQ encoder for production-shaped codebooks (e.g.
+    M=8, Ks=256 — 2048 cells, where the Column path's per-codeword fold
+    expressions stop scaling): same semantics as _pq_code_cols (squared
+    distance rounded to 6, first-min / lowest-j argmin), computed as one
+    numpy broadcast per subspace over row chunks sized to bound the
+    (chunk, ks, ds) intermediate."""
+    import numpy as np
+
+    ms, ds, _ = _pq_geometry(books)
+    mats = [
+        np.asarray([cv for _, cv in books[m]], dtype="float64") for m in ms
+    ]
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype="float64")
+        out = np.empty((len(X), len(ms)), dtype="int32")
+        for lo in range(0, len(X), 1024):
+            chunk = X[lo:lo + 1024]
+            for i, m in enumerate(ms):
+                sub = chunk[:, m * ds:(m + 1) * ds]
+                d = np.round(
+                    ((sub[:, None, :] - mats[i][None, :, :]) ** 2).sum(-1), 6
+                )
+                out[lo:lo + 1024, i] = d.argmin(1) + 1
+        return pd.Series(list(out))
+
+    return enc
+
+
+def _pq_codes_col(v: Column, books: dict) -> Column:
+    """The codes array for one vector column, routed by geometry size:
+    oracle-certified Column algebra for small codebooks, the Arrow
+    kernel for production-shaped ones. Build and append share this so
+    an index always encodes appends the way it was built."""
+    ms, _, ks = _pq_geometry(books)
+    if len(ms) * ks <= _PQ_COLUMN_PATH_MAX_CELLS:
+        return F.array(*_pq_code_cols(v, books))
+    return _pq_codes_pandas(books)(v)
+
+
+def _pq_luts_pandas(books: dict):
+    """Arrow-batched per-query ADC lookup tables for production-shaped
+    codebooks: array<array<double>> of rounded squared distances,
+    outer index = subspace (ascending), inner = codeword j. The query
+    batch is small, so one vectorized pass replaces m*ks fold
+    expressions whose analysis alone would dominate."""
+    import numpy as np
+
+    ms, ds, _ = _pq_geometry(books)
+    mats = [
+        np.asarray([cv for _, cv in books[m]], dtype="float64") for m in ms
+    ]
+
+    @F.pandas_udf("array<array<double>>")
+    def luts(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype="float64")
+        per_m = [
+            np.round(
+                ((X[:, m * ds:(m + 1) * ds][:, None, :]
+                  - mats[i][None, :, :]) ** 2).sum(-1), 6
+            )
+            for i, m in enumerate(ms)
+        ]
+        stacked = np.stack(per_m, axis=1)  # (n, M, ks)
+        return pd.Series([[list(row) for row in q] for q in stacked])
+
+    return luts
+
+
 def build_ivf_pq_index(
     emb: DataFrame, index_path: str, k: int = IVF_K, ks: int = PQ_KS,
+    m: int = PQ_M,
     exclude_ids: tuple = (),
     store_raw: bool = False,
     centroids: list | None = None,
@@ -1882,21 +2012,28 @@ def build_ivf_pq_index(
     `centroids` ([(cid, vector)]) and `codebooks` ({m: [(j, subvector)]},
     ascending 1-based j) override the first-K quantizer/codebooks with
     trained ones (Lloyd iterations / per-subspace kmeans) — the layout,
-    search, and stored-artifact contract are identical."""
+    search, and stored-artifact contract are identical.
+
+    `m` (subspaces) and `ks` (codewords per sub-codebook) set the code
+    geometry: the defaults are the tiny oracle-certified shape; a
+    production build wants M=8, Ks=256 (64 bits/vector) with trained
+    codebooks (`train_pq_codebooks`), where encoding routes to the
+    Arrow kernel automatically. Search and append derive the geometry
+    from the stored codebooks/ — nothing else to configure."""
     spark = emb.sparkSession
     base = emb
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
     cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
     books = (
-        {m: sorted(entries) for m, entries in codebooks.items()}
+        {mm: sorted(entries) for mm, entries in codebooks.items()}
         if codebooks is not None
-        else _pq_codebooks(base, ks)
+        else _pq_codebooks(base, ks, m)
     )
     coded = base.select(
         "vec_id", "label",
         _assign_cid(F.col("v"), cents).alias("cid"),
-        F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+        _pq_codes_col(F.col("v"), books).alias("codes"),
     )
     coded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
@@ -1955,14 +2092,22 @@ def ann_ivf_pq_search_index(
             (int(r["j"]), [float(x) for x in r["cv"]])
         )
     books = {m: sorted(entries) for m, entries in books.items()}
+    ms, ds, ks = _pq_geometry(books)
 
-    luts = [
-        F.array(*[
-            _sq_dist(F.slice(F.col("v"), m * PQ_DS + 1, PQ_DS), cv)
-            for _, cv in books[m]
-        ]).alias(f"lut{m}")
-        for m in range(PQ_M)
-    ]
+    if len(ms) * ks <= _PQ_COLUMN_PATH_MAX_CELLS:
+        luts = [
+            F.array(*[
+                _sq_dist(F.slice(F.col("v"), m * ds + 1, ds), cv)
+                for _, cv in books[m]
+            ]).alias(f"lut{m}")
+            for m in ms
+        ]
+    else:
+        all_luts = _pq_luts_pandas(books)(F.col("v"))
+        luts = [
+            F.element_at(all_luts, i + 1).alias(f"lut{m}")
+            for i, m in enumerate(ms)
+        ]
     probes = queries.select(
         "qid",
         *luts,
@@ -1980,16 +2125,16 @@ def ann_ivf_pq_search_index(
                 nprobe,
             )
         ).alias("p"),
-    ).select("qid", *[f"lut{m}" for m in range(PQ_M)],
+    ).select("qid", *[f"lut{m}" for m in ms],
              F.col("p.cid").alias("cid")).localCheckpoint()
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
     if broadcast_probes:
         probes = F.broadcast(probes)
     cand = _probed_vecs(spark, index_path, probed_cids).join(probes, "cid")
     adc = F.lit(0.0)
-    for m in range(PQ_M):
+    for i, m in enumerate(ms):
         adc = adc + F.element_at(
-            F.col(f"lut{m}"), F.element_at(F.col("codes"), m + 1)
+            F.col(f"lut{m}"), F.element_at(F.col("codes"), i + 1)
         )
     w = Window.partitionBy("qid").orderBy(
         F.col("adc_dist"), F.col("vec_id"), F.col("cid")
@@ -2033,7 +2178,7 @@ def ann_ivf_pq_search_index(
     )
 
 
-def _ivf_pq_index_oracle() -> str:
+def _ivf_pq_index_oracle(m: int = PQ_M, ks: int = PQ_KS) -> str:
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -2042,6 +2187,7 @@ def _ivf_pq_index_oracle() -> str:
         "round(list_aggregate(list_transform({a}, "
         "(x, i) -> (x - {b}[i]) * (x - {b}[i])), 'sum'), 6)"
     )
+    ds = EMB_DIM // m
     qids = ", ".join(str(q) for q in IVF_INDEX_QUERY_IDS)
     return f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2049,11 +2195,19 @@ def _ivf_pq_index_oracle() -> str:
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
     sub AS (
       SELECT vec_id, label, m.range AS m,
-             v[m.range * {PQ_DS} + 1 : m.range * {PQ_DS} + {PQ_DS}] AS sv
-      FROM e, range(0, {PQ_M}) m
+             v[m.range * {ds} + 1 : m.range * {ds} + {ds}] AS sv
+      FROM e, range(0, {m}) m
     ),
-    book AS (SELECT vec_id AS j, m, sv AS bv FROM sub
-             WHERE vec_id BETWEEN 1 AND {PQ_KS}),
+    -- the ks LOWEST vec_ids OF THE INDEXED SET (query ids held out),
+    -- re-keyed 1..ks — matches _pq_codebooks' first-K convention even
+    -- when ks exceeds a held-out id
+    bids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS j
+      FROM e WHERE vec_id NOT IN ({qids})
+      ORDER BY vec_id LIMIT {ks}
+    ),
+    book AS (SELECT b.j, s.m, s.sv AS bv
+             FROM sub s JOIN bids b USING (vec_id)),
     assign AS (
       SELECT vec_id, label, cid FROM (
         SELECT e.vec_id, e.label, c.cid,
@@ -2243,6 +2397,44 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("qid", "rnk").localCheckpoint()
 
 
+PQ_WIDE_M = 8  # production-shaped geometry: 8 subspaces x 64 codewords
+PQ_WIDE_KS = 64
+
+
+@query(
+    # r16 flagship: certifies the Arrow encode/LUT kernels the
+    # production geometry routes to (m*ks=512 > the Column-path cap)
+    "ann_ivf_pq_wide_topk",
+    oracle=_ivf_pq_index_oracle(m=PQ_WIDE_M, ks=PQ_WIDE_KS),
+    doc=f"Production-shaped IVF-PQ ADC search: {PQ_WIDE_M} subspaces x "
+    f"{PQ_WIDE_KS}-entry sub-codebooks (first-K init so the SQL oracle "
+    "can derive identical codebooks), where encoding and the per-query "
+    "lookup tables route to the Arrow-batched numpy kernels instead of "
+    "per-codeword Column folds — the same math (rounded squared "
+    "distance, first-min/lowest-j), certified end-to-end against the "
+    "all-in-one SQL definition. Trained-codebook recall at M=8, Ks=256 "
+    "is evidenced by the clustered probe (ANN_RECALL_CLUSTERED).",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_pq_wide_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))
+    ).select(F.col("vec_id").alias("qid"), "v")
+    with tempfile.TemporaryDirectory(prefix="ivfpq_wide_") as d:
+        build_ivf_pq_index(
+            emb, d, ks=PQ_WIDE_KS, m=PQ_WIDE_M,
+            exclude_ids=IVF_INDEX_QUERY_IDS,
+        )
+        return ann_ivf_pq_search_index(spark, queries, d).orderBy(
+            "qid", "rnk"
+        ).localCheckpoint()
+
+
 def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
     """Incrementally grow a build_ivf_pq_index layout: assign AND encode
     `new_vecs` with the STORED quantizer and codebooks (both immutable
@@ -2271,7 +2463,7 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
         ).localCheckpoint()
         coded = assigned.select(
             "vec_id", "label", "cid",
-            F.array(*_pq_code_cols(F.col("v"), books)).alias("codes"),
+            _pq_codes_col(F.col("v"), books).alias("codes"),
         )
         coded.repartition(F.col("cid")).write.mode("append").partitionBy(
             "cid"

@@ -128,7 +128,7 @@ EXPECTED_EXTRA = {
     "word_hist_topk",
     "embedding_lsh_recall_report",  # canary; embedding_near_dup_pairs certifies
     "embedding_neardup_exact_pairs",  # verify leg of embedding_near_dup_pairs
-    "ann_pq_topk",  # ANN: ann_lsh_topk + ann_ivf_topk keep the gate row
+    "ann_pq_topk",  # ANN: the persistent IVF/PQ index entries keep the gate rows
     "cross_source_overlap",  # shingle overlap: dedup_ngram_jaccard certifies
     # round-12 rotation: media_refusal_report (full codec-matrix coverage)
     # and asof_join_forward (O(n) frame rewrite) promoted to the driver
@@ -168,8 +168,15 @@ EXPECTED_EXTRA = {
     # three capability-twins demoted (shapes stay certified by REGISTRY
     # siblings + this local gate)
     "ann_ivf_topk",  # in-memory IVF: strict subset of ann_ivf_index_topk
-    "image_phash_pairs",  # narrow 4x16 banded pairs: audio_phash_pairs certifies the algebra
+    "image_phash_pairs",  # narrow 4x16 banded pairs: audio_phash_pairs (EXTRA) + the offset gate entries certify the algebra
     "video_phash_offset_pairs",  # fine offset vote: audio offset twin + coarse entry certify
+    # round-16 rotation: ann_ivf_pq_wide_topk (Arrow encode/LUT kernels at
+    # the production-shaped geometry) and video_offset_coarse_recall (the
+    # coarse offset default's measured miss rate) promoted to the driver
+    # gate; these two capability-twins demoted (shapes stay certified by
+    # REGISTRY siblings + this local gate)
+    "ann_lsh_topk",  # LSH bucket scan: emb_near_dup_pairs' banded sign-LSH + the IVF/PQ gate rows certify
+    "audio_phash_pairs",  # aligned 4x16 pairs: audio_phash_offset_pairs' pipeline supersets craft/decode/banding
 }
 
 

@@ -140,12 +140,12 @@ def clustered_main(out: "str | None") -> int:
     # driver work on a sample even at 100 TB). Even trained, 4x16-codeword
     # codes resolve only ~65k cells over 20k points — the resolution cap
     # the rerank leg removes.
-    from railgun_spark.operators.similarity import PQ_DS, PQ_M
-
-    def train_codebooks(sample: np.ndarray, ncode: int = 16, iters: int = 8):
+    def train_codebooks(sample: np.ndarray, m: int, ncode: int,
+                        iters: int = 8):
+        ds = sample.shape[1] // m
         books = {}
-        for m in range(PQ_M):
-            sub = sample[:, m * PQ_DS:(m + 1) * PQ_DS]
+        for mm in range(m):
+            sub = sample[:, mm * ds:(mm + 1) * ds]
             cb = sub[:ncode].copy()
             for _ in range(iters):
                 d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
@@ -154,31 +154,38 @@ def clustered_main(out: "str | None") -> int:
                     sel = sub[a == j]
                     if len(sel):
                         cb[j] = sel.mean(axis=0)
-            books[m] = [(j + 1, cb[j].tolist()) for j in range(ncode)]
+            books[mm] = [(j + 1, cb[j].tolist()) for j in range(ncode)]
         return books
 
-    books = train_codebooks(pts[:N])
-    with tempfile.TemporaryDirectory(prefix="ivfpq_clustered_") as d:
-        build_ivf_pq_index(emb, d, k=K, exclude_ids=tuple(query_ids),
-                           store_raw=True, centroids=trained,
-                           codebooks=books)
-        for nprobe in (2, 4):
-            for mode, kw in (("adc", {}), ("rerank50", {"rerank": 50}),
-                             ("rerank400", {"rerank": 400})):
-                t0 = time.time()
-                got = ann_ivf_pq_search_index(
-                    spark, queries, d, nprobe=nprobe, topk=TOPK, **kw
-                ).collect()
-                pt = {
-                    "index": "ivf_pq", "k": K, "mode": mode,
-                    "nprobe": nprobe,
-                    "recall_at_10": round(recall_of(got), 4),
-                    "wall_s": round(time.time() - t0, 2),
-                    "lists_scanned_frac": round(nprobe / K, 4),
-                }
-                points.append(pt)
-                print(f"ivf_pq {mode:8s} nprobe={nprobe:3d} "
-                      f"recall@10={pt['recall_at_10']:.4f}", flush=True)
+    # Two code geometries over the same trained coarse quantizer:
+    # - 4x16 (the tiny oracle shape): 16 bits/vector — the measured
+    #   resolution cap (r15: pure-ADC 0.065) that rerank cures.
+    # - 8x256 (production shape, FAISS's default): 64 bits/vector —
+    #   trained codebooks should make the ADC shortlist itself useful
+    #   (target: ADC-only >= ~0.6, rerank50 >= ~0.9 at nprobe=2).
+    for geom, m_, ks_ in (("4x16", 4, 16), ("8x256", 8, 256)):
+        books = train_codebooks(pts[:N], m_, ks_)
+        with tempfile.TemporaryDirectory(prefix="ivfpq_clustered_") as d:
+            build_ivf_pq_index(emb, d, k=K, exclude_ids=tuple(query_ids),
+                               store_raw=True, centroids=trained,
+                               codebooks=books)
+            for nprobe in (2, 4):
+                for mode, kw in (("adc", {}), ("rerank50", {"rerank": 50}),
+                                 ("rerank400", {"rerank": 400})):
+                    t0 = time.time()
+                    got = ann_ivf_pq_search_index(
+                        spark, queries, d, nprobe=nprobe, topk=TOPK, **kw
+                    ).collect()
+                    pt = {
+                        "index": "ivf_pq", "geometry": geom, "k": K,
+                        "mode": mode, "nprobe": nprobe,
+                        "recall_at_10": round(recall_of(got), 4),
+                        "wall_s": round(time.time() - t0, 2),
+                        "lists_scanned_frac": round(nprobe / K, 4),
+                    }
+                    points.append(pt)
+                    print(f"ivf_pq {geom:6s} {mode:8s} nprobe={nprobe:3d} "
+                          f"recall@10={pt['recall_at_10']:.4f}", flush=True)
 
     line = json.dumps({
         "metric": "ann_ivf_recall_clustered", "n": N, "dim": DIM,
