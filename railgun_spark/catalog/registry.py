@@ -85,6 +85,13 @@ class Catalog:
     )
     _df_cache: dict[str, _CacheEntry] = field(default_factory=dict)
     _service_vars: dict[str, dict] = field(default_factory=dict)
+    # (layer, z, x, y, mask_zoom, threshold) -> (source mtime, loaded_at,
+    # grid): the reference caches layer results with the same 5-min TTL
+    # (cache/Cache.go:79); here the cached unit is the DRIVER-TINY mask
+    # grid (<= 2^8 x 2^8 ints), not the frame, because the groupBy grid is
+    # where the serve wall goes (SERVE_CONC_SF1_r15: ~1.1-1.3 s / request)
+    _grid_cache: dict[tuple, tuple] = field(default_factory=dict)
+    _grid_cache_max: int = 1024
 
     # ---- CRUD (GroupHandler/ItemHandler semantics) ----
     def add(self, obj) -> None:
@@ -104,6 +111,11 @@ class Catalog:
         if obj.name not in bucket:
             raise NotFound(f"{type(obj).__name__} {obj.name!r}")
         bucket[obj.name] = obj
+        if isinstance(obj, (Layer, DataStore)):
+            # a redefined layer expression / datastore uri invalidates any
+            # cached mask grids computed under the old definition (the
+            # whole cache is driver-tiny; selective purge isn't worth it)
+            self._grid_cache.clear()
 
     def list(self, kind: type) -> list:
         return sorted(self.objects[_PLURAL[kind]].values(), key=lambda o: o.name)
@@ -234,6 +246,40 @@ class Catalog:
         if layer.expression:
             df = run_pipeline(df, layer.expression, merged)
         return df
+
+    def layer_mask_grid(
+        self, name: str, z: int, x: int, y: int,
+        mask_zoom: int, threshold: int,
+    ) -> list:
+        """TTL + source-mtime cached mask grid for the tile mask route —
+        the reference's layer-cache behavior (cache/Cache.go:79, 5-min
+        TTL) applied at the grid level: a warm repeat skips the whole
+        groupBy, a datastore rewrite (mtime change), layer/datastore
+        update, or TTL expiry recomputes. stored_query:// and jdbc:
+        sources have no mtime and fall back to TTL-only, exactly the
+        reference's behavior."""
+        layer: Layer = self.get(Layer, name)
+        ds: DataStore = self.get(DataStore, layer.datastore)
+        uri = self._resolve_uri(ds.uri, layer.defaults or {})
+        mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
+        key = (name, z, x, y, mask_zoom, threshold)
+        now = time.time()
+        ent = self._grid_cache.get(key)
+        if ent and ent[0] == mtime and now - ent[1] < self.ttl_seconds:
+            return ent[2]
+        from railgun_spark.geo.serving import tile_mask_grid
+
+        grid = tile_mask_grid(
+            self.layer_frame(name), z, x, y,
+            mask_zoom=mask_zoom, threshold=threshold,
+            layer_extent=tuple(layer.extent) if layer.extent else None,
+        )
+        if len(self._grid_cache) >= self._grid_cache_max:
+            # bounded: drop the oldest insertion (dict order) so a tile
+            # crawler can't grow driver memory without bound
+            self._grid_cache.pop(next(iter(self._grid_cache)), None)
+        self._grid_cache[key] = (mtime, now, grid)
+        return grid
 
     def exec_service(self, name: str, variables: dict | None = None):
         """cache -> defaults -> request variable merge

@@ -613,9 +613,10 @@ def cmd_ann(args) -> int:
             print("--store-raw only applies to --pq builds (a raw IVF "
                   "index already stores exact vectors)", file=sys.stderr)
             return 2
-        if (args.pq_m or args.pq_ks or args.pq_train_iters) and not args.pq:
-            print("--pq-m/--pq-ks/--pq-train-iters only apply to --pq "
-                  "builds", file=sys.stderr)
+        if ((args.pq_m or args.pq_ks or args.pq_train_iters
+             or args.pq_residual) and not args.pq):
+            print("--pq-m/--pq-ks/--pq-train-iters/--pq-residual only "
+                  "apply to --pq builds", file=sys.stderr)
             return 2
         cents = None
         if args.train_iters:
@@ -626,6 +627,8 @@ def cmd_ann(args) -> int:
             from railgun_spark.operators.similarity import (
                 PQ_KS,
                 PQ_M,
+                _centroid_rows,
+                residual_frame,
                 train_pq_codebooks,
             )
 
@@ -633,19 +636,25 @@ def cmd_ann(args) -> int:
             pq_ks = args.pq_ks or PQ_KS
             books = None
             if args.pq_train_iters:
+                train_on = vecs
+                if args.pq_residual:
+                    train_on = residual_frame(
+                        vecs, cents or _centroid_rows(vecs, args.k)
+                    )
                 books = train_pq_codebooks(
-                    vecs, m=pq_m, ks=pq_ks, iters=args.pq_train_iters
+                    train_on, m=pq_m, ks=pq_ks, iters=args.pq_train_iters
                 )
             n = build_fn(vecs, args.index, k=args.k, ks=pq_ks, m=pq_m,
                          store_raw=args.store_raw, centroids=cents,
-                         codebooks=books)
+                         codebooks=books, residual=args.pq_residual)
         else:
             n = build_fn(vecs, args.index, k=args.k, centroids=cents)
         print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq),
                           "store_raw": bool(args.store_raw),
                           "train_iters": args.train_iters,
                           "pq_m": args.pq_m, "pq_ks": args.pq_ks,
-                          "pq_train_iters": args.pq_train_iters}))
+                          "pq_train_iters": args.pq_train_iters,
+                          "pq_residual": bool(args.pq_residual)}))
         return 0
     if args.action == "append":
         vecs = load_vecs(args.input)
@@ -1103,6 +1112,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build --pq: Lloyd-train each sub-codebook for N "
                    "iterations (default 0 = first-Ks codewords; trained "
                    "codebooks are what make ADC-only recall useful)")
+    p.add_argument("--pq-residual", dest="pq_residual", action="store_true",
+                   help="build --pq: IVFADC form — encode v - centroid(cid) "
+                   "so the sub-codebooks resolve intra-list structure; "
+                   "search derives per-(query, list) residual lookup "
+                   "tables from the stored meta/ automatically")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser("functions", help="list DFL functions")

@@ -1612,6 +1612,16 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
     return sorted(cents.items())
 
 
+def residual_frame(emb: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, v=residual-against-assigned-centroid) — the training
+    frame for a residual (IVFADC) build's codebooks:
+    train_pq_codebooks(residual_frame(emb, cents), m, ks) trains
+    sub-codebooks on exactly the vectors the index will encode."""
+    return emb.select(
+        "vec_id", "v", _assign_cid(F.col("v"), centroids).alias("cid")
+    ).select("vec_id", _residual_col(F.col("v"), centroids).alias("v"))
+
+
 def train_pq_codebooks(
     emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iters: int = 10,
     tol: float = 1e-4,
@@ -1988,6 +1998,43 @@ def _pq_luts_pandas(books: dict):
     return luts
 
 
+def _centroid_vec_col(cents: list) -> Column:
+    """The assigned centroid's vector as a Column, looked up from a
+    K-entry map literal on the row's cid — the residual subtraction's
+    vector side (K is quantizer-sized, never corpus-sized)."""
+    return F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cents]),
+            F.array(*[_lit_vec(cv) for _, cv in cents]),
+        ),
+        F.col("cid"),
+    )
+
+
+def _residual_col(v: Column, cents: list) -> Column:
+    return F.zip_with(v, _centroid_vec_col(cents), lambda x, y: x - y)
+
+
+def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
+                       residual: bool) -> None:
+    spark.createDataFrame(
+        [("encoding", "residual" if residual else "raw")],
+        "key: string, value: string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _ivf_pq_encoding(spark: SparkSession, index_path: str) -> str:
+    """'residual' or 'raw' — read from the index's meta/ (pre-r16
+    indexes have none and are raw by construction)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}/meta").collect()
+    except AnalysisException:
+        return "raw"
+    return {r["key"]: r["value"] for r in rows}.get("encoding", "raw")
+
+
 def build_ivf_pq_index(
     emb: DataFrame, index_path: str, k: int = IVF_K, ks: int = PQ_KS,
     m: int = PQ_M,
@@ -1995,6 +2042,7 @@ def build_ivf_pq_index(
     store_raw: bool = False,
     centroids: list | None = None,
     codebooks: dict | None = None,
+    residual: bool = False,
 ) -> int:
     """IVF-PQ build: assign every vector to its nearest coarse centroid
     AND encode it to PQ codes in the same pass; the inverted lists store
@@ -2019,25 +2067,43 @@ def build_ivf_pq_index(
     production build wants M=8, Ks=256 (64 bits/vector) with trained
     codebooks (`train_pq_codebooks`), where encoding routes to the
     Arrow kernel automatically. Search and append derive the geometry
-    from the stored codebooks/ — nothing else to configure."""
+    from the stored codebooks/ — nothing else to configure.
+
+    `residual=True` is the IVFADC form: codes (and the default first-K
+    codebooks) are computed on v - centroid(cid) instead of v, so the
+    sub-codebooks spend their resolution on INTRA-list structure — on
+    clustered data this is what makes the ADC shortlist itself
+    accurate (the raw-vector form wastes codewords on the between-
+    cluster variance every list member shares). Search computes its
+    lookup tables per (query, probed list) on the query's residual;
+    the encoding choice is recorded in meta/ and appends follow it.
+    Trained codebooks for this mode come from
+    train_pq_codebooks(residual_frame(emb, cents), ...)."""
     spark = emb.sparkSession
     base = emb
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
     cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
-    books = (
-        {mm: sorted(entries) for mm, entries in codebooks.items()}
-        if codebooks is not None
-        else _pq_codebooks(base, ks, m)
+    assigned = base.select(
+        "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     )
-    coded = base.select(
-        "vec_id", "label",
-        _assign_cid(F.col("v"), cents).alias("cid"),
-        _pq_codes_col(F.col("v"), books).alias("codes"),
+    enc_v = _residual_col(F.col("v"), cents) if residual else F.col("v")
+    if codebooks is not None:
+        books = {mm: sorted(entries) for mm, entries in codebooks.items()}
+    elif residual:
+        books = _pq_codebooks(
+            assigned.select("vec_id", enc_v.alias("v")), ks, m
+        )
+    else:
+        books = _pq_codebooks(base, ks, m)
+    coded = assigned.select(
+        "vec_id", "label", "cid",
+        _pq_codes_col(enc_v, books).alias("codes"),
     )
     coded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{index_path}/vecs")
+    _write_ivf_pq_meta(spark, index_path, residual)
     if store_raw:
         base.select(
             "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
@@ -2093,40 +2159,57 @@ def ann_ivf_pq_search_index(
         )
     books = {m: sorted(entries) for m, entries in books.items()}
     ms, ds, ks = _pq_geometry(books)
+    wide = len(ms) * ks > _PQ_COLUMN_PATH_MAX_CELLS
 
-    if len(ms) * ks <= _PQ_COLUMN_PATH_MAX_CELLS:
-        luts = [
-            F.array(*[
-                _sq_dist(F.slice(F.col("v"), m * ds + 1, ds), cv)
-                for _, cv in books[m]
-            ]).alias(f"lut{m}")
-            for m in ms
-        ]
-    else:
-        all_luts = _pq_luts_pandas(books)(F.col("v"))
-        luts = [
+    def lut_cols(src: Column) -> list:
+        if not wide:
+            return [
+                F.array(*[
+                    _sq_dist(F.slice(src, m * ds + 1, ds), cv)
+                    for _, cv in books[m]
+                ]).alias(f"lut{m}")
+                for m in ms
+            ]
+        all_luts = _pq_luts_pandas(books)(src)
+        return [
             F.element_at(all_luts, i + 1).alias(f"lut{m}")
             for i, m in enumerate(ms)
         ]
-    probes = queries.select(
-        "qid",
-        *luts,
-        F.explode(
-            F.slice(
-                F.array_sort(F.array(*[
-                    F.struct(
-                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
-                        .alias("negsim"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cv in cents
-                ])),
-                1,
-                nprobe,
+
+    probe_explode = F.explode(
+        F.slice(
+            F.array_sort(F.array(*[
+                F.struct(
+                    (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
+                    .alias("negsim"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ])),
+            1,
+            nprobe,
+        )
+    ).alias("p")
+    if _ivf_pq_encoding(spark, index_path) == "residual":
+        # IVFADC: the LUT for a probed list is computed on the QUERY'S
+        # RESIDUAL against that list's centroid, matching the stored
+        # codes' frame — per (qid, cid) row, after the probe explode
+        probes = (
+            queries.select("qid", "v", probe_explode)
+            .select("qid", "v", F.col("p.cid").alias("cid"))
+            .select(
+                "qid", "cid",
+                *lut_cols(_residual_col(F.col("v"), cents)),
             )
-        ).alias("p"),
-    ).select("qid", *[f"lut{m}" for m in ms],
-             F.col("p.cid").alias("cid")).localCheckpoint()
+            .localCheckpoint()
+        )
+    else:
+        probes = queries.select(
+            "qid",
+            *lut_cols(F.col("v")),
+            probe_explode,
+        ).select("qid", *[f"lut{m}" for m in ms],
+                 F.col("p.cid").alias("cid")).localCheckpoint()
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
     if broadcast_probes:
         probes = F.broadcast(probes)
@@ -2397,6 +2480,128 @@ def ann_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("qid", "rnk").localCheckpoint()
 
 
+def _ivf_pq_residual_oracle(m: int = PQ_M, ks: int = PQ_KS) -> str:
+    """The IVFADC (residual-encoded) ADC search as one SQL definition:
+    identical to _ivf_pq_index_oracle except that codes, codebooks and
+    the per-query lookup tables are computed on v - centroid(assigned
+    cid) — so each candidate is scored by the LUT of ITS OWN probed
+    list (the lut CTE carries cid)."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sqd = (
+        "round(list_aggregate(list_transform({a}, "
+        "(x, i) -> (x - {b}[i]) * (x - {b}[i])), 'sum'), 6)"
+    )
+    ds = EMB_DIM // m
+    qids = ", ".join(str(q) for q in IVF_INDEX_QUERY_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {IVF_K}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qids})),
+    assign AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT e.vec_id, e.label, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, c WHERE e.vec_id NOT IN ({qids})
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.label, a.cid,
+             list_transform(e.v, (x, i) -> x - c.cv[i]) AS rv
+      FROM assign a JOIN e USING (vec_id) JOIN c USING (cid)
+    ),
+    sub AS (
+      SELECT vec_id, m.range AS m,
+             rv[m.range * {ds} + 1 : m.range * {ds} + {ds}] AS sv
+      FROM resid, range(0, {m}) m
+    ),
+    bids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS j
+      FROM e WHERE vec_id NOT IN ({qids})
+      ORDER BY vec_id LIMIT {ks}
+    ),
+    book AS (SELECT b.j, s.m, s.sv AS bv
+             FROM sub s JOIN bids b USING (vec_id)),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, b.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sqd.format(a="s.sv", b="b.bv")}, b.j) AS rn
+        FROM sub s JOIN book b ON s.m = b.m
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {cos.format(a="qv", b="c.cv")} DESC, c.cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    qsub AS (
+      SELECT p.qid, p.cid, m.range AS m,
+             list_transform(q.qv, (x, i) -> x - c.cv[i])
+               [m.range * {ds} + 1 : m.range * {ds} + {ds}] AS sv
+      FROM probes p JOIN q USING (qid) JOIN c USING (cid),
+           range(0, {m}) m
+    ),
+    lut AS (
+      SELECT qs.qid, qs.cid, b.m, b.j,
+             {sqd.format(a="qs.sv", b="b.bv")} AS qd
+      FROM qsub qs JOIN book b ON qs.m = b.m
+    ),
+    adc AS (
+      SELECT l.qid, a.vec_id, a.label, a.cid,
+             round(sum(l.qd), 6) AS adc_dist
+      FROM assign a
+      JOIN probes p USING (cid)
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.cid = a.cid
+                AND l.m = cd.m AND l.j = cd.code
+      GROUP BY l.qid, a.vec_id, a.label, a.cid
+    )
+    SELECT qid, vec_id, label, cid, adc_dist, rnk FROM (
+      SELECT qid, vec_id, label, cid, adc_dist,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist, vec_id, cid) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+    ORDER BY qid, rnk
+    """
+
+
+@extra_query(
+    "ann_ivf_pq_residual_topk",
+    oracle=_ivf_pq_residual_oracle(),
+    doc=f"IVFADC residual encoding at the tiny oracle geometry "
+    f"({PQ_M}x{PQ_KS}): codes, codebooks and per-(query, probed-list) "
+    "lookup tables computed on v - centroid(cid) — the FAISS default "
+    "form whose recall numbers live in ANN_RECALL_CLUSTERED. Certifies "
+    "the residual Column algebra end-to-end against the all-in-one SQL "
+    "definition.",
+    tags=("similarity", "ann"),
+)
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))
+    ).select(F.col("vec_id").alias("qid"), "v")
+    with tempfile.TemporaryDirectory(prefix="ivfpq_res_") as d:
+        build_ivf_pq_index(
+            emb, d, exclude_ids=IVF_INDEX_QUERY_IDS, residual=True
+        )
+        return ann_ivf_pq_search_index(spark, queries, d).orderBy(
+            "qid", "rnk"
+        ).localCheckpoint()
+
+
 PQ_WIDE_M = 8  # production-shaped geometry: 8 subspaces x 64 codewords
 PQ_WIDE_KS = 64
 
@@ -2461,9 +2666,14 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
         assigned = new_vecs.select(
             "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
         ).localCheckpoint()
+        enc_v = (
+            _residual_col(F.col("v"), cents)
+            if _ivf_pq_encoding(spark, index_path) == "residual"
+            else F.col("v")
+        )
         coded = assigned.select(
             "vec_id", "label", "cid",
-            _pq_codes_col(F.col("v"), books).alias("codes"),
+            _pq_codes_col(enc_v, books).alias("codes"),
         )
         coded.repartition(F.col("cid")).write.mode("append").partitionBy(
             "cid"

@@ -312,22 +312,21 @@ def create_app(
     def layer_tile_mask(name, z, x, y, ext):
         from flask import Response
 
-        from railgun_spark.geo.serving import MASK_FORMATS, grid_to_image, tile_mask_grid
+        from railgun_spark.geo.serving import MASK_FORMATS, grid_to_image
 
         if ext not in MASK_FORMATS:  # png/gif/jpg per RespondWithGrid.go:20-46
             return _render(
                 {"error": f"unsupported mask format {ext} (png/gif/jpg)"}, "json"
             ), 404
-        layer = catalog.get(MODEL_TYPES["Layer"], name)
-        df = catalog.layer_frame(name)
         try:
             zoom = int(request.args.get("zoom", min(z + 4, 18)))
             threshold = int(request.args.get("threshold", 1))
         except ValueError:
             return Response("zoom and threshold must be integers", status=400)
-        grid = tile_mask_grid(
-            df, z, x, y, mask_zoom=zoom, threshold=threshold,
-            layer_extent=tuple(layer.extent) if layer.extent else None,
+        # grid computed through the catalog's TTL+mtime cache
+        # (cache/Cache.go:79 twin) — a warm repeat costs only the encode
+        grid = catalog.layer_mask_grid(
+            name, z, x, y, mask_zoom=zoom, threshold=threshold
         )
         body, mime = grid_to_image(grid, ext)
         return Response(body, mimetype=mime)

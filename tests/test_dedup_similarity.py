@@ -2062,3 +2062,72 @@ def test_ivf_pq_store_raw_append_and_compact(spark, tmp_path):
     ).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in sorted(got2, key=lambda r: r["rnk"])] == \
            [(r["vec_id"], r["cos_sim"]) for r in sorted(got, key=lambda r: r["rnk"])]
+
+
+def test_ivf_pq_residual_encoding(spark, tmp_path):
+    """The IVFADC (residual) form: the encoding choice round-trips via
+    meta/, appends encode with the STORED frame (build A then append B
+    searches identically to building A+B at once), the ADC scores differ
+    from the raw form's (the modes are really different), and rerank
+    still returns the exact brute-force top-k — the refine leg is
+    encoding-agnostic because raw/ stores original vectors."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        _ivf_pq_encoding,
+        _lit_vec,
+        ann_ivf_pq_search_index,
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        cosine,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+
+    idx_all = str(tmp_path / "res_all")
+    build_ivf_pq_index(emb, idx_all, exclude_ids=(0,), residual=True,
+                       store_raw=True)
+    assert _ivf_pq_encoding(spark, idx_all) == "residual"
+
+    # append-consistency: A = the low ids (so first-K centroids and
+    # codebooks match the all-at-once build), B appended after
+    idx_ab = str(tmp_path / "res_ab")
+    build_ivf_pq_index(emb.filter("vec_id < 200"), idx_ab, exclude_ids=(0,),
+                       residual=True, store_raw=True)
+    append_to_ivf_pq_index(emb.filter("vec_id >= 200"), idx_ab)
+    got_all = ann_ivf_pq_search_index(
+        spark, queries, idx_all, nprobe=IVF_K, topk=10
+    ).collect()
+    got_ab = ann_ivf_pq_search_index(
+        spark, queries, idx_ab, nprobe=IVF_K, topk=10
+    ).collect()
+    key = lambda rows: [(r["vec_id"], r["adc_dist"]) for r in
+                        sorted(rows, key=lambda r: r["rnk"])]
+    assert key(got_all) == key(got_ab)
+
+    # the residual ADC frame really differs from the raw one
+    idx_raw = str(tmp_path / "raw_form")
+    build_ivf_pq_index(emb, idx_raw, exclude_ids=(0,))
+    assert _ivf_pq_encoding(spark, idx_raw) == "raw"
+    got_raw = ann_ivf_pq_search_index(
+        spark, queries, idx_raw, nprobe=IVF_K, topk=10
+    ).collect()
+    assert {r["adc_dist"] for r in got_raw} != {r["adc_dist"] for r in got_all}
+
+    # rerank over the full probe set = exact brute-force top-k
+    qv = [float(x) for x in queries.first()["v"]]
+    exact = (
+        emb.filter("vec_id != 0")
+        .select("vec_id", F.round(cosine(F.col("v"), _lit_vec(qv)), 6).alias("c"))
+        .orderBy(F.desc("c"), "vec_id").limit(10).collect()
+    )
+    got_rr = ann_ivf_pq_search_index(
+        spark, queries, idx_all, nprobe=IVF_K, topk=10, rerank=500
+    ).collect()
+    assert [r["vec_id"] for r in sorted(got_rr, key=lambda r: r["rnk"])] == \
+           [r["vec_id"] for r in exact]

@@ -181,6 +181,70 @@ def test_server_swagger(app_client):
     assert set(doc["definitions"]) >= {"DataStore", "Layer", "Service", "Workflow"}
 
 
+def test_mask_grid_cache_warm_and_invalidation(spark, tmp_path, monkeypatch):
+    """The mask route's grid cache (cache/Cache.go:79 twin): a warm
+    repeat skips the groupBy entirely; a datastore rewrite (mtime), a
+    layer/datastore update, or TTL expiry recomputes."""
+    import os
+    import time as _time
+
+    import railgun_spark.geo.serving as serving
+
+    data = tmp_path / "pts.jsonl"
+    w, s, e, n = tile_bbox(10, 292, 391)
+    rows = [
+        {"id": i, "amenity": "bar",
+         "lon": w + (e - w) * 0.5, "lat": s + (n - s) * 0.5}
+        for i in range(4)
+    ]
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="pts", uri=str(data), format="jsonl"))
+    cat.add(Layer(name="bars", datastore="pts"))
+
+    calls = {"n": 0}
+    real = serving.tile_mask_grid
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, "tile_mask_grid", counting)
+
+    g1 = cat.layer_mask_grid("bars", 10, 292, 391, mask_zoom=12, threshold=1)
+    assert calls["n"] == 1 and any(any(r) for r in g1)
+    # warm repeat: served from cache, no recompute, same grid
+    assert cat.layer_mask_grid("bars", 10, 292, 391, 12, 1) is g1
+    assert calls["n"] == 1
+    # different cell/params = different key
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 2)
+    assert calls["n"] == 2
+
+    # datastore rewrite: mtime change invalidates
+    os.utime(data, (os.path.getmtime(data) + 5,) * 2)
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 1)
+    assert calls["n"] == 3
+
+    # layer update invalidates (the cached grid was computed under the
+    # old definition)
+    cat.update(Layer(name="bars", datastore="pts"))
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 1)
+    assert calls["n"] == 4
+
+    # TTL expiry invalidates
+    cat.ttl_seconds = 0.01
+    _time.sleep(0.02)
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 1)
+    assert calls["n"] == 5
+
+    # the cache is bounded: overflow evicts, never grows past the cap
+    cat.ttl_seconds = 300.0
+    cat._grid_cache_max = 4
+    for t in range(10):
+        cat.layer_mask_grid("bars", 10, 292, 391, 12, 10 + t)
+    assert len(cat._grid_cache) <= 4
+
+
 def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
     fc = r.get_json()

@@ -177,6 +177,9 @@ EXPECTED_EXTRA = {
     # REGISTRY siblings + this local gate)
     "ann_lsh_topk",  # LSH bucket scan: emb_near_dup_pairs' banded sign-LSH + the IVF/PQ gate rows certify
     "audio_phash_pairs",  # aligned 4x16 pairs: audio_phash_offset_pairs' pipeline supersets craft/decode/banding
+    # round-16 addition: the IVFADC residual-encoding algebra (codes +
+    # per-(query, probed-list) LUTs on v - centroid) certified vs SQL
+    "ann_ivf_pq_residual_topk",
 }
 
 

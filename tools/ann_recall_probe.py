@@ -157,18 +157,39 @@ def clustered_main(out: "str | None") -> int:
             books[mm] = [(j + 1, cb[j].tolist()) for j in range(ncode)]
         return books
 
-    # Two code geometries over the same trained coarse quantizer:
-    # - 4x16 (the tiny oracle shape): 16 bits/vector — the measured
+    # Three code setups over the same trained coarse quantizer:
+    # - 4x16 raw (the tiny oracle shape): 16 bits/vector — the measured
     #   resolution cap (r15: pure-ADC 0.065) that rerank cures.
-    # - 8x256 (production shape, FAISS's default): 64 bits/vector —
-    #   trained codebooks should make the ADC shortlist itself useful
+    # - 8x256 raw (production width): 64 bits/vector — wider codes help
+    #   but raw-vector codebooks still spend resolution on the between-
+    #   cluster variance every list member shares.
+    # - 8x256 residual (IVFADC, the FAISS default): codes on
+    #   v - centroid(cid) — the codebooks resolve intra-list structure,
+    #   which is where the top-10 live on clustered data
     #   (target: ADC-only >= ~0.6, rerank50 >= ~0.9 at nprobe=2).
-    for geom, m_, ks_ in (("4x16", 4, 16), ("8x256", 8, 256)):
-        books = train_codebooks(pts[:N], m_, ks_)
+    cmat = np.asarray([cv for _, cv in trained])
+
+    def residualize(X: np.ndarray) -> np.ndarray:
+        sims = (X @ cmat.T) / np.linalg.norm(cmat, axis=1)[None, :]
+        return X - cmat[sims.argmax(1)]
+
+    # NOTE the ceilings: nprobe=2 probes lists holding 0.87 of the true
+    # top-10 (the IVF rows above), so 0.87 is PERFECT refine at nprobe=2
+    # — rerank recall above it is impossible and the gap to 1.0 is the
+    # coarse quantizer's, not PQ's. 16x256 is FAISS's PQ16 shape
+    # (128 bits): on this corpus (isotropic sigma-noise around centers —
+    # the hardest case for PQ, no sub-cluster structure to learn) code
+    # width is the binding constraint on ADC ordering.
+    for geom, m_, ks_, res in (("4x16", 4, 16, False),
+                               ("8x256", 8, 256, False),
+                               ("8x256-res", 8, 256, True),
+                               ("16x256-res", 16, 256, True)):
+        sample = residualize(pts[:N]) if res else pts[:N]
+        books = train_codebooks(sample, m_, ks_)
         with tempfile.TemporaryDirectory(prefix="ivfpq_clustered_") as d:
             build_ivf_pq_index(emb, d, k=K, exclude_ids=tuple(query_ids),
                                store_raw=True, centroids=trained,
-                               codebooks=books)
+                               codebooks=books, residual=res)
             for nprobe in (2, 4):
                 for mode, kw in (("adc", {}), ("rerank50", {"rerank": 50}),
                                  ("rerank400", {"rerank": 400})):

@@ -557,5 +557,138 @@ def main() -> int:
     return 0
 
 
+ANN_INDEX_SIZES = (50_000, 200_000, 500_000)
+ANN_BATCH_SIZES = (2_500, 25_000)
+ANN_K = 64  # inverted lists; nprobe=2 scans 1/32 of the index
+ANN_NQ = 20
+
+
+def _synth_vecs(spark, n: int, offset: int = 0, seed: int = 11):
+    """Deterministic (vec_id, label, v) frame of 64-dim uniform vectors —
+    the ANN lifecycle grid measures THROUGHPUT (encode/append/search/
+    compact walls), not recall, so unclustered vectors are the right
+    load: every list stays balanced and walls aren't flattered by empty
+    probes."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        (F.col("id") + offset).alias("vec_id"),
+        F.lit("x").alias("label"),
+        F.array(*[F.rand(seed + i) for i in range(64)]).alias("v"),
+    )
+
+
+def ann_main() -> int:
+    """The ANN index lifecycle grid (VERDICT r15 #3): append docs/sec,
+    batch-search p50, and the compaction pause per (kind, index-size,
+    batch-size) cell, for the raw IVF layout and the IVF-PQ (8x256,
+    store_raw) + rerank layout. The scale claims under test: append and
+    search walls flat in index size (appends touch only assigned
+    partitions; searches scan nprobe/K of the lists), compaction linear
+    in index size (it rewrites the layout — the priced pause)."""
+    import statistics
+
+    from railgun_spark.operators.similarity import (
+        ann_ivf_pq_search_index,
+        ann_ivf_search_index,
+        append_to_ivf_index,
+        append_to_ivf_pq_index,
+        build_ivf_index,
+        build_ivf_pq_index,
+        compact_ivf_index,
+    )
+    from railgun_spark.session import get_spark
+
+    sizes, batches = ANN_INDEX_SIZES, ANN_BATCH_SIZES
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--index-sizes" in sys.argv:
+        sizes = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--index-sizes") + 1].split(",")
+        )
+    if "--batches" in sys.argv:
+        batches = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--batches") + 1].split(",")
+        )
+    spark = get_spark("ingest_grid_ann")
+    queries = _synth_vecs(
+        spark, ANN_NQ, offset=20_000_000, seed=97
+    ).selectExpr("vec_id as qid", "v").localCheckpoint()
+
+    work = tempfile.mkdtemp(prefix="ingest_grid_ann_")
+    cells = []
+    try:
+        for kind in ("ivf", "ivf_pq_rerank"):
+            pq = kind == "ivf_pq_rerank"
+            for idx_n in sizes:
+                base = os.path.join(work, f"{kind}_{idx_n}")
+                vecs = _synth_vecs(spark, idx_n)
+                t0 = time.time()
+                if pq:
+                    build_ivf_pq_index(vecs, base, k=ANN_K, ks=256, m=8,
+                                       store_raw=True)
+                else:
+                    build_ivf_index(vecs, base, k=ANN_K)
+                build_s = time.time() - t0
+                for batch_n in batches:
+                    idx = os.path.join(work, f"{kind}_{idx_n}_{batch_n}")
+                    shutil.copytree(base, idx)
+                    batch = _synth_vecs(
+                        spark, batch_n, offset=10_000_000
+                    ).localCheckpoint()
+                    rows = batch.count()
+                    t0 = time.time()
+                    if pq:
+                        append_to_ivf_pq_index(batch, idx)
+                    else:
+                        append_to_ivf_index(batch, idx)
+                    append_s = time.time() - t0
+                    walls = []
+                    for _ in range(5):
+                        t0 = time.time()
+                        if pq:
+                            ann_ivf_pq_search_index(
+                                spark, queries, idx, nprobe=2, rerank=50
+                            ).collect()
+                        else:
+                            ann_ivf_search_index(
+                                spark, queries, idx, nprobe=2
+                            ).collect()
+                        walls.append(time.time() - t0)
+                    t0 = time.time()
+                    compact_ivf_index(spark, idx)
+                    compact_s = time.time() - t0
+                    shutil.rmtree(idx, ignore_errors=True)
+                    cell = {
+                        "kind": kind, "index_docs": idx_n,
+                        "batch_docs": rows,
+                        "build_sec": round(build_s, 2),
+                        "append_sec": round(append_s, 2),
+                        "append_docs_per_sec": round(rows / append_s, 1),
+                        "search_p50_s": round(statistics.median(walls), 3),
+                        "search_min_s": round(min(walls), 3),
+                        "compact_sec": round(compact_s, 2),
+                    }
+                    cells.append(cell)
+                    print(f"{kind:14s} idx={idx_n:7d} batch={rows:6d} "
+                          f"append={append_s:6.2f}s "
+                          f"({rows / append_s:8.1f}/s) "
+                          f"search_p50={cell['search_p50_s']:.3f}s "
+                          f"compact={compact_s:6.2f}s", flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    payload = {"metric": "ingest_grid_ann", "k": ANN_K, "nprobe": 2,
+               "n_queries": ANN_NQ, "rerank": 50,
+               "index_sizes": list(sizes), "batch_sizes": list(batches),
+               "cells": cells}
+    line = json.dumps(payload)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    return 0
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(ann_main() if "--ann" in sys.argv else main())

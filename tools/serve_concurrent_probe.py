@@ -107,12 +107,24 @@ def main() -> int:
             assert r.status == 200, (url, r.status)
             return r.read()
 
+    # with the r16 grid cache (registry.layer_mask_grid, cache/Cache.go:79
+    # twin) the fixed-key mask lanes measure WARM repeats after the warmup
+    # request primes them; tiles_mask_cold varies the threshold per
+    # request so every call misses the cache and pays the full groupBy —
+    # both numbers matter (cold = first-tile latency, warm = steady state)
+    import itertools
+
+    _cold_thresh = itertools.count(100)
     endpoints = {
         "tiles_data_z4": lambda: get("/layers/events/tiles/data/4/8/5.json?limit=500"),
         "tiles_data_z8": lambda: get("/layers/events/tiles/data/8/128/88.json?limit=500"),
         "tiles_mask_z4": lambda: get("/layers/events/tiles/mask/4/8/5.png?zoom=8"),
         "tiles_mask_gif": lambda: get("/layers/events/tiles/mask/4/8/5.gif?zoom=8"),
         "tiles_mask_jpg": lambda: get("/layers/events/tiles/mask/4/8/5.jpg?zoom=8"),
+        "tiles_mask_cold": lambda: get(
+            "/layers/events/tiles/mask/4/8/5.png"
+            f"?zoom=8&threshold={next(_cold_thresh)}"
+        ),
         "exec_by_type": lambda: post("/services/by_type/exec.json",
                                      {"variables": {"etype": "click"}}),
     }
