@@ -278,7 +278,10 @@ def main():
     # curated budget truncated it to 2 iterations, making the recorded
     # median the max of two runs (r8 verdict finding) — round-over-round
     # comparisons then chased ~1.2x machine-load noise instead of code.
-    default_budget = "900" if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1" else "480"
+    # 900 s re-truncated the 155-query r15 sweep to 2 iters (min-of-2
+    # read uniformly ~x1.05 vs r14's min-of-3 and the compare had to
+    # normalize it away — r15 verdict #4); 1800 s fits 3 full passes.
+    default_budget = "1800" if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1" else "480"
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", default_budget))
     t_start = time.time()
     iters_done = 0

@@ -162,6 +162,10 @@ def create_app(
     if root_password is not None and private_key is None:
         private_key = _auth.generate_keypair()
     public_key = private_key.public_key() if private_key is not None else None
+    # encoded mask bodies keyed by (layer, z, x, y, zoom, threshold, ext),
+    # validated against the catalog grid cache's object identity —
+    # see layer_tile_mask
+    _mask_body_cache: dict[tuple, tuple] = {}
 
     def _require_auth():
         """Bearer check for mutating routes (GroupHandler.go:100-109).
@@ -324,12 +328,25 @@ def create_app(
         except ValueError:
             return Response("zoom and threshold must be integers", status=400)
         # grid computed through the catalog's TTL+mtime cache
-        # (cache/Cache.go:79 twin) — a warm repeat costs only the encode
+        # (cache/Cache.go:79 twin); the encoded body is memoized per
+        # format against the grid's IDENTITY — valid exactly as long as
+        # the catalog keeps returning the same cached grid object, so a
+        # warm repeat is a dict lookup (the gif/jpg encoders are
+        # GIL-bound Python and re-encoding per request was the residual
+        # ~120 ms at 12-wide)
         grid = catalog.layer_mask_grid(
             name, z, x, y, mask_zoom=zoom, threshold=threshold
         )
-        body, mime = grid_to_image(grid, ext)
-        return Response(body, mimetype=mime)
+        key = (name, z, x, y, zoom, threshold, ext)
+        ent = _mask_body_cache.get(key)
+        if ent is None or ent[0] is not grid:
+            body, mime = grid_to_image(grid, ext)
+            if len(_mask_body_cache) >= 1024:
+                _mask_body_cache.pop(next(iter(_mask_body_cache)), None)
+            # the grid ref rides along purely as the validity token
+            _mask_body_cache[key] = (grid, body, mime)
+            ent = _mask_body_cache[key]
+        return Response(ent[1], mimetype=ent[2])
 
     @app.route("/health.<ext>")
     def health_route(ext):
