@@ -175,9 +175,11 @@ def _prepare_end_to_end(spark, sf_dir):
 _ANN_BENCH_INDEX_CACHE: dict = {}
 
 
-def _ann_bench_index(spark, sf_dir: str, pq: bool) -> str:
-    key = (sf_dir, pq)
+def _ann_bench_index(spark, sf_dir: str, kind: str) -> str:
+    key = (sf_dir, kind)
     if key not in _ANN_BENCH_INDEX_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         from pyspark.sql import functions as F
@@ -189,21 +191,25 @@ def _ann_bench_index(spark, sf_dir: str, pq: bool) -> str:
             to_double,
         )
 
-        import atexit
-        import shutil
-
-        d = tempfile.mkdtemp(prefix="bench_ivfpq_" if pq else "bench_ivf_")
+        d = tempfile.mkdtemp(prefix=f"bench_{kind}_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "label", to_double(F.col("embedding")).alias("v")
         )
-        build = build_ivf_pq_index if pq else build_ivf_index
-        build(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        if kind == "ivf":
+            build_ivf_index(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        elif kind == "pq":
+            build_ivf_pq_index(emb, d, exclude_ids=IVF_INDEX_QUERY_IDS)
+        else:  # production shape: 8x256 residual codes + raw refine store
+            build_ivf_pq_index(
+                emb, d, ks=256, m=8, exclude_ids=IVF_INDEX_QUERY_IDS,
+                residual=True, store_raw=True,
+            )
         _ANN_BENCH_INDEX_CACHE[key] = d
     return _ANN_BENCH_INDEX_CACHE[key]
 
 
-def _ann_search_only(spark, sf_dir: str, pq: bool) -> None:
+def _ann_search_only(spark, sf_dir: str, kind: str) -> None:
     from pyspark.sql import functions as F
 
     from railgun_spark.operators.similarity import (
@@ -213,23 +219,33 @@ def _ann_search_only(spark, sf_dir: str, pq: bool) -> None:
         to_double,
     )
 
-    idx = _ann_bench_index(spark, sf_dir, pq)
+    idx = _ann_bench_index(spark, sf_dir, kind)
     queries = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "label", to_double(F.col("embedding")).alias("v")
     ).filter(F.col("vec_id").isin(list(IVF_INDEX_QUERY_IDS))).select(
         F.col("vec_id").alias("qid"), "v"
     )
-    search = ann_ivf_pq_search_index if pq else ann_ivf_search_index
-    search(spark, queries, idx).collect()
+    if kind == "ivf":
+        ann_ivf_search_index(spark, queries, idx).collect()
+    elif kind == "pq":
+        ann_ivf_pq_search_index(spark, queries, idx).collect()
+    else:  # the production search: residual ADC shortlist + exact refine
+        ann_ivf_pq_search_index(spark, queries, idx, rerank=50).collect()
 
 
 BENCH_SPECIAL = {
     "prepare_end_to_end": _prepare_end_to_end,
     "ann_ivf_search_only": lambda spark, sf_dir: _ann_search_only(
-        spark, sf_dir, pq=False
+        spark, sf_dir, "ivf"
     ),
     "ann_ivf_pq_search_only": lambda spark, sf_dir: _ann_search_only(
-        spark, sf_dir, pq=True
+        spark, sf_dir, "pq"
+    ),
+    # r16: the production-shaped index (8x256 residual IVFADC codes +
+    # raw refine store) searched with rerank=50 — the path whose recall
+    # curve lives in ANN_RECALL_CLUSTERED_r16
+    "ann_ivf_pq_wide_rerank_search_only": lambda spark, sf_dir: (
+        _ann_search_only(spark, sf_dir, "wide_res")
     ),
 }
 

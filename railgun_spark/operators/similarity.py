@@ -394,7 +394,8 @@ def exact_cosine_candidate_pairs(
         "vn",
         F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("bid"),
     )
-    tasks = spark.createDataFrame(
+    tasks = _local_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "ti: int, tj: int",
     )
@@ -1571,9 +1572,9 @@ def build_ivf_index(
     assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{index_path}/vecs")
-    spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _local_df(
+        spark, [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
     return spark.read.parquet(f"{index_path}/vecs").count()
 
 
@@ -1998,6 +1999,14 @@ def _pq_luts_pandas(books: dict):
     return luts
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """session.local_df — single-partition tiny frames (a plain
+    createDataFrame costs a 32-task Python job PER evaluation)."""
+    from railgun_spark.session import local_df
+
+    return local_df(spark, rows, schema)
+
+
 def _centroid_vec_col(cents: list) -> Column:
     """The assigned centroid's vector as a Column, looked up from a
     K-entry map literal on the row's cid — the residual subtraction's
@@ -2017,10 +2026,10 @@ def _residual_col(v: Column, cents: list) -> Column:
 
 def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
                        residual: bool) -> None:
-    spark.createDataFrame(
-        [("encoding", "residual" if residual else "raw")],
+    _local_df(
+        spark, [("encoding", "residual" if residual else "raw")],
         "key: string, value: string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
 def _ivf_pq_encoding(spark: SparkSession, index_path: str) -> str:
@@ -2110,13 +2119,14 @@ def build_ivf_pq_index(
         ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(f"{index_path}/raw")
-    spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    spark.createDataFrame(
+    _local_df(
+        spark, [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _local_df(
+        spark,
         [(m, j, cv) for m, entries in books.items() for j, cv in entries],
         "m: int, j: int, cv: array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     return spark.read.parquet(f"{index_path}/vecs").count()
 
 

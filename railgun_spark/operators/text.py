@@ -1177,9 +1177,14 @@ def train_quality_classifier(
     )
     n_docs = base.select("__id").distinct().count()
     weights = [0.0] * n_buckets
+    from railgun_spark.session import local_df
+
     for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(i, w) for i, w in enumerate(weights)], "__b: long, __wt: double"
+        # single-partition: a plain createDataFrame would pay a 32-task
+        # Python job per training iteration just to ship the weights
+        wdf = local_df(
+            spark, [(i, w) for i, w in enumerate(weights)],
+            "__b: long, __wt: double",
         )
         dot = (
             base.join(F.broadcast(wdf), "__b")
@@ -1214,8 +1219,11 @@ def score_documents(
     literal arrays in the plan). Higher = keep."""
     spark = docs.sparkSession
     n_buckets = len(weights)
-    wdf = spark.createDataFrame(
-        [(i, w) for i, w in enumerate(weights)], "__b: long, __wt: double"
+    from railgun_spark.session import local_df
+
+    wdf = local_df(
+        spark, [(i, w) for i, w in enumerate(weights)],
+        "__b: long, __wt: double",
     )
     ws = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     tok = (

@@ -51,6 +51,18 @@ def get_spark(app_name: str = "railgun_spark", extra_conf: dict | None = None) -
     return spark
 
 
+def local_df(spark: SparkSession, rows: list, schema: str):
+    """Tiny driver-side rows as a SINGLE-partition DataFrame.
+
+    spark.createDataFrame(list) spreads even one row over
+    defaultParallelism Python-RDD partitions, so every evaluation runs a
+    32-task Python-worker job (~3-5 s in local[32]; measured — a 1-row
+    index-metadata write cost 5 s and dominated the IVF-PQ build wall).
+    One slice makes the same evaluation ~0.3 s. Only for quantizer/
+    codebook/weights/metadata-sized data, never corpus rows."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 TPCH_TABLES = (
     "region",
     "nation",

@@ -718,7 +718,8 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
         "indexed": 180, "k": 8, "pq": False, "store_raw": False,
-        "train_iters": 0}
+        "train_iters": 0, "pq_m": 0, "pq_ks": 0, "pq_train_iters": 0,
+        "pq_residual": False}
 
     # append an exact copy of vec_id 0 under a new id
     extra = str(tmp_path / "extra")
@@ -759,7 +760,8 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
         "indexed": 199, "k": 8, "pq": True, "store_raw": False,
-        "train_iters": 0}
+        "train_iters": 0, "pq_m": 0, "pq_ks": 0, "pq_train_iters": 0,
+        "pq_residual": False}
     assert "codes" in spark.read.parquet(f"{idx}/vecs").columns
     assert "v" not in spark.read.parquet(f"{idx}/vecs").columns
 
@@ -779,6 +781,43 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     rows = spark.read.parquet(out).orderBy("rnk").collect()
     assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
     assert all(a["adc_dist"] <= b["adc_dist"] for a, b in zip(rows, rows[1:]))
+
+
+def test_ann_pq_geometry_flags(spark, capsys, tmp_path):
+    """--pq-m/--pq-ks/--pq-train-iters/--pq-residual build the IVFADC
+    form end-to-end: trained residual codebooks at the requested
+    geometry, store_raw + --rerank searches return exact-cosine hits,
+    and the flags refuse non-PQ builds."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx, out = str(tmp_path / "ivfadc"), str(tmp_path / "hits")
+
+    head = str(tmp_path / "head")
+    spark.read.parquet(src).filter("vec_id < 150 AND vec_id <> 0").write.parquet(head)
+    rc = main(["ann", "build", "--pq", "--input", head, "--index", idx,
+               "--pq-m", "8", "--pq-ks", "16", "--pq-train-iters", "2",
+               "--pq-residual", "--store-raw"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["indexed"] == 149 and rep["pq_residual"] is True
+    # 8 trained sub-codebooks of 16 codewords each landed on disk
+    books = spark.read.parquet(f"{idx}/codebooks")
+    assert books.count() == 8 * 16
+    assert spark.read.parquet(f"{idx}/meta").collect()[0]["value"] == "residual"
+
+    q = str(tmp_path / "q")
+    spark.read.parquet(src).filter("vec_id = 0").write.parquet(q)
+    rc = main(["ann", "search", "--pq", "--input", q, "--index", idx,
+               "--output", out, "--nprobe", "8", "--topk", "3",
+               "--rerank", "20"])
+    assert rc == 0
+    json.loads(capsys.readouterr().out)
+    rows = spark.read.parquet(out).orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3]
+    assert all(a["cos_sim"] >= b["cos_sim"] for a, b in zip(rows, rows[1:]))
+
+    # geometry flags without --pq refuse
+    assert main(["ann", "build", "--input", head,
+                 "--index", str(tmp_path / "i2"), "--pq-m", "8"]) == 2
 
 
 def test_ann_compact_action(spark, capsys, tmp_path):
