@@ -1539,10 +1539,102 @@ def _centroid_rows(emb: DataFrame, k: int) -> list:
 
 def _assign_cid(v: Column, cents: list) -> Column:
     """Nearest-centroid cid as a Column: rounded-cosine argmax with the
-    lowest-cid tiebreak (array_position returns the FIRST max)."""
+    lowest-cid tiebreak (array_position returns the FIRST max). Routes
+    to the Arrow BLAS kernel past _IVF_COLUMN_PATH_MAX_K centroids —
+    the literal-expression argmax builds an O(K) Catalyst tree, exact
+    and oracle-matched but impractical at production list counts
+    (K ~ sqrt(N): thousands at 100 TB). Same assign_clusters /
+    assign_clusters_batch split, cosine form."""
+    if len(cents) > _IVF_COLUMN_PATH_MAX_K:
+        return _assign_cid_pandas(cents)(v)
     sims = F.array(*[F.round(cosine(v, _lit_vec(cv)), 6) for _, cv in cents])
     cid_of = F.array(*[F.lit(cid) for cid, _ in cents])
     return F.element_at(cid_of, F.array_position(sims, F.array_max(sims)).cast("int"))
+
+
+# Above this many coarse centroids, assignment and probe selection route
+# to Arrow-batched BLAS kernels (one rounded-cosine matmul per batch)
+# instead of K inline fold expressions — the IVF twin of the PQ cell cap
+# and the assign_clusters/assign_clusters_batch split. Every oracle-gated
+# geometry (K=8) stays on the certified Column path; note the float
+# summation ORDER differs, so an exact rounded-cosine tie at the 1e-6
+# boundary could in principle assign differently across the two forms.
+_IVF_COLUMN_PATH_MAX_K = 64
+
+
+def _assign_cid_pandas(cents: list):
+    """Large-K twin of _assign_cid's expression form: rounded-cosine
+    argmax as one BLAS matmul per Arrow batch; first-argmax over
+    cid-ascending columns = the lowest-cid tiebreak."""
+    cids = np.array([cid for cid, _ in cents], dtype="int32")
+    C = np.array([cv for _, cv in cents], dtype="float64")
+    c_n = np.sqrt((C ** 2).sum(axis=1))
+
+    @F.pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int32")
+        M = np.vstack(col.to_numpy()).astype("float64")
+        sims = np.round(
+            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :]),
+            6,
+        )
+        return pd.Series(cids[sims.argmax(axis=1)])
+
+    return assign
+
+
+def _probe_cids_pandas(cents: list, nprobe: int):
+    """Large-K probe selection: per query, the nprobe nearest centroids
+    by (rounded cosine desc, cid asc) as an int array — the Arrow twin
+    of the K-struct array_sort expression (stable argsort over
+    cid-ascending columns keeps ties on the lowest cid)."""
+    cids = np.array([cid for cid, _ in cents], dtype="int32")
+    C = np.array([cv for _, cv in cents], dtype="float64")
+    c_n = np.sqrt((C ** 2).sum(axis=1))
+
+    @F.pandas_udf("array<int>")
+    def probes(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        M = np.vstack(col.to_numpy()).astype("float64")
+        sims = np.round(
+            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :]),
+            6,
+        )
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[idx]))
+
+    return probes
+
+
+def _probed_queries(queries: DataFrame, cents: list, nprobe: int) -> DataFrame:
+    """(qid, v, cid) — one row per (query, probed inverted list), routed
+    by quantizer width like _assign_cid. The Column form is the
+    oracle-certified K-struct array_sort; the wide form is one BLAS
+    pass over the query batch."""
+    if len(cents) <= _IVF_COLUMN_PATH_MAX_K:
+        ex = F.explode(
+            F.slice(
+                F.array_sort(F.array(*[
+                    F.struct(
+                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
+                        .alias("negsim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in cents
+                ])),
+                1,
+                nprobe,
+            )
+        ).alias("p")
+        return queries.select("qid", "v", ex).select(
+            "qid", "v", F.col("p.cid").alias("cid")
+        )
+    return queries.select(
+        "qid", "v",
+        F.explode(_probe_cids_pandas(cents, nprobe)(F.col("v"))).alias("cid"),
+    )
 
 
 def build_ivf_index(
@@ -1689,29 +1781,14 @@ def ann_ivf_search_index(
         (int(r["cid"]), [float(x) for x in r["cv"]])
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
     )
-    # per-query probe list: array of (sim desc, cid asc)-sorted structs,
-    # sliced to nprobe, exploded to (qid, cid) pairs carrying the query
-    # vector along for the re-rank leg; checkpointed so the probe pass
-    # over the query batch runs ONCE (the distinct-cid collect below and
-    # the candidate join would otherwise re-evaluate the whole lineage)
-    probes = queries.select(
-        "qid",
-        F.col("v").alias("qv"),
-        F.explode(
-            F.slice(
-                F.array_sort(F.array(*[
-                    F.struct(
-                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
-                        .alias("negsim"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cv in cents
-                ])),
-                1,
-                nprobe,
-            )
-        ).alias("p"),
-    ).select("qid", "qv", F.col("p.cid").alias("cid")).localCheckpoint()
+    # per-query probe list (K-routed: Column struct-sort or BLAS kernel),
+    # exploded to (qid, cid) pairs carrying the query vector along for
+    # the re-rank leg; checkpointed so the probe pass over the query
+    # batch runs ONCE (the distinct-cid collect below and the candidate
+    # join would otherwise re-evaluate the whole lineage)
+    probes = _probed_queries(queries, cents, nprobe).select(
+        "qid", F.col("v").alias("qv"), "cid"
+    ).localCheckpoint()
     # static partition pruning: the union of probed cids is bounded by k
     # (tiny), so one driver-side distinct keeps the scan pruned even
     # without runtime DPP
@@ -2021,7 +2098,28 @@ def _centroid_vec_col(cents: list) -> Column:
 
 
 def _residual_col(v: Column, cents: list) -> Column:
-    return F.zip_with(v, _centroid_vec_col(cents), lambda x, y: x - y)
+    """v - centroid(cid), reading the row's cid column; K-routed like
+    _assign_cid (the map literal carries K*dim literal nodes — fine at
+    oracle K, an analysis blob at production list counts). Both paths
+    are exact double subtraction."""
+    if len(cents) <= _IVF_COLUMN_PATH_MAX_K:
+        return F.zip_with(v, _centroid_vec_col(cents), lambda x, y: x - y)
+    return _residual_pandas(cents)(v, F.col("cid"))
+
+
+def _residual_pandas(cents: list):
+    cids = np.array([cid for cid, _ in cents], dtype="int64")  # ascending
+    C = np.array([cv for _, cv in cents], dtype="float64")
+
+    @F.pandas_udf("array<double>")
+    def res(v: pd.Series, cid: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        M = np.vstack(v.to_numpy()).astype("float64")
+        idx = np.searchsorted(cids, cid.to_numpy().astype("int64"))
+        return pd.Series(list(M - C[idx]))
+
+    return res
 
 
 def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
@@ -2186,34 +2284,35 @@ def ann_ivf_pq_search_index(
             for i, m in enumerate(ms)
         ]
 
-    probe_explode = F.explode(
-        F.slice(
-            F.array_sort(F.array(*[
-                F.struct(
-                    (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
-                    .alias("negsim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ])),
-            1,
-            nprobe,
-        )
-    ).alias("p")
-    if _ivf_pq_encoding(spark, index_path) == "residual":
+    residual = _ivf_pq_encoding(spark, index_path) == "residual"
+    if residual or len(cents) > _IVF_COLUMN_PATH_MAX_K:
         # IVFADC: the LUT for a probed list is computed on the QUERY'S
         # RESIDUAL against that list's centroid, matching the stored
-        # codes' frame — per (qid, cid) row, after the probe explode
+        # codes' frame — per (qid, cid) row, after the probe explode.
+        # Wide quantizers (raw or residual) land here too: probe
+        # selection is K-routed inside _probed_queries and the per-row
+        # LUT recompute over nprobe rows is query-batch-sized.
+        src = _residual_col(F.col("v"), cents) if residual else F.col("v")
         probes = (
-            queries.select("qid", "v", probe_explode)
-            .select("qid", "v", F.col("p.cid").alias("cid"))
-            .select(
-                "qid", "cid",
-                *lut_cols(_residual_col(F.col("v"), cents)),
-            )
+            _probed_queries(queries, cents, nprobe)
+            .select("qid", "cid", *lut_cols(src))
             .localCheckpoint()
         )
     else:
+        probe_explode = F.explode(
+            F.slice(
+                F.array_sort(F.array(*[
+                    F.struct(
+                        (-F.round(cosine(F.col("v"), _lit_vec(cv)), 6))
+                        .alias("negsim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in cents
+                ])),
+                1,
+                nprobe,
+            )
+        ).alias("p")
         probes = queries.select(
             "qid",
             *lut_cols(F.col("v")),

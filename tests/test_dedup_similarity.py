@@ -2064,6 +2064,69 @@ def test_ivf_pq_store_raw_append_and_compact(spark, tmp_path):
            [(r["vec_id"], r["cos_sim"]) for r in sorted(got, key=lambda r: r["rnk"])]
 
 
+def test_ivf_wide_k_kernels_match_column_path(spark):
+    """The Arrow BLAS kernels that assignment / probe selection /
+    residuals route to past _IVF_COLUMN_PATH_MAX_K centroids produce
+    exactly the Column algebra's output on the fixture data (same
+    rounded-cosine argmax with lowest-cid ties, same (sim desc, cid
+    asc) probe order, same exact residual subtraction) — the same
+    parity discipline as assign_clusters vs assign_clusters_batch."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        _assign_cid,
+        _assign_cid_pandas,
+        _centroid_rows,
+        _centroid_vec_col,
+        _probe_cids_pandas,
+        _probed_queries,
+        _residual_pandas,
+        cosine,
+        _lit_vec,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    cents = _centroid_rows(emb, 16)
+
+    got = emb.select(
+        "vec_id",
+        _assign_cid(F.col("v"), cents).alias("col_cid"),
+        _assign_cid_pandas(cents)(F.col("v")).alias("np_cid"),
+    ).filter(F.col("col_cid") != F.col("np_cid"))
+    assert got.count() == 0
+
+    # probe order parity: struct-sort vs stable argsort, nprobe=4
+    queries = emb.limit(8).select(F.col("vec_id").alias("qid"), "v")
+    col_probes = [
+        (r["qid"], r["cid"])
+        for r in _probed_queries(queries, cents, 4)
+        .withColumn("ord", F.monotonically_increasing_id())
+        .orderBy("ord").collect()
+    ]
+    np_rows = queries.select(
+        "qid", F.explode(_probe_cids_pandas(cents, 4)(F.col("v"))).alias("cid")
+    ).withColumn("ord", F.monotonically_increasing_id()).orderBy("ord").collect()
+    assert col_probes == [(r["qid"], r["cid"]) for r in np_rows]
+
+    # residual parity (exact doubles, both paths)
+    assigned = emb.select(
+        "vec_id", "v", _assign_cid(F.col("v"), cents).alias("cid")
+    )
+    diff = assigned.select(
+        F.zip_with(
+            F.zip_with(
+                F.col("v"), _centroid_vec_col(cents), lambda x, y: x - y
+            ),
+            _residual_pandas(cents)(F.col("v"), F.col("cid")),
+            lambda a, b: F.abs(a - b),
+        ).alias("d")
+    ).select(F.array_max("d").alias("m")).agg(F.max("m")).first()[0]
+    assert diff == 0.0
+
+
 def test_ivf_pq_residual_encoding(spark, tmp_path):
     """The IVFADC (residual) form: the encoding choice round-trips via
     meta/, appends encode with the STORED frame (build A then append B

@@ -600,9 +600,12 @@ def ann_main() -> int:
     from railgun_spark.session import get_spark
 
     sizes, batches = ANN_INDEX_SIZES, ANN_BATCH_SIZES
+    k = ANN_K
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--k" in sys.argv:
+        k = int(sys.argv[sys.argv.index("--k") + 1])
     if "--index-sizes" in sys.argv:
         sizes = tuple(
             int(x) for x in sys.argv[sys.argv.index("--index-sizes") + 1].split(",")
@@ -626,10 +629,10 @@ def ann_main() -> int:
                 vecs = _synth_vecs(spark, idx_n)
                 t0 = time.time()
                 if pq:
-                    build_ivf_pq_index(vecs, base, k=ANN_K, ks=256, m=8,
+                    build_ivf_pq_index(vecs, base, k=k, ks=256, m=8,
                                        store_raw=True)
                 else:
-                    build_ivf_index(vecs, base, k=ANN_K)
+                    build_ivf_index(vecs, base, k=k)
                 build_s = time.time() - t0
                 for batch_n in batches:
                     idx = os.path.join(work, f"{kind}_{idx_n}_{batch_n}")
@@ -678,7 +681,7 @@ def ann_main() -> int:
                           f"compact={compact_s:6.2f}s", flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    payload = {"metric": "ingest_grid_ann", "k": ANN_K, "nprobe": 2,
+    payload = {"metric": "ingest_grid_ann", "k": k, "nprobe": 2,
                "n_queries": ANN_NQ, "rerank": 50,
                "index_sizes": list(sizes), "batch_sizes": list(batches),
                "cells": cells}
