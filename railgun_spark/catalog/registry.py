@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading as _threading
 import time
 from dataclasses import dataclass, field
 
@@ -92,6 +93,7 @@ class Catalog:
     # where the serve wall goes (SERVE_CONC_SF1_r15: ~1.1-1.3 s / request)
     _grid_cache: dict[tuple, tuple] = field(default_factory=dict)
     _grid_cache_max: int = 1024
+    _grid_cache_lock: object = field(default_factory=_threading.Lock)
 
     # ---- CRUD (GroupHandler/ItemHandler semantics) ----
     def add(self, obj) -> None:
@@ -127,6 +129,10 @@ class Catalog:
         if deps:
             raise DependencyError(f"{kind.__name__} {name!r} is used by {deps}")
         del self.objects[_PLURAL[kind]][name]
+        if kind in (Layer, DataStore):
+            # delete-then-re-add under the same name must not serve grids
+            # computed under the deleted definition (same rule as update)
+            self._grid_cache.clear()
 
     def _dependents(self, kind: type, name: str) -> list[str]:
         deps: list[str] = []
@@ -274,11 +280,14 @@ class Catalog:
             mask_zoom=mask_zoom, threshold=threshold,
             layer_extent=tuple(layer.extent) if layer.extent else None,
         )
-        if len(self._grid_cache) >= self._grid_cache_max:
+        with self._grid_cache_lock:
             # bounded: drop the oldest insertion (dict order) so a tile
-            # crawler can't grow driver memory without bound
-            self._grid_cache.pop(next(iter(self._grid_cache)), None)
-        self._grid_cache[key] = (mtime, now, grid)
+            # crawler can't grow driver memory without bound. Locked:
+            # the serve path is threaded and two concurrent evictions
+            # could otherwise race iter() against a resize.
+            if len(self._grid_cache) >= self._grid_cache_max:
+                self._grid_cache.pop(next(iter(self._grid_cache)), None)
+            self._grid_cache[key] = (mtime, now, grid)
         return grid
 
     def exec_service(self, name: str, variables: dict | None = None):

@@ -2647,7 +2647,21 @@ def bucketize_video_index_offset(
         .bucketBy(n_buckets, "chunk_key")
         .saveAsTable(table)
     )
+    # declare the chunk-key geometry ONCE as a table property so gates
+    # and appends verify it in O(1) instead of scanning the bits column
+    _stamp_bucketed_offset_bits(spark, table, 32 if coarse else PHASH_BAND_BITS)
     return spark.table(table).count()
+
+
+_BITS_TBLPROP = "railgun.chunk_bits"
+
+
+def _stamp_bucketed_offset_bits(
+    spark: SparkSession, table: str, bits: int
+) -> None:
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{_BITS_TBLPROP}'='{int(bits)}')"
+    )
 
 
 def video_dedup_against_bucketed_index_offset(
@@ -2672,37 +2686,49 @@ def video_dedup_against_bucketed_index_offset(
 def _check_bucketed_offset_bits(
     spark: SparkSession, table: str, coarse: bool
 ) -> None:
-    """Refuse a bucketed offset table whose stored chunk-key geometry
-    (bits marker column) doesn't match `coarse` — shared by the gates
-    AND the append functions, so a wrong-flag append can never write
-    16-bit keys into a 32-bit table (those rows would never join and
-    their duplicates would be silently admitted). Checks min==max, not
-    a limit(1) sample: a mixed-geometry table (only creatable by
-    writing around this API) is refused deterministically instead of
-    passing or failing depending on which file the sample reads. An
-    empty table passes — its first append establishes the geometry the
-    bucketize_* call intended."""
+    """Refuse a bucketed offset table whose chunk-key geometry doesn't
+    match `coarse` — shared by the gates AND the append functions, so a
+    wrong-flag append can never write 16-bit keys into a 32-bit table
+    (those rows would never join and their duplicates would be silently
+    admitted).
+
+    The geometry is a TABLE-level property: bucketize_* declares it
+    once in TBLPROPERTIES and this check reads it in O(1) — no per-call
+    scan of the per-row bits column. Tables bucketized before the
+    marker existed fall back ONCE to a min==max homogeneity scan
+    (deterministic — a mixed legacy table is always refused, never
+    sampled) and are stamped on passing so the scan never repeats. An
+    empty unstamped table passes — its first append establishes the
+    geometry the bucketize_* call intended."""
     want_bits = 32 if coarse else PHASH_BAND_BITS
-    probe = (
-        spark.table(table)
-        .agg(F.min("bits").alias("lo"), F.max("bits").alias("hi"))
-        .collect()[0]
-    )
-    if probe["lo"] is None:
-        return
-    lo, hi = int(probe["lo"]), int(probe["hi"])
-    if lo != hi:
-        raise ValueError(
-            f"bucketed table {table!r} carries MIXED chunk-key geometries "
-            f"({lo}- and {hi}-bit rows) — it must be rebuilt with one "
-            "bucketize_*(coarse=...) geometry before any gate or append "
-            "can use it"
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    declared = props.get(_BITS_TBLPROP)
+    if declared is None:
+        probe = (
+            spark.table(table)
+            .agg(F.min("bits").alias("lo"), F.max("bits").alias("hi"))
+            .collect()[0]
         )
-    if lo != want_bits:
+        if probe["lo"] is None:
+            return
+        lo, hi = int(probe["lo"]), int(probe["hi"])
+        if lo != hi:
+            raise ValueError(
+                f"bucketed table {table!r} carries MIXED chunk-key "
+                f"geometries ({lo}- and {hi}-bit rows) — it must be "
+                "rebuilt with one bucketize_*(coarse=...) geometry "
+                "before any gate or append can use it"
+            )
+        _stamp_bucketed_offset_bits(spark, table, lo)
+        declared = str(lo)
+    if int(declared) != want_bits:
         raise ValueError(
-            f"bucketed table {table!r} carries {lo}-bit chunk keys but "
-            f"this operation uses {want_bits}-bit keys — pass the "
-            "matching coarse= flag or rebuild the table with the "
+            f"bucketed table {table!r} carries {int(declared)}-bit chunk "
+            f"keys but this operation uses {want_bits}-bit keys — pass "
+            "the matching coarse= flag or rebuild the table with the "
             "matching bucketize_*(coarse=...) geometry"
         )
 

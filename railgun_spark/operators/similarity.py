@@ -2012,8 +2012,6 @@ def _pq_codes_pandas(books: dict):
     distance rounded to 6, first-min / lowest-j argmin), computed as one
     numpy broadcast per subspace over row chunks sized to bound the
     (chunk, ks, ds) intermediate."""
-    import numpy as np
-
     ms, ds, _ = _pq_geometry(books)
     mats = [
         np.asarray([cv for _, cv in books[m]], dtype="float64") for m in ms
@@ -2021,6 +2019,8 @@ def _pq_codes_pandas(books: dict):
 
     @F.pandas_udf("array<int>")
     def enc(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype="float64")
         out = np.empty((len(X), len(ms)), dtype="int32")
         for lo in range(0, len(X), 1024):
@@ -2053,8 +2053,6 @@ def _pq_luts_pandas(books: dict):
     outer index = subspace (ascending), inner = codeword j. The query
     batch is small, so one vectorized pass replaces m*ks fold
     expressions whose analysis alone would dominate."""
-    import numpy as np
-
     ms, ds, _ = _pq_geometry(books)
     mats = [
         np.asarray([cv for _, cv in books[m]], dtype="float64") for m in ms
@@ -2062,6 +2060,8 @@ def _pq_luts_pandas(books: dict):
 
     @F.pandas_udf("array<array<double>>")
     def luts(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype="float64")
         per_m = [
             np.round(
@@ -2131,14 +2131,22 @@ def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
 
 
 def _ivf_pq_encoding(spark: SparkSession, index_path: str) -> str:
-    """'residual' or 'raw' — read from the index's meta/ (pre-r16
-    indexes have none and are raw by construction)."""
+    """'residual' or 'raw' — read from the index's meta/. ONLY a
+    missing meta/ means raw (pre-r16 indexes have none by
+    construction); every other read failure stays loud (errors.py
+    discipline) — a swallowed ACL/corruption error here would make
+    search LUT against the wrong frame and make append encode raw rows
+    into a residual index, silently corrupting it."""
     from pyspark.errors import AnalysisException
+
+    from railgun_spark.errors import is_path_not_found
 
     try:
         rows = spark.read.parquet(f"{index_path}/meta").collect()
-    except AnalysisException:
-        return "raw"
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return "raw"
+        raise
     return {r["key"]: r["value"] for r in rows}.get("encoding", "raw")
 
 
@@ -2212,9 +2220,9 @@ def build_ivf_pq_index(
     ).parquet(f"{index_path}/vecs")
     _write_ivf_pq_meta(spark, index_path, residual)
     if store_raw:
-        base.select(
-            "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
-        ).repartition(F.col("cid")).write.mode("overwrite").partitionBy(
+        # the SAME assigned frame as codes/ — a divergent re-derivation
+        # here would break the rerank join's cid equality
+        assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(f"{index_path}/raw")
     _local_df(

@@ -164,8 +164,12 @@ def create_app(
     public_key = private_key.public_key() if private_key is not None else None
     # encoded mask bodies keyed by (layer, z, x, y, zoom, threshold, ext),
     # validated against the catalog grid cache's object identity —
-    # see layer_tile_mask
+    # see layer_tile_mask. Lock guards the bounded eviction: the serve
+    # path is threaded and iter()-during-resize would raise.
+    import threading as _threading
+
     _mask_body_cache: dict[tuple, tuple] = {}
+    _mask_body_lock = _threading.Lock()
 
     def _require_auth():
         """Bearer check for mutating routes (GroupHandler.go:100-109).
@@ -341,11 +345,12 @@ def create_app(
         ent = _mask_body_cache.get(key)
         if ent is None or ent[0] is not grid:
             body, mime = grid_to_image(grid, ext)
-            if len(_mask_body_cache) >= 1024:
-                _mask_body_cache.pop(next(iter(_mask_body_cache)), None)
             # the grid ref rides along purely as the validity token
-            _mask_body_cache[key] = (grid, body, mime)
-            ent = _mask_body_cache[key]
+            ent = (grid, body, mime)
+            with _mask_body_lock:
+                if len(_mask_body_cache) >= 1024:
+                    _mask_body_cache.pop(next(iter(_mask_body_cache)), None)
+                _mask_body_cache[key] = ent
         return Response(ent[1], mimetype=ent[2])
 
     @app.route("/health.<ext>")

@@ -2101,9 +2101,18 @@ def test_bucketed_coarse_offset_video_index(spark, tmp_path):
             )
         assert spark.table(table).count() == before
 
-        # a MIXED-geometry table (only creatable by writing around the
-        # API) is refused deterministically — min/max probe, not a
-        # limit(1) sample that passes or fails by which file it reads
+        # the geometry is DECLARED once in TBLPROPERTIES (O(1) check, no
+        # per-call scan of the bits column)
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table}").collect()}
+        assert props.get("railgun.chunk_bits") == "32"
+
+        # legacy tables (bucketized before the marker existed) fall back
+        # to a DETERMINISTIC min==max homogeneity scan — a mixed table
+        # is always refused, never limit(1)-sampled — and a passing
+        # legacy table is stamped so the scan never repeats
+        spark.sql(f"ALTER TABLE {table} "
+                  "UNSET TBLPROPERTIES ('railgun.chunk_bits')")
         spark.table(fine_table).limit(1).write.mode("append").insertInto(
             table
         )
@@ -2115,6 +2124,15 @@ def test_bucketed_coarse_offset_video_index(spark, tmp_path):
             append_video_bands_to_bucketed_index_offset(
                 via_t, table, every_n=1, coarse=True
             )
+        # homogeneous legacy table: one scan, then stamped
+        spark.sql(f"ALTER TABLE {fine_table} "
+                  "UNSET TBLPROPERTIES ('railgun.chunk_bits')")
+        assert video_dedup_against_bucketed_index_offset(
+            probe2, fine_table, every_n=1
+        ).count() >= 0
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"SHOW TBLPROPERTIES {fine_table}").collect()}
+        assert props.get("railgun.chunk_bits") == "16"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in (table, fine_table):
