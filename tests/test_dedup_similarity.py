@@ -1846,6 +1846,61 @@ def test_stream_append_ivf_and_duplicate_safety(spark, tmp_path):
            [(r["vec_id"], r["cos_sim"]) for r in got]
 
 
+def test_stream_append_residual_pq_index(spark, tmp_path):
+    """Streamed micro-batch appends follow the index's STORED encoding:
+    draining shards into a residual (IVFADC) store_raw index searches
+    identically to the all-at-once residual build — the meta/ marker
+    governs foreachBatch appends exactly as batch ones, so a crash-
+    replayed maintenance stream can never mix encodings."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        IVF_K,
+        ann_ivf_pq_search_index,
+        build_ivf_pq_index,
+        to_double,
+    )
+    from railgun_spark.streaming.ingest import stream_append_ivf_availablenow
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = raw.select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+    idx = str(tmp_path / "ivfadc")
+    build_ivf_pq_index(
+        emb.filter("vec_id < 200"), idx, exclude_ids=(0,),
+        residual=True, store_raw=True,
+    )
+    src = tmp_path / "arriving"
+    src.mkdir()
+    stage = tmp_path / "__s0"
+    raw.filter("vec_id >= 200").select("vec_id", "embedding", "label").coalesce(
+        1
+    ).write.parquet(str(stage))
+    (part,) = glob.glob(str(stage / "part-*.parquet"))
+    shutil.move(part, str(src / "shard0.parquet"))
+    n = stream_append_ivf_availablenow(
+        spark, str(src), idx, str(tmp_path / "ckpt"), pq=True
+    )
+    assert n == raw.filter("vec_id >= 200").count()
+
+    idx_all = str(tmp_path / "ivfadc_all")
+    build_ivf_pq_index(
+        emb, idx_all, exclude_ids=(0,), residual=True, store_raw=True
+    )
+    queries = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "v")
+    key = lambda rows: [(r["vec_id"], r["cos_sim"]) for r in
+                        sorted(rows, key=lambda r: r["rnk"])]
+    got_stream = ann_ivf_pq_search_index(
+        spark, queries, idx, nprobe=IVF_K, topk=10, rerank=25
+    ).collect()
+    got_all = ann_ivf_pq_search_index(
+        spark, queries, idx_all, nprobe=IVF_K, topk=10, rerank=25
+    ).collect()
+    assert key(got_stream) == key(got_all)
+
+
 def test_ivf_append_layout_mismatch_refusal(spark, tmp_path):
     """Appends verify the target layout before writing: raw-vector rows
     into a PQ index (null codes sort FIRST under ascending ADC) and
