@@ -562,7 +562,9 @@ def cmd_ann(args) -> int:
     """Persistent-IVF ANN over an embeddings parquet: `build` writes the
     centroid-partitioned inverted lists, `append` grows them with the
     stored quantizer, `search` runs a partition-pruned batch query and
-    writes the per-query top-k."""
+    writes the per-query top-k, `compact` folds replay duplicates, and
+    `info` reports the stored layout (kind, geometry, encoding, rows,
+    list-balance skew) as one JSON line."""
     from pyspark.sql import functions as F
 
     from railgun_spark.operators.similarity import (
@@ -581,6 +583,61 @@ def cmd_ann(args) -> int:
     if args.action == "compact":
         n = compact_ivf_index(spark, args.index)
         print(json.dumps({"rows": n}))
+        return 0
+    if args.action == "info":
+        from pyspark.errors import AnalysisException
+
+        from railgun_spark.errors import is_path_not_found
+        from railgun_spark.operators.similarity import (
+            _ivf_has_raw,
+            _ivf_pq_encoding,
+        )
+
+        try:  # codebooks/ is the PQ marker; works on remote schemes too
+            spark.read.parquet(f"{args.index}/codebooks")
+            is_pq = True
+        except AnalysisException as e:
+            if not is_path_not_found(e):
+                raise
+            is_pq = False
+        sizes = {
+            int(r["cid"]): int(r["n"])
+            for r in spark.read.parquet(f"{args.index}/vecs")
+            .groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        k = spark.read.parquet(f"{args.index}/centroids").count()
+        rows = sum(sizes.values())
+        mean = rows / max(1, len(sizes))
+        info = {
+            "pq": is_pq,
+            "k": k,
+            "rows": rows,
+            "nonempty_lists": len(sizes),
+            # list-balance health: skew predicts probe-cost variance
+            # (a hot list makes every probe that hits it pay its size)
+            "max_list": max(sizes.values(), default=0),
+            "mean_list": round(mean, 1),
+            "skew_max_over_mean": round(
+                max(sizes.values(), default=0) / mean, 2
+            ) if rows else 0.0,
+        }
+        if is_pq:
+            # geometry derives from the stored codebooks, never flags
+            geo = (
+                spark.read.parquet(f"{args.index}/codebooks")
+                .agg(
+                    F.countDistinct("m").alias("m"),
+                    F.countDistinct("j").alias("ks"),
+                )
+                .collect()[0]
+            )
+            info.update({
+                "pq_m": int(geo["m"]),
+                "pq_ks": int(geo["ks"]),
+                "encoding": _ivf_pq_encoding(spark, args.index),
+                "store_raw": _ivf_has_raw(spark, args.index),
+            })
+        print(json.dumps(info))
         return 0
     if not args.input:
         print(f"ann {args.action} requires --input", file=sys.stderr)
@@ -1070,10 +1127,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="persistent-IVF ANN: build/append centroid-partitioned "
         "inverted lists, or run a partition-pruned batch search",
     )
-    p.add_argument("action", choices=("build", "append", "search", "compact"))
+    p.add_argument("action",
+                   choices=("build", "append", "search", "compact", "info"))
     p.add_argument("--input", default=None,
                    help="embeddings parquet (build/append: vectors to index; "
-                   "search: query vectors; unused for compact)")
+                   "search: query vectors; unused for compact/info)")
     p.add_argument("--index", required=True, help="IVF index root path")
     p.add_argument("--output", default=None,
                    help="search: parquet for the per-query top-k")

@@ -820,6 +820,35 @@ def test_ann_pq_geometry_flags(spark, capsys, tmp_path):
                  "--index", str(tmp_path / "i2"), "--pq-m", "8"]) == 2
 
 
+def test_ann_info_action(spark, capsys, tmp_path):
+    """ann info reports the stored layout — kind, geometry (derived
+    from the codebooks, never flags), encoding, raw-store presence, and
+    list-balance skew — for both index families."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    head = str(tmp_path / "head")
+    spark.read.parquet(src).write.parquet(head)
+
+    idx = str(tmp_path / "ivfadc")
+    assert main(["ann", "build", "--pq", "--input", head, "--index", idx,
+                 "--pq-m", "8", "--pq-ks", "16", "--pq-residual",
+                 "--store-raw"]) == 0
+    capsys.readouterr()
+    assert main(["ann", "info", "--index", idx]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["pq"] is True and rep["encoding"] == "residual"
+    assert rep["pq_m"] == 8 and rep["pq_ks"] == 16 and rep["store_raw"]
+    assert rep["rows"] == 500 and rep["k"] == 8
+    assert rep["skew_max_over_mean"] >= 1.0
+
+    idx2 = str(tmp_path / "ivf")
+    assert main(["ann", "build", "--input", head, "--index", idx2]) == 0
+    capsys.readouterr()
+    assert main(["ann", "info", "--index", idx2]) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["pq"] is False and "encoding" not in rep2
+    assert rep2["rows"] == 500
+
+
 def test_ann_compact_action(spark, capsys, tmp_path):
     """ann compact folds replay-duplicated index rows in place; build
     and append without --input refuse."""
