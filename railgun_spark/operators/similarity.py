@@ -1160,9 +1160,19 @@ def _kmeans_loop(
 ) -> dict[int, list[float]]:
     """Shared Lloyd's loop over a (vec_id, e) frame: assignment vs
     broadcast-literal centroids, K*dim-row recompute shuffle, driver-side
-    movement stop. A cluster that captures no points keeps its centroid."""
+    movement stop. A cluster that captures no points keeps its centroid.
+    Assignment is K-routed: the oracle-gated geometries keep the staged
+    expression form, wide quantizers/codebooks (K past the Column cap —
+    e.g. training 256-codeword PQ sub-codebooks or a production coarse
+    quantizer) run the Arrow BLAS twin, whose parity discipline is
+    assign_clusters_batch's."""
+    assign = (
+        assign_clusters_batch
+        if len(cents) > _IVF_COLUMN_PATH_MAX_K
+        else assign_clusters
+    )
     for _ in range(max_iter):
-        new_cents = recompute_centroids(assign_clusters(emb, cents))
+        new_cents = recompute_centroids(assign(emb, cents))
         for cid in cents:
             new_cents.setdefault(cid, cents[cid])
         movement = max(
@@ -1699,8 +1709,14 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
     stays k-wide. `emb` needs (vec_id, v)."""
     base = emb.select("vec_id", F.col("v").alias("e"))
     cents = dict(_centroid_rows(emb, k))
+    # K-routed like _kmeans_loop: a production coarse quantizer
+    # (K ~ sqrt(N)) trains through the Arrow BLAS assignment
+    assign = (
+        assign_clusters_batch if k > _IVF_COLUMN_PATH_MAX_K
+        else assign_clusters
+    )
     for _ in range(iters):
-        new = recompute_centroids(assign_clusters(base, cents))
+        new = recompute_centroids(assign(base, cents))
         cents = {cid: new.get(cid, cv) for cid, cv in cents.items()}
     return sorted(cents.items())
 
