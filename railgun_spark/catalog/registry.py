@@ -94,6 +94,11 @@ class Catalog:
     _grid_cache: dict[tuple, tuple] = field(default_factory=dict)
     _grid_cache_max: int = 1024
     _grid_cache_lock: object = field(default_factory=_threading.Lock)
+    # bumped (under the lock) by every update/delete invalidation: a grid
+    # computed OUTSIDE the lock is inserted only if the generation it
+    # started under is still current, so an invalidation landing
+    # mid-compute discards the stale grid instead of caching it for TTL
+    _grid_cache_gen: int = 0
 
     # ---- CRUD (GroupHandler/ItemHandler semantics) ----
     def add(self, obj) -> None:
@@ -117,7 +122,9 @@ class Catalog:
             # a redefined layer expression / datastore uri invalidates any
             # cached mask grids computed under the old definition (the
             # whole cache is driver-tiny; selective purge isn't worth it)
-            self._grid_cache.clear()
+            with self._grid_cache_lock:
+                self._grid_cache_gen += 1
+                self._grid_cache.clear()
 
     def list(self, kind: type) -> list:
         return sorted(self.objects[_PLURAL[kind]].values(), key=lambda o: o.name)
@@ -132,7 +139,9 @@ class Catalog:
         if kind in (Layer, DataStore):
             # delete-then-re-add under the same name must not serve grids
             # computed under the deleted definition (same rule as update)
-            self._grid_cache.clear()
+            with self._grid_cache_lock:
+                self._grid_cache_gen += 1
+                self._grid_cache.clear()
 
     def _dependents(self, kind: type, name: str) -> list[str]:
         deps: list[str] = []
@@ -270,7 +279,9 @@ class Catalog:
         mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
         key = (name, z, x, y, mask_zoom, threshold)
         now = time.time()
-        ent = self._grid_cache.get(key)
+        with self._grid_cache_lock:
+            ent = self._grid_cache.get(key)
+            gen = self._grid_cache_gen
         if ent and ent[0] == mtime and now - ent[1] < self.ttl_seconds:
             return ent[2]
         from railgun_spark.geo.serving import tile_mask_grid
@@ -284,10 +295,15 @@ class Catalog:
             # bounded: drop the oldest insertion (dict order) so a tile
             # crawler can't grow driver memory without bound. Locked:
             # the serve path is threaded and two concurrent evictions
-            # could otherwise race iter() against a resize.
-            if len(self._grid_cache) >= self._grid_cache_max:
-                self._grid_cache.pop(next(iter(self._grid_cache)), None)
-            self._grid_cache[key] = (mtime, now, grid)
+            # could otherwise race iter() against a resize. Generation
+            # check: a layer/datastore update that landed while this
+            # grid was computing bumped the generation, so the grid was
+            # built under a stale definition — return it to this caller
+            # (it read a consistent snapshot) but never cache it.
+            if gen == self._grid_cache_gen:
+                if len(self._grid_cache) >= self._grid_cache_max:
+                    self._grid_cache.pop(next(iter(self._grid_cache)), None)
+                self._grid_cache[key] = (mtime, now, grid)
         return grid
 
     def exec_service(self, name: str, variables: dict | None = None):

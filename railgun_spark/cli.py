@@ -706,10 +706,14 @@ def cmd_ann(args) -> int:
                          codebooks=books, residual=args.pq_residual)
         else:
             n = build_fn(vecs, args.index, k=args.k, centroids=cents)
+        # report the EFFECTIVE geometry (defaults resolved), so the
+        # recorded build metadata agrees with what `ann info` later
+        # derives from the stored codebooks
         print(json.dumps({"indexed": n, "k": args.k, "pq": bool(args.pq),
                           "store_raw": bool(args.store_raw),
                           "train_iters": args.train_iters,
-                          "pq_m": args.pq_m, "pq_ks": args.pq_ks,
+                          "pq_m": pq_m if args.pq else None,
+                          "pq_ks": pq_ks if args.pq else None,
                           "pq_train_iters": args.pq_train_iters,
                           "pq_residual": bool(args.pq_residual)}))
         return 0

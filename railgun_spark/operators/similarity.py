@@ -1334,14 +1334,14 @@ def assign_clusters_batch(
     cids = sorted(centroids)
     C = np.array([centroids[c] for c in cids], dtype="float64")  # K x dim
     c_sq = (C**2).sum(axis=1)  # K
-    cid_arr = np.array(cids, dtype="int32")
+    cid_arr = _int32_cids(cids)
 
     @F.pandas_udf("struct<cluster: int, dist: double>")
     def _assign(col: pd.Series) -> pd.DataFrame:
         if col.empty:
             return pd.DataFrame({"cluster": [], "dist": []})
         M = np.vstack(col.to_numpy()).astype("float64")  # n x dim
-        d = ((M**2).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]).round(6)
+        d = _np_round6((M**2).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :])
         idx = d.argmin(axis=1)  # first minimum = lowest cid (cids sorted)
         return pd.DataFrame(
             {"cluster": cid_arr[idx], "dist": d[np.arange(len(idx)), idx]}
@@ -1567,16 +1567,47 @@ def _assign_cid(v: Column, cents: list) -> Column:
 # instead of K inline fold expressions — the IVF twin of the PQ cell cap
 # and the assign_clusters/assign_clusters_batch split. Every oracle-gated
 # geometry (K=8) stays on the certified Column path; note the float
-# summation ORDER differs, so an exact rounded-cosine tie at the 1e-6
+# summation ORDER differs, so an exact rounded-distance tie at the 1e-6
 # boundary could in principle assign differently across the two forms.
+# (The rounding MODE is normalized: _np_round6 below is HALF_UP like
+# Spark F.round and the DuckDB oracles, not numpy's half-to-even.)
 _IVF_COLUMN_PATH_MAX_K = 64
+
+
+def _np_round6(x: "np.ndarray") -> "np.ndarray":
+    """Round to 6 decimals with HALF_UP (half away from zero) — the mode
+    Spark's F.round and DuckDB's round() use. np.round is half-to-even,
+    so a sim/distance landing exactly on the 1e-6 midpoint would round
+    DIFFERENTLY on the Arrow kernels than on the certified Column path
+    (a value change, not just a tie-break flip); this keeps the two
+    forms' only divergence the documented summation-order effect.
+    Magnitudes here are sims in [-1, 1] and squared distances of
+    unit-ish embeddings, so |x|*1e6 is far below 2^53 and the
+    floor(+0.5) form is exact."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _int32_cids(cids: list) -> "np.ndarray":
+    """Centroid/cluster ids as int32, validated: the index format stores
+    cid as int (centroids/ schema, vecs/ partition column), so an id
+    past int32 cannot round-trip — and a silent numpy cast would
+    truncate only on the wide-K kernel path, where a truncated key never
+    matches the driver-side cents dict and Lloyd training would silently
+    no-op. Fail loudly instead."""
+    arr = np.asarray(cids, dtype="int64")
+    if arr.size and (arr.max() > 2**31 - 1 or arr.min() < -(2**31)):
+        raise ValueError(
+            "centroid ids must fit in int32 (the index format stores cid "
+            f"as int): got range [{arr.min()}, {arr.max()}]"
+        )
+    return arr.astype("int32")
 
 
 def _assign_cid_pandas(cents: list):
     """Large-K twin of _assign_cid's expression form: rounded-cosine
     argmax as one BLAS matmul per Arrow batch; first-argmax over
     cid-ascending columns = the lowest-cid tiebreak."""
-    cids = np.array([cid for cid, _ in cents], dtype="int32")
+    cids = _int32_cids([cid for cid, _ in cents])
     C = np.array([cv for _, cv in cents], dtype="float64")
     c_n = np.sqrt((C ** 2).sum(axis=1))
 
@@ -1585,9 +1616,8 @@ def _assign_cid_pandas(cents: list):
         if col.empty:
             return pd.Series([], dtype="int32")
         M = np.vstack(col.to_numpy()).astype("float64")
-        sims = np.round(
-            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :]),
-            6,
+        sims = _np_round6(
+            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :])
         )
         return pd.Series(cids[sims.argmax(axis=1)])
 
@@ -1599,7 +1629,7 @@ def _probe_cids_pandas(cents: list, nprobe: int):
     by (rounded cosine desc, cid asc) as an int array — the Arrow twin
     of the K-struct array_sort expression (stable argsort over
     cid-ascending columns keeps ties on the lowest cid)."""
-    cids = np.array([cid for cid, _ in cents], dtype="int32")
+    cids = _int32_cids([cid for cid, _ in cents])
     C = np.array([cv for _, cv in cents], dtype="float64")
     c_n = np.sqrt((C ** 2).sum(axis=1))
 
@@ -1608,9 +1638,8 @@ def _probe_cids_pandas(cents: list, nprobe: int):
         if col.empty:
             return pd.Series([], dtype=object)
         M = np.vstack(col.to_numpy()).astype("float64")
-        sims = np.round(
-            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :]),
-            6,
+        sims = _np_round6(
+            (M @ C.T) / (np.sqrt((M ** 2).sum(axis=1))[:, None] * c_n[None, :])
         )
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(cids[idx]))
@@ -2043,8 +2072,8 @@ def _pq_codes_pandas(books: dict):
             chunk = X[lo:lo + 1024]
             for i, m in enumerate(ms):
                 sub = chunk[:, m * ds:(m + 1) * ds]
-                d = np.round(
-                    ((sub[:, None, :] - mats[i][None, :, :]) ** 2).sum(-1), 6
+                d = _np_round6(
+                    ((sub[:, None, :] - mats[i][None, :, :]) ** 2).sum(-1)
                 )
                 out[lo:lo + 1024, i] = d.argmin(1) + 1
         return pd.Series(list(out))
@@ -2079,15 +2108,23 @@ def _pq_luts_pandas(books: dict):
         if vs.empty:
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype="float64")
-        per_m = [
-            np.round(
-                ((X[:, m * ds:(m + 1) * ds][:, None, :]
-                  - mats[i][None, :, :]) ** 2).sum(-1), 6
-            )
-            for i, m in enumerate(ms)
-        ]
-        stacked = np.stack(per_m, axis=1)  # (n, M, ks)
-        return pd.Series([[list(row) for row in q] for q in stacked])
+        # chunked like _pq_codes_pandas: the (chunk, ks, ds) broadcast
+        # intermediate stays bounded even if a caller LUTs a corpus-sized
+        # frame (a full ~10k-row Arrow batch at 8x256 would transiently
+        # allocate ~160MB per subspace)
+        out: list = []
+        for lo in range(0, len(X), 1024):
+            chunk = X[lo:lo + 1024]
+            per_m = [
+                _np_round6(
+                    ((chunk[:, m * ds:(m + 1) * ds][:, None, :]
+                      - mats[i][None, :, :]) ** 2).sum(-1)
+                )
+                for i, m in enumerate(ms)
+            ]
+            stacked = np.stack(per_m, axis=1)  # (chunk, M, ks)
+            out.extend([list(row) for row in q] for q in stacked)
+        return pd.Series(out)
 
     return luts
 

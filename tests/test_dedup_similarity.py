@@ -2182,6 +2182,29 @@ def test_ivf_wide_k_kernels_match_column_path(spark):
     assert diff == 0.0
 
 
+def test_np_round6_half_up_and_int32_cid_validation():
+    """_np_round6 rounds 1e-6 midpoints HALF UP (away from zero) like
+    Spark F.round and the DuckDB oracles — np.round's half-to-even would
+    produce a different VALUE there, not just a tie-break flip.
+    _int32_cids refuses ids past int32 loudly: a silent numpy cast would
+    truncate only on the wide-K kernel path, where truncated keys never
+    match the driver-side cents dict and Lloyd training would no-op."""
+    import numpy as np
+    import pytest
+
+    from railgun_spark.operators.similarity import _int32_cids, _np_round6
+
+    mids = np.array([0.5, 1.5, 2.5, 3.5, -0.5, -2.5]) / 1e6
+    assert list(_np_round6(mids)) == [1e-6, 2e-6, 3e-6, 4e-6, -1e-6, -3e-6]
+    # non-midpoints agree with plain rounding
+    x = np.array([0.12345649, 0.12345651, -1.9999996])
+    assert list(_np_round6(x)) == [0.123456, 0.123457, -2.0]
+
+    assert list(_int32_cids([1, 2**31 - 1])) == [1, 2**31 - 1]
+    with pytest.raises(ValueError, match="int32"):
+        _int32_cids([1, 2**31])
+
+
 def test_ivf_pq_residual_encoding(spark, tmp_path):
     """The IVFADC (residual) form: the encoding choice round-trips via
     meta/, appends encode with the STORED frame (build A then append B

@@ -630,17 +630,13 @@ def test_progressive_truncated_scan_refused():
         decode_jpeg(prog[: len(prog) - 30])
 
 
-def test_mjpeg_avi_decode():
-    """Motion-JPEG AVI: RIFF walking, avih dims/fps, per-frame decode
-    through the library's own JPEG codec, Y4M-shaped luma features;
-    non-JPEG frames and truncations refused."""
+def _make_mjpeg_avi():
+    """(avi bytes, source grays) — a 5-frame Motion-JPEG AVI built from
+    the library's own JPEG encoder; shared by the decode and
+    frame-sampling tests."""
     import struct
 
     from railgun_spark.operators.jpeg import encode_gray_jpeg
-    from railgun_spark.operators.multimodal import (
-        decode_avi_mjpeg,
-        decode_video,
-    )
 
     rng = np.random.RandomState(61)
     w, h, n_frames = 16, 8, 5
@@ -656,6 +652,29 @@ def test_mjpeg_avi_decode():
     movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpgs))
     body = b"AVI " + hdrl + movi
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    return avi, grays
+
+
+def test_mjpeg_avi_decode():
+    """Motion-JPEG AVI: RIFF walking, avih dims/fps, per-frame decode
+    through the library's own JPEG codec, Y4M-shaped luma features;
+    non-JPEG frames and truncations refused."""
+    import struct
+
+    from railgun_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_video,
+    )
+
+    avi, grays = _make_mjpeg_avi()
+    w, h, n_frames = 16, 8, 5
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<IIIIIIIIII", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
 
     d = decode_avi_mjpeg(avi)
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
@@ -675,7 +694,6 @@ def test_mjpeg_avi_decode():
     bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
     with pytest.raises(ValueError, match="not JPEG"):
         decode_avi_mjpeg(bad)
-    return avi, grays
 
 
 def test_mjpeg_avi_frame_sampling(spark):
@@ -686,7 +704,7 @@ def test_mjpeg_avi_frame_sampling(spark):
         sample_frames_y4m,
     )
 
-    avi, grays = test_mjpeg_avi_decode()
+    avi, grays = _make_mjpeg_avi()
     df = spark.createDataFrame([(9, "video", bytearray(avi), {})], MEDIA_SCHEMA)
     rows = {r["frame_idx"]: r["luma_mean"]
             for r in sample_frames_y4m(df, every_n=2).collect()}

@@ -244,6 +244,27 @@ def test_mask_grid_cache_warm_and_invalidation(spark, tmp_path, monkeypatch):
         cat.layer_mask_grid("bars", 10, 292, 391, 12, 10 + t)
     assert len(cat._grid_cache) <= 4
 
+    # an invalidation landing MID-COMPUTE (generation bump between the
+    # cache miss and the insert) must not cache the stale grid: the
+    # caller gets its consistent result, the next request recomputes
+    cat._grid_cache.clear()
+    before = calls["n"]
+
+    def bumping(*a, **kw):
+        calls["n"] += 1
+        # simulate a layer update racing the compute
+        cat.update(Layer(name="bars", datastore="pts"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, "tile_mask_grid", bumping)
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 1)
+    assert calls["n"] == before + 1
+    assert len(cat._grid_cache) == 0  # stale grid discarded, not cached
+    monkeypatch.setattr(serving, "tile_mask_grid", counting)
+    cat.layer_mask_grid("bars", 10, 292, 391, 12, 1)
+    assert calls["n"] == before + 2  # recomputed under the new generation
+    assert len(cat._grid_cache) == 1
+
 
 def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
