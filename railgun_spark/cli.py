@@ -676,10 +676,13 @@ def cmd_ann(args) -> int:
                   "apply to --pq builds", file=sys.stderr)
             return 2
         cents = None
+        train_sample = None if args.train_sample == -1 else args.train_sample
         if args.train_iters:
             from railgun_spark.operators.similarity import train_ivf_centroids
 
-            cents = train_ivf_centroids(vecs, k=args.k, iters=args.train_iters)
+            cents = train_ivf_centroids(vecs, k=args.k,
+                                        iters=args.train_iters,
+                                        sample=train_sample)
         if args.pq:
             from railgun_spark.operators.similarity import (
                 PQ_KS,
@@ -699,7 +702,8 @@ def cmd_ann(args) -> int:
                         vecs, cents or _centroid_rows(vecs, args.k)
                     )
                 books = train_pq_codebooks(
-                    train_on, m=pq_m, ks=pq_ks, iters=args.pq_train_iters
+                    train_on, m=pq_m, ks=pq_ks, iters=args.pq_train_iters,
+                    sample=train_sample,
                 )
             n = build_fn(vecs, args.index, k=args.k, ks=pq_ks, m=pq_m,
                          store_raw=args.store_raw, centroids=cents,
@@ -1158,6 +1162,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="build: Lloyd-train the coarse quantizer for N "
                    "iterations before indexing (recall-efficient pruning "
                    "on clustered data; default 0 = first-K quantizer)")
+    p.add_argument("--train-sample", dest="train_sample", type=int,
+                   default=0,
+                   help="build: bound the Lloyd training input to ~N "
+                   "vectors (deterministic vec_id-hash sample; applies to "
+                   "--train-iters and --pq-train-iters). Default 0 = auto "
+                   "(max(256 per centroid/codeword, 100k)); -1 trains on "
+                   "the full corpus")
     p.add_argument("--rerank", type=int, default=0,
                    help="search --pq: re-score the ADC top-R shortlist by "
                    "exact cosine against the stored raw vectors (needs a "

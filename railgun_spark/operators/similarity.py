@@ -1726,7 +1726,43 @@ def _recover_ivf(index_path: str) -> None:
         _recover_index(os.path.join(os.path.dirname(vecs.rstrip("/")), "raw"))
 
 
-def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
+# Lloyd training inputs are bounded to ~this many vectors per centroid/
+# codeword (FAISS's guidance: quantizer quality saturates around
+# 256 points per cell; training past that buys nothing but wall time).
+TRAIN_SAMPLE_PER_CENTROID = 256
+# ... but never fewer than this many vectors total, so small-K quantizers
+# still see a corpus-shaped sample
+TRAIN_SAMPLE_MIN = 100_000
+
+
+def _training_sample(emb: DataFrame, target: int) -> DataFrame:
+    """Bounded deterministic Lloyd-training input: if the corpus exceeds
+    `target` rows, keep a ~target-row hash bucket (xxhash64 of vec_id —
+    the stable_sample discipline: the choice is a pure function of row
+    identity, stable across runs, partitionings, and appends). Either
+    way the result is localCheckpoint'd, so every training iteration
+    scans a MATERIALIZED bounded frame instead of re-reading the corpus
+    — at 100 TB this is the difference between m*iters full-corpus
+    passes and one sampling pass (quantizer quality saturates at a few
+    hundred points per cell; FAISS trains on max(256*k, ~1e5) vectors
+    for the same reason). The checkpointed frame is bounded by ~target
+    rows x dim doubles — driver-independent, executor-resident."""
+    n = emb.count()
+    if n > target:
+        # integer-permille keep decision — exact fraction arithmetic on
+        # the hash, no float sampling nondeterminism
+        denom = 1_000_000
+        keep = int(target * denom // n)
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) < F.lit(keep)
+        )
+    return emb.localCheckpoint()
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = 5,
+    sample: int | None = 0,
+) -> list:
     """Lloyd-train a coarse quantizer from the first-K init: `iters`
     rounds of map-only assignment (broadcast-literal centroids) + one
     (cluster, pos) shuffle each. Returns [(cid, vector)] for
@@ -1735,8 +1771,18 @@ def train_ivf_centroids(emb: DataFrame, k: int = IVF_K, iters: int = 5) -> list:
     pruning (ANN_RECALL_CLUSTERED_r15: recall@10 = 0.775 at 3.1% of
     lists scanned vs ~= scanned-fraction untrained). A cluster that
     empties mid-training keeps its previous centroid so the quantizer
-    stays k-wide. `emb` needs (vec_id, v)."""
+    stays k-wide. `emb` needs (vec_id, v).
+
+    `sample` bounds the Lloyd input (_training_sample): 0 (default)
+    auto-sizes to max(256*k, 100k) vectors; an explicit int is the
+    bound; None trains on the full corpus. The first-K init always
+    comes from the FULL corpus, so when the bound doesn't bind the
+    result is identical to full-corpus training."""
+    if sample == 0:
+        sample = max(TRAIN_SAMPLE_PER_CENTROID * k, TRAIN_SAMPLE_MIN)
     base = emb.select("vec_id", F.col("v").alias("e"))
+    if sample is not None:
+        base = _training_sample(base, sample)
     cents = dict(_centroid_rows(emb, k))
     # K-routed like _kmeans_loop: a production coarse quantizer
     # (K ~ sqrt(N)) trains through the Arrow BLAS assignment
@@ -1763,17 +1809,31 @@ def residual_frame(emb: DataFrame, centroids: list) -> DataFrame:
 def train_pq_codebooks(
     emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS, iters: int = 10,
     tol: float = 1e-4,
+    sample: int | None = 0,
 ) -> dict:
     """Lloyd-train per-subspace PQ codebooks from the first-K init, in
     build_ivf_pq_index's `codebooks` shape ({m: [(j, subvector)]},
     1-based ascending j). The DataFrame twin of `pq_train` (which reads
     an sf_dir): each subspace runs the shared _kmeans_loop over the
     SLICED frame — map-only assignment vs broadcast-literal codewords +
-    one ks*ds-row shuffle per iteration, so training cost is m
-    sequential passes regardless of corpus size. Codeword ids are
-    re-keyed to 1..ks by ascending init vec_id so codes stay 1-based
-    array positions. `emb` needs (vec_id, v)."""
+    one ks*ds-row shuffle per iteration. Codeword ids are re-keyed to
+    1..ks by ascending init vec_id so codes stay 1-based array
+    positions. `emb` needs (vec_id, v).
+
+    `sample` bounds the Lloyd input (_training_sample): 0 (default)
+    auto-sizes to max(256*ks, 100k) vectors; an explicit int is the
+    bound; None trains on the full corpus. Without the bound, m
+    subspaces x iters iterations means m*iters FULL-CORPUS passes — at
+    m=16, iters=10 that is 160 passes, the difference between a
+    minutes-long build step and a day at 100 TB; with it, one sampling
+    pass materializes a bounded frame all m loops share. The first-ks
+    init always comes from the FULL corpus, so when the bound doesn't
+    bind the result is identical to full-corpus training."""
+    if sample == 0:
+        sample = max(TRAIN_SAMPLE_PER_CENTROID * ks, TRAIN_SAMPLE_MIN)
     base = emb.select("vec_id", F.col("v").alias("e"))
+    if sample is not None:
+        base = _training_sample(base, sample)
     init_rows = _centroid_rows(emb, ks)
     dim = len(init_rows[0][1])
     ds = dim // m

@@ -718,7 +718,8 @@ def test_ann_subcommand(spark, capsys, tmp_path):
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
         "indexed": 180, "k": 8, "pq": False, "store_raw": False,
-        "train_iters": 0, "pq_m": 0, "pq_ks": 0, "pq_train_iters": 0,
+        # non-PQ build: no code geometry to report
+        "train_iters": 0, "pq_m": None, "pq_ks": None, "pq_train_iters": 0,
         "pq_residual": False}
 
     # append an exact copy of vec_id 0 under a new id
@@ -760,7 +761,8 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     assert rc == 0
     assert json.loads(capsys.readouterr().out) == {
         "indexed": 199, "k": 8, "pq": True, "store_raw": False,
-        "train_iters": 0, "pq_m": 0, "pq_ks": 0, "pq_train_iters": 0,
+        # EFFECTIVE geometry (defaults resolved), matching `ann info`
+        "train_iters": 0, "pq_m": 4, "pq_ks": 4, "pq_train_iters": 0,
         "pq_residual": False}
     assert "codes" in spark.read.parquet(f"{idx}/vecs").columns
     assert "v" not in spark.read.parquet(f"{idx}/vecs").columns

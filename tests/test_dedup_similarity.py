@@ -2205,6 +2205,75 @@ def test_np_round6_half_up_and_int32_cid_validation():
         _int32_cids([1, 2**31])
 
 
+def test_sampled_quantizer_training_parity(spark):
+    """Bounded-sample Lloyd training (the FAISS max(256*k, 1e5) recipe):
+    the deterministic vec_id-hash sample is stable across partitionings
+    and ~target-sized; a NON-binding bound trains identically to the
+    full corpus (the auto default must not change any existing build);
+    a binding bound trains a quantizer / codebooks whose quantization
+    error on the FULL corpus stays within tolerance of full-corpus
+    training."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        _pq_geometry,
+        _training_sample,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    n = 3000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(17 + i) for i in range(16)]).alias("v"),
+    ).localCheckpoint()
+
+    # the sample is deterministic (same ids regardless of partitioning)
+    # and close to the target size
+    s1 = sorted(r["vec_id"] for r in
+                _training_sample(emb, 600).select("vec_id").collect())
+    s2 = sorted(r["vec_id"] for r in
+                _training_sample(emb.repartition(7), 600)
+                .select("vec_id").collect())
+    assert s1 == s2
+    assert 400 <= len(s1) <= 800
+
+    # non-binding bound (auto default at this scale): identical result
+    full = train_ivf_centroids(emb, k=8, iters=2, sample=None)
+    auto = train_ivf_centroids(emb, k=8, iters=2)  # auto = 100k > n
+    assert full == auto
+
+    # binding bound: quantization error on the FULL corpus within
+    # tolerance of full-corpus training
+    X = np.array([r["v"] for r in emb.orderBy("vec_id").collect()])
+
+    def centroid_mse(cents):
+        C = np.array([cv for _, cv in cents])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d.min(axis=1).mean()
+
+    sampled = train_ivf_centroids(emb, k=8, iters=2, sample=600)
+    assert centroid_mse(sampled) <= 1.25 * centroid_mse(full)
+
+    # PQ codebooks: same discipline, error measured per-subspace encode
+    def pq_mse(books):
+        ms, ds, _ = _pq_geometry(books)
+        tot = 0.0
+        for i, m in enumerate(ms):
+            sub = X[:, m * ds:(m + 1) * ds]
+            B = np.array([cv for _, cv in books[m]])
+            d = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+            tot += d.min(axis=1).mean()
+        return tot
+
+    books_full = train_pq_codebooks(emb, m=4, ks=8, iters=2, sample=None)
+    books_auto = train_pq_codebooks(emb, m=4, ks=8, iters=2)
+    assert books_full == books_auto
+    books_sampled = train_pq_codebooks(emb, m=4, ks=8, iters=2, sample=600)
+    assert pq_mse(books_sampled) <= 1.25 * pq_mse(books_full)
+
+
 def test_ivf_pq_residual_encoding(spark, tmp_path):
     """The IVFADC (residual) form: the encoding choice round-trips via
     meta/, appends encode with the STORED frame (build A then append B
