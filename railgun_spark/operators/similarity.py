@@ -2235,6 +2235,33 @@ def _residual_pandas(cents: list):
     return res
 
 
+# raw/ is written with SMALL parquet row groups (bytes; ~500 rows at
+# 64-dim doubles) and rows sorted by vec_id within each file, so the
+# rerank leg's pushed In(vec_id) shortlist filter prunes at row-group
+# granularity — see _write_raw_store.
+RAW_STORE_BLOCK_BYTES = 256 * 1024
+
+
+def _write_raw_store(rows: DataFrame, target: str, mode: str) -> None:
+    """The refine store's layout discipline, shared by build, append,
+    and compaction: cid-partitioned like the codes, rows SORTED by
+    vec_id within each file, small parquet row groups
+    (RAW_STORE_BLOCK_BYTES). Sorted + small groups is what makes the
+    rerank shortlist's pushed In(vec_id) filter a point lookup: each
+    shortlisted id intersects one row group's min/max, so the refine
+    read materializes ~rows-per-group rows per shortlisted id —
+    O(queries x rerank) — instead of the probed lists' ENTIRE raw
+    partitions, the one search cost that tracked index size in the
+    lifecycle grid (INGEST_GRID_ANN_r16: PQ+rerank p50 7.1 -> 15.1 s
+    at 50k -> 500k)."""
+    (rows.repartition(F.col("cid"))
+         .sortWithinPartitions("cid", "vec_id")
+         .write.mode(mode)
+         .option("parquet.block.size", RAW_STORE_BLOCK_BYTES)
+         .partitionBy("cid")
+         .parquet(target))
+
+
 def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
                        residual: bool) -> None:
     _local_df(
@@ -2335,9 +2362,7 @@ def build_ivf_pq_index(
     if store_raw:
         # the SAME assigned frame as codes/ — a divergent re-derivation
         # here would break the rerank join's cid equality
-        assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(f"{index_path}/raw")
+        _write_raw_store(assigned, f"{index_path}/raw", "overwrite")
     _local_df(
         spark, [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -2471,10 +2496,34 @@ def ann_ivf_pq_search_index(
         .filter(F.col("arnk") <= rerank)
         .join(queries.select("qid", F.col("v").alias("qv")), "qid")
         .select("qid", "vec_id", "label", "cid", "qv")
+        # materialized once: the id collect below and the refine join
+        # must not re-run the whole ADC leg
+        .localCheckpoint()
     )
+    # shortlist-shaped refine read: the survivors' vec_ids (K-bounded:
+    # <= queries x rerank rows) are pushed into the raw scan as an In
+    # filter. raw/ is written sorted by vec_id with small row groups
+    # (_write_raw_store), so the parquet row-group statistics prune the
+    # scan to ~rows-per-group rows per shortlisted id — the refine read
+    # stops tracking list size.
+    sl_ids = sorted(
+        int(r["vec_id"])
+        for r in shortlist.select("vec_id").distinct().collect()
+    )
+    # past this threshold Spark pushes In to parquet as a min/max RANGE,
+    # which prunes nothing for ids sprinkled across a list — raise it to
+    # the shortlist size so the OR-of-eq form reaches the row-group
+    # statistics (session conf; bounded by queries x rerank)
+    thr = int(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
+    if thr <= len(sl_ids):
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(len(sl_ids) + 1),
+        )
     raw = spark.read.parquet(f"{index_path}/raw").filter(
         F.col("cid").isin([int(c) for c in probed_cids])
-    )
+    ).filter(F.col("vec_id").isin(sl_ids))
     w2 = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
     )
@@ -2912,10 +2961,9 @@ def append_to_ivf_pq_index(new_vecs: DataFrame, index_path: str) -> int:
         # or reranked top-k would silently drop every appended vector (the
         # refine join finds no raw row for them)
         if _ivf_has_raw(spark, index_path):
-            assigned.select("vec_id", "label", "v", "cid").repartition(
-                F.col("cid")
-            ).write.mode("append").partitionBy("cid").parquet(
-                f"{index_path}/raw"
+            _write_raw_store(
+                assigned.select("vec_id", "label", "v", "cid"),
+                f"{index_path}/raw", "append",
             )
         return assigned.count()
     finally:
@@ -3033,9 +3081,14 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> int:
             parent = os.path.dirname(os.path.abspath(live.rstrip("/")))
             tmp = tempfile.mkdtemp(prefix=".ivf_compact_", dir=parent)
             try:
-                distinct.repartition(F.col("cid")).write.mode(
-                    "overwrite"
-                ).partitionBy("cid").parquet(tmp)
+                if live == raw:
+                    # preserve the refine store's point-lookup layout
+                    # (vec_id sort + small row groups)
+                    _write_raw_store(distinct, tmp, "overwrite")
+                else:
+                    distinct.repartition(F.col("cid")).write.mode(
+                        "overwrite"
+                    ).partitionBy("cid").parquet(tmp)
                 os.chmod(tmp, src_mode)
                 backup = live.rstrip("/") + ".compact_backup"
                 if os.path.exists(backup):

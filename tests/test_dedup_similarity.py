@@ -2182,6 +2182,70 @@ def test_ivf_wide_k_kernels_match_column_path(spark):
     assert diff == 0.0
 
 
+def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path):
+    """The rerank leg's raw read is shortlist-shaped: the ADC survivors'
+    vec_ids are pushed into the raw/ scan as a parquet In filter (raw/
+    is written vec_id-sorted with small row groups so the filter prunes
+    at row-group granularity), and the reranked top-k is unchanged —
+    identical to the exact brute-force cosine ranking over the probed
+    lists."""
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        ann_ivf_pq_search_index,
+        build_ivf_pq_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
+    queries = emb.filter(F.col("vec_id").isin([0, 9])).select(
+        F.col("vec_id").alias("qid"), "v"
+    )
+    idx = str(tmp_path / "pqraw")
+    build_ivf_pq_index(emb, idx, exclude_ids=(0, 9), store_raw=True)
+
+    got = ann_ivf_pq_search_index(spark, queries, idx, rerank=25, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the refine scan carries the pushed shortlist filter (vec_id is a
+    # DATA column of raw/, so it lands in PushedFilters, not the cid
+    # partition filter)
+    assert "In(vec_id" in plan, plan
+    rows = got.collect()
+    assert {int(r["qid"]) for r in rows} == {0, 9}
+    assert all(int(r["rnk"]) <= 5 for r in rows)
+    # values unchanged: the reranked top-5 must equal an independent
+    # exact-cosine re-scoring of the SAME ADC shortlist (rerank=0,
+    # topk=25 IS that shortlist by construction)
+    import numpy as np
+
+    from railgun_spark.operators.similarity import _np_round6
+
+    adc = ann_ivf_pq_search_index(spark, queries, idx, topk=25).collect()
+    vecs = {int(r["vec_id"]): np.array(r["v"])
+            for r in emb.collect()}
+    for qid in (0, 9):
+        qv = vecs[qid]
+        cand = [(int(r["vec_id"]), int(r["cid"])) for r in adc
+                if int(r["qid"]) == qid]
+        scored = sorted(
+            (
+                -float(_np_round6(np.array([
+                    vecs[v] @ qv
+                    / (np.linalg.norm(vecs[v]) * np.linalg.norm(qv))
+                ]))[0]),
+                v, c,
+            )
+            for v, c in cand
+        )
+        expect = [(v, c) for _, v, c in scored[:5]]
+        got_q = [(int(r["vec_id"]), int(r["cid"])) for r in
+                 sorted((r for r in rows if int(r["qid"]) == qid),
+                        key=lambda r: int(r["rnk"]))]
+        assert got_q == expect, (qid, got_q, expect)
+
+
 def test_np_round6_half_up_and_int32_cid_validation():
     """_np_round6 rounds 1e-6 midpoints HALF UP (away from zero) like
     Spark F.round and the DuckDB oracles — np.round's half-to-even would

@@ -11,7 +11,7 @@ each scan fraction buys. Recall is measured, not assumed: the first-K
 coarse quantizer is untrained, so low-nprobe recall is a FLOOR (trained
 kmeans centroids tighten the lists; the layout is identical).
 
-Usage: python tools/ann_recall_probe.py [--out FILE] [--clustered]
+Usage: python tools/ann_recall_probe.py [--out FILE] [--clustered|--widek]
 Prints one JSON line:
 {"metric": "ann_ivf_recall", "points": [
   {"k": K, "nprobe": P, "recall_at_10": R, "wall_s": W,
@@ -26,6 +26,12 @@ recall >> lists_scanned_frac at nprobe << k — the property IVF is FOR.
 It also runs the IVF-PQ pure-ADC vs exact-rerank comparison at the same
 nprobe, showing the refine leg lifting recall past the PQ resolution
 cap. Emits {"metric": "ann_ivf_recall_clustered", ...}.
+
+--widek: recall at PRODUCTION quantizer width (K=512 / K=1024 over a
+50k planted-cluster corpus), sweeping nprobe with ADC and rerank50
+modes, full- vs sampled-trained quantizers, and per-point nprobe
+ceilings; states a measured production default.
+Emits {"metric": "ann_ivf_recall_widek", ...}.
 """
 
 from __future__ import annotations
@@ -220,6 +226,208 @@ def clustered_main(out: "str | None") -> int:
     return 0
 
 
+def widek_main(out: "str | None") -> int:
+    """Recall at PRODUCTION quantizer width (VERDICT r16 worklist #1):
+    the r16 recall ladder ran at K=32 while the wide-K grid measured
+    K=512 perf only — this mode measures the missing curve. Planted
+    clusters (C centers << K lists, so the trained quantizer
+    SUB-partitions each cluster — the production regime where a query's
+    neighbors spread over several lists), coarse quantizer Lloyd-trained
+    through the library's own wide-K BLAS path, 16x256-residual codes
+    (the r16 production geometry), swept across nprobe with both
+    pure-ADC and rerank50 modes. Each point also reports the nprobe
+    CEILING (fraction of true top-10 inside the probed lists) so code
+    quality and probe coverage are separated. The quantizer is trained
+    twice — full corpus and the bounded deterministic sample
+    (worklist #2) — and the whole grid runs against both, so
+    recall-unchanged-under-sampled-training is a measured column, not a
+    claim. Emits {"metric": "ann_ivf_recall_widek", ...} with a
+    production_default block stating the recommended (K, nprobe,
+    geometry, rerank) and its measured recall/scanned fraction."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        _np_round6,
+        ann_ivf_pq_search_index,
+        build_ivf_pq_index,
+        train_ivf_centroids,
+    )
+    from railgun_spark.session import get_spark
+
+    N, DIM, C, SIGMA, NQ = 50_000, 64, 200, 0.2, 20
+    M, KS = 16, 256
+    # (K, quantizer-training, nprobes): K=512 measures the r16 wide-K
+    # grid's geometry with full-vs-sampled training parity; K=1024 is
+    # the production-K row — at a FIXED scanned fraction, finer lists
+    # cover the query's neighborhood more precisely, so recall at
+    # nprobe/K <= ~5% rises with K (the standard IVF scaling move, and
+    # the reason production K tracks sqrt(N))
+    CONFIGS = (
+        (512, "full", {"sample": None}, (2, 8, 16, 32)),
+        (512, "sampled-20k", {"sample": 20_000}, (2, 8, 16, 32)),
+        (1024, "sampled-20k", {"sample": 20_000}, (8, 16, 32, 48)),
+    )
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((C, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    owner = rng.integers(0, C, size=N + NQ)
+    pts = centers[owner] + SIGMA * rng.standard_normal((N + NQ, DIM))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+
+    spark = get_spark("ann_recall_widek")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(N + NQ, dtype=np.int64),
+        "label": [f"c{c}" for c in owner],
+        "v": [row.tolist() for row in pts],
+    })
+    emb = spark.createDataFrame(pdf).localCheckpoint()
+    query_ids = list(range(N, N + NQ))
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), "v"
+    ).localCheckpoint()
+    indexed = emb.filter(~F.col("vec_id").isin(query_ids))
+
+    # exact ground truth, driver-side BLAS (50k x 20 is driver-trivial;
+    # rounded-cosine desc with vec_id tiebreak, the search's semantics)
+    Xi, Xq = pts[:N], pts[N:]
+    sims = _np_round6(Xq @ Xi.T)  # unit vectors: dot = cosine
+    exact = {}
+    for qi in range(NQ):
+        order = np.lexsort((np.arange(N), -sims[qi]))[:TOPK]
+        exact[N + qi] = [int(v) for v in order]
+
+    def recall_of(got_rows) -> float:
+        by_q: dict[int, set] = {}
+        for r in got_rows:
+            by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(by_q.get(q, set()) & set(v)) / TOPK for q, v in exact.items()
+        ) / len(exact)
+
+    def train_codebooks(sample: np.ndarray, m: int, ncode: int,
+                        iters: int = 8):
+        ds = sample.shape[1] // m
+        books = {}
+        for mm in range(m):
+            sub = sample[:, mm * ds:(mm + 1) * ds]
+            cb = sub[:ncode].copy()
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for j in range(ncode):
+                    sel = sub[a == j]
+                    if len(sel):
+                        cb[j] = sel.mean(axis=0)
+            books[mm] = [(j + 1, cb[j].tolist()) for j in range(ncode)]
+        return books
+
+    points = []
+    for K, trained_on, sample_kw, NPROBES in CONFIGS:
+        t0 = time.time()
+        trained = train_ivf_centroids(
+            indexed.select("vec_id", "v"), k=K, iters=5, **sample_kw
+        )
+        train_s = time.time() - t0
+        print(f"quantizer[K={K} {trained_on}] trained in {train_s:.1f}s",
+              flush=True)
+
+        # per-nprobe recall CEILING: fraction of each query's true
+        # top-10 inside its nprobe nearest lists (driver BLAS, the
+        # search's own argmax/argsort semantics)
+        cmat = np.asarray([cv for _, cv in trained])
+        c_n = np.linalg.norm(cmat, axis=1)
+        a_sims = _np_round6(
+            (Xi @ cmat.T)
+            / (np.linalg.norm(Xi, axis=1)[:, None] * c_n[None, :])
+        )
+        assigned_cid = a_sims.argmax(axis=1)  # first-max = lowest cid pos
+        q_sims = _np_round6(
+            (Xq @ cmat.T)
+            / (np.linalg.norm(Xq, axis=1)[:, None] * c_n[None, :])
+        )
+        q_order = np.argsort(-q_sims, axis=1, kind="stable")
+
+        def ceiling(nprobe: int) -> float:
+            tot = 0.0
+            for qi in range(NQ):
+                probed = set(q_order[qi, :nprobe].tolist())
+                tot += sum(
+                    1 for v in exact[N + qi] if assigned_cid[v] in probed
+                ) / TOPK
+            return tot / NQ
+
+        # residual codebooks against THIS quantizer (driver kmeans on
+        # the residualized corpus — the r16 ladder's recipe)
+        a_cents = cmat[assigned_cid]
+        books = train_codebooks(Xi - a_cents, M, KS)
+
+        with tempfile.TemporaryDirectory(prefix="ivfpq_widek_") as d:
+            t0 = time.time()
+            build_ivf_pq_index(emb, d, k=K, exclude_ids=tuple(query_ids),
+                               store_raw=True, centroids=trained,
+                               codebooks=books, residual=True)
+            build_s = time.time() - t0
+            print(f"build[K={K} {trained_on}] {build_s:.1f}s", flush=True)
+            for nprobe in NPROBES:
+                ceil = round(ceiling(nprobe), 4)
+                for mode, kw in (("adc", {}), ("rerank50", {"rerank": 50})):
+                    t0 = time.time()
+                    got = ann_ivf_pq_search_index(
+                        spark, queries, d, nprobe=nprobe, topk=TOPK, **kw
+                    ).collect()
+                    pt = {
+                        "quantizer": trained_on, "k": K,
+                        "geometry": f"{M}x{KS}-res", "mode": mode,
+                        "nprobe": nprobe,
+                        "recall_at_10": round(recall_of(got), 4),
+                        "nprobe_ceiling": ceil,
+                        "wall_s": round(time.time() - t0, 2),
+                        "lists_scanned_frac": round(nprobe / K, 4),
+                        "train_s": round(train_s, 1),
+                        "build_s": round(build_s, 1),
+                    }
+                    points.append(pt)
+                    print(
+                        f"K={K:4d} {trained_on:11s} {mode:8s} nprobe={nprobe:3d} "
+                        f"recall@10={pt['recall_at_10']:.4f} "
+                        f"ceiling={ceil:.4f} "
+                        f"scanned={pt['lists_scanned_frac']:.4f}",
+                        flush=True,
+                    )
+
+    # production default: the cheapest measured (K, nprobe, mode)
+    # meeting recall@10 >= 0.9 at <= ~5% of lists scanned, on a
+    # SAMPLED-trained quantizer (the production training path)
+    candidates = [
+        p for p in points
+        if p["quantizer"].startswith("sampled") and p["recall_at_10"] >= 0.9
+        and p["lists_scanned_frac"] <= 0.05
+    ]
+    default = min(
+        candidates, key=lambda p: (p["lists_scanned_frac"], p["mode"] != "adc")
+    ) if candidates else None
+    line = json.dumps({
+        "metric": "ann_ivf_recall_widek", "n": N, "dim": DIM,
+        "planted_clusters": C, "sigma": SIGMA, "n_queries": NQ,
+        "k_values": sorted({c[0] for c in CONFIGS}),
+        "geometry": f"{M}x{KS}-res",
+        "points": points,
+        "production_default": default and {
+            "k": default["k"], "nprobe": default["nprobe"],
+            "geometry": default["geometry"], "mode": default["mode"],
+            "recall_at_10": default["recall_at_10"],
+            "lists_scanned_frac": default["lists_scanned_frac"],
+        },
+    })
+    print(line)
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -237,6 +445,10 @@ def main() -> int:
         if "--out" in sys.argv:
             out = sys.argv[sys.argv.index("--out") + 1]
         return clustered_main(out)
+    if "--widek" in sys.argv:
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        return widek_main(out)
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
 
