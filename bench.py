@@ -254,6 +254,29 @@ BENCH_SPECIAL = {
 # regression in ANY query visible. Not the per-round default (the driver's
 # budget fits the curated list), but tools/ and pre-release checks use it.
 
+# Iteration ordering (r17, VERDICT r16 #4): entries that build an index or
+# write shards INSIDE the timed region churn the page cache and spill
+# dirs, and in r16 the rows timed right after them carried medians 2-3x
+# above their mins (ann_ivf_search_only 3.90 vs 1.41 s) — iteration
+# variance, not regression. Each pass now runs the cache-sensitive
+# search-only rows FIRST and the build-inside/pipeline entries LAST, so
+# their churn lands after everything tight has been timed.
+_BUILD_INSIDE = [
+    "ann_ivf_index_topk", "ann_ivf_pq_index_topk", "ann_ivf_pq_rerank_topk",
+    "ann_ivf_pq_residual_topk", "ann_ivf_pq_wide_topk",
+]
+_PIPELINE_LAST = ["prepare_end_to_end"]
+
+
+def _ordered(names: list) -> list:
+    head = [n for n in names
+            if n in BENCH_SPECIAL and n not in _PIPELINE_LAST]
+    rest = [n for n in names
+            if n not in _BUILD_INSIDE and n not in BENCH_SPECIAL]
+    tail = ([n for n in names if n in _BUILD_INSIDE]
+            + [n for n in names if n in _PIPELINE_LAST])
+    return head + rest + tail
+
 
 def main():
     from railgun_spark import suite
@@ -271,11 +294,20 @@ def main():
         qs["pricing_summary"](spark, sf_dir).collect()
     except Exception:
         pass  # the timed loop will record the error per-query
+    # prime the search-only rows' cached indexes UNTIMED: the one-time
+    # builds are not search cost, and folding them into iteration 1
+    # made those rows' medians 2-3x their mins in r16
+    if not os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        for kind in ("ivf", "pq", "wide_res"):
+            try:
+                _ann_bench_index(spark, sf_dir, kind)
+            except Exception:
+                pass  # the timed row will record the error
 
     if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1":
-        all_names = list(qs) + list(BENCH_SPECIAL)
+        all_names = _ordered(list(qs) + list(BENCH_SPECIAL))
     else:
-        all_names = BENCH_QUERIES + list(BENCH_SPECIAL)
+        all_names = _ordered(BENCH_QUERIES + list(BENCH_SPECIAL))
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:  # comma list: targeted re-bench while iterating on a query
         wanted = [n.strip() for n in only.split(",") if n.strip()]
@@ -356,6 +388,10 @@ def main():
     headline = {
         "metric": "suite_total_runtime",
         "value": total,
+        # min alongside median (VERDICT r16 #4): a headline that only
+        # sums mins hides variance, one that only sums medians reads
+        # iteration noise as regression — report both
+        "value_median": round(sum(medians.values()), 3),
         "unit": "sec",
         "n_queries": len(done),
         "n_errors": len(errors),

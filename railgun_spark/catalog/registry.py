@@ -94,6 +94,12 @@ class Catalog:
     _grid_cache: dict[tuple, tuple] = field(default_factory=dict)
     _grid_cache_max: int = 1024
     _grid_cache_lock: object = field(default_factory=_threading.Lock)
+    # data-tile feature lists (layer_tile_features) — same TTL/mtime/
+    # generation discipline as the mask grids, separate dict with a
+    # smaller cap because a cached unit is up to `limit` GeoJSON
+    # features, not a 2^8 x 2^8 int grid
+    _tile_cache: dict[tuple, tuple] = field(default_factory=dict)
+    _tile_cache_max: int = 256
     # bumped (under the lock) by every update/delete invalidation: a grid
     # computed OUTSIDE the lock is inserted only if the generation it
     # started under is still current, so an invalidation landing
@@ -120,11 +126,13 @@ class Catalog:
         bucket[obj.name] = obj
         if isinstance(obj, (Layer, DataStore)):
             # a redefined layer expression / datastore uri invalidates any
-            # cached mask grids computed under the old definition (the
-            # whole cache is driver-tiny; selective purge isn't worth it)
+            # cached mask grids / tile features computed under the old
+            # definition (both caches are driver-bounded; selective purge
+            # isn't worth it)
             with self._grid_cache_lock:
                 self._grid_cache_gen += 1
                 self._grid_cache.clear()
+                self._tile_cache.clear()
 
     def list(self, kind: type) -> list:
         return sorted(self.objects[_PLURAL[kind]].values(), key=lambda o: o.name)
@@ -142,6 +150,7 @@ class Catalog:
             with self._grid_cache_lock:
                 self._grid_cache_gen += 1
                 self._grid_cache.clear()
+                self._tile_cache.clear()
 
     def _dependents(self, kind: type, name: str) -> list[str]:
         deps: list[str] = []
@@ -305,6 +314,46 @@ class Catalog:
                     self._grid_cache.pop(next(iter(self._grid_cache)), None)
                 self._grid_cache[key] = (mtime, now, grid)
         return grid
+
+    def layer_tile_features(
+        self, name: str, z: int, x: int, y: int,
+        limit: int | None = None, user_dfl: str | None = None,
+        buffer_tiles: int = 1,
+    ) -> list:
+        """TTL + source-mtime cached data-tile features — the reference
+        caches layer DATA with the same 5-min TTL (cache/Cache.go:25-79)
+        that layer_mask_grid applies to mask grids; without it the data
+        route recomputed the bbox filter + collect per request (warm
+        tiles_data p50 0.38-0.43 s at 12-wide sf1, SERVE_CONC_SF1_r16,
+        vs the mask's 31-36 ms). The cached unit is the driver-resident
+        GeoJSON feature list (bounded by `limit`); invalidation is
+        layer_mask_grid's exactly: datastore rewrite (mtime), layer/
+        datastore update or delete (generation counter discards grids
+        AND mid-compute results), TTL expiry."""
+        layer: Layer = self.get(Layer, name)
+        ds: DataStore = self.get(DataStore, layer.datastore)
+        uri = self._resolve_uri(ds.uri, layer.defaults or {})
+        mtime = os.path.getmtime(uri) if os.path.exists(uri) else -1.0
+        key = (name, z, x, y, limit, user_dfl, buffer_tiles)
+        now = time.time()
+        with self._grid_cache_lock:
+            ent = self._tile_cache.get(key)
+            gen = self._grid_cache_gen
+        if ent and ent[0] == mtime and now - ent[1] < self.ttl_seconds:
+            return ent[2]
+        from railgun_spark.geo.serving import tile_data
+
+        feats = tile_data(
+            self.layer_frame(name), z, x, y,
+            layer_extent=tuple(layer.extent) if layer.extent else None,
+            user_dfl=user_dfl, limit=limit, buffer_tiles=buffer_tiles,
+        )
+        with self._grid_cache_lock:
+            if gen == self._grid_cache_gen:
+                if len(self._tile_cache) >= self._tile_cache_max:
+                    self._tile_cache.pop(next(iter(self._tile_cache)), None)
+                self._tile_cache[key] = (mtime, now, feats)
+        return feats
 
     def exec_service(self, name: str, variables: dict | None = None):
         """cache -> defaults -> request variable merge

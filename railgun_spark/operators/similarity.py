@@ -2241,6 +2241,13 @@ def _residual_pandas(cents: list):
 # granularity — see _write_raw_store.
 RAW_STORE_BLOCK_BYTES = 256 * 1024
 
+# max ids per pushed In filter on the refine read — parquet evaluates the
+# or(eq, ...) chain Spark builds for a pushed In recursively, and chains
+# past ~1000 terms overflow the scan task's stack; bigger shortlists are
+# split into unioned scans of this size (disjoint ids, identical total
+# row groups read)
+_RAW_IN_PUSHDOWN_CHUNK = 128
+
 
 def _write_raw_store(rows: DataFrame, target: str, mode: str) -> None:
     """The refine store's layout discipline, shared by build, append,
@@ -2501,29 +2508,42 @@ def ann_ivf_pq_search_index(
         .localCheckpoint()
     )
     # shortlist-shaped refine read: the survivors' vec_ids (K-bounded:
-    # <= queries x rerank rows) are pushed into the raw scan as an In
-    # filter. raw/ is written sorted by vec_id with small row groups
+    # <= queries x rerank rows) are pushed into the raw scan as In
+    # filters. raw/ is written sorted by vec_id with small row groups
     # (_write_raw_store), so the parquet row-group statistics prune the
     # scan to ~rows-per-group rows per shortlisted id — the refine read
-    # stops tracking list size.
+    # stops tracking list size. The ids are pushed in chunks of
+    # _RAW_IN_PUSHDOWN_CHUNK unioned together: Spark converts a pushed
+    # In to a LEFT-DEEP or(eq, ...) chain that parquet evaluates
+    # recursively, and a ~1000-id chain overflows the task stack
+    # (measured at the widek probe's 20x50 shortlist); 128-deep is
+    # comfortably safe, and the union's branches touch disjoint ids so
+    # the total row groups read are identical to one wide filter.
     sl_ids = sorted(
         int(r["vec_id"])
         for r in shortlist.select("vec_id").distinct().collect()
     )
-    # past this threshold Spark pushes In to parquet as a min/max RANGE,
-    # which prunes nothing for ids sprinkled across a list — raise it to
-    # the shortlist size so the OR-of-eq form reaches the row-group
-    # statistics (session conf; bounded by queries x rerank)
+    # below this threshold Spark pushes In as OR-of-eq; past it, as a
+    # min/max RANGE, which prunes nothing for ids sprinkled across a
+    # list — pin it just above the chunk size (session conf)
     thr = int(spark.conf.get(
         "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
-    if thr <= len(sl_ids):
+    if thr <= _RAW_IN_PUSHDOWN_CHUNK:
         spark.conf.set(
             "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(len(sl_ids) + 1),
+            str(_RAW_IN_PUSHDOWN_CHUNK + 1),
         )
-    raw = spark.read.parquet(f"{index_path}/raw").filter(
+    base_raw = spark.read.parquet(f"{index_path}/raw").filter(
         F.col("cid").isin([int(c) for c in probed_cids])
-    ).filter(F.col("vec_id").isin(sl_ids))
+    )
+    chunks = [
+        sl_ids[i:i + _RAW_IN_PUSHDOWN_CHUNK]
+        for i in range(0, len(sl_ids), _RAW_IN_PUSHDOWN_CHUNK)
+    ] or [[]]
+    scans = [base_raw.filter(F.col("vec_id").isin(c)) for c in chunks]
+    raw = scans[0]
+    for s in scans[1:]:
+        raw = raw.unionByName(s)
     w2 = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
     )

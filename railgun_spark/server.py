@@ -170,6 +170,10 @@ def create_app(
 
     _mask_body_cache: dict[tuple, tuple] = {}
     _mask_body_lock = _threading.Lock()
+    # serialized data-tile bodies, same identity-validation discipline
+    # against the catalog's cached feature list (layer_tile_data)
+    _data_body_cache: dict[tuple, tuple] = {}
+    _data_body_lock = _threading.Lock()
 
     def _require_auth():
         """Bearer check for mutating routes (GroupHandler.go:100-109).
@@ -297,24 +301,33 @@ def create_app(
 
     @app.route("/layers/<name>/tiles/data/<int:z>/<int:x>/<int:y>.<ext>")
     def layer_tile_data(name, z, x, y, ext):
-        from railgun_spark.geo.serving import feature_collection, tile_data
+        from flask import Response
 
-        layer = catalog.get(MODEL_TYPES["Layer"], name)
-        df = catalog.layer_frame(name)
+        from railgun_spark.geo.serving import feature_collection
+
         try:
             limit = int(request.args.get("limit", -1))
         except ValueError:
             return _render({"error": "limit must be an integer"}, ext), 400
-        feats = tile_data(
-            df,
-            z,
-            x,
-            y,
-            layer_extent=tuple(layer.extent) if layer.extent else None,
-            user_dfl=request.args.get("dfl"),
-            limit=limit,
+        user_dfl = request.args.get("dfl")
+        # features through the catalog's TTL+mtime cache (the reference
+        # caches layer DATA with the same 5-min TTL, cache/Cache.go:
+        # 25-79); the serialized body is memoized per format against the
+        # feature list's IDENTITY, exactly the mask route's discipline —
+        # a warm repeat is a dict lookup, no Spark job and no re-encode
+        feats = catalog.layer_tile_features(
+            name, z, x, y, limit=limit, user_dfl=user_dfl
         )
-        return _render(feature_collection(feats), ext)
+        key = (name, z, x, y, limit, user_dfl, ext)
+        ent = _data_body_cache.get(key)
+        if ent is None or ent[0] is not feats:
+            resp = _render(feature_collection(feats), ext)
+            ent = (feats, resp.get_data(), resp.mimetype)
+            with _data_body_lock:
+                if len(_data_body_cache) >= 256:
+                    _data_body_cache.pop(next(iter(_data_body_cache)), None)
+                _data_body_cache[key] = ent
+        return Response(ent[1], mimetype=ent[2])
 
     @app.route("/layers/<name>/tiles/mask/<int:z>/<int:x>/<int:y>.<ext>")
     def layer_tile_mask(name, z, x, y, ext):

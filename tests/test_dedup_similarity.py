@@ -2245,6 +2245,15 @@ def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path):
                         key=lambda r: int(r["rnk"]))]
         assert got_q == expect, (qid, got_q, expect)
 
+    # a shortlist past the pushdown chunk (2 queries x rerank 200 ->
+    # several hundred distinct ids) splits into unioned <=128-id scans:
+    # one wide pushed In becomes a ~N-deep or(eq...) chain that parquet
+    # evaluates recursively and overflows the task stack near 1000 terms
+    big = ann_ivf_pq_search_index(
+        spark, queries, idx, rerank=200, topk=3
+    ).collect()
+    assert len(big) == 6 and {int(r["qid"]) for r in big} == {0, 9}
+
 
 def test_np_round6_half_up_and_int32_cid_validation():
     """_np_round6 rounds 1e-6 midpoints HALF UP (away from zero) like

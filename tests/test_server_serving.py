@@ -266,6 +266,88 @@ def test_mask_grid_cache_warm_and_invalidation(spark, tmp_path, monkeypatch):
     assert len(cat._grid_cache) == 1
 
 
+def test_data_tile_cache_warm_and_invalidation(spark, tmp_path, monkeypatch):
+    """The data-tile route's feature cache (the reference caches layer
+    DATA with the same 5-min TTL, cache/Cache.go:25-79): a warm repeat
+    skips the bbox query entirely; params are part of the key; a
+    datastore rewrite (mtime), layer update, or TTL expiry recomputes;
+    an invalidation landing mid-compute is not cached."""
+    import os
+    import time as _time
+
+    import railgun_spark.geo.serving as serving
+
+    data = tmp_path / "pts.jsonl"
+    w, s, e, n = tile_bbox(10, 292, 391)
+    rows = [
+        {"id": i, "amenity": "bar",
+         "lon": w + (e - w) * 0.5, "lat": s + (n - s) * 0.5}
+        for i in range(4)
+    ]
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+    cat = Catalog(spark)
+    cat.add(DataStore(name="pts", uri=str(data), format="jsonl"))
+    cat.add(Layer(name="bars", datastore="pts"))
+
+    calls = {"n": 0}
+    real = serving.tile_data
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, "tile_data", counting)
+
+    f1 = cat.layer_tile_features("bars", 10, 292, 391, limit=-1)
+    assert calls["n"] == 1 and len(f1) == 4
+    # warm repeat: same list object, no recompute
+    assert cat.layer_tile_features("bars", 10, 292, 391, limit=-1) is f1
+    assert calls["n"] == 1
+    # different params = different key
+    f2 = cat.layer_tile_features("bars", 10, 292, 391, limit=2)
+    assert calls["n"] == 2 and len(f2) == 2
+    cat.layer_tile_features("bars", 10, 292, 391, limit=-1,
+                            user_dfl="filter(@, '@amenity == bar')")
+    assert calls["n"] == 3
+
+    # datastore rewrite: mtime change invalidates
+    os.utime(data, (os.path.getmtime(data) + 5,) * 2)
+    cat.layer_tile_features("bars", 10, 292, 391, limit=-1)
+    assert calls["n"] == 4
+
+    # layer update invalidates
+    cat.update(Layer(name="bars", datastore="pts"))
+    cat.layer_tile_features("bars", 10, 292, 391, limit=-1)
+    assert calls["n"] == 5
+
+    # TTL expiry invalidates
+    cat.ttl_seconds = 0.01
+    _time.sleep(0.02)
+    cat.layer_tile_features("bars", 10, 292, 391, limit=-1)
+    assert calls["n"] == 6
+
+    # bounded + mid-compute invalidation discarded (same generation
+    # discipline as the mask grid cache)
+    cat.ttl_seconds = 300.0
+    cat._tile_cache_max = 4
+    for t in range(8):
+        cat.layer_tile_features("bars", 10, 292, 391, limit=10 + t)
+    assert len(cat._tile_cache) <= 4
+
+    cat._tile_cache.clear()
+    before = calls["n"]
+
+    def bumping(*a, **kw):
+        calls["n"] += 1
+        cat.update(Layer(name="bars", datastore="pts"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(serving, "tile_data", bumping)
+    cat.layer_tile_features("bars", 10, 292, 391, limit=-1)
+    assert calls["n"] == before + 1
+    assert len(cat._tile_cache) == 0
+
+
 def test_server_tiles(app_client):
     r = app_client.get("/layers/bars/tiles/data/10/292/391.json")
     fc = r.get_json()

@@ -115,9 +115,19 @@ def main() -> int:
     import itertools
 
     _cold_thresh = itertools.count(100)
+    _cold_limit = itertools.count(10_000)
     endpoints = {
+        # r17: the data route caches features with the same TTL+mtime
+        # discipline as the mask grid (registry.layer_tile_features), so
+        # the fixed-key data lanes are WARM repeats too; tiles_data_cold
+        # varies the limit per request so every call misses the cache
+        # and pays the bbox query + collect
         "tiles_data_z4": lambda: get("/layers/events/tiles/data/4/8/5.json?limit=500"),
         "tiles_data_z8": lambda: get("/layers/events/tiles/data/8/128/88.json?limit=500"),
+        "tiles_data_cold": lambda: get(
+            "/layers/events/tiles/data/4/8/5.json"
+            f"?limit={next(_cold_limit)}"
+        ),
         "tiles_mask_z4": lambda: get("/layers/events/tiles/mask/4/8/5.png?zoom=8"),
         "tiles_mask_gif": lambda: get("/layers/events/tiles/mask/4/8/5.gif?zoom=8"),
         "tiles_mask_jpg": lambda: get("/layers/events/tiles/mask/4/8/5.jpg?zoom=8"),
