@@ -1031,7 +1031,9 @@ def media_refusal_report(spark, sf_dir: str) -> DataFrame:
     return media_decode_coverage(corpus)
 
 
-@query(
+@extra_query(
+    # r17 rotation: demoted to EXTRA — the GIF decode path stays
+    # certified by media_refusal_report and the byte-golden tests
     "gif_animation_report",
     # Each crafted animation's frame count and solid-gray frame values
     # derive from doc_id arithmetic, so the oracle predicts the decoded

@@ -2248,8 +2248,10 @@ def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    # r15 flagship: driver-gated (the offset candidate-headroom geometry)
+@extra_query(
+    # r15 flagship; r17 rotation: demoted to EXTRA — its coarse join
+    # algebra is exercised inside the driver-gated
+    # video_offset_coarse_recall canary
     "video_phash_offset_coarse_pairs",
     # The coarse twin of video_phash_offset_pairs: identical crafted
     # fixture and per-offset vote, but the join runs on the 2x32-bit

@@ -2872,7 +2872,9 @@ def _ivf_pq_residual_oracle(m: int = PQ_M, ks: int = PQ_KS) -> str:
     """
 
 
-@extra_query(
+@query(
+    # r17 rotation: promoted to the driver gate (the production IVFADC
+    # encoding deserves driver certification; VERDICT r16 #5)
     "ann_ivf_pq_residual_topk",
     oracle=_ivf_pq_residual_oracle(),
     doc=f"IVFADC residual encoding at the tiny oracle geometry "
