@@ -238,12 +238,15 @@ def widek_main(out: "str | None") -> int:
     pure-ADC and rerank50 modes. Each point also reports the nprobe
     CEILING (fraction of true top-10 inside the probed lists) so code
     quality and probe coverage are separated. The quantizer is trained
-    twice — full corpus and the bounded deterministic sample
-    (worklist #2) — and the whole grid runs against both, so
-    recall-unchanged-under-sampled-training is a measured column, not a
-    claim. Emits {"metric": "ann_ivf_recall_widek", ...} with a
-    production_default block stating the recommended (K, nprobe,
-    geometry, rerank) and its measured recall/scanned fraction."""
+    both ways — full corpus and the bounded deterministic sample
+    (worklist #2) — so recall-unchanged-under-sampled-training is a
+    measured column, not a claim; and the whole grid runs over TWO
+    corpora (tight sigma=0.05 and near-isotropic sigma=0.2 clusters),
+    because coverage at a fixed scanned fraction is a corpus property,
+    not a quantizer one. Emits {"metric": "ann_ivf_recall_widek", ...}
+    with a production_default block stating the recommended (K, nprobe,
+    geometry, rerank) and its measured recall/scanned fraction on both
+    corpora."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -256,55 +259,61 @@ def widek_main(out: "str | None") -> int:
     )
     from railgun_spark.session import get_spark
 
-    N, DIM, C, SIGMA, NQ = 50_000, 64, 200, 0.2, 20
+    N, DIM, C, NQ = 50_000, 64, 200, 20
     M, KS = 16, 256
-    # (K, quantizer-training, nprobes): K=512 measures the r16 wide-K
-    # grid's geometry with full-vs-sampled training parity; K=1024 is
-    # the production-K row — at a FIXED scanned fraction, finer lists
-    # cover the query's neighborhood more precisely, so recall at
-    # nprobe/K <= ~5% rises with K (the standard IVF scaling move, and
-    # the reason production K tracks sqrt(N))
-    CONFIGS = (
-        (512, "full", {"sample": None}, (2, 8, 16, 32)),
-        (512, "sampled-20k", {"sample": 20_000}, (2, 8, 16, 32)),
-        (1024, "sampled-20k", {"sample": 20_000}, (8, 16, 32, 48)),
+    # Two corpora, same centers/ownership, different cluster TIGHTNESS:
+    # sigma scales isotropic noise around unit centers, and its
+    # sqrt(dim)-scaled norm vs the unit center is what decides whether
+    # the corpus is really clustered. sigma=0.05 (noise norm ~0.4):
+    # tight clusters, the regime IVF is FOR. sigma=0.2 (noise norm
+    # ~1.6 > the center!): near-isotropic — the measured r17 finding is
+    # that there the probe-coverage ceiling is a pure function of the
+    # scanned FRACTION (K=512 and K=1024 trace the same curve), so no
+    # quantizer improvement helps and the only recall knob is nprobe.
+    # Per corpus: (K, quantizer-training, nprobes). K=512 carries the
+    # full-vs-sampled training parity; K=1024 pins the
+    # fixed-fraction-invariance finding on the diffuse corpus.
+    CORPORA = (
+        (0.05, (
+            (512, "sampled-20k", {"sample": 20_000}, (2, 8, 16, 32)),
+        )),
+        (0.2, (
+            (512, "full", {"sample": None}, (2, 8, 16, 32)),
+            (512, "sampled-20k", {"sample": 20_000}, (2, 8, 16, 32)),
+            (1024, "sampled-20k", {"sample": 20_000}, (8, 16, 32, 48)),
+        )),
     )
-    rng = np.random.default_rng(17)
-    centers = rng.standard_normal((C, DIM))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    owner = rng.integers(0, C, size=N + NQ)
-    pts = centers[owner] + SIGMA * rng.standard_normal((N + NQ, DIM))
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
 
     spark = get_spark("ann_recall_widek")
-    pdf = pd.DataFrame({
-        "vec_id": np.arange(N + NQ, dtype=np.int64),
-        "label": [f"c{c}" for c in owner],
-        "v": [row.tolist() for row in pts],
-    })
-    emb = spark.createDataFrame(pdf).localCheckpoint()
-    query_ids = list(range(N, N + NQ))
-    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), "v"
-    ).localCheckpoint()
-    indexed = emb.filter(~F.col("vec_id").isin(query_ids))
 
-    # exact ground truth, driver-side BLAS (50k x 20 is driver-trivial;
-    # rounded-cosine desc with vec_id tiebreak, the search's semantics)
-    Xi, Xq = pts[:N], pts[N:]
-    sims = _np_round6(Xq @ Xi.T)  # unit vectors: dot = cosine
-    exact = {}
-    for qi in range(NQ):
-        order = np.lexsort((np.arange(N), -sims[qi]))[:TOPK]
-        exact[N + qi] = [int(v) for v in order]
-
-    def recall_of(got_rows) -> float:
-        by_q: dict[int, set] = {}
-        for r in got_rows:
-            by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
-        return sum(
-            len(by_q.get(q, set()) & set(v)) / TOPK for q, v in exact.items()
-        ) / len(exact)
+    def make_corpus(sigma: float):
+        rng = np.random.default_rng(17)
+        centers = rng.standard_normal((C, DIM))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        owner = rng.integers(0, C, size=N + NQ)
+        pts = centers[owner] + sigma * rng.standard_normal((N + NQ, DIM))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(N + NQ, dtype=np.int64),
+            "label": [f"c{c}" for c in owner],
+            "v": [row.tolist() for row in pts],
+        })
+        emb = spark.createDataFrame(pdf).localCheckpoint()
+        query_ids = list(range(N, N + NQ))
+        queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"), "v"
+        ).localCheckpoint()
+        indexed = emb.filter(~F.col("vec_id").isin(query_ids))
+        # exact ground truth, driver-side BLAS (50k x 20 is
+        # driver-trivial; rounded-cosine desc with vec_id tiebreak, the
+        # search's semantics)
+        Xi, Xq = pts[:N], pts[N:]
+        sims = _np_round6(Xq @ Xi.T)  # unit vectors: dot = cosine
+        exact = {}
+        for qi in range(NQ):
+            order = np.lexsort((np.arange(N), -sims[qi]))[:TOPK]
+            exact[N + qi] = [int(v) for v in order]
+        return emb, queries, indexed, Xi, Xq, exact, query_ids
 
     def train_codebooks(sample: np.ndarray, m: int, ncode: int,
                         iters: int = 8):
@@ -324,14 +333,25 @@ def widek_main(out: "str | None") -> int:
         return books
 
     points = []
-    for K, trained_on, sample_kw, NPROBES in CONFIGS:
+    for SIGMA, CONFIGS in CORPORA:
+      emb, queries, indexed, Xi, Xq, exact, query_ids = make_corpus(SIGMA)
+
+      def recall_of(got_rows, exact=exact) -> float:
+        by_q: dict[int, set] = {}
+        for r in got_rows:
+            by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+        return sum(
+            len(by_q.get(q, set()) & set(v)) / TOPK for q, v in exact.items()
+        ) / len(exact)
+
+      for K, trained_on, sample_kw, NPROBES in CONFIGS:
         t0 = time.time()
         trained = train_ivf_centroids(
             indexed.select("vec_id", "v"), k=K, iters=5, **sample_kw
         )
         train_s = time.time() - t0
-        print(f"quantizer[K={K} {trained_on}] trained in {train_s:.1f}s",
-              flush=True)
+        print(f"quantizer[s={SIGMA} K={K} {trained_on}] trained in "
+              f"{train_s:.1f}s", flush=True)
 
         # per-nprobe recall CEILING: fraction of each query's true
         # top-10 inside its nprobe nearest lists (driver BLAS, the
@@ -378,6 +398,7 @@ def widek_main(out: "str | None") -> int:
                         spark, queries, d, nprobe=nprobe, topk=TOPK, **kw
                     ).collect()
                     pt = {
+                        "sigma": SIGMA,
                         "quantizer": trained_on, "k": K,
                         "geometry": f"{M}x{KS}-res", "mode": mode,
                         "nprobe": nprobe,
@@ -390,7 +411,8 @@ def widek_main(out: "str | None") -> int:
                     }
                     points.append(pt)
                     print(
-                        f"K={K:4d} {trained_on:11s} {mode:8s} nprobe={nprobe:3d} "
+                        f"s={SIGMA} K={K:4d} {trained_on:11s} {mode:8s} "
+                        f"nprobe={nprobe:3d} "
                         f"recall@10={pt['recall_at_10']:.4f} "
                         f"ceiling={ceil:.4f} "
                         f"scanned={pt['lists_scanned_frac']:.4f}",
@@ -398,20 +420,29 @@ def widek_main(out: "str | None") -> int:
                     )
 
     # production default: the cheapest measured (K, nprobe, mode)
-    # meeting recall@10 >= 0.9 at <= ~5% of lists scanned, on a
-    # SAMPLED-trained quantizer (the production training path)
+    # meeting recall@10 >= 0.9 at <= ~5% of lists scanned on the TIGHT
+    # (really-clustered) corpus, with a SAMPLED-trained quantizer (the
+    # production training path). The same cell's recall on the diffuse
+    # corpus rides along: on near-isotropic data the coverage ceiling
+    # is a function of scanned fraction alone and the knob is nprobe.
     candidates = [
         p for p in points
-        if p["quantizer"].startswith("sampled") and p["recall_at_10"] >= 0.9
-        and p["lists_scanned_frac"] <= 0.05
+        if p["sigma"] == 0.05 and p["quantizer"].startswith("sampled")
+        and p["recall_at_10"] >= 0.9 and p["lists_scanned_frac"] <= 0.05
     ]
     default = min(
         candidates, key=lambda p: (p["lists_scanned_frac"], p["mode"] != "adc")
     ) if candidates else None
+    diffuse_same = default and next(
+        (p for p in points
+         if p["sigma"] == 0.2 and p["k"] == default["k"]
+         and p["nprobe"] == default["nprobe"] and p["mode"] == default["mode"]
+         and p["quantizer"] == default["quantizer"]), None)
     line = json.dumps({
         "metric": "ann_ivf_recall_widek", "n": N, "dim": DIM,
-        "planted_clusters": C, "sigma": SIGMA, "n_queries": NQ,
-        "k_values": sorted({c[0] for c in CONFIGS}),
+        "planted_clusters": C,
+        "sigmas": [s for s, _ in CORPORA], "n_queries": NQ,
+        "k_values": sorted({c[0] for _, cfgs in CORPORA for c in cfgs}),
         "geometry": f"{M}x{KS}-res",
         "points": points,
         "production_default": default and {
@@ -419,6 +450,9 @@ def widek_main(out: "str | None") -> int:
             "geometry": default["geometry"], "mode": default["mode"],
             "recall_at_10": default["recall_at_10"],
             "lists_scanned_frac": default["lists_scanned_frac"],
+            "corpus_sigma": default["sigma"],
+            "diffuse_corpus_recall_at_10":
+                diffuse_same and diffuse_same["recall_at_10"],
         },
     })
     print(line)
