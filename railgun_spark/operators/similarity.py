@@ -2235,18 +2235,46 @@ def _residual_pandas(cents: list):
     return res
 
 
-# raw/ is written with SMALL parquet row groups (bytes; ~500 rows at
+# raw/ is written with page-sized parquet row groups (~50-100 rows at
 # 64-dim doubles) and rows sorted by vec_id within each file, so the
 # rerank leg's pushed In(vec_id) shortlist filter prunes at row-group
-# granularity — see _write_raw_store.
-RAW_STORE_BLOCK_BYTES = 256 * 1024
+# granularity — see _write_raw_store. Point-lookup stores want SMALL
+# groups (the DiskANN/ScaNN page-size discipline): each shortlisted id
+# costs one group read, so the pruned read is ids x group-bytes and the
+# group must be far smaller than an inverted list for pruning to win.
+RAW_STORE_BLOCK_BYTES = 32 * 1024
 
 # max ids per pushed In filter on the refine read — parquet evaluates the
 # or(eq, ...) chain Spark builds for a pushed In recursively, and chains
 # past ~1000 terms overflow the scan task's stack; bigger shortlists are
-# split into unioned scans of this size (disjoint ids, identical total
-# row groups read)
+# split into unioned scans of this size. The ids are chunked SORTED and
+# contiguous, so each branch's value range maps to a contiguous band of
+# the vec_id-sorted row groups — branches prune to near-disjoint group
+# sets and the union reads the same groups one wide filter would.
 _RAW_IN_PUSHDOWN_CHUNK = 128
+
+
+def _raw_probed_bytes(spark: SparkSession, index_path: str,
+                      cids: list) -> int:
+    """Total bytes under the probed raw/cid=... directories — the
+    driver-side metadata read (one content summary per probed list,
+    K-bounded) behind the refine read's prune-or-scan decision. Works
+    on local and remote schemes through the Hadoop FileSystem; a
+    missing dir (empty list) contributes 0."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for c in cids:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{index_path.rstrip('/')}/raw/cid={int(c)}"
+        )
+        try:
+            total += int(
+                p.getFileSystem(conf).getContentSummary(p).getLength()
+            )
+        except Exception:
+            pass
+    return total
 
 
 def _write_raw_store(rows: DataFrame, target: str, mode: str) -> None:
@@ -2523,27 +2551,38 @@ def ann_ivf_pq_search_index(
         int(r["vec_id"])
         for r in shortlist.select("vec_id").distinct().collect()
     )
-    # below this threshold Spark pushes In as OR-of-eq; past it, as a
-    # min/max RANGE, which prunes nothing for ids sprinkled across a
-    # list — pin it just above the chunk size (session conf)
-    thr = int(spark.conf.get(
-        "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
-    if thr <= _RAW_IN_PUSHDOWN_CHUNK:
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(_RAW_IN_PUSHDOWN_CHUNK + 1),
-        )
     base_raw = spark.read.parquet(f"{index_path}/raw").filter(
         F.col("cid").isin([int(c) for c in probed_cids])
     )
-    chunks = [
-        sl_ids[i:i + _RAW_IN_PUSHDOWN_CHUNK]
-        for i in range(0, len(sl_ids), _RAW_IN_PUSHDOWN_CHUNK)
-    ] or [[]]
-    scans = [base_raw.filter(F.col("vec_id").isin(c)) for c in chunks]
-    raw = scans[0]
-    for s in scans[1:]:
-        raw = raw.unionByName(s)
+    # prune-or-scan decision: the pruned read costs ~one row group per
+    # shortlisted id, so it only wins when ids x group-bytes is well
+    # under the probed lists' total bytes. Below that (small index or
+    # corpus-scale query batches, where the ids blanket every group),
+    # a single scan with a plain row-level In filter is strictly
+    # cheaper — no union branches, no per-group predicate evaluation.
+    probed_bytes = _raw_probed_bytes(spark, index_path, probed_cids)
+    if sl_ids and len(sl_ids) * RAW_STORE_BLOCK_BYTES * 2 < probed_bytes:
+        # below this threshold Spark pushes In as OR-of-eq; past it, as
+        # a min/max RANGE, which prunes nothing for ids sprinkled
+        # across a list — pin it just above the chunk size (session
+        # conf)
+        thr = int(spark.conf.get(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
+        if thr <= _RAW_IN_PUSHDOWN_CHUNK:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(_RAW_IN_PUSHDOWN_CHUNK + 1),
+            )
+        chunks = [
+            sl_ids[i:i + _RAW_IN_PUSHDOWN_CHUNK]
+            for i in range(0, len(sl_ids), _RAW_IN_PUSHDOWN_CHUNK)
+        ]
+        scans = [base_raw.filter(F.col("vec_id").isin(c)) for c in chunks]
+        raw = scans[0]
+        for s in scans[1:]:
+            raw = raw.unionByName(s)
+    else:
+        raw = base_raw.filter(F.col("vec_id").isin(sl_ids))
     w2 = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.col("vec_id"), F.col("cid")
     )

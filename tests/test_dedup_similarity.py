@@ -2182,15 +2182,18 @@ def test_ivf_wide_k_kernels_match_column_path(spark):
     assert diff == 0.0
 
 
-def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path):
-    """The rerank leg's raw read is shortlist-shaped: the ADC survivors'
-    vec_ids are pushed into the raw/ scan as a parquet In filter (raw/
-    is written vec_id-sorted with small row groups so the filter prunes
-    at row-group granularity), and the reranked top-k is unchanged —
-    identical to the exact brute-force cosine ranking over the probed
-    lists."""
+def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path, monkeypatch):
+    """The rerank leg's raw read is shortlist-shaped when that wins: on
+    a probed volume large relative to ids x row-group bytes, the ADC
+    survivors' vec_ids are pushed into the raw/ scan as parquet In
+    filters (raw/ is written vec_id-sorted with page-sized row groups
+    so the filter prunes at row-group granularity); on a small index
+    the single plain-filter scan is kept. Both branches return the
+    identical reranked top-k — pinned against an independent exact
+    re-scoring of the ADC shortlist."""
     from pyspark.sql import functions as F
 
+    import railgun_spark.operators.similarity as sim
     from railgun_spark.operators.similarity import (
         ann_ivf_pq_search_index,
         build_ivf_pq_index,
@@ -2206,13 +2209,26 @@ def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path):
     idx = str(tmp_path / "pqraw")
     build_ivf_pq_index(emb, idx, exclude_ids=(0, 9), store_raw=True)
 
+    # the tiny fixture index picks the single-scan branch (probed bytes
+    # nowhere near ids x group bytes): the In-pushdown threshold conf is
+    # left alone (the branch's observable side effect)
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "10")
     got = ann_ivf_pq_search_index(spark, queries, idx, rerank=25, topk=5)
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    # the refine scan carries the pushed shortlist filter (vec_id is a
-    # DATA column of raw/, so it lands in PushedFilters, not the cid
-    # partition filter)
-    assert "In(vec_id" in plan, plan
     rows = got.collect()
+    assert spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold") == "10"
+
+    # force the prune decision and re-run: the pushed-In branch raises
+    # the threshold so parquet gets OR-of-eq (row-group-prunable), and
+    # must produce the IDENTICAL rows
+    monkeypatch.setattr(sim, "_raw_probed_bytes",
+                        lambda *a, **kw: 10 ** 12)
+    pushed = ann_ivf_pq_search_index(spark, queries, idx, rerank=25, topk=5)
+    assert sorted(map(tuple, pushed.collect())) == sorted(map(tuple, rows))
+    assert int(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold")) > 100
+    # (the prune decision stays forced for the rest of the test, so the
+    # >chunk-size segment below exercises the unioned pushed scans)
     assert {int(r["qid"]) for r in rows} == {0, 9}
     assert all(int(r["rnk"]) <= 5 for r in rows)
     # values unchanged: the reranked top-5 must equal an independent
@@ -2249,9 +2265,9 @@ def test_rerank_refine_read_is_shortlist_shaped(spark, tmp_path):
     # several hundred distinct ids) splits into unioned <=128-id scans:
     # one wide pushed In becomes a ~N-deep or(eq...) chain that parquet
     # evaluates recursively and overflows the task stack near 1000 terms
-    big = ann_ivf_pq_search_index(
-        spark, queries, idx, rerank=200, topk=3
-    ).collect()
+    big_df = ann_ivf_pq_search_index(spark, queries, idx, rerank=200, topk=3)
+    assert "Union" in big_df._jdf.queryExecution().executedPlan().toString()
+    big = big_df.collect()
     assert len(big) == 6 and {int(r["qid"]) for r in big} == {0, 9}
 
 
