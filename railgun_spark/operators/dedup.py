@@ -510,12 +510,20 @@ def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
     Plan: windows as positions 1..len-K+1; join K words per window,
     hash60 (non-distinct: repeated windows inside one doc each count
     toward the doc's fraction, matching the oracle's unnest semantics).
-    ONE explode feeding one (h, doc_id) pre-aggregate: map-side combine
-    collapses intra-doc window repeats before the shuffle, every later
-    stage works on distinct (h, doc) pairs (strictly smaller). nd — the
-    distinct docs carrying h — is then a plain count(*) per h, so the
-    original plan's double window extraction and countDistinct's extra
-    internal shuffle both disappear: 7.7 s -> ~4 s at sf0.1."""
+    ONE explode, repartitioned by h so the (h, doc_id) pre-aggregate
+    (collapsing intra-doc window repeats) and the per-h distinct-doc
+    count REUSE that partitioning: nd is a count(*) window over h —
+    hashpartitioning(h) satisfies both the groupBy(h, doc_id) and the
+    window's required distributions, so neither adds an exchange. The
+    previous groupBy+self-join form planned the scan+explode+hash
+    subtree TWICE (the corpus was window-hashed twice per run) and
+    broadcast an h-cardinality table — r17 before-plan: 2 scans /
+    12 exchange-or-broadcast nodes; now 1 scan / 3 exchanges, and
+    nothing h-sized is ever broadcast (the join form's broadcast side
+    grows with corpus windows — a 100 TB landmine AQE would demote to
+    a sort-merge join, i.e. two MORE shuffles)."""
+    from pyspark.sql import Window
+
     ws = words(F.col("text"))
     k = DUP_WINDOW_K
     win_hashes = F.transform(
@@ -525,18 +533,17 @@ def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
     win = docs.filter(F.size(ws) >= k).select(
         "doc_id", F.explode(win_hashes).alias("h")
     )
-    per = win.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
-    per_h = per.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = win.repartition(F.col("h")).groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per = per.withColumn("nd", nd)
     dup = F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0))
     total = F.sum("cnt")
-    return (
-        per.join(per_h, "h")
-        .groupBy("doc_id")
-        .agg(
-            total.alias("n_windows"),
-            dup.alias("n_dup_windows"),
-            F.round(dup * F.lit(1.0) / total, 4).alias("dup_frac"),
-        )
+    return per.groupBy("doc_id").agg(
+        total.alias("n_windows"),
+        dup.alias("n_dup_windows"),
+        F.round(dup * F.lit(1.0) / total, 4).alias("dup_frac"),
     )
 
 
@@ -605,13 +612,20 @@ def span_removal_frame(
     survivor's windows still collide with its already-removed duplicates,
     and "keep one copy" silently becomes "keep zero copies".
 
-    Plan shape: one posexplode of map-side window hashes; duplicated
-    hashes detected with min(doc)!=max(doc) per hash (no countDistinct,
-    no second window extraction); covered positions built per doc from
-    the duplicated starts only; one left join hands each doc its covered
-    set. Shuffles carry (hash, doc, pos) 8-byte triples and the final
-    per-doc covered arrays — never window text. The rewrite itself is
-    pure map-side higher-order expressions over the word array."""
+    Plan shape: ONE posexplode of map-side window hashes, repartitioned
+    by hash; duplicated hashes detected with min(doc)!=max(doc) as
+    WINDOW functions over h on that single pass (no countDistinct, no
+    second window extraction — the previous groupBy+join form planned
+    the explode+md5 subtree twice and broadcast an h-cardinality table,
+    which at corpus scale AQE would demote to a sort-merge join that
+    shuffles and sorts the window rows anyway); covered positions built
+    per doc from the duplicated starts only; one left join hands each
+    doc its covered set. Shuffles carry (hash, doc, pos) 8-byte triples
+    and the final per-doc covered arrays — never window text. The
+    rewrite itself is pure map-side higher-order expressions over the
+    word array."""
+    from pyspark.sql import Window
+
     k = DUP_WINDOW_K
     base = docs.select(
         F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
@@ -624,9 +638,14 @@ def span_removal_frame(
     win = base.filter(F.size("ws") >= k).select(
         "doc_id", F.posexplode(win_hashes).alias("i0", "h")
     )
-    per_h = win.groupBy("h").agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
-    dupwin = win.join(per_h.filter("dup").select("h"), "h").select(
-        "doc_id", (F.col("i0") + 1).alias("i")
+    wh = Window.partitionBy("h")
+    dupwin = (
+        win.repartition(F.col("h"))
+        .withColumn(
+            "dup", F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        )
+        .filter("dup")
+        .select("doc_id", (F.col("i0") + 1).alias("i"))
     )
     cov = dupwin.groupBy("doc_id").agg(
         F.array_distinct(
