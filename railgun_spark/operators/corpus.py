@@ -89,27 +89,54 @@ def corpus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc (doc_id, reason) classification frame."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    keepers = (
-        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keeper"))
-    )
+    # single pass: md5 every doc ONCE and find each hash group's keeper
+    # (min doc_id) as a window over h — the groupBy+join form md5-hashed
+    # the whole corpus twice (two scans) and broadcast an h-cardinality
+    # keeper table (corpus-sized at scale; AQE would fall back to a
+    # sort-merge join that shuffles both sides anyway)
+    from pyspark.sql import Window
+
     exact_losers = (
         docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
-        .join(keepers, "h")
+        .withColumn("keeper", F.min("doc_id").over(Window.partitionBy("h")))
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id")
     )
 
-    pairs = minhash_dup_pairs(spark, sf_dir, 0.5)
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    )
-    near_losers = comp.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
+    # The three loser sets are INDEPENDENT pipelines (exact hash dedup,
+    # minhash+connected-components, n-gram decontamination) that the
+    # final classification only consumes as tiny broadcast id sets.
+    # Materialize them from a small thread pool (guide-§2.6 overlap:
+    # Spark happily runs concurrent jobs; each branch's tail of
+    # stragglers backfills with the other branches' tasks) instead of
+    # strictly sequentially — the id-set checkpoints are loser-sized,
+    # so pinning them costs nothing at any scale.
+    from concurrent.futures import ThreadPoolExecutor
 
-    contam = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    def _exact():
+        return exact_losers.localCheckpoint()
+
+    def _near():
+        pairs = minhash_dup_pairs(spark, sf_dir, 0.5)
+        comp = connected_components(
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        )
+        return comp.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias("doc_id")
+        )
+
+    def _contam():
+        return decontaminate_ngram_overlap(spark, sf_dir).select(
+            "doc_id"
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(_exact)
+        f_near = pool.submit(_near)
+        f_contam = pool.submit(_contam)
+        exact_losers, near_losers, contam = (
+            f_exact.result(), f_near.result(), f_contam.result()
+        )
 
     def flag(name: str, ids: DataFrame) -> DataFrame:
         return F.broadcast(ids.withColumn(name, F.lit(True)))
@@ -246,7 +273,7 @@ def prepare_training_shards(
     from railgun_spark.operators.text import bpe_token_estimate
     from railgun_spark.sources.sharding import (
         build_manifest,
-        write_manifest,
+        write_manifest_rows,
         write_training_shards,
     )
 
@@ -257,8 +284,17 @@ def prepare_training_shards(
     # split, packing, shard write) plus the summary counts re-reads this
     # frame several times, and without the checkpoint each action re-runs
     # the whole verdict pipeline (minhash + CC + decontam) from scratch —
-    # measured 20.7 s -> 8.2 s warm at sf0.1 for identical output
-    clean = docs.join(clean_ids, "doc_id").localCheckpoint()
+    # measured 20.7 s -> 8.2 s warm at sf0.1 for identical output.
+    # The summary's n_clean_docs rides the materialization as an
+    # observe() metric — no separate count job later.
+    from pyspark.sql import Observation
+
+    obs_clean = Observation()
+    clean = (
+        docs.join(clean_ids, "doc_id")
+        .observe(obs_clean, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     train = clean.filter(split_assignment(F.col("text")) == "train")
     n_span_rewritten = 0
     if remove_dup_spans:
@@ -317,7 +353,12 @@ def prepare_training_shards(
         F.col("doc_id").alias("orig_doc_id"),
         F.col("chunk_text").alias("text"),
     )
-    units = small.unionByName(chunked).localCheckpoint()
+    obs_units = Observation()
+    units = (
+        small.unionByName(chunked)
+        .observe(obs_units, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
 
     packed = pack_sequences(
         units, max_tokens, n_buckets=n_buckets, id_col="uid"
@@ -331,22 +372,37 @@ def prepare_training_shards(
     write_training_shards(
         rows, shards_path, sort_key="bin_id", records_per_shard=records_per_shard
     )
-    manifest = build_manifest(spark, shards_path, sort_key="bin_id")
-    write_manifest(manifest, f"{out_dir}/manifest.jsonl")
+    # one collect serves the manifest file AND n_shards — the previous
+    # manifest.count() re-ran the whole footer scan + per-shard groupBy
+    manifest_rows = build_manifest(spark, shards_path, sort_key="bin_id").collect()
+    write_manifest_rows(manifest_rows, f"{out_dir}/manifest.jsonl")
 
-    n_units = units.count()
-    n_packed_units = packed.count()
+    # summary pass discipline: every count that has a checkpointed (or
+    # observed) frame comes from ONE aggregate per frame, not one job per
+    # number — at corpus scale each extra count is a full pass.
+    # n_train_docs + n_chunked_docs share a single aggregate over the
+    # pinned clean corpus (the filter and token estimate run once).
+    tstats = train.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(toks > max_tokens, 1).otherwise(0)).alias("n_big"),
+    ).first()
+    pstats = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    ).first()
+    n_units = int(obs_units.get["n"])
+    n_packed_units = int(pstats["n"])
     return {
         "n_input_docs": docs.count(),
-        "n_clean_docs": clean.count(),
-        "n_train_docs": train.count(),
-        "n_chunked_docs": big.count(),
+        "n_clean_docs": int(obs_clean.get["n"]),
+        "n_train_docs": int(tstats["n_train"]),
+        "n_chunked_docs": int(tstats["n_big"] or 0),
         "n_units": n_units,
         "n_packed_units": n_packed_units,
         "n_dropped_units": n_units - n_packed_units,
         "n_covered_docs": rows.select("orig_doc_id").distinct().count(),
-        "n_bins": packed.select("bin_id").distinct().count(),
-        "n_shards": manifest.count(),
+        "n_bins": int(pstats["n_bins"]),
+        "n_shards": len(manifest_rows),
         "n_span_rewritten": n_span_rewritten,
     }
 

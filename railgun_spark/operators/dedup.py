@@ -1162,9 +1162,14 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     sig = sig.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
     )
+    # materialize the band keys ONCE: the self-join otherwise plans the
+    # whole signature pipeline (shingle explode + 16-permutation min
+    # aggregate) on BOTH sides — the corpus was being minhashed twice.
+    # The frame is NUM_BANDS rows/doc of (id, 8-byte key): far cheaper
+    # to pin than to recompute at any scale.
     bands = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
-    )
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1513,14 +1518,25 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     next) safe at corpus scale. Exhausting `max_iter` without reaching the
     fixpoint raises rather than silently returning partially-propagated
     labels: with the jump, 25 rounds cover diameters past 2^25."""
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col("a"), F.col("b")).union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     sym = sym.distinct().localCheckpoint()
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # the convergence probe (sum of labels) rides each checkpoint's
+    # materialization as an observe() metric instead of a separate
+    # agg job — one driver action per step, not two (the probe itself
+    # is unchanged: the label sum decreases monotonically)
+    obs0 = Observation()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .observe(obs0, F.sum("label").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         # re-alias BOTH columns: a bare F.col("label") would reuse labels'
         # attribute id, giving the union two children that share an id —
@@ -1544,12 +1560,14 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         jmp = labels.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        obs = Observation()
         labels = (
             labels.join(jmp, F.col("label") == F.col("jnode"))
             .select("node", F.col("jlabel").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

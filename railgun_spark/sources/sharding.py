@@ -76,12 +76,18 @@ def build_manifest(spark: SparkSession, path: str, sort_key: str) -> DataFrame:
 def write_manifest(manifest: DataFrame, path: str) -> None:
     """Persist the manifest as a single JSONL file (manifest rows are
     shard-cardinality — driver-sized by construction)."""
+    write_manifest_rows(manifest.collect(), path)
+
+
+def write_manifest_rows(rows: list, path: str) -> None:
+    """write_manifest over already-collected manifest rows — callers that
+    also need the shard count reuse one collect instead of re-running the
+    footer scan for a count()."""
     import json
 
-    rows = [r.asDict() for r in manifest.collect()]
     with open(path, "w") as f:
         for r in rows:
-            f.write(json.dumps(r, default=str) + "\n")
+            f.write(json.dumps(r.asDict(), default=str) + "\n")
 
 
 def verify_shards(spark: SparkSession, out_dir: str, sort_key: str = "bin_id") -> dict:
