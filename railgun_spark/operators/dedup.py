@@ -328,7 +328,12 @@ def jaccard_similarity_join(
     s = _sets_frame(df, id_col, set_col, bc)
     tok = _tokens(s, bc)
     df_tab = tok.groupBy(*bc, "__t").agg(F.count(F.lit(1)).alias("__df"))
-    pref = _rarest_first_prefixes(tok, df_tab, bc, tau_num, tau_den)
+    # pin the prefixes ONCE: the candidate self-join otherwise plans the
+    # whole prefix pipeline (token explode + df aggregate + window) on
+    # BOTH sides — two extra shuffles and a doubled corpus tokenization.
+    # The frame is p tokens/doc (a tau-shrunk subset of the token table),
+    # strictly cheaper to pin than to recompute.
+    pref = _rarest_first_prefixes(tok, df_tab, bc, tau_num, tau_den).localCheckpoint()
     pa, pb = pref.alias("a"), pref.alias("b")
     cond = (
         (F.col("a.__t") == F.col("b.__t"))
@@ -371,12 +376,16 @@ def jaccard_similarity_join_ab(
     L = _sets_frame(left, id_col, set_col, bc)
     R = _sets_frame(right, id_col, set_col, bc)
     ltok, rtok = _tokens(L, bc), _tokens(R, bc)
+    # pin the shared document-frequency table: both sides' prefix
+    # computations join it, and without the checkpoint the cross-table
+    # union + aggregate (a full tokenization of BOTH corpora) is planned
+    # twice — once under each prefix subtree
     df_tab = (
         ltok.select(*bc, "__t")
         .unionByName(rtok.select(*bc, "__t"))
         .groupBy(*bc, "__t")
         .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    ).localCheckpoint()
     pa = _rarest_first_prefixes(ltok, df_tab, bc, tau_num, tau_den).alias("a")
     pb = _rarest_first_prefixes(rtok, df_tab, bc, tau_num, tau_den).alias("b")
     cond = (F.col("a.__t") == F.col("b.__t")) & _size_ratio_ok(

@@ -189,10 +189,16 @@ def phash_near_dup_pairs(
             f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
             f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
         )
-    ex = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.col(hash_col).alias("__h"),
-        F.posexplode(phash_chunks(F.col(hash_col))).alias("ci", "cv"),
+    # pin the per-media hashes ONCE: the banded self-join otherwise
+    # plans the entire decode+hash pipeline (Arrow decode hop included)
+    # on BOTH sides — one (id, 8-byte hash) row per medium is strictly
+    # cheaper to pin than a second decode pass at any scale
+    ok = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    ).localCheckpoint()
+    ex = ok.select(
+        "__id", "__h",
+        F.posexplode(phash_chunks(F.col("__h"))).alias("ci", "cv"),
     )
     a, b = ex.alias("a"), ex.alias("b")
     ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
@@ -711,9 +717,12 @@ def video_phash_near_dup_pairs(
             f"pigeonhole blocking with {PHASH_BANDS} bands is lossless only "
             f"for hamming <= {PHASH_MAX_HAMMING}; got {max_hamming}"
         )
+    # pin the per-frame hashes ONCE: n_frames (read twice) + both join
+    # sides otherwise plan the decode+hash pipeline FOUR times — the
+    # before-plan carried 4 copies of the Arrow decode subtree
     fh = frame_hashes.filter(F.col("fhash").isNotNull()).select(
         F.col("media_id").alias("__id"), "frame_idx", F.col("fhash").alias("__h")
-    )
+    ).localCheckpoint()
     n_frames = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     ex = fh.select(
         "__id", "frame_idx", "__h",
@@ -1595,9 +1604,13 @@ def phash_wide_near_dup_pairs(
             f"pigeonhole blocking with {n_bands} bands is lossless "
             f"only for hamming <= {n_bands - 1}; got {max_hamming}"
         )
-    ok = hashes.filter(F.col("h0").isNotNull())
+    # pinned once: both self-join sides otherwise re-run the wide
+    # decode+hash pipeline (4 x 64-bit words per medium — tiny to pin)
+    ok = hashes.filter(F.col("h0").isNotNull()).select(
+        F.col(id_col).alias("__id"), *_WIDE_HASH_COLS
+    ).localCheckpoint()
     ex = ok.select(
-        F.col(id_col).alias("__id"),
+        "__id",
         *_WIDE_HASH_COLS,
         F.posexplode(
             phash_wide_chunks([F.col(c) for c in _WIDE_HASH_COLS], n_bands)
@@ -1941,9 +1954,11 @@ def video_phash_near_dup_pairs_offset(
             f"for hamming <= {cap}; got {max_hamming}"
         )
     chunk_fn = phash_chunks_coarse if coarse else phash_chunks
+    # pinned once — see video_phash_near_dup_pairs (4 planned copies of
+    # the decode pipeline otherwise: n_frames x2 + both join sides)
     fh = frame_hashes.filter(F.col("fhash").isNotNull()).select(
         F.col("media_id").alias("__id"), "frame_idx", F.col("fhash").alias("__h")
-    )
+    ).localCheckpoint()
     n_frames = fh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     ex = fh.select(
         "__id", "frame_idx", "__h",

@@ -21,6 +21,8 @@ Arrow-batched pandas_udf matmul per batch (BLAS), never per-row Python.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -629,7 +631,19 @@ IVF_NPROBE = 2
 
 
 def _lit_vec(values) -> Column:
-    return F.array(*[F.lit(float(x)) for x in values])
+    """Literal double-array Column in ONE py4j round-trip: the SQL text
+    parses JVM-side, vs one F.lit call per element (~0.5 ms each — a
+    K=16 x 64-dim centroid set cost ~0.5 s of pure DRIVER time per
+    query build, more than the query's executor time). repr() round-
+    trips doubles exactly and the D suffix pins DoubleType, so the
+    Literal is value-identical to the F.array(F.lit(...)) form (pinned
+    by test). Non-finite values (never produced by the quantizer/
+    centroid math, but cheap to guard) take the element-wise path —
+    'inf'/'nan' have no SQL literal spelling."""
+    vals = [float(x) for x in values]
+    if all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+    return F.array(*[F.lit(x) for x in vals])
 
 
 def _ivf_oracle() -> str:
@@ -781,7 +795,7 @@ KMEANS_K = 4
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    lit_c = _lit_vec(centroid)  # one py4j round-trip, not one per element
     diff2 = F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y))
     return F.round(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6)
 
@@ -1699,14 +1713,34 @@ def build_ivf_index(
     # one shuffle keyed by cid so each inverted list lands in few files
     # (a task per cid, not per (task, cid) — 32 upstream partitions would
     # otherwise spray k files each); at production scale raise
-    # spark.sql.shuffle.partitions so hot lists split across tasks
-    assigned.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/vecs")
-    _local_df(
-        spark, [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
-    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    return spark.read.parquet(f"{index_path}/vecs").count()
+    # spark.sql.shuffle.partitions so hot lists split across tasks.
+    # The indexed-vector count rides the write as an observe() metric —
+    # the previous read-back count() re-scanned the freshly written index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def _write_vecs():
+        assigned.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+            F.col("cid")
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            f"{index_path}/vecs"
+        )
+
+    def _write_cents():
+        _local_df(
+            spark, [(cid, cv) for cid, cv in cents],
+            "cid: int, cv: array<double>",
+        ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    # independent writes overlap (guide-§2.6): the tiny centroids job
+    # fills the vecs write's scheduling gaps instead of queueing after it
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv, fc = pool.submit(_write_vecs), pool.submit(_write_cents)
+        fv.result(), fc.result()
+    return int(obs.get["n"])
 
 
 def _recover_ivf(index_path: str) -> None:
@@ -2390,23 +2424,49 @@ def build_ivf_pq_index(
         "vec_id", "label", "cid",
         _pq_codes_col(enc_v, books).alias("codes"),
     )
-    coded.repartition(F.col("cid")).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(f"{index_path}/vecs")
-    _write_ivf_pq_meta(spark, index_path, residual)
+    # All five artifact writes are independent of each other; run them
+    # from a thread pool (guide-§2.6 overlap) — the codes and raw
+    # stores are the two heavy jobs (each a full assignment pass) and
+    # previously queued strictly after one another, with three tiny
+    # metadata writes serialized behind them. The indexed-vector count
+    # rides the codes write as an observe() metric instead of a
+    # read-back count() over the freshly written index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def _write_codes():
+        coded.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+            F.col("cid")
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            f"{index_path}/vecs"
+        )
+
+    jobs = [
+        _write_codes,
+        lambda: _write_ivf_pq_meta(spark, index_path, residual),
+        lambda: _local_df(
+            spark, [(cid, cv) for cid, cv in cents],
+            "cid: int, cv: array<double>",
+        ).write.mode("overwrite").parquet(f"{index_path}/centroids"),
+        lambda: _local_df(
+            spark,
+            [(m, j, cv) for m, entries in books.items() for j, cv in entries],
+            "m: int, j: int, cv: array<double>",
+        ).write.mode("overwrite").parquet(f"{index_path}/codebooks"),
+    ]
     if store_raw:
         # the SAME assigned frame as codes/ — a divergent re-derivation
         # here would break the rerank join's cid equality
-        _write_raw_store(assigned, f"{index_path}/raw", "overwrite")
-    _local_df(
-        spark, [(cid, cv) for cid, cv in cents], "cid: int, cv: array<double>"
-    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _local_df(
-        spark,
-        [(m, j, cv) for m, entries in books.items() for j, cv in entries],
-        "m: int, j: int, cv: array<double>",
-    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-    return spark.read.parquet(f"{index_path}/vecs").count()
+        jobs.append(
+            lambda: _write_raw_store(assigned, f"{index_path}/raw", "overwrite")
+        )
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
+    return int(obs.get["n"])
 
 
 def ann_ivf_pq_search_index(
