@@ -1121,14 +1121,24 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _docs_with_shingles(spark, sf_dir).select(
         "doc_id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
     )
-    exact = jaccard_similarity_join(s, "doc_id", "sh", 1, 2).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    lsh = (
-        minhash_dup_pairs(spark, sf_dir, 0.5)
-        .select("doc_a", "doc_b")
-        .withColumn("__hit", F.lit(1))
-    )
+    # the ground-truth and LSH legs are independent pipelines whose
+    # eager checkpoints (prefix table / signature bands) otherwise
+    # materialize strictly sequentially at build time — overlap them
+    # (guide-§2.6), same discipline as corpus_verdicts
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(
+            lambda: jaccard_similarity_join(s, "doc_id", "sh", 1, 2).select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+        f_lsh = pool.submit(
+            lambda: minhash_dup_pairs(spark, sf_dir, 0.5)
+            .select("doc_a", "doc_b")
+            .withColumn("__hit", F.lit(1))
+        )
+        exact, lsh = f_exact.result(), f_lsh.result()
     # LSH's verified pairs are a subset of the exact set (same J filter),
     # so one left join carries all three counts. The zero-exact-pairs
     # corpus (the healthy steady state this canary confirms) reports NULL

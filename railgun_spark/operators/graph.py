@@ -125,12 +125,18 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # reused every superstep; don't re-derive
     )
-    nodes = edges.select(F.col("src").alias("word")).distinct()
+    # pin the superstep INVARIANTS, not just the edge list: nodes and
+    # the outdeg-annotated edges are re-read by every iteration, and
+    # un-pinned each superstep re-planned the distinct + outdeg groupBy
+    # + join (two exchanges per iteration of pure recompute)
+    nodes = edges.select(F.col("src").alias("word")).distinct().localCheckpoint()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # the one driver scalar
 
     # pre-join outdeg onto edges once: each superstep is then join+groupBy
-    esrc = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    esrc = edges.join(outdeg, "src").select(
+        "src", "dst", "outdeg"
+    ).localCheckpoint()
     ranks = nodes.select(
         "word", F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("rank")
     )

@@ -2507,7 +2507,11 @@ def _coarse_canary_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "canary"),
 )
 def video_offset_coarse_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fh = _coarse_canary_frame_hashes(spark, sf_dir)
+    # pin the crafted frame hashes ONCE: both the exact and the coarse
+    # pair legs (and their internal n_frames/self-join reuse) otherwise
+    # re-plan the Y4M synth + decode pipeline — the before-plan carried
+    # 32 copies of the scan subtree
+    fh = _coarse_canary_frame_hashes(spark, sf_dir).localCheckpoint()
     exact = video_phash_near_dup_pairs_offset(
         fh, max_hamming=PHASH_MAX_HAMMING
     ).select("id_a", "id_b").distinct()

@@ -185,10 +185,12 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from railgun_spark.operators.dedup import shingles
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # pinned once: the marginals and BOTH self-join sides otherwise
+    # re-plan the shingle explode + distinct (4 scans in the before-plan)
     hs = (
         docs.select("source", F.explode(shingles(F.col("text"))).alias("shingle"))
         .distinct()
-    )
+    ).localCheckpoint()
     marg = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = hs.alias("a"), hs.alias("b")
     pairs = (

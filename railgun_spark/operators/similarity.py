@@ -332,15 +332,19 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
+    # pinned: sig feeds both band-filter join sides (16 ints/vector)
     sig = emb.select(
         "vec_id",
         lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS).alias("sig"),
-    )
+    ).localCheckpoint()
+    # pin the normalized vectors ONCE: the count, both block-matmul
+    # replication sides and both verify-join sides otherwise each
+    # re-plan the scan + norm pass (12 scans in the r17 before-plan)
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
     ).select(
         "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
-    )
+    ).localCheckpoint()
     n = emb_n.count()
     n_blocks = max(1, math.ceil(n / EXACT_BLOCK_ROWS))
     cand = exact_cosine_candidate_pairs(emb_n, NEAR_DUP_COS, n_blocks)
@@ -469,9 +473,13 @@ def embedding_neardup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
+    # pinned once — see embedding_near_dup_pairs (count + block matmul
+    # + both verify sides otherwise re-plan the scan + norm pass)
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
-    ).select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
+    ).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
+    ).localCheckpoint()
     n = emb_n.count()
     n_blocks = max(1, math.ceil(n / EXACT_BLOCK_ROWS))
     cand = exact_cosine_candidate_pairs(emb_n, NEAR_DUP_COS, n_blocks)
@@ -1468,9 +1476,15 @@ def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
+    # emb_n pinned once — the count, the block-matmul replication and
+    # both verify sides otherwise re-plan the scan + norm pass (sig is
+    # left lazy: its two cheap map-side uses don't repay a checkpoint
+    # job — measured neutral-to-negative at sf0.1)
     emb_n = emb.select(
         "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "v"
-    ).select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
+    ).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
+    ).localCheckpoint()
     sig = emb.select(
         "vec_id",
         lsh_bands_col(F.col("v"), NEAR_DUP_BANDS, NEAR_DUP_BAND_BITS).alias("sig"),

@@ -602,7 +602,9 @@ def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("word"),
-    ).distinct()
+    ).distinct().localCheckpoint()
+    # pinned once: the scalar count, the marginals and BOTH self-join
+    # sides otherwise re-plan the word explode + distinct (4 scans)
     n_docs = dw.select("doc_id").distinct().count()  # driver scalar
     a = dw.alias("a")
     b = dw.alias("b")
