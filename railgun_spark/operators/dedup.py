@@ -929,7 +929,10 @@ def containment_similarity_join(
     s = _sets_frame(df, id_col, set_col, [])
     tok = _tokens(s, [])
     df_tab = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    pref = _rarest_first_prefixes(tok, df_tab, [], tau_num, tau_den)
+    # pinned once — the candidate join otherwise re-plans the token
+    # explode + df aggregate + prefix window under its probe side too
+    # (same discipline as jaccard_similarity_join)
+    pref = _rarest_first_prefixes(tok, df_tab, [], tau_num, tau_den).localCheckpoint()
     pa, tb = pref.alias("a"), tok.alias("b")
     # a is the smaller (or equal, tie-broken by id) side by construction
     smaller = (F.col("a.__n") < F.col("b.__n")) | (
@@ -1312,7 +1315,10 @@ SIMHASH_CHUNKS = ((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = simhash_fingerprints(_docs_with_shingles(spark, sf_dir))
+    # pinned once: the banded self-join otherwise plans the shingle +
+    # sign-aggregate fingerprint pipeline on both sides (one 8-byte
+    # fingerprint row per doc — cheaper to pin than recompute anywhere)
+    fp = simhash_fingerprints(_docs_with_shingles(spark, sf_dir)).localCheckpoint()
     chunk_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))

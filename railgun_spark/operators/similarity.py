@@ -2509,14 +2509,30 @@ def ann_ivf_pq_search_index(
     costs R raw rows per query and removes that cap. The shortlist
     (Q×R rows) broadcasts into the pruned raw scan — no index-side
     shuffle, same discipline as the probes join."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
+    # the three K-bounded metadata reads (centroids, codebooks,
+    # encoding marker) are independent collects — overlap them
+    # (guide-§2.6) instead of paying three sequential driver round
+    # trips per search
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cents = pool.submit(
+            lambda: spark.read.parquet(f"{index_path}/centroids").collect()
+        )
+        f_books = pool.submit(
+            lambda: spark.read.parquet(f"{index_path}/codebooks").collect()
+        )
+        f_enc = pool.submit(_ivf_pq_encoding, spark, index_path)
+        cents_rows, books_rows, encoding = (
+            f_cents.result(), f_books.result(), f_enc.result()
+        )
     cents = sorted(
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+        (int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents_rows
     )
     books: dict = {}
-    for r in spark.read.parquet(f"{index_path}/codebooks").collect():
+    for r in books_rows:
         books.setdefault(int(r["m"]), []).append(
             (int(r["j"]), [float(x) for x in r["cv"]])
         )
@@ -2539,7 +2555,7 @@ def ann_ivf_pq_search_index(
             for i, m in enumerate(ms)
         ]
 
-    residual = _ivf_pq_encoding(spark, index_path) == "residual"
+    residual = encoding == "residual"
     if residual or len(cents) > _IVF_COLUMN_PATH_MAX_K:
         # IVFADC: the LUT for a probed list is computed on the QUERY'S
         # RESIDUAL against that list's centroid, matching the stored
