@@ -177,9 +177,12 @@ EXPECTED_EXTRA = {
     # REGISTRY siblings + this local gate)
     "ann_lsh_topk",  # LSH bucket scan: emb_near_dup_pairs' banded sign-LSH + the IVF/PQ gate rows certify
     "audio_phash_pairs",  # aligned 4x16 pairs: audio_phash_offset_pairs' pipeline supersets craft/decode/banding
-    # round-16 addition: the IVFADC residual-encoding algebra (codes +
-    # per-(query, probed-list) LUTs on v - centroid) certified vs SQL
-    "ann_ivf_pq_residual_topk",
+    # round-17 rotation: ann_ivf_pq_residual_topk (the production IVFADC
+    # encoding) promoted to the driver gate; these two capability-twins
+    # demoted (shapes stay certified by REGISTRY siblings + this local
+    # gate)
+    "gif_animation_report",  # GIF LZW/animation decode: media_refusal_report's codec matrix + image phash entries certify
+    "video_phash_offset_coarse_pairs",  # coarse 2x32 offset banding: its join algebra runs inside the driver-gated video_offset_coarse_recall
 }
 
 
