@@ -1570,24 +1570,28 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         msgs = sym.join(labels, sym.a == labels.node).select(
             F.col("b").alias("node"), F.col("label").alias("label")
         )
-        # checkpoint BEFORE the self-join: a union+groupBy lineage
-        # self-joined against itself trips Catalyst's union-constraint
-        # attribute rewrite (NoSuchElementException); a checkpointed frame
-        # has fresh attributes on each side. Node-sized frame, cheap.
-        labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        # min-label propagation and the pointer jump compose into ONE
+        # materialization per round (r17): the jump self-joins the
+        # un-checkpointed union+groupBy subtree against a RENAMED
+        # projection of itself — Spark 4.1's union constraint rewrite
+        # handles that (the historical NoSuchElementException needed a
+        # checkpoint between them; parity + convergence pinned by
+        # test_cc_* and the sf0.01 oracles). Halves the node-sized
+        # checkpoint writes and driver barriers per round: 2 -> 1 —
+        # at corpus scale each checkpoint is a full pass over the
+        # duplicate-graph node set.
+        prop = labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         # pointer jump: labels are node keys, so label(label(v)) is total.
         # The jump side is an explicitly RENAMED projection, not a plain
-        # self-alias: the alias form's dedup left the checkpointed output
-        # carrying a join constraint on an attribute outside its output,
-        # which the NEXT round's union constraint-rewrite cannot resolve.
-        jmp = labels.select(
+        # self-alias: the alias form's dedup left the output carrying a
+        # join constraint on an attribute outside its output, which the
+        # NEXT round's union constraint-rewrite cannot resolve.
+        jmp = prop.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
         obs = Observation()
         labels = (
-            labels.join(jmp, F.col("label") == F.col("jnode"))
+            prop.join(jmp, F.col("label") == F.col("jnode"))
             .select("node", F.col("jlabel").alias("label"))
             .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
