@@ -125,6 +125,12 @@ def band_keys(sig: Column, num_bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT spread_scan'd: shingling is regex/concat string
+    # work light enough that the repartition round-trip costs more than
+    # the parallelism buys on every consumer (A/B across the family:
+    # dedup_ngram_jaccard 3.21 -> 3.42 s, decontaminate_ngram_overlap
+    # 2.02 -> 2.30 s, dedup_containment_exact 3.59 -> 3.77 s with the
+    # spread). Contrast the per-window md5 passes below, which DO spread.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", "lang", shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
@@ -501,7 +507,12 @@ DUP_WINDOW_FRAC = 0.5
     tags=("dedup", "quality"),
 )
 def duplicated_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from railgun_spark.session import spread_scan
+
+    # the window explode + per-window md5 is the corpus-pass CPU floor;
+    # spread a single-file scan so it does not run on one core (§2.5);
+    # A/B 4.02 -> 1.69 s at sf0.1/local[32]
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), heavy=True)
     return (
         window_dup_frac_frame(docs)
         .filter(
@@ -607,7 +618,9 @@ def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
     tags=("dedup", "quality"),
 )
 def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from railgun_spark.session import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), heavy=True)
     return span_removal_frame(docs).orderBy("doc_id")
 
 

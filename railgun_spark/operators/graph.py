@@ -96,6 +96,9 @@ def _pagerank_oracle() -> str:
     tags=("graph", "iterative"),
 )
 def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT spread_scan'd: the word-explode groupBy shuffles
+    # right away and the superstep loop dominates — A/B showed the extra
+    # exchange costs more than the spread buys here (1.93 -> 2.24 s)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # slice of the sorted distinct-word array bounds the self-join fan-out
     # per doc at K·(K-1) regardless of document length (see PR_MAX_WORDS_PER_DOC)

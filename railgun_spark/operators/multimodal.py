@@ -84,17 +84,13 @@ def spread_for_decode(
     ms/row CPU dominates any shuffle at any size, so narrow inputs
     always spread. Unknown stats (Catalyst's 8-EiB default) count as
     big — the safe direction.
+
+    Delegates to ``session.spread_scan`` (r17): the same input-skew fix
+    applies to corpus-wide hash/shingle passes, so the logic lives once.
     """
-    if df.isStreaming:
-        return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    if not heavy:
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        if est < min_bytes:
-            return df
-    return df.repartition(target)
+    from railgun_spark.session import spread_scan
+
+    return spread_scan(df, heavy=heavy, min_bytes=min_bytes)
 
 
 def fake_decode(content: bytes, kind: str) -> dict:

@@ -184,6 +184,10 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from railgun_spark.operators.dedup import shingles
 
+    # deliberately NOT spread_scan'd: the shingle explode is pinned once
+    # below, and the repartition round-trip measured a wash for it
+    # (A/B min-of-5: 1.854 -> 1.885 s) — contrast span_dup_by_source,
+    # whose per-window md5 pass spreads for a 2.2x win
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # pinned once: the marginals and BOTH self-join sides otherwise
     # re-plan the shingle explode + distinct (4 scans in the before-plan)
@@ -315,8 +319,13 @@ from railgun_spark.operators.dedup import DUP_WINDOW_FRAC, DUP_WINDOW_K
 )
 def span_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from railgun_spark.operators.dedup import window_dup_frac_frame
+    from railgun_spark.session import spread_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the window explode + per-window md5 dominates — spread the
+    # single-file scan (§2.5); A/B min-of-5: 3.95 -> 1.81 s
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), heavy=True
+    )
     per = window_dup_frac_frame(docs)
     raw_frac = F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows")
     return (

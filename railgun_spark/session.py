@@ -51,6 +51,42 @@ def get_spark(app_name: str = "railgun_spark", extra_conf: dict | None = None) -
     return spark
 
 
+def spread_scan(df, heavy: bool = False, min_bytes: int = 32 << 20):
+    """Spread a CPU-bound narrow scan across the session's cores.
+
+    Per-row-expensive map stages (codec decode, shingling, window
+    hashing, tokenization) must not be bounded by input FILE SPLITS: a
+    single small parquet file scans as ONE partition, so one core does
+    all the compute while the rest idle (guide §2.5 input skew). Narrow
+    inputs are repartitioned up to ``defaultParallelism``; the explicit
+    partition count keeps AQE from coalescing the tiny exchange back to
+    one partition. Three cases skip the shuffle:
+
+    - the frame already carries >= defaultParallelism partitions (any
+      real scan at 100 TB) — the exchange buys nothing;
+    - the frame is streaming — micro-batch parallelism follows the
+      ingest file splits; a per-batch shuffle has no stable benefit;
+    - ``heavy`` is False and Catalyst's size estimate is under
+      ``min_bytes`` — light per-row work over a few MB is faster on one
+      core than the round-trip shuffle.
+
+    ``heavy=True`` marks stages whose per-row CPU dominates any shuffle
+    at any size (real codecs; corpus-wide crypto-hash/shingle passes).
+    Unknown stats (Catalyst's 8-EiB default) count as big — the safe
+    direction.
+    """
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if not heavy:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if est < min_bytes:
+            return df
+    return df.repartition(target)
+
+
 def local_df(spark: SparkSession, rows: list, schema: str):
     """Tiny driver-side rows as a SINGLE-partition DataFrame.
 
