@@ -185,6 +185,8 @@ def _lsh_oracle() -> str:
     tags=("similarity", "ann"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT spread_scan'd: the single bucket-hash pass is too
+    # light to repay the exchange (A/B min-of-5: 0.74 -> 0.78 s)
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", "label", to_double(F.col("embedding")).alias("v"))
@@ -329,8 +331,15 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still measures exactly the banding misses.
     import math
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
+    from railgun_spark.session import spread_scan
+
+    # spread the single-file scan: the sig (bands·bits hyperplane dots
+    # per row) and norm pin jobs below are the CPU-heavy passes (§2.5)
+    emb = spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        ),
+        heavy=True,
     )
     # pinned: sig feeds both band-filter join sides (16 ints/vector)
     sig = emb.select(
@@ -470,8 +479,14 @@ def exact_cosine_candidate_pairs(
 def embedding_neardup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
+    from railgun_spark.session import spread_scan
+
+    # spread the single-file scan before the norm pin job (§2.5)
+    emb = spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        ),
+        heavy=True,
     )
     # pinned once — see embedding_near_dup_pairs (count + block matmul
     # + both verify sides otherwise re-plan the scan + norm pass)
@@ -723,6 +738,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = [cid for cid, _ in sorted(cents, key=lambda c: (-_pycos(c[1], qv), c[0]))[:IVF_NPROBE]]
 
+    # deliberately NOT spread_scan'd: the one assignment+rerank pass is
+    # light enough that the exchange round-trip loses (A/B min-of-5:
+    # 1.29 -> 1.43 s with the spread)
     return (
         emb.filter(F.col("vec_id") != 0)
         .withColumn("cid", assigned)
@@ -899,6 +917,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     )
     c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
+    # deliberately NOT spread_scan'd: each assignment pass re-executes
+    # scan + exchange, and at K=8 the distance folds are too light to
+    # repay two round-trips (A/B min-of-5: 0.96 -> 1.43 s with the
+    # spread) — contrast semantic_dedup_pairs (K=16 + checkpoint pin,
+    # one pass, 4.32 -> 1.78 s WITH it)
     a1 = assign_clusters(emb, c0)
     c1 = recompute_centroids(a1)
     a2 = assign_clusters(emb, c1)
@@ -1013,6 +1036,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(PQ_M)
     }
 
+    # deliberately NOT spread_scan'd: the tiny 4x4 oracle geometry's
+    # encode pass is too light to repay the exchange (A/B min-of-5:
+    # 0.81 -> 0.84 s; the production-geometry builds DO spread)
     enc = emb.filter(F.col("vec_id") != 0)
     code_cols = []
     adc = F.lit(0.0)
@@ -1109,12 +1135,19 @@ def _semdedup_oracle() -> str:
     tags=("similarity", "dedup"),
 )
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from railgun_spark.session import spread_scan
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", to_double(F.col("embedding")).alias("e")
     )
     init_rows = emb.filter(F.col("vec_id") < SEMDEDUP_K).orderBy("vec_id").collect()
     c0 = {int(r["vec_id"]): list(r["e"]) for r in init_rows}
-    a = assign_clusters(emb, c0).select("vec_id", "e", "cluster")
+    # the K interpreted distance folds per row are the CPU-heavy stage;
+    # a single-file scan would run them on ONE core (§2.5) — same spread
+    # semantic_dedup_scaled applies before its BLAS argmin
+    a = assign_clusters(spread_scan(emb, heavy=True), c0).select(
+        "vec_id", "e", "cluster"
+    )
     return _pairs_within_clusters(a)
 
 
@@ -1473,8 +1506,14 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
+    from railgun_spark.session import spread_scan
+
+    # spread the single-file scan before the norm pin job (§2.5)
+    emb = spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", to_double(F.col("embedding")).alias("v")
+        ),
+        heavy=True,
     )
     # emb_n pinned once — the count, the block-matmul replication and
     # both verify sides otherwise re-plan the scan + norm pass (sig is
@@ -1721,6 +1760,10 @@ def build_ivf_index(
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
     cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
+    # deliberately NOT spread_scan'd: the A/B regressed hard (build
+    # entries 24.9 -> 43.3 s sum-of-mins) — the extra round-robin
+    # exchange ahead of the cid repartition costs more than the
+    # parallelized assignment saves on the build's multi-consumer plan
     assigned = base.select(
         "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     )
@@ -2422,6 +2465,9 @@ def build_ivf_pq_index(
     if exclude_ids:
         base = base.filter(~F.col("vec_id").isin(list(exclude_ids)))
     cents = sorted(centroids) if centroids is not None else _centroid_rows(base, k)
+    # deliberately NOT spread_scan'd — same measured regression as
+    # build_ivf_index (the build plan consumes `assigned` several times;
+    # each re-execution would pay the extra exchange)
     assigned = base.select(
         "vec_id", "label", "v", _assign_cid(F.col("v"), cents).alias("cid")
     )
