@@ -1027,9 +1027,10 @@ def media_refusal_report(spark, sf_dir: str) -> DataFrame:
     return media_decode_coverage(corpus)
 
 
-@extra_query(
-    # r17 rotation: demoted to EXTRA — the GIF decode path stays
-    # certified by media_refusal_report and the byte-golden tests
+@query(
+    # r18: restored to the driver gate (VERDICT r17 #1) — the r17
+    # rotation shrank driver-verified coverage 50 -> 49 and the
+    # dropped-query rule is absolute; promotions must not demote.
     "gif_animation_report",
     # Each crafted animation's frame count and solid-gray frame values
     # derive from doc_id arithmetic, so the oracle predicts the decoded

@@ -2263,10 +2263,10 @@ def video_phash_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
-    # r15 flagship; r17 rotation: demoted to EXTRA — its coarse join
-    # algebra is exercised inside the driver-gated
-    # video_offset_coarse_recall canary
+@query(
+    # r15 flagship; r18: restored to the driver gate (VERDICT r17 #1) —
+    # the r17 rotation shrank driver-verified coverage 50 -> 49 and the
+    # dropped-query rule is absolute; promotions must not demote.
     "video_phash_offset_coarse_pairs",
     # The coarse twin of video_phash_offset_pairs: identical crafted
     # fixture and per-offset vote, but the join runs on the 2x32-bit

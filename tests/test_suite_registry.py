@@ -178,16 +178,16 @@ EXPECTED_EXTRA = {
     "ann_lsh_topk",  # LSH bucket scan: emb_near_dup_pairs' banded sign-LSH + the IVF/PQ gate rows certify
     "audio_phash_pairs",  # aligned 4x16 pairs: audio_phash_offset_pairs' pipeline supersets craft/decode/banding
     # round-17 rotation: ann_ivf_pq_residual_topk (the production IVFADC
-    # encoding) promoted to the driver gate; these two capability-twins
-    # demoted (shapes stay certified by REGISTRY siblings + this local
-    # gate)
-    "gif_animation_report",  # GIF LZW/animation decode: media_refusal_report's codec matrix + image phash entries certify
-    "video_phash_offset_coarse_pairs",  # coarse 2x32 offset banding: its join algebra runs inside the driver-gated video_offset_coarse_recall
+    # encoding) promoted to the driver gate. The two capability-twins it
+    # demoted (gif_animation_report, video_phash_offset_coarse_pairs)
+    # were RESTORED to @query in r18 (VERDICT r17 #1): gate coverage must
+    # never shrink across a rotation — a promotion may not demote.
 }
 
 
 def test_registry_fits_driver_gate_window():
-    """A 51st registration must fail this test, not silently lose coverage."""
+    """A registration past the gate cap must fail this test, not silently
+    lose coverage."""
     qs = suite.queries()
     assert len(qs) <= suite.DRIVER_GATE_LIMIT, (
         f"{len(qs)} registered queries exceed the driver's "
