@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+from railgun_spark.session import pin_if_big as _pin_if_big  # noqa: E402
+
 from railgun_spark.suite import extra_query, query
 
 NUM_HASHES = 16
@@ -334,12 +337,12 @@ def jaccard_similarity_join(
     s = _sets_frame(df, id_col, set_col, bc)
     tok = _tokens(s, bc)
     df_tab = tok.groupBy(*bc, "__t").agg(F.count(F.lit(1)).alias("__df"))
-    # pin the prefixes ONCE: the candidate self-join otherwise plans the
-    # whole prefix pipeline (token explode + df aggregate + window) on
-    # BOTH sides — two extra shuffles and a doubled corpus tokenization.
-    # The frame is p tokens/doc (a tau-shrunk subset of the token table),
-    # strictly cheaper to pin than to recompute.
-    pref = _rarest_first_prefixes(tok, df_tab, bc, tau_num, tau_den).localCheckpoint()
+    # pin the prefixes ONCE when they are big: the candidate self-join
+    # otherwise plans the whole prefix pipeline (token explode + df
+    # aggregate + window) on BOTH sides — two extra shuffles and a
+    # doubled corpus tokenization. Size-gated because at bench scale the
+    # eager pin job costs more than the saved recompute (_pin_if_big).
+    pref = _pin_if_big(_rarest_first_prefixes(tok, df_tab, bc, tau_num, tau_den))
     pa, pb = pref.alias("a"), pref.alias("b")
     cond = (
         (F.col("a.__t") == F.col("b.__t"))
@@ -382,16 +385,18 @@ def jaccard_similarity_join_ab(
     L = _sets_frame(left, id_col, set_col, bc)
     R = _sets_frame(right, id_col, set_col, bc)
     ltok, rtok = _tokens(L, bc), _tokens(R, bc)
-    # pin the shared document-frequency table: both sides' prefix
-    # computations join it, and without the checkpoint the cross-table
-    # union + aggregate (a full tokenization of BOTH corpora) is planned
-    # twice — once under each prefix subtree
-    df_tab = (
+    # pin the shared document-frequency table when it is big: both
+    # sides' prefix computations join it, and without the checkpoint the
+    # cross-table union + aggregate (a full tokenization of BOTH
+    # corpora) is planned twice — once under each prefix subtree.
+    # Size-gated like the self-join prefix pin (_pin_if_big): at bench
+    # scale the blocking pin job costs more than the saved recompute.
+    df_tab = _pin_if_big(
         ltok.select(*bc, "__t")
         .unionByName(rtok.select(*bc, "__t"))
         .groupBy(*bc, "__t")
         .agg(F.count(F.lit(1)).alias("__df"))
-    ).localCheckpoint()
+    )
     pa = _rarest_first_prefixes(ltok, df_tab, bc, tau_num, tau_den).alias("a")
     pb = _rarest_first_prefixes(rtok, df_tab, bc, tau_num, tau_den).alias("b")
     cond = (F.col("a.__t") == F.col("b.__t")) & _size_ratio_ok(
@@ -945,7 +950,7 @@ def containment_similarity_join(
     # pinned once — the candidate join otherwise re-plans the token
     # explode + df aggregate + prefix window under its probe side too
     # (same discipline as jaccard_similarity_join)
-    pref = _rarest_first_prefixes(tok, df_tab, [], tau_num, tau_den).localCheckpoint()
+    pref = _pin_if_big(_rarest_first_prefixes(tok, df_tab, [], tau_num, tau_den))
     pa, tb = pref.alias("a"), tok.alias("b")
     # a is the smaller (or equal, tie-broken by id) side by construction
     smaller = (F.col("a.__n") < F.col("b.__n")) | (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from railgun_spark.session import pin_if_big
 from railgun_spark.suite import extra_query, query
 
 PR_ITER = 3
@@ -128,18 +129,19 @@ def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # reused every superstep; don't re-derive
     )
-    # pin the superstep INVARIANTS, not just the edge list: nodes and
-    # the outdeg-annotated edges are re-read by every iteration, and
-    # un-pinned each superstep re-planned the distinct + outdeg groupBy
-    # + join (two exchanges per iteration of pure recompute)
-    nodes = edges.select(F.col("src").alias("word")).distinct().localCheckpoint()
+    # superstep invariants (node set, outdeg-annotated edges) are re-read
+    # by every iteration; pin them only when they are BIG — the r17
+    # unconditional pins measured x0.80 on the driver bench (the blocking
+    # pin jobs cost more than re-deriving from the pinned edge list at
+    # sf0.1: r18 A/B 1.92 s unpinned vs 2.01 s pinned), while at 100 TB
+    # re-planning the distinct + outdeg groupBy + join per superstep is
+    # two edge-set-sized exchanges of pure recompute per iteration.
+    nodes = pin_if_big(edges.select(F.col("src").alias("word")).distinct())
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()  # the one driver scalar
 
     # pre-join outdeg onto edges once: each superstep is then join+groupBy
-    esrc = edges.join(outdeg, "src").select(
-        "src", "dst", "outdeg"
-    ).localCheckpoint()
+    esrc = pin_if_big(edges.join(outdeg, "src").select("src", "dst", "outdeg"))
     ranks = nodes.select(
         "word", F.round(F.lit(1.0 / n_nodes), PR_ROUND).alias("rank")
     )

@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for suite queries to plans/r17/<name>_<tag>.txt.
+"""Dump .explain("formatted") for suite queries to plans/<round>/<name>_<tag>.txt.
 
 The optimization-round judge cannot run Spark; these files are the
-committed evidence for every plan-shape claim in OPTIMIZATION_r17.md
+committed evidence for every plan-shape claim in OPTIMIZATION_r{N}.md
 (Exchange counts, join strategies, PushedFilters, Python-eval nodes).
 
 Usage: python tools/dump_plans.py <tag> [query ...]
@@ -20,7 +20,9 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
-OUT_DIR = os.path.join("/root/repo", "plans", "r17")
+OUT_DIR = os.path.join(
+    "/root/repo", "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18")
+)
 
 
 def main() -> None:
