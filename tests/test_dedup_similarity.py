@@ -2430,3 +2430,55 @@ def test_ivf_pq_residual_encoding(spark, tmp_path):
     ).collect()
     assert [r["vec_id"] for r in sorted(got_rr, key=lambda r: r["rnk"])] == \
            [r["vec_id"] for r in exact]
+
+
+def test_window_dup_frac_hot_hash_and_self_repeats(spark):
+    """Skew-hardening behavior proof (r18): a window shared by EVERY doc
+    (the 100 TB boilerplate hot key) and a doc that repeats one window
+    many times intra-doc must both come out exactly right, and the plan
+    must show the two-stage shape — partial (map-side) aggregation on
+    (h, doc_id) BEFORE the first exchange, so raw occurrence rows never
+    cross the wire and a hot h spreads across doc_ids."""
+    from railgun_spark.operators.dedup import DUP_WINDOW_K, window_dup_frac_frame
+
+    k = DUP_WINDOW_K
+    boiler = " ".join(f"b{i}" for i in range(k))  # one shared k-window
+    docs = []
+    # 6 docs: boilerplate + unique tail -> the boilerplate windows (the
+    # k windows fully inside the 2k-word prefix made of boiler+unique
+    # overlap) are NOT all shared; only the pure-boiler window is.
+    for d in range(6):
+        uniq = " ".join(f"d{d}u{i}" for i in range(k))
+        docs.append((d, boiler + " " + uniq))
+    # doc 6: the SAME window repeated 50x back-to-back — every k-window
+    # of this doc is some rotation of b0..b{k-1}; the pure-boiler
+    # rotation occurs 50 times intra-doc (the map-side-combine case)
+    docs.append((6, " ".join([boiler] * 50)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in window_dup_frac_frame(df).collect()}
+
+    # reference computation in plain Python
+    import hashlib
+
+    def windows(text):
+        ws = text.split()
+        return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+
+    wins = {d: windows(t) for d, t in docs}
+    docs_per_win = {}
+    for d, wl in wins.items():
+        for w in set(wl):
+            docs_per_win.setdefault(w, set()).add(d)
+    for d, wl in wins.items():
+        n = len(wl)
+        ndup = sum(1 for w in wl if len(docs_per_win[w]) >= 2)
+        assert rows[d]["n_windows"] == n, d
+        assert rows[d]["n_dup_windows"] == ndup, d
+        assert abs(rows[d]["dup_frac"] - round(ndup / n, 4)) < 1e-9, d
+
+    # plan shape: partial aggregate on (h, doc_id) below the exchange
+    plan = window_dup_frac_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    import re
+    m = re.search(r"Exchange hashpartitioning\(h#\d+L, doc_id#\d+L", plan)
+    assert m, plan
