@@ -9,7 +9,10 @@ line:
 The driver's stdout capture keeps only the last ~2000 chars; r07's
 single-line per-query blob outgrew that and the official artifact parsed
 as null. Per-query detail also lands in BENCH_DETAIL.json
-($SPARK_GRAFT_BENCH_DETAIL overrides the path).
+($SPARK_GRAFT_BENCH_DETAIL overrides the path) and, for full-suite runs,
+in a per-shape BENCH_DETAIL_sf{sf}_c{cpus}.json that only a same-shape
+run overwrites (r17's 8-core scaling pass clobbered the 32-core detail
+and PERF_r17 lost its per-query diff — VERDICT r17 #5).
 
 Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3; JVM warmed
 untimed first). "queries" reports the per-query MIN (the standard
@@ -379,11 +382,24 @@ def main():
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # a read-only checkout must not blank the headline line
+    # r18 (VERDICT r17 #5): PERF_r17 could not diff per-query because
+    # BENCH_DETAIL.json is overwritten by every run (the 8-core scaling
+    # pass clobbered the 32-core detail). Also write a per-(sf, cpus)
+    # tagged copy that only a run of the SAME shape overwrites, and
+    # point the headline's "detail" field at it.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    tagged_path = os.path.join(
+        os.path.dirname(detail_path), f"BENCH_DETAIL_sf{sf}_c{cpus}.json"
+    )
+    # a targeted (SPARK_GRAFT_BENCH_ONLY) re-bench must not clobber the
+    # tagged full-suite detail with a few-query subset
+    paths = [detail_path] if only else [detail_path, tagged_path]
+    for p in paths:
+        try:
+            with open(p, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # a read-only checkout must not blank the headline line
     print(json.dumps(out))  # full detail first — safe to truncate
     headline = {
         "metric": "suite_total_runtime",
@@ -397,7 +413,7 @@ def main():
         "n_errors": len(errors),
         "iters": iters_done,
         "sf": out["sf"],
-        "detail": os.path.basename(detail_path),
+        "detail": os.path.basename(detail_path if only else tagged_path),
     }
     # always exit 0 with the JSON line printed: partial numbers + an
     # explicit error count beat rc=1 with no numbers at all
