@@ -2397,12 +2397,15 @@ def _write_ivf_pq_meta(spark: SparkSession, index_path: str,
 
 
 def _ivf_pq_encoding(spark: SparkSession, index_path: str) -> str:
-    """'residual' or 'raw' — read from the index's meta/. ONLY a
-    missing meta/ means raw (pre-r16 indexes have none by
-    construction); every other read failure stays loud (errors.py
-    discipline) — a swallowed ACL/corruption error here would make
-    search LUT against the wrong frame and make append encode raw rows
-    into a residual index, silently corrupting it."""
+    """'residual' or 'raw' — read from the index's meta/, which the
+    build writes LAST as the commit marker (after every overlapped
+    artifact write has joined). A missing meta/ therefore means an
+    INCOMPLETE build — a crash between the concurrent vecs/codebooks/
+    centroids/raw writes and commit — and is rejected loudly: the old
+    default-to-'raw' path would LUT a residual-coded index against the
+    wrong frame and make append encode raw rows into it, silently
+    corrupting search results. Every other read failure also stays loud
+    (errors.py discipline)."""
     from pyspark.errors import AnalysisException
 
     from railgun_spark.errors import is_path_not_found
@@ -2411,7 +2414,12 @@ def _ivf_pq_encoding(spark: SparkSession, index_path: str) -> str:
         rows = spark.read.parquet(f"{index_path}/meta").collect()
     except AnalysisException as e:
         if is_path_not_found(e):
-            return "raw"
+            raise ValueError(
+                f"IVF-PQ index at {index_path!r} has no meta/ commit "
+                "marker: the build did not complete (crash between the "
+                "overlapped artifact writes and commit?). Rebuild the "
+                "index; do not search or append an uncommitted layout."
+            ) from e
         raise
     return {r["key"]: r["value"] for r in rows}.get("encoding", "raw")
 
@@ -2506,7 +2514,6 @@ def build_ivf_pq_index(
 
     jobs = [
         _write_codes,
-        lambda: _write_ivf_pq_meta(spark, index_path, residual),
         lambda: _local_df(
             spark, [(cid, cv) for cid, cv in cents],
             "cid: int, cv: array<double>",
@@ -2526,6 +2533,12 @@ def build_ivf_pq_index(
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()
+    # meta/ is the COMMIT MARKER: written only after every overlapped
+    # artifact write has joined, so a crash mid-build leaves an index
+    # with no meta/ — which readers reject as incomplete
+    # (_ivf_pq_encoding) instead of silently defaulting a residual-coded
+    # index to 'raw' and corrupting search/append semantics.
+    _write_ivf_pq_meta(spark, index_path, residual)
     return int(obs.get["n"])
 
 

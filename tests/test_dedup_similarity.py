@@ -2482,3 +2482,30 @@ def test_window_dup_frac_hot_hash_and_self_repeats(spark):
     import re
     m = re.search(r"Exchange hashpartitioning\(h#\d+L, doc_id#\d+L", plan)
     assert m, plan
+
+
+def test_ivf_pq_missing_meta_is_rejected_as_incomplete(spark, tmp_path):
+    """meta/ is the build's commit marker (written after all overlapped
+    artifact writes join): an index missing it must be rejected loudly,
+    not silently read as 'raw' — a crash mid-build could otherwise leave
+    a residual-coded index that search LUTs against the wrong frame."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from railgun_spark.operators.similarity import (
+        _ivf_pq_encoding,
+        build_ivf_pq_index,
+        to_double,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    idx = str(tmp_path / "pq_idx")
+    build_ivf_pq_index(emb.filter("vec_id < 200"), idx, residual=True)
+    assert _ivf_pq_encoding(spark, idx) == "residual"
+    shutil.rmtree(f"{idx}/meta")  # simulate a crash before commit
+    with _pytest.raises(ValueError, match="commit marker"):
+        _ivf_pq_encoding(spark, idx)
