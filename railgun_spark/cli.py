@@ -476,7 +476,8 @@ def cmd_decontam(args) -> int:
         CONTAM_THRESHOLD,
         neardup_contamination,
         pooled_contamination,
-        shingles,
+        shingles_of_words,
+        words,
     )
     from railgun_spark.session import get_spark
 
@@ -484,12 +485,22 @@ def cmd_decontam(args) -> int:
 
     def shingled(path: str) -> "object":
         docs = spark.read.parquet(f"{path}/documents.parquet")
-        return docs.select(
-            F.col(args.id_col).alias("doc_id"),
-            F.transform(shingles(F.col(args.text_col)), lambda g: F.xxhash64(g)).alias(
-                "sh"
-            ),
-        ).filter(F.size("sh") > 0)
+        # two-stage tokenize->shingle + word-count non-empty filter:
+        # the regexp tokenizer and the shingle chain each run once per
+        # row (see dedup.py _docs_with_shingles)
+        return (
+            docs.filter(F.size(words(F.col(args.text_col))) >= 3)
+            .select(
+                F.col(args.id_col).alias("doc_id"),
+                words(F.col(args.text_col)).alias("__ws"),
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    shingles_of_words(F.col("__ws")), lambda g: F.xxhash64(g)
+                ).alias("sh"),
+            )
+        )
 
     tr, ev = shingled(args.input_dir), shingled(args.eval_dir)
     summary = {"mode": args.mode}

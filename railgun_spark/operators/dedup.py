@@ -43,15 +43,22 @@ def words(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (empty if < n words).
+def shingles_of_words(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a WORD-ARRAY column (empty if
+    < n words).
 
     Built by zip_with over shifted copies of the word array rather than
     transform+get: index-lambda element access is interpreted per element
     and benchmarked ~14x slower at sf0.1. The final zip is against the
     (n-1)-shifted array, whose null padding marks (and drops) the partial
-    grams at the tail."""
-    ws = words(text)
+    grams at the tail.
+
+    The expression references `ws` 2n times; pass a bound COLUMN (a prior
+    projection's attribute), not the tokenizer expression itself —
+    interpreted higher-order functions re-evaluate every embedded
+    subexpression, so an inlined regexp tokenizer runs 2n times per row.
+    `shingles()` below is the convenience one-expression form for
+    contexts where the duplication cannot bite (tiny frames, tests)."""
     acc = ws
     for j in range(1, n):
         shifted = F.slice(ws, j + 1, F.greatest(F.size(ws) - j, F.lit(0)))
@@ -61,6 +68,13 @@ def shingles(text: Column, n: int = 3) -> Column:
             lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.concat_ws(" ", p, c)),
         )
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty if < n
+    words) as ONE expression — see shingles_of_words for the two-stage
+    form data paths should prefer."""
+    return shingles_of_words(words(text), n)
 
 
 def _hash60_str(e: Column) -> Column:
@@ -134,9 +148,27 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_ngram_jaccard 3.21 -> 3.42 s, decontaminate_ngram_overlap
     # 2.02 -> 2.30 s, dedup_containment_exact 3.59 -> 3.77 s with the
     # spread). Contrast the per-window md5 passes below, which DO spread.
+    #
+    # The non-empty filter is the WORD-COUNT form, not `size(sh) > 0`:
+    # a doc has >= 1 trigram shingle iff it has >= 3 words (the zip_with
+    # chain yields exactly len(ws)-2 non-null grams), and Catalyst pushes
+    # this filter below the shingle projection by INLINING the filter
+    # expression — with `size(sh) > 0` the whole interpreted zip_with
+    # chain re-evaluates per row inside the pushed-down Filter (2-3
+    # evaluations/row in the scan plans), while the word form re-runs
+    # only the regexp tokenize.
+    #
+    # Two-stage projection (tokenize, then shingle FROM THE COLUMN): the
+    # shingle expression references the word array 6 times, and Catalyst
+    # evaluates an inlined regexp tokenizer at every reference inside
+    # the interpreted zip_with chain. CollapseProject keeps the stages
+    # apart (it refuses to duplicate a non-cheap multiply-referenced
+    # alias), so the tokenizer runs once per row in its own projection.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", "lang", shingles(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
+    return (
+        docs.filter(F.size(words(F.col("text"))) >= 3)
+        .select("doc_id", "lang", words(F.col("text")).alias("__ws"))
+        .select("doc_id", "lang", shingles_of_words(F.col("__ws")).alias("sh"))
     )
 
 
@@ -223,14 +255,21 @@ def _check_tau(tau_num: int, tau_den: int) -> None:
 
 def _sets_frame(df: DataFrame, id_col: str, set_col: str, bc: list[str]) -> DataFrame:
     """(block..., __id, __set, __n) with empty sets dropped, lazily
-    checkpointed — every caller reuses it for tokens AND verify sides."""
+    checkpointed — every caller reuses it for tokens AND verify sides.
+
+    The `__n > 0` filter sits ABOVE the checkpoint barrier on purpose:
+    below it, Catalyst pushes the filter under the projection by
+    inlining `size(<set expression>)` — for shingle-pipeline callers
+    that re-evaluates the whole interpreted zip_with chain a second
+    time per row during the one materialization job. Above the barrier
+    it compares the already-materialized 4-byte `__n`."""
     s = df.select(
         *bc,
         F.col(id_col).alias("__id"),
         F.col(set_col).alias("__set"),
         F.size(set_col).alias("__n"),
-    ).filter(F.col("__n") > 0)
-    return s.localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    return s.filter(F.col("__n") > 0)
 
 
 def _tokens(s: DataFrame, bc: list[str]) -> DataFrame:
@@ -2196,11 +2235,13 @@ def append_to_bucketed_index(survivors: DataFrame, table: str) -> None:
 def _band_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, band_key) — one row per (doc, band). Docs with < 3 words have
     no shingles, hence no bands: they can never near-dup match and always
-    survive (exact dedup handles them). The size filter below enforces
-    that: without it, an empty shingle array yields a NULL-min signature
-    whose concat_ws band keys DEGENERATE to '0'..'3' — every short doc
-    would collide with every other short doc forever once one was
-    admitted to the index.
+    survive (exact dedup handles them). The word-count filter below
+    enforces that (>= 3 words <=> >= 1 shingle; the cheap form keeps the
+    pushed-down Filter from re-evaluating the whole interpreted shingle
+    chain per row — see _docs_with_shingles): without it, an empty
+    shingle array yields a NULL-min signature whose concat_ws band keys
+    DEGENERATE to '0'..'3' — every short doc would collide with every
+    other short doc forever once one was admitted to the index.
 
     Signatures use the exploded row form minhash_dup_pairs settled on —
     one codegen'd md5 per shingle ROW, then NUM_HASHES cheap integer
@@ -2210,10 +2251,10 @@ def _band_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     per-element). The r11 ingest grid caught the gap: 500 gate docs took
     12 s through the array form vs <1 s through this one (identical
     band keys — same hash family, same params)."""
-    sh = shingles(F.col(text_col))
     tok = (
-        df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
+        df.filter(F.size(words(F.col(text_col))) >= 3)
+        .select(F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__ws"))
+        .select("__id", shingles_of_words(F.col("__ws")).alias("__sh"))
         .select("__id", F.explode("__sh").alias("__sg"))
         .select("__id", (_hash60_str(F.col("__sg")) % MERSENNE31).alias("__h31"))
     )

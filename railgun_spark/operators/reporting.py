@@ -182,7 +182,7 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("reporting", "dedup"),
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from railgun_spark.operators.dedup import shingles
+    from railgun_spark.operators.dedup import shingles_of_words, words
 
     # deliberately NOT spread_scan'd: the shingle explode is pinned once
     # below, and the repartition round-trip measured a wash for it
@@ -190,9 +190,12 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose per-window md5 pass spreads for a 2.2x win
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # pinned once: the marginals and BOTH self-join sides otherwise
-    # re-plan the shingle explode + distinct (4 scans in the before-plan)
+    # re-plan the shingle explode + distinct (4 scans in the before-plan).
+    # Two-stage tokenize->shingle so the regexp evaluates once per row
+    # (see _docs_with_shingles in dedup.py).
     hs = (
-        docs.select("source", F.explode(shingles(F.col("text"))).alias("shingle"))
+        docs.select("source", words(F.col("text")).alias("__ws"))
+        .select("source", F.explode(shingles_of_words(F.col("__ws"))).alias("shingle"))
         .distinct()
     ).localCheckpoint()
     marg = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -39,6 +39,22 @@ def get_spark(app_name: str = "railgun_spark", extra_conf: dict | None = None) -
         # oracle sees.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode(e); PushDownPredicate then
+        # inlines e's whole expression tree into that Filter. For the
+        # text operators here e is an interpreted higher-order shingle/
+        # tokenize chain, so every exploded corpus row paid the chain
+        # 2-3x (plan evidence: plans/r18/decontaminate_ngram_overlap —
+        # 12 zip_with instances before, 4 after). The inferred filter
+        # buys nothing in this engine at ANY scale: every Generate sits
+        # directly above its producing projection (explode already
+        # drops empty arrays in the same stage), and array-size
+        # predicates cannot push into parquet scans. Scale-independent:
+        # the duplicated work is per-row CPU, which only grows at 100 TB.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from railgun_spark.operators.dedup import (
     CONTAM_THRESHOLD,
     EVAL_MOD,
-    shingles,
+    shingles_of_words,
+    words,
 )
 
 
@@ -32,8 +33,13 @@ def eval_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        # word-count form of the non-empty filter (>= 3 words <=> >= 1
+        # shingle): the pushed-down size(sh) form re-evaluates the whole
+        # interpreted shingle chain per row (see _docs_with_shingles)
+        .filter(F.size(words(F.col("text"))) >= 3)
+        # two-stage tokenize->shingle: regexp once per row (dedup.py)
+        .select(words(F.col("text")).alias("__ws"))
+        .select(shingles_of_words(F.col("__ws")).alias("sh"))
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
@@ -42,9 +48,12 @@ def eval_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flag_contaminated_batch(batch_df: DataFrame, ev: DataFrame) -> DataFrame:
     """The per-batch join: identical semantics to the batch operator."""
     s = (
-        batch_df.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .select("doc_id", shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        batch_df.filter(
+            (F.col("doc_id") % EVAL_MOD != 0)
+            & (F.size(words(F.col("text"))) >= 3)
+        )
+        .select("doc_id", words(F.col("text")).alias("__ws"))
+        .select("doc_id", shingles_of_words(F.col("__ws")).alias("sh"))
     )
     tr = s.select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g"))
     hits = (
@@ -170,12 +179,15 @@ def stream_neardup_decontaminate_availablenow(
     static_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # pinned eval side: hashed shingle sets, materialized once
     ev = (
-        static_docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        static_docs.filter(
+            (F.col("doc_id") % EVAL_MOD == 0)
+            & (F.size(words(F.col("text"))) >= 3)
+        )
+        .select("doc_id", words(F.col("text")).alias("__ws"))
         .select(
             "doc_id",
-            F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g)).alias("sh"),
+            F.transform(shingles_of_words(F.col("__ws")), lambda g: F.xxhash64(g)).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
     stream = (
@@ -186,12 +198,15 @@ def stream_neardup_decontaminate_availablenow(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         tr = (
-            batch_df.filter(F.col("doc_id") % EVAL_MOD != 0)
+            batch_df.filter(
+                (F.col("doc_id") % EVAL_MOD != 0)
+                & (F.size(words(F.col("text"))) >= 3)
+            )
+            .select("doc_id", words(F.col("text")).alias("__ws"))
             .select(
                 "doc_id",
-                F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g)).alias("sh"),
+                F.transform(shingles_of_words(F.col("__ws")), lambda g: F.xxhash64(g)).alias("sh"),
             )
-            .filter(F.size("sh") > 0)
         )
         pairs = jaccard_similarity_join_ab(
             tr, ev, "doc_id", "sh", NEARDUP_CONTAM_NUM, NEARDUP_CONTAM_DEN

@@ -20,6 +20,65 @@ def test_shingles(spark):
     assert rows[1]["sh"] == []
 
 
+def test_shingle_pipeline_single_evaluation(spark, tmp_path):
+    """r18: the shingle data path must evaluate the tokenizer and the
+    zip_with chain ONCE per row. Two regressions are pinned here:
+
+    1. value parity — the two-stage tokenize->shingle form (filter on
+       word count >= 3, shingles_of_words over the projected word
+       array) returns exactly the rows/sets of the one-expression
+       `shingles(text)` + `size(sh) > 0` form, including the edge docs
+       (0/1/2/3 words, punctuation-only, repeated trigrams);
+    2. plan shape — the physical plan of a shingle-explode pipeline
+       contains ONE zip_with chain (2 zip_with nodes), not the 4-6 the
+       pushed-down size filter + InferFiltersFromGenerate used to
+       inline (each chain instance costs the full interpreted
+       higher-order evaluation per corpus row).
+    """
+    from railgun_spark.operators.dedup import _docs_with_shingles, words
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta", "s"),
+            (2, "en", "alpha beta", "s"),          # 2 words -> no shingles
+            (3, "en", "", "s"),                    # empty
+            (4, "en", "..., !!!", "s"),            # no word chars
+            (5, "en", "x y z", "s"),               # exactly 3 words
+            (6, "en", "a b a b a b a b", "s"),     # repeats -> distinct grams
+        ],
+        ["doc_id", "lang", "text", "source"],
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in _docs_with_shingles(spark, sf_dir).collect()
+    }
+    ref = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in docs.select(
+            "doc_id", shingles(F.col("text")).alias("sh")
+        ).filter(F.size("sh") > 0).collect()
+    }
+    assert got == ref
+    assert set(got) == {1, 5, 6}
+
+    # equivalence of the cheap filter itself: >= 3 words <=> >= 1 shingle
+    both = docs.select(
+        (F.size(words(F.col("text"))) >= 3).alias("w3"),
+        (F.size(shingles(F.col("text"))) > 0).alias("nonempty"),
+    ).collect()
+    assert all(r["w3"] == r["nonempty"] for r in both)
+
+    # plan shape: one chain instance in the exploded pipeline
+    tok = _docs_with_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    plan = tok._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("zip_with") == 2, plan
+
+
 def test_minhash_identical_texts_share_signature(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"), (2, "the quick brown fox jumps over the lazy dog"), (3, "completely different words entirely here now")],
