@@ -94,6 +94,7 @@ def test_functions_and_formats(capsys):
     assert "jsonl" in json.loads(capsys.readouterr().out)
 
 
+@pytest.mark.slow
 def test_prepare_subcommand(spark, capsys, tmp_path):
     rc = main(
         [
@@ -301,6 +302,7 @@ def test_dynamic_sink_with_passphrase_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dedup_subcommand_jaccard_survivors(spark, capsys, tmp_path):
     """`dedup --method jaccard --survivors` writes pairs + survivors
     parquet; every doc is either a survivor or clustered under one, and
@@ -785,6 +787,7 @@ def test_ann_pq_flag(spark, capsys, tmp_path):
     assert all(a["adc_dist"] <= b["adc_dist"] for a, b in zip(rows, rows[1:]))
 
 
+@pytest.mark.slow
 def test_ann_pq_geometry_flags(spark, capsys, tmp_path):
     """--pq-m/--pq-ks/--pq-train-iters/--pq-residual build the IVFADC
     form end-to-end: trained residual codebooks at the requested

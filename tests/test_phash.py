@@ -266,6 +266,7 @@ def test_image_phash_pairs_local_shape(spark, sf_dir):
             assert ham == want, (a, b)
 
 
+@pytest.mark.slow
 def test_stream_ingest_soak_image_gate(spark, tmp_path):
     """Image-gate soak (slow, ~1 min): 16 availableNow micro-batches
     through the perceptual-hash band gate with two injected crash/replay
@@ -1144,6 +1145,7 @@ def test_video_offset_pairs_and_gate(spark, tmp_path):
     assert sorted(r["media_id"] for r in s3.collect()) == [20]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "modality", ["audio", "video", "image_wide", "audio_chunk"]
 )
