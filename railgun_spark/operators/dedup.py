@@ -588,14 +588,21 @@ def window_dup_frac_frame(docs: DataFrame) -> DataFrame:
     a sort-merge join, i.e. two MORE shuffles)."""
     from pyspark.sql import Window
 
-    ws = words(F.col("text"))
     k = DUP_WINDOW_K
+    # two-stage tokenize -> window-hash (r18, same discipline as
+    # _docs_with_shingles): the generator references the word array
+    # twice (sequence bound + slice), so an inlined regexp tokenizer
+    # would run per reference; projecting `ws` first makes it one
+    # regexp per row, with the per-window md5 left as the real floor
+    ws_col = F.col("__ws")
     win_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - k + 1),
-        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws, i, k))),
+        F.sequence(F.lit(1), F.size(ws_col) - k + 1),
+        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws_col, i, k))),
     )
-    win = docs.filter(F.size(ws) >= k).select(
-        "doc_id", F.explode(win_hashes).alias("h")
+    win = (
+        docs.filter(F.size(words(F.col("text"))) >= k)
+        .select("doc_id", words(F.col("text")).alias("__ws"))
+        .select("doc_id", F.explode(win_hashes).alias("h"))
     )
     # r18 skew hardening (VERDICT r17 #4/#6): aggregate BEFORE anything
     # is keyed by h alone. groupBy(h, doc_id) gets Catalyst's partial
@@ -2104,14 +2111,18 @@ def append_to_index(survivors: DataFrame, index_path: str) -> None:
 # --------------------------------------------------------------------------
 def _window_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, h) for every k-word window (non-distinct: repeats inside one
-    doc each count toward that doc's fraction, like the batch operator)."""
-    ws = words(F.col(text_col))
+    doc each count toward that doc's fraction, like the batch operator).
+    Two-stage tokenize -> window-hash so the regexp runs once per row
+    (see window_dup_frac_frame)."""
+    ws_col = F.col("__ws")
     win_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - k + 1),
-        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws, i, k))),
+        F.sequence(F.lit(1), F.size(ws_col) - k + 1),
+        lambda i: _hash60_str(F.concat_ws(" ", F.slice(ws_col, i, k))),
     )
-    return df.filter(F.size(ws) >= k).select(
-        F.col(id_col).alias("__id"), F.explode(win_hashes).alias("h")
+    return (
+        df.filter(F.size(words(F.col(text_col))) >= k)
+        .select(F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__ws"))
+        .select("__id", F.explode(win_hashes).alias("h"))
     )
 
 
