@@ -290,12 +290,23 @@ def prepare_training_shards(
     from pyspark.sql import Observation
 
     obs_clean = Observation()
+    # __split and __toks materialize WITH the pin (r18): every consumer
+    # below (the train filter; the small/big chunk split; the train
+    # stats aggregate) is a separate JOB over the cached frame, and each
+    # was re-evaluating the md5 split hash and the BPE-ish regexp per
+    # row — 3 hash passes + 3 tokenize passes per run for 12 bytes/row
+    # of cache. __split is a function of the ORIGINAL content hash by
+    # design (split membership must not move when text is rewritten), so
+    # it stays valid under span removal and redaction; __toks is
+    # recomputed below for exactly the rows those passes rewrite.
     clean = (
         docs.join(clean_ids, "doc_id")
+        .withColumn("__split", split_assignment(F.col("text")))
+        .withColumn("__toks", bpe_token_estimate(F.col("text")))
         .observe(obs_clean, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    train = clean.filter(split_assignment(F.col("text")) == "train")
+    train = clean.filter(F.col("__split") == "train").drop("__split")
     n_span_rewritten = 0
     if remove_dup_spans:
         # AFTER the split, like redaction: split/dedup membership stays a
@@ -324,6 +335,14 @@ def prepare_training_shards(
             joined.withColumn(
                 "text", F.when(rewritten, F.col("cleaned_text")).otherwise(F.col("text"))
             )
+            # the pinned __toks counted the ORIGINAL text; re-estimate
+            # only the rewritten rows
+            .withColumn(
+                "__toks",
+                F.when(rewritten, bpe_token_estimate(F.col("text"))).otherwise(
+                    F.col("__toks")
+                ),
+            )
             .filter(F.length(F.trim(F.col("text"))) > 0)
             .drop("n_removed", "cleaned_text")
         )
@@ -333,7 +352,10 @@ def prepare_training_shards(
         # Map-side regexp chain — adds no shuffle to the pipeline.
         from railgun_spark.operators.redact import redact
 
-        train = redact(train)
+        train = redact(train).withColumn(
+            # placeholders change the BPE estimate; recount post-redaction
+            "__toks", bpe_token_estimate(F.col("text"))
+        )
 
     # Lossless budget handling: docs over the token budget are CHUNKED (not
     # dropped) before packing. Chunk size is in whitespace tokens, halved to
@@ -341,7 +363,7 @@ def prepare_training_shards(
     # is dropped by pack_sequences and surfaced in n_dropped_units.
     # Unit ids: uid = doc_id * 1_000_000 (+ chunk_idx + 1 for chunks) —
     # collision-free while docs stay under a million chunks.
-    toks = bpe_token_estimate(F.col("text"))
+    toks = F.col("__toks")  # materialized with the clean pin above
     small = train.filter(toks <= max_tokens).select(
         (F.col("doc_id") * 1_000_000).alias("uid"),
         F.col("doc_id").alias("orig_doc_id"),

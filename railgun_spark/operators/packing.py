@@ -87,22 +87,35 @@ def chunk_documents(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, chunk_idx, n_chunk_tokens, chunk_text); empty docs yield
-    no chunks. Integer arithmetic only (ceil via (n+c-1) div c)."""
+    no chunks. Integer arithmetic only (ceil via (n+c-1) div c).
+
+    Two-stage tokenize -> chunk (r18, same discipline as the dedup
+    shingle passes): the chunk generator references the token array in
+    the sequence bound and the slice, so an inlined regexp tokenizer
+    would run 3x per row (filter + two generator references); projecting
+    the array first makes it one regexp per row. n_chunk_tokens is the
+    exact slice length min(c, n - idx*c) — \\S+ tokens are non-empty and
+    whitespace-free, so re-tokenizing the joined chunk text would count
+    exactly the slice elements back."""
     c = chunk_tokens
-    ws = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    n = F.size(ws)
+    ws_col = F.col("__ws")
+    n = F.size(ws_col)
     n_chunks = ((n + c - 1) / c).cast("long")  # exact: ints divide then cast
     chunks = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(ws, i * c + 1, c), " "),
+        lambda i: F.array_join(F.slice(ws_col, i * c + 1, c), " "),
     )
+    ws_in = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
     return (
-        df.filter(n > 0)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks))
+        df.filter(F.size(ws_in) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"), ws_in.alias("__ws")
+        )
+        .select("doc_id", F.size(ws_col).alias("__n"), F.posexplode(chunks))
         .select(
             "doc_id",
             F.col("pos").alias("chunk_idx"),
-            F.size(F.regexp_extract_all(F.col("col"), F.lit(r"\S+"), 0)).alias(
+            F.least(F.lit(c), F.col("__n") - F.col("pos") * c).alias(
                 "n_chunk_tokens"
             ),
             F.col("col").alias("chunk_text"),
