@@ -388,8 +388,12 @@ def main():
     # tagged copy that only a run of the SAME shape overwrites, and
     # point the headline's "detail" field at it.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # the BENCH_ALL sweep (163 rows, different ordering/cache profile)
+    # gets its own tag — it must not clobber the curated 72-row detail
+    # the round-over-round diff reads
+    all_tag = "all_" if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1" else ""
     tagged_path = os.path.join(
-        os.path.dirname(detail_path), f"BENCH_DETAIL_sf{sf}_c{cpus}.json"
+        os.path.dirname(detail_path), f"BENCH_DETAIL_{all_tag}sf{sf}_c{cpus}.json"
     )
     # a targeted (SPARK_GRAFT_BENCH_ONLY) re-bench must not clobber the
     # tagged full-suite detail with a few-query subset
