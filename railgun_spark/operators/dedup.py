@@ -142,12 +142,19 @@ def band_keys(sig: Column, num_bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT spread_scan'd: shingling is regex/concat string
-    # work light enough that the repartition round-trip costs more than
-    # the parallelism buys on every consumer (A/B across the family:
-    # dedup_ngram_jaccard 3.21 -> 3.42 s, decontaminate_ngram_overlap
-    # 2.02 -> 2.30 s, dedup_containment_exact 3.59 -> 3.77 s with the
-    # spread). Contrast the per-window md5 passes below, which DO spread.
+    from railgun_spark.session import spread_scan
+
+    # SIZE-GATED spread (r18): at bench scale the repartition round-trip
+    # costs more than the parallelism buys (r17 A/B at the 0.6 MB sf0.1
+    # scan: dedup_ngram_jaccard 3.21 -> 3.42 s, decontaminate_ngram
+    # 2.02 -> 2.30 s, containment 3.59 -> 3.77 s — spread rejected), but
+    # the shingle pass is per-row CPU that a near-single-split scan
+    # serializes: at a 24 MB corpus (40x docs, one file) the UNSPREAD
+    # forms measured jaccard 41.0 s / minhash 34.6 s / decontam 43.8 s
+    # vs 14.2 / 9.1 / 23.9 s spread (x1.8-3.8). The 8 MiB gate sits
+    # between the measured-negative (0.6 MB) and measured-positive
+    # (24 MB) points; at 100 TB the scan already carries >= cores
+    # partitions and spread_scan no-ops.
     #
     # The non-empty filter is the WORD-COUNT form, not `size(sh) > 0`:
     # a doc has >= 1 trigram shingle iff it has >= 3 words (the zip_with
@@ -164,7 +171,9 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the interpreted zip_with chain. CollapseProject keeps the stages
     # apart (it refuses to duplicate a non-cheap multiply-referenced
     # alias), so the tokenizer runs once per row in its own projection.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_bytes=8 << 20
+    )
     return (
         docs.filter(F.size(words(F.col("text"))) >= 3)
         .select("doc_id", "lang", words(F.col("text")).alias("__ws"))

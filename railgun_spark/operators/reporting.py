@@ -183,12 +183,16 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from railgun_spark.operators.dedup import shingles_of_words, words
+    from railgun_spark.session import spread_scan
 
-    # deliberately NOT spread_scan'd: the shingle explode is pinned once
-    # below, and the repartition round-trip measured a wash for it
-    # (A/B min-of-5: 1.854 -> 1.885 s) — contrast span_dup_by_source,
-    # whose per-window md5 pass spreads for a 2.2x win
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # SIZE-GATED spread (r18, same gate/rationale as _docs_with_shingles
+    # in dedup.py): a wash at the 0.6 MB bench scan (A/B min-of-5:
+    # 1.854 -> 1.885 s, so the gate keeps it off there), a multi-x win
+    # once the per-row shingle pass serializes on a near-single-split
+    # scan (measured at a 24 MB corpus)
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_bytes=8 << 20
+    )
     # pinned once: the marginals and BOTH self-join sides otherwise
     # re-plan the shingle explode + distinct (4 scans in the before-plan).
     # Two-stage tokenize->shingle so the regexp evaluates once per row
