@@ -97,10 +97,16 @@ def _pagerank_oracle() -> str:
     tags=("graph", "iterative"),
 )
 def pagerank_word_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT spread_scan'd: the word-explode groupBy shuffles
-    # right away and the superstep loop dominates — A/B showed the extra
-    # exchange costs more than the spread buys here (1.93 -> 2.24 s)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # size-gated spread (r18): at the 0.6 MB bench scan the extra
+    # exchange costs more than it buys (A/B 1.93 -> 2.24 s — the gate
+    # keeps it off there), but a near-single-split corpus serializes
+    # the word-explode map side; 8 MiB gate per the text/dedup family
+    # crossover measurements (text.py _docs_scan)
+    from railgun_spark.session import spread_scan
+
+    docs = spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_bytes=8 << 20
+    )
     # slice of the sorted distinct-word array bounds the self-join fan-out
     # per doc at K·(K-1) regardless of document length (see PR_MAX_WORDS_PER_DOC)
     dw = (

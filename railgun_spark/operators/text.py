@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from railgun_spark.suite import extra_query, query
 
 
+def _docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan for the per-row text passes, spread when a
+    near-single-split file would serialize the compute.
+
+    Size-gated (8 MiB, see dedup._docs_with_shingles for the measured
+    crossover: spread is a regression at the 0.6 MB bench scan, a
+    x1.6-5.9 win at a 24 MB single-file corpus where ~6 splits fed 32
+    cores — inverted_index_rare 26.2 -> 4.5 s, unigram 15.5 -> 6.1 s,
+    word_hist 3.8 -> 1.5 s, pmi 15.8 -> 9.3 s measured there). At
+    production scans the frame already carries >= cores partitions and
+    spread_scan no-ops."""
+    from railgun_spark.session import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_bytes=8 << 20
+    )
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count: number of non-space runs."""
     return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
@@ -72,7 +90,7 @@ _STOPWORDS_EN = ("the", "and", "of", "a")
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     toks = token_count(F.col("text"))
     return (
         docs.groupBy("lang")
@@ -101,7 +119,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "topk"),
 )
 def text_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     return (
         docs.select(
             "doc_id",
@@ -129,7 +147,7 @@ def text_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     stop_hits = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|and|of|a)\b"), 0)
     )
@@ -156,7 +174,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "hash"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     return (
         docs.filter(F.col("doc_id") < 50)
         .select(
@@ -187,7 +205,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "hist"),
 )
 def word_hist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     return (
         docs.select(
             F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias(
@@ -237,7 +255,7 @@ def repetition_ratio(text: Column) -> Column:
     tags=("text", "quality"),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     rep = (F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws)).alias("rep")
     return (
@@ -300,7 +318,7 @@ ENTROPY_LOW = 2.0  # nats; ~e^2 effective vocabulary
     tags=("text", "quality"),
 )
 def text_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     cnt = (
         docs.select("doc_id", "lang", F.explode(ws).alias("w"))
@@ -363,7 +381,7 @@ def bpe_token_estimate(col: Column) -> Column:
     tags=("text", "tokens"),
 )
 def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     bpe = bpe_token_estimate(F.col("text"))
     ws = token_count(F.col("text"))
     return (
@@ -412,7 +430,7 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf"),
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     n_docs = docs.count()  # driver scalar, parquet-footer cheap
     tf = (
         docs.select(
@@ -478,7 +496,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "index"),
 )
 def inverted_index_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     ws = docs.select(
         "doc_id",
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias("w"),
@@ -542,7 +560,7 @@ SAMPLE_PER_LANG = 5
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     h = hash60(F.col("text"))
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
@@ -596,7 +614,7 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "association"),
 )
 def word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     dw = docs.select(
         "doc_id",
         F.explode(
@@ -686,7 +704,7 @@ def with_compression_ratio(df, text_col: str = "text", out_col: str = "compress_
 #     corpus — same discipline as the reporting module's bucket windows.
 # --------------------------------------------------------------------------
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     return (
         docs.select(
             F.explode(
@@ -1028,7 +1046,7 @@ def bpe_encode(
     tags=("text", "quality"),
 )
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     posts = docs.select("doc_id", "lang", F.explode(ws).alias("w"))
     cnt = posts.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -1112,7 +1130,7 @@ def classifier_score(text: Column) -> Column:
     tags=("text", "quality"),
 )
 def quality_classifier_lowscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scan(spark, sf_dir)
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     return (
         docs.filter(F.size(ws) > 0)
